@@ -1,0 +1,317 @@
+"""DocSet: the fluent dataset API, as a thin wrapper over DataFrame.
+
+Reference parity: ``DocSet`` (reference: lib/sycamore/sycamore/docset.py:47)
+— a lazy plan-carrying collection with fluent transforms. A Spark DataFrame
+*is* that abstraction (lazy, immutable, plan-carrying), so this wrapper adds
+only the reference's method surface and semantics; every method compiles to
+native DataFrame operations that Catalyst can optimize (pushdown, pruning,
+join selection, AQE). Nothing here collects to the driver except the
+explicit actions (count/take/show).
+
+Scale notes (100 TB design):
+- ``field_in`` is a broadcast left-semi join, not a driver-side set collect
+  (the reference collects B's values on the driver, docset.py:1646-1682).
+- ``limit`` is Spark's distributed limit, not driver iteration
+  (reference Limit iterates rows on the driver, transforms/basics.py:11-59).
+- ``groupby_count``/``top_k`` are partial-aggregated shuffles; top_k's final
+  ordering is a tiny reduced dataset, never a full sort of the input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sycamore_spark.functions.fields import field_expr
+from sycamore_spark.functions.filters import match_filter_expr, range_filter_expr
+
+
+class DocSet:
+    """Fluent wrapper over a DataFrame mirroring the reference DocSet API."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- plumbing ---------------------------------------------------------
+
+    @property
+    def spark(self):
+        return self.df.sparkSession
+
+    def _wrap(self, df: DataFrame) -> "DocSet":
+        return DocSet(df)
+
+    def to_df(self) -> DataFrame:
+        return self.df
+
+    def field(self, field: str) -> Column:
+        return field_expr(self.df, field)
+
+    # -- actions (reference: docset.py:147,208,239,261,68) ----------------
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def count_distinct(self, field: str) -> int:
+        return self.df.select(field_expr(self.df, field).alias("_f")).where(F.col("_f").isNotNull()).distinct().count()
+
+    def take(self, n: int = 20) -> list:
+        return self.df.take(n)
+
+    def take_all(self) -> list:
+        return self.df.collect()
+
+    def show(self, n: int = 20, truncate: bool = True) -> None:
+        self.df.show(n, truncate=truncate)
+
+    # -- filters (reference: docset.py:1160; functions/basic_filters.py) --
+
+    def filter(self, predicate: Column | str | Callable) -> "DocSet":
+        """Native Column/SQL-string predicates stay JVM-side; Python callables
+        run as a pandas-batched predicate over full rows (slow path)."""
+        if isinstance(predicate, (Column, str)):
+            return self._wrap(self.df.filter(predicate))
+        return self.map_batch(lambda pdf: pdf[pdf.apply(predicate, axis=1)])
+
+    def match_filter(self, field: str, query: Any, ignore_case: bool = True) -> "DocSet":
+        return self._wrap(self.df.filter(match_filter_expr(self.df, field, query, ignore_case)))
+
+    def range_filter(self, field: str, start: Any = None, end: Any = None, date: bool = False) -> "DocSet":
+        return self._wrap(self.df.filter(range_filter_expr(self.df, field, start, end, date)))
+
+    def drop_if_missing(self, field: str) -> "DocSet":
+        return self._wrap(self.df.filter(field_expr(self.df, field).isNotNull()))
+
+    # -- projections ------------------------------------------------------
+
+    def select(self, *cols) -> "DocSet":
+        return self._wrap(self.df.select(*cols))
+
+    def with_property(self, name: str, value: Column | Any) -> "DocSet":
+        value = value if isinstance(value, Column) else F.lit(value)
+        return self._wrap(self.df.withColumn(name, value))
+
+    def with_properties(self, props: dict[str, Column | Any]) -> "DocSet":
+        ds = self
+        for k, v in props.items():
+            ds = ds.with_property(k, v)
+        return ds
+
+    # -- generic UDF surface (reference: docset.py:1010,1097,1261) --------
+
+    def map(self, fn: Callable[[dict], dict], schema=None) -> "DocSet":
+        """Per-row dict->dict transform, executed as Arrow-batched pandas."""
+        out_schema = schema or self.df.schema
+
+        def run(it: Iterable[pd.DataFrame]):
+            for pdf in it:
+                rows = [fn(r) for r in pdf.to_dict("records")]
+                yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+        return self._wrap(self.df.mapInPandas(run, schema=out_schema))
+
+    def flat_map(self, fn: Callable[[dict], list[dict]], schema=None) -> "DocSet":
+        out_schema = schema or self.df.schema
+
+        def run(it: Iterable[pd.DataFrame]):
+            for pdf in it:
+                rows = [o for r in pdf.to_dict("records") for o in fn(r)]
+                yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+        return self._wrap(self.df.mapInPandas(run, schema=out_schema))
+
+    def map_batch(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema=None) -> "DocSet":
+        out_schema = schema or self.df.schema
+
+        def run(it: Iterable[pd.DataFrame]):
+            for pdf in it:
+                out = fn(pdf)
+                if len(out):
+                    yield out[[f.name for f in out_schema.fields]]
+
+        return self._wrap(self.df.mapInPandas(run, schema=out_schema))
+
+    def transform(self, cls, **kwargs) -> "DocSet":
+        """Inject a custom stage: cls(docset, **kwargs) -> DocSet or DataFrame."""
+        out = cls(self, **kwargs)
+        return out if isinstance(out, DocSet) else self._wrap(out)
+
+    # -- sort / limit / sample (reference: transforms/sort.py, basics.py) --
+
+    def sort(self, field: str, descending: bool = False, default_val: Any = None) -> "DocSet":
+        col = field_expr(self.df, field)
+        df = self.df
+        if default_val is None:
+            # Reference semantics: docs missing the sort key are dropped
+            # (docset.py:1408-1415 via DropIfMissingField).
+            df = df.filter(col.isNotNull())
+        else:
+            col = F.coalesce(col, F.lit(default_val))
+        return self._wrap(df.orderBy(col.desc() if descending else col.asc()))
+
+    def limit(self, n: int) -> "DocSet":
+        return self._wrap(self.df.limit(n))
+
+    def random_sample(self, fraction: float, seed: int | None = None) -> "DocSet":
+        return self._wrap(self.df.sample(fraction=fraction, seed=seed))
+
+    # -- set ops (reference: transforms/union.py) --------------------------
+
+    def union(self, *others: "DocSet") -> "DocSet":
+        df = self.df
+        for o in others:
+            df = df.unionByName(o.df, allowMissingColumns=True)
+        return self._wrap(df)
+
+    def intersect(self, other: "DocSet") -> "DocSet":
+        return self._wrap(self.df.intersect(other.df))
+
+    def except_all(self, other: "DocSet") -> "DocSet":
+        return self._wrap(self.df.exceptAll(other.df))
+
+    def drop_duplicates(self, *fields: str) -> "DocSet":
+        return self._wrap(self.df.dropDuplicates(list(fields) or None))
+
+    # -- joins (reference: docset.py:1646 field_in; native joins are new) --
+
+    def field_in(self, field: str, other: "DocSet", other_field: str) -> "DocSet":
+        """Left semi-join: keep rows where field ∈ other[other_field].
+
+        The reference collects the RHS values into a driver-side set
+        (docset.py:1671-1676); here the RHS is distinct-ed and broadcast,
+        so it scales to RHS sizes far beyond driver memory limits and
+        never blocks the driver.
+        """
+        rhs = other.df.select(field_expr(other.df, other_field).alias("__fin")).distinct()
+        lhs_col = field_expr(self.df, field)
+        return self._wrap(
+            self.df.join(F.broadcast(rhs), on=lhs_col == F.col("__fin"), how="left_semi")
+        )
+
+    def join(self, other: "DocSet", on, how: str = "inner", broadcast_other: bool = False) -> "DocSet":
+        rhs = F.broadcast(other.df) if broadcast_other else other.df
+        return self._wrap(self.df.join(rhs, on=on, how=how))
+
+    # -- grouping / aggregation (reference: grouped_data.py, groupby_count) --
+
+    def groupby(self, *fields: str) -> "GroupedDocSet":
+        return GroupedDocSet(self, [field_expr(self.df, f).alias(f.replace(".", "_")) for f in fields])
+
+    def groupby_count(self, field: str, unique_field: str | None = None) -> "DocSet":
+        """Group by ``field`` and count; with ``unique_field`` count distinct
+        values of it per group (reference: transforms/groupby_count.py:9-33,
+        which runs a two-level groupby — here a single countDistinct shuffle).
+        Output columns: ``key``, ``count`` (reference emits
+        properties.key/properties.count)."""
+        key = field_expr(self.df, field).alias("key")
+        df = self.df.filter(field_expr(self.df, field).isNotNull())
+        if unique_field is None:
+            out = df.groupBy(key).agg(F.count(F.lit(1)).alias("count"))
+        else:
+            out = df.groupBy(key).agg(F.countDistinct(field_expr(df, unique_field)).alias("count"))
+        return self._wrap(out)
+
+    def top_k(
+        self,
+        field: str,
+        k: int | None = None,
+        descending: bool = True,
+        unique_field: str | None = None,
+    ) -> "DocSet":
+        """groupby_count → sort by count (tie-break on key for determinism)
+        → limit k (reference: docset.py:1485-1528)."""
+        counted = self.groupby_count(field, unique_field).df
+        order = [F.col("count").desc() if descending else F.col("count").asc(), F.col("key").asc()]
+        out = counted.orderBy(*order)
+        if k is not None:
+            out = out.limit(k)
+        return self._wrap(out)
+
+    def term_frequency(self, field: str = "text", lower: bool = True) -> "DocSet":
+        """Global token frequency over a text field (reference computes a
+        per-doc Counter, transforms/term_frequency.py:8; the distributed
+        version is explode+groupBy with map-side partial aggregation)."""
+        col = field_expr(self.df, field)
+        if lower:
+            col = F.lower(col)
+        tok = F.explode(F.split(col, r"\s+")).alias("token")
+        return self._wrap(
+            self.df.select(tok).filter(F.col("token") != "").groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+        )
+
+    # -- unroll / explode (reference: transforms/explode.py:68) -----------
+
+    def unroll(self, field: str, delimiter: str = " ") -> "DocSet":
+        """Split a delimited field into N cloned rows, one per value."""
+        col = field_expr(self.df, field)
+        leaf = field.split(".")[-1]
+        others = [c for c in self.df.columns if c != leaf]
+        return self._wrap(
+            self.df.select(*others, F.explode(F.split(col, delimiter)).alias(leaf))
+        )
+
+    # -- windows / ranking --------------------------------------------------
+
+    def rank_within(
+        self, partition_field: str, order_field: str, descending: bool = True,
+        rank_col: str = "rank", tiebreak_field: str | None = None,
+    ) -> "DocSet":
+        order_col = field_expr(self.df, order_field)
+        order = [order_col.desc() if descending else order_col.asc()]
+        if tiebreak_field:
+            order.append(field_expr(self.df, tiebreak_field).asc())
+        w = Window.partitionBy(field_expr(self.df, partition_field)).orderBy(*order)
+        return self._wrap(self.df.withColumn(rank_col, F.row_number().over(w)))
+
+    # -- persistence (reference: materialize.py) ----------------------------
+
+    def materialize(self, path: str, source_mode: str = "RECOMPUTE") -> "DocSet":
+        """Checkpoint to parquet; USE_STORED reuses a complete prior run
+        (reference: transforms/materialize.py:277 writes one pickle per doc
+        and checks completeness markers; parquet's _SUCCESS marker plays
+        that role natively)."""
+        import os
+
+        spark = self.spark
+        if source_mode == "USE_STORED" and os.path.exists(os.path.join(path, "_SUCCESS")):
+            return self._wrap(spark.read.parquet(path))
+        self.df.write.mode("overwrite").parquet(path)
+        return self._wrap(spark.read.parquet(path))
+
+    def persist(self) -> "DocSet":
+        return self._wrap(self.df.persist())
+
+
+class GroupedDocSet:
+    """Reference GroupedData surface (reference: grouped_data.py:94-118)."""
+
+    def __init__(self, ds: DocSet, keys: list[Column]):
+        self.ds = ds
+        self.keys = keys
+
+    def count(self) -> DocSet:
+        return DocSet(self.ds.df.groupBy(*self.keys).agg(F.count(F.lit(1)).alias("count")))
+
+    def collect(self, field: str, joined: bool = False) -> DocSet:
+        """collect_list of a field per group; ``joined=True`` reproduces the
+        reference's comma-joined string output (grouped_data.py:73)."""
+        col = field_expr(self.ds.df, field)
+        agg = F.collect_list(col)
+        agg = F.concat_ws(", ", agg) if joined else agg
+        return DocSet(self.ds.df.groupBy(*self.keys).agg(agg.alias("collected")))
+
+    def agg(self, *exprs: Column) -> DocSet:
+        return DocSet(self.ds.df.groupBy(*self.keys).agg(*exprs))
+
+    def aggregate(self, *exprs: Column) -> DocSet:
+        return self.agg(*exprs)
+
+    def reduce(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema) -> DocSet:
+        """Arbitrary per-group reduction via applyInPandas (reference Reduce
+        collects sub_docs then reduces, transforms/aggregation.py:221)."""
+        return DocSet(self.ds.df.groupBy(*self.keys).applyInPandas(fn, schema=schema))

@@ -1,0 +1,4 @@
+from sycamore_spark.functions.fields import field_expr
+from sycamore_spark.functions.filters import match_filter_expr, range_filter_expr
+
+__all__ = ["field_expr", "match_filter_expr", "range_filter_expr"]

@@ -1,0 +1,114 @@
+"""Text-analysis expressions: tokenization, quality, language-ID, fingerprints.
+
+All built from native pyspark.sql.functions (JVM-side, whole-stage codegen) —
+no Python UDFs in the hot path. Reference analogues: tokenizers
+(reference: lib/sycamore/sycamore/functions/tokenizer.py:6-62), term_frequency
+(transforms/term_frequency.py:8). The quality/language/fingerprint functions
+are the large-scale training-data additions (no reference equivalent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny embedded stopword list — enough for ratio features and n-gram
+# heuristic language ID without external model files.
+EN_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on with as at by from",
+)
+_EN_SET = sorted(set(EN_STOPWORDS[0].split()))
+
+# Marker words per language for the n-gram heuristic classifier.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+
+def tokens(col: Column, lower: bool = True, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenization → array<string>."""
+    c = F.lower(col) if lower else col
+    return F.split(c, pattern)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (BPE-ish subword count ≈ chars/4 is a separate
+    estimator, see bpe_token_estimate)."""
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """Deterministic BPE-like token-count estimate: word pieces from a regex
+    split on word boundaries / punctuation plus a chars/4 floor — the standard
+    cheap proxy used for budget accounting in training pipelines."""
+    pieces = F.size(F.split(col, r"(?<=\W)|(?=\W)"))
+    return F.greatest(pieces, (F.length(col) / F.lit(4)).cast("int"))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of tokens that are English stopwords (quality feature)."""
+    toks = tokens(col)
+    stop = F.array(*[F.lit(w) for w in _EN_SET])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop))
+    # ratio over distinct tokens; cheap and monotone with classic ratio
+    return (n_stop / F.greatest(F.size(F.array_distinct(toks)), F.lit(1))).cast("double")
+
+
+def punct_ratio(col: Column) -> Column:
+    non_alnum = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return (non_alnum / F.greatest(F.length(col), F.lit(1))).cast("double")
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return (total / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]: rewards reasonable
+    length, low punctuation noise, presence of stopwords (prose-ness)."""
+    length_ok = F.when(F.length(col).between(20, 100000), F.lit(1.0)).otherwise(F.lit(0.25))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    prose = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    return ((length_ok + punct_ok + prose) / F.lit(3.0)).cast("double")
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: count marker-word hits per language over the
+    distinct token set; argmax with 'und' (undetermined) fallback."""
+    toks = F.array_distinct(tokens(col))
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        scores.append((lang, F.size(F.array_intersect(toks, marker_arr))))
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # Iterate deterministically; strictly-greater keeps first-wins tie order.
+    for lang, score in scores:
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text. Stable across engines (md5 is standardized), used as
+    the exact-dedup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def word_shingles(col: Column, k: int = 3, sep: str = "_") -> Column:
+    """k-word shingles as array<string> via native higher-order functions
+    (reference shingling: lib/sycamore/sycamore/functions/simhash.py)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.array_join(toks, sep))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), sep))
+    )

@@ -1,0 +1,314 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Reference parity: ``SketchUniquify`` near-dup removal via shingles/simhash
+(reference: lib/sycamore/sycamore/transforms/sketcher.py:29-110,
+functions/simhash.py:84-204) — re-expressed as distributed Spark plans.
+
+Every operator here follows the same scale shape:
+  1. per-row signature computation — pure native expressions, no shuffle;
+  2. candidate generation — ONE equi-join shuffle on a blocking key
+     (band hash / bit chunk / inverted-index token), never an O(n²)
+     cross join;
+  3. exact verification on the (small) candidate set.
+
+That shape is what survives 100 TB: the only quadratic step runs within
+blocks, and skewed blocking keys (stop-shingles) are dropped by frequency
+capping before the join.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sycamore_spark.functions import text as T
+from sycamore_spark.functions import vectors as V
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id row per normalized-text fingerprint.
+
+    One hash-aggregate shuffle on the md5 fingerprint; with map-side partial
+    aggregation this is the cheapest possible global dedup.
+    Returns (id_col, fingerprint, dup_count).
+    """
+    fp = T.fingerprint(F.col(text_col)).alias("fingerprint")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, "fingerprint", "dup_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+def jaccard_similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    ngram: int = 1,
+    max_token_doc_freq: float | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over token (or word-n-gram) sets.
+
+    Inverted-index self-join: explode distinct tokens, join on token, count
+    intersections, compute |A∪B| from per-doc set sizes. The join key is the
+    token — O(sum of postings²) per token, so ``max_token_doc_freq`` drops
+    ubiquitous tokens (stopword-like) that would otherwise create quadratic
+    skew at scale; exactness is preserved only when it is None.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    toks = F.array_distinct(T.tokens(F.col(text_col))) if ngram == 1 else F.array_distinct(
+        T.word_shingles(F.col(text_col), k=ngram)
+    )
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    sizes = base.select("_id", F.size("_toks").alias("_n"))
+    posting = base.select("_id", F.explode("_toks").alias("_tok"))
+    if max_token_doc_freq is not None:
+        n_docs = df.count()
+        cap = int(max_token_doc_freq * n_docs)
+        hot = posting.groupBy("_tok").count().filter(F.col("count") > cap).select("_tok")
+        posting = posting.join(F.broadcast(hot), "_tok", "left_anti")
+
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a._tok") == F.col("b._tok")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    # Plain equi-joins on the id — the per-doc sizes table is O(n_docs) rows,
+    # far beyond broadcast range at scale; AQE may still broadcast when small.
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, shingle_k: int = 3) -> DataFrame:
+    """MinHash signatures computed entirely row-local (zero shuffle):
+    sig[i] = min over shingles of xxhash64(i, shingle)."""
+    # Two-step projection: materialize the shingle array once, then hash it
+    # num_perm times. Inlining the shingle expression into every min would
+    # re-split/re-slice the text once per hash family; a localCheckpoint-free
+    # barrier via an intermediate select keeps it computed once.
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        T.word_shingles(F.col(text_col), k=shingle_k).alias("_shingles"),
+    )
+
+    # NB: the lambda must take exactly one arg — a default-arg closure would
+    # be parsed by pyspark as the two-arg (element, index) form.
+    def hash_with_seed(i):
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    mins = [
+        F.array_min(F.transform(F.col("_shingles"), hash_with_seed(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return base.select("_id", "_shingles", F.array(*mins).alias("_sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified with exact shingle Jaccard.
+
+    banding: num_perm/bands rows per band; docs sharing any band bucket are
+    candidates (one equi-join shuffle on (band, bucket_hash)); candidates are
+    then verified with exact Jaccard over shingle sets so the output has no
+    false positives — LSH only bounds recall.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows = num_perm // bands
+    sig = minhash_signature(df, id_col, text_col, num_perm, shingle_k)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[F.col("_sig")[bi * rows + r] for r in range(rows)]).alias("bucket"),
+        )
+        for bi in range(bands)
+    ])
+    buckets = sig.select("_id", F.explode(band_structs).alias("b")).select(
+        "_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sets_a = sig.select(F.col("_id").alias("id_a"), F.array_distinct("_shingles").alias("_sa"))
+    sets_b = sig.select(F.col("_id").alias("id_b"), F.array_distinct("_shingles").alias("_sb"))
+    jac = (
+        F.size(F.array_intersect("_sa", "_sb"))
+        / F.size(F.array_union("_sa", "_sb"))
+    ).cast("double")
+    return (
+        cand.join(sets_a, "id_a").join(sets_b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 64) -> DataFrame:
+    """64-bit SimHash per row from distinct-token hashes, fully native:
+    bit j of the signature = sign of sum over tokens of (+1/-1) at bit j of
+    xxhash64(token). No shuffle. (reference: functions/simhash.py:84-204)."""
+    toks = F.array_distinct(T.tokens(F.col(text_col)))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_contrib(j):
+        return lambda acc, h: acc + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    bit_exprs = []
+    for j in range(nbits):
+        contrib = F.aggregate(th, F.lit(0), bit_contrib(j))
+        bit_exprs.append(
+            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        )
+    sig = reduce(lambda x, y: x.bitwiseOR(y), bit_exprs)
+    return df.select(F.col(id_col).alias("_id"), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, nbits: int = 64, chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split the signature into ``chunks`` bit-chunks;
+    any pair within distance < chunks shares at least one exact chunk, so an
+    equi-join on (chunk_index, chunk_value) finds all candidates with one
+    shuffle; verification is a native bit_count(xor). Requires
+    max_hamming < chunks for completeness.
+    Returns (id_a, id_b, hamming).
+    """
+    width = nbits // chunks
+    mask = (1 << width) - 1
+    sig = simhash(df, id_col, text_col, nbits)
+    chunk_structs = F.array(*[
+        F.struct(
+            F.lit(ci).alias("ci"),
+            F.shiftright(F.col("simhash"), ci * width).bitwiseAND(F.lit(mask)).alias("cv"),
+        )
+        for ci in range(chunks)
+    ])
+    blocked = sig.select("_id", "simhash", F.explode(chunk_structs).alias("c")).select(
+        "_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.99
+) -> DataFrame:
+    """Exact cosine near-dup pairs (brute-force; the correctness baseline).
+
+    O(n²) — correct at test scale and the oracle for the LSH-blocked variant
+    (``embedding_near_dup_pairs_lsh``), which is the 100 TB path.
+    Returns (id_a, id_b, cosine rounded to 6dp).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cos = V.cosine(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.99,
+    nplanes: int = 16,
+    ntables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH blocking + exact cosine verification.
+
+    Signatures are sign-patterns against ``nplanes`` deterministic
+    pseudo-random hyperplanes (``ntables`` independent tables); candidates
+    share a full signature in at least one table. One equi-join shuffle on
+    (table, signature); verified pairs carry exact cosine, so precision is
+    exact and only recall depends on the LSH parameters.
+    """
+    import random
+
+    rng = random.Random(seed)
+    vec = V.as_double(F.col(vec_col))
+
+    tables = []
+    for t in range(ntables):
+        bits = []
+        for p in range(nplanes):
+            plane = [rng.gauss(0, 1) for _ in range(dim)]
+            proj = F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(w) for w in plane]), lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
+        sig = reduce(lambda x, y: x.bitwiseOR(y), bits)
+        tables.append(F.struct(F.lit(t).alias("t"), sig.alias("sig")))
+
+    blocked = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.explode(F.array(*tables)).alias("b")
+    ).select("_id", "_v", F.col("b.t").alias("t"), F.col("b.sig").alias("sig"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cos = V.cosine(F.col("a._v"), F.col("b._v"))
+    return (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), cos.alias("cosine"))
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

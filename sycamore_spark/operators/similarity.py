@@ -1,0 +1,106 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Reference parity: ``QueryVectorDatabase`` delegates kNN to OpenSearch
+(reference: lib/sycamore/sycamore/query/operators/query_database.py;
+physical sycamore_operator.py:194). Here retrieval is an in-engine operator:
+
+- ``brute_force_topk`` — exact baseline: broadcast the (small) query set,
+  score every corpus row with native cosine expressions, rank with a
+  per-query window. One shuffle (the window), no cross-join materialization
+  beyond the scored rows.
+- ``ivf_topk`` — the 100 TB path: KMeans-partition the corpus into cells
+  (MLlib), route each query to its ``nprobe`` nearest cells, and only score
+  within routed cells. Corpus scan cost drops by ~ncells/nprobe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sycamore_spark.functions import vectors as V
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors per query. Returns
+    (query_id, neighbor_id, rank, score) — deterministic via (score desc,
+    neighbor_id asc) ordering."""
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv"))
+    if metric == "cosine":
+        score = V.cosine(F.col("_qv"), F.col("_cv"))
+        order = [F.col("score").desc(), F.col("neighbor_id").asc()]
+    elif metric == "l2":
+        score = V.l2_distance(F.col("_qv"), F.col("_cv"))
+        order = [F.col("score").asc(), F.col("neighbor_id").asc()]
+    else:
+        raise ValueError(f"unknown metric {metric}")
+    scored = c.crossJoin(F.broadcast(q)).withColumn("score", score)
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    ncells: int = 16,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: cluster corpus into cells, probe nearest cells only.
+
+    The corpus is assigned to KMeans cells once (reusable across query
+    batches — at scale, persist/bucket the assigned corpus by cell_id so
+    repeated searches shuffle nothing). Each query scores only rows in its
+    ``nprobe`` nearest cells: recall < 1 is the accepted trade for a
+    ~ncells/nprobe scan reduction.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_features", array_to_vector(V.as_double(F.col("_cv"))))
+    km = KMeans(k=ncells, seed=seed, featuresCol="_features", predictionCol="cell_id")
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select("neighbor_id", "_cv", "cell_id")
+
+    centers = [(ci, [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(centers, ["cell_id", "center"])
+
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
+    q_cells = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("_d", V.l2_distance(F.col("_qv"), F.col("center")))
+        .withColumn("_r", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("_d").asc())))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "_qv", "cell_id")
+    )
+    scored = assigned.join(F.broadcast(q_cells), "cell_id").withColumn(
+        "score", V.cosine(F.col("_qv"), F.col("_cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
