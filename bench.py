@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry  # noqa: E402
+import sycamore_spark as ss  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: relational pipelines, dedup, similarity, text analysis.
+# (dedup_jaccard and dedup_embedding are correctness-tier: exact-quadratic
+# baselines whose scale path is dedup_minhash / embedding LSH.)
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "groupby_count_unique",
+    "sort_limit",
+    "window_rank",
+    "time_bucket",
+    "json_extract",
+    "term_frequency",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_topk",
+    "text_stats",
+    "lang_id",
+    "quality",
+    "fingerprint",
+]
+
+
+def main() -> None:
+    spark = ss.init(app_name="sycamore-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry.queries()
+    timings: dict[str, float] = {}
+
+    # Warm the JVM/codegen path once with a cheap query so the first measured
+    # query doesn't absorb session startup.
+    queries["groupby_count"](spark, SF_DIR).collect()
+
+    # Each query runs twice: the first run pays one-time whole-stage-codegen
+    # JIT compilation (a constant, ~seconds, independent of data size); the
+    # second run is the steady-state number that projects to cluster scale.
+    cold: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cold_total_sec": round(sum(cold.values()), 3),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -107,25 +107,24 @@ def jaccard_similar_pairs(
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, shingle_k: int = 3) -> DataFrame:
     """MinHash signatures computed entirely row-local (zero shuffle):
     sig[i] = min over shingles of xxhash64(i, shingle)."""
-    # Two-step projection: materialize the shingle array once, then hash it
-    # num_perm times. Inlining the shingle expression into every min would
-    # re-split/re-slice the text once per hash family; a localCheckpoint-free
-    # barrier via an intermediate select keeps it computed once.
+    # Two-step projection: materialize the shingle array once, then fold it
+    # into the signature in a single aggregate expression —
+    #   sig = fold(shingles, [MAX..], (acc, s) -> zip_with(acc, H(s), least))
+    # where H(s) = [xxhash64(i, s) for i in 0..num_perm). One compact
+    # expression instead of num_perm separate aggregates keeps codegen small
+    # (64 aggregates took ~15s of compile+eval at sf0.1; this is <2s).
     base = df.select(
         F.col(id_col).alias("_id"),
         T.word_shingles(F.col(text_col), k=shingle_k).alias("_shingles"),
     )
-
-    # NB: the lambda must take exactly one arg — a default-arg closure would
-    # be parsed by pyspark as the two-arg (element, index) form.
-    def hash_with_seed(i):
-        return lambda s: F.xxhash64(F.lit(i), s)
-
-    mins = [
-        F.array_min(F.transform(F.col("_shingles"), hash_with_seed(i))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    return base.select("_id", "_shingles", F.array(*mins).alias("_sig"))
+    max_long = (1 << 63) - 1
+    seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    sig = F.aggregate(
+        F.col("_shingles"),
+        F.array_repeat(F.lit(max_long).cast("long"), num_perm),
+        lambda acc, s: F.zip_with(acc, F.transform(seeds, lambda i: F.xxhash64(i, s)), lambda a, b: F.least(a, b)),
+    )
+    return base.select("_id", "_shingles", sig.alias("_sig"))
 
 
 def minhash_lsh_pairs(
@@ -146,7 +145,10 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows = num_perm // bands
-    sig = minhash_signature(df, id_col, text_col, num_perm, shingle_k)
+    # persist: the signature is read by banding (which references _sig once
+    # per band — projection collapse would otherwise re-inline the minhash
+    # fold per reference) and again by exact verification.
+    sig = minhash_signature(df, id_col, text_col, num_perm, shingle_k).persist()
     band_structs = F.array(*[
         F.struct(
             F.lit(bi).alias("band"),
@@ -216,7 +218,9 @@ def simhash_near_dup_pairs(
     """
     width = nbits // chunks
     mask = (1 << width) - 1
-    sig = simhash(df, id_col, text_col, nbits)
+    # persist: chunk extraction references the (expensive) signature several
+    # times; see minhash_lsh_pairs.
+    sig = simhash(df, id_col, text_col, nbits).persist()
     chunk_structs = F.array(*[
         F.struct(
             F.lit(ci).alias("ci"),
