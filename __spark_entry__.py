@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sycamore_spark.docset import DocSet
-from sycamore_spark.operators import dedup, similarity, textstats
+from sycamore_spark.llm.client import MockLLM, ScoringMockLLM
+from sycamore_spark.llm.map import extract_entity, llm_filter
+from sycamore_spark.operators import dedup, elements, similarity, textstats
 from sycamore_spark.sources import load_table
 
 SF1 = "/root/testdata/sf0.001"
@@ -308,6 +310,103 @@ def q_ann_ivf(spark, sf) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Document-structure ETL (SURVEY.md §2.9) — documents table lifted into the
+# canonical DOC_SCHEMA with 10-token chunk elements, then explode / merge /
+# markdown, each with a closed-form oracle.
+# ---------------------------------------------------------------------------
+
+def _documents_as_docset(spark, sf) -> DataFrame:
+    """documents table → DOC_SCHEMA-shaped frame: each doc's text split into
+    10-token elements (deterministic chunking so ETL outputs are
+    SQL-checkable)."""
+    from sycamore_spark.data.schema import DOC_SCHEMA
+
+    df = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    el_type = DOC_SCHEMA["elements"].dataType.elementType
+    els = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("element_index"),
+            F.lit("text").alias("type"),
+            F.array_join(F.slice(toks, i * 10 + 1, 10), " ").alias("text_representation"),
+            F.lit(None).cast("binary").alias("binary_representation"),
+            F.lit(None).cast("array<double>").alias("bbox"),
+            F.lit(1).alias("page_number"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.lit(None).cast("string").alias("properties"),
+        ).cast(el_type),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.lit("doc").alias("type"),
+        F.col("text").alias("text_representation"),
+        F.lit(None).cast("binary").alias("binary_representation"),
+        F.lit(None).cast("array<double>").alias("bbox"),
+        F.lit(None).cast("array<bigint>").alias("shingles"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.to_json(F.struct(F.col("source"), F.col("lang"))).alias("properties"),
+        els.alias("elements"),
+    )
+
+
+def q_doc_explode(spark, sf) -> DataFrame:
+    """Explode elements → child docs; children counted per parent
+    (transforms/explode.py:10-65)."""
+    exploded = elements.explode_elements(_documents_as_docset(spark, sf))
+    return (
+        exploded.filter(F.col("parent_id").isNotNull())
+        .groupBy(F.col("parent_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def q_doc_merge(spark, sf) -> DataFrame:
+    """GreedyTextElementMerger with a 20-token budget packs the 10-token
+    chunks in pairs (merge_elements.py:58); chunk count per doc checked."""
+    merged = elements.merge_greedy_text(_documents_as_docset(spark, sf), max_tokens=20)
+    return merged.select(F.col("doc_id").alias("key"), F.size("elements").cast("bigint").alias("count"))
+
+
+def q_doc_markdown(spark, sf) -> DataFrame:
+    """Markdown render of chunk elements (transforms/markdown.py); md5 of the
+    rendered text checked against a closed-form reconstruction."""
+    md = elements.render_markdown(_documents_as_docset(spark, sf), out_col="md")
+    return md.select(F.col("doc_id").cast("bigint").alias("doc_id"), F.md5(F.col("md")).alias("md_hash"))
+
+
+# ---------------------------------------------------------------------------
+# LLM stages with deterministic mock clients (SURVEY.md §2.10) — the mock is
+# a pure function of the prompt, so the whole stage is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+def q_llm_filter(spark, sf) -> DataFrame:
+    """llm_filter (docset.py:1204): mock scorer = capped count of 'spark' in
+    the document text; keep score >= 2."""
+    docs = load_table(spark, sf, "documents").withColumnRenamed("text", "text_representation")
+    out = llm_filter(docs, "is this about spark?", lambda: ScoringMockLLM("spark"),
+                     field="text_representation", threshold=2)
+    return out.select("doc_id", "source")
+
+
+def q_llm_extract(spark, sf) -> DataFrame:
+    """extract_entity (docset.py:576): mock extracts the first word of the
+    text into properties.first_word."""
+    docs = (
+        load_table(spark, sf, "documents")
+        .withColumnRenamed("text", "text_representation")
+        .withColumn("properties", F.lit(None).cast("string"))
+    )
+    out = extract_entity(
+        docs, "first_word",
+        lambda: MockLLM([(r"Text: (\S+)", lambda m: m.group(1))]),
+    )
+    return out.select("doc_id", F.get_json_object("properties", "$.first_word").alias("first_word"))
+
+
+# ---------------------------------------------------------------------------
 # Text analysis (training-data pipeline additions)
 # ---------------------------------------------------------------------------
 
@@ -349,6 +448,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "doc_explode": q_doc_explode,
+    "doc_merge": q_doc_merge,
+    "doc_markdown": q_doc_markdown,
+    "llm_filter": q_llm_filter,
+    "llm_extract": q_llm_extract,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -376,11 +480,11 @@ _COS = (
 )
 
 _SHINGLES = (
-    "case when len(string_split(lower(text), ' ')) < 3 "
-    "then [array_to_string(string_split(lower(text), ' '), '_')] "
-    "else list_transform(range(len(string_split(lower(text), ' ')) - 2), "
-    "i -> string_split(lower(text), ' ')[i+1] || '_' || "
-    "string_split(lower(text), ' ')[i+2] || '_' || string_split(lower(text), ' ')[i+3]) end"
+    "case when len(string_split(trim(lower(text)), ' ')) < 3 "
+    "then [array_to_string(string_split(trim(lower(text)), ' '), '_')] "
+    "else list_transform(range(len(string_split(trim(lower(text)), ' ')) - 2), "
+    "i -> string_split(trim(lower(text)), ' ')[i+1] || '_' || "
+    "string_split(trim(lower(text)), ' ')[i+2] || '_' || string_split(trim(lower(text)), ' ')[i+3]) end"
 )
 
 _LANG_MARKERS_SQL = {
@@ -435,7 +539,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "term_frequency": (
             "SELECT token, count(*)::BIGINT AS freq FROM "
-            "(SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) "
+            "(SELECT unnest(string_split(trim(lower(text)), ' ')) AS token FROM documents) "
             "WHERE token <> '' GROUP BY 1 HAVING count(*) > 100"
         ),
         "groupby_collect": (
@@ -498,12 +602,33 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31' "
             "GROUP BY n_name"
         ),
+        "doc_explode": (
+            "SELECT doc_id::VARCHAR AS key, "
+            "CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT) AS count FROM documents"
+        ),
+        "doc_merge": (
+            "SELECT doc_id::VARCHAR AS key, "
+            "CAST(ceil(ceil(len(string_split(text, ' ')) / 10.0) / 2.0) AS BIGINT) AS count FROM documents"
+        ),
+        "doc_markdown": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+            "CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INT) AS nc FROM documents) "
+            "SELECT doc_id, md5(array_to_string(list_transform(range(nc), "
+            "i -> array_to_string(toks[(i*10+1):((i+1)*10)], ' ')), chr(10) || chr(10))) AS md_hash FROM t"
+        ),
+        "llm_filter": (
+            "SELECT doc_id, source FROM documents WHERE "
+            "least(5, (length(lower(text)) - length(replace(lower(text), 'spark', ''))) / 5) >= 2"
+        ),
+        "llm_extract": (
+            "SELECT doc_id, string_split(text, ' ')[1] AS first_word FROM documents"
+        ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint, "
             "count(*)::BIGINT AS dup_count FROM documents GROUP BY 2"
         ),
         "dedup_jaccard": (
-            "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok FROM documents), "
+            "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "
             "sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1), "
             "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i FROM tok a "
             "JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) "
@@ -538,9 +663,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": (
             "SELECT doc_id, len(string_split(trim(text), ' '))::INT AS n_tokens, "
             "length(text)::INT AS n_chars_obs, "
-            "round(list_sum(list_transform(string_split(lower(text), ' '), x -> length(x)))::DOUBLE "
-            "/ greatest(len(string_split(lower(text), ' ')), 1), 6) AS mean_word_len, "
-            "len(list_distinct(string_split(lower(text), ' ')))::INT AS distinct_tokens FROM documents"
+            "round(list_sum(list_transform(string_split(trim(lower(text)), ' '), x -> length(x)))::DOUBLE "
+            "/ greatest(len(string_split(trim(lower(text)), ' ')), 1), 6) AS mean_word_len, "
+            "len(list_distinct(string_split(trim(lower(text)), ' ')))::INT AS distinct_tokens FROM documents"
         ),
         "lang_id": (
             f"SELECT doc_id, CASE WHEN {lang_max} <= 0 THEN 'und' "
@@ -549,7 +674,7 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN {lang_scores['fr']} = {lang_max} THEN 'fr' ELSE 'es' END AS lang_pred FROM documents"
         ),
         "quality": (
-            "WITH t AS (SELECT doc_id, text, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents) "
+            "WITH t AS (SELECT doc_id, text, list_distinct(string_split(trim(lower(text)), ' ')) AS toks FROM documents) "
             f"SELECT doc_id, round(len(list_intersect(toks, {_STOPWORDS_SQL}))::DOUBLE / greatest(len(toks), 1), 6) AS stopword_ratio, "
             "round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1), 6) AS punct_ratio, "
             "round(((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.25 END) + "

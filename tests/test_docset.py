@@ -1,0 +1,127 @@
+"""DocSet relational-surface semantics (reference test model:
+tests/unit/test_docset.py, test_sort.py, test_basics.py, test_grouped_data.py)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from sycamore_spark.docset import DocSet
+
+
+def _people(spark):
+    return DocSet(spark.createDataFrame(
+        [("a", "Alice", 34, "NY"), ("b", "Bob", 25, "SF"), ("c", "Carol", None, "NY"),
+         ("d", "Dave", 41, "LA"), ("e", "Eve", 25, None)],
+        "id string, name string, age int, city string",
+    ))
+
+
+def test_match_filter_substring_case_insensitive(spark):
+    ds = _people(spark)
+    assert {r.id for r in ds.match_filter("name", "ali").take_all()} == {"a"}
+    assert {r.id for r in ds.match_filter("name", "ALI").take_all()} == {"a"}
+    # non-string query → equality
+    assert {r.id for r in ds.match_filter("age", 25).take_all()} == {"b", "e"}
+
+
+def test_range_filter_inclusive(spark):
+    ds = _people(spark)
+    assert {r.id for r in ds.range_filter("age", 25, 34).take_all()} == {"a", "b", "e"}
+    # open-ended
+    assert {r.id for r in ds.range_filter("age", 35, None).take_all()} == {"d"}
+
+
+def test_sort_drops_missing_unless_default(spark):
+    ds = _people(spark)
+    # Reference semantics: docs missing the sort key are dropped (docset.py:1408).
+    ids = [r.id for r in ds.sort("age").take_all()]
+    assert "c" not in ids and ids[0] in {"b", "e"}
+    # with default, kept and placed by the default value
+    ids = [r.id for r in ds.sort("age", default_val=0).take_all()]
+    assert ids[0] == "c"
+
+
+def test_field_in_semi_join(spark):
+    ds = _people(spark)
+    other = DocSet(spark.createDataFrame([("NY",), ("LA",)], "c string"))
+    assert {r.id for r in ds.field_in("city", other, "c").take_all()} == {"a", "c", "d"}
+
+
+def test_groupby_count_and_unique(spark):
+    ds = _people(spark)
+    rows = {r.key: r["count"] for r in ds.groupby_count("city").take_all()}
+    assert rows == {"NY": 2, "SF": 1, "LA": 1}  # null key dropped
+    rows = {r.key: r["count"] for r in ds.groupby_count("city", unique_field="age").take_all()}
+    assert rows["NY"] == 1  # Carol's null age not counted distinct... Alice only
+
+
+def test_top_k_deterministic_tiebreak(spark):
+    ds = DocSet(spark.createDataFrame([("x",), ("x",), ("y",), ("y",), ("z",)], "v string"))
+    rows = [(r.key, r["count"]) for r in ds.top_k("v", k=2).take_all()]
+    assert rows == [("x", 2), ("y", 2)]  # count desc, key asc
+
+
+def test_unroll_and_term_frequency(spark):
+    ds = DocSet(spark.createDataFrame([("1", "a b a"), ("2", "b c")], "id string, text string"))
+    un = ds.unroll("text", " ")
+    assert un.count() == 5
+    tf = {r.token: r.freq for r in ds.term_frequency("text").take_all()}
+    assert tf == {"a": 2, "b": 2, "c": 1}
+
+
+def test_union_limit_sample_distinct(spark):
+    ds = _people(spark)
+    assert ds.union(ds).count() == 10
+    assert ds.limit(2).count() == 2
+    assert ds.union(ds).drop_duplicates("id").count() == 5
+    assert 0 <= ds.random_sample(0.5, seed=1).count() <= 5
+
+
+def test_grouped_collect_and_reduce(spark):
+    ds = _people(spark)
+    got = {r.city: r.collected for r in ds.drop_if_missing("city").groupby("city")
+           .collect("name", joined=True).take_all()}
+    assert set(got["NY"].split(", ")) == {"Alice", "Carol"}
+
+    schema = StructType([StructField("city", StringType()), StructField("n", LongType())])
+
+    def reducer(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"city": pdf["city"].iloc[0], "n": len(pdf)}])
+
+    got = {r.city: r.n for r in ds.drop_if_missing("city").groupby("city").reduce(reducer, schema).take_all()}
+    assert got == {"NY": 2, "SF": 1, "LA": 1}
+
+
+def test_rank_within(spark):
+    ds = _people(spark)
+    rows = {(r.city, r.name): r["rank"] for r in
+            ds.drop_if_missing("city").drop_if_missing("age")
+            .rank_within("city", "age", descending=True, tiebreak_field="id").take_all()}
+    assert rows[("NY", "Alice")] == 1
+
+
+def test_materialize_use_stored(spark, tmp_path):
+    ds = _people(spark)
+    p = str(tmp_path / "mat")
+    m1 = ds.materialize(p)
+    assert m1.count() == 5
+    # USE_STORED must reuse without recompute (same contents)
+    m2 = DocSet(spark.range(0).toDF("id")).materialize(p, source_mode="USE_STORED")
+    assert m2.count() == 5
+
+
+def test_map_and_flat_map(spark):
+    ds = DocSet(spark.createDataFrame([(1,), (2,)], "v int"))
+    assert sorted(r.v for r in ds.map(lambda r: {"v": r["v"] * 10}).take_all()) == [10, 20]
+    assert ds.flat_map(lambda r: [r, r]).count() == 4
+
+
+def test_filter_callable_runs_rowwise(spark):
+    ds = _people(spark)
+    out = ds.filter(lambda row: row["city"] == "NY")
+    assert {r.id for r in out.take_all()} == {"a", "c"}
+
+
+def test_json_field_access(spark):
+    ds = DocSet(spark.createDataFrame([("1", '{"a": {"b": 7}}')], "id string, properties string"))
+    assert ds.to_df().select(ds.field("properties.a.b").cast("int").alias("x")).collect()[0].x == 7

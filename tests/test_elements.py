@@ -1,0 +1,112 @@
+"""Elements-array ETL semantics (reference test model: test_explode.py,
+test_merge_elements.py, test_split_elements.py, test_markdown.py)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from sycamore_spark.data.schema import docs_from_rows
+from sycamore_spark.operators import elements as E
+
+
+def _docs(spark):
+    return docs_from_rows(spark, [
+        dict(doc_id="d1", type="pdf", properties={"src": "s1"}, elements=[
+            dict(type="title", text_representation="The Title", bbox=[0.1, 0.02, 0.9, 0.04], page_number=1),
+            dict(type="text", text_representation="hello world", bbox=[0.1, 0.2, 0.9, 0.4], page_number=1),
+            dict(type="text", text_representation="tiny", bbox=[0.1, 0.5, 0.1001, 0.5001], page_number=1),
+            dict(type="list-item", text_representation="item one", bbox=[0.1, 0.1, 0.9, 0.3], page_number=2),
+        ]),
+        dict(doc_id="d2", type="pdf", elements=[]),
+    ])
+
+
+def test_explode_elements(spark):
+    out = E.explode_elements(_docs(spark))
+    rows = out.collect()
+    children = [r for r in rows if r.parent_id is not None]
+    parents = [r for r in rows if r.parent_id is None]
+    assert len(parents) == 2 and len(children) == 4
+    assert all(c.parent_id == "d1" for c in children)
+    # children inherit parent properties when element has none
+    assert json.loads(children[0].properties)["src"] == "s1"
+
+
+def test_spread_properties(spark):
+    out = E.spread_properties(_docs(spark))
+    els = out.filter(F.col("doc_id") == "d1").collect()[0].elements
+    for el in els:
+        assert json.loads(el.properties)["src"] == "s1"
+
+
+def test_filter_and_map_elements(spark):
+    out = E.filter_elements(_docs(spark), lambda e: e["type"] == "text")
+    assert len(out.filter(F.col("doc_id") == "d1").collect()[0].elements) == 2
+    out = E.map_elements(_docs(spark), lambda e: e.withField("type", F.lit("x")))
+    assert {el.type for el in out.filter(F.col("doc_id") == "d1").collect()[0].elements} == {"x"}
+
+
+def test_regex_replace(spark):
+    df = docs_from_rows(spark, [dict(doc_id="d", text_representation="a   b\t c", elements=[
+        dict(type="text", text_representation="x   y"),
+    ])])
+    out = E.regex_replace(df, E.COALESCE_WHITESPACE).collect()[0]
+    assert out.text_representation == "a b c"
+    assert out.elements[0].text_representation == "x y"
+
+
+def test_render_markdown(spark):
+    out = E.render_markdown(_docs(spark)).filter(F.col("doc_id") == "d1").collect()[0]
+    assert out.text_representation.startswith("# The Title")
+    assert "- item one" in out.text_representation
+
+
+def test_mark_drop_tiny_and_drop_marked(spark):
+    out = E.drop_marked(E.mark_drop_tiny(_docs(spark)))
+    texts = [el.text_representation for el in out.filter(F.col("doc_id") == "d1").collect()[0].elements]
+    assert "tiny" not in texts and "hello world" in texts
+
+
+def test_mark_drop_header_footer(spark):
+    out = E.drop_marked(E.mark_drop_header_footer(_docs(spark)))
+    texts = [el.text_representation for el in out.filter(F.col("doc_id") == "d1").collect()[0].elements]
+    assert "The Title" not in texts  # y2=0.04 <= 0.05 margin
+
+
+def test_sort_by_page_bbox_and_break(spark):
+    out = E.mark_break_page(E.sort_by_page_bbox(_docs(spark)))
+    els = out.filter(F.col("doc_id") == "d1").collect()[0].elements
+    assert els[-1].page_number == 2
+    assert json.loads(els[-1].properties or "{}").get("_break") == "true"
+
+
+def test_merge_greedy_text(spark):
+    df = docs_from_rows(spark, [dict(doc_id="d", elements=[
+        dict(type="text", text_representation="one two three"),
+        dict(type="text", text_representation="four five"),
+        dict(type="text", text_representation="six seven eight nine ten eleven"),
+    ])])
+    out = E.merge_greedy_text(df, max_tokens=5).collect()[0]
+    texts = [e.text_representation for e in out.elements]
+    assert texts[0] == "one two three\nfour five"
+    assert len(out.elements) == 2
+
+
+def test_split_elements(spark):
+    long_text = ("word " * 30).strip() + ". " + ("tail " * 30).strip()
+    df = docs_from_rows(spark, [dict(doc_id="d", elements=[
+        dict(type="text", text_representation=long_text),
+    ])])
+    out = E.split_elements(df, max_tokens=40).collect()[0]
+    assert len(out.elements) >= 2
+    joined = " ".join(e.text_representation for e in out.elements)
+    assert "tail" in joined and "word" in joined
+
+
+def test_assign_doc_properties(spark):
+    df = docs_from_rows(spark, [dict(doc_id="d", properties={"a": "1"}, elements=[
+        dict(type="table", text_representation="t", properties={"caption": "Table 1"}),
+    ])])
+    out = E.assign_doc_properties(df, "table", "caption").collect()[0]
+    assert json.loads(out.properties)["caption"] == "Table 1"
+    assert json.loads(out.properties)["a"] == "1"

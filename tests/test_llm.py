@@ -1,0 +1,74 @@
+"""LLM stage semantics with deterministic mocks (reference test model:
+MockLLM in tests/unit/test_docset.py:44-100)."""
+
+from pyspark.sql import functions as F
+
+from sycamore_spark.llm import MockLLM, extract_entity, llm_filter, llm_map, summarize_data, summarize_docs
+from sycamore_spark.llm.client import ScoringMockLLM
+from sycamore_spark.llm.map import llm_cluster_entity
+
+
+def _docs(spark):
+    return spark.createDataFrame([
+        (1, "spark spark spark is great"),
+        (2, "spark is fine"),
+        (3, "nothing relevant here"),
+    ], "doc_id int, text_representation string")
+
+
+def test_llm_map_renders_and_maps(spark):
+    out = llm_map(
+        _docs(spark), "Echo: {{ doc.doc_id }}", "reply",
+        lambda: MockLLM([(r"Echo: (\d+)", lambda m: f"id={m.group(1)}")]),
+    ).collect()
+    assert {r.doc_id: r.reply for r in out} == {1: "id=1", 2: "id=2", 3: "id=3"}
+
+
+def test_llm_map_validate_gives_null_after_retries(spark):
+    out = llm_map(
+        _docs(spark), "say {{ doc.doc_id }}", "reply",
+        lambda: MockLLM([(r"say 1", "ok")]),
+        validate=lambda r: r == "ok", max_tries=2,
+    ).collect()
+    got = {r.doc_id: r.reply for r in out}
+    assert got[1] == "ok" and got[2] is None and got[3] is None
+
+
+def test_llm_filter_threshold(spark):
+    out = llm_filter(_docs(spark), "about spark?", lambda: ScoringMockLLM("spark"), threshold=2)
+    assert {r.doc_id for r in out.collect()} == {1}
+    out = llm_filter(_docs(spark), "about spark?", lambda: ScoringMockLLM("spark"), threshold=1)
+    assert {r.doc_id for r in out.collect()} == {1, 2}
+
+
+def test_extract_entity_merges_into_properties(spark):
+    import json
+
+    df = _docs(spark).withColumn("properties", F.lit('{"x": "1"}'))
+    out = extract_entity(
+        df, "topic", lambda: MockLLM([(r"Text: .*spark.*", "Spark"), (r".*", "Other")]),
+    ).collect()
+    props = {r.doc_id: json.loads(r.properties) for r in out}
+    assert props[1]["topic"] == "Spark" and props[1]["x"] == "1"
+    assert props[3]["topic"] == "Other"
+
+
+def test_summarize_docs(spark):
+    out = summarize_docs(_docs(spark), lambda: MockLLM([(r"Summarize", "SUM")])).collect()
+    assert all(r.summary == "SUM" for r in out)
+
+
+def test_summarize_data_single_answer(spark):
+    out = summarize_data(spark, _docs(spark), "what?", lambda: MockLLM([(r"Question: what\?", "42")]))
+    assert out.collect()[0].answer == "42"
+
+
+def test_llm_cluster_entity(spark):
+    llm = lambda: MockLLM([  # noqa: E731
+        (r"return a JSON array", '["tech", "other"]'),
+        (r"Assign the text.*spark", "tech"),
+        (r"Assign the text", "other"),
+    ])
+    out = llm_cluster_entity(_docs(spark), llm)
+    got = {r.doc_id: r.cluster_label for r in out.collect()}
+    assert got[1] == "tech" and got[3] == "other"

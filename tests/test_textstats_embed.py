@@ -1,0 +1,87 @@
+"""Text analysis + embedding stage semantics."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from sycamore_spark.operators import clustering, embed, textstats
+
+
+def _docs(spark):
+    return spark.createDataFrame([
+        (1, "the cat and the dog are in the house"),
+        (2, "der Hund und die Katze ist hier"),
+        (3, "xyzzy qwerty!!!! @@@@ ####"),
+    ], "doc_id int, text string")
+
+
+def test_text_stats(spark):
+    rows = {r.doc_id: r for r in textstats.text_stats(_docs(spark)).collect()}
+    assert rows[1].n_tokens == 9
+    assert rows[1].distinct_tokens == 7
+    assert rows[1].n_chars_obs == len("the cat and the dog are in the house")
+
+
+def test_lang_id(spark):
+    rows = {r.doc_id: r.lang_pred for r in textstats.language_id(_docs(spark)).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "de"
+    assert rows[3] == "und"
+
+
+def test_quality_orders_prose_above_garbage(spark):
+    rows = {r.doc_id: r.quality_score for r in textstats.quality(_docs(spark)).collect()}
+    assert rows[1] > rows[3]
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame([(1, "a  b\tc"), (2, " A b C")], "doc_id int, text string")
+    fps = [r.fingerprint for r in textstats.fingerprints(df).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_hashing_embedding_unit_norm_deterministic(spark):
+    df = _docs(spark).withColumnRenamed("text", "text_representation")
+    out1 = embed.embed(df, dim=16).collect()
+    out2 = embed.embed(df, dim=16).collect()
+    v1 = {r.doc_id: r.embedding for r in out1}
+    v2 = {r.doc_id: r.embedding for r in out2}
+    assert v1 == v2
+    assert math.isclose(sum(x * x for x in v1[1]), 1.0, rel_tol=1e-5)
+
+
+def test_embed_skips_existing(spark):
+    df = spark.createDataFrame([(1, "hello", [9.0] * 4)],
+                               "doc_id int, text_representation string, embedding array<float>")
+    out = embed.embed(df, dim=4).collect()[0]
+    assert out.embedding == [9.0] * 4
+
+
+def test_embed_elements(spark):
+    from sycamore_spark.data.schema import docs_from_rows
+
+    df = docs_from_rows(spark, [dict(doc_id="d", elements=[
+        dict(type="text", text_representation="hello world"),
+    ])])
+    el = embed.embed_elements(df, dim=8).collect()[0].elements[0]
+    assert len(el.embedding) == 8
+
+
+def test_kmeans_separates_clusters(spark):
+    rows = [(i, [10.0 + i * 0.01, 0.0]) for i in range(10)] + \
+           [(100 + i, [0.0, 10.0 + i * 0.01]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = clustering.kmeans(df, k=2, seed=7)
+    clusters = {r.vec_id: r.cluster for r in out.collect()}
+    left = {clusters[i] for i in range(10)}
+    right = {clusters[100 + i] for i in range(10)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_rerank_puts_matching_doc_first(spark):
+    df = spark.createDataFrame([
+        (1, "spark query engine performance"),
+        (2, "cooking pasta with tomato sauce"),
+    ], "doc_id int, text_representation string")
+    out = clustering.rerank(df, query="spark engine").collect()
+    assert out[0].doc_id == 1
