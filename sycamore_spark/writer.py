@@ -1,0 +1,106 @@
+"""Sinks: write DocSets/DataFrames out.
+
+Reference parity (SURVEY.md §2.1 writers): file/json writers
+(reference: lib/sycamore/sycamore/connectors/file/file_writer.py:138,211),
+DuckDB writer (connectors/duckdb/duckdb_writer.py:16-185 with its flattened
+record shape), Iceberg writer (writer.py:821), plus search-engine sinks
+(OpenSearch/ES/Weaviate/...) which need live services — those are gated
+stubs exposing the same ``BaseDBWriter``-style seam.
+
+Spark-first: parquet/json writes are native distributed writes. The DuckDB
+sink stages parquet then issues one CREATE TABLE AS read_parquet — DuckDB
+ingests directly from the distributed write, no driver row funnel.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSONL per partition (reference JsonWriter: file_writer.py:211)."""
+    # binary columns are not JSON-serializable; base64 them like the
+    # reference's document-to-json path.
+    out = df
+    for name, dtype in df.dtypes:
+        if dtype == "binary":
+            out = out.withColumn(name, F.base64(F.col(name)))
+    out.write.mode(mode).json(path)
+
+
+def write_files(df: DataFrame, path: str, text_col: str = "text_representation",
+                name_col: str = "doc_id") -> None:
+    """One file per document (reference FileWriter: file_writer.py:138).
+    Distributed foreachPartition write — no driver funnel."""
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(rows):
+        for r in rows:
+            with open(os.path.join(path, f"{r[name_col]}.txt"), "w") as f:
+                f.write(r[text_col] or "")
+
+    df.select(name_col, text_col).foreachPartition(write_part)
+
+
+# Reference DuckDB record shape (duckdb_writer.py:153-180).
+DUCKDB_DOC_COLUMNS = ["doc_id", "embedding", "properties", "text_representation", "bbox", "shingles", "type"]
+
+
+def write_duckdb(df: DataFrame, db_path: str, table: str, stage_dir: str,
+                 doc_shape: bool = False) -> None:
+    """Write via a staged parquet directory + one DuckDB bulk ingest.
+
+    ``doc_shape=True`` projects the reference's DuckDB record columns
+    (duckdb_writer.py:153-180)."""
+    import duckdb
+
+    if doc_shape:
+        cols = [c for c in DUCKDB_DOC_COLUMNS if c in df.columns]
+        df = df.select(*cols)
+    df.write.mode("overwrite").parquet(stage_dir)
+    con = duckdb.connect(db_path)
+    con.execute(f"CREATE OR REPLACE TABLE {table} AS SELECT * FROM read_parquet('{stage_dir}/*.parquet')")
+    con.close()
+
+
+def write_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
+    """Iceberg sink (reference: writer.py:821). Requires the iceberg-spark
+    runtime jar + catalog config on the session; raises a clear error when
+    absent (not bundled in this container)."""
+    try:
+        writer = df.writeTo(table)
+        (writer.append() if mode == "append" else writer.createOrReplace())
+    except Exception as e:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "Iceberg write requires spark.sql.catalog configuration and the "
+            "iceberg-spark-runtime jar on the classpath"
+        ) from e
+
+
+class SearchSinkStub:
+    """Seam for OpenSearch/Elasticsearch/Weaviate/Pinecone/Qdrant/Neo4j
+    sinks (reference: writer.py:45-906). Real implementations run a
+    foreachPartition bulk-index loop against the service client; no services
+    exist in this container, so instantiation works (for pipeline assembly)
+    but execution raises."""
+
+    def __init__(self, kind: str, **params):
+        self.kind = kind
+        self.params = params
+
+    def write(self, df: DataFrame) -> None:
+        raise NotImplementedError(
+            f"{self.kind} sink requires a live service; configure and use "
+            "foreachPartition bulk indexing in deployment."
+        )

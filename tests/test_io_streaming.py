@@ -1,0 +1,149 @@
+"""Sources, sinks, partitioners, and streaming ingest."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sycamore_spark.operators.partition import (
+    ArynPartitioner, HtmlPartitioner, TextPartitioner, partition,
+)
+from sycamore_spark.sources.files import binary_scan, json_document_scan, json_scan, text_scan
+from sycamore_spark import writer as W
+
+
+HTML = """<html><head><title>Doc Title</title></head><body>
+<h2>Section</h2><p>First para.</p><ul><li>item a</li><li>item b</li></ul>
+</body></html>"""
+
+
+@pytest.fixture()
+def html_dir(tmp_path):
+    d = tmp_path / "html"
+    d.mkdir()
+    (d / "a.html").write_text(HTML)
+    (d / "b.html").write_text("<p>only one</p>")
+    (d / "ignore.txt").write_text("not html")
+    return str(d)
+
+
+def test_binary_scan_with_extension_filter(spark, html_dir):
+    df = binary_scan(spark, html_dir, binary_format="html")
+    rows = df.collect()
+    assert len(rows) == 2
+    assert all(r.binary_representation is not None for r in rows)
+    assert all(json.loads(r.properties)["filetype"] == "html" for r in rows)
+
+
+def test_binary_scan_manifest_join(spark, html_dir, tmp_path):
+    a_path = f"file:{html_dir}/a.html"
+    manifest = tmp_path / "manifest.json"
+    manifest.write_text(json.dumps({a_path: {"owner": "alice"}}))
+    df = binary_scan(spark, html_dir, binary_format="html", manifest_path=str(manifest))
+    props = {json.loads(r.properties).get("path"): json.loads(r.properties) for r in df.collect()}
+    assert props[a_path]["owner"] == "alice"
+
+
+def test_html_partition(spark, html_dir):
+    df = partition(binary_scan(spark, html_dir, binary_format="html"), HtmlPartitioner())
+    by_id = {json.loads(r.properties)["path"].split("/")[-1]: r for r in df.collect()}
+    els = by_id["a.html"].elements
+    kinds = [(e.type, e.text_representation) for e in els]
+    assert ("title", "Doc Title") in kinds
+    assert ("list-item", "item a") in kinds
+    assert any("First para." in t for _, t in kinds)
+    assert json.loads(by_id["a.html"].properties)["_partitioned"] == "true"
+
+
+def test_text_partition_paragraphs(spark, tmp_path):
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "x.txt").write_text("para one line\n\npara two line\n\n\npara three")
+    df = partition(text_scan(spark, str(d), glob="*.txt"), TextPartitioner())
+    els = df.collect()[0].elements
+    assert [e.text_representation for e in els] == ["para one line", "para two line", "para three"]
+
+
+def test_aryn_partitioner_is_stubbed(spark, tmp_path):
+    d = tmp_path / "pdf"
+    d.mkdir()
+    (d / "f.pdf").write_bytes(b"%PDF-fake")
+    df = partition(binary_scan(spark, str(d), binary_format="pdf"), ArynPartitioner())
+    with pytest.raises(Exception, match="DETR|NotImplemented"):
+        df.collect()
+
+
+def test_json_scan(spark, tmp_path):
+    p = tmp_path / "recs.jsonl"
+    p.write_text('{"id": 1, "body": "hello"}\n{"id": 2, "body": "world"}\n')
+    df = json_scan(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 2
+    assert {json.loads(r.properties)["body"] for r in rows} == {"hello", "world"}
+
+
+def test_json_document_roundtrip(spark, tmp_path):
+    from sycamore_spark.data.schema import docs_from_rows
+
+    docs = docs_from_rows(spark, [dict(doc_id="d1", text_representation="hi",
+                                       elements=[dict(type="text", text_representation="e")])])
+    out = str(tmp_path / "docs_json")
+    W.write_json(docs, out)
+    back = json_document_scan(spark, out)
+    row = back.collect()[0]
+    assert row.doc_id == "d1" and row.elements[0].text_representation == "e"
+
+
+def test_write_files(spark, tmp_path):
+    df = spark.createDataFrame([("a", "content-a"), ("b", "content-b")],
+                               "doc_id string, text_representation string")
+    out = str(tmp_path / "files")
+    W.write_files(df, out)
+    assert sorted(os.listdir(out)) == ["a.txt", "b.txt"]
+    assert (tmp_path / "files" / "a.txt").read_text() == "content-a"
+
+
+def test_write_duckdb(spark, tmp_path):
+    import duckdb
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+    db = str(tmp_path / "t.duckdb")
+    W.write_duckdb(df, db, "t", str(tmp_path / "stage"))
+    con = duckdb.connect(db)
+    assert con.sql("select count(*) from t").fetchone()[0] == 2
+
+
+def test_search_sink_stub():
+    sink = W.SearchSinkStub("opensearch", index="docs")
+    with pytest.raises(NotImplementedError):
+        sink.write(None)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from sycamore_spark.sources.tables import load_table
+    from sycamore_spark.streaming import ingest as S
+
+    # stage a small events slice as the source directory
+    src = str(tmp_path / "src")
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = S.stream_from_directory(spark, src, schema)
+    agg = S.windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = S.write_stream_parquet(agg, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch = (
+        events.groupBy(F.date_trunc("HOUR", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got_counts = {(r.window_start, r.event_type): r.n for r in got.collect()}
+    # streaming watermark append-mode may hold back the final (open) window
+    for k, v in got_counts.items():
+        assert batch.filter((F.col("window_start") == k[0]) & (F.col("event_type") == k[1])
+                            ).collect()[0].n == v
+    assert len(got_counts) > 0
