@@ -406,6 +406,36 @@ def q_llm_extract(spark, sf) -> DataFrame:
     return out.select("doc_id", F.get_json_object("properties", "$.first_word").alias("first_word"))
 
 
+def q_custom_agg(spark, sf) -> DataFrame:
+    """Custom Aggregation frame: zero/accumulate/combine/finalize with
+    map-side combine (transforms/aggregation.py:173-218). Weighted-average
+    price per returnflag; exact integer-cents arithmetic in the accumulator,
+    final rounding JVM-side so it matches the DuckDB oracle bit-for-bit."""
+    from sycamore_spark.operators.aggregation import Aggregation
+
+    li = _ds(spark, sf, "lineitem").to_df().select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    agg = Aggregation(
+        name="wavg",
+        zero_factory=lambda: {"num": 0, "den": 0},
+        accumulate_docs=lambda docs: {
+            "num": sum(d["price_c"] * d["qty"] for d in docs),
+            "den": sum(d["qty"] for d in docs),
+        },
+        combine_partials=lambda a, b: {"num": a["num"] + b["num"], "den": a["den"] + b["den"]},
+        finalize=lambda p: p,
+    )
+    out = DocSet(li).aggregate(agg, "num bigint, den bigint", group_key="l_returnflag").to_df()
+    return out.select(
+        "key",
+        F.round(F.col("num") / F.col("den") / 100.0, 4).alias("wavg_price"),
+        F.col("den").alias("total_qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data pipeline additions)
 # ---------------------------------------------------------------------------
@@ -444,6 +474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_bucket": q_time_bucket,
     "json_extract": q_json_extract,
     "agg_stats": q_agg_stats,
+    "custom_agg": q_custom_agg,
     "rollup": q_rollup,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -565,6 +596,12 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS value_sum, "
             "round(sum(value::DECIMAL(18,2))::DOUBLE / count(*), 4) AS value_avg, "
             "min(value) AS value_min, max(value) AS value_max FROM events GROUP BY 1"
+        ),
+        "custom_agg": (
+            "SELECT l_returnflag AS key, "
+            "round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) "
+            "/ sum(CAST(l_quantity AS BIGINT)) / 100.0, 4) AS wavg_price, "
+            "sum(CAST(l_quantity AS BIGINT)) AS total_qty FROM lineitem GROUP BY 1"
         ),
         "rollup": (
             "SELECT r_name, n_name, count(*)::BIGINT AS n_cust, "

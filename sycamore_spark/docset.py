@@ -232,6 +232,15 @@ class DocSet:
             out = out.limit(k)
         return self._wrap(out)
 
+    def aggregate(self, agg, out_schema, group_key: str | Column | None = None) -> "DocSet":
+        """Custom partial+final aggregation (reference: docset.py:1421
+        ``aggregate``; transforms/aggregation.py:173). ``agg`` is an
+        operators.aggregation.Aggregation; map-side combine then a
+        partials-only shuffle."""
+        from sycamore_spark.operators.aggregation import run_aggregation
+
+        return self._wrap(run_aggregation(self.df, agg, out_schema, group_key=group_key))
+
     def term_frequency(self, field: str = "text", lower: bool = True) -> "DocSet":
         """Global token frequency over a text field (reference computes a
         per-doc Counter, transforms/term_frequency.py:8; the distributed
@@ -308,7 +317,17 @@ class GroupedDocSet:
     def agg(self, *exprs: Column) -> DocSet:
         return DocSet(self.ds.df.groupBy(*self.keys).agg(*exprs))
 
-    def aggregate(self, *exprs: Column) -> DocSet:
+    def aggregate(self, *exprs, out_schema=None) -> DocSet:
+        """Column exprs → native groupBy().agg. An
+        operators.aggregation.Aggregation (with ``out_schema``) → the custom
+        partial+final frame, grouped by the first groupby key."""
+        from sycamore_spark.operators.aggregation import Aggregation, run_aggregation
+
+        if len(exprs) == 1 and isinstance(exprs[0], Aggregation):
+            assert out_schema is not None, "custom Aggregation needs out_schema"
+            return DocSet(
+                run_aggregation(self.ds.df, exprs[0], out_schema, group_key=self.keys[0])
+            )
         return self.agg(*exprs)
 
     def reduce(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema) -> DocSet:
