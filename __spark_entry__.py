@@ -436,6 +436,65 @@ def q_custom_agg(spark, sf) -> DataFrame:
     )
 
 
+def q_standardize_state(spark, sf) -> DataFrame:
+    """USStateStandardizer: word-boundary abbrev→full-name replace compiled
+    to a chained regexp_replace Column (standardizer.py:54). Synthesizes a
+    deterministic state per customer so the oracle can index the full-name
+    array directly."""
+    from sycamore_spark.operators.standardize import US_STATE_ABBREVIATIONS, us_state_expr
+
+    abbrevs = list(US_STATE_ABBREVIATIONS)
+    cust = _ds(spark, sf, "customer").to_df()
+    idx = (F.col("c_custkey") % 51).cast("int")
+    text = F.concat(
+        F.lit("Ships to "),
+        F.element_at(F.array(*[F.lit(a) for a in abbrevs]), idx + 1),
+        F.lit(" today"),
+    )
+    return cust.select("c_custkey", us_state_expr(text).alias("std_text"))
+
+
+def q_standardize_date(spark, sf) -> DataFrame:
+    """DateTimeStandardizer: fuzzy string parse (dateutil in a pandas UDF)
+    round-tripping events.ts through an English long-form date string
+    (standardizer.py:171)."""
+    from sycamore_spark.operators import standardize as std
+
+    ev = _ds(spark, sf, "events").to_df().withColumn(
+        "when", F.date_format("ts", "MMMM d, yyyy HH:mm:ss")
+    )
+    out = std.standardize_datetime(ev, "when", out_field="when_std")
+    return out.select(
+        "event_id",
+        F.col("when_std_day").cast("string").alias("day"),
+        F.unix_timestamp("when_std_dateTime").alias("epoch"),
+    )
+
+
+def q_augment_text(spark, sf) -> DataFrame:
+    """augment_text with a template compiled to native concat
+    (augment_text.py:54-103 Jinja path, JVM-side here)."""
+    from sycamore_spark.operators.standardize import augment_text
+
+    docs = _ds(spark, sf, "documents").to_df()
+    out = augment_text(docs, "[{source}] {text}", out_field="aug")
+    return out.select("doc_id", F.md5(F.col("aug")).alias("aug_hash"))
+
+
+def q_chunk_overlap(spark, sf) -> DataFrame:
+    """TextOverlapChunker: chunks of 10 tokens, stride 8, as
+    sequence/transform/slice higher-order functions (chunker.py:37-41)."""
+    from sycamore_spark.operators.standardize import chunk_text_overlap
+
+    docs = _ds(spark, sf, "documents").to_df()
+    out = chunk_text_overlap(docs, "text", chunk=10, overlap=2)
+    return out.select(
+        "doc_id",
+        F.size("chunks").alias("n_chunks"),
+        F.md5(F.array_join("chunks", "|")).alias("chunks_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data pipeline additions)
 # ---------------------------------------------------------------------------
@@ -479,6 +538,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "standardize_state": q_standardize_state,
+    "standardize_date": q_standardize_date,
+    "augment_text": q_augment_text,
+    "chunk_overlap": q_chunk_overlap,
     "doc_explode": q_doc_explode,
     "doc_merge": q_doc_merge,
     "doc_markdown": q_doc_markdown,
@@ -638,6 +701,32 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_nationkey = s_nationkey AND r_name = 'ASIA' "
             "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31' "
             "GROUP BY n_name"
+        ),
+        "standardize_state": (
+            "SELECT c_custkey, 'Ships to ' || ["
+            "'Alaska','Alabama','Arkansas','Arizona','California','Colorado','Connecticut',"
+            "'District of Columbia','Delaware','Florida','Georgia','Hawaii','Iowa','Idaho',"
+            "'Illinois','Indiana','Kansas','Kentucky','Louisiana','Massachusetts','Maryland',"
+            "'Maine','Michigan','Minnesota','Missouri','Mississippi','Montana','North Carolina',"
+            "'North Dakota','Nebraska','New Hampshire','New Jersey','New Mexico','Nevada',"
+            "'New York','Ohio','Oklahoma','Oregon','Pennsylvania','Rhode Island','South Carolina',"
+            "'South Dakota','Tennessee','Texas','Utah','Virginia','Vermont','Washington',"
+            "'Wisconsin','West Virginia','Wyoming'"
+            "][(c_custkey % 51) + 1] || ' today' AS std_text FROM customer"
+        ),
+        "standardize_date": (
+            "SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, "
+            "epoch(date_trunc('second', ts))::BIGINT AS epoch FROM events"
+        ),
+        "augment_text": (
+            "SELECT doc_id, md5('[' || source || '] ' || text) AS aug_hash FROM documents"
+        ),
+        "chunk_overlap": (
+            "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents), "
+            "c AS (SELECT doc_id, list_transform(range(CAST(ceil(len(toks) / 8.0) AS BIGINT)), "
+            "i -> array_to_string(toks[(i*8+1):(i*8+10)], ' ')) AS chunks FROM t) "
+            "SELECT doc_id, len(chunks)::INT AS n_chunks, "
+            "md5(array_to_string(chunks, '|')) AS chunks_hash FROM c"
         ),
         "doc_explode": (
             "SELECT doc_id::VARCHAR AS key, "

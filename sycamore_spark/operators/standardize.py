@@ -1,0 +1,229 @@
+"""Standardizers, text augmentation, and overlap chunking.
+
+Reference parity:
+- ``USStateStandardizer`` — word-boundary substring replace of US state
+  abbreviations with full names (reference: lib/sycamore/sycamore/
+  transforms/standardizer.py:54).
+- ``DateTimeStandardizer`` — fuzzy date parse → formatted string plus
+  ``day``/``dateTime`` properties, with military-time digit-pair repair
+  (standardizer.py:171, fix_military :236).
+- ``augment_text`` — rewrite ``text_representation`` from a template or UDF
+  (transforms/augment_text.py:10-103; docset.py:370).
+- ``TextOverlapChunker`` — token chunks of N with stride N-overlap
+  (functions/chunker.py:11-40).
+
+Spark-first notes: state standardization and template augmentation compile
+to pure Column expressions (whole-stage codegen, no Python in the hot path).
+Chunking is ``sequence``+``transform``+``slice`` higher-order functions over
+the token array — also JVM-side. Only fuzzy datetime parsing drops to an
+Arrow-batched pandas UDF (dateutil), mirroring the reference's dateparser
+dependency; ISO-ish fast paths should use native ``to_timestamp`` upstream.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from datetime import datetime
+from typing import Any, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+US_STATE_ABBREVIATIONS: dict[str, str] = {
+    "AK": "Alaska", "AL": "Alabama", "AR": "Arkansas", "AZ": "Arizona",
+    "CA": "California", "CO": "Colorado", "CT": "Connecticut",
+    "DC": "District of Columbia", "DE": "Delaware", "FL": "Florida",
+    "GA": "Georgia", "HI": "Hawaii", "IA": "Iowa", "ID": "Idaho",
+    "IL": "Illinois", "IN": "Indiana", "KS": "Kansas", "KY": "Kentucky",
+    "LA": "Louisiana", "MA": "Massachusetts", "MD": "Maryland", "ME": "Maine",
+    "MI": "Michigan", "MN": "Minnesota", "MO": "Missouri", "MS": "Mississippi",
+    "MT": "Montana", "NC": "North Carolina", "ND": "North Dakota",
+    "NE": "Nebraska", "NH": "New Hampshire", "NJ": "New Jersey",
+    "NM": "New Mexico", "NV": "Nevada", "NY": "New York", "OH": "Ohio",
+    "OK": "Oklahoma", "OR": "Oregon", "PA": "Pennsylvania",
+    "RI": "Rhode Island", "SC": "South Carolina", "SD": "South Dakota",
+    "TN": "Tennessee", "TX": "Texas", "UT": "Utah", "VA": "Virginia",
+    "VT": "Vermont", "WA": "Washington", "WI": "Wisconsin",
+    "WV": "West Virginia", "WY": "Wyoming",
+}
+
+
+def us_state_expr(col: Column) -> Column:
+    """Column expression replacing \\b<ABBREV>\\b with the full state name.
+
+    One alternation regexp pass to find candidates would not allow per-match
+    replacement text in Spark, so this chains one ``regexp_replace`` per
+    state; Catalyst folds the chain into a single codegen'd stage (51 narrow
+    string ops, zero Python)."""
+    out = col
+    for abbrev, full in US_STATE_ABBREVIATIONS.items():
+        out = F.regexp_replace(out, r"\b" + abbrev + r"\b", full)
+    return out
+
+
+def standardize_us_state(df: DataFrame, field: str, out_field: str | None = None) -> DataFrame:
+    return df.withColumn(out_field or field, us_state_expr(F.col(field)))
+
+
+# -- datetime ---------------------------------------------------------------
+
+_CLOCK_RE = re.compile(r"\d:[0-5]\d")
+_YEAR_RE = re.compile(r"([12]\d\d\d-)|(/[12]\d\d\d)|(\d/[0-3]?\d/\d)")
+_DIGITPAIR_RE = re.compile(r"([0-2]\d)([0-5]\d)(\d\d)?")
+
+DEFAULT_DATETIME_FORMAT = "%B %d, %Y %H:%M:%S%Z"
+
+
+def fix_military(raw: str) -> str:
+    """Rewrite a lone military digit-pair clock (``0800`` → ``08:00``) when
+    the string has a year but no :-separated clock (reference semantics,
+    standardizer.py:236-270: bail unless exactly one digit-pair and at least
+    one year-like token and no regular clock)."""
+    raw = raw.strip()
+    tokens = raw.split()
+    n_clock = sum(1 for t in tokens if _CLOCK_RE.search(t))
+    n_year = sum(1 for t in tokens if not _CLOCK_RE.search(t) and _YEAR_RE.search(t))
+    n_digits = sum(
+        1
+        for t in tokens
+        if not _CLOCK_RE.search(t) and not _YEAR_RE.search(t) and _DIGITPAIR_RE.fullmatch(t)
+    )
+    if n_clock > 0 or n_year == 0 or n_digits != 1:
+        return raw
+    fixed = []
+    for t in tokens:
+        m = _DIGITPAIR_RE.fullmatch(t)
+        if m:
+            t = t[: m.start()] + ":".join(g for g in m.groups() if g) + t[m.end():]
+        fixed.append(t)
+    return " ".join(fixed)
+
+
+def parse_datetime_fuzzy(raw: str | None) -> Optional[datetime]:
+    """Fuzzy parse mirroring the reference fixer (standardizer.py:198-233):
+    military repair, strip 'Local', '.'→':', then dateutil parse."""
+    if raw is None:
+        return None
+    from dateutil import parser as duparser
+
+    s = fix_military(raw).replace("Local", "").replace("local", "").replace(".", ":")
+    try:
+        return duparser.parse(s, fuzzy=True)
+    except (ValueError, OverflowError):
+        return None
+
+
+def standardize_datetime(
+    df: DataFrame,
+    field: str,
+    out_field: str | None = None,
+    fmt: str = DEFAULT_DATETIME_FORMAT,
+    add_day: bool = True,
+) -> DataFrame:
+    """Fuzzy-parse a date string column; writes the formatted string to
+    ``out_field`` (default: in place) plus ``<out>_dateTime`` (timestamp)
+    and ``<out>_day`` (date) columns, like the reference's ``dateTime`` /
+    ``day`` properties (standardizer.py:272-310)."""
+    out = out_field or field
+
+    @pandas_udf("timestamp")
+    def parse_udf(s: pd.Series) -> pd.Series:
+        return s.map(parse_datetime_fuzzy)
+
+    @pandas_udf("string")
+    def fmt_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda d: d.strftime(fmt) if d is not None and not pd.isnull(d) else None)
+
+    df = df.withColumn(f"{out}_dateTime", parse_udf(F.col(field)))
+    df = df.withColumn(out, fmt_udf(F.col(f"{out}_dateTime")))
+    if add_day:
+        df = df.withColumn(f"{out}_day", F.to_date(F.col(f"{out}_dateTime")))
+    return df
+
+
+# -- text augmentation ------------------------------------------------------
+
+_PLACEHOLDER_RE = re.compile(r"\{([A-Za-z_][A-Za-z0-9_.]*)\}")
+
+
+def template_expr(template: str) -> Column:
+    """Compile ``"A {col} B {other.path}"`` into a native ``concat`` of
+    literals and columns — the JVM-side fast path for the reference's Jinja
+    augmentor (augment_text.py:54-103). Null columns render as ''. """
+    pieces: list[Column] = []
+    pos = 0
+    for m in _PLACEHOLDER_RE.finditer(template):
+        if m.start() > pos:
+            pieces.append(F.lit(template[pos : m.start()]))
+        pieces.append(F.coalesce(F.col(m.group(1)).cast("string"), F.lit("")))
+        pos = m.end()
+    if pos < len(template):
+        pieces.append(F.lit(template[pos:]))
+    return F.concat(*pieces) if pieces else F.lit("")
+
+
+def augment_text(
+    df: DataFrame,
+    template: str | Column | Callable[[dict], str],
+    out_field: str = "text_representation",
+) -> DataFrame:
+    """Rewrite a text column from a template string (native concat), a
+    Column expression, or a per-row Python callable (slow path, Arrow
+    batches) — the UDF/Jinja augmentor pair (augment_text.py:23-103)."""
+    if isinstance(template, Column):
+        return df.withColumn(out_field, template)
+    if isinstance(template, str):
+        return df.withColumn(out_field, template_expr(template))
+    fn = template
+    schema = df.schema
+    if out_field not in df.columns:
+        df = df.withColumn(out_field, F.lit(None).cast("string"))
+        schema = df.schema
+
+    def run(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_field] = [fn(r) for r in pdf.to_dict("records")]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+# -- overlap chunking -------------------------------------------------------
+
+def chunk_tokens_expr(tokens: Column, chunk: int, overlap: int) -> Column:
+    """``array<array<string>>`` of ``tokens[a : a+chunk]`` for
+    ``a in range(0, n, chunk-overlap)`` — exact reference semantics
+    (chunker.py:37-41) as sequence/transform/slice higher-order functions,
+    fully JVM-side."""
+    if overlap >= chunk:
+        raise ValueError("Token overlap count between chunks must be lesser than chunk token count")
+    stride = chunk - overlap
+    n = F.size(tokens)
+    # starts: 0, stride, 2*stride, ... < n — exactly len(range(0, n, stride))
+    # chunks; n == 0 → no chunks (sequence(0,-1) would DESCEND, so guard it).
+    n_chunks = F.ceil(n / F.lit(stride)).cast("int")
+    starts = F.when(n_chunks <= 0, F.array().cast("array<int>")).otherwise(
+        F.transform(F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride)
+    )
+    return F.transform(starts, lambda a: F.slice(tokens, a + 1, chunk))
+
+
+def chunk_text_overlap(
+    df: DataFrame,
+    field: str = "text",
+    chunk: int = 1000,
+    overlap: int = 100,
+    out_field: str = "chunks",
+    join: bool = True,
+) -> DataFrame:
+    """Tokenize (whitespace) then overlap-chunk; ``join=True`` re-joins each
+    chunk to a string (array<string> column), else array<array<string>>."""
+    toks = F.split(F.trim(F.col(field)), r"\s+")
+    chunks = chunk_tokens_expr(toks, chunk, overlap)
+    if join:
+        chunks = F.transform(chunks, lambda c: F.array_join(c, " "))
+    return df.withColumn(out_field, chunks)
