@@ -495,6 +495,40 @@ def q_chunk_overlap(spark, sf) -> DataFrame:
     )
 
 
+def q_multimodal_meta(spark, sf) -> DataFrame:
+    """Multimodal plumbing: binary payload column + typed media-metadata
+    struct via the fake (deterministic) decoder in mapInPandas; filter on
+    the typed struct runs natively (operators/multimodal.py)."""
+    from sycamore_spark.operators import multimodal as mm
+
+    docs = _ds(spark, sf, "documents").to_df().select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("binary_representation")
+    )
+    out = mm.attach_media_meta(docs, kind="image", backend="fake")
+    return out.select(
+        "doc_id",
+        F.col("media.width").alias("width"),
+        F.col("media.height").alias("height"),
+        F.col("media.size_bytes").alias("size_bytes"),
+    ).filter(F.col("media.width") >= 100)
+
+
+def q_frame_sample(spark, sf) -> DataFrame:
+    """Video frame sampling: fan out each (fake-decoded) payload into frame
+    rows with deterministic md5 frame payloads, skew-rebalanced after the
+    explode (operators/multimodal.py sample_frames)."""
+    from sycamore_spark.operators import multimodal as mm
+
+    docs = _ds(spark, sf, "documents").to_df().select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("binary_representation")
+    )
+    vids = mm.attach_media_meta(docs, kind="video", backend="fake")
+    frames = mm.sample_frames(vids, every_n=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.lower(F.hex("frame_binary")).alias("frame_hash")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data pipeline additions)
 # ---------------------------------------------------------------------------
@@ -554,6 +588,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "multimodal_meta": q_multimodal_meta,
+    "frame_sample": q_frame_sample,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -785,6 +821,17 @@ def oracle_sql() -> dict[str, str]:
             "ranked AS (SELECT query_id, neighbor_id, score, row_number() OVER ("
             "PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored) "
             "SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM ranked WHERE rank <= 5"
+        ),
+        "multimodal_meta": (
+            "WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents) "
+            "SELECT doc_id, (16 + n % 640)::INT AS width, (16 + (n * 7) % 480)::INT AS height, "
+            "n::BIGINT AS size_bytes FROM t WHERE 16 + n % 640 >= 100"
+        ),
+        "frame_sample": (
+            "WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents), "
+            "f AS (SELECT doc_id, text, unnest(range(0, 1 + n % 16, 4)) AS frame_idx FROM t) "
+            "SELECT doc_id, frame_idx::INT AS frame_idx, "
+            "md5(text || ':' || frame_idx::VARCHAR) AS frame_hash FROM f"
         ),
         "text_stats": (
             "SELECT doc_id, len(string_split(trim(text), ' '))::INT AS n_tokens, "
