@@ -495,6 +495,32 @@ def q_chunk_overlap(spark, sf) -> DataFrame:
     )
 
 
+def q_extract_properties(spark, sf) -> DataFrame:
+    """LLMPropertyExtractor against a declared SchemaV2: mock LLM emits
+    JSON, typed view is a native from_json cast, defaults applied on miss
+    (extract_schema.py:186; data/schema2.py)."""
+    from sycamore_spark.data.schema2 import SchemaV2
+    from sycamore_spark.llm.extract import extract_properties_typed
+
+    sch = SchemaV2.model_validate(
+        {"properties": [{"name": "first_num", "type": {"type": "int", "default": -1}}]}
+    )
+
+    def factory():
+        import json as _json
+        import re as _re
+
+        def reply(m):
+            mm = _re.search(r"\d+", m.group(1))
+            return _json.dumps({"first_num": int(mm.group()) if mm else None})
+
+        return MockLLM([(r"Document: (.*)", reply)])
+
+    docs = _ds(spark, sf, "documents").to_df()
+    out = extract_properties_typed(docs, sch, factory)
+    return out.select("doc_id", F.col("properties.first_num").alias("first_num"))
+
+
 def q_multimodal_meta(spark, sf) -> DataFrame:
     """Multimodal plumbing: binary payload column + typed media-metadata
     struct via the fake (deterministic) decoder in mapInPandas; filter on
@@ -588,6 +614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "extract_properties": q_extract_properties,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
     "text_stats": q_text_stats,
@@ -821,6 +848,10 @@ def oracle_sql() -> dict[str, str]:
             "ranked AS (SELECT query_id, neighbor_id, score, row_number() OVER ("
             "PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored) "
             "SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM ranked WHERE rank <= 5"
+        ),
+        "extract_properties": (
+            "SELECT doc_id, coalesce(try_cast(regexp_extract(text, '\\d+') AS BIGINT), -1) "
+            "AS first_num FROM documents"
         ),
         "multimodal_meta": (
             "WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents) "
