@@ -495,6 +495,61 @@ def q_chunk_overlap(spark, sf) -> DataFrame:
     )
 
 
+def _graph_mock_factory():
+    """Deterministic graph-extraction mock: entities = long words (6+
+    letters), relationships = consecutive long-word pairs."""
+    import json as _json
+    import re as _re
+
+    def ents(m):
+        words = _re.findall(r"\b[a-z]{6,}\b", m.group(1))
+        return _json.dumps([{"name": w, "type": "TERM"} for w in words])
+
+    def rels(m):
+        words = _re.findall(r"\b[a-z]{6,}\b", m.group(1))
+        return _json.dumps(
+            [{"src": a, "dst": b, "type": "COOCCURS"} for a, b in zip(words, words[1:])]
+        )
+
+    return MockLLM(
+        [
+            (r"Extract entities.*Document: (.*)", ents),
+            (r"Extract relationships.*Document: (.*)", rels),
+        ]
+    )
+
+
+def q_graph_nodes(spark, sf) -> DataFrame:
+    """extract_graph_entities + resolve: mentions → canonical node table
+    with stable content-hash ids (extract_graph_entities.py:207,
+    resolve_graph_entities.py:149)."""
+    from sycamore_spark.operators import graph as g
+
+    docs = _ds(spark, sf, "documents").to_df()
+    mentions = g.extract_graph_entities(docs, _graph_mock_factory, ["TERM"])
+    return g.resolve_graph_entities(mentions)
+
+
+def q_graph_edges(spark, sf) -> DataFrame:
+    """Full graph pipeline: entity + relationship extraction, entity
+    resolution, edge re-keying to canonical node ids via broadcast join."""
+    from sycamore_spark.operators import graph as g
+
+    docs = _ds(spark, sf, "documents").to_df()
+    nodes, edges = g.extract_graph(docs, _graph_mock_factory, ["TERM"], ["COOCCURS"])
+    return edges
+
+
+def q_summarize_fold(spark, sf) -> DataFrame:
+    """Whole-docset hierarchical summarization fold: log_fanin(n) rounds of
+    distributed group-summaries (llm/summarize.py). Group membership depends
+    on runtime row ids, so this is a rows-only check (1 row out)."""
+    from sycamore_spark.llm.summarize import summarize_docset_hierarchical
+
+    docs = _ds(spark, sf, "documents").to_df()
+    return summarize_docset_hierarchical(docs, lambda: MockLLM(), text_col="text", fanin=10)
+
+
 def q_extract_properties(spark, sf) -> DataFrame:
     """LLMPropertyExtractor against a declared SchemaV2: mock LLM emits
     JSON, typed view is a native from_json cast, defaults applied on miss
@@ -615,6 +670,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "extract_properties": q_extract_properties,
+    "graph_nodes": q_graph_nodes,
+    "graph_edges": q_graph_edges,
+    "summarize_fold": q_summarize_fold,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
     "text_stats": q_text_stats,
@@ -852,6 +910,21 @@ def oracle_sql() -> dict[str, str]:
         "extract_properties": (
             "SELECT doc_id, coalesce(try_cast(regexp_extract(text, '\\d+') AS BIGINT), -1) "
             "AS first_num FROM documents"
+        ),
+        "graph_nodes": (
+            "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\b[a-z]{6,}\\b')) AS name "
+            "FROM documents) "
+            "SELECT substr(sha256(lower(trim(name)) || '|TERM'), 1, 16) AS node_id, "
+            "min(name) AS canonical, 'TERM' AS type, lower(trim(name)) AS norm_name, "
+            "count(*)::BIGINT AS n_mentions FROM w GROUP BY lower(trim(name))"
+        ),
+        "graph_edges": (
+            "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\b[a-z]{6,}\\b') AS ws FROM documents), "
+            "p AS (SELECT doc_id, unnest(range(greatest(len(ws) - 1, 0))) AS i, ws FROM w), "
+            "e AS (SELECT doc_id, ws[i+1] AS src, ws[i+2] AS dst FROM p) "
+            "SELECT substr(sha256(lower(trim(src)) || '|TERM'), 1, 16) AS src_id, "
+            "substr(sha256(lower(trim(dst)) || '|TERM'), 1, 16) AS dst_id, "
+            "'COOCCURS' AS type, doc_id FROM e"
         ),
         "multimodal_meta": (
             "WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents) "

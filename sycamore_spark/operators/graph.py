@@ -1,0 +1,194 @@
+"""Graph extraction: entities/relationships out of documents into
+nodes/edges tables.
+
+Reference parity: ``extract_graph_entities`` (LLM pulls typed entities per
+doc, reference: lib/sycamore/sycamore/transforms/extract_graph_entities.py:
+207), ``extract_graph_relationships`` (extract_graph_relationships.py:286),
+``resolve_graph_entities`` dedups entities across docs
+(resolve_graph_entities.py:149); DocSet API docset.py:674,714,759; results
+are written to Neo4j (writer.py:550) — here they're plain DataFrames any
+sink can take.
+
+Spark-first: extraction is one mapInPandas LLM stage per aspect; resolution
+is a normalize + dropDuplicates (shuffle on the normalized key only);
+relationship endpoints re-key by joining on the normalized name — a
+hash join on the (small, deduped) node table, broadcast when it fits.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections.abc import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from sycamore_spark.llm.client import LLM
+from sycamore_spark.llm.extract import extract_json
+
+LLMFactory = Callable[[], LLM]
+
+
+def _entity_prompt(types: list[str], text: str) -> str:
+    return (
+        f"Extract entities of types {types} from the document. Return JSON: "
+        '[{"name": ..., "type": ...}].\nDocument: ' + text
+    )
+
+
+def _relationship_prompt(rel_types: list[str], text: str) -> str:
+    return (
+        f"Extract relationships of types {rel_types} between entities in the document. "
+        'Return JSON: [{"src": ..., "dst": ..., "type": ...}].\nDocument: ' + text
+    )
+
+
+def _llm_json_stage(
+    df: DataFrame,
+    llm_factory: LLMFactory,
+    make_prompt: Callable[[str], str],
+    id_col: str,
+    text_col: str,
+    out_ddl: str,
+    row_fn,
+) -> DataFrame:
+    def run(it: Iterable[pd.DataFrame]):
+        llm = llm_factory()
+        for pdf in it:
+            replies = llm.generate_batch(
+                [make_prompt("" if t is None else str(t)) for t in pdf[text_col]]
+            )
+            out: list[dict] = []
+            for rid, reply in zip(pdf[id_col], replies):
+                parsed = extract_json(reply)
+                if not isinstance(parsed, list):
+                    continue
+                for item in parsed:
+                    if isinstance(item, dict):
+                        row = row_fn(rid, item)
+                        if row is not None:
+                            out.append(row)
+            if out:
+                yield pd.DataFrame(out)
+
+    spark = df.sparkSession
+    schema = spark.createDataFrame([], out_ddl).schema if isinstance(out_ddl, str) else out_ddl
+    return df.mapInPandas(run, schema=schema)
+
+
+def extract_graph_entities(
+    df: DataFrame,
+    llm_factory: LLMFactory,
+    entity_types: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ mentions table (doc_id, name, type), one row per extracted entity
+    mention (extract_graph_entities.py:31-148 semantics, mock-able)."""
+    return _llm_json_stage(
+        df,
+        llm_factory,
+        lambda t: _entity_prompt(entity_types, t),
+        id_col,
+        text_col,
+        f"{id_col} long, name string, type string",
+        lambda rid, item: (
+            {id_col: rid, "name": str(item["name"]), "type": str(item.get("type", ""))}
+            if "name" in item
+            else None
+        ),
+    )
+
+
+def extract_graph_relationships(
+    df: DataFrame,
+    llm_factory: LLMFactory,
+    relationship_types: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ raw edges table (doc_id, src, dst, type)
+    (extract_graph_relationships.py:286 semantics)."""
+    return _llm_json_stage(
+        df,
+        llm_factory,
+        lambda t: _relationship_prompt(relationship_types, t),
+        id_col,
+        text_col,
+        f"{id_col} long, src string, dst string, type string",
+        lambda rid, item: (
+            {
+                id_col: rid,
+                "src": str(item["src"]),
+                "dst": str(item["dst"]),
+                "type": str(item.get("type", "")),
+            }
+            if "src" in item and "dst" in item
+            else None
+        ),
+    )
+
+
+def _norm(col):
+    return F.trim(F.lower(col))
+
+
+def resolve_graph_entities(mentions: DataFrame) -> DataFrame:
+    """Dedup mentions into canonical nodes (resolve_graph_entities.py:149):
+    normalize (lower/trim), group by (norm_name, type), keep the most
+    frequent surface form, mint a stable content-hash node_id. One shuffle
+    on the normalized key with map-side partial counts."""
+    counted = mentions.groupBy(
+        _norm(F.col("name")).alias("norm_name"), F.col("type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        # deterministic canonical surface form (lexicographic min)
+        F.min("name").alias("canonical"),
+    )
+    return counted.select(
+        F.sha2(F.concat_ws("|", "norm_name", "type"), 256).substr(1, 16).alias("node_id"),
+        "canonical",
+        "type",
+        "norm_name",
+        "n_mentions",
+    )
+
+
+def resolve_edges(edges: DataFrame, nodes: DataFrame, broadcast_nodes: bool = True) -> DataFrame:
+    """Re-key raw (src,dst) surface forms to canonical node_ids by joining
+    on the normalized name. The node table is the deduped entity set —
+    usually small enough to broadcast; set broadcast_nodes=False for huge
+    vocabularies (falls back to a shuffle hash join)."""
+    n = nodes.select("node_id", "norm_name")
+    if broadcast_nodes:
+        n = F.broadcast(n)
+    out = (
+        edges.join(n.withColumnRenamed("node_id", "src_id"), _norm(F.col("src")) == F.col("norm_name"), "inner")
+        .drop("norm_name")
+        .join(
+            n.withColumnRenamed("node_id", "dst_id"),
+            _norm(F.col("dst")) == F.col("norm_name"),
+            "inner",
+        )
+        .drop("norm_name")
+    )
+    return out.select("src_id", "dst_id", "type", edges.columns[0])
+
+
+def extract_graph(
+    df: DataFrame,
+    llm_factory: LLMFactory,
+    entity_types: list[str],
+    relationship_types: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Full pipeline → (nodes, edges) DataFrames ready for any sink
+    (Neo4j writer parity seam, writer.py:550)."""
+    mentions = extract_graph_entities(df, llm_factory, entity_types, id_col, text_col)
+    nodes = resolve_graph_entities(mentions)
+    raw_edges = extract_graph_relationships(df, llm_factory, relationship_types, id_col, text_col)
+    return nodes, resolve_edges(raw_edges, nodes)

@@ -1,0 +1,120 @@
+"""Multi-step summarization + graph extraction (reference:
+transforms/summarize.py, extract_graph_*.py)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sycamore_spark.llm.client import MockLLM
+from sycamore_spark.llm.summarize import (
+    _leaf_groups,
+    collect_to_summary_doc,
+    summarize_docset_hierarchical,
+    summarize_multistep,
+)
+from sycamore_spark.operators import graph as g
+
+
+def sum_factory():
+    # "summary" = S(<n inputs>) so tests can observe the fold structure
+    def factory():
+        def reply(m):
+            body = m.group(1)
+            return "S(" + str(body.count("\n") + 1) + ")"
+
+        return MockLLM([(r"Text: (.*)", reply)])
+
+    return factory
+
+
+def test_leaf_groups():
+    assert _leaf_groups(["aa", "bb", "cc"], 5) == ["aa\nbb", "cc"]
+    assert _leaf_groups(["aaaaaa"], 3) == ["aaaaaa"]
+    assert _leaf_groups([], 5) == []
+
+
+def test_summarize_multistep(spark):
+    rows = [
+        (1, [{"text_representation": "x" * 40} for _ in range(4)]),
+        (2, [{"text_representation": "short"}]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, elements array<struct<text_representation string>>"
+    )
+    out = summarize_multistep(df, sum_factory(), max_tokens=90)
+    got = {r["doc_id"]: r["summary"] for r in out.collect()}
+    # doc 1: 4x40 chars → leaves of 2 elements (80 <= 90) → 2 summaries → 1
+    assert got[1] == "S(2)"
+    assert got[2] == "S(1)"
+
+
+def test_collect_to_summary_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")], "id long, grp string, text string"
+    )
+    out = collect_to_summary_doc(df, group_key="grp", fields=["id", "text"])
+    got = {r["key"]: sorted(s["id"] for s in r["sub_docs"]) for r in out.collect()}
+    assert got == {"a": [1, 2], "b": [3]}
+    glob = collect_to_summary_doc(df, fields=["id"]).collect()[0]
+    assert sorted(s["id"] for s in glob["sub_docs"]) == [1, 2, 3]
+
+
+def test_summarize_docset_hierarchical(spark):
+    df = spark.createDataFrame([(i, f"doc number {i}") for i in range(23)], "id long, text string")
+    out = summarize_docset_hierarchical(df, sum_factory(), text_col="text", fanin=5)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["summary"].startswith("S(")
+
+
+def graph_factory():
+    # Entities: every capitalized word; relationships: consecutive pairs.
+    def factory():
+        import re
+
+        def ents(m):
+            words = re.findall(r"\b[A-Z][a-z]+\b", m.group(1))
+            return json.dumps([{"name": w, "type": "PERSON"} for w in words])
+
+        def rels(m):
+            words = re.findall(r"\b[A-Z][a-z]+\b", m.group(1))
+            return json.dumps(
+                [{"src": a, "dst": b, "type": "KNOWS"} for a, b in zip(words, words[1:])]
+            )
+
+        return MockLLM(
+            [
+                (r"Extract entities.*Document: (.*)", ents),
+                (r"Extract relationships.*Document: (.*)", rels),
+            ]
+        )
+
+    return factory
+
+
+def test_extract_graph(spark):
+    df = spark.createDataFrame(
+        [(1, "Alice met Bob"), (2, "bob saw Carol"), (3, "Alice again")],
+        "doc_id long, text string",
+    )
+    nodes, edges = g.extract_graph(df, graph_factory(), ["PERSON"], ["KNOWS"])
+    n = {r["norm_name"]: r for r in nodes.collect()}
+    # 'Bob' (doc 1) and 'Carol' (doc 2); doc 2's 'bob' is lowercase in text so
+    # the mock only sees capitalized words → Bob once, Alice twice
+    assert n["alice"]["n_mentions"] == 2
+    assert set(n) == {"alice", "bob", "carol"}
+    e = edges.collect()
+    # doc1: Alice->Bob; doc3: none (single entity); doc2: Carol alone → no edge
+    assert len(e) == 1
+    assert e[0]["src_id"] == n["alice"]["node_id"] and e[0]["dst_id"] == n["bob"]["node_id"]
+
+
+def test_resolve_dedup_stable_ids(spark):
+    m = spark.createDataFrame(
+        [(1, "Foo", "ORG"), (2, " foo ", "ORG"), (3, "Foo", "PERSON")],
+        "doc_id long, name string, type string",
+    )
+    nodes = g.resolve_graph_entities(m).collect()
+    assert len(nodes) == 2  # same name, different type → distinct nodes
+    ids = {(r["norm_name"], r["type"]): r["node_id"] for r in nodes}
+    assert len(set(ids.values())) == 2
