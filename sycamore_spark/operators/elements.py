@@ -227,6 +227,95 @@ def mark_break_page(df: DataFrame) -> DataFrame:
     return df.withColumn("elements", F.transform(F.col("elements"), mark))
 
 
+def mark_break_by_tokens(df: DataFrame, limit: int = 512) -> DataFrame:
+    """Mark _break wherever the running token total would exceed ``limit``,
+    resetting the counter at each break (reference: mark_misc.py:83-120
+    MarkBreakByTokens — pre-existing _break marks also reset the count).
+
+    Implemented as a native ``aggregate`` fold over the elements array (the
+    accumulator carries the running count and the per-element mark list), so
+    the whole stateful scan stays JVM-side."""
+    els = F.col("elements")
+
+    def tok(e: Column) -> Column:
+        t = F.trim(F.coalesce(e["text_representation"], F.lit("")))
+        return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+
+    def has_break(e: Column) -> Column:
+        return F.coalesce(
+            F.get_json_object(e["properties"], "$._break") == F.lit("true"), F.lit(False)
+        )
+
+    zero = F.struct(
+        F.lit(0).alias("toks"), F.array().cast("array<boolean>").alias("marks")
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        n = tok(e)
+        brk = has_break(e) | (acc["toks"] + n > limit)
+        return F.struct(
+            F.when(brk, n).otherwise(acc["toks"] + n).alias("toks"),
+            F.concat(acc["marks"], F.array(brk)).alias("marks"),
+        )
+
+    with_marks = df.withColumn("_marks", F.aggregate(els, zero, step)["marks"])
+    out = with_marks.withColumn(
+        "elements",
+        F.transform(
+            F.col("elements"),
+            lambda e, i: F.when(F.element_at(F.col("_marks"), i + 1), _set_mark(e, "_break")).otherwise(e),
+        ),
+    )
+    return out.drop("_marks")
+
+
+def mark_break_by_column(df: DataFrame, full_width_ratio: float = 0.8) -> DataFrame:
+    """Mark _break where column layout changes to full-width (reference:
+    bbox_merge.py:176 MarkBreakByColumn). The reference infers per-row
+    column indices; this keeps the operative rule — an element wider than
+    ``full_width_ratio`` × the page's used width following a narrower
+    (column) element starts a new chunk — entirely in native expressions."""
+    els = F.col("elements")
+    width = lambda e: F.coalesce(e["bbox"][2] - e["bbox"][0], F.lit(0.0))  # noqa: E731
+    used = F.aggregate(
+        els,
+        F.struct(F.lit(1.0).alias("xmin"), F.lit(0.0).alias("xmax")),
+        lambda acc, e: F.struct(
+            F.least(acc["xmin"], F.coalesce(e["bbox"][0], acc["xmin"])).alias("xmin"),
+            F.greatest(acc["xmax"], F.coalesce(e["bbox"][2], acc["xmax"])).alias("xmax"),
+        ),
+    )
+    full = F.when(used["xmin"] < used["xmax"], (used["xmax"] - used["xmin"]) * full_width_ratio).otherwise(
+        F.lit(full_width_ratio)
+    )
+    tagged = df.withColumn("_full", full)
+    out = tagged.withColumn(
+        "elements",
+        F.transform(
+            F.col("elements"),
+            lambda e, i: F.when(
+                (i > 0)
+                & (width(e) > F.col("_full"))
+                & (width(F.element_at(F.col("elements"), F.greatest(i, F.lit(1)))) <= F.col("_full")),
+                _set_mark(e, "_break"),
+            ).otherwise(e),
+        ),
+    )
+    return out.drop("_full")
+
+
+def mark_bbox_preset(df: DataFrame, token_limit: int = 512) -> DataFrame:
+    """The reference's standard marking pipeline (mark_misc.py:126
+    MarkBboxPreset → docset.mark_bbox_preset): sort by page/bbox, drop tiny,
+    drop header/footer, break on page, column, and token budget."""
+    out = sort_by_page_bbox(df)
+    out = mark_drop_tiny(out)
+    out = mark_drop_header_footer(out)
+    out = mark_break_page(out)
+    out = mark_break_by_column(out)
+    return mark_break_by_tokens(out, token_limit)
+
+
 def drop_marked(df: DataFrame) -> DataFrame:
     """Remove elements marked _drop=true."""
     return df.withColumn(
@@ -295,6 +384,137 @@ def _combine(group: list[dict], index: int) -> dict:
         "embedding": None,
         "properties": first.get("properties"),
     }
+
+
+def _fold_elements(df: DataFrame, fold_fn) -> DataFrame:
+    """Run a per-document elements-list rewrite (list[dict] -> list[dict])
+    as one Arrow-batched pandas stage, preserving the doc schema."""
+
+    def run(it: Iterable[pd.DataFrame]):
+        for pdf in it:
+            out_rows = []
+            for row in pdf.to_dict("records"):
+                els = row.get("elements")
+                els = [] if els is None or len(els) == 0 else [dict(e) for e in els]
+                row["elements"] = fold_fn(sorted(els, key=lambda x: (x.get("element_index") or 0)))
+                out_rows.append(row)
+            yield pd.DataFrame(out_rows, columns=pdf.columns)
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+def merge_marked(df: DataFrame) -> DataFrame:
+    """MarkedMerger (reference: merge_elements.py:347): honor _drop / _break
+    marks left by the bbox/mark transforms — drop dropped elements, merge
+    runs between breaks (text joined with newlines, bbox unioned,
+    first-wins properties, page_numbers collected)."""
+
+    def fold(els: list[dict]) -> list[dict]:
+        merged: list[dict] = []
+        cur: list[dict] = []
+
+        def flush():
+            if cur:
+                merged.append(_combine(cur, len(merged)))
+                cur.clear()
+
+        for e in els:
+            props = json.loads(e.get("properties") or "{}")
+            if props.get("_drop") == "true":
+                continue
+            if props.get("_break") == "true":
+                flush()
+            cur.append(e)
+        flush()
+        return merged
+
+    return _fold_elements(df, fold)
+
+
+def merge_greedy_section(df: DataFrame, max_tokens: int = 512, merge_across_pages: bool = True) -> DataFrame:
+    """GreedySectionMerger (reference: merge_elements.py:155): within the
+    token budget, merge adjacent Text+Text, Section-header+table (→
+    'Section-header+table'), and Image followed by Texts (→ 'Image+Text'),
+    optionally never across pages."""
+
+    def can_merge(a: dict, b: dict, toks: int) -> str | None:
+        ta, tb = a.get("type"), b.get("type")
+        if ta is None or tb is None:
+            return None
+        if not merge_across_pages and a.get("page_number") != b.get("page_number"):
+            return None
+        if toks + 1 + _token_len(b.get("text_representation")) > max_tokens:
+            return None
+        if ta == "Text" and tb == "Text":
+            return "Text"
+        if ta == "Section-header" and tb == "table":
+            return "Section-header+table"
+        if ta in ("Image", "Image+Text") and tb == "Text":
+            return "Image+Text"
+        return None
+
+    def fold(els: list[dict]) -> list[dict]:
+        merged: list[dict] = []
+        cur: list[dict] = []
+        cur_type: str | None = None
+        cur_toks = 0
+
+        def flush():
+            nonlocal cur_type, cur_toks
+            if cur:
+                c = _combine(cur, len(merged))
+                c["type"] = cur_type or c["type"]
+                merged.append(c)
+            cur.clear()
+            cur_type, cur_toks = None, 0
+
+        for e in els:
+            if not cur:
+                cur.append(e)
+                cur_type = e.get("type")
+                cur_toks = _token_len(e.get("text_representation"))
+                continue
+            probe = dict(e)
+            head = dict(cur[0])
+            head["type"] = cur_type
+            t = can_merge(head, probe, cur_toks)
+            if t is None:
+                flush()
+                cur.append(e)
+                cur_type = e.get("type")
+                cur_toks = _token_len(e.get("text_representation"))
+            else:
+                cur.append(e)
+                cur_type = t
+                cur_toks += 1 + _token_len(e.get("text_representation"))
+        flush()
+        return merged
+
+    return _fold_elements(df, fold)
+
+
+def merge_header_augment(df: DataFrame) -> DataFrame:
+    """HeaderAugmenterMerger (reference: merge_elements.py:620): carry the
+    most recent Section-header/Title forward, prefixing it onto each
+    following element's text (and recording it under properties._header)."""
+
+    def fold(els: list[dict]) -> list[dict]:
+        header: str | None = None
+        out = []
+        for e in els:
+            e = dict(e)
+            if e.get("type") in ("Section-header", "Title", "title", "heading"):
+                header = e.get("text_representation")
+            elif header:
+                props = json.loads(e.get("properties") or "{}")
+                props["_header"] = header
+                e["properties"] = json.dumps(props)
+                t = e.get("text_representation")
+                e["text_representation"] = f"{header}\n{t}" if t else header
+            out.append(e)
+        return out
+
+    return _fold_elements(df, fold)
 
 
 def split_elements(df: DataFrame, max_tokens: int = 512) -> DataFrame:
