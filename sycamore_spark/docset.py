@@ -277,6 +277,140 @@ class DocSet:
         w = Window.partitionBy(field_expr(self.df, partition_field)).orderBy(*order)
         return self._wrap(self.df.withColumn(rank_col, F.row_number().over(w)))
 
+    # -- document ETL / model / LLM delegates -------------------------------
+    # Thin fluent forwarding onto the operator modules, mirroring the
+    # reference DocSet method surface (docset.py:295-1644) so reference
+    # pipelines translate 1:1. Each target module documents semantics + the
+    # reference citation; lazy imports keep docset import-light.
+
+    def partition(self, partitioner) -> "DocSet":
+        from sycamore_spark.operators.partition import partition
+
+        return self._wrap(partition(self.df, partitioner))
+
+    def explode(self) -> "DocSet":
+        from sycamore_spark.operators.elements import explode_elements
+
+        return self._wrap(explode_elements(self.df))
+
+    def spread_properties(self, keys: list[str] | None = None) -> "DocSet":
+        from sycamore_spark.operators.elements import spread_properties
+
+        return self._wrap(spread_properties(self.df, keys))
+
+    def filter_elements(self, predicate) -> "DocSet":
+        from sycamore_spark.operators.elements import filter_elements
+
+        return self._wrap(filter_elements(self.df, predicate))
+
+    def map_elements(self, fn) -> "DocSet":
+        from sycamore_spark.operators.elements import map_elements
+
+        return self._wrap(map_elements(self.df, fn))
+
+    def regex_replace(self, spec: list[tuple[str, str]]) -> "DocSet":
+        from sycamore_spark.operators.elements import regex_replace
+
+        return self._wrap(regex_replace(self.df, spec))
+
+    def markdown(self) -> "DocSet":
+        from sycamore_spark.operators.elements import render_markdown
+
+        return self._wrap(render_markdown(self.df))
+
+    def mark_bbox_preset(self, token_limit: int = 512) -> "DocSet":
+        from sycamore_spark.operators.elements import mark_bbox_preset
+
+        return self._wrap(mark_bbox_preset(self.df, token_limit))
+
+    def merge(self, strategy: str = "greedy", **kwargs) -> "DocSet":
+        """strategy: greedy | marked | section | header_augment
+        (reference merger classes, merge_elements.py)."""
+        from sycamore_spark.operators import elements as el
+
+        fn = {
+            "greedy": el.merge_greedy_text,
+            "marked": el.merge_marked,
+            "section": el.merge_greedy_section,
+            "header_augment": el.merge_header_augment,
+        }[strategy]
+        return self._wrap(fn(self.df, **kwargs))
+
+    def split_elements(self, max_tokens: int = 512) -> "DocSet":
+        from sycamore_spark.operators.elements import split_elements
+
+        return self._wrap(split_elements(self.df, max_tokens))
+
+    def augment_text(self, template, out_field: str = "text_representation") -> "DocSet":
+        from sycamore_spark.operators.standardize import augment_text
+
+        return self._wrap(augment_text(self.df, template, out_field))
+
+    def standardize(self, field: str, kind: str = "us_state", **kwargs) -> "DocSet":
+        """kind: us_state | datetime (reference StandardizeProperty,
+        standardizer.py:312)."""
+        from sycamore_spark.operators import standardize as std
+
+        fn = {"us_state": std.standardize_us_state, "datetime": std.standardize_datetime}[kind]
+        return self._wrap(fn(self.df, field, **kwargs))
+
+    def embed(self, **kwargs) -> "DocSet":
+        from sycamore_spark.operators.embed import embed
+
+        return self._wrap(embed(self.df, **kwargs))
+
+    def sketch(self, **kwargs) -> "DocSet":
+        from sycamore_spark.operators.sketcher import sketch
+
+        return self._wrap(sketch(self.df, **kwargs))
+
+    def sketch_uniquify(self, **kwargs) -> "DocSet":
+        from sycamore_spark.operators.sketcher import sketch_uniquify
+
+        return self._wrap(sketch_uniquify(self.df, **kwargs))
+
+    def rerank(self, query: str, **kwargs) -> "DocSet":
+        from sycamore_spark.operators.clustering import rerank
+
+        return self._wrap(rerank(self.df, query, **kwargs))
+
+    def kmeans(self, **kwargs) -> "DocSet":
+        from sycamore_spark.operators.clustering import kmeans
+
+        return self._wrap(kmeans(self.df, **kwargs))
+
+    def llm_map(self, prompt: str, out_col: str, llm_factory, **kwargs) -> "DocSet":
+        from sycamore_spark.llm.map import llm_map
+
+        return self._wrap(llm_map(self.df, prompt, out_col, llm_factory, **kwargs))
+
+    def llm_filter(self, question: str, llm_factory, **kwargs) -> "DocSet":
+        from sycamore_spark.llm.map import llm_filter
+
+        return self._wrap(llm_filter(self.df, question, llm_factory, **kwargs))
+
+    def extract_entity(self, name: str, llm_factory, **kwargs) -> "DocSet":
+        from sycamore_spark.llm.map import extract_entity
+
+        return self._wrap(extract_entity(self.df, name, llm_factory, **kwargs))
+
+    def extract_properties(self, schema, llm_factory, **kwargs) -> "DocSet":
+        from sycamore_spark.llm.extract import extract_properties_typed
+
+        return self._wrap(extract_properties_typed(self.df, schema, llm_factory, **kwargs))
+
+    def summarize(self, llm_factory, multistep: bool = False, **kwargs) -> "DocSet":
+        from sycamore_spark.llm.map import summarize_docs
+        from sycamore_spark.llm.summarize import summarize_multistep
+
+        fn = summarize_multistep if multistep else summarize_docs
+        return self._wrap(fn(self.df, llm_factory, **kwargs))
+
+    def llm_cluster_entity(self, llm_factory, **kwargs) -> "DocSet":
+        from sycamore_spark.llm.map import llm_cluster_entity
+
+        return self._wrap(llm_cluster_entity(self.df, llm_factory, **kwargs))
+
     # -- persistence (reference: materialize.py) ----------------------------
 
     def materialize(self, path: str, source_mode: str = "RECOMPUTE") -> "DocSet":

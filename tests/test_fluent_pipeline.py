@@ -1,0 +1,85 @@
+"""End-to-end fluent DocSet pipeline — the reference's canonical ETL chain
+(reference examples/bench.py: partition → regex_replace → marks → merge →
+spread_properties → split → explode → sketch → embed) through the fluent
+delegates, on the canonical doc schema."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sycamore_spark.data.schema import DOC_SCHEMA
+from sycamore_spark.docset import DocSet
+from sycamore_spark.llm.client import MockLLM
+from sycamore_spark.operators.partition import TextPartitioner
+
+
+@pytest.fixture(scope="module")
+def raw_docs(spark):
+    texts = [
+        "Heading One\n\nthe quick brown fox jumps over the lazy dog. " * 3,
+        "Another Doc\n\npack my box with five dozen liquor jugs today. " * 2,
+    ]
+    rows = [
+        {
+            "doc_id": f"d{i}",
+            "parent_id": None,
+            "type": "text",
+            "text_representation": t,
+            "binary_representation": None,
+            "bbox": None,
+            "shingles": None,
+            "embedding": None,
+            "properties": json.dumps({"source": "unit"}),
+            "elements": None,
+        }
+        for i, t in enumerate(texts)
+    ]
+    return DocSet(spark.createDataFrame(rows, DOC_SCHEMA))
+
+
+def test_etl_chain(spark, raw_docs):
+    out = (
+        raw_docs.partition(TextPartitioner())
+        .regex_replace([(r"\s+", " ")])
+        .merge(strategy="greedy", max_tokens=12)
+        .spread_properties(["source"])
+        .split_elements(max_tokens=10)
+        .explode()
+    )
+    df = out.to_df()
+    children = df.filter(F.col("parent_id").isNotNull())
+    assert children.count() > 2
+    # children inherited the spread property
+    props = json.loads(children.take(1)[0]["properties"])
+    assert props.get("source") == "unit"
+    # every child respects the split budget
+    n_tokens = children.select(F.size(F.split(F.trim("text_representation"), r"\s+")).alias("n"))
+    assert n_tokens.agg(F.max("n")).collect()[0][0] <= 10
+
+
+def test_sketch_embed_rerank(spark, raw_docs):
+    ds = (
+        raw_docs.augment_text("{doc_id}: {text_representation}")
+        .sketch(num_perm=16)
+        .embed(dim=16)
+    )
+    df = ds.to_df()
+    assert df.select(F.size("shingles")).take(1)[0][0] == 16
+    assert df.select(F.size("embedding")).take(1)[0][0] == 16
+    ranked = ds.rerank("quick brown fox", limit=1).to_df().collect()
+    assert ranked[0]["doc_id"] == "d0"
+
+
+def test_llm_delegates(spark, raw_docs):
+    out = raw_docs.llm_map(
+        "Echo: {{ doc.doc_id }}", "echo", lambda: MockLLM([(r"Echo: (\S+)", lambda m: m.group(1))])
+    )
+    got = {r["doc_id"]: r["echo"] for r in out.to_df().collect()}
+    assert got == {"d0": "d0", "d1": "d1"}
+
+
+def test_standardize_delegate(spark):
+    df = spark.createDataFrame([(1, "from TX with love")], "id long, note string")
+    out = DocSet(df).standardize("note", kind="us_state").to_df().collect()
+    assert out[0]["note"] == "from Texas with love"
