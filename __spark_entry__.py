@@ -614,6 +614,17 @@ def q_frame_sample(spark, sf) -> DataFrame:
 # Text analysis (training-data pipeline additions)
 # ---------------------------------------------------------------------------
 
+def q_sessionize(spark, sf) -> DataFrame:
+    """Gap-based sessionization (batch path): window-function session
+    assignment, one shuffle on the user key (streaming/sessionize.py;
+    streaming twin uses applyInPandasWithState)."""
+    from sycamore_spark.streaming.sessionize import sessionize_batch
+
+    ev = _ds(spark, sf, "events").to_df()
+    out = sessionize_batch(ev, gap_seconds=1800, tiebreak_col="event_id")
+    return out.select("event_id", "user_id", "session_id")
+
+
 def q_text_stats(spark, sf) -> DataFrame:
     return textstats.text_stats(_ds(spark, sf, "documents").to_df())
 
@@ -675,6 +686,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "summarize_fold": q_summarize_fold,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
+    "sessionize": q_sessionize,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -936,6 +948,14 @@ def oracle_sql() -> dict[str, str]:
             "f AS (SELECT doc_id, text, unnest(range(0, 1 + n % 16, 4)) AS frame_idx FROM t) "
             "SELECT doc_id, frame_idx::INT AS frame_idx, "
             "md5(text || ':' || frame_idx::VARCHAR) AS frame_hash FROM f"
+        ),
+        "sessionize": (
+            "WITH g AS (SELECT event_id, user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS st FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT event_id, user_id, user_id::VARCHAR || '-' || CAST(sum(st) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS VARCHAR) "
+            "AS session_id FROM g"
         ),
         "text_stats": (
             "SELECT doc_id, len(string_split(trim(text), ' '))::INT AS n_tokens, "
