@@ -9,6 +9,7 @@ Entry points:
 
 from sycamore_spark.context import init
 from sycamore_spark.docset import DocSet, GroupedDocSet
+from sycamore_spark.reader import DocSetReader, DocSetWriter, read
 
 __version__ = "0.1.0"
-__all__ = ["init", "DocSet", "GroupedDocSet", "__version__"]
+__all__ = ["init", "DocSet", "GroupedDocSet", "DocSetReader", "DocSetWriter", "read", "__version__"]

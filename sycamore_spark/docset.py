@@ -429,6 +429,14 @@ class DocSet:
     def persist(self) -> "DocSet":
         return self._wrap(self.df.persist())
 
+    @property
+    def write(self):
+        """Sink facade: ``ds.write.parquet/json/files/duckdb/iceberg``
+        (reference DocSetWriter, docset.py:1699)."""
+        from sycamore_spark.reader import DocSetWriter
+
+        return DocSetWriter(self)
+
 
 class GroupedDocSet:
     """Reference GroupedData surface (reference: grouped_data.py:94-118)."""

@@ -1,0 +1,102 @@
+"""DocSetReader / DocSetWriter: the fluent entry and exit points.
+
+Reference parity: ``ctx.read.binary|json|document|materialize`` builds the
+scan leaf (reference: lib/sycamore/sycamore/reader.py:34-214) and
+``docset.write.parquet|json|files|duckdb|iceberg`` wraps the plan in a sink
+(writer.py:45-906; DocSetWriter docset.py:1699). Here both are thin
+facades: reads land in the canonical doc schema via sources/files.py,
+writes delegate to writer.py's distributed sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from sycamore_spark.docset import DocSet
+
+
+class DocSetReader:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def binary(self, paths, binary_format: str | None = None, **kwargs) -> DocSet:
+        """Files → one doc per file with binary_representation
+        (reference BinaryScan, connectors/file/file_scan.py:156)."""
+        from sycamore_spark.sources.files import binary_scan
+
+        return DocSet(binary_scan(self.spark, paths, binary_format=binary_format, **kwargs))
+
+    def text(self, paths, **kwargs) -> DocSet:
+        from sycamore_spark.sources.files import text_scan
+
+        return DocSet(text_scan(self.spark, paths, **kwargs))
+
+    def json(self, paths, **kwargs) -> DocSet:
+        """JSON/JSONL → docs with properties (reference JsonScan,
+        file_scan.py:291)."""
+        from sycamore_spark.sources.files import json_scan
+
+        return DocSet(json_scan(self.spark, paths, **kwargs))
+
+    def document(self, paths) -> DocSet:
+        """JSON already in Document shape (reference JsonDocumentScan,
+        file_scan.py:398)."""
+        from sycamore_spark.sources.files import json_document_scan
+
+        return DocSet(json_document_scan(self.spark, paths))
+
+    def parquet(self, path) -> DocSet:
+        return DocSet(self.spark.read.parquet(path))
+
+    def materialize(self, path) -> DocSet:
+        """Re-read a materialized checkpoint (reference reader.materialize,
+        materialize.py:517)."""
+        return self.parquet(path)
+
+    def table(self, sf_dir: str, name: str) -> DocSet:
+        from sycamore_spark.sources.tables import load_table
+
+        return DocSet(load_table(self.spark, sf_dir, name))
+
+    def docs(self, rows) -> DocSet:
+        """In-memory Document dicts (reference reader.document scan,
+        reader.py:194)."""
+        from sycamore_spark.data.schema import docs_from_rows
+
+        return DocSet(docs_from_rows(self.spark, rows))
+
+
+class DocSetWriter:
+    """Accessed as ``docset.write_`` sink methods or ``writer(ds)``."""
+
+    def __init__(self, ds: DocSet):
+        self.ds = ds
+
+    def parquet(self, path: str, **kwargs) -> None:
+        from sycamore_spark.writer import write_parquet
+
+        write_parquet(self.ds.df, path, **kwargs)
+
+    def json(self, path: str, **kwargs) -> None:
+        from sycamore_spark.writer import write_json
+
+        write_json(self.ds.df, path, **kwargs)
+
+    def files(self, path: str, **kwargs) -> None:
+        from sycamore_spark.writer import write_files
+
+        write_files(self.ds.df, path, **kwargs)
+
+    def duckdb(self, db_path: str, table: str, stage_dir: str, **kwargs) -> None:
+        from sycamore_spark.writer import write_duckdb
+
+        write_duckdb(self.ds.df, db_path, table, stage_dir, **kwargs)
+
+    def iceberg(self, table: str, **kwargs) -> None:
+        from sycamore_spark.writer import write_iceberg
+
+        write_iceberg(self.ds.df, table, **kwargs)
+
+
+def read(spark: SparkSession) -> DocSetReader:
+    return DocSetReader(spark)

@@ -1,0 +1,63 @@
+"""DocSetReader/DocSetWriter facades (reference: reader.py, writer.py)."""
+
+import json
+import os
+
+import pytest
+
+import sycamore_spark as ss
+
+
+def test_read_docs_and_write_roundtrip(spark, tmp_path):
+    ds = ss.read(spark).docs(
+        [{"doc_id": "a", "text_representation": "hello"}, {"doc_id": "b", "text_representation": "hi"}]
+    )
+    assert ds.count() == 2
+    out = str(tmp_path / "out")
+    ds.write.parquet(out)
+    back = ss.read(spark).materialize(out)
+    assert {r["doc_id"] for r in back.take_all()} == {"a", "b"}
+
+
+def test_read_text_files(spark, tmp_path):
+    for i in range(3):
+        (tmp_path / f"f{i}.txt").write_text(f"file number {i}")
+    ds = ss.read(spark).text(str(tmp_path))
+    rows = ds.take_all()
+    assert len(rows) == 3
+    assert all(r["properties"] is not None for r in rows)
+
+
+def test_read_binary_with_format_filter(spark, tmp_path):
+    (tmp_path / "a.html").write_text("<p>x</p>")
+    (tmp_path / "b.txt").write_text("y")
+    ds = ss.read(spark).binary(str(tmp_path), binary_format="html")
+    rows = ds.take_all()
+    assert len(rows) == 1
+    assert bytes(rows[0]["binary_representation"]) == b"<p>x</p>"
+
+
+def test_read_json(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(json.dumps({"id": i, "body": f"text {i}"}) for i in range(4)))
+    ds = ss.read(spark).json(str(p))
+    assert ds.count() == 4
+
+
+def test_write_files_and_duckdb(spark, tmp_path):
+    import duckdb
+
+    ds = ss.read(spark).docs(
+        [{"doc_id": "a", "text_representation": "alpha"}, {"doc_id": "b", "text_representation": "beta"}]
+    )
+    fdir = str(tmp_path / "files")
+    ds.write.files(fdir)
+    written = []
+    for root, _dirs, files in os.walk(fdir):
+        written += [f for f in files if not f.startswith(("_", "."))]
+    assert len(written) >= 1
+
+    db = str(tmp_path / "t.duckdb")
+    ds.write.duckdb(db, "docs", str(tmp_path / "stage"))
+    con = duckdb.connect(db)
+    assert con.sql("select count(*) from docs").fetchone()[0] == 2
