@@ -421,9 +421,10 @@ def q_custom_agg(spark, sf) -> DataFrame:
     agg = Aggregation(
         name="wavg",
         zero_factory=lambda: {"num": 0, "den": 0},
-        accumulate_docs=lambda docs: {
-            "num": sum(d["price_c"] * d["qty"] for d in docs),
-            "den": sum(d["qty"] for d in docs),
+        # vectorized accumulate: whole Arrow batch at once, no dict rows
+        accumulate_batch=lambda pdf: {
+            "num": int((pdf["price_c"] * pdf["qty"]).sum()),
+            "den": int(pdf["qty"].sum()),
         },
         combine_partials=lambda a, b: {"num": a["num"] + b["num"], "den": a["den"] + b["den"]},
         finalize=lambda p: p,

@@ -31,6 +31,8 @@ HEADLINE = [
     "time_bucket",
     "json_extract",
     "term_frequency",
+    "custom_agg",
+    "sessionize",
     "dedup_exact",
     "dedup_minhash",
     "ann_topk",
@@ -38,6 +40,9 @@ HEADLINE = [
     "lang_id",
     "quality",
     "fingerprint",
+    "chunk_overlap",
+    "multimodal_meta",
+    "graph_nodes",
 ]
 
 

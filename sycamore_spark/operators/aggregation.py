@@ -56,17 +56,30 @@ class Aggregation:
         combine_partials: Optional[Callable[[Doc, Doc], Doc]] = None,
         finalize: Optional[Callable[[Doc], Doc]] = None,
         zero_factory: Optional[Callable[[], Doc]] = None,
+        accumulate_batch: Optional[Callable[[pd.DataFrame], Doc]] = None,
     ):
         self.name = name
         self._accumulate = accumulate_docs
         self._combine = combine_partials
         self._finalize = finalize
         self._zero_factory = zero_factory
+        self._accumulate_batch = accumulate_batch
 
     def accumulate(self, docs: list[Doc]) -> Doc:
         if self._accumulate is not None:
             return self._accumulate(docs)
+        if self._accumulate_batch is not None:
+            return self._accumulate_batch(pd.DataFrame(docs))
         raise NotImplementedError("accumulate is not implemented in base aggregation")
+
+    def accumulate_batch(self, pdf: pd.DataFrame) -> Doc:
+        """Vectorized fast path: accumulate a whole pandas batch at once.
+        Spark-side extension over the reference's per-doc-list contract —
+        the executor prefers this when provided (columnar in, no dict
+        materialization)."""
+        if self._accumulate_batch is not None:
+            return self._accumulate_batch(pdf)
+        return self.accumulate(pdf.to_dict("records"))
 
     def combine(self, p1: Doc, p2: Doc) -> Doc:
         if self._combine is not None:
@@ -143,7 +156,7 @@ def run_aggregation(
         state: dict[str, Doc] = {}
         for pdf in it:
             for k, grp in pdf.groupby("__key", sort=False, dropna=False):
-                part = agg.accumulate(grp[data_cols].to_dict("records"))
+                part = agg.accumulate_batch(grp[data_cols])
                 state[k] = agg.combine(state[k], part) if k in state else part
         if state:
             yield pd.DataFrame(
