@@ -352,6 +352,45 @@ def _documents_as_docset(spark, sf) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark, sf) -> DataFrame:
+    """TPC-H Q6: pure filter + aggregate — pushdown showcase (all three
+    predicates reach the parquet scan)."""
+    li = (
+        _ds(spark, sf, "lineitem")
+        .range_filter("l_shipdate", "1996-01-01", "1996-12-31", date=True)
+        .range_filter("l_discount", 0.05, 0.07)
+        .to_df()
+        .filter(F.col("l_quantity") < 24)
+    )
+    rev = F.sum((_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(18,4)"))
+    return li.agg(F.round(rev, 2).cast("double").alias("revenue"))
+
+
+def q_tpch_q10(spark, sf) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer, top 20 — join fan-in
+    with broadcast dims + partial agg before the shuffle."""
+    li = _ds(spark, sf, "lineitem").match_filter("l_returnflag", "R", ignore_case=False).to_df()
+    orders = (
+        _ds(spark, sf, "orders")
+        .range_filter("o_orderdate", "1996-10-01", "1996-12-31", date=True)
+        .to_df()
+    )
+    cust = _ds(spark, sf, "customer").to_df()
+    nation = _ds(spark, sf, "nation").to_df()
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def q_doc_explode(spark, sf) -> DataFrame:
     """Explode elements → child docs; children counted per parent
     (transforms/explode.py:10-65)."""
@@ -665,6 +704,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
     "standardize_state": q_standardize_state,
     "standardize_date": q_standardize_date,
     "augment_text": q_augment_text,
@@ -835,6 +876,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_nationkey = s_nationkey AND r_name = 'ASIA' "
             "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31' "
             "GROUP BY n_name"
+        ),
+        "tpch_q6": (
+            "SELECT round(sum(cast(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2) "
+            "AS DECIMAL(18,4))), 2)::DOUBLE AS revenue FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate <= TIMESTAMP '1996-12-31' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "tpch_q10": (
+            "SELECT c_custkey, c_name, n_name, "
+            "round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate <= TIMESTAMP '1996-12-31' "
+            "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
         ),
         "standardize_state": (
             "SELECT c_custkey, 'Ships to ' || ["
