@@ -45,15 +45,32 @@ def extract_json(text: str) -> Any:
             return json.loads(fence.group(1))
         except json.JSONDecodeError:
             pass
-    for opener, closer in (("{", "}"), ("[", "]")):
-        start = (text or "").find(opener)
-        if start < 0:
-            continue
+    # balanced-span scan from the EARLIEST opener — an embedded array that
+    # contains objects (e.g. "[{}]") must yield the array, not its first {}
+    spans = [
+        (start, opener, closer)
+        for opener, closer in (("{", "}"), ("[", "]"))
+        if (start := (text or "").find(opener)) >= 0
+    ]
+    for start, opener, closer in sorted(spans):
         depth = 0
+        in_str = False
+        esc = False
         for i in range(start, len(text)):
-            if text[i] == opener:
+            c = text[i]
+            if in_str:
+                # brackets inside JSON string literals don't nest
+                if esc:
+                    esc = False
+                elif c == "\\":
+                    esc = True
+                elif c == '"':
+                    in_str = False
+            elif c == '"':
+                in_str = True
+            elif c == opener:
                 depth += 1
-            elif text[i] == closer:
+            elif c == closer:
                 depth -= 1
                 if depth == 0:
                     try:
