@@ -199,3 +199,90 @@ def llm_cluster_entity(
     )
     return llm_map(df, prompt, out_col, llm_factory,
                    validate=lambda r: r.strip() in {str(g) for g in groups})
+
+
+def llm_filter_elements(
+    df: DataFrame,
+    question: str,
+    llm_factory: LLMFactory,
+    elements_col: str = "elements",
+    text_field: str = "text_representation",
+    threshold: int = 3,
+    window_tokens: int = 512,
+    similarity_sort: bool = True,
+    score_col: str = "_llm_filter_score",
+    keep_score: bool = False,
+) -> DataFrame:
+    """Element-window LLM filtering with similarity-ordered early exit
+    (reference: transforms/llm_filter.py:113-190 — elements are batched
+    into token windows, optionally sorted by similarity to the question,
+    and evaluation stops as soon as a window clears the threshold).
+
+    Execution: per Arrow batch, round r sends every still-undecided doc's
+    r-th window in ONE LLM batch call; docs whose window scores >=
+    threshold drop out of later rounds. With similarity_sort the relevant
+    window is usually round 0, so total LLM calls approach one per kept doc
+    instead of one per element."""
+    out_schema = StructType(list(df.schema.fields)) if not keep_score else StructType(
+        list(df.schema.fields)
+    ).add(score_col, StringType())
+    names = [f.name for f in out_schema.fields]
+    q_terms = set(question.lower().split())
+
+    def _sim(text: str) -> float:
+        toks = set((text or "").lower().split())
+        return len(q_terms & toks) / max(len(q_terms), 1)
+
+    def _windows(elements) -> list[str]:
+        els = [] if elements is None else list(elements)
+        texts = [
+            (e.get(text_field) if isinstance(e, dict) else e[text_field]) or "" for e in els
+        ]
+        if similarity_sort:
+            texts.sort(key=_sim, reverse=True)
+        wins, cur, n = [], [], 0
+        for t in texts:
+            tn = len(t.split())
+            if cur and n + tn > window_tokens:
+                wins.append("\n".join(cur))
+                cur, n = [], 0
+            cur.append(t)
+            n += tn
+        if cur:
+            wins.append("\n".join(cur))
+        return wins or [""]
+
+    def run(it: Iterable[pd.DataFrame]):
+        llm = llm_factory()
+        prompt = (
+            "Score 0-5 how well the document answers the question. "
+            f"Reply with only the number.\nQuestion: {question}\nDocument: "
+        )
+        for pdf in it:
+            windows = [_windows(e) for e in pdf[elements_col]]
+            scores = [0] * len(windows)
+            decided = [len(w) == 0 for w in windows]
+            rnd = 0
+            while not all(decided) and rnd < max(len(w) for w in windows):
+                idxs = [i for i in range(len(windows)) if not decided[i] and rnd < len(windows[i])]
+                if not idxs:
+                    break
+                replies = llm.generate_batch([prompt + windows[i][rnd] for i in idxs])
+                for i, r in zip(idxs, replies):
+                    try:
+                        s = int(str(r).strip().split()[0])
+                    except (ValueError, IndexError):
+                        s = 0
+                    scores[i] = max(scores[i], s)
+                    if s >= threshold or rnd + 1 >= len(windows[i]):
+                        decided[i] = True
+                rnd += 1
+            pdf = pdf.copy()
+            if keep_score:
+                pdf[score_col] = [str(s) for s in scores]
+            mask = pd.Series([s >= threshold for s in scores], index=pdf.index)
+            out = pdf[mask]
+            if len(out):
+                yield out[names]
+
+    return df.mapInPandas(run, schema=out_schema)
