@@ -301,8 +301,10 @@ def q_ann_topk(spark, sf) -> DataFrame:
 
 
 def q_ann_ivf(spark, sf) -> DataFrame:
-    """IVF-partitioned ANN (recall<1 by design → rows-only check; recall is
-    asserted against brute force in tests/test_similarity.py)."""
+    """IVF-partitioned ANN. Run here with nprobe == ncells (full probe), so
+    the result must EQUAL brute force — giving the IVF plumbing a hash
+    oracle. Partial-probe recall (< 1 by design) is asserted against brute
+    force in tests/test_similarity.py."""
     emb = _ds(spark, sf, "embeddings").to_df()
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
@@ -1013,6 +1015,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, user_id::VARCHAR || '-' || CAST(sum(st) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS VARCHAR) "
             "AS session_id FROM g"
+        ),
+        "ann_ivf": (
+            # nprobe == ncells -> full probe: IVF must equal brute force
+            "WITH scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "list_inner_product(cast(q.embedding as double[]), cast(c.embedding as double[])) / "
+            "(sqrt(list_inner_product(cast(q.embedding as double[]), cast(q.embedding as double[]))) * "
+            "sqrt(list_inner_product(cast(c.embedding as double[]), cast(c.embedding as double[])))) AS score "
+            "FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10), "
+            "ranked AS (SELECT query_id, neighbor_id, score, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored) "
+            "SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM ranked WHERE rank <= 5"
         ),
         "text_stats": (
             "SELECT doc_id, len(string_split(trim(text), ' '))::INT AS n_tokens, "
