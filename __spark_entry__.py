@@ -656,6 +656,28 @@ def q_frame_sample(spark, sf) -> DataFrame:
 # Text analysis (training-data pipeline additions)
 # ---------------------------------------------------------------------------
 
+def q_asof_join(spark, sf) -> DataFrame:
+    """Backward as-of join (event attribution): each click matched to the
+    latest at-or-before purchase per user — union+window technique, ONE
+    shuffle (operators/joins.py; DuckDB oracle uses native ASOF JOIN)."""
+    from sycamore_spark.operators.joins import asof_join
+
+    ev = _ds(spark, sf, "events").to_df()
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("amount"))
+    )
+    out = asof_join(clicks, purchases, on="user_id", right_cols=["amount"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("amount_right"),
+        F.unix_timestamp("ts_right").alias("purchase_epoch"),
+    )
+
+
 def q_sessionize(spark, sf) -> DataFrame:
     """Gap-based sessionization (batch path): window-function session
     assignment, one shuffle on the user key (streaming/sessionize.py;
@@ -730,6 +752,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "summarize_fold": q_summarize_fold,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
+    "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -1007,6 +1030,14 @@ def oracle_sql() -> dict[str, str]:
             "f AS (SELECT doc_id, text, unnest(range(0, 1 + n % 16, 4)) AS frame_idx FROM t) "
             "SELECT doc_id, frame_idx::INT AS frame_idx, "
             "md5(text || ':' || frame_idx::VARCHAR) AS frame_hash FROM f"
+        ),
+        "asof_join": (
+            "WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
+            "p AS (SELECT user_id, ts, max(value) AS amount FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1, 2) "
+            "SELECT c.event_id, c.user_id, p.amount AS amount_right, "
+            "epoch(date_trunc('second', p.ts))::BIGINT AS purchase_epoch "
+            "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"
         ),
         "sessionize": (
             "WITH g AS (SELECT event_id, user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "

@@ -1,0 +1,111 @@
+"""Join strategies beyond the built-ins: as-of joins and skew salting.
+
+The reference has no hash/sort-merge/as-of/interval join machinery at all
+(SURVEY.md §2.3 — ``native Spark joins are a superset``); these add the two
+join shapes a 100 TB event/training pipeline actually needs on top of the
+wrapper's plain ``join``:
+
+- ``asof_join`` — for each left row, the latest right row at-or-before its
+  timestamp per key (classic event-attribution / feature-lookup join).
+  Implemented with the union+window technique: tag both sides, union, one
+  window over (key ORDER BY ts, tag) carrying the last right-side values
+  forward. ONE shuffle total, no range-explosion, no per-key driver work —
+  strictly better at scale than the broadcast-and-filter or
+  cross-join-and-rank formulations.
+- ``salted_join`` — hot-key mitigation when AQE's skew splitting isn't
+  enough (or is disabled): the build side is replicated ``salt`` ways, the
+  probe side scatters uniformly across replicas, so one hot key spreads
+  over ``salt`` tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: each left row gets the right row with the
+    greatest ``right_ts`` <= ``left_ts`` (or < when ``strict``) within the
+    same ``on`` key(s); right columns come back suffixed, null when no
+    earlier right row exists.
+
+    Right rows should be unique per (key, ts) — pre-aggregate if not; with
+    duplicates the row sorting last (by the right frame's column order)
+    wins deterministically only if a tiebreak column orders them.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = right_cols or [c for c in right.columns if c not in keys + [right_ts]]
+
+    l_tag = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"_r_{right_ts}"),
+    )
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(right_ts).alias(f"_r_{right_ts}"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    # right rows sort before left rows at equal ts (backward, inclusive):
+    # _is_left ASC puts the right row first so last_value sees it.
+    # strict mode flips the order so a same-ts right row is NOT visible.
+    order = [F.col("_ts").asc(), F.col("_is_left").asc() if not strict else F.col("_is_left").desc()]
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_carry_{c}")
+            for c in right_cols + [right_ts]
+        ],
+    )
+    out = carried.filter(F.col("_is_left") == 1).select(
+        *[F.col("_lrow")[c].alias(c) for c in left.columns],
+        *[F.col(f"_carry_{c}").alias(f"{c}{suffix}") for c in right_cols + [right_ts]],
+    )
+    return out
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with hot-key salting: the build (smaller/skew-victim) side
+    is replicated ``salt`` times, the probe side scatters each row to one
+    replica by a deterministic row hash, so a single hot key occupies
+    ``salt`` tasks instead of one. Join key must be a single column; extend
+    with composite structs if needed."""
+    probe_s = probe.withColumn(
+        "_salt",
+        F.pmod(F.hash(*[F.col(c) for c in probe.columns]), F.lit(salt)),
+    )
+    build_s = build.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = probe_s.join(build_s, on=[on, "_salt"], how=how)
+    return out.drop("_salt")

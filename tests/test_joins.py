@@ -1,0 +1,58 @@
+"""As-of join + salted join (operators/joins.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sycamore_spark.operators.joins import asof_join, salted_join
+
+
+def t(minute):
+    return dt.datetime(2026, 1, 1, 12, minute)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    clicks = spark.createDataFrame(
+        [(1, t(10), "c1"), (1, t(30), "c2"), (2, t(5), "c3"), (3, t(1), "c4")],
+        "user_id long, ts timestamp, click_id string",
+    )
+    purchases = spark.createDataFrame(
+        [(1, t(8), 100.0), (1, t(30), 250.0), (2, t(9), 50.0)],
+        "user_id long, ts timestamp, amount double",
+    )
+    return clicks, purchases
+
+
+def test_asof_backward_inclusive(spark, frames):
+    clicks, purchases = frames
+    out = asof_join(clicks, purchases, on="user_id")
+    got = {r["click_id"]: (r["amount_right"], r["ts_right"]) for r in out.collect()}
+    assert got["c1"] == (100.0, t(8))
+    assert got["c2"] == (250.0, t(30))   # inclusive: same-ts purchase matches
+    assert got["c3"] == (None, None)     # purchase after click
+    assert got["c4"] == (None, None)     # no purchases for user 3
+
+
+def test_asof_strict(spark, frames):
+    clicks, purchases = frames
+    out = asof_join(clicks, purchases, on="user_id", strict=True)
+    got = {r["click_id"]: r["amount_right"] for r in out.collect()}
+    assert got["c2"] == 100.0  # same-ts excluded, falls back to t(8)
+
+
+def test_asof_single_shuffle(spark, frames):
+    clicks, purchases = frames
+    plan = asof_join(clicks, purchases, on="user_id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_join_matches_plain(spark):
+    probe = spark.createDataFrame(
+        [(i % 3, f"p{i}") for i in range(100)], "k long, v string"
+    )
+    build = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k long, w string")
+    plain = {(r["k"], r["v"], r["w"]) for r in probe.join(build, "k").collect()}
+    salted = {(r["k"], r["v"], r["w"]) for r in salted_join(probe, build, "k", salt=8).collect()}
+    assert salted == plain
