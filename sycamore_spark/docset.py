@@ -411,6 +411,23 @@ class DocSet:
 
         return self._wrap(llm_cluster_entity(self.df, llm_factory, **kwargs))
 
+    def asof_join(self, other: "DocSet", on, **kwargs) -> "DocSet":
+        from sycamore_spark.operators.joins import asof_join
+
+        return self._wrap(asof_join(self.df, other.df, on, **kwargs))
+
+    def salted_join(self, other: "DocSet", on: str, salt: int = 16, how: str = "inner") -> "DocSet":
+        from sycamore_spark.operators.joins import salted_join
+
+        return self._wrap(salted_join(self.df, other.df, on, salt=salt, how=how))
+
+    def query(self, executor_factory, **kwargs) -> "DocSet":
+        """Run a DocSet of query rows through a QueryExecutor (reference:
+        transforms/query.py:50; docset.py:1351)."""
+        from sycamore_spark.operators.query_exec import run_queries
+
+        return self._wrap(run_queries(self.df, executor_factory, **kwargs))
+
     # -- persistence (reference: materialize.py) ----------------------------
 
     def materialize(self, path: str, source_mode: str = "RECOMPUTE") -> "DocSet":
