@@ -678,6 +678,33 @@ def q_asof_join(spark, sf) -> DataFrame:
     )
 
 
+def q_interval_join(spark, sf) -> DataFrame:
+    """Point-in-interval join: clicks within 1h after a purchase by the
+    same user. Bucketized to an equi-join on (user, hour-bucket) + residual
+    filter — never a nested-loop (operators/joins.py interval_join)."""
+    from sycamore_spark.operators.joins import interval_join
+
+    ev = _ds(spark, sf, "events").to_df()
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = interval_join(clicks, purch, on="user_id", bucket_seconds=3600)
+    return out.select("event_id", "purchase_id")
+
+
+def q_cube(spark, sf) -> DataFrame:
+    """Cube aggregation (free from Spark; absent in reference, §2.4)."""
+    ev = _ds(spark, sf, "events").to_df()
+    return ev.cube("event_type", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_dec("value")), 2).cast("double").alias("value_sum"),
+    )
+
+
 def q_sessionize(spark, sf) -> DataFrame:
     """Gap-based sessionization (batch path): window-function session
     assignment, one shuffle on the user key (streaming/sessionize.py;
@@ -753,6 +780,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
     "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
+    "cube": q_cube,
     "sessionize": q_sessionize,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -1030,6 +1059,17 @@ def oracle_sql() -> dict[str, str]:
             "f AS (SELECT doc_id, text, unnest(range(0, 1 + n % 16, 4)) AS frame_idx FROM t) "
             "SELECT doc_id, frame_idx::INT AS frame_idx, "
             "md5(text || ':' || frame_idx::VARCHAR) AS frame_hash FROM f"
+        ),
+        "interval_join": (
+            "SELECT c.event_id, p.event_id AS purchase_id FROM "
+            "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c JOIN "
+            "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR"
+        ),
+        "cube": (
+            "SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*)::BIGINT AS n, "
+            "round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS value_sum "
+            "FROM events GROUP BY CUBE (event_type, CAST(hour(ts) AS INT))"
         ),
         "asof_join": (
             "WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "

@@ -88,6 +88,48 @@ def asof_join(
     return out
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    on: str | list[str] | None = None,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (``start <= ts < end``), optionally also on
+    equality key(s).
+
+    Scale path: a naive theta-join is a cartesian/broadcast-nested-loop; at
+    100 TB that's unrunnable. Instead each interval is exploded to the
+    coarse time buckets it overlaps and each point maps to its one bucket,
+    turning the theta-join into an EQUI-join on (keys…, bucket) followed by
+    a cheap residual range filter. Work scales with
+    intervals × (duration/bucket) — pick ``bucket_seconds`` near the median
+    interval length."""
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+
+    p = points.withColumn("_b", F.floor(F.col(point_ts).cast("double") / bucket_seconds).cast("long"))
+    i = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("double") / bucket_seconds).cast("long"),
+                # end is exclusive: a zero-length or bucket-aligned end
+                # doesn't spill into the next bucket
+                F.floor(
+                    (F.col(end_col).cast("double") - F.lit(1e-9)) / bucket_seconds
+                ).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(i, on=keys + ["_b"], how=how).filter(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("_b")
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,

@@ -56,3 +56,22 @@ def test_salted_join_matches_plain(spark):
     plain = {(r["k"], r["v"], r["w"]) for r in probe.join(build, "k").collect()}
     salted = {(r["k"], r["v"], r["w"]) for r in salted_join(probe, build, "k", salt=8).collect()}
     assert salted == plain
+
+
+def test_interval_join(spark):
+    points = spark.createDataFrame(
+        [(1, t(0), "p0"), (1, t(15), "p1"), (1, t(59), "p2"), (2, t(15), "p3")],
+        "user_id long, ts timestamp, pid string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, t(10), t(20), "w1"), (1, t(59), t(59), "empty"), (2, t(0), t(59), "w2")],
+        "user_id long, start_ts timestamp, end_ts timestamp, iid string",
+    )
+    from sycamore_spark.operators.joins import interval_join
+
+    out = interval_join(points, intervals, on="user_id", bucket_seconds=600)
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert got == {("p1", "w1"), ("p3", "w2")}
+    # plan is an equi-join (hash), never a nested-loop/cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
