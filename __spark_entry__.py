@@ -411,6 +411,27 @@ def q_doc_merge(spark, sf) -> DataFrame:
     return merged.select(F.col("doc_id").alias("key"), F.size("elements").cast("bigint").alias("count"))
 
 
+def q_doc_sections(spark, sf) -> DataFrame:
+    """Document-structure extraction: every 3rd chunk retyped as a heading,
+    section hierarchy built natively (aggregate fold + nested sections
+    column, operators/elements.py extract_document_structure)."""
+    ds = _documents_as_docset(spark, sf)
+    retyped = elements.map_elements(
+        ds,
+        lambda e: e.withField(
+            "type",
+            F.when(e["element_index"] % 3 == 0, F.lit("heading")).otherwise(e["type"]),
+        ),
+    )
+    st = elements.extract_document_structure(retyped, header_types=("heading",))
+    titles = F.transform(F.col("sections"), lambda s: s["title"])
+    return st.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size("sections").alias("n_sections"),
+        F.md5(F.array_join(titles, "|")).alias("titles_hash"),
+    )
+
+
 def q_doc_markdown(spark, sf) -> DataFrame:
     """Markdown render of chunk elements (transforms/markdown.py); md5 of the
     rendered text checked against a closed-form reconstruction."""
@@ -764,6 +785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_explode": q_doc_explode,
     "doc_merge": q_doc_merge,
     "doc_markdown": q_doc_markdown,
+    "doc_sections": q_doc_sections,
     "llm_filter": q_llm_filter,
     "llm_extract": q_llm_extract,
     "dedup_exact": q_dedup_exact,
@@ -985,6 +1007,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INT) AS nc FROM documents) "
             "SELECT doc_id, md5(array_to_string(list_transform(range(nc), "
             "i -> array_to_string(toks[(i*10+1):((i+1)*10)], ' ')), chr(10) || chr(10))) AS md_hash FROM t"
+        ),
+        "doc_sections": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+            "CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INT) AS nc FROM documents), "
+            "s AS (SELECT doc_id, CAST(ceil(nc / 3.0) AS INT) AS n_sections, "
+            "list_transform(range(CAST(ceil(nc / 3.0) AS BIGINT)), "
+            "s -> array_to_string(toks[(s*30+1):(s*30+10)], ' ')) AS titles FROM t) "
+            "SELECT doc_id, n_sections, md5(array_to_string(titles, '|')) AS titles_hash FROM s"
         ),
         "llm_filter": (
             "SELECT doc_id, source FROM documents WHERE "

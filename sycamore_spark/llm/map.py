@@ -286,3 +286,86 @@ def llm_filter_elements(
                 yield out[names]
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def llm_map_elements(
+    df: DataFrame,
+    prompt: str,
+    out_prop: str,
+    llm_factory: LLMFactory,
+    elements_col: str = "elements",
+    element_filter: Callable[[dict], bool] | None = None,
+) -> DataFrame:
+    """Per-element LLM map (reference: docset.llm_map_elements,
+    docset.py:1141; transforms/base_llm.py LLMMapElements): render the
+    jinja prompt per (matching) element with ``elt``/``doc`` in scope, call
+    the LLM batched across ALL elements of the Arrow batch, and write the
+    completion into the element's properties JSON under ``out_prop``.
+    Non-matching elements pass through untouched."""
+    out_schema = df.schema
+    names = df.columns
+
+    def run(it: Iterable[pd.DataFrame]):
+        llm = llm_factory()
+        for pdf in it:
+            rows = pdf.to_dict("records")
+            jobs: list[tuple[int, int, str]] = []
+            for ri, row in enumerate(rows):
+                els = row.get(elements_col)
+                els = [] if els is None else [dict(e) for e in els]
+                row[elements_col] = els
+                for ei, e in enumerate(els):
+                    if element_filter is None or element_filter(e):
+                        jobs.append((ri, ei, _render(prompt, {**row, "elt": e})))
+            replies = llm.generate_batch([p for _, _, p in jobs]) if jobs else []
+            for (ri, ei, _p), reply in zip(jobs, replies):
+                e = rows[ri][elements_col][ei]
+                props = json.loads(e.get("properties") or "{}")
+                props[out_prop] = reply
+                e["properties"] = json.dumps(props, sort_keys=True)
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def summarize_images(
+    df: DataFrame,
+    llm_factory: LLMFactory,
+    elements_col: str = "elements",
+    image_types: tuple = ("Image", "image"),
+) -> DataFrame:
+    """LLM image description per image element (reference:
+    transforms/summarize_images.py:155) — the prompt carries the element's
+    typed metadata; the vision payload itself goes through the client seam
+    (mock/deterministic here, multimodal decode stubs apply)."""
+    return llm_map_elements(
+        df,
+        "Describe this image in one sentence. Metadata: {{ elt.properties }} "
+        "Context: {{ elt.text_representation }}",
+        "summary",
+        llm_factory,
+        elements_col=elements_col,
+        element_filter=lambda e: e.get("type") in image_types,
+    )
+
+
+def extract_table_properties(
+    df: DataFrame,
+    llm_factory: LLMFactory,
+    elements_col: str = "elements",
+    table_types: tuple = ("table", "Table"),
+    out_prop: str = "table_kv",
+) -> DataFrame:
+    """LLM key-value extraction from table elements (reference:
+    transforms/extract_table_properties.py:14): the element's rendered
+    table text goes to the LLM, the JSON reply lands under
+    properties.table_kv."""
+    return llm_map_elements(
+        df,
+        "Extract key-value pairs from this table as JSON. "
+        "Table: {{ elt.text_representation }}",
+        out_prop,
+        llm_factory,
+        elements_col=elements_col,
+        element_filter=lambda e: e.get("type") in table_types,
+    )

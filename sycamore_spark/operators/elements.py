@@ -560,3 +560,86 @@ def split_elements(df: DataFrame, max_tokens: int = 512) -> DataFrame:
             yield pd.DataFrame(out_rows, columns=pdf.columns)
 
     return df.mapInPandas(run, schema=df.schema)
+
+
+# ---------------------------------------------------------------------------
+# Document structure (reference: transforms/extract_document_structure.py)
+# ---------------------------------------------------------------------------
+
+_HEADER_TYPES = ("Section-header", "Title", "title", "heading")
+
+
+def assign_sections(df: DataFrame, header_types: tuple = _HEADER_TYPES) -> DataFrame:
+    """Tag every element with its section: a running section index that
+    increments at each header element, plus the header's text, written into
+    element properties (_section_idx/_section_title). Native aggregate fold
+    — the JVM-side building block of the reference's section hierarchy
+    construction (extract_document_structure.py; HierarchicalDocument
+    document.py:421)."""
+    els = F.col("elements")
+    is_header = lambda e: e["type"].isin(*[F.lit(t) for t in header_types])  # noqa: E731
+
+    zero = F.struct(
+        F.lit(0).alias("idx"),
+        F.lit("").alias("title"),
+        F.array().cast("array<struct<idx:int,title:string>>").alias("tags"),
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        new_idx = F.when(is_header(e), acc["idx"] + 1).otherwise(acc["idx"])
+        new_title = F.when(is_header(e), F.coalesce(e["text_representation"], F.lit(""))).otherwise(acc["title"])
+        tag = F.struct(new_idx.alias("idx"), new_title.alias("title"))
+        return F.struct(
+            new_idx.alias("idx"),
+            new_title.alias("title"),
+            F.concat(acc["tags"], F.array(tag)).alias("tags"),
+        )
+
+    with_tags = df.withColumn("_sec", F.aggregate(els, zero, step)["tags"])
+    out = with_tags.withColumn(
+        "elements",
+        F.transform(
+            F.col("elements"),
+            lambda e, i: e.withField(
+                "properties",
+                F.to_json(
+                    F.map_concat(
+                        F.map_filter(
+                            F.from_json(F.coalesce(e["properties"], F.lit("{}")), "map<string,string>"),
+                            lambda k, _: ~k.isin("_section_idx", "_section_title"),
+                        ),
+                        F.create_map(
+                            F.lit("_section_idx"),
+                            F.element_at(F.col("_sec"), i + 1)["idx"].cast("string"),
+                            F.lit("_section_title"),
+                            F.element_at(F.col("_sec"), i + 1)["title"],
+                        ),
+                    )
+                ),
+            ),
+        ),
+    )
+    return out.drop("_sec")
+
+
+def extract_document_structure(df: DataFrame, header_types: tuple = _HEADER_TYPES) -> DataFrame:
+    """Section hierarchy as a nested column: ``sections`` =
+    array<struct<section_idx, title, elements>> — elements grouped under
+    their section in element order (the Spark shape for the reference's
+    HierarchicalDocument children tree, SURVEY.md §1.1)."""
+    tagged = assign_sections(df, header_types)
+    els = F.col("elements")
+    sec_of = lambda e: F.get_json_object(e["properties"], "$._section_idx").cast("int")  # noqa: E731
+    title_of = lambda e: F.get_json_object(e["properties"], "$._section_title")  # noqa: E731
+    idxs = F.array_distinct(F.transform(els, sec_of))
+    sections = F.transform(
+        idxs,
+        lambda si: F.struct(
+            si.alias("section_idx"),
+            F.element_at(
+                F.transform(F.filter(els, lambda e: sec_of(e) == si), title_of), 1
+            ).alias("title"),
+            F.filter(els, lambda e: sec_of(e) == si).alias("elements"),
+        ),
+    )
+    return tagged.withColumn("sections", sections)
