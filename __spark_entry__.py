@@ -117,6 +117,24 @@ def q_union(spark, sf) -> DataFrame:
     return errors.union(signups).groupby_count("event_type").to_df()
 
 
+def q_set_ops(spark, sf) -> DataFrame:
+    """intersect + exceptAll (free from Spark; absent in reference, §2.7):
+    customers who ordered AND hold a high balance, minus nation-5 customers."""
+    ordered = _ds(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    rich = (
+        _ds(spark, sf, "customer")
+        .range_filter("c_acctbal", 5000.001, None)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    nation5 = (
+        _ds(spark, sf, "customer")
+        .filter(F.col("c_nationkey") == 5)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    both = ordered.to_df().intersect(rich.to_df())
+    return both.exceptAll(nation5.to_df().distinct())
+
+
 def q_term_frequency(spark, sf) -> DataFrame:
     return _ds(spark, sf, "documents").term_frequency("text").filter(F.col("freq") > 100).to_df()
 
@@ -765,6 +783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "field_in": q_field_in,
     "unroll": q_unroll,
     "union": q_union,
+    "set_ops": q_set_ops,
     "term_frequency": q_term_frequency,
     "groupby_collect": q_groupby_collect,
     "window_rank": q_window_rank,
@@ -881,6 +900,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS key, count(*)::BIGINT AS count FROM ("
             "SELECT * FROM events WHERE event_type = 'error' "
             "UNION ALL SELECT * FROM events WHERE event_type = 'signup') GROUP BY 1"
+        ),
+        "set_ops": (
+            "SELECT custkey FROM ("
+            "SELECT o_custkey AS custkey FROM orders "
+            "INTERSECT SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.001) "
+            "EXCEPT ALL SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_nationkey = 5"
         ),
         "term_frequency": (
             "SELECT token, count(*)::BIGINT AS freq FROM "

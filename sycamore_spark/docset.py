@@ -411,6 +411,26 @@ class DocSet:
 
         return self._wrap(llm_cluster_entity(self.df, llm_factory, **kwargs))
 
+    def llm_map_elements(self, prompt: str, out_prop: str, llm_factory, **kwargs) -> "DocSet":
+        from sycamore_spark.llm.map import llm_map_elements
+
+        return self._wrap(llm_map_elements(self.df, prompt, out_prop, llm_factory, **kwargs))
+
+    def summarize_images(self, llm_factory, **kwargs) -> "DocSet":
+        from sycamore_spark.llm.map import summarize_images
+
+        return self._wrap(summarize_images(self.df, llm_factory, **kwargs))
+
+    def extract_table_properties(self, llm_factory, **kwargs) -> "DocSet":
+        from sycamore_spark.llm.map import extract_table_properties
+
+        return self._wrap(extract_table_properties(self.df, llm_factory, **kwargs))
+
+    def extract_document_structure(self, **kwargs) -> "DocSet":
+        from sycamore_spark.operators.elements import extract_document_structure
+
+        return self._wrap(extract_document_structure(self.df, **kwargs))
+
     def asof_join(self, other: "DocSet", on, **kwargs) -> "DocSet":
         from sycamore_spark.operators.joins import asof_join
 
