@@ -141,6 +141,16 @@ class DocSet:
         out = cls(self, **kwargs)
         return out if isinstance(out, DocSet) else self._wrap(out)
 
+    def apply(self, fn: Callable[[dict], Any]) -> "DocSet":
+        """Side-effecting per-row visit; rows pass through unchanged
+        (reference: docset.py:1024 ``apply``). The effect runs on
+        executors — use for metrics/logging hooks, not driver state."""
+        def passthrough(row: dict) -> dict:
+            fn(row)
+            return row
+
+        return self.map(passthrough)
+
     # -- sort / limit / sample (reference: transforms/sort.py, basics.py) --
 
     def sort(self, field: str, descending: bool = False, default_val: Any = None) -> "DocSet":

@@ -69,3 +69,81 @@ class ScoringMockLLM(MockLLM):
             body = m.group(1) if m else p
             out.append(str(min(5, body.lower().count(self.keyword))))
         return out
+
+
+class ConcurrentLLM(LLM):
+    """Concurrency + rate-limit wrapper around any LLM: fans a batch out
+    over a thread pool (async micro-batching — reference LLMMap's
+    SYNC/ASYNC/BATCH modes, transforms/base_llm.py and llms/llms.py
+    default_mode) under a requests-per-minute token bucket.
+
+    Wrap the inner factory at the task level:
+    ``llm_factory=lambda: ConcurrentLLM(RealClient(), max_concurrency=8,
+    requests_per_minute=600)`` — each Spark task gets its own pool, so
+    cluster-wide concurrency = tasks × max_concurrency; size the rpm budget
+    per-task (global_rpm / expected concurrent tasks).
+    """
+
+    def __init__(
+        self,
+        inner: LLM,
+        max_concurrency: int = 8,
+        requests_per_minute: float | None = None,
+        max_retries: int = 3,
+        retry_base_sleep: float = 0.5,
+    ):
+        self.inner = inner
+        self.max_concurrency = max_concurrency
+        self.rpm = requests_per_minute
+        self.max_retries = max_retries
+        self.retry_base_sleep = retry_base_sleep
+        self._lock = None  # built lazily; locks don't pickle
+        # burst capacity = max_concurrency, not a full minute's budget — a
+        # freshly-started task must not fire rpm requests instantly
+        self._burst = float(max_concurrency)
+        self._allowance = min(self._burst, requests_per_minute) if requests_per_minute else None
+        self._last = None
+
+    def _throttle(self):
+        import threading
+        import time
+
+        if self.rpm is None:
+            return
+        if self._lock is None:
+            self._lock = threading.Lock()
+        while True:
+            with self._lock:
+                now = time.monotonic()
+                if self._last is None:
+                    self._last = now
+                self._allowance = min(
+                    self._burst, (self._allowance or 0) + (now - self._last) * (self.rpm / 60.0)
+                )
+                self._last = now
+                if self._allowance >= 1:
+                    self._allowance -= 1
+                    return
+                wait = (1 - self._allowance) / (self.rpm / 60.0)
+            time.sleep(min(wait, 1.0))
+
+    def _one(self, prompt: str) -> str:
+        import time
+
+        err = None
+        for attempt in range(self.max_retries):
+            self._throttle()
+            try:
+                return self.inner.generate_batch([prompt])[0]
+            except Exception as e:  # transient API errors retry with backoff
+                err = e
+                time.sleep(self.retry_base_sleep * (2 ** attempt))
+        raise err
+
+    def generate_batch(self, prompts: list[str]) -> list[str]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not prompts:
+            return []
+        with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
+            return list(pool.map(self._one, prompts))

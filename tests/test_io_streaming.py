@@ -147,3 +147,29 @@ def test_streaming_windowed_counts(spark, tmp_path):
         assert batch.filter((F.col("window_start") == k[0]) & (F.col("event_type") == k[1])
                             ).collect()[0].n == v
     assert len(got_counts) > 0
+
+
+def test_streaming_composes_with_engine_transforms(spark, tmp_path):
+    """Engine operators (pure Column exprs) compose with readStream
+    unchanged: stream the documents table through text quality scoring into
+    a memory sink."""
+    from sycamore_spark.operators import textstats
+    from sycamore_spark.sources import load_table
+
+    src = str(tmp_path / "docs_stream")
+    batch = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch.limit(50).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    scored = textstats.quality(stream)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("stream_quality")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from stream_quality")
+    assert got.count() == 50
+    assert "quality_score" in got.columns
