@@ -33,6 +33,8 @@ HEADLINE = [
     "term_frequency",
     "custom_agg",
     "sessionize",
+    "asof_join",
+    "interval_join",
     "dedup_exact",
     "dedup_minhash",
     "ann_topk",
