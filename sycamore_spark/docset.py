@@ -458,6 +458,16 @@ class DocSet:
 
         return self._wrap(run_queries(self.df, executor_factory, **kwargs))
 
+    def promote_properties(self, schema, **kwargs) -> "DocSet":
+        from sycamore_spark.operators.properties import promote_properties
+
+        return self._wrap(promote_properties(self.df, schema, **kwargs))
+
+    def demote_properties(self, cols: list[str], **kwargs) -> "DocSet":
+        from sycamore_spark.operators.properties import demote_properties
+
+        return self._wrap(demote_properties(self.df, cols, **kwargs))
+
     # -- persistence (reference: materialize.py) ----------------------------
 
     def materialize(self, path: str, source_mode: str = "RECOMPUTE") -> "DocSet":

@@ -74,6 +74,25 @@ def write_duckdb(df: DataFrame, db_path: str, table: str, stage_dir: str,
     con.close()
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    *bucket_cols: str,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table so
+    later equi-joins/aggregations on the bucket key are EXCHANGE-FREE —
+    the co-located-join strategy for repeatedly-joined 100 TB tables
+    (SURVEY.md 'co-locate joins via bucketing'). Spark bucketing requires
+    saveAsTable (catalog-managed)."""
+    w = df.write.mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def write_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
     """Iceberg sink (reference: writer.py:821). Requires the iceberg-spark
     runtime jar + catalog config on the session; raises a clear error when
