@@ -65,6 +65,33 @@ class DocSetReader:
 
         return DocSet(docs_from_rows(self.spark, rows))
 
+    def duckdb(self, db_path: str, table_or_sql: str) -> DocSet:
+        """DuckDB reader (reference: reader.py:377): driver-side Arrow
+        handoff — right-sized for dimension/config tables; export big
+        tables to parquet and use .parquet() for distributed scans."""
+        import duckdb
+
+        con = duckdb.connect(db_path, read_only=True)
+        try:
+            rel = (
+                con.sql(table_or_sql)
+                if table_or_sql.lstrip().lower().startswith(("select", "with"))
+                else con.table(table_or_sql)
+            )
+            pdf = rel.df()
+        finally:
+            con.close()
+        return DocSet(self.spark.createDataFrame(pdf))
+
+    def search(self, kind: str, **params) -> DocSet:
+        """Seam for OpenSearch/Elasticsearch/Weaviate/Pinecone/Qdrant
+        readers (reference: reader.py:226-703). No services exist in this
+        container — raises at call time with the connector named."""
+        raise NotImplementedError(
+            f"{kind} reader requires a live service/connector (reference "
+            "parity seam; use .parquet()/.duckdb() for local data)"
+        )
+
 
 class DocSetWriter:
     """Accessed as ``docset.write_`` sink methods or ``writer(ds)``."""

@@ -61,3 +61,23 @@ def test_write_files_and_duckdb(spark, tmp_path):
     ds.write.duckdb(db, "docs", str(tmp_path / "stage"))
     con = duckdb.connect(db)
     assert con.sql("select count(*) from docs").fetchone()[0] == 2
+
+
+def test_read_duckdb(spark, tmp_path):
+    import duckdb
+
+    db = str(tmp_path / "src.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE dims AS SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(id, name)")
+    con.close()
+    ds = ss.read(spark).duckdb(db, "dims")
+    assert {tuple(r) for r in ds.take_all()} == {(1, "a"), (2, "b")}
+    sql = ss.read(spark).duckdb(db, "SELECT id FROM dims WHERE id > 1")
+    assert sql.count() == 1
+
+
+def test_search_reader_gated(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ss.read(spark).search("opensearch", hosts=["x"])
