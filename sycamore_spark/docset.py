@@ -69,6 +69,12 @@ class DocSet:
     def show(self, n: int = 20, truncate: bool = True) -> None:
         self.df.show(n, truncate=truncate)
 
+    def take_stream(self):
+        """Row iterator streamed to the driver (reference: docset.py:261
+        take_stream → Spark toLocalIterator: one partition in memory at a
+        time, not the whole result)."""
+        return self.df.toLocalIterator()
+
     # -- filters (reference: docset.py:1160; functions/basic_filters.py) --
 
     def filter(self, predicate: Column | str | Callable) -> "DocSet":
