@@ -767,6 +767,20 @@ def q_quality(spark, sf) -> DataFrame:
     return textstats.quality(_ds(spark, sf, "documents").to_df())
 
 
+def q_repetition(spark, sf) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-bigram and top-bigram
+    fractions, pure higher-order functions (operators/textstats.py)."""
+    return textstats.repetition_stats(_ds(spark, sf, "documents").to_df())
+
+
+def q_contamination(spark, sf) -> DataFrame:
+    """Test-set decontamination: 3-gram overlap of every document against a
+    probe corpus (docs 0-19), broadcast semi-join on deduped n-grams."""
+    docs = _ds(spark, sf, "documents").to_df()
+    probes = docs.filter(F.col("doc_id") < 20)
+    return textstats.ngram_contamination(docs, probes, n=3)
+
+
 def q_fingerprint(spark, sf) -> DataFrame:
     return textstats.fingerprints(_ds(spark, sf, "documents").to_df())
 
@@ -828,6 +842,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality": q_quality,
     "fingerprint": q_fingerprint,
+    "repetition": q_repetition,
+    "contamination": q_contamination,
 }
 
 
@@ -1174,6 +1190,31 @@ def oracle_sql() -> dict[str, str]:
             "(1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) * 4, 1.0)) + "
             f"least(len(list_intersect(toks, {_STOPWORDS_SQL}))::DOUBLE / greatest(len(toks), 1) * 5, 1.0)) / 3.0, 6) AS quality_score "
             "FROM t"
+        ),
+        "repetition": (
+            "WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents), "
+            "b AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN [] ELSE "
+            "list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) END AS bg FROM t), "
+            "tops AS (SELECT doc_id, max(cnt) AS top FROM ("
+            "SELECT doc_id, count(*) AS cnt FROM (SELECT doc_id, unnest(bg) AS g FROM b) "
+            "GROUP BY doc_id, g) GROUP BY doc_id) "
+            "SELECT b.doc_id, len(bg)::INT AS n_bigrams, len(list_distinct(bg))::INT AS distinct_bigrams, "
+            "round(CASE WHEN len(bg) = 0 THEN 0.0 ELSE (len(bg) - len(list_distinct(bg))) / len(bg) END, 6) AS dup_bigram_frac, "
+            "round(CASE WHEN len(bg) = 0 THEN 0.0 ELSE coalesce(tops.top, 0) / len(bg) END, 6) AS top_bigram_frac "
+            "FROM b LEFT JOIN tops ON b.doc_id = tops.doc_id"
+        ),
+        "contamination": (
+            "WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [] ELSE "
+            "list_distinct(list_transform(range(len(toks) - 2), "
+            "i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END AS gs FROM t), "
+            "dg AS (SELECT doc_id, unnest(CASE WHEN len(gs) = 0 THEN [NULL] ELSE gs END) AS gr FROM g), "
+            "pg AS (SELECT DISTINCT gr FROM dg WHERE doc_id < 20 AND gr IS NOT NULL), "
+            "j AS (SELECT d.doc_id, d.gr, CASE WHEN p.gr IS NULL THEN 0 ELSE 1 END AS hit "
+            "FROM dg d LEFT JOIN pg p ON d.gr = p.gr) "
+            "SELECT doc_id, count(gr)::BIGINT AS n_ngrams, sum(hit)::BIGINT AS contaminated_ngrams, "
+            "round(CASE WHEN count(gr) = 0 THEN 0.0 ELSE sum(hit) / count(gr) END, 6) AS contamination_frac "
+            "FROM j GROUP BY 1"
         ),
         "fingerprint": (
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint FROM documents"

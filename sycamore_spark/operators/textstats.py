@@ -43,3 +43,96 @@ def quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stable md5 fingerprint of normalized text → (id, fingerprint)."""
     return df.select(F.col(id_col), T.fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (training-data quality rules beyond
+    the reference's surface): fraction of tokens inside duplicate bigrams
+    and the share of the most frequent bigram. All higher-order-function
+    expressions — no shuffle, no Python.
+
+    Returns (id, n_bigrams, distinct_bigrams, dup_bigram_frac,
+    top_bigram_frac)."""
+    toks = T.tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat(
+                F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+    nb = F.size(bigrams)
+    distinct_b = F.size(F.array_distinct(bigrams))
+    # mode count via sorted-run fold: O(n log n) per doc, not the naive
+    # O(n^2) count-per-distinct-bigram
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def run_step(acc, b):
+        run = F.when(b == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(b.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best"))
+
+    top_count = F.aggregate(F.array_sort(bigrams), zero, run_step)["best"]
+    return df.select(
+        F.col(id_col),
+        nb.alias("n_bigrams"),
+        distinct_b.alias("distinct_bigrams"),
+        F.round(
+            F.when(nb == 0, 0.0).otherwise((nb - distinct_b) / nb.cast("double")), 6
+        ).alias("dup_bigram_frac"),
+        F.round(
+            F.when(nb == 0, 0.0).otherwise(top_count / nb.cast("double")), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: flag documents sharing any word n-gram with
+    a probe corpus (the standard benchmark-leakage check for training
+    data).
+
+    Scale shape: both sides explode to distinct n-grams; the probe n-gram
+    set is deduped and (by default) broadcast, so the match is a broadcast
+    semi-join per doc-ngram — no quadratic text comparison anywhere. For
+    probe sets too big to broadcast, pass broadcast_probes=False for a
+    shuffle hash join on the n-gram hash.
+
+    Returns (id, n_ngrams, contaminated_ngrams, contamination_frac)."""
+    def grams(col):
+        toks = T.tokens(col)
+        sz = F.size(toks)
+        return F.when(sz < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), sz - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        )
+
+    doc_grams = docs.select(
+        F.col(id_col), F.explode_outer(F.array_distinct(grams(F.col(text_col)))).alias("_g")
+    )
+    probe_grams = probes.select(
+        F.explode(F.array_distinct(grams(F.col(probe_text_col)))).alias("_g")
+    ).distinct()
+    if broadcast_probes:
+        probe_grams = F.broadcast(probe_grams)
+    hits = doc_grams.join(probe_grams.withColumn("_hit", F.lit(1)), "_g", "left")
+    return hits.groupBy(id_col).agg(
+        F.count(F.col("_g")).alias("n_ngrams"),
+        F.count(F.col("_hit")).alias("contaminated_ngrams"),
+        F.round(
+            F.when(F.count(F.col("_g")) == 0, 0.0).otherwise(
+                F.count(F.col("_hit")) / F.count(F.col("_g")).cast("double")
+            ),
+            6,
+        ).alias("contamination_frac"),
+    )

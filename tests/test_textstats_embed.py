@@ -2,6 +2,7 @@
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from sycamore_spark.operators import clustering, embed, textstats
@@ -85,3 +86,33 @@ def test_rerank_puts_matching_doc_first(spark):
     ], "doc_id int, text_representation string")
     out = clustering.rerank(df, query="spark engine").collect()
     assert out[0].doc_id == 1
+
+
+def test_repetition_stats(spark):
+    from sycamore_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "w x y z"), (3, "solo")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # doc1 bigrams: [a b, b a, a b, b a, a b] -> 5 total, 2 distinct, top=3
+    assert got[1]["n_bigrams"] == 5 and got[1]["distinct_bigrams"] == 2
+    assert got[1]["dup_bigram_frac"] == pytest.approx(3 / 5)
+    assert got[1]["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["n_bigrams"] == 0 and got[3]["top_bigram_frac"] == 0.0
+
+
+def test_ngram_contamination(spark):
+    from sycamore_spark.operators.textstats import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "totally clean document here"), (3, "xy")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(99, "quick brown fox")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_contamination(docs, probes, n=3).collect()}
+    assert got[1]["n_ngrams"] == 3 and got[1]["contaminated_ngrams"] == 1
+    assert got[1]["contamination_frac"] == pytest.approx(1 / 3)
+    assert got[2]["contaminated_ngrams"] == 0
+    assert got[3]["n_ngrams"] == 0 and got[3]["contamination_frac"] == 0.0
