@@ -294,11 +294,16 @@ def q_dedup_minhash(spark, sf) -> DataFrame:
 
 
 def q_dedup_simhash(spark, sf) -> DataFrame:
-    """SimHash near-dup pairs (hash-function-dependent → rows-only check;
-    semantics unit-tested in tests/test_dedup.py)."""
-    return dedup.simhash_near_dup_pairs(
-        _ds(spark, sf, "documents").to_df(), "doc_id", "text", max_hamming=3
+    """SimHash near-dup pairs, hash-checked: the token hash here is the
+    cross-engine 60-bit md5 prefix so the DuckDB oracle reproduces the
+    exact signatures; pigeonhole chunk-blocking (4 chunks, complete for
+    hamming <= 3) + bit_count(xor) verify. Production default stays
+    xxhash64 (operators/dedup.py simhash)."""
+    out = dedup.simhash_near_dup_pairs(
+        _ds(spark, sf, "documents").to_df(), "doc_id", "text",
+        max_hamming=3, nbits=60, hash_fn=dedup.md5_hash60,
     )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_dedup_embedding(spark, sf) -> DataFrame:
@@ -1086,6 +1091,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 6) AS jaccard FROM inter "
             "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
             "WHERE i / (sa.n + sb.n - i) >= 0.8"
+        ),
+        "dedup_simhash": (
+            "WITH t AS (SELECT doc_id, list_distinct(string_split(trim(lower(text)), ' ')) AS toks FROM documents), "
+            "h AS (SELECT doc_id, list_transform(toks, tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT) AS hs FROM t), "
+            "s AS (SELECT doc_id, list_sum(list_transform(range(60), j -> CASE WHEN "
+            "list_sum(list_transform(hs, x -> ((x >> j) & 1) * 2 - 1)) > 0 "
+            "THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sig FROM h) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "bit_count(xor(a.sig, b.sig))::INT AS hamming "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.sig, b.sig)) <= 3"
         ),
         "dedup_embedding": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -184,12 +184,21 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 64) -> DataFrame:
-    """64-bit SimHash per row from distinct-token hashes, fully native:
+def md5_hash60(t):
+    """60-bit token hash replicable across engines: first 15 hex chars of
+    md5 (DuckDB: ('0x'||substr(md5(t),1,15))::BIGINT). Slower than
+    xxhash64 — use for oracle-checked runs; default stays xxhash64."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 64,
+            hash_fn=None) -> DataFrame:
+    """SimHash per row from distinct-token hashes, fully native:
     bit j of the signature = sign of sum over tokens of (+1/-1) at bit j of
-    xxhash64(token). No shuffle. (reference: functions/simhash.py:84-204)."""
+    the token hash (xxhash64 default). No shuffle.
+    (reference: functions/simhash.py:84-204)."""
     toks = F.array_distinct(T.tokens(F.col(text_col)))
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    th = F.transform(toks, hash_fn or (lambda t: F.xxhash64(t)))
 
     def bit_contrib(j):
         return lambda acc, h: acc + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -205,7 +214,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 64) -> DataF
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, nbits: int = 64, chunks: int = 4
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, nbits: int = 64, chunks: int = 4,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -220,7 +230,7 @@ def simhash_near_dup_pairs(
     mask = (1 << width) - 1
     # persist: chunk extraction references the (expensive) signature several
     # times; see minhash_lsh_pairs.
-    sig = simhash(df, id_col, text_col, nbits).persist()
+    sig = simhash(df, id_col, text_col, nbits, hash_fn=hash_fn).persist()
     chunk_structs = F.array(*[
         F.struct(
             F.lit(ci).alias("ci"),
