@@ -45,6 +45,8 @@ HEADLINE = [
     "chunk_overlap",
     "multimodal_meta",
     "graph_nodes",
+    "repetition",
+    "contamination",
 ]
 
 

