@@ -628,12 +628,17 @@ def q_graph_edges(spark, sf) -> DataFrame:
 
 def q_summarize_fold(spark, sf) -> DataFrame:
     """Whole-docset hierarchical summarization fold: log_fanin(n) rounds of
-    distributed group-summaries (llm/summarize.py). Group membership depends
-    on runtime row ids, so this is a rows-only check (1 row out)."""
+    distributed group-summaries (llm/summarize.py). With stable_id grouping
+    (doc_id mod ngroups) and sorted in-group concatenation the fold is a
+    pure function of the data, so the DuckDB oracle replays the exact
+    3-round reduction (500→50→5→1 at sf0.01; the oracle SQL is written for
+    the sf0.01 correctness gate's row count)."""
     from sycamore_spark.llm.summarize import summarize_docset_hierarchical
 
     docs = _ds(spark, sf, "documents").to_df()
-    return summarize_docset_hierarchical(docs, lambda: MockLLM(), text_col="text", fanin=10)
+    return summarize_docset_hierarchical(
+        docs, lambda: MockLLM(), text_col="text", fanin=10, stable_id="doc_id"
+    )
 
 
 def q_extract_properties(spark, sf) -> DataFrame:
@@ -1116,6 +1121,22 @@ def oracle_sql() -> dict[str, str]:
             "ranked AS (SELECT query_id, neighbor_id, score, row_number() OVER ("
             "PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored) "
             "SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM ranked WHERE rank <= 5"
+        ),
+        "summarize_fold": (
+            # replays the 3-round fold at sf0.01 (500 docs, fanin 10):
+            # mock summary = 'mock:' || md5(prompt)[:8]
+            "WITH r1 AS (SELECT doc_id % 50 AS idx, 'mock:' || substr(md5("
+            "'Summarize the following texts into one summary.' || chr(10) || 'Text: ' || "
+            "array_to_string(list_sort(list(text)), chr(10) || '---' || chr(10))), 1, 8) AS text "
+            "FROM documents GROUP BY doc_id % 50), "
+            "r2 AS (SELECT idx % 5 AS idx, 'mock:' || substr(md5("
+            "'Summarize the following texts into one summary.' || chr(10) || 'Text: ' || "
+            "array_to_string(list_sort(list(text)), chr(10) || '---' || chr(10))), 1, 8) AS text "
+            "FROM r1 GROUP BY idx % 5) "
+            "SELECT 'mock:' || substr(md5("
+            "'Summarize the following texts into one summary.' || chr(10) || 'Text: ' || "
+            "array_to_string(list_sort(list(text)), chr(10) || '---' || chr(10))), 1, 8) AS summary "
+            "FROM r2"
         ),
         "extract_properties": (
             "SELECT doc_id, coalesce(try_cast(regexp_extract(text, '\\d+') AS BIGINT), -1) "

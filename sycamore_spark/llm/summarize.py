@@ -133,27 +133,37 @@ def summarize_docset_hierarchical(
     fanin: int = 10,
     question: str | None = None,
     max_rounds: int = 12,
+    stable_id: str | None = None,
 ) -> DataFrame:
     """Whole-docset fold: driver-driven rounds; round r groups every
-    ``fanin`` summaries (keyed by a stable per-row index, no global sort),
-    LLM-summarizes each group distributedly, and stops at one row. Data
-    volume shrinks by ``fanin``× per round, so the shuffle cost is dominated
-    by round 0 over the raw docs."""
+    ``fanin`` summaries, LLM-summarizes each group distributedly, and stops
+    at one row. Data volume shrinks by ``fanin``× per round, so the shuffle
+    cost is dominated by round 0 over the raw docs.
+
+    With ``stable_id`` (an integral column), grouping is ``id mod
+    ceil(n/fanin)`` and each group's texts concatenate in sorted order, so
+    the entire fold is a pure function of the input data — reproducible
+    across runs/partitionings (and replayable by an external oracle).
+    Without it, a runtime row id seeds the groups (uniform spread, no
+    global sort, but partition-dependent)."""
     from sycamore_spark.llm.map import llm_map
 
     q = f" with respect to the question: {question}" if question else ""
-    cur = df.select(F.col(text_col).alias("text")).withColumn(
-        "idx", F.monotonically_increasing_id()
+    idx0 = (
+        F.col(stable_id).cast("long") if stable_id else F.monotonically_increasing_id()
     )
-    # Group assignment hashes the (sparse) per-row id into ceil(n/fanin)
-    # buckets — uniform spread without a global sort; group sizes are
-    # approximately fanin, which is all the fold needs.
+    cur = df.select(F.col(text_col).alias("text"), idx0.alias("idx"))
     for round_no in range(max_rounds):
         n = cur.count()
         if n <= 1:
             break
-        cur = cur.withColumn("grp", F.pmod(F.hash("idx"), (n + fanin - 1) // fanin))
-        grouped = cur.groupBy("grp").agg(F.concat_ws("\n---\n", F.collect_list("text")).alias("text"))
+        ngroups = (n + fanin - 1) // fanin
+        grp = F.pmod(F.col("idx"), ngroups) if stable_id else F.pmod(F.hash("idx"), ngroups)
+        grouped = (
+            cur.withColumn("grp", grp)
+            .groupBy("grp")
+            .agg(F.array_join(F.array_sort(F.collect_list("text")), "\n---\n").alias("text"))
+        )
         summarized = llm_map(
             grouped,
             f"Summarize the following texts into one summary{q}.\nText: {{{{ doc.text }}}}",
