@@ -77,3 +77,38 @@ def test_chunk_joined(spark):
     df = spark.createDataFrame([(1, "a b c d e")], "id long, text string")
     out = std.chunk_text_overlap(df, "text", chunk=2, overlap=0).collect()[0]["chunks"]
     assert out == ["a b", "c d", "e"]
+
+
+def test_chunker_matches_python_reference_randomized(spark):
+    """The sequence/transform/slice chunking expression agrees with the
+    reference's pure-Python formula (chunker.py:37-41) across 200 random
+    (text, chunk, overlap) cases — one Spark job, all cases as rows."""
+    import random
+
+    rng = random.Random(7)
+    cases = []
+    for i in range(200):
+        n = rng.randint(0, 40)
+        text = " ".join(f"w{rng.randint(0, 9)}" for _ in range(n))
+        chunk = rng.randint(2, 12)
+        overlap = rng.randint(0, chunk - 1)
+        cases.append((i, text, chunk, overlap))
+
+    def expected(text, chunk, overlap):
+        # split(trim(x), '\s+') on "" yields [""] in Spark; mirror that
+        toks = text.strip().split() if text.strip() else [""]
+        return [toks[a : a + chunk] for a in range(0, len(toks), chunk - overlap)]
+
+    # group cases by (chunk, overlap) since the expression is per-config
+    from collections import defaultdict
+
+    by_cfg = defaultdict(list)
+    for i, text, chunk, overlap in cases:
+        by_cfg[(chunk, overlap)].append((i, text))
+    for (chunk, overlap), rows in by_cfg.items():
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = {r["id"]: r["chunks"] for r in std.chunk_text_overlap(
+            df, "text", chunk=chunk, overlap=overlap, join=False
+        ).collect()}
+        for i, text in rows:
+            assert out[i] == expected(text, chunk, overlap), (text, chunk, overlap)
