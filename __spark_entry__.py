@@ -765,6 +765,29 @@ def q_sessionize(spark, sf) -> DataFrame:
     return out.select("event_id", "user_id", "session_id")
 
 
+def q_kmeans(spark, sf) -> DataFrame:
+    """MLlib KMeans over the embeddings table (docset.py:1042 kmeans;
+    transforms/clustering.py). Cluster ids depend on MLlib's sampled init →
+    rows-only check (k rows out); assignment quality is unit-tested."""
+    from sycamore_spark.operators.clustering import kmeans
+
+    emb = _ds(spark, sf, "embeddings").to_df()
+    out = kmeans(emb, vec_col="embedding", k=4, seed=42)
+    return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).select("cluster", "n")
+
+
+def q_rerank(spark, sf) -> DataFrame:
+    """Similarity rerank (docset.py:1364): deterministic hashing-embedding
+    cosine scorer → sort desc → limit. Scores are engine-internal (xxhash64
+    embeddings) → rows-only check; ordering semantics unit-tested."""
+    from sycamore_spark.operators.clustering import rerank
+
+    docs = _ds(spark, sf, "documents").to_df()
+    return rerank(docs, "spark query engine", text_col="text", limit=25).select(
+        "doc_id", "score"
+    )
+
+
 def q_text_stats(spark, sf) -> DataFrame:
     return textstats.text_stats(_ds(spark, sf, "documents").to_df())
 
@@ -848,6 +871,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": q_interval_join,
     "cube": q_cube,
     "sessionize": q_sessionize,
+    "kmeans": q_kmeans,
+    "rerank": q_rerank,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "quality": q_quality,

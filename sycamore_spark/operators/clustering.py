@@ -37,6 +37,14 @@ def rerank(df: DataFrame, query: str, text_col: str = "text_representation",
     scored directly). Default scorer: cosine of hashing embeddings —
     deterministic, no model download."""
     qv = hashing_embedding_expr(F.lit(query), dim)
-    scored = df.withColumn(score_col, V.cosine(hashing_embedding_expr(F.col(text_col), dim), qv))
+    # both vectors are l2-normalized, so cosine == dot product; computing
+    # the full cosine would reference each (expensive, CSE-blocked)
+    # embedding expression several times
+    dot = F.aggregate(
+        F.zip_with(hashing_embedding_expr(F.col(text_col), dim), qv, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = df.withColumn(score_col, dot)
     out = scored.orderBy(F.col(score_col).desc())
     return out.limit(limit) if limit is not None else out

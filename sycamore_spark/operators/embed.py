@@ -27,18 +27,27 @@ from sycamore_spark.functions import text as T
 def hashing_embedding_expr(text_col: Column, dim: int = 64) -> Column:
     """Hashing-trick embedding: l2-normalized token-count buckets,
     bucket = xxhash64(token) mod dim. One fold over the token array —
-    entirely JVM-side, zero shuffle, deterministic across engines/runs."""
-    toks = T.tokens(text_col)
-    counts = F.aggregate(
-        toks,
+    entirely JVM-side, zero shuffle, deterministic across engines/runs.
+
+    Structure matters: HOF lambdas disable Spark's common-subexpression
+    elimination, so (a) each token is hashed ONCE via a pre-pass transform
+    (the naive per-bucket comparison hashes every token dim times), and
+    (b) normalization happens in the aggregate's finish lambda, where the
+    accumulated array is a bound variable — referencing it repeatedly is
+    free, unlike referencing the fold expression itself."""
+    buckets = F.transform(T.tokens(text_col), lambda t: F.pmod(F.xxhash64(t), F.lit(dim)))
+
+    def finish(acc: Column) -> Column:
+        norm = F.sqrt(F.aggregate(acc, F.lit(0.0), lambda a, x: a + x * x))
+        safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
+        return F.transform(acc, lambda v: (v / safe).cast("float"))
+
+    return F.aggregate(
+        buckets,
         F.array_repeat(F.lit(0.0), dim),
-        lambda acc, t: F.transform(
-            acc, lambda v, i: v + F.when(F.pmod(F.xxhash64(t), F.lit(dim)) == i, 1.0).otherwise(0.0)
-        ),
+        lambda acc, b: F.transform(acc, lambda v, i: v + F.when(b == i, 1.0).otherwise(0.0)),
+        finish,
     )
-    norm = F.sqrt(F.aggregate(counts, F.lit(0.0), lambda a, x: a + x * x))
-    safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
-    return F.transform(counts, lambda v: (v / safe).cast("float"))
 
 
 def embed(
