@@ -377,6 +377,22 @@ def _documents_as_docset(spark, sf) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark, sf) -> DataFrame:
+    """TPC-H Q4 shape (adapted to this schema: EXISTS-lineitem with
+    returned items): order-priority counts over a quarter, the EXISTS
+    compiled to a left-semi hash join."""
+    orders = (
+        _ds(spark, sf, "orders")
+        .range_filter("o_orderdate", "1996-07-01", "1996-09-30", date=True)
+        .to_df()
+    )
+    returned = _ds(spark, sf, "lineitem").to_df().filter(F.col("l_returnflag") == "R")
+    semi = orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+    return semi.groupBy(F.col("o_orderpriority").alias("key")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
 def q_tpch_q6(spark, sf) -> DataFrame:
     """TPC-H Q6: pure filter + aggregate — pushdown showcase (all three
     predicates reach the parquet scan)."""
@@ -842,6 +858,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q4": q_tpch_q4,
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
     "standardize_state": q_standardize_state,
@@ -1028,6 +1045,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_nationkey = s_nationkey AND r_name = 'ASIA' "
             "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31' "
             "GROUP BY n_name"
+        ),
+        "tpch_q4": (
+            "SELECT o_orderpriority AS key, count(*)::BIGINT AS count FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate <= TIMESTAMP '1996-09-30' "
+            "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            "AND l_returnflag = 'R') GROUP BY 1"
         ),
         "tpch_q6": (
             "SELECT round(sum(cast(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2) "
