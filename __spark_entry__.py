@@ -531,9 +531,13 @@ def q_custom_agg(spark, sf) -> DataFrame:
         finalize=lambda p: p,
     )
     out = DocSet(li).aggregate(agg, "num bigint, den bigint", group_key="l_returnflag").to_df()
+    # Bit-exact finalize: wavg = num / den / 100 rounded HALF_UP to 4 dp,
+    # computed entirely in bigint arithmetic (round(a/b) == (2a+b) div 2b for
+    # a,b > 0) so Spark and DuckDB produce the identical IEEE double. A float
+    # `round` at the end differs between engines at halfway points.
     return out.select(
         "key",
-        F.round(F.col("num") / F.col("den") / 100.0, 4).alias("wavg_price"),
+        (F.expr("(200 * num + den) div (2 * den)") / F.lit(10000.0)).alias("wavg_price"),
         F.col("den").alias("total_qty"),
     )
 
@@ -1006,8 +1010,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "custom_agg": (
             "SELECT l_returnflag AS key, "
-            "round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) "
-            "/ sum(CAST(l_quantity AS BIGINT)) / 100.0, 4) AS wavg_price, "
+            "((200 * sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) "
+            "+ sum(CAST(l_quantity AS BIGINT))) "
+            "// (2 * sum(CAST(l_quantity AS BIGINT)))) / CAST(10000.0 AS DOUBLE) AS wavg_price, "
             "sum(CAST(l_quantity AS BIGINT)) AS total_qty FROM lineitem GROUP BY 1"
         ),
         "rollup": (

@@ -35,12 +35,21 @@ def ensure_conf(spark: SparkSession) -> None:
     Called from load_table so externally-created SparkSessions (e.g. the
     verification driver's) behave identically to ones built by context.init.
     """
-    for k, v in (
+    confs = [
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
-    ):
+    ]
+    try:
+        # Local-mode tuning only: the stock 200 shuffle partitions is pure
+        # scheduler overhead on a laptop/driver smoke run. A real cluster
+        # session keeps whatever it was configured with.
+        if spark.sparkContext.master.startswith("local"):
+            confs.append(("spark.sql.shuffle.partitions", "32"))
+    except Exception:
+        pass
+    for k, v in confs:
         try:
             spark.conf.set(k, v)
         except Exception:
