@@ -110,8 +110,6 @@ class ConcurrentLLM(LLM):
 
         if self.rpm is None:
             return
-        if self._lock is None:
-            self._lock = threading.Lock()
         while True:
             with self._lock:
                 now = time.monotonic()
@@ -141,9 +139,15 @@ class ConcurrentLLM(LLM):
         raise err
 
     def generate_batch(self, prompts: list[str]) -> list[str]:
+        import threading
         from concurrent.futures import ThreadPoolExecutor
 
         if not prompts:
             return []
+        # Build the lock once, single-threaded, BEFORE fanning out — lazy
+        # creation inside _throttle would race (two pool threads each see
+        # None and make different locks, unsynchronizing the token bucket).
+        if self._lock is None:
+            self._lock = threading.Lock()
         with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
             return list(pool.map(self._one, prompts))

@@ -32,13 +32,35 @@ from sycamore_spark.llm.client import LLM
 LLMFactory = Callable[[], LLM]
 
 
+_PLACEHOLDER = None  # compiled lazily; see _render_fallback
+
+
+def _render_fallback(template: str, row: dict) -> str:
+    """jinja2-less rendering of SIMPLE ``{{ name }}`` / ``{{ doc.name }}``
+    placeholders. str.format is NOT a substitute (it treats ``{{`` as an
+    escaped brace and would silently send the prompt unrendered), so
+    anything beyond a plain placeholder raises instead of degrading."""
+    global _PLACEHOLDER
+    import re
+
+    if _PLACEHOLDER is None:
+        _PLACEHOLDER = re.compile(r"\{\{\s*(?:doc\.)?([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
+    out = _PLACEHOLDER.sub(lambda m: str(row.get(m.group(1), "")), template)
+    if "{%" in out or "{{" in out:
+        raise RuntimeError(
+            "jinja2 is unavailable and the prompt template uses syntax beyond "
+            "simple {{ field }} placeholders; install jinja2 or simplify the template"
+        )
+    return out
+
+
 def _render(template: str, row: dict) -> str:
     try:
         from jinja2 import Template
 
         return Template(template).render(doc=row, **{k: v for k, v in row.items() if isinstance(k, str)})
     except ImportError:
-        return template.format(**row)
+        return _render_fallback(template, row)
 
 
 def llm_map(

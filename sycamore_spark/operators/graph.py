@@ -161,8 +161,26 @@ def resolve_edges(edges: DataFrame, nodes: DataFrame, broadcast_nodes: bool = Tr
     """Re-key raw (src,dst) surface forms to canonical node_ids by joining
     on the normalized name. The node table is the deduped entity set —
     usually small enough to broadcast; set broadcast_nodes=False for huge
-    vocabularies (falls back to a shuffle hash join)."""
-    n = nodes.select("node_id", "norm_name")
+    vocabularies (falls back to a shuffle hash join).
+
+    Nodes are canonical per (norm_name, type) but raw edges carry only the
+    surface name — a name that resolved to several entity types would fan
+    each edge out into duplicate cross-typed edges. Dedupe to one node per
+    norm_name first (most-mentioned wins, node_id tiebreak, deterministic).
+    """
+    from pyspark.sql.window import Window
+
+    order = (
+        [F.desc("n_mentions"), F.asc("node_id")]
+        if "n_mentions" in nodes.columns
+        else [F.asc("node_id")]
+    )
+    w = Window.partitionBy("norm_name").orderBy(*order)
+    n = (
+        nodes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("node_id", "norm_name")
+    )
     if broadcast_nodes:
         n = F.broadcast(n)
     out = (

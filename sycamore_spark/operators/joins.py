@@ -136,15 +136,28 @@ def salted_join(
     on: str,
     salt: int = 16,
     how: str = "inner",
+    probe_id: str | None = None,
 ) -> DataFrame:
     """Equi-join with hot-key salting: the build (smaller/skew-victim) side
     is replicated ``salt`` times, the probe side scatters each row to one
     replica by a deterministic row hash, so a single hot key occupies
     ``salt`` tasks instead of one. Join key must be a single column; extend
-    with composite structs if needed."""
+    with composite structs if needed.
+
+    ``probe_id``: a row-unique probe column to salt on; without one the salt
+    hashes all probe columns, which scatters unevenly when the probe has few
+    distinct rows. Outer-on-build joins (right/full) are rejected — unmatched
+    build rows would be emitted ``salt`` times.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched build-side "
+            f"rows {salt}x; only inner/left/left_semi/left_anti are safe"
+        )
+    salt_src = [F.col(probe_id)] if probe_id else [F.col(c) for c in probe.columns]
     probe_s = probe.withColumn(
         "_salt",
-        F.pmod(F.hash(*[F.col(c) for c in probe.columns]), F.lit(salt)),
+        F.pmod(F.hash(*salt_src), F.lit(salt)),
     )
     build_s = build.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

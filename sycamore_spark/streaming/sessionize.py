@@ -70,6 +70,14 @@ _STATE_SCHEMA = StructType(
 def _session_fn_factory(user_col: str, ts_col: str, gap_seconds: int, out_fields: list[str]):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (user,) = key
+        if state.hasTimedOut:
+            # Event-time timeout: the user has been idle past the gap — drop
+            # the state (the session is closed; a later event would start a
+            # new one anyway) and emit nothing. Re-arming a timeout here
+            # would set a timestamp <= the watermark that fired it, which
+            # Spark rejects.
+            state.remove()
+            return
         if state.exists:
             last_ts, session_no = state.get
         else:
@@ -84,8 +92,16 @@ def _session_fn_factory(user_col: str, ts_col: str, gap_seconds: int, out_fields
                 last_ts = ts
                 row["session_id"] = f"{user}-{session_no}"
                 out.append(row)
-        state.update((last_ts, session_no))
-        state.setTimeoutTimestamp((last_ts + gap_seconds) * 1000 if last_ts else 0)
+        if last_ts is not None:
+            state.update((last_ts, session_no))
+            # Strictly after the current watermark, else Spark rejects it:
+            # the batch's watermark can already have advanced past
+            # last_ts + gap when this user's events arrived late.
+            timeout_ms = (last_ts + gap_seconds) * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            if timeout_ms <= wm_ms:
+                timeout_ms = wm_ms + 1
+            state.setTimeoutTimestamp(timeout_ms)
         if out:
             yield pd.DataFrame(out)[out_fields]
 

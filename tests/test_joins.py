@@ -58,6 +58,34 @@ def test_salted_join_matches_plain(spark):
     assert salted == plain
 
 
+def test_salted_join_rejects_outer_on_build(spark):
+    probe = spark.createDataFrame([(1, "p")], "k long, v string")
+    build = spark.createDataFrame([(1, "x"), (2, "y")], "k long, w string")
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate"):
+        salted_join(probe, build, "k", how="right")
+    with pytest.raises(ValueError, match="duplicate"):
+        salted_join(probe, build, "k", how="full")
+
+
+def test_salted_join_probe_id_spreads_duplicate_rows(spark):
+    # 200 identical probe rows: hashing all columns puts them in ONE salt
+    # bucket; salting on the row-unique id spreads them across buckets.
+    probe = spark.createDataFrame(
+        [(i, 7, "same") for i in range(200)], "rid long, k long, v string"
+    )
+    build = spark.createDataFrame([(7, "x")], "k long, w string")
+    out = salted_join(probe, build, "k", salt=8, probe_id="rid")
+    assert out.count() == 200
+    from pyspark.sql import functions as F
+
+    n_buckets = (
+        probe.withColumn("_s", F.pmod(F.hash("rid"), F.lit(8))).select("_s").distinct().count()
+    )
+    assert n_buckets > 4  # well spread despite identical payload columns
+
+
 def test_interval_join(spark):
     points = spark.createDataFrame(
         [(1, t(0), "p0"), (1, t(15), "p1"), (1, t(59), "p2"), (2, t(15), "p3")],

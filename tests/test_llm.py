@@ -72,3 +72,19 @@ def test_llm_cluster_entity(spark):
     out = llm_cluster_entity(_docs(spark), llm)
     got = {r.doc_id: r.cluster_label for r in out.collect()}
     assert got[1] == "tech" and got[3] == "other"
+
+
+def test_render_fallback_simple_placeholders():
+    from sycamore_spark.llm.map import _render_fallback
+
+    out = _render_fallback("Say {{ doc.title }} and {{name}}.", {"title": "T", "name": "N"})
+    assert out == "Say T and N."
+
+
+def test_render_fallback_rejects_complex_templates():
+    import pytest
+
+    from sycamore_spark.llm.map import _render_fallback
+
+    with pytest.raises(RuntimeError, match="jinja2"):
+        _render_fallback("{% for e in doc.elements %}{{ e }}{% endfor %}", {})

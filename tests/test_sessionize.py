@@ -37,6 +37,69 @@ def test_sessionize_batch_single_shuffle(spark, events):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the stateful fn contract."""
+
+    def __init__(self, timed_out=False, existing=None, watermark_ms=0):
+        self.hasTimedOut = timed_out
+        self._val = existing
+        self.removed = False
+        self.timeout_ms = None
+        self._wm = watermark_ms
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+
+    def remove(self):
+        self.removed = True
+        self._val = None
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms):
+        if ms <= self._wm:
+            raise ValueError(f"timeout {ms} <= watermark {self._wm}")
+        self.timeout_ms = ms
+
+
+def test_stream_fn_timeout_removes_state():
+    """On event-time timeout the fn must drop state and emit nothing —
+    re-arming a timeout <= the firing watermark would crash the stream."""
+    from sycamore_spark.streaming.sessionize import _session_fn_factory
+
+    fn = _session_fn_factory("user_id", "ts", 1800, ["user_id", "ts", "payload", "session_id"])
+    state = _FakeState(timed_out=True, existing=(1000, 3), watermark_ms=10_000_000)
+    out = list(fn((1,), iter([]), state))
+    assert out == []
+    assert state.removed
+    assert state.timeout_ms is None
+
+
+def test_stream_fn_timeout_after_watermark():
+    """Late-arriving events whose last_ts+gap is already behind the watermark
+    must still arm a timeout strictly in the future."""
+    import pandas as pd
+
+    from sycamore_spark.streaming.sessionize import _session_fn_factory
+
+    fn = _session_fn_factory("user_id", "ts", 1800, ["user_id", "ts", "payload", "session_id"])
+    wm_ms = 3 * 10**12  # ~2065 in epoch-ms: far ahead of the event times below
+    state = _FakeState(watermark_ms=wm_ms)
+    pdf = pd.DataFrame({"user_id": [1], "ts": [pd.Timestamp(ts(0))], "payload": ["a"]})
+    out = list(fn((1,), iter([pdf]), state))
+    assert len(out) == 1 and out[0]["session_id"].tolist() == ["1-1"]
+    assert state.timeout_ms == wm_ms + 1
+
+
 def test_sessionize_stream(spark, events, tmp_path):
     src = str(tmp_path / "src")
     events.coalesce(1).write.mode("overwrite").parquet(src)
