@@ -312,6 +312,18 @@ def q_dedup_embedding(spark, sf) -> DataFrame:
     )
 
 
+def q_dedup_embedding_lsh(spark, sf) -> DataFrame:
+    """Hyperplane-LSH blocked near-dup (the 100 TB scale path): fixed-seed
+    hyperplanes; 3 planes x 50 tables is lenient enough that recall is
+    exactly 1 on this data at threshold 0.45, so the brute-force SQL is a
+    bit-exact oracle (precision is always exact: candidates are verified
+    with true cosine). Mirrors the ann_ivf full-probe oracle trick."""
+    return dedup.embedding_near_dup_pairs_lsh(
+        _ds(spark, sf, "embeddings").to_df(), "vec_id", "embedding",
+        threshold=0.45, nplanes=3, ntables=50, dim=64, seed=42,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (QueryVectorDatabase parity, §2.12)
 # ---------------------------------------------------------------------------
@@ -880,6 +892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "extract_properties": q_extract_properties,
@@ -1162,6 +1175,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(a.sig, b.sig)) <= 3"
         ),
         "dedup_embedding": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            f"round({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            f"WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.45"
+        ),
+        # LSH blocking at these fixed-seed parameters has recall exactly 1
+        # on this table (verified deterministically), so the brute-force
+        # pair query is a bit-exact oracle for the blocked plan too.
+        "dedup_embedding_lsh": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
             f"round({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cosine "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
