@@ -272,13 +272,32 @@ class DocSet:
     # -- unroll / explode (reference: transforms/explode.py:68) -----------
 
     def unroll(self, field: str, delimiter: str = " ") -> "DocSet":
-        """Split a delimited field into N cloned rows, one per value."""
+        """Split a delimited field into N cloned rows, one per value.
+
+        A dotted ``field`` must name a struct member; the exploded value is
+        written back in place with ``withField`` (a JSON-string property
+        column can't be rewritten in place — extract it to a column first).
+        """
         col = field_expr(self.df, field)
-        leaf = field.split(".")[-1]
-        others = [c for c in self.df.columns if c != leaf]
-        return self._wrap(
-            self.df.select(*others, F.explode(F.split(col, delimiter)).alias(leaf))
+        if "." not in field:
+            others = [c for c in self.df.columns if c != field]
+            return self._wrap(
+                self.df.select(*others, F.explode(F.split(col, delimiter)).alias(field))
+            )
+        from pyspark.sql.types import StructType as _St
+
+        root, rest = field.split(".", 1)
+        if root not in self.df.columns or not isinstance(self.df.schema[root].dataType, _St):
+            raise ValueError(
+                f"unroll: dotted field {field!r} requires {root!r} to be a struct "
+                f"column; extract the value to a top-level column first"
+            )
+        out = (
+            self.df.withColumn("_unroll_v", F.explode(F.split(col, delimiter)))
+            .withColumn(root, F.col(root).withField(rest, F.col("_unroll_v")))
+            .drop("_unroll_v")
         )
+        return self._wrap(out)
 
     # -- windows / ranking --------------------------------------------------
 

@@ -69,6 +69,25 @@ def test_unroll_and_term_frequency(spark):
     assert tf == {"a": 2, "b": 2, "c": 1}
 
 
+def test_unroll_dotted_struct_field(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(id="1", properties=Row(tags="a b", kind="k1")), Row(id="2", properties=Row(tags="c", kind="k2"))]
+    )
+    out = DocSet(df).unroll("properties.tags", " ").take_all()
+    got = sorted((r["id"], r["properties"]["tags"], r["properties"]["kind"]) for r in out)
+    assert got == [("1", "a", "k1"), ("1", "b", "k1"), ("2", "c", "k2")]
+
+
+def test_unroll_dotted_non_struct_raises(spark):
+    import pytest
+
+    ds = DocSet(spark.createDataFrame([("1", '{"x": "a b"}')], "id string, properties string"))
+    with pytest.raises(ValueError, match="struct"):
+        ds.unroll("properties.x")
+
+
 def test_union_limit_sample_distinct(spark):
     ds = _people(spark)
     assert ds.union(ds).count() == 10
