@@ -462,6 +462,38 @@ def q_doc_merge(spark, sf) -> DataFrame:
     return merged.select(F.col("doc_id").alias("key"), F.size("elements").cast("bigint").alias("count"))
 
 
+def q_doc_merge_table(spark, sf) -> DataFrame:
+    """TableMerger (merge_elements.py:424): every chunk with index %3==1
+    becomes a table, every second table (%6==4) flagged as a continuation;
+    continuations merge into their predecessor (text newline-joined), and
+    surviving tables are re-appended after the non-table elements in
+    reference order. Output: element count + md5 over the final texts."""
+    ds = _documents_as_docset(spark, sf)
+    is_tbl = lambda e: e["element_index"] % 3 == 1  # noqa: E731
+    retyped = elements.map_elements(
+        ds,
+        lambda e: e.withField(
+            "type", F.when(is_tbl(e), F.lit("table")).otherwise(e["type"])
+        ).withField(
+            "properties",
+            F.when(
+                is_tbl(e),
+                F.to_json(F.struct(
+                    F.when(e["element_index"] % 6 == 4, F.lit("true"))
+                    .otherwise(F.lit("false")).alias("table_continuation")
+                )),
+            ).otherwise(e["properties"]),
+        ),
+    )
+    merged = elements.merge_tables(retyped)
+    texts = F.transform(F.col("elements"), lambda el: el["text_representation"])
+    return merged.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size("elements").cast("bigint").alias("n_elements"),
+        F.md5(F.array_join(texts, "|")).alias("texts_hash"),
+    )
+
+
 def q_doc_sections(spark, sf) -> DataFrame:
     """Document-structure extraction: every 3rd chunk retyped as a heading,
     section hierarchy built natively (aggregate fold + nested sections
@@ -883,6 +915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_overlap": q_chunk_overlap,
     "doc_explode": q_doc_explode,
     "doc_merge": q_doc_merge,
+    "doc_merge_table": q_doc_merge_table,
     "doc_markdown": q_doc_markdown,
     "doc_sections": q_doc_sections,
     "llm_filter": q_llm_filter,
@@ -1118,6 +1151,24 @@ def oracle_sql() -> dict[str, str]:
         "doc_merge": (
             "SELECT doc_id::VARCHAR AS key, "
             "CAST(ceil(ceil(len(string_split(text, ' ')) / 10.0) / 2.0) AS BIGINT) AS count FROM documents"
+        ),
+        "doc_merge_table": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+            "CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INT) AS nc FROM documents), "
+            "c AS (SELECT doc_id, nc, list_transform(range(nc), "
+            "i -> array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')) AS chunks FROM t), "
+            "p AS (SELECT doc_id, chunks, "
+            "list_filter(range(nc), i -> i % 3 <> 1) AS oi, "
+            "list_filter(range(nc), i -> i % 3 = 1) AS ti FROM c), "
+            "m AS (SELECT doc_id, chunks, oi, ti, "
+            "CAST(ceil(len(ti) / 2.0) AS INT) AS nm FROM p) "
+            "SELECT doc_id::BIGINT AS doc_id, "
+            "(len(oi) + nm)::BIGINT AS n_elements, "
+            "md5(array_to_string(list_concat("
+            "list_transform(oi, i -> chunks[i+1]), "
+            "list_transform(range(nm), k -> chunks[ti[2*k+1]+1] || "
+            "CASE WHEN 2*k+2 <= len(ti) THEN chr(10) || chunks[ti[2*k+2]+1] ELSE '' END)"
+            "), '|')) AS texts_hash FROM m"
         ),
         "doc_markdown": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, "

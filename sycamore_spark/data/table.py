@@ -316,3 +316,140 @@ class _TableHTMLParser(HTMLParser):
     def handle_data(self, data):
         if (self._in_cell or self._in_caption) and not self._done:
             self._text.append(data)
+
+
+# ---------------------------------------------------------------------------
+# Tree-edit-distance table similarity (reference: data/table.py:490-587
+# to_tree/TableTree/ted_score). The reference delegates the distance to the
+# apted package; here the ordered-tree edit distance is the classic
+# Zhang-Shasha keyroot dynamic program (public algorithm), implemented from
+# the paper's recurrences — same unit costs (insert/delete 1, rename 0/1).
+# ---------------------------------------------------------------------------
+
+
+class TableTree:
+    """Ordered tree node for TED: <table> -> <tr> rows -> <td>/<th> leaves."""
+
+    def __init__(
+        self,
+        tag: str,
+        colspan: Optional[int] = None,
+        rowspan: Optional[int] = None,
+        text: Optional[str] = None,
+        children: Optional[list["TableTree"]] = None,
+    ):
+        self.tag = tag
+        self.colspan = colspan
+        self.rowspan = rowspan
+        self.text = text
+        self.children = children if children is not None else []
+
+    def label(self) -> tuple:
+        return (self.tag, self.colspan, self.rowspan, self.text)
+
+    def get_size(self) -> int:
+        return 1 + sum(c.get_size() for c in self.children)
+
+
+def table_to_tree(table: "Table") -> TableTree:
+    """Mirror of the reference's Table.to_tree row-grouping: a new <tr> opens
+    whenever a cell's first row index advances; spanning cells sit in the row
+    where they start (reference data/table.py:490-514)."""
+    root = TableTree(tag="table")
+    if not table.cells:
+        return root
+    curr_row = 0
+    row = TableTree(tag="tr")
+    root.children.append(row)
+    for cell in table.cells:
+        if cell.rows[0] > curr_row:
+            curr_row = cell.rows[0]
+            row = TableTree(tag="tr")
+            root.children.append(row)
+        row.children.append(
+            TableTree(
+                tag="th" if cell.is_header else "td",
+                rowspan=len(cell.rows),
+                colspan=len(cell.cols),
+                text=cell.content,
+            )
+        )
+    return root
+
+
+def _tree_edit_distance(t1: TableTree, t2: TableTree) -> int:
+    """Zhang-Shasha ordered tree edit distance, unit costs."""
+
+    def postorder(root: TableTree) -> list[TableTree]:
+        out: list[TableTree] = []
+        stack: list[tuple[TableTree, bool]] = [(root, False)]
+        while stack:
+            node, visited = stack.pop()
+            if visited:
+                out.append(node)
+            else:
+                stack.append((node, True))
+                for c in reversed(node.children):
+                    stack.append((c, False))
+        return out
+
+    def leftmosts(order: list[TableTree]) -> list[int]:
+        idx = {id(n): i for i, n in enumerate(order)}
+        lm = []
+        for n in order:
+            m = n
+            while m.children:
+                m = m.children[0]
+            lm.append(idx[id(m)])
+        return lm
+
+    def keyroots(lm: list[int]) -> list[int]:
+        last: dict[int, int] = {}
+        for i, v in enumerate(lm):
+            last[v] = i  # highest postorder index per leftmost-leaf value
+        return sorted(last.values())
+
+    a, b = postorder(t1), postorder(t2)
+    la, lb = leftmosts(a), leftmosts(b)
+    ka, kb = keyroots(la), keyroots(lb)
+    n, m = len(a), len(b)
+    td = [[0] * m for _ in range(n)]
+
+    def rename(x: TableTree, y: TableTree) -> int:
+        return 0 if x.label() == y.label() else 1
+
+    for i in ka:
+        for j in kb:
+            # forest distance over postorder ranges [la[i]..i] x [lb[j]..j]
+            ioff, joff = la[i] - 1, lb[j] - 1
+            rows_, cols_ = i - la[i] + 2, j - lb[j] + 2
+            fd = [[0] * cols_ for _ in range(rows_)]
+            for x in range(1, rows_):
+                fd[x][0] = fd[x - 1][0] + 1
+            for y in range(1, cols_):
+                fd[0][y] = fd[0][y - 1] + 1
+            for x in range(1, rows_):
+                for y in range(1, cols_):
+                    ai, bj = x + ioff, y + joff
+                    if la[ai] == la[i] and lb[bj] == lb[j]:
+                        fd[x][y] = min(
+                            fd[x - 1][y] + 1,
+                            fd[x][y - 1] + 1,
+                            fd[x - 1][y - 1] + rename(a[ai], b[bj]),
+                        )
+                        td[ai][bj] = fd[x][y]
+                    else:
+                        fd[x][y] = min(
+                            fd[x - 1][y] + 1,
+                            fd[x][y - 1] + 1,
+                            fd[la[ai] - 1 - ioff][lb[bj] - 1 - joff] + td[ai][bj],
+                        )
+    return td[n - 1][m - 1]
+
+
+def ted_score(table1: "Table", table2: "Table") -> float:
+    """TEDS similarity in [0, 1]: 1 - dist / max(|T1|, |T2|, 1)
+    (reference data/table.py:571-587)."""
+    tt1, tt2 = table_to_tree(table1), table_to_tree(table2)
+    dist = _tree_edit_distance(tt1, tt2)
+    return 1.0 - float(dist) / max(tt1.get_size(), tt2.get_size(), 1)

@@ -359,7 +359,7 @@ class DocSet:
         return self._wrap(mark_bbox_preset(self.df, token_limit))
 
     def merge(self, strategy: str = "greedy", **kwargs) -> "DocSet":
-        """strategy: greedy | marked | section | header_augment
+        """strategy: greedy | marked | section | header_augment | table
         (reference merger classes, merge_elements.py)."""
         from sycamore_spark.operators import elements as el
 
@@ -368,6 +368,7 @@ class DocSet:
             "marked": el.merge_marked,
             "section": el.merge_greedy_section,
             "header_augment": el.merge_header_augment,
+            "table": el.merge_tables,
         }[strategy]
         return self._wrap(fn(self.df, **kwargs))
 

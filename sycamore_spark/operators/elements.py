@@ -517,6 +517,171 @@ def merge_header_augment(df: DataFrame) -> DataFrame:
     return _fold_elements(df, fold)
 
 
+_TABLE_HEADER_SOURCE_TYPES = ("Text", "Title", "Page-header", "Section-header", "Caption")
+
+
+def _el_page(e: dict) -> int | None:
+    if e.get("page_number") is not None:
+        return e["page_number"]
+    props = json.loads(e.get("properties") or "{}")
+    return props.get("page_number")
+
+
+def _merge_two_table_elements(a: dict, b: dict) -> dict:
+    """Merge one continuation table into its predecessor (reference
+    TableMerger.merge, merge_elements.py:506-582): cells concatenated with
+    b's row indices offset by a's row count, text joined with a newline,
+    titles joined with ' / ', bbox kept from the first table, page_numbers
+    unioned, other properties first-wins when not None."""
+    pa = json.loads(a.get("properties") or "{}")
+    pb = json.loads(b.get("properties") or "{}")
+
+    cells_a = pa.get("table_cells")
+    cells_b = pb.get("table_cells")
+    merged_cells = cells_a
+    if cells_a is not None and cells_b is not None:
+        offset = 1 + max((r for c in cells_a for r in c["rows"]), default=-1)
+        merged_cells = list(cells_a) + [
+            {**c, "rows": [r + offset for r in c["rows"]]} for c in cells_b
+        ]
+    elif cells_b is not None:
+        merged_cells = cells_b
+
+    props: dict = {}
+    pages = set()
+    for src in (pa, pb):
+        for k, v in src.items():
+            if k == "page_number" and v is not None:
+                pages.add(v)
+            if props.get(k) is None:
+                props[k] = v
+    for e in (a, b):
+        if _el_page(e) is not None:
+            pages.add(_el_page(e))
+    if pages:
+        props["page_numbers"] = sorted(pages)
+    title_a = pa.get("title") or ""
+    title_b = pb.get("title") or ""
+    merged_title = f"{title_a} / {title_b}".strip(" / ")
+    props["title"] = merged_title or None
+    if merged_cells is not None:
+        props["table_cells"] = merged_cells
+
+    ta, tb = a.get("text_representation"), b.get("text_representation")
+    text = ta if tb is None else (tb if ta is None else f"{ta}\n{tb}")
+    ba, bb = a.get("binary_representation"), b.get("binary_representation")
+    binary = ba if bb is None else (bb if ba is None else bytes(ba) + bytes(bb))
+
+    return {
+        "element_index": a.get("element_index"),
+        "type": "table",
+        "text_representation": text,
+        "binary_representation": binary,
+        "bbox": a.get("bbox") or b.get("bbox"),
+        "page_number": a.get("page_number"),
+        "embedding": None,
+        "properties": json.dumps(props),
+    }
+
+
+def merge_tables(
+    df: DataFrame,
+    regex_pattern: str | None = None,
+    llm_factory=None,
+    prompt: str | None = None,
+) -> DataFrame:
+    """TableMerger (reference: merge_elements.py:424-582):
+
+    1. ``regex_pattern``: any non-table text element on a page whose text
+       matches becomes that page's table header; it is prefixed onto each
+       table's text and appended to its title (customTableHeaderAdditionFilter,
+       :584-611; later matches on a page win, as in the reference dict).
+    2. ``llm_factory``+``prompt``: per table (after the first, paired with
+       the previous table's text — LLMTextQueryAgent table_cont,
+       llm_query.py:66-125), the completion is stored under
+       ``properties.table_continuation``.
+    3. Consecutive tables whose continuation contains 'true' are merged
+       (cells row-offset, text newline-joined). Non-table elements keep
+       their order; surviving tables are appended after them, as in the
+       reference (merge_elements.py:487-497).
+
+    Tables carry their cell grid as ``properties.table_cells`` (the
+    ``Table.to_spark_rows`` dict shape).
+    """
+    pat = re.compile(regex_pattern) if regex_pattern else None
+
+    def fold_doc(els: list[dict], llm) -> list[dict]:
+        tables = [e for e in els if (e.get("type") or "").lower() == "table"]
+        if not tables:
+            return els
+
+        if pat is not None:
+            page_headers: dict = {}
+            for e in els:
+                if e.get("type") not in _TABLE_HEADER_SOURCE_TYPES:
+                    continue
+                txt = (e.get("text_representation") or "").strip()
+                if txt and pat.search(txt):
+                    page_headers[_el_page(e)] = txt + " "
+            if page_headers:
+                for e in els:
+                    if (e.get("type") or "").lower() != "table":
+                        continue
+                    hdr = page_headers.get(_el_page(e), "")
+                    if not hdr:
+                        continue
+                    e["text_representation"] = hdr + (e.get("text_representation") or "")
+                    props = json.loads(e.get("properties") or "{}")
+                    props["title"] = f"{props['title']}\n{hdr}" if props.get("title") else hdr
+                    e["properties"] = json.dumps(props)
+
+        if llm is not None and prompt is not None and len(tables) >= 2:
+            prompts = []
+            prev = None
+            for t in tables:
+                text = t.get("text_representation") or ""
+                if prev is None:
+                    prompts.append(f"{prompt}\n{text}")
+                else:
+                    prompts.append(
+                        f"{prompt}\nELEMENT 1: \n\n{prev}\n\nELEMENT 2: \n{text}"
+                    )
+                prev = text
+            responses = llm.generate_batch(prompts)
+            for t, resp in zip(tables, responses):
+                props = json.loads(t.get("properties") or "{}")
+                props["table_continuation"] = resp
+                t["properties"] = json.dumps(props)
+
+        others = [e for e in els if (e.get("type") or "").lower() != "table"]
+        new_tables = [tables[0]]
+        for t in tables[1:]:
+            cont = json.loads(t.get("properties") or "{}").get("table_continuation") or ""
+            if "true" in str(cont).lower():
+                new_tables[-1] = _merge_two_table_elements(new_tables[-1], t)
+            else:
+                new_tables.append(t)
+        out = others + new_tables
+        for i, e in enumerate(out):
+            e["element_index"] = i
+        return out
+
+    def run(it: Iterable[pd.DataFrame]):
+        llm = llm_factory() if llm_factory is not None else None
+        for pdf in it:
+            out_rows = []
+            for row in pdf.to_dict("records"):
+                els = row.get("elements")
+                els = [] if els is None or len(els) == 0 else [dict(e) for e in els]
+                row["elements"] = fold_doc(
+                    sorted(els, key=lambda x: (x.get("element_index") or 0)), llm
+                )
+                out_rows.append(row)
+            yield pd.DataFrame(out_rows, columns=pdf.columns)
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
 def split_elements(df: DataFrame, max_tokens: int = 512) -> DataFrame:
     """SplitElements (reference: split_elements.py:12): binary-split any
     element over the token budget at the best sentence/comma/space boundary

@@ -121,3 +121,101 @@ def test_mark_bbox_preset_pipeline(spark):
     # tiny + header/footer dropped; token budget splits the two body els
     texts = [e["text_representation"] for e in out]
     assert len(out) == 2 and "tiny" not in " ".join(texts) and "header" not in " ".join(texts)
+
+
+# -- TableMerger (reference merge_elements.py:424-611) ----------------------
+
+
+def _table_el(i, text, page, cells=None, title=None, cont=None):
+    props = {"page_number": page}
+    if cells is not None:
+        props["table_cells"] = cells
+    if title is not None:
+        props["title"] = title
+    if cont is not None:
+        props["table_continuation"] = cont
+    return el(i, text, typ="table", page=page, props=props)
+
+
+def _cells(rows):
+    """rows: list of list of content strings, row 0 headers."""
+    out = []
+    for r, row in enumerate(rows):
+        for c, content in enumerate(row):
+            out.append(
+                {"content": content, "rows": [r], "cols": [c], "is_header": r == 0, "bbox": None}
+            )
+    return out
+
+
+def test_table_merger_regex_header_addition(spark):
+    els = [
+        el(0, "Table 1: Quarterly results", typ="Caption", page=1),
+        _table_el(1, "q1 data", page=1),
+        el(2, "plain prose", typ="Text", page=2),
+        _table_el(3, "q2 data", page=2, title="Existing"),
+    ]
+    df = mk(spark, els)
+    out = get_els(ops.merge_tables(df, regex_pattern=r"Table \d+"))
+    tables = [e for e in out if e["type"] == "table"]
+    # page-2 table has no matching caption on its page -> untouched text
+    assert tables[1]["text_representation"] == "q2 data"
+    assert tables[0]["text_representation"] == "Table 1: Quarterly results q1 data"
+    p0 = json.loads(tables[0]["properties"])
+    assert p0["title"] == "Table 1: Quarterly results "
+    p1 = json.loads(tables[1]["properties"])
+    assert p1["title"] == "Existing"
+
+
+def test_table_merger_continuation_merge(spark):
+    c1 = _cells([["h1", "h2"], ["a", "b"]])
+    c2 = _cells([["c", "d"], ["e", "f"]])
+    els = [
+        _table_el(0, "part one", page=1, cells=c1, title="T1"),
+        el(1, "between", typ="Text", page=1),
+        _table_el(2, "part two", page=2, cells=c2, title="T2", cont="true"),
+        _table_el(3, "unrelated", page=3, cells=None, cont="false"),
+    ]
+    df = mk(spark, els)
+    out = get_els(ops.merge_tables(df))
+    types = [e["type"] for e in out]
+    # non-tables keep order first, surviving tables appended (reference order)
+    assert types == ["Text", "table", "table"]
+    merged = out[1]
+    assert merged["text_representation"] == "part one\npart two"
+    props = json.loads(merged["properties"])
+    assert props["title"] == "T1 / T2"
+    assert props["page_numbers"] == [1, 2]
+    cells = props["table_cells"]
+    # second table's rows offset by first table's 2 rows
+    assert [c["rows"] for c in cells] == [[0], [0], [1], [1], [2], [2], [3], [3]]
+    assert cells[4]["content"] == "c"
+    # continuation flags: merged -> true, standalone -> false semantics kept
+    assert out[2]["text_representation"] == "unrelated"
+
+
+def test_table_merger_llm_continuation(spark):
+    from sycamore_spark.llm.client import LLM
+
+    class ContLLM(LLM):
+        def generate_batch(self, prompts):
+            # first table prompt has no ELEMENT pair; second is a continuation
+            return ["false" if "ELEMENT 1" not in p else "true" for p in prompts]
+
+    els = [
+        _table_el(0, "alpha", page=1, cells=_cells([["x"]])),
+        _table_el(1, "beta", page=2, cells=_cells([["y"]])),
+    ]
+    df = mk(spark, els)
+    out = get_els(ops.merge_tables(df, llm_factory=ContLLM, prompt="continuation?"))
+    tables = [e for e in out if e["type"] == "table"]
+    assert len(tables) == 1
+    assert tables[0]["text_representation"] == "alpha\nbeta"
+    cells = json.loads(tables[0]["properties"])["table_cells"]
+    assert [c["rows"] for c in cells] == [[0], [1]]
+
+
+def test_table_merger_no_tables_is_identity(spark):
+    els = [el(0, "a"), el(1, "b")]
+    out = get_els(ops.merge_tables(mk(spark, els), regex_pattern=r"Table \d+"))
+    assert [e["text_representation"] for e in out] == ["a", "b"]
