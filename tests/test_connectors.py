@@ -1,0 +1,123 @@
+"""Generic DB-writer protocol (connectors.py; reference
+connectors/base_writer.py): batching, retry, target validation."""
+
+import json
+import os
+
+import pytest
+
+from sycamore_spark.connectors import (
+    JsonlDirClient,
+    JsonlDirClientParams,
+    JsonlDirTargetParams,
+    read_jsonl_dir,
+    write_db,
+)
+
+
+def _df(spark, n=25):
+    return spark.range(n).selectExpr("id", "concat('doc-', id) AS doc_id")
+
+
+def test_write_db_roundtrip_and_filter(spark, tmp_path):
+    root = str(tmp_path)
+    write_db(
+        _df(spark).repartition(4),
+        JsonlDirClient,
+        JsonlDirClientParams(root=root),
+        JsonlDirTargetParams(name="t1"),
+        # Record seam: rename + filter odd ids out
+        record_fn=lambda row: {"key": row["doc_id"]} if row["id"] % 2 == 0 else None,
+        batch_size=5,
+    )
+    recs = read_jsonl_dir(root, "t1")
+    assert sorted(r["key"] for r in recs) == sorted(f"doc-{i}" for i in range(0, 25, 2))
+
+
+def test_write_db_batch_size_bounds_file_sizes(spark, tmp_path):
+    root = str(tmp_path)
+    write_db(
+        _df(spark, 40).coalesce(1),
+        JsonlDirClient,
+        JsonlDirClientParams(root=root),
+        JsonlDirTargetParams(name="t2"),
+        record_fn=lambda row: {"id": row["id"]},
+        batch_size=16,
+    )
+    d = os.path.join(root, "t2")
+    sizes = sorted(
+        sum(1 for _ in open(os.path.join(d, f)))
+        for f in os.listdir(d)
+        if f.startswith("part-")
+    )
+    assert sizes == [8, 16, 16]  # 40 rows in one partition -> 16+16+8 batches
+    assert len(read_jsonl_dir(root, "t2")) == 40
+
+
+def test_write_db_target_mismatch_fails_fast(spark, tmp_path):
+    root = str(tmp_path)
+    params = JsonlDirClientParams(root=root)
+    write_db(
+        _df(spark, 3),
+        JsonlDirClient,
+        params,
+        JsonlDirTargetParams(name="t3", schema_hint="v1"),
+        record_fn=lambda row: {"id": row["id"]},
+    )
+    with pytest.raises(ValueError, match="mismatching target parameters"):
+        write_db(
+            _df(spark, 3),
+            JsonlDirClient,
+            params,
+            JsonlDirTargetParams(name="t3", schema_hint="v2"),
+            record_fn=lambda row: {"id": row["id"]},
+        )
+
+
+def test_write_db_retries_transient_failures(spark, tmp_path):
+    # defined inside the test so cloudpickle ships it by value to executors
+    class FlakyJsonlClient(JsonlDirClient):
+        """Fails the FIRST attempt of every batch (marker-file state), so
+        each batch exercises exactly one retry."""
+
+        def write_many_records(self, records, target):
+            import hashlib
+
+            digest = hashlib.md5(
+                json.dumps(records, sort_keys=True, default=str).encode()
+            ).hexdigest()
+            marker = os.path.join(self._dir(target), f"attempted-{digest}")
+            if not os.path.exists(marker):
+                with open(marker, "w") as f:
+                    f.write("1")
+                raise ConnectionError("transient store error")
+            super().write_many_records(records, target)
+
+    root = str(tmp_path)
+    write_db(
+        _df(spark, 12).coalesce(2),
+        FlakyJsonlClient,
+        JsonlDirClientParams(root=root),
+        JsonlDirTargetParams(name="t4"),
+        record_fn=lambda row: {"id": row["id"]},
+        batch_size=4,
+        retry_base_sleep=0.01,
+    )
+    assert sorted(r["id"] for r in read_jsonl_dir(root, "t4")) == list(range(12))
+
+
+def test_write_db_gives_up_after_max_retries(spark, tmp_path):
+    class DownClient(JsonlDirClient):
+        def write_many_records(self, records, target):
+            raise ConnectionError("store is down")
+
+    with pytest.raises(Exception, match="store is down"):
+        write_db(
+            _df(spark, 3),
+            DownClient,
+            JsonlDirClientParams(root=str(tmp_path)),
+            JsonlDirTargetParams(name="t5"),
+            record_fn=lambda row: {"id": row["id"]},
+            max_retries=2,
+            retry_base_sleep=0.01,
+        )
