@@ -205,3 +205,136 @@ def read_jsonl_dir(root: str, name: str) -> list[dict[str, Any]]:
             with open(os.path.join(d, fn)) as f:
                 out.extend(json.loads(line) for line in f)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Record mappers for the reference's service sinks. Each is a plain
+# row-dict -> record-dict function usable as ``write_db(..., record_fn=...)``
+# — the concrete Client adapter is the only service-specific piece left
+# (none can run in this container; JsonlDirClient stands in as transport).
+# ---------------------------------------------------------------------------
+
+# reference connectors/common.py:20-30
+DEFAULT_RECORD_PROPERTIES: dict[str, Any] = {
+    "doc_id": None,
+    "type": None,
+    "text_representation": None,
+    "elements": [],
+    "embedding": None,
+    "parent_id": None,
+    "properties": {},
+    "bbox": None,
+    "shingles": None,
+}
+
+
+def opensearch_record(index_name: str) -> RecordFn:
+    """reference opensearch_writer.py:290-312: {_index, _id, _source} with
+    the default record properties filled from the row."""
+
+    def fn(row: dict) -> dict | None:
+        if row.get("doc_id") is None:
+            return None
+        source = {k: row.get(k, v) if row.get(k) is not None else v
+                  for k, v in DEFAULT_RECORD_PROPERTIES.items()}
+        return {"_index": index_name, "_id": row["doc_id"], "_source": source}
+
+    return fn
+
+
+elasticsearch_record = opensearch_record  # same bulk-record shape (es_writer)
+
+
+def weaviate_record(flatten: bool = True) -> RecordFn:
+    """reference weaviate_writer.py from_doc: uuid + properties (+vector);
+    dotted property keys flattened with '__', '-' replaced by '_'."""
+
+    def fn(row: dict) -> dict | None:
+        if row.get("doc_id") is None:
+            return None
+        props = {
+            "properties": row.get("properties"),
+            "type": row.get("type"),
+            "text_representation": row.get("text_representation"),
+            "parent_id": row.get("parent_id"),
+            "bbox": row.get("bbox"),
+            "shingles": row.get("shingles"),
+        }
+        props = {k: v for k, v in props.items() if v not in (None, [], {})}
+        if flatten and isinstance(props.get("properties"), dict):
+            flat = {
+                f"properties__{k.replace('-', '_')}": v
+                for k, v in props.pop("properties").items()
+            }
+            props.update(flat)
+        rec = {"uuid": row["doc_id"], "properties": props}
+        if row.get("embedding") is not None:
+            rec["vector"] = {"embedding": row["embedding"]}
+        return rec
+
+    return fn
+
+
+def pinecone_record() -> RecordFn:
+    """reference pinecone_writer.py from_doc: parent_id#doc_id composite id,
+    embedding as values, metadata with stringified shingles."""
+
+    def fn(row: dict) -> dict | None:
+        if row.get("doc_id") is None:
+            return None
+        rid = (
+            f"{row['parent_id']}#{row['doc_id']}" if row.get("parent_id") else row["doc_id"]
+        )
+        return {
+            "id": rid,
+            "values": row.get("embedding"),
+            "metadata": {
+                "type": row.get("type"),
+                "text_representation": row.get("text_representation"),
+                "bbox": row.get("bbox"),
+                "shingles": [str(s) for s in row["shingles"]] if row.get("shingles") else None,
+                "properties": row.get("properties"),
+            },
+        }
+
+    return fn
+
+
+def qdrant_record() -> RecordFn:
+    """reference qdrant_writer.py: point = {id, vector, payload}."""
+
+    def fn(row: dict) -> dict | None:
+        if row.get("doc_id") is None:
+            return None
+        return {
+            "id": row["doc_id"],
+            "vector": row.get("embedding"),
+            "payload": {
+                "type": row.get("type"),
+                "text_representation": row.get("text_representation"),
+                "properties": row.get("properties"),
+                "parent_id": row.get("parent_id"),
+            },
+        }
+
+    return fn
+
+
+def neo4j_node_record(label: str = "Document") -> RecordFn:
+    """reference neo4j_writer.py node shape: label + properties map keyed by
+    the doc uuid."""
+
+    def fn(row: dict) -> dict | None:
+        if row.get("doc_id") is None:
+            return None
+        return {
+            "label": label,
+            "uuid": row["doc_id"],
+            "properties": {
+                "type": row.get("type"),
+                "text_representation": row.get("text_representation"),
+                "properties": row.get("properties"),
+            },
+        }
+
+    return fn

@@ -121,3 +121,65 @@ def test_write_db_gives_up_after_max_retries(spark, tmp_path):
             max_retries=2,
             retry_base_sleep=0.01,
         )
+
+
+def test_service_record_mappers(spark, tmp_path):
+    """Each reference sink's record shape, exercised through the protocol
+    with the file transport standing in for the service client."""
+    from sycamore_spark.connectors import (
+        opensearch_record,
+        pinecone_record,
+        qdrant_record,
+        weaviate_record,
+    )
+
+    rows = [
+        {
+            "doc_id": "d1",
+            "parent_id": None,
+            "type": "pdf",
+            "text_representation": "hello",
+            "embedding": [0.1, 0.2],
+            "properties": {"page-count": 3},
+            "bbox": None,
+            "shingles": [7, 9],
+        },
+        {"doc_id": None},  # filtered by every mapper
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, parent_id string, type string, text_representation string, "
+        "embedding array<double>, properties map<string,int>, bbox array<double>, "
+        "shingles array<bigint>",
+    )
+    root = str(tmp_path)
+    for name, mapper in [
+        ("os", opensearch_record("idx")),
+        ("wv", weaviate_record()),
+        ("pc", pinecone_record()),
+        ("qd", qdrant_record()),
+    ]:
+        write_db(
+            df,
+            JsonlDirClient,
+            JsonlDirClientParams(root=root),
+            JsonlDirTargetParams(name=name),
+            record_fn=mapper,
+        )
+        recs = read_jsonl_dir(root, name)
+        assert len(recs) == 1, name
+
+    os_rec = read_jsonl_dir(root, "os")[0]
+    assert os_rec["_index"] == "idx" and os_rec["_id"] == "d1"
+    assert os_rec["_source"]["text_representation"] == "hello"
+    assert os_rec["_source"]["elements"] == []  # default filled
+
+    wv = read_jsonl_dir(root, "wv")[0]
+    assert wv["uuid"] == "d1" and wv["vector"] == {"embedding": [0.1, 0.2]}
+    assert wv["properties"]["properties__page_count"] == 3  # flattened + dash fix
+
+    pc = read_jsonl_dir(root, "pc")[0]
+    assert pc["id"] == "d1" and pc["metadata"]["shingles"] == ["7", "9"]
+
+    qd = read_jsonl_dir(root, "qd")[0]
+    assert qd["payload"]["text_representation"] == "hello"
