@@ -71,12 +71,36 @@ def llm_map(
     batch_size: int = 32,
     max_tries: int = 3,
     validate: Callable[[str], bool] | None = None,
+    name: str | None = None,
 ) -> DataFrame:
     """Render ``prompt`` (jinja2, row fields in scope as ``doc.*``/names) per
     row, call the LLM in micro-batches, retry rows failing ``validate`` up to
     ``max_tries``, write the completion to ``output_col`` (null if it never
     validates — reference keeps the last response, we keep null so failures
-    are filterable)."""
+    are filterable).
+
+    Under ``materialize.enable(root)`` the stage auto-checkpoints
+    (AutoMaterialize): a rerun with the same prompt/output/schema (+
+    ``name``) reuses the stored parquet instead of re-invoking the LLM."""
+    from sycamore_spark import materialize as _mat
+
+    if _mat.active() is not None:
+        return _mat.checkpoint_stage(
+            lambda: _llm_map_build(df, prompt, output_col, llm_factory, batch_size, max_tries, validate),
+            df, "llm_map", prompt, output_col, name=name,
+        )
+    return _llm_map_build(df, prompt, output_col, llm_factory, batch_size, max_tries, validate)
+
+
+def _llm_map_build(
+    df: DataFrame,
+    prompt: str,
+    output_col: str,
+    llm_factory: LLMFactory,
+    batch_size: int = 32,
+    max_tries: int = 3,
+    validate: Callable[[str], bool] | None = None,
+) -> DataFrame:
     fields = [f for f in df.schema.fields if f.name != output_col]
     out_schema = StructType(fields + [StructField(output_col, StringType())])
 
@@ -317,13 +341,33 @@ def llm_map_elements(
     llm_factory: LLMFactory,
     elements_col: str = "elements",
     element_filter: Callable[[dict], bool] | None = None,
+    name: str | None = None,
 ) -> DataFrame:
     """Per-element LLM map (reference: docset.llm_map_elements,
     docset.py:1141; transforms/base_llm.py LLMMapElements): render the
     jinja prompt per (matching) element with ``elt``/``doc`` in scope, call
     the LLM batched across ALL elements of the Arrow batch, and write the
     completion into the element's properties JSON under ``out_prop``.
-    Non-matching elements pass through untouched."""
+    Non-matching elements pass through untouched. Auto-checkpoints under
+    ``materialize.enable`` like llm_map."""
+    from sycamore_spark import materialize as _mat
+
+    if _mat.active() is not None:
+        return _mat.checkpoint_stage(
+            lambda: _llm_map_elements_build(df, prompt, out_prop, llm_factory, elements_col, element_filter),
+            df, "llm_map_elements", prompt, out_prop, name=name,
+        )
+    return _llm_map_elements_build(df, prompt, out_prop, llm_factory, elements_col, element_filter)
+
+
+def _llm_map_elements_build(
+    df: DataFrame,
+    prompt: str,
+    out_prop: str,
+    llm_factory: LLMFactory,
+    elements_col: str = "elements",
+    element_filter: Callable[[dict], bool] | None = None,
+) -> DataFrame:
     out_schema = df.schema
     names = df.columns
 

@@ -1,0 +1,108 @@
+"""AutoMaterialize (materialize.py; reference materialize.py:623):
+LLM stages checkpoint under enable(); reruns reuse the stored parquet."""
+
+import os
+
+import pytest
+
+from sycamore_spark import materialize
+from sycamore_spark.llm.client import LLM
+from sycamore_spark.llm.map import llm_map
+
+
+@pytest.fixture(autouse=True)
+def _clean_state():
+    yield
+    materialize.disable()
+
+
+def _counting_factory(counter_dir):
+    """LLM whose every generate_batch call drops a marker file — observable
+    across executor processes."""
+
+    class CountingLLM(LLM):
+        def generate_batch(self, prompts):
+            import uuid
+
+            with open(os.path.join(counter_dir, f"call-{uuid.uuid4().hex}"), "w") as f:
+                f.write(str(len(prompts)))
+            return [p.upper()[-20:] for p in prompts]
+
+    return CountingLLM
+
+
+def _calls(counter_dir):
+    return len([f for f in os.listdir(counter_dir) if f.startswith("call-")])
+
+
+def test_auto_materialize_reuses_checkpoint(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    counter = str(tmp_path / "calls")
+    os.makedirs(counter)
+    df = spark.createDataFrame([("d1", "alpha"), ("d2", "beta")], "doc_id string, text string")
+    factory = _counting_factory(counter)
+
+    materialize.enable(ckpt)
+    out1 = llm_map(df, "Say {{ text }}", "resp", factory).collect()
+    calls_first = _calls(counter)
+    assert calls_first >= 1
+    assert sorted(r["resp"] for r in out1) == ["SAY ALPHA", "SAY BETA"]
+
+    # same stage key (prompt/output/schema) -> stored parquet, zero LLM calls
+    out2 = llm_map(df, "Say {{ text }}", "resp", factory).collect()
+    assert _calls(counter) == calls_first
+    assert sorted(r["resp"] for r in out2) == sorted(r["resp"] for r in out1)
+
+    # a different prompt is a different stage -> recomputes
+    llm_map(df, "Shout {{ text }}", "resp", factory).collect()
+    assert _calls(counter) > calls_first
+
+
+def test_auto_materialize_kill_and_resume(spark, tmp_path):
+    """Simulated driver crash: a fresh 'session' (new enable()) resolves the
+    identical stage to the same directory and resumes from the checkpoint."""
+    ckpt = str(tmp_path / "ckpt")
+    counter = str(tmp_path / "calls")
+    os.makedirs(counter)
+    df = spark.createDataFrame([("d1", "alpha")], "doc_id string, text string")
+    factory = _counting_factory(counter)
+
+    materialize.enable(ckpt)
+    llm_map(df, "Say {{ text }}", "resp", factory).collect()
+    first = _calls(counter)
+    materialize.disable()  # "crash"
+
+    materialize.enable(ckpt)  # "restart"
+    out = llm_map(df, "Say {{ text }}", "resp", factory).collect()
+    assert _calls(counter) == first  # resumed, no LLM re-invocation
+    assert out[0]["resp"] == "SAY ALPHA"
+
+
+def test_incomplete_checkpoint_recomputes(spark, tmp_path):
+    """No _SUCCESS marker -> the checkpoint is incomplete and must not be
+    trusted (the reference's completeness-marker contract)."""
+    ckpt = str(tmp_path / "ckpt")
+    counter = str(tmp_path / "calls")
+    os.makedirs(counter)
+    df = spark.createDataFrame([("d1", "alpha")], "doc_id string, text string")
+    factory = _counting_factory(counter)
+
+    materialize.enable(ckpt)
+    llm_map(df, "Say {{ text }}", "resp", factory).collect()
+    first = _calls(counter)
+
+    # corrupt: remove the completeness marker
+    stage_dirs = [d for d in os.listdir(ckpt) if d.startswith("llm_map-")]
+    assert len(stage_dirs) == 1
+    os.remove(os.path.join(ckpt, stage_dirs[0], "_SUCCESS"))
+
+    llm_map(df, "Say {{ text }}", "resp", factory).collect()
+    assert _calls(counter) > first
+
+
+def test_disabled_means_no_checkpoints(spark, tmp_path):
+    counter = str(tmp_path / "calls")
+    os.makedirs(counter)
+    df = spark.createDataFrame([("d1", "alpha")], "doc_id string, text string")
+    llm_map(df, "Say {{ text }}", "resp", _counting_factory(counter)).collect()
+    assert not os.path.exists(str(tmp_path / "ckpt"))
