@@ -111,20 +111,91 @@ class ArynPartitioner:
         raise NotImplementedError(
             "ArynPartitioner requires the DETR model stack (torch + weights), "
             "not available in this environment. Use HtmlPartitioner/"
-            "TextPartitioner, or plug a remote partitioning service here."
+            "TextPartitioner/FakeLayoutPartitioner, or plug a remote "
+            "partitioning service here."
         )
+
+
+class FakeLayoutPartitioner:
+    """Deterministic layout-simulation partitioner: the contract test double
+    for the DETR path. Produces the element taxonomy a real layout model
+    emits — Page-header / Title / Text / table / Page-footer plus sub-minimum
+    noise boxes — with bboxes derived (stably) from the content hash, so the
+    downstream bbox transforms (mark_bbox_preset, merge_marked, TableMerger)
+    can be exercised end-to-end with hash-stable output.
+
+    Implements ``partition_batch`` — the batched-inference contract
+    (one model call per Arrow batch, reference detr_partitioner's batch
+    inference loop) — rather than the per-row ``__call__``.
+    """
+
+    def __init__(self, max_pages: int = 3):
+        self.max_pages = max_pages
+
+    def partition_batch(self, pdf: pd.DataFrame) -> list[list[dict]]:
+        import hashlib
+
+        out: list[list[dict]] = []
+        for row in pdf.to_dict("records"):
+            raw = row.get("binary_representation")
+            text = (bytes(raw).decode("utf-8", "replace") if raw is not None
+                    else row.get("text_representation") or "")
+            h = int.from_bytes(hashlib.md5(text.encode()).digest()[:4], "big")
+            words = text.split() or ["empty"]
+            n_pages = 1 + h % self.max_pages
+            els: list[dict] = []
+            per_page = max(1, len(words) // (n_pages * 3))
+            w = 0
+            for page in range(1, n_pages + 1):
+                ph = (h + page) % 97 / 970.0  # 0..0.1 jitter
+
+                def add(kind, text_val, bbox):
+                    els.append({**_element(len(els), kind, text_val),
+                                "page_number": page, "bbox": bbox})
+
+                add("Page-header", f"p{page} header", [0.1, 0.01, 0.9, 0.04])
+                add("Title" if page == 1 else "Section-header",
+                    " ".join(words[w:w + 3]) or "untitled",
+                    [0.1, 0.06, 0.9, 0.06 + 0.03 + ph / 10])
+                for b in range(3):
+                    chunk = " ".join(words[w:w + per_page]) or f"blank {page}-{b}"
+                    w += per_page
+                    y0 = 0.12 + b * 0.2 + ph / 20
+                    add("Text", chunk, [0.1, y0, 0.9, y0 + 0.15])
+                # sub-minimum-area noise box (dropped by mark_drop_tiny)
+                add("Text", "speck", [0.5, 0.5, 0.5005, 0.5005])
+                add("table", f"table on page {page}: " + " ".join(words[w:w + 4]),
+                    [0.1, 0.78, 0.9, 0.92])
+                add("Page-footer", f"page {page}", [0.4, 0.97, 0.6, 0.99])
+            out.append(els)
+        return out
 
 
 def partition(df: DataFrame, partitioner) -> DataFrame:
     """Apply a partitioner to each document, filling ``elements``
-    (reference: docset.partition, docset.py:295)."""
+    (reference: docset.partition, docset.py:295).
+
+    Partitioner contract: either per-row ``__call__(row) -> list[element]``
+    or batched ``partition_batch(pdf) -> list[list[element]]`` (one entry per
+    row — the shape real model inference uses: one forward pass per Arrow
+    batch). ``partition_batch`` wins when both exist."""
     schema = df.schema
+    batch_fn = getattr(partitioner, "partition_batch", None)
 
     def run(it: Iterable[pd.DataFrame]):
         for pdf in it:
             rows = pdf.to_dict("records")
-            for row in rows:
-                row["elements"] = partitioner(row)
+            if batch_fn is not None:
+                all_els = batch_fn(pdf)
+                if len(all_els) != len(rows):
+                    raise ValueError(
+                        f"partition_batch returned {len(all_els)} element lists "
+                        f"for {len(rows)} rows — the contract is one per row"
+                    )
+            else:
+                all_els = [partitioner(row) for row in rows]
+            for row, els in zip(rows, all_els):
+                row["elements"] = els
                 if row.get("properties"):
                     props = json.loads(row["properties"])
                 else:
