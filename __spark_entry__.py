@@ -455,6 +455,21 @@ def q_doc_explode(spark, sf) -> DataFrame:
     )
 
 
+def q_doc_unexplode(spark, sf) -> DataFrame:
+    """explode -> unexplode roundtrip (HierarchicalDocument reassembly,
+    operators/elements.py unexplode_elements): parent docs rebuilt with
+    children in element_index order; the texts hash must equal the original
+    chunking — computable directly by the oracle."""
+    ds = _documents_as_docset(spark, sf)
+    roundtrip = elements.unexplode_elements(elements.explode_elements(ds))
+    texts = F.transform(F.col("elements"), lambda el: el["text_representation"])
+    return roundtrip.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size("elements").cast("bigint").alias("n_elements"),
+        F.md5(F.array_join(texts, "|")).alias("texts_hash"),
+    )
+
+
 def q_doc_merge(spark, sf) -> DataFrame:
     """GreedyTextElementMerger with a 20-token budget packs the 10-token
     chunks in pairs (merge_elements.py:58); chunk count per doc checked."""
@@ -914,6 +929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "augment_text": q_augment_text,
     "chunk_overlap": q_chunk_overlap,
     "doc_explode": q_doc_explode,
+    "doc_unexplode": q_doc_unexplode,
     "doc_merge": q_doc_merge,
     "doc_merge_table": q_doc_merge_table,
     "doc_markdown": q_doc_markdown,
@@ -1147,6 +1163,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_explode": (
             "SELECT doc_id::VARCHAR AS key, "
             "CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT) AS count FROM documents"
+        ),
+        "doc_unexplode": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+            "CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INT) AS nc FROM documents) "
+            "SELECT doc_id::BIGINT AS doc_id, nc::BIGINT AS n_elements, "
+            "md5(array_to_string(list_transform(range(nc), "
+            "i -> array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')), '|')) AS texts_hash FROM t"
         ),
         "doc_merge": (
             "SELECT doc_id::VARCHAR AS key, "

@@ -328,6 +328,13 @@ class DocSet:
 
         return self._wrap(explode_elements(self.df))
 
+    def unexplode(self) -> "DocSet":
+        """Reassemble exploded children into their parents' elements array
+        (HierarchicalDocument shape, reference data/document.py:421)."""
+        from sycamore_spark.operators.elements import unexplode_elements
+
+        return self._wrap(unexplode_elements(self.df))
+
     def spread_properties(self, keys: list[str] | None = None) -> "DocSet":
         from sycamore_spark.operators.elements import spread_properties
 

@@ -60,6 +60,44 @@ def explode_elements(df: DataFrame) -> DataFrame:
     return parents.select(*[f.name for f in DOC_SCHEMA.fields]).unionByName(children)
 
 
+def unexplode_elements(df: DataFrame) -> DataFrame:
+    """Inverse of ``explode_elements``: reassemble parent documents with
+    their children back in the ``elements`` array — the engine's equivalent
+    of the reference's ``HierarchicalDocument`` doc-with-children shape
+    (reference: data/document.py:421; explode's un-doing has no reference
+    twin, Ray pipelines are one-way).
+
+    Children are matched by ``parent_id``; their position comes from the
+    ``-el<N>`` doc_id suffix explode minted. One groupBy shuffle (bounded by
+    per-doc element counts) + one join; ``sort_array`` orders the collected
+    structs by their leading element_index field, so no per-group sort pass.
+    ``page_number`` is not a top-level child column and is rebuilt as null —
+    spread it into properties before exploding if it must round-trip."""
+    el_type = DOC_SCHEMA["elements"].dataType.elementType
+    parents = df.filter(F.col("parent_id").isNull())
+    children = df.filter(F.col("parent_id").isNotNull())
+    el = F.struct(
+        F.regexp_extract(F.col("doc_id"), r"-el(\d+)$", 1).cast("int").alias("element_index"),
+        F.col("type").alias("type"),
+        F.col("text_representation").alias("text_representation"),
+        F.col("binary_representation").alias("binary_representation"),
+        F.col("bbox").alias("bbox"),
+        F.lit(None).cast("int").alias("page_number"),
+        F.col("embedding").alias("embedding"),
+        F.col("properties").alias("properties"),
+    ).cast(el_type)
+    rebuilt = children.groupBy(F.col("parent_id").alias("_pid")).agg(
+        F.sort_array(F.collect_list(el)).alias("_els")
+    )
+    out = (
+        parents.drop("elements")
+        .join(rebuilt, parents["doc_id"] == rebuilt["_pid"], "left")
+        .withColumn("elements", F.col("_els"))
+        .drop("_pid", "_els")
+    )
+    return out.select(*[f.name for f in DOC_SCHEMA.fields])
+
+
 def filter_elements(df: DataFrame, predicate: Callable[[Column], Column]) -> DataFrame:
     """Keep elements matching a per-element Column predicate
     (reference: docset.py:1186)."""

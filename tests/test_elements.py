@@ -110,3 +110,48 @@ def test_assign_doc_properties(spark):
     out = E.assign_doc_properties(df, "table", "caption").collect()[0]
     assert json.loads(out.properties)["caption"] == "Table 1"
     assert json.loads(out.properties)["a"] == "1"
+
+
+def test_unexplode_roundtrips_explode(spark):
+    from sycamore_spark.data.schema import DOC_SCHEMA
+    from sycamore_spark.operators.elements import explode_elements, unexplode_elements
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in DOC_SCHEMA.fields)
+    els = [
+        {
+            "element_index": i,
+            "type": "text",
+            "text_representation": f"chunk {i}",
+            "binary_representation": None,
+            "bbox": [0.1, 0.1 * i, 0.9, 0.1 * i + 0.05],
+            "page_number": 1,
+            "embedding": None,
+            "properties": '{"k": "v"}',
+        }
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        [("p1", None, "doc", "full text", None, None, None, None, '{"src": "s"}', els),
+         ("p2", None, "doc", "other", None, None, None, None, None, els[:3])],
+        fields,
+    )
+    back = unexplode_elements(explode_elements(df))
+    rows = {r["doc_id"]: r for r in back.collect()}
+    assert set(rows) == {"p1", "p2"}
+    got = [e["text_representation"] for e in rows["p1"]["elements"]]
+    assert got == [f"chunk {i}" for i in range(12)]  # element_index order kept
+    assert [e["element_index"] for e in rows["p2"]["elements"]] == [0, 1, 2]
+    assert rows["p1"]["properties"] == '{"src": "s"}'  # parent row untouched
+    assert rows["p1"]["elements"][3]["bbox"] == [0.1, 0.30000000000000004, 0.9, 0.35000000000000003]
+
+
+def test_unexplode_parent_without_children_keeps_null_elements(spark):
+    from sycamore_spark.data.schema import DOC_SCHEMA
+    from sycamore_spark.operators.elements import unexplode_elements
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in DOC_SCHEMA.fields)
+    df = spark.createDataFrame(
+        [("lonely", None, "doc", "t", None, None, None, None, None, None)], fields
+    )
+    out = unexplode_elements(df).collect()
+    assert out[0]["doc_id"] == "lonely" and out[0]["elements"] is None
