@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -467,6 +468,42 @@ def q_doc_unexplode(spark, sf) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.size("elements").cast("bigint").alias("n_elements"),
         F.md5(F.array_join(texts, "|")).alias("texts_hash"),
+    )
+
+
+def q_table_ted(spark, sf) -> DataFrame:
+    """Table tree-edit-distance similarity (data/table.py ted_score; ref
+    data/table.py:571): per doc, a r x c table built from its words vs a
+    copy with k cells renamed. Identical tree shape + k leaf renames means
+    the ordered TED is exactly k, so the oracle computes the score in
+    closed form: 1 - k / (1 + r + r*c) — the Zhang-Shasha machinery is
+    exercised for real, the formula validates it."""
+    from sycamore_spark.data.table import Table, TableCell, ted_score
+
+    @F.pandas_udf("double")
+    def ted(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for did, text in zip(doc_ids, texts):
+            words = (text or "").split(" ")
+            r = 2 + (len(words) % 3)
+            c = 2 + (int(did) % 2)
+            k = 1 + (int(did) % 2)
+
+            def cell(i, j, modified):
+                content = words[(i * c + j) % len(words)]
+                if modified and (i * c + j) < k:
+                    content += "#X"
+                return TableCell(content, [i], [j], is_header=(i == 0))
+
+            a = Table([cell(i, j, False) for i in range(r) for j in range(c)])
+            b = Table([cell(i, j, True) for i in range(r) for j in range(c)])
+            out.append(ted_score(a, b))
+        return pd.Series(out)
+
+    docs = _ds(spark, sf, "documents").to_df()
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        ted(F.col("doc_id"), F.col("text")).alias("teds"),
     )
 
 
@@ -932,6 +969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_unexplode": q_doc_unexplode,
     "doc_merge": q_doc_merge,
     "doc_merge_table": q_doc_merge_table,
+    "table_ted": q_table_ted,
     "doc_markdown": q_doc_markdown,
     "doc_sections": q_doc_sections,
     "llm_filter": q_llm_filter,
@@ -1174,6 +1212,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_merge": (
             "SELECT doc_id::VARCHAR AS key, "
             "CAST(ceil(ceil(len(string_split(text, ' ')) / 10.0) / 2.0) AS BIGINT) AS count FROM documents"
+        ),
+        # closed-form TED: same tree shape, k leaf renames -> distance k
+        "table_ted": (
+            "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS nw FROM documents), "
+            "p AS (SELECT doc_id, 2 + (nw % 3) AS r, 2 + (doc_id % 2) AS c, "
+            "1 + (doc_id % 2) AS k FROM t) "
+            "SELECT doc_id::BIGINT AS doc_id, "
+            "1.0 - k::DOUBLE / (1 + r + r * c) AS teds FROM p"
         ),
         "doc_merge_table": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, "
