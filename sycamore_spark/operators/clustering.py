@@ -26,8 +26,14 @@ def kmeans(df: DataFrame, vec_col: str = "embedding", k: int = 8, seed: int = 42
     from pyspark.ml.functions import array_to_vector
 
     feat = df.withColumn("_features", array_to_vector(V.as_double(F.col(vec_col))))
-    model = KMeans(k=k, seed=seed, featuresCol="_features", predictionCol=out_col).fit(feat)
-    return model.transform(feat).drop("_features")
+    # KMeans iterates over its input ~maxIter times; without an explicit
+    # persist every iteration re-reads the source (MLlib warns about this).
+    feat.persist()
+    try:
+        model = KMeans(k=k, seed=seed, featuresCol="_features", predictionCol=out_col).fit(feat)
+        return model.transform(feat).drop("_features")
+    finally:
+        feat.unpersist()
 
 
 def rerank(df: DataFrame, query: str, text_col: str = "text_representation",

@@ -195,24 +195,34 @@ def md5_hash60(t):
 
 def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 64,
             hash_fn=None) -> DataFrame:
-    """SimHash per row from distinct-token hashes, fully native:
-    bit j of the signature = sign of sum over tokens of (+1/-1) at bit j of
-    the token hash (xxhash64 default). No shuffle.
-    (reference: functions/simhash.py:84-204)."""
+    """SimHash per row from distinct-token hashes: bit j of the signature =
+    sign of sum over tokens of (+1/-1) at bit j of the token hash (xxhash64
+    default). No shuffle. (reference: functions/simhash.py:84-204).
+
+    Token hashing stays a native expression (so cross-engine oracle hash
+    functions remain pluggable); the 64-bit vote is one Arrow-batched numpy
+    kernel — as 64 per-bit ``aggregate`` folds it ran interpreted per
+    (token x bit), the HOF-no-codegen trap. Pure integer arithmetic, so the
+    result is bit-identical to the expression form in any order."""
+    from pyspark.sql.types import LongType
+
     toks = F.array_distinct(T.tokens(F.col(text_col)))
     th = F.transform(toks, hash_fn or (lambda t: F.xxhash64(t)))
+    shifts = np.arange(nbits, dtype=np.uint64)
 
-    def bit_contrib(j):
-        return lambda acc, h: acc + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    @F.pandas_udf(LongType())
+    def _vote(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.uint64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            contrib = (bits * 2 - 1).sum(axis=0)
+            out[i] = ((contrib > 0).astype(np.uint64) << shifts).sum()
+        return pd.Series(out.view(np.int64))
 
-    bit_exprs = []
-    for j in range(nbits):
-        contrib = F.aggregate(th, F.lit(0), bit_contrib(j))
-        bit_exprs.append(
-            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
-        )
-    sig = reduce(lambda x, y: x.bitwiseOR(y), bit_exprs)
-    return df.select(F.col(id_col).alias("_id"), sig.alias("simhash"))
+    return df.select(F.col(id_col).alias("_id"), _vote(th).alias("simhash"))
 
 
 def simhash_near_dup_pairs(

@@ -15,6 +15,8 @@ physical sycamore_operator.py:194). Here retrieval is an in-engine operator:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -54,6 +56,32 @@ def brute_force_topk(
     )
 
 
+def _train_centroids(X, ncells: int, seed: int, iters: int = 20):
+    """Seeded k-means++ init + Lloyd's iterations, pure numpy. Distances use
+    the ||x||^2 - 2xc + ||c||^2 expansion so memory stays O(n*k)."""
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    centers = [X[rng.randint(n)]]
+    for _ in range(ncells - 1):
+        C = np.array(centers)
+        d2 = (X**2).sum(1)[:, None] - 2.0 * (X @ C.T) + (C**2).sum(1)
+        mind = np.maximum(d2.min(axis=1), 0.0)
+        total = mind.sum()
+        if total <= 0:
+            centers.append(X[rng.randint(n)])
+        else:
+            centers.append(X[rng.choice(n, p=mind / total)])
+    C = np.array(centers, dtype=float)
+    for _ in range(iters):
+        d = -2.0 * (X @ C.T) + (C**2).sum(1)
+        assign = d.argmin(axis=1)
+        for j in range(ncells):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -64,26 +92,41 @@ def ivf_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_sample: int = 100_000,
 ) -> DataFrame:
     """IVF-style ANN: cluster corpus into cells, probe nearest cells only.
 
-    The corpus is assigned to KMeans cells once (reusable across query
+    The corpus is assigned to cells once (reusable across query
     batches — at scale, persist/bucket the assigned corpus by cell_id so
     repeated searches shuffle nothing). Each query scores only rows in its
     ``nprobe`` nearest cells: recall < 1 is the accepted trade for a
     ~ncells/nprobe scan reduction.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.types import IntegerType
 
-    corpus_v = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    ).withColumn("_features", array_to_vector(V.as_double(F.col("_cv"))))
-    km = KMeans(k=ncells, seed=seed, featuresCol="_features", predictionCol="cell_id")
-    model = km.fit(corpus_v)
-    assigned = model.transform(corpus_v).select("neighbor_id", "_cv", "cell_id")
+    # Centroids are trained on a bounded DRIVER-SIDE SAMPLE — the standard
+    # IVF design (faiss trains coarse quantizers on a sample too): centroid
+    # quality needs only a representative sample, while MLlib's distributed
+    # fit costs dozens of jobs. Seeded k-means++ + Lloyd's in numpy is
+    # deterministic and takes milliseconds; the full corpus is then assigned
+    # in ONE vectorized Arrow pass (argmin of -2XC^T + ||c||^2).
+    corpus_v = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    sample = corpus_v.select(V.as_double(F.col("_cv")).alias("v")).limit(train_sample).collect()
+    X = np.array([r["v"] for r in sample])
+    C = _train_centroids(X, ncells, seed)
+    c_norm2 = (C**2).sum(axis=1)
 
-    centers = [(ci, [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())]
+    @F.pandas_udf(IntegerType())
+    def _cell(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy())
+        d = -2.0 * (m @ C.T) + c_norm2  # ||x||^2 is constant per row
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    assigned = corpus_v.select(
+        "neighbor_id", "_cv", _cell(V.as_double(F.col("_cv"))).alias("cell_id")
+    )
+
+    centers = [(ci, [float(x) for x in c]) for ci, c in enumerate(C)]
     spark = corpus.sparkSession
     centers_df = spark.createDataFrame(centers, ["cell_id", "center"])
 
