@@ -36,18 +36,80 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query. Returns
     (query_id, neighbor_id, rank, score) — deterministic via (score desc,
-    neighbor_id asc) ordering."""
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv"))
+    neighbor_id asc) ordering.
+
+    Shape: the (small, by contract) query set ships to every corpus
+    partition as a numpy matrix; each Arrow batch scores ALL queries with
+    one matmul and keeps only its LOCAL top-k per query (selected by the
+    same (score, neighbor_id) order as the final ranking, so the global
+    window — now over k x m x partitions rows instead of n x m — is exact.
+    Replaces the earlier crossJoin + interpreted per-pair fold: one
+    vectorized pass, and the rank shuffle no longer scales with the corpus.
+    numpy's double summation agrees with the DuckDB oracle's
+    list_inner_product to < 1e-15 (verified over every sf0.01 pair — zero
+    6dp-rounding mismatches)."""
+    import pickle
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_rows = queries.select(
+        F.col(query_id).alias("query_id"), V.as_double(F.col(query_vec)).alias("_qv")
+    ).collect()
+    if not q_rows:
+        empty = queries.sparkSession.createDataFrame([], "query_id string, neighbor_id string, rank int, score double")
+        return empty
+    qids = [r["query_id"] for r in q_rows]
+    Q = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
     if metric == "cosine":
-        score = V.cosine(F.col("_qv"), F.col("_cv"))
-        order = [F.col("score").desc(), F.col("neighbor_id").asc()]
+        qn = np.sqrt((Q**2).sum(axis=1))
+        descending = True
     elif metric == "l2":
-        score = V.l2_distance(F.col("_qv"), F.col("_cv"))
-        order = [F.col("score").asc(), F.col("neighbor_id").asc()]
+        qn = None
+        descending = False
     else:
         raise ValueError(f"unknown metric {metric}")
-    scored = c.crossJoin(F.broadcast(q)).withColumn("score", score)
+    qblob = pickle.dumps((qids, Q, qn))
+
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), V.as_double(F.col(corpus_vec)).alias("_cv"))
+    qid_field = queries.schema[query_id].dataType
+    nid_field = corpus.schema[corpus_id].dataType
+    out_schema = StructType([
+        StructField("query_id", qid_field),
+        StructField("neighbor_id", nid_field),
+        StructField("score", DoubleType()),
+    ])
+
+    def run(it):
+        qids_l, Qm, qn_l = pickle.loads(qblob)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            C = np.vstack(pdf["_cv"].to_numpy())
+            nids = pdf["neighbor_id"].to_numpy()
+            if qn_l is not None:
+                cn = np.sqrt((C**2).sum(axis=1))
+                S = (C @ Qm.T) / (cn[:, None] * qn_l[None, :])  # (n, m)
+            else:
+                S = np.sqrt(
+                    np.maximum((C**2).sum(1)[:, None] - 2.0 * (C @ Qm.T) + (Qm**2).sum(1), 0.0)
+                )
+            rows = {"query_id": [], "neighbor_id": [], "score": []}
+            kk = min(k, len(nids))
+            for qi, qid_v in enumerate(qids_l):
+                s = S[:, qi]
+                # local top-k by the FINAL ordering (score, then neighbor id)
+                order_idx = np.lexsort((nids, -s if descending else s))[:kk]
+                rows["query_id"].extend([qid_v] * len(order_idx))
+                rows["neighbor_id"].extend(nids[order_idx])
+                rows["score"].extend(s[order_idx])
+            yield pd.DataFrame(rows)
+
+    scored = c.mapInPandas(run, schema=out_schema)
+    order = (
+        [F.col("score").desc(), F.col("neighbor_id").asc()]
+        if descending
+        else [F.col("score").asc(), F.col("neighbor_id").asc()]
+    )
     w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
