@@ -114,3 +114,25 @@ def word_shingles(col: Column, k: int = 3, sep: str = "_") -> Column:
     return F.when(n < k, F.array(F.array_join(toks, sep))).otherwise(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), sep))
     )
+
+
+def word_shingle_hashes(col: Column, k: int = 3) -> Column:
+    """xxhash64 per k-word shingle WITHOUT materializing shingle strings:
+    the k shifted token slices are zipped (all native) and each struct is
+    hashed field-wise. HOF string building (array_join over a slice per
+    element) runs interpreted and allocates; this shape leaves only a cheap
+    per-element hash inside the one unavoidable transform. Short texts
+    (< k tokens) hash the joined remainder, mirroring ``word_shingles``."""
+    toks = tokens(col)
+    n = F.size(toks)
+    fields = "struct<" + ",".join(f"g{i}:string" for i in range(k)) + ">"
+    zipped = F.when(
+        n < k,
+        F.array(F.struct(
+            F.array_join(toks, "_").alias("g0"),
+            *[F.lit(None).cast("string").alias(f"g{i}") for i in range(1, k)],
+        )).cast(f"array<{fields}>"),
+    ).otherwise(
+        F.arrays_zip(*[F.slice(toks, 1 + i, n - k + 1).alias(f"g{i}") for i in range(k)])
+    )
+    return F.transform(zipped, lambda t: F.xxhash64(*[t[f"g{i}"] for i in range(k)]))

@@ -106,27 +106,44 @@ def jaccard_similar_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, shingle_k: int = 3) -> DataFrame:
-    """MinHash signatures computed entirely row-local (zero shuffle):
-    sig[i] = min over shingles of xxhash64(i, shingle)."""
-    # Two-step projection: materialize the shingle array once, then fold it
-    # into the signature in a single aggregate expression —
-    #   sig = fold(shingles, [MAX..], (acc, s) -> zip_with(acc, H(s), least))
-    # where H(s) = [xxhash64(i, s) for i in 0..num_perm). One compact
-    # expression instead of num_perm separate aggregates keeps codegen small
-    # (64 aggregates took ~15s of compile+eval at sf0.1; this is <2s).
-    base = df.select(
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_perm: int = 64,
+                      shingle_k: int = 3, seed: int = 1) -> DataFrame:
+    """MinHash signatures, zero shuffle: each shingle is hashed ONCE
+    (JVM xxhash64), and the ``num_perm`` permutations are seeded
+    multiply-shift universal hashes ``a_i*h + b_i (mod 2^64)`` computed as
+    one wrapped numpy kernel per document — the standard minhash
+    construction (one strong base hash + cheap pairwise-independent
+    permutations). The earlier form evaluated xxhash64 per (shingle x perm):
+    64x the hashing work, and as a HOF fold it also ran interpreted.
+    Signature VALUES differ from that form, but minhash semantics (pairwise
+    collision probability = Jaccard) depend only on the permutation family,
+    and LSH pairs are always verified with exact Jaccard downstream."""
+    import random
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    rng = random.Random(seed)
+    A = np.array([rng.randrange(1, 1 << 64, 2) for _ in range(num_perm)], dtype=np.uint64)
+    B = np.array([rng.randrange(0, 1 << 64) for _ in range(num_perm)], dtype=np.uint64)
+    empty_sig = np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _mins(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            if h is None or len(h) == 0:
+                out.append(empty_sig)
+                continue
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            with np.errstate(over="ignore"):
+                m = hv[:, None] * A + B  # uint64 wraparound is the mod
+            out.append(m.min(axis=0).view(np.int64))
+        return pd.Series(out)
+
+    return df.select(
         F.col(id_col).alias("_id"),
-        T.word_shingles(F.col(text_col), k=shingle_k).alias("_shingles"),
+        _mins(T.word_shingle_hashes(F.col(text_col), k=shingle_k)).alias("_sig"),
     )
-    max_long = (1 << 63) - 1
-    seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
-    sig = F.aggregate(
-        F.col("_shingles"),
-        F.array_repeat(F.lit(max_long).cast("long"), num_perm),
-        lambda acc, s: F.zip_with(acc, F.transform(seeds, lambda i: F.xxhash64(i, s)), lambda a, b: F.least(a, b)),
-    )
-    return base.select("_id", "_shingles", sig.alias("_sig"))
 
 
 def minhash_lsh_pairs(
@@ -147,9 +164,9 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows = num_perm // bands
-    # persist: the signature is read by banding (which references _sig once
+    # persist: the signature is read by banding, which references _sig once
     # per band — projection collapse would otherwise re-inline the minhash
-    # fold per reference) and again by exact verification.
+    # aggregation per reference.
     sig = minhash_signature(df, id_col, text_col, num_perm, shingle_k).persist()
     band_structs = F.array(*[
         F.struct(
@@ -168,8 +185,26 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    sets_a = sig.select(F.col("_id").alias("id_a"), F.array_distinct("_shingles").alias("_sa"))
-    sets_b = sig.select(F.col("_id").alias("id_b"), F.array_distinct("_shingles").alias("_sb"))
+    # Exact-Jaccard verification builds shingle STRING sets only for docs
+    # that appear in some candidate pair — at scale candidates are a tiny
+    # fraction of the corpus, so the (interpreted) string shingling must not
+    # run over every row. cand is persisted: it feeds both the id filter
+    # and the final join.
+    cand = cand.persist()
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_cid"))
+        .union(cand.select(F.col("id_b")))
+        .distinct()
+    )
+    relevant = df.join(
+        F.broadcast(cand_ids), df[id_col] == F.col("_cid"), "inner"
+    ).drop("_cid")
+    shingle_sets = relevant.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(T.word_shingles(F.col(text_col), k=shingle_k)).alias("_set"),
+    )
+    sets_a = shingle_sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"))
+    sets_b = shingle_sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"))
     jac = (
         F.size(F.array_intersect("_sa", "_sb"))
         / F.size(F.array_union("_sa", "_sb"))
