@@ -75,7 +75,12 @@ def jaccard_similar_pairs(
     )
     base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
     sizes = base.select("_id", F.size("_toks").alias("_n"))
-    posting = base.select("_id", F.explode("_toks").alias("_tok"))
+    # postings carry xxhash64(token) — the self-join only tests equality,
+    # and 8-byte keys shrink the inverted-index shuffle vs raw strings
+    # (collision odds across a corpus vocabulary are ~|V|^2/2^65).
+    posting = base.select("_id", F.explode("_toks").alias("_t")).select(
+        "_id", F.xxhash64("_t").alias("_tok")
+    )
     if max_token_doc_freq is not None:
         n_docs = df.count()
         cap = int(max_token_doc_freq * n_docs)
