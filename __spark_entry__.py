@@ -445,6 +445,74 @@ def q_tpch_q10(spark, sf) -> DataFrame:
     )
 
 
+def q_tpch_q14(spark, sf) -> DataFrame:
+    """TPC-H Q14 (promo revenue): broadcast part into lineitem, conditional
+    decimal aggregation. The promo/total ratio is emitted as raw decimal
+    sums cast to double (identical IEEE division on both engines)."""
+    li = (
+        _ds(spark, sf, "lineitem")
+        .range_filter("l_shipdate", "1996-03-01", "1996-03-31", date=True)
+        .to_df()
+    )
+    part = _ds(spark, sf, "part").to_df()
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    promo = F.sum(F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0).cast("decimal(18,4)")))
+    total = F.sum(disc)
+    return j.agg(
+        F.round(promo, 2).cast("double").alias("promo_rev"),
+        F.round(total, 2).cast("double").alias("total_rev"),
+        (F.lit(100.0) * F.round(promo, 2).cast("double") / F.round(total, 2).cast("double")).alias("promo_pct"),
+    )
+
+
+def q_tpch_q18(spark, sf) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): self-aggregated semi-join — orders
+    whose total quantity exceeds a threshold, joined back to customer.
+    Quantities are exact longs; one partial-agg shuffle + broadcast of the
+    (small) qualifying key set."""
+    li = _ds(spark, sf, "lineitem").to_df()
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    orders = _ds(spark, sf, "orders").to_df()
+    cust = _ds(spark, sf, "customer").to_df()
+    j = (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            F.round(_dec("o_totalprice"), 2).cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q_tpch_q19(spark, sf) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate revenue (adapted to the
+    synthetic schema: brand/size/quantity bands replace the
+    container/shipmode legs). Catalyst turns the OR-of-ANDs into one scan
+    with a single composite filter; part broadcasts."""
+    li = _ds(spark, sf, "lineitem").to_df()
+    part = _ds(spark, sf, "part").to_df()
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30)) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(20, 50)) & q.between(20, 40))
+    )
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+    return j.filter(cond).agg(F.round(rev, 2).cast("double").alias("revenue"))
+
+
 def q_doc_explode(spark, sf) -> DataFrame:
     """Explode elements → child docs; children counted per parent
     (transforms/explode.py:10-65)."""
@@ -961,6 +1029,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q4": q_tpch_q4,
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
     "standardize_state": q_standardize_state,
     "standardize_date": q_standardize_date,
     "augment_text": q_augment_text,
@@ -1171,6 +1242,33 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_returnflag = 'R' "
             "AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate <= TIMESTAMP '1996-12-31' "
             "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+        ),
+        "tpch_q14": (
+            "WITH j AS (SELECT p_type, "
+            "cast(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) AS DECIMAL(18,4)) AS disc "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate <= TIMESTAMP '1996-03-31') "
+            "SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN disc ELSE 0::DECIMAL(18,4) END), 2)::DOUBLE AS promo_rev, "
+            "round(sum(disc), 2)::DOUBLE AS total_rev, "
+            "100.0 * round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN disc ELSE 0::DECIMAL(18,4) END), 2)::DOUBLE "
+            "/ round(sum(disc), 2)::DOUBLE AS promo_pct FROM j"
+        ),
+        "tpch_q18": (
+            "WITH big AS (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty "
+            "FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 150) "
+            "SELECT c_name, c_custkey, o_orderkey, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "round(o_totalprice::DECIMAL(18,2), 2)::DOUBLE AS o_totalprice, sum_qty "
+            "FROM orders JOIN big ON o_orderkey = big.l_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
+        ),
+        "tpch_q19": (
+            "SELECT round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)"
         ),
         "standardize_state": (
             "SELECT c_custkey, 'Ships to ' || ["
