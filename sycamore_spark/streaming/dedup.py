@@ -1,0 +1,40 @@
+"""Streaming deduplication: the exact-dedup operator's Structured Streaming
+twin (batch: operators/dedup.py exact_dedup; the reference has no streaming
+runtime — SURVEY.md §2.11 scale headroom).
+
+Two modes, both built on Spark's stateful ``dropDuplicates``:
+
+- unbounded: ``dropDuplicates`` on the content fingerprint — state grows
+  with distinct keys forever; right when the key space is bounded.
+- watermarked: ``dropDuplicatesWithinWatermark`` — duplicates are only
+  suppressed within the watermark horizon and state for expired keys is
+  dropped, which is the only shape that survives an unbounded 100 TB/day
+  feed (state is O(keys-per-horizon), not O(keys-ever)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sycamore_spark.functions import text as T
+
+
+def dedup_stream(
+    events: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Drop rows whose normalized-text fingerprint was already seen.
+
+    With ``ts_col`` set, duplicates are suppressed within the ``watermark``
+    horizon and per-key state expires with it (dropDuplicatesWithinWatermark);
+    without it, state is global and unbounded."""
+    out = events.withColumn(fingerprint_col, T.fingerprint(F.col(text_col)))
+    if ts_col is not None:
+        return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [fingerprint_col]
+        )
+    return out.dropDuplicates([fingerprint_col])

@@ -173,3 +173,53 @@ def test_streaming_composes_with_engine_transforms(spark, tmp_path):
     got = spark.sql("select * from stream_quality")
     assert got.count() == 50
     assert "quality_score" in got.columns
+
+
+def test_dedup_stream_exact(spark, tmp_path):
+    """Streaming twin of exact_dedup: duplicate text rows collapse to the
+    first arrival within the stream."""
+    import datetime as dt
+
+    from sycamore_spark.streaming.dedup import dedup_stream
+
+    rows = [
+        (1, dt.datetime(2026, 1, 1, 10, 0), "alpha text"),
+        (2, dt.datetime(2026, 1, 1, 10, 1), "alpha  TEXT"),  # same fingerprint
+        (3, dt.datetime(2026, 1, 1, 10, 2), "beta text"),
+        (4, dt.datetime(2026, 1, 1, 10, 3), "beta text"),
+        (5, dt.datetime(2026, 1, 1, 10, 4), "gamma text"),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, text string")
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = dedup_stream(stream, text_col="text", ts_col="ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["text"] for r in spark.sql("select * from dedup_out").collect()}
+    assert len(got) == 3  # one survivor per fingerprint group
+
+
+def test_dedup_stream_unbounded_mode(spark, tmp_path):
+    from sycamore_spark.streaming.dedup import dedup_stream
+
+    df = spark.createDataFrame([(1, "x y z"), (2, "x  y Z"), (3, "q")], "id long, text string")
+    src = str(tmp_path / "src2")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = dedup_stream(stream, text_col="text")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("select count(*) c from dedup_out2").collect()[0]["c"] == 2
