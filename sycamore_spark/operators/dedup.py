@@ -193,9 +193,13 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verification builds shingle STRING sets only for docs
     # that appear in some candidate pair — at scale candidates are a tiny
     # fraction of the corpus, so the (interpreted) string shingling must not
-    # run over every row. cand is persisted: it feeds both the id filter
-    # and the final join.
+    # run over every row. Candidates are persisted + materialized (they feed
+    # both the id filter and the final join; a localCheckpoint would bypass
+    # AQE on the banding join), and the signature cache — the big one — is
+    # released immediately so repeated calls don't accumulate executor state.
     cand = cand.persist()
+    cand.count()
+    sig.unpersist()
     cand_ids = (
         cand.select(F.col("id_a").alias("_cid"))
         .union(cand.select(F.col("id_b")))
@@ -204,10 +208,14 @@ def minhash_lsh_pairs(
     relevant = df.join(
         F.broadcast(cand_ids), df[id_col] == F.col("_cid"), "inner"
     ).drop("_cid")
+    # persisted: referenced by BOTH sides of the pair join — without the
+    # cache each side re-runs the scan + broadcast filter + string shingling
+    # (different join keys, so AQE exchange reuse can't kick in). Bounded by
+    # the candidate set, and LRU-evictable.
     shingle_sets = relevant.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(T.word_shingles(F.col(text_col), k=shingle_k)).alias("_set"),
-    )
+    ).persist()
     sets_a = shingle_sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"))
     sets_b = shingle_sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"))
     jac = (
