@@ -25,6 +25,9 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
     "groupby_count_unique",
     "sort_limit",
     "window_rank",
@@ -47,6 +50,9 @@ HEADLINE = [
     "graph_nodes",
     "repetition",
     "contamination",
+    "doc_merge_table",
+    "doc_unexplode",
+    "table_ted",
 ]
 
 
