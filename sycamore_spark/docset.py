@@ -464,6 +464,13 @@ class DocSet:
 
         return self._wrap(summarize_images(self.df, llm_factory, **kwargs))
 
+    def llm_query(self, prompt: str, llm_factory, **kwargs) -> "DocSet":
+        """LLMTextQueryAgent parity (reference docset.llm_query,
+        docset.py:1449): per-element or accumulated per-document query."""
+        from sycamore_spark.llm.map import llm_query
+
+        return self._wrap(llm_query(self.df, prompt, llm_factory, **kwargs))
+
     def extract_table_properties(self, llm_factory, **kwargs) -> "DocSet":
         from sycamore_spark.llm.map import extract_table_properties
 

@@ -435,3 +435,102 @@ def extract_table_properties(
         elements_col=elements_col,
         element_filter=lambda e: e.get("type") in table_types,
     )
+
+
+def llm_query(
+    df: DataFrame,
+    prompt: str,
+    llm_factory: LLMFactory,
+    output_property: str = "llm_response",
+    per_element: bool = True,
+    element_type: str | None = None,
+    number_of_elements: int | None = None,
+    elements_col: str = "elements",
+) -> DataFrame:
+    """LLMTextQueryAgent (reference: transforms/llm_query.py:28-125;
+    docset.llm_query, docset.py:1449):
+
+    - ``per_element=True``: ``prompt + "\\n" + element text`` per (matching)
+      element, response under the element's ``properties[output_property]``;
+      ``number_of_elements`` caps how many elements are queried per doc.
+    - ``per_element=False``: one accumulated prompt per document — the
+      prompt plus every (matching, optionally capped) element's text —
+      response under the DOC's ``properties[output_property]``.
+
+    Same Arrow-batched shape as llm_map_elements: the LLM client is built
+    once per partition and called with one batch across the whole pandas
+    batch."""
+    if per_element:
+        count_state: dict[int, int] = {}
+
+        def efilter(e: dict) -> bool:
+            if element_type is not None and e.get("type") != element_type:
+                return False
+            return True
+
+        if number_of_elements is None:
+            return llm_map_elements(
+                df, prompt + "\n{{ elt.text_representation }}", output_property,
+                llm_factory, elements_col=elements_col, element_filter=efilter,
+            )
+        # capped variant: run the fold manually so the cap is per document
+        out_schema = df.schema
+        names = df.columns
+
+        def run(it: Iterable[pd.DataFrame]):
+            llm = llm_factory()
+            for pdf in it:
+                rows = pdf.to_dict("records")
+                jobs: list[tuple[int, int, str]] = []
+                for ri, row in enumerate(rows):
+                    els = row.get(elements_col)
+                    els = [] if els is None else [dict(e) for e in els]
+                    row[elements_col] = els
+                    taken = 0
+                    for ei, e in enumerate(els):
+                        if element_type is not None and e.get("type") != element_type:
+                            continue
+                        if taken >= number_of_elements:
+                            break
+                        jobs.append((ri, ei, f"{prompt}\n{e.get('text_representation') or ''}"))
+                        taken += 1
+                replies = llm.generate_batch([p for _, _, p in jobs]) if jobs else []
+                for (ri, ei, _p), reply in zip(jobs, replies):
+                    e = rows[ri][elements_col][ei]
+                    props = json.loads(e.get("properties") or "{}")
+                    props[output_property] = reply
+                    e["properties"] = json.dumps(props, sort_keys=True)
+                yield pd.DataFrame(rows, columns=names)
+
+        return df.mapInPandas(run, schema=out_schema)
+
+    # document-level: accumulate matching element texts into one prompt
+    out_schema = df.schema
+    names = df.columns
+
+    def run_doc(it: Iterable[pd.DataFrame]):
+        llm = llm_factory()
+        for pdf in it:
+            rows = pdf.to_dict("records")
+            prompts = []
+            for row in rows:
+                els = row.get(elements_col)
+                els = [] if els is None else list(els)
+                parts = [prompt]
+                taken = 0
+                for e in els:
+                    if element_type is not None and e.get("type") != element_type:
+                        continue
+                    if number_of_elements is not None and taken >= number_of_elements:
+                        break
+                    parts.append(e.get("text_representation") or "")
+                    taken += 1
+                prompts.append("\n".join(parts))
+            replies = llm.generate_batch(prompts) if prompts else []
+            for row, reply in zip(rows, replies):
+                props = json.loads(row.get("properties") or "{}")
+                props[output_property] = reply
+                row["properties"] = json.dumps(props, sort_keys=True)
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.mapInPandas(run_doc, schema=out_schema)

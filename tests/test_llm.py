@@ -88,3 +88,60 @@ def test_render_fallback_rejects_complex_templates():
 
     with pytest.raises(RuntimeError, match="jinja2"):
         _render_fallback("{% for e in doc.elements %}{{ e }}{% endfor %}", {})
+
+
+def _query_doc_df(spark):
+    import json as _json
+
+    from sycamore_spark.data.schema import DOC_SCHEMA
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in DOC_SCHEMA.fields)
+    els = [
+        {"element_index": 0, "type": "Text", "text_representation": "alpha body",
+         "binary_representation": None, "bbox": None, "page_number": 1,
+         "embedding": None, "properties": None},
+        {"element_index": 1, "type": "table", "text_representation": "t1 cells",
+         "binary_representation": None, "bbox": None, "page_number": 1,
+         "embedding": None, "properties": None},
+        {"element_index": 2, "type": "table", "text_representation": "t2 cells",
+         "binary_representation": None, "bbox": None, "page_number": 2,
+         "embedding": None, "properties": None},
+    ]
+    return spark.createDataFrame(
+        [("d1", None, "doc", "whole doc", None, None, None, None, _json.dumps({"k": "v"}), els)],
+        fields,
+    )
+
+
+def test_llm_query_per_element_with_type_and_cap(spark):
+    import json as _json
+
+    from sycamore_spark.llm.map import llm_query
+
+    class EchoLLM:
+        def generate_batch(self, prompts):
+            return [f"R:{p.splitlines()[-1]}" for p in prompts]
+
+    out = llm_query(
+        _query_doc_df(spark), "Q?", EchoLLM, element_type="table", number_of_elements=1
+    ).collect()[0]
+    els = out["elements"]
+    props = [(_json.loads(e["properties"] or "{}")).get("llm_response") for e in els]
+    assert props == [None, "R:t1 cells", None]  # only first table queried
+
+
+def test_llm_query_document_level_accumulates(spark):
+    import json as _json
+
+    from sycamore_spark.llm.map import llm_query
+
+    class CaptureLLM:
+        def generate_batch(self, prompts):
+            return [p.replace("\n", "|") for p in prompts]
+
+    out = llm_query(
+        _query_doc_df(spark), "Q?", CaptureLLM, per_element=False, element_type="table"
+    ).collect()[0]
+    resp = _json.loads(out["properties"])["llm_response"]
+    assert resp == "Q?|t1 cells|t2 cells"
+    assert _json.loads(out["properties"])["k"] == "v"  # existing props kept
