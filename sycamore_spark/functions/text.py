@@ -9,6 +9,8 @@ are the large-scale training-data additions (no reference equivalent).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -136,3 +138,72 @@ def word_shingle_hashes(col: Column, k: int = 3) -> Column:
         F.arrays_zip(*[F.slice(toks, 1 + i, n - k + 1).alias(f"g{i}") for i in range(k)])
     )
     return F.transform(zipped, lambda t: F.xxhash64(*[t[f"g{i}"] for i in range(k)]))
+
+
+# ---------------------------------------------------------------------------
+# Byte-level rolling-hash shingles (reference: functions/simhash.py
+# shinglesCalc/shinglesDist + functions/rabin_karp.py RkWindow). The
+# reference slides a width-`window` Rabin-Karp hash over the UTF-8 bytes,
+# scrambles each window hash (MT19937-64 mix constants), and keeps the
+# `number` smallest distinct values; the Spark shape here computes all
+# window hashes with `window` vectorized shifted adds mod the RK prime —
+# no per-byte Python loop — inside one Arrow-batched kernel.
+# ---------------------------------------------------------------------------
+
+_RK_PRIME = 36028797018963913  # largest prime < 2^55 (reference rabin_karp.py)
+_MIX_MULT = 6364136223846793005  # MT19937-64 f-value (reference simhash.py:15)
+_MIX_ADD = 9223372036854775783  # largest prime < 2^63
+
+
+def char_shingles_py(data: bytes, window: int = 17, number: int = 16):
+    """shinglesCalc semantics for one document (numpy-vectorized):
+    lowest ``number`` distinct scrambled window hashes, cyclically repeated
+    when fewer exist, ``[0]*number`` for text shorter than the window."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    n_hashes = len(b) - window + 1
+    if n_hashes <= 0:
+        return [0] * number
+    acc = np.zeros(n_hashes, dtype=np.int64)
+    for k in range(window):
+        w = pow(256, window - 1 - k, _RK_PRIME)
+        acc = (acc + b[k : k + n_hashes] * w) % _RK_PRIME
+    with np.errstate(over="ignore"):
+        scrambled = (
+            acc.view(np.uint64) * np.uint64(_MIX_MULT) + np.uint64(_MIX_ADD)
+        ) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    ary = np.unique(scrambled.view(np.int64))  # sorted distinct
+    nn = len(ary)
+    if nn < number:
+        copies = (number + nn - 1) // nn
+        ary = np.sort(np.tile(ary, copies))
+    return [int(x) for x in ary[:number]]
+
+
+def char_shingles(col: Column, window: int = 17, number: int = 16) -> Column:
+    """Column form of ``char_shingles_py`` (array<bigint> per row)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _calc(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [char_shingles_py((t or "").encode("utf-8"), window, number) for t in texts]
+        )
+
+    return _calc(col)
+
+
+def shingles_dist(a: list[int], b: list[int]) -> float:
+    """shinglesDist: (max_len - sorted-merge matches) / max_len in [0, 1]
+    (reference simhash.py:115-126)."""
+    ai = bi = matches = 0
+    while ai < len(a) and bi < len(b):
+        if a[ai] < b[bi]:
+            ai += 1
+        elif b[bi] < a[ai]:
+            bi += 1
+        else:
+            matches += 1
+            ai += 1
+            bi += 1
+    denom = max(len(a), len(b))
+    return 1.0 if denom == 0 else (denom - matches) / denom

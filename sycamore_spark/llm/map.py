@@ -461,8 +461,6 @@ def llm_query(
     once per partition and called with one batch across the whole pandas
     batch."""
     if per_element:
-        count_state: dict[int, int] = {}
-
         def efilter(e: dict) -> bool:
             if element_type is not None and e.get("type") != element_type:
                 return False

@@ -116,3 +116,56 @@ def test_ngram_contamination(spark):
     assert got[1]["contamination_frac"] == pytest.approx(1 / 3)
     assert got[2]["contaminated_ngrams"] == 0
     assert got[3]["n_ngrams"] == 0 and got[3]["contamination_frac"] == 0.0
+
+
+# -- byte-level rolling-hash shingles (reference shinglesCalc parity) --------
+
+
+def _reference_shingles(data: bytes, window=17, number=16):
+    """Independent check implementation: literal per-byte sliding RK hash
+    with scramble, from the documented semantics."""
+    P = 36028797018963913
+    seen = set()
+    for start in range(len(data) - window + 1):
+        h = 0
+        for ch in data[start : start + window]:
+            h = (h * 256 + ch) % P
+        seen.add(((h * 6364136223846793005) + 9223372036854775783) & 0x7FFFFFFFFFFFFFFF)
+    ary = sorted(seen)
+    if not ary:
+        return [0] * number
+    if len(ary) < number:
+        copies = (number + len(ary) - 1) // len(ary)
+        ary = sorted(ary * copies)
+    return ary[:number]
+
+
+def test_char_shingles_matches_reference_formula():
+    import random
+
+    from sycamore_spark.functions.text import char_shingles_py
+
+    rng = random.Random(11)
+    for trial in range(50):
+        n = rng.randint(0, 200)
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert char_shingles_py(data) == _reference_shingles(data), (trial, n)
+
+
+def test_char_shingles_column_and_dist(spark):
+    from pyspark.sql import functions as F
+
+    from sycamore_spark.functions.text import char_shingles, char_shingles_py, shingles_dist
+
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog"),
+         ("b", "the quick brown fox jumps over the lazy cat"),
+         ("c", "short")],
+        "id string, text string",
+    )
+    got = {r["id"]: r["sh"] for r in df.select("id", char_shingles(F.col("text")).alias("sh")).collect()}
+    assert got["a"] == char_shingles_py("the quick brown fox jumps over the lazy dog".encode())
+    assert got["c"] == [0] * 16  # under the 17-byte window
+    assert shingles_dist(got["a"], got["a"]) == 0.0
+    d_ab = shingles_dist(got["a"], got["b"])
+    assert 0.0 < d_ab < 1.0  # similar but not identical
