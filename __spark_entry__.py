@@ -276,6 +276,19 @@ def q_tpch_q5(spark, sf) -> DataFrame:
 # Deduplication suite (training-data pipeline; SketchUniquify parity §2.7)
 # ---------------------------------------------------------------------------
 
+def q_sketch_rolling(spark, sf) -> DataFrame:
+    """Reference Sketcher sketch (transforms/sketcher.py:29-62): normalized
+    text -> 17-byte Rabin-Karp window hashes -> 16 smallest scrambled values.
+    The oracle replays the exact formula in DuckDB HUGEINT arithmetic
+    (the test corpus is ASCII, so NFKC normalization is the identity)."""
+    from sycamore_spark.operators.sketcher import rolling_sketch
+
+    docs = _ds(spark, sf, "documents").to_df().select("doc_id", F.col("text").alias("text_representation"))
+    return rolling_sketch(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "shingles"
+    )
+
+
 def q_dedup_exact(spark, sf) -> DataFrame:
     return dedup.exact_dedup(_ds(spark, sf, "documents").to_df(), "doc_id", "text")
 
@@ -1045,6 +1058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_sections": q_doc_sections,
     "llm_filter": q_llm_filter,
     "llm_extract": q_llm_extract,
+    "sketch_rolling": q_sketch_rolling,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -1357,6 +1371,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "llm_extract": (
             "SELECT doc_id, string_split(text, ' ')[1] AS first_word FROM documents"
+        ),
+        # exact replay of the rolling-sketch formula in HUGEINT arithmetic;
+        # weights are 256^(16-k) mod the RK prime
+        "sketch_rolling": (
+            "WITH t AS (SELECT doc_id, lower(regexp_replace(text, '\\W+', '', 'g')) AS s FROM documents), "
+            "w AS (SELECT doc_id, s, greatest(length(s) - 16, 0) AS nh FROM t), "
+            "h AS (SELECT doc_id, list_transform(range(nh), i -> "
+            "list_aggregate(list_transform(range(17), k -> ascii(s[i+k+1])::HUGEINT * "
+            "[792985600,3097600,12100,30962247438172160,120946279055360,472446402560,1845493760,"
+            "7208960,28160,110,281474976710656,1099511627776,4294967296,16777216,65536,256,1]"
+            "[k+1]::HUGEINT), 'sum') % 36028797018963913) AS hs FROM w), "
+            "scr AS (SELECT doc_id, list_sort(list_distinct(list_transform(hs, x -> "
+            "(((x * 6364136223846793005::HUGEINT + 9223372036854775783::HUGEINT) "
+            "% 18446744073709551616::HUGEINT) % 9223372036854775808::HUGEINT)::BIGINT))) AS ary FROM h) "
+            "SELECT doc_id::BIGINT AS doc_id, "
+            "CASE WHEN len(ary) = 0 THEN [0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0] "
+            "WHEN len(ary) >= 16 THEN ary[1:16] "
+            "ELSE list_sort(flatten(list_transform(range((16 + len(ary) - 1) // len(ary)), x -> ary)))[1:16] "
+            "END AS shingles FROM scr"
         ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint, "

@@ -80,3 +80,31 @@ def test_sketch_attaches_signature(spark):
     out = sketcher.sketch(_df(spark).withColumnRenamed("text", "text_representation"))
     row = out.filter(F.col("doc_id") == 1).collect()[0]
     assert len(row.shingles) == 64
+
+
+def test_rolling_sketch_and_uniquify(spark):
+    from sycamore_spark.operators.sketcher import (
+        rolling_sketch,
+        rolling_sketch_pairs,
+        rolling_sketch_uniquify,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running onward"
+    rows = [
+        (1, base),
+        (2, base + " x"),       # near-duplicate
+        (3, "completely different content about spark distributed engines and joins"),
+        (4, base.upper()),      # normalization makes this an exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text_representation string")
+    sk = {r["doc_id"]: r["shingles"] for r in rolling_sketch(df).collect()}
+    assert len(sk[1]) == 16
+    assert sk[1] == sk[4]  # lowercase normalization
+
+    pairs = {(r["id_a"], r["id_b"]): r["dist"] for r in rolling_sketch_pairs(df).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0.0
+    assert (1, 2) in pairs and pairs[(1, 2)] < 0.4
+    assert not any(3 in p for p in pairs)
+
+    kept = sorted(r["doc_id"] for r in rolling_sketch_uniquify(df).collect())
+    assert kept == [1, 3]  # 2 and 4 dropped as larger-id near-dups
