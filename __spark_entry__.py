@@ -802,6 +802,20 @@ def _graph_mock_factory():
     )
 
 
+def q_merge_schemas(spark, sf) -> DataFrame:
+    """Distributed schema merge (reference
+    property_extraction/merge_schemas.py): per-doc schemas (title/author +
+    a language-specific field, deterministic) frequency-merged at 30% —
+    one explode + groupBy count, no driver fold."""
+    from sycamore_spark.llm.extract import merge_schemas
+
+    docs = _ds(spark, sf, "documents").to_df().withColumn(
+        "_schema",
+        F.to_json(F.array(F.lit("title"), F.lit("author"), F.concat(F.lit("f_"), F.col("lang")))),
+    )
+    return merge_schemas(docs, "frequency", min_occurrence_ratio=0.3)
+
+
 def q_graph_nodes(spark, sf) -> DataFrame:
     """extract_graph_entities + resolve: mentions → canonical node table
     with stable content-hash ids (extract_graph_entities.py:207,
@@ -1068,6 +1082,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "extract_properties": q_extract_properties,
+    "merge_schemas": q_merge_schemas,
     "graph_nodes": q_graph_nodes,
     "graph_edges": q_graph_edges,
     "summarize_fold": q_summarize_fold,
@@ -1467,6 +1482,12 @@ def oracle_sql() -> dict[str, str]:
         "extract_properties": (
             "SELECT doc_id, coalesce(try_cast(regexp_extract(text, '\\d+') AS BIGINT), -1) "
             "AS first_num FROM documents"
+        ),
+        "merge_schemas": (
+            "WITH t AS (SELECT count(*)::DOUBLE AS tot FROM documents), "
+            "c AS (SELECT 'f_' || lang AS f, count(*) AS n FROM documents GROUP BY 1) "
+            "SELECT list_sort(list_concat(['author', 'title'], "
+            "coalesce((SELECT list(f ORDER BY f) FROM c, t WHERE n >= 0.3 * tot), []))) AS fields"
         ),
         "graph_nodes": (
             "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\b[a-z]{6,}\\b')) AS name "

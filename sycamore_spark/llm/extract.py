@@ -223,3 +223,79 @@ def extract_properties_typed(
     StructType — the typed-column promotion path (SURVEY.md §1.4)."""
     raw = extract_properties(df, schema, llm_factory, text_col=text_col, out_col="__pjson", **kwargs)
     return raw.withColumn(out_col, F.from_json(F.col("__pjson"), to_struct_type(schema))).drop("__pjson")
+
+
+def infer_schema_per_doc(
+    df: DataFrame,
+    llm_factory: Callable[[], LLM],
+    text_col: str = "text",
+    out_col: str = "_schema",
+    n_fields: int = 8,
+) -> DataFrame:
+    """Per-document schema inference (reference
+    property_extraction/extract.py:374 SchemaExtract): one LLM schema per
+    doc, stored as a JSON array of field names in ``out_col`` — the input to
+    the distributed schema-merge aggregations below."""
+    from sycamore_spark.llm.map import llm_map
+
+    prompt = (
+        "Propose a flat JSON schema (max " + str(n_fields) + " fields) for the "
+        "metadata of this document. Reply as JSON: "
+        '{"properties": [{"name": ..., "type": ...}]}\n'
+        "Document: {{ doc." + text_col + " }}"
+    )
+    raw = llm_map(df, prompt, "_schema_raw", llm_factory)
+
+    @F.pandas_udf("string")
+    def _fields(raws: pd.Series) -> pd.Series:
+        out = []
+        for r in raws:
+            parsed = extract_json(r or "") or {}
+            props = parsed.get("properties", parsed.get("fields", []))
+            names = []
+            for p in props:
+                if isinstance(p, dict) and "name" in p:
+                    names.append(str(p["name"]))
+                elif isinstance(p, str):
+                    names.append(p)
+            out.append(json.dumps(sorted(set(names))[: n_fields]))
+        return pd.Series(out)
+
+    return raw.withColumn(out_col, _fields(F.col("_schema_raw"))).drop("_schema_raw")
+
+
+def merge_schemas(
+    df: DataFrame,
+    mode: str = "union",
+    schema_col: str = "_schema",
+    min_occurrence_ratio: float = 0.5,
+) -> DataFrame:
+    """Distributed schema merge across the docset (reference
+    property_extraction/merge_schemas.py:76-120 — intersection_of_fields /
+    union_of_fields / frequency filter, which the reference folds on one
+    node): explode per-doc field lists, one groupBy(field) count, then
+
+    - ``union``: every distinct field,
+    - ``intersection``: fields present in EVERY doc,
+    - ``frequency``: fields present in >= ratio of docs.
+
+    Returns a single row (fields array<string>, sorted) — the merged schema.
+    """
+    n_docs = df.count()
+    fields = df.select(
+        F.explode(
+            F.array_distinct(  # per-doc dedupe: n counts DOCS containing the field
+                F.from_json(F.coalesce(F.col(schema_col), F.lit("[]")), "array<string>")
+            )
+        ).alias("f")
+    )
+    counts = fields.groupBy("f").agg(F.count(F.lit(1)).alias("n"))
+    if mode == "union":
+        keep = counts
+    elif mode == "intersection":
+        keep = counts.filter(F.col("n") >= n_docs)
+    elif mode == "frequency":
+        keep = counts.filter(F.col("n") >= min_occurrence_ratio * n_docs)
+    else:
+        raise ValueError(f"unknown merge_schemas mode {mode!r}")
+    return keep.agg(F.sort_array(F.collect_list("f")).alias("fields"))

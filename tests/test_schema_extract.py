@@ -133,3 +133,38 @@ def test_extract_typed(spark):
     out = extract_properties_typed(df, make_schema(), llm_factory)
     row = out.select(F.col("properties.year").alias("y"), F.col("properties.title").alias("t")).collect()[0]
     assert row["y"] == 1984 and row["t"] == "alpha"
+
+
+def test_infer_schema_per_doc_and_merge(spark):
+    import json as _json
+
+    from sycamore_spark.llm.extract import infer_schema_per_doc, merge_schemas
+
+    class SchemaLLM:
+        """Returns title+author for every doc, plus a doc-specific field."""
+
+        def generate_batch(self, prompts):
+            out = []
+            for p in prompts:
+                extra = "pages" if "alpha" in p else "isbn"
+                out.append(_json.dumps({"properties": [
+                    {"name": "title", "type": "string"},
+                    {"name": "author", "type": "string"},
+                    {"name": extra, "type": "int"},
+                ]}))
+            return out
+
+    df = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc"), (3, "alpha again")], "doc_id long, text string"
+    )
+    with_schema = infer_schema_per_doc(df, SchemaLLM)
+    schemas = {r["doc_id"]: _json.loads(r["_schema"]) for r in with_schema.collect()}
+    assert schemas[1] == ["author", "pages", "title"]
+    assert schemas[2] == ["author", "isbn", "title"]
+
+    union = merge_schemas(with_schema, "union").collect()[0]["fields"]
+    assert union == ["author", "isbn", "pages", "title"]
+    inter = merge_schemas(with_schema, "intersection").collect()[0]["fields"]
+    assert inter == ["author", "title"]
+    freq = merge_schemas(with_schema, "frequency", min_occurrence_ratio=0.6).collect()[0]["fields"]
+    assert freq == ["author", "pages", "title"]  # pages in 2/3 docs
