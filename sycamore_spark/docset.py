@@ -422,6 +422,26 @@ class DocSet:
 
         return self._wrap(kmeans(self.df, **kwargs))
 
+    def clustering(self, centroids, cluster_field_name: str = "cluster",
+                   field_name: str = "embedding") -> "DocSet":
+        """Nearest-given-centroid assignment (reference docset.clustering,
+        docset.py:1082)."""
+        from sycamore_spark.operators.clustering import assign_clusters
+
+        return self._wrap(assign_clusters(self.df, centroids, field_name, cluster_field_name))
+
+    def llm_generate_group(self, llm_factory, **kwargs) -> list[str]:
+        """Sample-driven LLM group-label generation (reference docset.py:1531)."""
+        from sycamore_spark.llm.map import llm_generate_group
+
+        return llm_generate_group(self.df, llm_factory, **kwargs)
+
+    def llm_clustering(self, llm_factory, groups: list[str], **kwargs) -> "DocSet":
+        """Assign docs to given groups (reference docset.py:1554)."""
+        from sycamore_spark.llm.map import llm_clustering
+
+        return self._wrap(llm_clustering(self.df, llm_factory, groups, **kwargs))
+
     def llm_map(self, prompt: str, out_col: str, llm_factory, **kwargs) -> "DocSet":
         from sycamore_spark.llm.map import llm_map
 

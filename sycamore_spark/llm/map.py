@@ -215,18 +215,17 @@ def summarize_data(
     return spark.createDataFrame([(answer,)], schema=StructType([StructField("answer", StringType())]))
 
 
-def llm_cluster_entity(
+def llm_generate_group(
     df: DataFrame,
     llm_factory: LLMFactory,
     field: str = "text_representation",
     instruction: str = "Form clusters of similar documents",
     num_groups: int = 5,
     sample: int = 50,
-    out_col: str = "cluster_label",
-) -> DataFrame:
-    """Two-phase LLM clustering (reference: docset.py:1590-1644): driver
-    samples values and asks the LLM for group labels (JSON array), then a
-    distributed assignment pass maps every doc to one label."""
+) -> list[str]:
+    """Phase 1 of LLM clustering (reference docset.llm_generate_group,
+    docset.py:1531): sample field values to the driver, ask the LLM for
+    group labels, return them as a list."""
     vals = [r["_v"] for r in df.select(F.col(field).alias("_v")).limit(sample).collect()]
     llm = llm_factory()
     reply = llm.generate(
@@ -238,6 +237,19 @@ def llm_cluster_entity(
         assert isinstance(groups, list) and groups
     except Exception:
         groups = [f"group_{i}" for i in range(num_groups)]
+    return [str(g) for g in groups]
+
+
+def llm_clustering(
+    df: DataFrame,
+    llm_factory: LLMFactory,
+    groups: list[str],
+    field: str = "text_representation",
+    out_col: str = "cluster_label",
+) -> DataFrame:
+    """Phase 2 (reference docset.llm_clustering, docset.py:1554): assign
+    every doc to one of the given group labels — a distributed llm_map with
+    membership validation."""
     prompt = (
         "Assign the text to exactly one of these groups: "
         + ", ".join(map(str, groups))
@@ -245,6 +257,21 @@ def llm_cluster_entity(
     )
     return llm_map(df, prompt, out_col, llm_factory,
                    validate=lambda r: r.strip() in {str(g) for g in groups})
+
+
+def llm_cluster_entity(
+    df: DataFrame,
+    llm_factory: LLMFactory,
+    field: str = "text_representation",
+    instruction: str = "Form clusters of similar documents",
+    num_groups: int = 5,
+    sample: int = 50,
+    out_col: str = "cluster_label",
+) -> DataFrame:
+    """Two-phase LLM clustering (reference: docset.py:1590-1644) — the
+    composition of llm_generate_group + llm_clustering."""
+    groups = llm_generate_group(df, llm_factory, field, instruction, num_groups, sample)
+    return llm_clustering(df, llm_factory, groups, field, out_col)
 
 
 def llm_filter_elements(

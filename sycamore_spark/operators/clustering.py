@@ -11,6 +11,8 @@ pluggable scorer whose default is the deterministic hashing-embedding cosine
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,3 +56,22 @@ def rerank(df: DataFrame, query: str, text_col: str = "text_representation",
     scored = df.withColumn(score_col, dot)
     out = scored.orderBy(F.col(score_col).desc())
     return out.limit(limit) if limit is not None else out
+
+
+def assign_clusters(df: DataFrame, centroids, vec_col: str = "embedding",
+                    out_col: str = "cluster") -> DataFrame:
+    """Assign each row to its nearest given centroid (reference
+    docset.clustering, docset.py:1082 — per-doc KMeans.closest there; one
+    vectorized argmin matmul per Arrow batch here)."""
+    from pyspark.sql.types import IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_norm2 = (C**2).sum(axis=1)
+
+    @F.pandas_udf(IntegerType())
+    def _closest(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy())
+        d = -2.0 * (m @ C.T) + c_norm2
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, _closest(V.as_double(F.col(vec_col))))

@@ -145,3 +145,35 @@ def test_llm_query_document_level_accumulates(spark):
     resp = _json.loads(out["properties"])["llm_response"]
     assert resp == "Q?|t1 cells|t2 cells"
     assert _json.loads(out["properties"])["k"] == "v"  # existing props kept
+
+
+def test_llm_generate_group_and_clustering(spark):
+    import json as _json
+
+    from sycamore_spark.docset import DocSet
+
+    class GroupLLM:
+        def generate(self, prompt):
+            return _json.dumps(["fruit", "dairy"])
+
+        def generate_batch(self, prompts):
+            return ["fruit" if "banana" in p or "orange" in p else "dairy" for p in prompts]
+
+    ds = DocSet(spark.createDataFrame(
+        [("1", "banana"), ("2", "milk"), ("3", "orange")], "id string, text_representation string"
+    ))
+    groups = ds.llm_generate_group(GroupLLM)
+    assert groups == ["fruit", "dairy"]
+    out = {r["id"]: r["cluster_label"] for r in ds.llm_clustering(GroupLLM, groups).take_all()}
+    assert out == {"1": "fruit", "2": "dairy", "3": "fruit"}
+
+
+def test_assign_clusters_nearest_centroid(spark):
+    from sycamore_spark.operators.clustering import assign_clusters
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.1]), (2, [5.0, 5.2]), (3, [0.2, -0.1])],
+        "id long, embedding array<double>",
+    )
+    out = {r["id"]: r["cluster"] for r in assign_clusters(df, [[0.0, 0.0], [5.0, 5.0]]).collect()}
+    assert out == {1: 0, 2: 1, 3: 0}
