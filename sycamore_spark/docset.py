@@ -462,6 +462,26 @@ class DocSet:
 
         return self._wrap(extract_properties_typed(self.df, schema, llm_factory, **kwargs))
 
+    def extract_schema(self, llm_factory, **kwargs) -> "DocSet":
+        """Per-document schema inference into properties._schema (reference
+        docset.extract_schema, docset.py:604)."""
+        from sycamore_spark.llm.extract import infer_schema_per_doc
+
+        return self._wrap(infer_schema_per_doc(self.df, llm_factory, **kwargs))
+
+    def extract_batch_schema(self, llm_factory, sample: int = 10, **kwargs) -> "DocSet":
+        """One schema inferred from a bounded sample, stamped onto EVERY doc
+        (reference docset.extract_batch_schema, docset.py:644) — a broadcast
+        literal, no per-doc LLM calls."""
+        import json as _json
+
+        from sycamore_spark.llm.extract import infer_schema
+
+        text_col = kwargs.pop("text_col", "text_representation")
+        schema = infer_schema(self.df, llm_factory, text_col=text_col, sample=sample, **kwargs)
+        fields = sorted(p.name for p in schema.properties)
+        return self._wrap(self.df.withColumn("_schema", F.lit(_json.dumps(fields))))
+
     def summarize(self, llm_factory, multistep: bool = False, **kwargs) -> "DocSet":
         from sycamore_spark.llm.map import summarize_docs
         from sycamore_spark.llm.summarize import summarize_multistep

@@ -168,3 +168,21 @@ def test_infer_schema_per_doc_and_merge(spark):
     assert inter == ["author", "title"]
     freq = merge_schemas(with_schema, "frequency", min_occurrence_ratio=0.6).collect()[0]["fields"]
     assert freq == ["author", "pages", "title"]  # pages in 2/3 docs
+
+
+def test_extract_batch_schema_stamps_every_doc(spark):
+    import json as _json
+
+    from sycamore_spark.docset import DocSet
+
+    class OneSchemaLLM:
+        def generate(self, prompt):
+            return _json.dumps({"properties": [
+                {"name": "title", "type": "string"}, {"name": "year", "type": "int"},
+            ]})
+
+    ds = DocSet(spark.createDataFrame(
+        [("1", "a"), ("2", "b"), ("3", "c")], "id string, text_representation string"
+    ))
+    out = ds.extract_batch_schema(OneSchemaLLM).take_all()
+    assert all(_json.loads(r["_schema"]) == ["title", "year"] for r in out)
