@@ -494,6 +494,34 @@ class DocSet:
 
         return self._wrap(llm_cluster_entity(self.df, llm_factory, **kwargs))
 
+    def infer_schema(self, llm_factory, mode: str = "intersection", **kwargs) -> "DocSet":
+        """Per-doc schema inference + distributed merge into ONE combined
+        schema row (reference docset.infer_schema, docset.py:483 — reduce_fn
+        defaults to intersection_of_fields there too)."""
+        from sycamore_spark.llm.extract import infer_schema_per_doc, merge_schemas
+
+        with_schema = infer_schema_per_doc(self.df, llm_factory, **kwargs)
+        return self._wrap(merge_schemas(with_schema, mode))
+
+    def extract_graph_entities(self, llm_factory, entity_types: list[str], **kwargs) -> "DocSet":
+        """Entity mentions table (reference docset.extract_graph_entities,
+        docset.py:676; operators/graph.py)."""
+        from sycamore_spark.operators.graph import extract_graph_entities
+
+        return self._wrap(extract_graph_entities(self.df, llm_factory, entity_types, **kwargs))
+
+    def extract_graph_relationships(self, llm_factory, relationship_types: list[str], **kwargs) -> "DocSet":
+        from sycamore_spark.operators.graph import extract_graph_relationships
+
+        return self._wrap(extract_graph_relationships(self.df, llm_factory, relationship_types, **kwargs))
+
+    def resolve_graph_entities(self) -> "DocSet":
+        """Dedup mentions into canonical nodes (reference
+        docset.resolve_graph_entities, docset.py:718)."""
+        from sycamore_spark.operators.graph import resolve_graph_entities
+
+        return self._wrap(resolve_graph_entities(self.df))
+
     def llm_map_elements(self, prompt: str, out_prop: str, llm_factory, **kwargs) -> "DocSet":
         from sycamore_spark.llm.map import llm_map_elements
 

@@ -118,3 +118,41 @@ def test_resolve_dedup_stable_ids(spark):
     assert len(nodes) == 2  # same name, different type → distinct nodes
     ids = {(r["norm_name"], r["type"]): r["node_id"] for r in nodes}
     assert len(set(ids.values())) == 2
+
+
+def test_fluent_graph_and_infer_schema(spark):
+    import json as _json
+
+    from sycamore_spark.docset import DocSet
+
+    class TermLLM:
+        def generate(self, prompt):
+            return _json.dumps({"properties": [{"name": "topic", "type": "string"}]})
+
+        def generate_batch(self, prompts):
+            out = []
+            for p in prompts:
+                # emit one entity mention per doc text word over 5 chars
+                import re
+
+                words = sorted(set(re.findall(r"[a-z]{6,}", p)))
+                out.append(_json.dumps([{"name": w, "type": "TERM"} for w in words]))
+            return out
+
+    ds = DocSet(spark.createDataFrame(
+        [("1", "quantum mechanics paper"), ("2", "quantum computing survey")],
+        "doc_id string, text string",
+    ))
+    mentions = ds.extract_graph_entities(TermLLM, ["TERM"])
+    nodes = mentions.resolve_graph_entities().take_all()
+    names = sorted(r["canonical"] for r in nodes)
+    assert "quantum" in names and len(names) >= 3
+
+    class SchemaLLM:
+        def generate_batch(self, prompts):
+            return [_json.dumps({"properties": [
+                {"name": "topic"}, {"name": "year" if "survey" in p else "venue"},
+            ]}) for p in prompts]
+
+    merged = ds.infer_schema(SchemaLLM, mode="intersection", text_col="text").take_all()
+    assert merged[0]["fields"] == ["topic"]
