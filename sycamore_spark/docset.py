@@ -594,6 +594,12 @@ class DocSet:
     def persist(self) -> "DocSet":
         return self._wrap(self.df.persist())
 
+    def explain(self, mode: str = "formatted") -> None:
+        """Print the physical plan (reference docset.explain, docset.py:64
+        prints the Ray logical plan; here it is Catalyst's formatted plan —
+        the thing to audit for pushdown/broadcast/codegen)."""
+        self.df.explain(mode)
+
     @property
     def write(self):
         """Sink facade: ``ds.write.parquet/json/files/duckdb/iceberg``
