@@ -802,6 +802,23 @@ def _graph_mock_factory():
     )
 
 
+def q_plan_exec(spark, sf) -> DataFrame:
+    """Logical query layer end-to-end (plans/logical.py + plans/executor.py;
+    reference query/operators + sycamore_operator.py): QueryDatabase ->
+    range BasicFilter -> TopK, dispatched through the memoized PlanExecutor
+    — the oracle is the equivalent SQL, so the layer's physical mapping is
+    hash-checked, not just unit-tested."""
+    from sycamore_spark.plans import logical as L
+    from sycamore_spark.plans.executor import PlanExecutor
+
+    plan = L.LogicalPlan(query="top event types for mid-range values", result_node=2, nodes={
+        0: L.QueryDatabase(node_id=0, table="events"),
+        1: L.BasicFilter(node_id=1, field="value", start=5.0, end=50.0, range_filter=True, inputs=[0]),
+        2: L.TopK(node_id=2, field="event_type", K=3, inputs=[1]),
+    })
+    return PlanExecutor(spark, sf).execute(plan)
+
+
 def q_merge_schemas(spark, sf) -> DataFrame:
     """Distributed schema merge (reference
     property_extraction/merge_schemas.py): per-doc schemas (title/author +
@@ -1082,6 +1099,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "extract_properties": q_extract_properties,
+    "plan_exec": q_plan_exec,
     "merge_schemas": q_merge_schemas,
     "graph_nodes": q_graph_nodes,
     "graph_edges": q_graph_edges,
@@ -1482,6 +1500,11 @@ def oracle_sql() -> dict[str, str]:
         "extract_properties": (
             "SELECT doc_id, coalesce(try_cast(regexp_extract(text, '\\d+') AS BIGINT), -1) "
             "AS first_num FROM documents"
+        ),
+        "plan_exec": (
+            "SELECT event_type AS key, count(*)::BIGINT AS count FROM events "
+            "WHERE value >= 5.0 AND value <= 50.0 "
+            "GROUP BY 1 ORDER BY count DESC, key ASC LIMIT 3"
         ),
         "merge_schemas": (
             "WITH t AS (SELECT count(*)::DOUBLE AS tot FROM documents), "
