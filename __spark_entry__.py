@@ -802,6 +802,48 @@ def _graph_mock_factory():
     )
 
 
+def q_map_batch(spark, sf) -> DataFrame:
+    """Generic UDF surface (§2.10): DocSet.map_batch (Arrow-batched
+    pdf->pdf, reference BaseMapTransform/MapBatch) + flat_map (1->N rows,
+    reference FlatMap) — both SQL-replicable so the wrapper machinery is
+    hash-checked end-to-end."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    docs = DocSet(_ds(spark, sf, "documents").to_df().select("doc_id", "text"))
+    mb_schema = StructType([
+        StructField("doc_id", docs.to_df().schema["doc_id"].dataType),
+        StructField("upper_text", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+
+    def enrich(pdf):
+        out = pdf.copy()
+        out["upper_text"] = out["text"].str.upper()
+        out["n_chars"] = out["text"].str.len().astype("int64")
+        return out[["doc_id", "upper_text", "n_chars"]]
+
+    fm_schema = StructType([
+        StructField("doc_id", docs.to_df().schema["doc_id"].dataType),
+        StructField("half", StringType()),
+    ])
+
+    def split_halves(row):
+        t = row["text"] or ""
+        mid = len(t) // 2
+        return [
+            {"doc_id": row["doc_id"], "half": "head:" + t[:mid]},
+            {"doc_id": row["doc_id"], "half": "tail:" + t[mid:]},
+        ]
+
+    enriched = docs.map_batch(enrich, schema=mb_schema)
+    halves = docs.flat_map(split_halves, schema=fm_schema)
+    return (
+        enriched.to_df()
+        .join(halves.to_df().groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_halves")), "doc_id")
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "upper_text", "n_chars", "n_halves")
+    )
+
+
 def q_plan_exec(spark, sf) -> DataFrame:
     """Logical query layer end-to-end (plans/logical.py + plans/executor.py;
     reference query/operators + sycamore_operator.py): QueryDatabase ->
@@ -1099,6 +1141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "extract_properties": q_extract_properties,
+    "map_batch": q_map_batch,
     "plan_exec": q_plan_exec,
     "merge_schemas": q_merge_schemas,
     "graph_nodes": q_graph_nodes,
@@ -1500,6 +1543,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_properties": (
             "SELECT doc_id, coalesce(try_cast(regexp_extract(text, '\\d+') AS BIGINT), -1) "
             "AS first_num FROM documents"
+        ),
+        "map_batch": (
+            "SELECT doc_id::BIGINT AS doc_id, upper(text) AS upper_text, "
+            "length(text)::BIGINT AS n_chars, 2::BIGINT AS n_halves FROM documents"
         ),
         "plan_exec": (
             "SELECT event_type AS key, count(*)::BIGINT AS count FROM events "
