@@ -802,6 +802,45 @@ def _graph_mock_factory():
     )
 
 
+def q_db_writer(spark, sf) -> DataFrame:
+    """BaseDBWriter protocol end-to-end (connectors.py; reference
+    connectors/base_writer.py): documents -> OpenSearch-shaped records
+    through foreachPartition batch writes into the JSONL-dir transport,
+    read back and hash-checked — the connector machinery itself is under
+    the oracle, not just unit tests."""
+    import tempfile
+
+    from sycamore_spark.connectors import (
+        JsonlDirClient,
+        JsonlDirClientParams,
+        JsonlDirTargetParams,
+        opensearch_record,
+        read_jsonl_dir,
+        write_db,
+    )
+
+    root = tempfile.mkdtemp(prefix="dbwriter-gate-")
+    docs = load_table(spark, sf, "documents").selectExpr(
+        "cast(doc_id as string) AS doc_id", "'document' AS type", "text AS text_representation"
+    )
+    write_db(
+        docs,
+        JsonlDirClient,
+        JsonlDirClientParams(root=root),
+        JsonlDirTargetParams(name="docs", schema_hint="v1"),
+        record_fn=opensearch_record("docs-index"),
+        batch_size=64,
+    )
+    recs = read_jsonl_dir(root, "docs")
+    rows = [
+        (r["_index"], int(r["_id"]), r["_source"]["text_representation"], len(r["_source"]))
+        for r in recs
+    ]
+    return spark.createDataFrame(
+        rows, "index_name string, doc_id bigint, text string, n_source_fields int"
+    )
+
+
 def q_map_batch(spark, sf) -> DataFrame:
     """Generic UDF surface (§2.10): DocSet.map_batch (Arrow-batched
     pdf->pdf, reference BaseMapTransform/MapBatch) + flat_map (1->N rows,
@@ -1142,6 +1181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "extract_properties": q_extract_properties,
     "map_batch": q_map_batch,
+    "db_writer": q_db_writer,
     "plan_exec": q_plan_exec,
     "merge_schemas": q_merge_schemas,
     "graph_nodes": q_graph_nodes,
@@ -1543,6 +1583,12 @@ def oracle_sql() -> dict[str, str]:
         "extract_properties": (
             "SELECT doc_id, coalesce(try_cast(regexp_extract(text, '\\d+') AS BIGINT), -1) "
             "AS first_num FROM documents"
+        ),
+        # 9 = len(DEFAULT_RECORD_PROPERTIES): the _source carries the full
+        # default record shape
+        "db_writer": (
+            "SELECT 'docs-index' AS index_name, doc_id::BIGINT AS doc_id, "
+            "text, 9::INT AS n_source_fields FROM documents"
         ),
         "map_batch": (
             "SELECT doc_id::BIGINT AS doc_id, upper(text) AS upper_text, "
