@@ -802,6 +802,33 @@ def _graph_mock_factory():
     )
 
 
+def q_stream_dedup(spark, sf) -> DataFrame:
+    """Structured Streaming under the gate: the documents table replayed as
+    an availableNow file stream through the streaming exact-dedup twin
+    (streaming/dedup.py dropDuplicates on content fingerprint); the
+    DETERMINISTIC aggregate (distinct-fingerprint count) is hash-checked —
+    per-row survivors would depend on arrival order, counts don't."""
+    import tempfile
+
+    from sycamore_spark.streaming.dedup import dedup_stream
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="streamdedup-gate-")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = dedup_stream(stream, text_col="text")
+    name = "stream_dedup_gate"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.count_distinct("fingerprint").cast("bigint").alias("n_fingerprints"),
+    )
+
+
 def q_db_writer(spark, sf) -> DataFrame:
     """BaseDBWriter protocol end-to-end (connectors.py; reference
     connectors/base_writer.py): documents -> OpenSearch-shaped records
@@ -1182,6 +1209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_properties": q_extract_properties,
     "map_batch": q_map_batch,
     "db_writer": q_db_writer,
+    "stream_dedup": q_stream_dedup,
     "plan_exec": q_plan_exec,
     "merge_schemas": q_merge_schemas,
     "graph_nodes": q_graph_nodes,
@@ -1583,6 +1611,11 @@ def oracle_sql() -> dict[str, str]:
         "extract_properties": (
             "SELECT doc_id, coalesce(try_cast(regexp_extract(text, '\\d+') AS BIGINT), -1) "
             "AS first_num FROM documents"
+        ),
+        "stream_dedup": (
+            "SELECT count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))::BIGINT AS n_unique, "
+            "count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))::BIGINT AS n_fingerprints "
+            "FROM documents"
         ),
         # 9 = len(DEFAULT_RECORD_PROPERTIES): the _source carries the full
         # default record shape
