@@ -693,12 +693,21 @@ def merge_tables(
 
         others = [e for e in els if (e.get("type") or "").lower() != "table"]
         new_tables = [tables[0]]
+
+        def _flag(el: dict, value: bool) -> dict:
+            # reference overwrites the LLM's raw reply with the boolean
+            # outcome after merging (merge_elements.py:492-496)
+            props = json.loads(el.get("properties") or "{}")
+            props["table_continuation"] = value
+            el["properties"] = json.dumps(props)
+            return el
+
         for t in tables[1:]:
             cont = json.loads(t.get("properties") or "{}").get("table_continuation") or ""
             if "true" in str(cont).lower():
-                new_tables[-1] = _merge_two_table_elements(new_tables[-1], t)
+                new_tables[-1] = _flag(_merge_two_table_elements(new_tables[-1], t), True)
             else:
-                new_tables.append(t)
+                new_tables.append(_flag(t, False))
         out = others + new_tables
         for i, e in enumerate(out):
             e["element_index"] = i
