@@ -52,12 +52,19 @@ def brute_force_topk(
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    out_type = StructType([
+        StructField("query_id", queries.schema[query_id].dataType),
+        StructField("neighbor_id", corpus.schema[corpus_id].dataType),
+        StructField("rank", IntegerType()),
+        StructField("score", DoubleType()),
+    ])
     q_rows = queries.select(
         F.col(query_id).alias("query_id"), V.as_double(F.col(query_vec)).alias("_qv")
     ).collect()
     if not q_rows:
-        empty = queries.sparkSession.createDataFrame([], "query_id string, neighbor_id string, rank int, score double")
-        return empty
+        return queries.sparkSession.createDataFrame([], out_type)
     qids = [r["query_id"] for r in q_rows]
     Q = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
     if metric == "cosine":
@@ -174,6 +181,8 @@ def ivf_topk(
     # in ONE vectorized Arrow pass (argmin of -2XC^T + ||c||^2).
     corpus_v = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     sample = corpus_v.select(V.as_double(F.col("_cv")).alias("v")).limit(train_sample).collect()
+    if not sample:
+        return brute_force_topk(queries, corpus, k, query_id, corpus_id, vec_col, vec_col)
     X = np.array([r["v"] for r in sample])
     C = _train_centroids(X, ncells, seed)
     c_norm2 = (C**2).sum(axis=1)
