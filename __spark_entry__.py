@@ -1041,6 +1041,43 @@ def q_frame_sample(spark, sf) -> DataFrame:
 # Text analysis (training-data pipeline additions)
 # ---------------------------------------------------------------------------
 
+def q_salted_join(spark, sf) -> DataFrame:
+    """Hot-key salted join (operators/joins.py salted_join — skew machinery
+    beyond the reference): lineitem (l_suppkey is the natural skew victim at
+    scale) joined to supplier with the build side replicated 8x and probe
+    rows scattered by a row-unique id. The oracle is the PLAIN join — the
+    salt must be invisible in the result."""
+    from sycamore_spark.operators.joins import salted_join
+
+    li = _ds(spark, sf, "lineitem").to_df().select("l_orderkey", "l_linenumber", "l_suppkey")
+    supp = _ds(spark, sf, "supplier").to_df().select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name", "s_nationkey"
+    )
+    out = salted_join(li, supp, on="l_suppkey", salt=8, probe_id="l_orderkey")
+    return (
+        out.groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.count_distinct("l_orderkey").alias("n_orders"))
+        .select("s_nationkey", "n_items", "n_orders")
+    )
+
+
+def q_spread_properties(spark, sf) -> DataFrame:
+    """spread_properties (reference transforms/spread_properties.py:8): doc
+    properties copied onto each element (element keys win); checked by
+    reading the spread key back off every exploded element."""
+    ds = _documents_as_docset(spark, sf)
+    spread = elements.spread_properties(ds, keys=["source"])
+    ex = spread.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode("elements").alias("el"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("el.element_index").alias("element_index"),
+        F.get_json_object(F.col("el.properties"), "$.source").alias("el_source"),
+    )
+
+
 def q_asof_join(spark, sf) -> DataFrame:
     """Backward as-of join (event attribution): each click matched to the
     latest at-or-before purchase per user — union+window technique, ONE
@@ -1217,6 +1254,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "summarize_fold": q_summarize_fold,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
+    "salted_join": q_salted_join,
+    "spread_properties": q_spread_properties,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
     "cube": q_cube,
@@ -1674,6 +1713,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*)::BIGINT AS n, "
             "round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS value_sum "
             "FROM events GROUP BY CUBE (event_type, CAST(hour(ts) AS INT))"
+        ),
+        "salted_join": (
+            "SELECT s_nationkey, count(*)::BIGINT AS n_items, "
+            "count(DISTINCT l_orderkey)::BIGINT AS n_orders "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1"
+        ),
+        "spread_properties": (
+            "WITH t AS (SELECT doc_id, source, "
+            "CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INT) AS nc FROM documents) "
+            "SELECT doc_id::BIGINT AS doc_id, unnest(range(nc))::INT AS element_index, "
+            "source AS el_source FROM t"
         ),
         "asof_join": (
             "WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
