@@ -526,6 +526,58 @@ def q_tpch_q19(spark, sf) -> DataFrame:
     return j.filter(cond).agg(F.round(rev, 2).cast("double").alias("revenue"))
 
 
+def q_assign_props(spark, sf) -> DataFrame:
+    """AssignDocProperties (reference transforms/assign_doc_properties.py:8):
+    each element gets properties.first_word; the FIRST matching element's
+    value is lifted to the document."""
+    ds = _documents_as_docset(spark, sf)
+    with_props = elements.map_elements(
+        ds,
+        lambda e: e.withField(
+            "properties",
+            F.to_json(F.struct(F.split(e["text_representation"], " ")[0].alias("first_word"))),
+        ),
+    )
+    lifted = elements.assign_doc_properties(with_props, "text", "first_word")
+    return lifted.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.get_json_object("properties", "$.first_word").alias("first_word"),
+    )
+
+
+def q_layout_merge(spark, sf) -> DataFrame:
+    """Full layout pipeline under the gate: text -> FakeLayoutPartitioner
+    (page count = 1 + first-4-md5-bytes % 3, replicable in SQL) -> bbox sort
+    -> footer/tiny drops + page breaks -> MarkedMerger. With headers kept
+    (top margin 0) every page break survives, so merged chunks per doc ==
+    page count."""
+    from sycamore_spark.data.schema import DOC_SCHEMA
+    from sycamore_spark.operators.partition import FakeLayoutPartitioner, partition
+
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.lit("doc").alias("type"),
+        F.col("text").alias("text_representation"),
+        F.encode("text", "utf-8").alias("binary_representation"),
+        F.lit(None).cast("array<double>").alias("bbox"),
+        F.lit(None).cast("array<bigint>").alias("shingles"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(None).cast("string").alias("properties"),
+        F.lit(None).cast(DOC_SCHEMA["elements"].dataType).alias("elements"),
+    )
+    df = partition(docs, FakeLayoutPartitioner())
+    df = elements.sort_by_page_bbox(df)
+    df = elements.mark_drop_header_footer(df, top=0.0)
+    df = elements.mark_drop_tiny(df)
+    df = elements.mark_break_page(df)
+    df = elements.merge_marked(df)
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size("elements").cast("bigint").alias("n_chunks"),
+    )
+
+
 def q_doc_explode(spark, sf) -> DataFrame:
     """Explode elements → child docs; children counted per parent
     (transforms/explode.py:10-65)."""
@@ -1225,6 +1277,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "standardize_date": q_standardize_date,
     "augment_text": q_augment_text,
     "chunk_overlap": q_chunk_overlap,
+    "assign_props": q_assign_props,
+    "layout_merge": q_layout_merge,
     "doc_explode": q_doc_explode,
     "doc_unexplode": q_doc_unexplode,
     "doc_merge": q_doc_merge,
@@ -1492,6 +1546,15 @@ def oracle_sql() -> dict[str, str]:
             "i -> array_to_string(toks[(i*8+1):(i*8+10)], ' ')) AS chunks FROM t) "
             "SELECT doc_id, len(chunks)::INT AS n_chunks, "
             "md5(array_to_string(chunks, '|')) AS chunks_hash FROM c"
+        ),
+        "assign_props": (
+            "SELECT doc_id::BIGINT AS doc_id, string_split(text, ' ')[1] AS first_word FROM documents"
+        ),
+        # page count formula mirrors FakeLayoutPartitioner: 1 + (first 4
+        # md5 bytes as big-endian int) % 3
+        "layout_merge": (
+            "SELECT doc_id::BIGINT AS doc_id, "
+            "(1 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 3)::BIGINT AS n_chunks FROM documents"
         ),
         "doc_explode": (
             "SELECT doc_id::VARCHAR AS key, "
