@@ -526,6 +526,30 @@ def q_tpch_q19(spark, sf) -> DataFrame:
     return j.filter(cond).agg(F.round(rev, 2).cast("double").alias("revenue"))
 
 
+def q_io_roundtrip(spark, sf) -> DataFrame:
+    """Writer+scanner surface under the gate (sources/files.py, writer.py,
+    materialize): documents -> JSONL write -> json scan -> parquet
+    materialize (USE_STORED re-read) -> text stats. Any loss/corruption in
+    the IO path breaks the hash."""
+    import tempfile
+
+    import sycamore_spark as ss
+
+    docs = load_table(spark, sf, "documents").selectExpr(
+        "cast(doc_id as string) AS doc_id", "text AS text_representation"
+    )
+    root = tempfile.mkdtemp(prefix="io-gate-")
+    DocSet(docs).write.json(f"{root}/jsonl")
+    back = ss.read(spark).document(f"{root}/jsonl")
+    mat = back.materialize(f"{root}/mat", source_mode="USE_STORED")
+    again = ss.read(spark).materialize(f"{root}/mat")
+    return again.to_df().select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.length("text_representation").cast("bigint").alias("n_chars"),
+        F.md5("text_representation").alias("text_md5"),
+    )
+
+
 def q_assign_props(spark, sf) -> DataFrame:
     """AssignDocProperties (reference transforms/assign_doc_properties.py:8):
     each element gets properties.first_word; the FIRST matching element's
@@ -1277,6 +1301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "standardize_date": q_standardize_date,
     "augment_text": q_augment_text,
     "chunk_overlap": q_chunk_overlap,
+    "io_roundtrip": q_io_roundtrip,
     "assign_props": q_assign_props,
     "layout_merge": q_layout_merge,
     "doc_explode": q_doc_explode,
@@ -1546,6 +1571,10 @@ def oracle_sql() -> dict[str, str]:
             "i -> array_to_string(toks[(i*8+1):(i*8+10)], ' ')) AS chunks FROM t) "
             "SELECT doc_id, len(chunks)::INT AS n_chunks, "
             "md5(array_to_string(chunks, '|')) AS chunks_hash FROM c"
+        ),
+        "io_roundtrip": (
+            "SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS n_chars, "
+            "md5(text) AS text_md5 FROM documents"
         ),
         "assign_props": (
             "SELECT doc_id::BIGINT AS doc_id, string_split(text, ' ')[1] AS first_word FROM documents"
