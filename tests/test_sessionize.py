@@ -115,3 +115,45 @@ def test_sessionize_stream(spark, events, tmp_path):
     q.awaitTermination(120)
     got = {r["payload"]: r["session_id"] for r in spark.sql("select * from sess_out").collect()}
     assert got == {"a": "1-1", "b": "1-1", "c": "1-2", "d": "2-1", "e": "2-2"}
+
+
+def test_sessionize_stream_multibatch_timeout(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): the watermark from batch 2
+    fires the event-time timeout for batch-1 users — the hasTimedOut path
+    (state removal, no emission) must not crash the stream and every row
+    still gets its session id."""
+    import datetime as dt
+
+    src = str(tmp_path / "src_mb")
+    schema = "user_id long, ts timestamp, payload string"
+    batch1 = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1, 10, 0), "a"), (2, dt.datetime(2026, 1, 1, 10, 1), "d")],
+        schema,
+    )
+    # user 2 is idle in batch 2; its last_ts+gap is far behind this watermark
+    batch2 = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1, 14, 0), "b"), (3, dt.datetime(2026, 1, 1, 14, 1), "e")],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    batch2.coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    sessions = sessionize_stream(stream, gap_seconds=1800, watermark="1 minute")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {r["payload"]: r["session_id"] for r in spark.sql("select * from sess_mb").collect()}
+    # user 1: 4h gap -> second session; users 2/3 single sessions
+    assert got["a"] == "1-1" and got["d"] == "2-1" and got["e"] == "3-1"
+    assert got["b"] in ("1-1", "1-2")  # 1-2 when batches split; state timing may vary
