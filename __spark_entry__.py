@@ -34,6 +34,9 @@ def _dec(col, scale: int = 2):
     return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(f"decimal(18,{scale})")
 
 
+RERANK_QUERY = "spark query engine"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q5-style regional revenue join pipeline on sf0.001."""
     return q_tpch_q5(spark, SF1)
@@ -1226,14 +1229,23 @@ def q_kmeans(spark, sf) -> DataFrame:
 
 
 def q_rerank(spark, sf) -> DataFrame:
-    """Similarity rerank (docset.py:1364): deterministic hashing-embedding
-    cosine scorer → sort desc → limit. Scores are engine-internal (xxhash64
-    embeddings) → rows-only check; ordering semantics unit-tested."""
+    """Similarity rerank (docset.py:1364): hashing-trick cosine scorer ->
+    sort desc -> limit, in the integer-exact formulation (exact bigint
+    bucket counts; cosine = dot/(sqrt*sqrt) of integers) with the md5-based
+    cross-engine hash, so the scores hash-match the DuckDB oracle — was
+    rows-only in round 1."""
     from sycamore_spark.operators.clustering import rerank
+    from sycamore_spark.operators.dedup import md5_hash60
 
     docs = _ds(spark, sf, "documents").to_df()
-    return rerank(docs, "spark query engine", text_col="text", limit=25).select(
-        "doc_id", "score"
+    scored = rerank(
+        docs, RERANK_QUERY, text_col="text", dim=64,
+        hash_fn=md5_hash60, exact_counts=True, limit=None,
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(25)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "score")
     )
 
 
@@ -1381,6 +1393,33 @@ _STOPWORDS_SQL = (
     "['a','an','and','are','as','at','be','been','by','for','from','in','is',"
     "'it','of','on','or','that','the','this','to','was','were','with']"
 )
+
+
+def _rerank_oracle_sql() -> str:
+    """Replays the integer-exact hashing-trick rerank: md5-60bit token
+    buckets mod 64; dot with the (python-precomputed) query bucket counts;
+    cosine from exact integer counts."""
+    import hashlib
+
+    dim = 64
+    q_counts: dict[int, int] = {}
+    for t in RERANK_QUERY.strip().lower().split():
+        b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim
+        q_counts[b] = q_counts.get(b, 0) + 1
+    nb2 = sum(c * c for c in q_counts.values())
+    dot_terms = " + ".join(
+        f"len(list_filter(bk, x -> x = {b})) * {c}" for b, c in sorted(q_counts.items())
+    )
+    return (
+        "WITH t AS (SELECT doc_id, list_transform(string_split(trim(lower(text)), ' '), "
+        f"tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % {dim}) AS bk FROM documents), "
+        f"s AS (SELECT doc_id, ({dot_terms})::BIGINT AS dot, "
+        "list_aggregate(list_transform(list_distinct(bk), "
+        "i -> len(list_filter(bk, x -> x = i)) * len(list_filter(bk, x -> x = i))), 'sum')::BIGINT AS na2 FROM t) "
+        "SELECT doc_id::BIGINT AS doc_id, "
+        f"CASE WHEN na2 > 0 THEN dot::DOUBLE / (sqrt(na2::DOUBLE) * sqrt({nb2}::DOUBLE)) ELSE 0.0 END AS score "
+        "FROM s ORDER BY score DESC, doc_id ASC LIMIT 25"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1891,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN count(gr) = 0 THEN 0.0 ELSE sum(hit) / count(gr) END, 6) AS contamination_frac "
             "FROM j GROUP BY 1"
         ),
+        "rerank": _rerank_oracle_sql(),
         "fingerprint": (
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint FROM documents"
         ),

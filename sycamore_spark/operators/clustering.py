@@ -39,22 +39,75 @@ def kmeans(df: DataFrame, vec_col: str = "embedding", k: int = 8, seed: int = 42
 
 
 def rerank(df: DataFrame, query: str, text_col: str = "text_representation",
-           score_col: str = "score", limit: int | None = None, dim: int = 64) -> DataFrame:
+           score_col: str = "score", limit: int | None = None, dim: int = 64,
+           hash_fn=None, exact_counts: bool = False) -> DataFrame:
     """Score rows against a query and sort descending (reference rerank
     propagates the max element score then sorts; here the doc text is
     scored directly). Default scorer: cosine of hashing embeddings —
-    deterministic, no model download."""
-    qv = hashing_embedding_expr(F.lit(query), dim)
+    deterministic, no model download. ``hash_fn`` forwards to the embedder
+    (md5 variant makes scores cross-engine replicable)."""
+    if exact_counts:
+        return _rerank_exact(df, query, text_col, score_col, limit, dim, hash_fn)
+    qv = hashing_embedding_expr(F.lit(query), dim, hash_fn=hash_fn)
     # both vectors are l2-normalized, so cosine == dot product; computing
     # the full cosine would reference each (expensive, CSE-blocked)
     # embedding expression several times
     dot = F.aggregate(
-        F.zip_with(hashing_embedding_expr(F.col(text_col), dim), qv, lambda a, b: a * b),
+        F.zip_with(hashing_embedding_expr(F.col(text_col), dim, hash_fn=hash_fn), qv, lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     scored = df.withColumn(score_col, dot)
     out = scored.orderBy(F.col(score_col).desc())
+    return out.limit(limit) if limit is not None else out
+
+
+def _rerank_exact(df, query, text_col, score_col, limit, dim, hash_fn):
+    """Integer-exact cosine: the SAME hashing-trick score, but derived from
+    exact bigint bucket counts — cosine = dot / (sqrt(|a|^2) * sqrt(|b|^2))
+    with every input an integer, so the double result is bit-identical on
+    any engine (no fp32 normalization in the accumulation path). The query
+    side is a driver-side constant: only its nonzero buckets appear in the
+    expression."""
+    import hashlib
+
+    from sycamore_spark.functions import text as T
+
+    def _py_hash60(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    q_tokens = query.strip().lower().split()
+    q_counts: dict[int, int] = {}
+    for t in q_tokens:
+        b = _py_hash60(t) % dim
+        q_counts[b] = q_counts.get(b, 0) + 1
+    nb2 = sum(c * c for c in q_counts.values())
+
+    h = hash_fn or (lambda t: F.xxhash64(t))
+    buckets = F.transform(T.tokens(F.col(text_col)), lambda t: F.pmod(h(t), F.lit(dim)))
+
+    def bucket_count(i: int):
+        return F.size(F.filter(buckets, lambda b: b == i)).cast("long")
+
+    # na2 = sum of squared counts over ALL buckets = fold over bucket list of
+    # pairwise equality... cheaper: group equal buckets via aggregate of sorted
+    # counts — use the algebraic identity sum_i c_i^2 = sum over token pairs
+    # [b_x == b_y], computed as one fold over distinct buckets present.
+    distinct_buckets = F.array_distinct(buckets)
+    na2 = F.aggregate(
+        distinct_buckets,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.pow(F.size(F.filter(buckets, lambda b: b == i)), 2).cast("long"),
+    )
+    dot = None
+    for b, c in sorted(q_counts.items()):
+        term = bucket_count(b) * F.lit(c)
+        dot = term if dot is None else dot + term
+    score = F.when(
+        (na2 > 0) & F.lit(nb2 > 0),
+        dot.cast("double") / (F.sqrt(na2.cast("double")) * F.lit(float(nb2) ** 0.5)),
+    ).otherwise(F.lit(0.0))
+    out = df.withColumn(score_col, score).orderBy(F.col(score_col).desc())
     return out.limit(limit) if limit is not None else out
 
 

@@ -24,10 +24,12 @@ from pyspark.sql import functions as F
 from sycamore_spark.functions import text as T
 
 
-def hashing_embedding_expr(text_col: Column, dim: int = 64) -> Column:
+def hashing_embedding_expr(text_col: Column, dim: int = 64, hash_fn=None) -> Column:
     """Hashing-trick embedding: l2-normalized token-count buckets,
-    bucket = xxhash64(token) mod dim. One fold over the token array —
-    entirely JVM-side, zero shuffle, deterministic across engines/runs.
+    bucket = hash(token) mod dim (xxhash64 default; pass the md5-based
+    ``dedup.md5_hash60`` for a hash replicable in the DuckDB oracle). One
+    fold over the token array — entirely JVM-side, zero shuffle,
+    deterministic across engines/runs.
 
     Structure matters: HOF lambdas disable Spark's common-subexpression
     elimination, so (a) each token is hashed ONCE via a pre-pass transform
@@ -35,7 +37,8 @@ def hashing_embedding_expr(text_col: Column, dim: int = 64) -> Column:
     (b) normalization happens in the aggregate's finish lambda, where the
     accumulated array is a bound variable — referencing it repeatedly is
     free, unlike referencing the fold expression itself."""
-    buckets = F.transform(T.tokens(text_col), lambda t: F.pmod(F.xxhash64(t), F.lit(dim)))
+    h = hash_fn or (lambda t: F.xxhash64(t))
+    buckets = F.transform(T.tokens(text_col), lambda t: F.pmod(h(t), F.lit(dim)))
 
     def finish(acc: Column) -> Column:
         norm = F.sqrt(F.aggregate(acc, F.lit(0.0), lambda a, x: a + x * x))
