@@ -320,6 +320,258 @@ def qdrant_record() -> RecordFn:
     return fn
 
 
+# ---------------------------------------------------------------------------
+# Read-side protocol: the reference's ``BaseDBReader`` contract
+# (reference: lib/sycamore/sycamore/connectors/base_reader.py — Client /
+# QueryResponse / QueryParams / ClientParams type params, target-presence
+# check, read_records -> to_docs) re-expressed Spark-first.
+#
+# The reference reads the whole result on the DRIVER and fans out with
+# ray.data.from_items (base_reader.py:79-84) — a funnel that caps reads at
+# driver memory. Here the query is split into shards (QueryParams.shards)
+# and each shard is read INSIDE a partition: one client per shard, records
+# serialized to JSON strings, parsed JVM-side with an explicit schema
+# (from_json — no driver-side schema inference, no driver funnel).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class QueryParams:
+    """Read-target + query config (index/collection name, query DSL,
+    filters). ``shards(n)`` splits the read into n independent sub-queries;
+    the default is a single shard (services that can't split)."""
+
+    def shards(self, n: int) -> list["QueryParams"]:
+        return [self]
+
+
+class DBReaderClient(ABC):
+    """Adapter over a concrete store's read path. One instance per shard."""
+
+    @classmethod
+    @abstractmethod
+    def from_client_params(cls, params: ClientParams) -> "DBReaderClient":
+        ...
+
+    @abstractmethod
+    def check_target_presence(self, query: QueryParams) -> bool:
+        ...
+
+    @abstractmethod
+    def read_records(self, query: QueryParams) -> list[dict]:
+        ...
+
+    def close(self) -> None:
+        pass
+
+
+def read_db(
+    spark,
+    client_cls: type[DBReaderClient],
+    client_params: ClientParams,
+    query_params: QueryParams,
+    record_fn: RecordFn | None = None,
+    num_shards: int = 1,
+    schema: str | Any | None = None,
+) -> DataFrame:
+    """Distributed protocol read.
+
+    Driver: target-presence check (fail fast, reference base_reader.py:67).
+    Executors: one client per shard; records -> (optional ``record_fn``
+    projection, None filters) -> JSON strings. With ``schema`` the records
+    parse to typed columns via ``from_json`` (JVM-side); without, the raw
+    ``record_json`` string column is returned for the caller to parse."""
+    from pyspark.sql import functions as F
+
+    driver_client = client_cls.from_client_params(client_params)
+    try:
+        if not driver_client.check_target_presence(query_params):
+            raise ValueError(f"Target is not present\nParameters: {query_params}\n")
+    finally:
+        driver_client.close()
+
+    shards = query_params.shards(num_shards)
+    shard_df = spark.range(len(shards)).toDF("shard_id").repartition(len(shards), "shard_id")
+    # mapInPandas keeps the exchange Arrow-batched and avoids a legacy RDD hop
+    import pandas as pd  # noqa: PLC0415
+
+    def read_shard_pd(batches):
+        for pdf in batches:
+            out: list[str] = []
+            for sid in pdf["shard_id"]:
+                qp = shards[int(sid)]
+                client = client_cls.from_client_params(client_params)
+                try:
+                    for rec in client.read_records(qp):
+                        if record_fn is not None:
+                            rec = record_fn(rec)
+                            if rec is None:
+                                continue
+                        out.append(json.dumps(rec, sort_keys=True, default=str))
+                finally:
+                    client.close()
+            yield pd.DataFrame({"record_json": out})
+
+    raw = shard_df.mapInPandas(read_shard_pd, "record_json string")
+    if schema is None:
+        return raw
+    return raw.select(F.from_json("record_json", schema).alias("r")).select("r.*")
+
+
+@dataclass
+class JsonlDirQueryParams(QueryParams):
+    """Query over a JsonlDir target: OpenSearch-DSL-subset ``query``
+    (match_all / term / range — the shapes the reference's readers forward,
+    e.g. opensearch reader query params) evaluated record-side, optional
+    ``fields`` projection. Shards split the part-file list by filename hash."""
+
+    name: str = ""
+    query: dict | None = None
+    fields: list[str] | None = None
+    shard_idx: int = 0
+    n_shards: int = 1
+
+    def shards(self, n: int) -> list["JsonlDirQueryParams"]:
+        return [
+            JsonlDirQueryParams(self.name, self.query, self.fields, i, n)
+            for i in range(max(1, n))
+        ]
+
+
+def _match_query(rec: dict, query: dict | None) -> bool:
+    """Evaluate the OpenSearch-DSL subset the protocol fakes support."""
+    if not query or "match_all" in query:
+        return True
+    if "term" in query:
+        ((field, value),) = query["term"].items()
+        return _dotted_get(rec, field) == value
+    if "range" in query:
+        ((field, bounds),) = query["range"].items()
+        v = _dotted_get(rec, field)
+        if v is None:
+            return False
+        return all(
+            (op != "gte" or v >= b) and (op != "gt" or v > b)
+            and (op != "lte" or v <= b) and (op != "lt" or v < b)
+            for op, b in bounds.items()
+        )
+    raise ValueError(f"unsupported query shape: {list(query)}")
+
+
+def _dotted_get(rec: dict, path: str):
+    cur: Any = rec
+    for part in path.split("."):
+        if not isinstance(cur, dict):
+            return None
+        cur = cur.get(part)
+    return cur
+
+
+class JsonlDirReaderClient(DBReaderClient):
+    """Read-back client for JsonlDir targets: the bundled file-backed
+    transport (and the protocol's test vehicle — write with JsonlDirClient,
+    read back here, hash against the source)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    @classmethod
+    def from_client_params(cls, params: ClientParams) -> "JsonlDirReaderClient":
+        assert isinstance(params, JsonlDirClientParams)
+        return cls(params.root)
+
+    def check_target_presence(self, query: QueryParams) -> bool:
+        assert isinstance(query, JsonlDirQueryParams)
+        return os.path.isdir(os.path.join(self.root, query.name))
+
+    def read_records(self, query: QueryParams) -> list[dict]:
+        assert isinstance(query, JsonlDirQueryParams)
+        import zlib
+
+        d = os.path.join(self.root, query.name)
+        out: list[dict] = []
+        for fn in sorted(os.listdir(d)):
+            if not (fn.startswith("part-") and fn.endswith(".jsonl")):
+                continue
+            if query.n_shards > 1 and zlib.crc32(fn.encode()) % query.n_shards != query.shard_idx:
+                continue
+            with open(os.path.join(d, fn)) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if not _match_query(rec, query.query):
+                        continue
+                    if query.fields:
+                        rec = {k: _dotted_get(rec, k) for k in query.fields}
+                    out.append(rec)
+        return out
+
+
+def opensearch_read_record() -> RecordFn:
+    """Unwrap the OpenSearch bulk-record envelope written by
+    ``opensearch_record`` back to the flat doc shape (reference
+    opensearch reader QueryResponse.to_docs inverse)."""
+
+    def fn(rec: dict) -> dict | None:
+        src = rec.get("_source")
+        if src is None:
+            return None
+        return {"doc_id": rec.get("_id"), **src}
+
+    return fn
+
+
+elasticsearch_read_record = opensearch_read_record  # same envelope
+
+
+def weaviate_read_record() -> RecordFn:
+    """Unwrap ``weaviate_record``'s {uuid, properties, vector} objects."""
+
+    def fn(rec: dict) -> dict | None:
+        props = dict(rec.get("properties") or {})
+        flat = {
+            k[len("properties__"):]: props.pop(k)
+            for k in list(props)
+            if k.startswith("properties__")
+        }
+        out = {"doc_id": rec.get("uuid"), **props}
+        if flat:
+            out["properties"] = flat
+        vec = rec.get("vector")
+        if vec:
+            out["embedding"] = vec.get("embedding") if isinstance(vec, dict) else vec
+        return out
+
+    return fn
+
+
+def pinecone_read_record() -> RecordFn:
+    """Unwrap ``pinecone_record``'s {id, values, metadata} vectors (the
+    parent_id#doc_id composite id splits back apart)."""
+
+    def fn(rec: dict) -> dict | None:
+        rid = rec.get("id") or ""
+        parent_id, _, doc_id = rid.rpartition("#")
+        meta = rec.get("metadata") or {}
+        return {
+            "doc_id": doc_id or rid,
+            "parent_id": parent_id or None,
+            "embedding": rec.get("values"),
+            **{k: v for k, v in meta.items() if v is not None},
+        }
+
+    return fn
+
+
+def qdrant_read_record() -> RecordFn:
+    """Unwrap ``qdrant_record``'s {id, vector, payload} points."""
+
+    def fn(rec: dict) -> dict | None:
+        payload = rec.get("payload") or {}
+        return {"doc_id": rec.get("id"), "embedding": rec.get("vector"), **payload}
+
+    return fn
+
+
 def neo4j_node_record(label: str = "Document") -> RecordFn:
     """reference neo4j_writer.py node shape: label + properties map keyed by
     the doc uuid."""

@@ -74,6 +74,61 @@ def active() -> Optional[AutoMaterialize]:
     return _ACTIVE
 
 
+def reliable_materialize(
+    df: DataFrame,
+    out_root: str,
+    transform=None,
+    id_col: str = "doc_id",
+    max_batch: int = 200,
+    max_retries: int = 20,
+) -> DataFrame:
+    """Batched-retry materialization: ``MaterializeReadReliability``'s
+    contract (reference materialize.py:47-170 — process in bounded batches,
+    skip already-materialized outputs on retry, give up only after
+    ``max_retries`` cycles without progress) re-expressed Spark-first.
+
+    The reference batches by filtering input *paths* against seen output
+    names on the driver. Here batch membership is a deterministic hash
+    bucket of ``id_col`` (``pmod(xxhash64(id), n_batches)``) — no driver-side
+    id collection, so the loop holds at 100 TB: each cycle is one filtered
+    distributed write, and completed batches are recognized by their parquet
+    ``_SUCCESS`` marker (a crashed half-written batch has none and is
+    rewritten with mode=overwrite).
+
+    ``transform``: optional DataFrame -> DataFrame stage run per batch (the
+    expensive work being protected). Returns the re-read union of all batch
+    outputs — byte-equal to ``transform(df)`` but resumable mid-way.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    total = df.count()
+    n_batches = max(1, math.ceil(total / max_batch))
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_batches))
+
+    retries = 0
+    b = 0
+    while b < n_batches:
+        path = os.path.join(out_root, f"batch-{b:05d}")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            b += 1  # already materialized in a previous run — skip (resume)
+            continue
+        try:
+            sub = df.filter(bucket == b)
+            out = transform(sub) if transform is not None else sub
+            out.write.mode("overwrite").parquet(path)
+            b += 1
+            retries = 0
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            retries += 1
+            if retries > max_retries:
+                raise
+    return df.sparkSession.read.parquet(os.path.join(out_root, "batch-*"))
+
+
 def checkpoint_stage(build, df: DataFrame, kind: str, *key_parts: str, name: str | None = None) -> DataFrame:
     """Wrap one stage: reuse the stored output when the stage key matches a
     complete checkpoint, else build + store. ``build`` is a zero-arg callable

@@ -108,18 +108,20 @@ def interval_join(
     a cheap residual range filter. Work scales with
     intervals × (duration/bucket) — pick ``bucket_seconds`` near the median
     interval length."""
+    from sycamore_spark.functions.time import epoch_seconds_d
+
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
 
-    p = points.withColumn("_b", F.floor(F.col(point_ts).cast("double") / bucket_seconds).cast("long"))
+    p = points.withColumn("_b", F.floor(epoch_seconds_d(points, point_ts) / bucket_seconds).cast("long"))
     i = intervals.withColumn(
         "_b",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col).cast("double") / bucket_seconds).cast("long"),
+                F.floor(epoch_seconds_d(intervals, start_col) / bucket_seconds).cast("long"),
                 # end is exclusive: a zero-length or bucket-aligned end
                 # doesn't spill into the next bucket
                 F.floor(
-                    (F.col(end_col).cast("double") - F.lit(1e-9)) / bucket_seconds
+                    (epoch_seconds_d(intervals, end_col) - F.lit(1e-9)) / bucket_seconds
                 ).cast("long"),
             )
         ),

@@ -32,8 +32,11 @@ def dedup_stream(
     With ``ts_col`` set, duplicates are suppressed within the ``watermark``
     horizon and per-key state expires with it (dropDuplicatesWithinWatermark);
     without it, state is global and unbounded."""
+    from sycamore_spark.functions.time import as_event_time
+
     out = events.withColumn(fingerprint_col, T.fingerprint(F.col(text_col)))
     if ts_col is not None:
+        out = as_event_time(out, ts_col)  # watermark rejects TIMESTAMP_NTZ
         return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             [fingerprint_col]
         )

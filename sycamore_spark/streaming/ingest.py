@@ -29,6 +29,9 @@ def windowed_event_counts(events: DataFrame, ts_col: str = "ts", window: str = "
     """Watermarked tumbling-window aggregation: late rows beyond the
     watermark are dropped deterministically; state is bounded (the 100 TB
     requirement for infinite streams)."""
+    from sycamore_spark.functions.time import as_event_time
+
+    events = as_event_time(events, ts_col)  # watermark rejects TIMESTAMP_NTZ
     keys = [F.window(F.col(ts_col), window)]
     if group_col:
         keys.append(F.col(group_col))

@@ -42,14 +42,19 @@ def sessionize_batch(
     both window passes share the same (user, ts) ordering so Spark sorts
     once. Pass ``tiebreak_col`` for a deterministic order under equal
     timestamps."""
+    from sycamore_spark.functions.time import epoch_micros
+
     order = [F.col(ts_col).asc()]
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(user_col).orderBy(*order)
-    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # Exact integer-microsecond gap (NTZ-safe): TIMESTAMP_NTZ can't cast to
+    # long, unix_timestamp truncates sub-second parts, and the oracle
+    # (epoch_us) keeps them — integer micros agree with DuckDB bit-for-bit.
+    ts_us = epoch_micros(F.col(ts_col))
+    prev_us = F.lag(ts_us).over(w)
     is_start = (
-        prev_ts.isNull()
-        | (F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_seconds)
+        prev_us.isNull() | (ts_us - prev_us > gap_seconds * 1_000_000)
     ).cast("int")
     session_no = F.sum(is_start).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -121,6 +126,9 @@ def sessionize_stream(
     is dropped instead of accumulating forever."""
     from pyspark.sql.types import StringType
 
+    from sycamore_spark.functions.time import as_event_time
+
+    events = as_event_time(events, ts_col)  # watermark rejects TIMESTAMP_NTZ
     out_schema = StructType(list(events.schema.fields) + [StructField("session_id", StringType())])
     out_fields = [f.name for f in out_schema.fields]
     fn = _session_fn_factory(user_col, ts_col, gap_seconds, out_fields)

@@ -183,3 +183,120 @@ def test_service_record_mappers(spark, tmp_path):
 
     qd = read_jsonl_dir(root, "qd")[0]
     assert qd["payload"]["text_representation"] == "hello"
+
+
+# ---------------------------------------------------------------------------
+# Read-side protocol (read_db; reference connectors/base_reader.py)
+# ---------------------------------------------------------------------------
+
+from sycamore_spark.connectors import (  # noqa: E402
+    JsonlDirQueryParams,
+    JsonlDirReaderClient,
+    opensearch_read_record,
+    opensearch_record,
+    pinecone_read_record,
+    pinecone_record,
+    qdrant_read_record,
+    qdrant_record,
+    read_db,
+    weaviate_read_record,
+    weaviate_record,
+)
+
+
+def test_read_db_roundtrip_with_query_and_shards(spark, tmp_path):
+    root = str(tmp_path)
+    write_db(
+        _df(spark, 50).repartition(4),
+        JsonlDirClient,
+        JsonlDirClientParams(root=root),
+        JsonlDirTargetParams(name="t"),
+        record_fn=lambda row: {"doc_id": row["doc_id"], "id": row["id"]},
+        batch_size=7,
+    )
+    # match_all across 4 shards: every record exactly once
+    out = read_db(
+        spark,
+        JsonlDirReaderClient,
+        JsonlDirClientParams(root=root),
+        JsonlDirQueryParams(name="t"),
+        num_shards=4,
+        schema="doc_id string, id long",
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(f"doc-{i}" for i in range(50))
+
+    # range query evaluated record-side
+    out2 = read_db(
+        spark,
+        JsonlDirReaderClient,
+        JsonlDirClientParams(root=root),
+        JsonlDirQueryParams(name="t", query={"range": {"id": {"gte": 10, "lt": 15}}}),
+        schema="doc_id string, id long",
+    )
+    assert sorted(r.id for r in out2.collect()) == [10, 11, 12, 13, 14]
+
+    # term query + fields projection
+    out3 = read_db(
+        spark,
+        JsonlDirReaderClient,
+        JsonlDirClientParams(root=root),
+        JsonlDirQueryParams(name="t", query={"term": {"doc_id": "doc-3"}}, fields=["id"]),
+        schema="id long",
+    )
+    assert [r.id for r in out3.collect()] == [3]
+
+
+def test_read_db_missing_target_fails_fast(spark, tmp_path):
+    with pytest.raises(ValueError, match="Target is not present"):
+        read_db(
+            spark,
+            JsonlDirReaderClient,
+            JsonlDirClientParams(root=str(tmp_path)),
+            JsonlDirQueryParams(name="nope"),
+        )
+
+
+def test_service_record_mappers_roundtrip(spark, tmp_path):
+    """write mapper -> JsonlDir -> read mapper returns the original doc
+    fields for each service envelope shape."""
+    root = str(tmp_path)
+    doc = {
+        "doc_id": "d1",
+        "parent_id": "p9",
+        "type": "pdf",
+        "text_representation": "hello",
+        "embedding": [0.1, 0.2],
+        "properties": {"page-count": 3},
+        "shingles": [7, 9],
+        "bbox": None,
+        "elements": [],
+    }
+    df = spark.createDataFrame(
+        [
+            (
+                doc["doc_id"], doc["parent_id"], doc["type"], doc["text_representation"],
+                doc["embedding"], doc["properties"], doc["shingles"],
+            )
+        ],
+        "doc_id string, parent_id string, type string, text_representation string, "
+        "embedding array<double>, properties map<string,int>, shingles array<long>",
+    )
+    pairs = [
+        ("os", opensearch_record("idx"), opensearch_read_record()),
+        ("wv", weaviate_record(), weaviate_read_record()),
+        ("pc", pinecone_record(), pinecone_read_record()),
+        ("qd", qdrant_record(), qdrant_read_record()),
+    ]
+    for name, wmap, rmap in pairs:
+        write_db(
+            df, JsonlDirClient, JsonlDirClientParams(root=root),
+            JsonlDirTargetParams(name=name), record_fn=wmap,
+        )
+        out = read_db(
+            spark, JsonlDirReaderClient, JsonlDirClientParams(root=root),
+            JsonlDirQueryParams(name=name), record_fn=rmap,
+            schema="doc_id string, text_representation string",
+        ).collect()
+        assert len(out) == 1, name
+        assert out[0].doc_id == "d1", name
+        assert out[0].text_representation == "hello", name

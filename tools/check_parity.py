@@ -23,10 +23,15 @@ ONLY = set(sys.argv[2:])
 
 
 def norm_cell(v):
+    # Full-precision float repr: the driver hashes exact values, so a local
+    # gate at 9 significant digits hides exactly the engine-rounding
+    # divergences the driver counts (r2: custom_agg/tpch_q18 were locally
+    # "OK" at %.9g while red in CORRECTNESS_r02.json). repr() round-trips
+    # IEEE doubles (17 significant digits).
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        return repr(v)
     if v is None:
         return "\0NULL"
     return str(v)
