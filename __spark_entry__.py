@@ -959,6 +959,52 @@ def q_db_writer(spark, sf) -> DataFrame:
     )
 
 
+def q_db_reader(spark, sf) -> DataFrame:
+    """BaseDBReader protocol end-to-end (connectors.py read_db; reference
+    connectors/base_reader.py): documents written through the OpenSearch
+    record mapper into the JSONL-dir transport, then read back DISTRIBUTED —
+    8 shards, one client per shard, a range query evaluated record-side,
+    records parsed JVM-side with from_json. The whole read protocol (presence
+    check, sharding, query DSL, envelope unwrap) is under the oracle."""
+    import tempfile
+
+    from sycamore_spark.connectors import (
+        JsonlDirClient,
+        JsonlDirClientParams,
+        JsonlDirQueryParams,
+        JsonlDirReaderClient,
+        JsonlDirTargetParams,
+        opensearch_read_record,
+        opensearch_record,
+        read_db,
+        write_db,
+    )
+
+    root = tempfile.mkdtemp(prefix="dbreader-gate-")
+    docs = load_table(spark, sf, "documents").selectExpr(
+        "doc_id", "text AS text_representation"
+    )
+    write_db(
+        docs,
+        JsonlDirClient,
+        JsonlDirClientParams(root=root),
+        JsonlDirTargetParams(name="docs"),
+        record_fn=opensearch_record("docs-index"),
+        batch_size=64,
+    )
+    return read_db(
+        spark,
+        JsonlDirReaderClient,
+        JsonlDirClientParams(root=root),
+        JsonlDirQueryParams(
+            name="docs", query={"range": {"_source.doc_id": {"gte": 100, "lt": 300}}}
+        ),
+        record_fn=opensearch_read_record(),
+        num_shards=8,
+        schema="doc_id bigint, text_representation string",
+    )
+
+
 def q_map_batch(spark, sf) -> DataFrame:
     """Generic UDF surface (§2.10): DocSet.map_batch (Arrow-batched
     pdf->pdf, reference BaseMapTransform/MapBatch) + flat_map (1->N rows,
@@ -1313,6 +1359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rerank": q_rerank,
     "map_batch": q_map_batch,
     "db_writer": q_db_writer,
+    "db_reader": q_db_reader,
     "plan_exec": q_plan_exec,
     "merge_schemas": q_merge_schemas,
     "spread_properties": q_spread_properties,
@@ -1814,6 +1861,10 @@ def oracle_sql() -> dict[str, str]:
         "db_writer": (
             "SELECT 'docs-index' AS index_name, doc_id::BIGINT AS doc_id, "
             "text, 9::INT AS n_source_fields FROM documents"
+        ),
+        "db_reader": (
+            "SELECT doc_id::BIGINT AS doc_id, text AS text_representation "
+            "FROM documents WHERE doc_id >= 100 AND doc_id < 300"
         ),
         "map_batch": (
             "SELECT doc_id::BIGINT AS doc_id, upper(text) AS upper_text, "

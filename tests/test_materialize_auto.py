@@ -106,3 +106,74 @@ def test_disabled_means_no_checkpoints(spark, tmp_path):
     df = spark.createDataFrame([("d1", "alpha")], "doc_id string, text string")
     llm_map(df, "Say {{ text }}", "resp", _counting_factory(counter)).collect()
     assert not os.path.exists(str(tmp_path / "ckpt"))
+
+
+# ---------------------------------------------------------------------------
+# reliable_materialize (reference materialize.py:47 MaterializeReadReliability)
+# ---------------------------------------------------------------------------
+
+
+def test_reliable_materialize_retries_then_succeeds(spark, tmp_path):
+    """A transform that fails once mid-run: the loop retries the failed
+    batch, already-written batches are not recomputed, and the final
+    re-read equals the direct transform output."""
+    out_root = str(tmp_path / "out")
+    flag = str(tmp_path / "failed-once")
+    calls_dir = tmp_path / "calls"
+    calls_dir.mkdir()
+
+    df = spark.range(100).selectExpr("id AS doc_id", "id * 2 AS v")
+
+    def flaky(sub):
+        n = len(list(calls_dir.iterdir()))
+        (calls_dir / f"call-{n}").touch()
+        if n == 2 and not os.path.exists(flag):  # fail the 3rd batch, once
+            open(flag, "w").close()
+            raise RuntimeError("transient failure")
+        return sub.withColumn("v", sub.v + 1)
+
+    out = materialize.reliable_materialize(
+        df, out_root, transform=flaky, id_col="doc_id", max_batch=25, max_retries=3
+    )
+    got = sorted((r.doc_id, r.v) for r in out.collect())
+    assert got == [(i, 2 * i + 1) for i in range(100)]
+    assert os.path.exists(flag)  # the failure really happened
+    # 4 batches + 1 retry = 5 transform invocations
+    assert len(list(calls_dir.iterdir())) == 5
+
+
+def test_reliable_materialize_resumes_from_partial_dir(spark, tmp_path):
+    """Kill-and-resume: after a first full run, removing one batch's
+    _SUCCESS marker (a simulated half-written batch) makes a second run
+    rewrite ONLY that batch."""
+    out_root = str(tmp_path / "out")
+    df = spark.range(60).selectExpr("id AS doc_id")
+    materialize.reliable_materialize(df, out_root, id_col="doc_id", max_batch=20)
+    batches = sorted(d for d in os.listdir(out_root) if d.startswith("batch-"))
+    assert len(batches) == 3
+    os.remove(os.path.join(out_root, batches[1], "_SUCCESS"))
+
+    calls = []
+
+    def tracking(sub):
+        calls.append(1)
+        return sub
+
+    out = materialize.reliable_materialize(
+        df, out_root, transform=tracking, id_col="doc_id", max_batch=20
+    )
+    assert len(calls) == 1  # only the damaged batch recomputed
+    assert sorted(r.doc_id for r in out.collect()) == list(range(60))
+
+
+def test_reliable_materialize_gives_up_after_max_retries(spark, tmp_path):
+    df = spark.range(10).selectExpr("id AS doc_id")
+
+    def always_fails(sub):
+        raise RuntimeError("permanent failure")
+
+    with pytest.raises(RuntimeError, match="permanent failure"):
+        materialize.reliable_materialize(
+            df, str(tmp_path / "out"), transform=always_fails,
+            id_col="doc_id", max_batch=5, max_retries=2,
+        )
