@@ -1,0 +1,135 @@
+"""Document wire format (data/wire.py; reference data/document.py:214-278
+web_serialize/web_deserialize + msgpack public spec)."""
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sycamore_spark.data import wire
+
+# -- msgpack codec: known byte vectors from the public spec -----------------
+
+VECTORS = [
+    (None, b"\xc0"),
+    (True, b"\xc3"),
+    (False, b"\xc2"),
+    (0, b"\x00"),
+    (127, b"\x7f"),
+    (-1, b"\xff"),
+    (-32, b"\xe0"),
+    (128, b"\xcc\x80"),
+    (256, b"\xcd\x01\x00"),
+    (65536, b"\xce\x00\x01\x00\x00"),
+    (-33, b"\xd0\xdf"),
+    (-129, b"\xd1\xff\x7f"),
+    (1.5, b"\xcb\x3f\xf8\x00\x00\x00\x00\x00\x00"),
+    ("a", b"\xa1a"),
+    ("", b"\xa0"),
+    (b"\x01\x02", b"\xc4\x02\x01\x02"),
+    ([1, 2], b"\x92\x01\x02"),
+    ({"a": 1}, b"\x81\xa1a\x01"),
+    ([], b"\x90"),
+    ({}, b"\x80"),
+]
+
+
+@pytest.mark.parametrize("obj,blob", VECTORS)
+def test_msgpack_known_vectors(obj, blob):
+    assert wire.packb(obj) == blob
+    assert wire.unpackb(blob) == obj
+
+
+json_like = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(2**63), max_value=2**64 - 1)
+    | st.floats(allow_nan=False)
+    | st.text(max_size=40)
+    | st.binary(max_size=40),
+    lambda children: st.lists(children, max_size=5)
+    | st.dictionaries(st.text(max_size=10), children, max_size=5),
+    max_leaves=20,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(json_like)
+def test_msgpack_roundtrip_property(obj):
+    assert wire.unpackb(wire.packb(obj)) == obj
+
+
+def test_msgpack_long_payloads():
+    s = "x" * 70000  # str32
+    assert wire.unpackb(wire.packb(s)) == s
+    arr = list(range(70000))  # array32
+    assert wire.unpackb(wire.packb(arr)) == arr
+    m = {str(i): i for i in range(20)}  # map16
+    assert wire.unpackb(wire.packb(m)) == m
+    b = bytes(300)  # bin16
+    assert wire.unpackb(wire.packb(b)) == b
+
+
+def test_msgpack_rejects_garbage():
+    with pytest.raises(ValueError):
+        wire.unpackb(b"\xc1")  # never-used type byte
+    with pytest.raises(ValueError):
+        wire.unpackb(b"\xa5ab")  # truncated fixstr
+    with pytest.raises(ValueError):
+        wire.unpackb(b"\x01\x02")  # trailing bytes
+
+
+# -- ArynSDoc framing --------------------------------------------------------
+
+
+DOC = {
+    "doc_id": "d-1",
+    "type": "pdf",
+    "text_representation": "hello world",
+    "properties": {"path": "/tmp/x.pdf", "page_count": 3},
+    "elements": [
+        {"type": "Text", "text_representation": "hello", "bbox": [0.1, 0.2, 0.3, 0.4]},
+        {"type": "Image", "binary_representation": b"\x89PNG"},
+    ],
+}
+
+
+def test_document_roundtrip():
+    blob = wire.serialize_document(DOC)
+    assert blob.startswith(b"ArynSDoc")
+    doc = wire.deserialize_document(blob)
+    assert doc == DOC
+
+
+def test_document_header_validation():
+    blob = wire.serialize_document(DOC)
+    with pytest.raises(RuntimeError, match="Bad magic"):
+        wire.deserialize_document(b"NotMagic" + blob[8:])
+    bad_ver = struct.pack(wire.HEADER_FORMAT, wire.MAGIC, 9, 9) + blob[16:]
+    with pytest.raises(RuntimeError, match="Unsupported serialization version"):
+        wire.deserialize_document(bad_ver)
+    with pytest.raises(RuntimeError, match="Premature end"):
+        # drop the terminator (last msgpack obj is an 11-char fixstr = 12 bytes)
+        wire.deserialize_document(blob[:-12])
+
+
+def test_spark_wire_bridge(spark):
+    df = spark.createDataFrame(
+        [("d1", "hello", [1.0, 2.0]), ("d2", "world", [3.0, 4.0])],
+        "doc_id string, text_representation string, embedding array<double>",
+    )
+    wired = wire.docs_to_wire(df)
+    rows = {r.doc_id: bytes(r.wire) for r in wired.collect()}
+    assert set(rows) == {"d1", "d2"}
+    d1 = wire.deserialize_document(rows["d1"])
+    assert d1["text_representation"] == "hello" and d1["embedding"] == [1.0, 2.0]
+
+    back = wire.wire_to_docs(wired)
+    out = back.selectExpr(
+        "from_json(doc_json, 'doc_id string, text_representation string') AS d"
+    ).select("d.*")
+    assert sorted((r.doc_id, r.text_representation) for r in out.collect()) == [
+        ("d1", "hello"),
+        ("d2", "world"),
+    ]
