@@ -144,7 +144,7 @@ def test_llm_planner_roundtrip(spark):
             "1": {"node_type": "TopK", "node_id": 1, "field": "p_brand", "K": 2, "inputs": [0]},
         },
     })
-    planner = LlmPlanner(MockLLM([(r"query planner", plan_json)]))
+    planner = LlmPlanner(MockLLM([(r"query plan", plan_json)]))
     plan = planner.plan("top 2 brands")
     rows = PlanExecutor(spark, SF).execute(plan).collect()
     assert len(rows) == 2
@@ -156,3 +156,33 @@ def test_rule_based_planner(spark):
     assert isinstance(got, int) and got > 0
     plan = RuleBasedPlanner().plan("top 3 event_type", table="events")
     assert len(PlanExecutor(spark, SF).execute(plan).collect()) == 3
+
+
+def test_planner_prompt_examples_are_valid_plans():
+    """The few-shot examples embedded in the planner prompt must themselves
+    be valid plans: JSON-round-trippable through from_dict and clean under
+    validate_plan (a broken example teaches the LLM broken plans)."""
+    import json
+
+    from sycamore_spark.plans.planner import _default_examples, render_examples
+
+    examples = _default_examples()
+    assert len(examples) >= 2
+    rendered = render_examples(examples)
+    for ex in examples:
+        blob = {
+            "query": ex.plan.query,
+            "result_node": ex.plan.result_node,
+            "nodes": {nid: n.model_dump() for nid, n in ex.plan.nodes.items()},
+        }
+        plan2 = L.LogicalPlan.from_dict(json.loads(json.dumps(blob)))
+        assert plan2.validate_plan() == []
+        assert plan2.result_node == ex.plan.result_node
+    # the prompt text actually carries the examples + guidelines
+    from sycamore_spark.plans.planner import PLANNER_GUIDELINES, operator_docs
+
+    assert "EXAMPLE 1:" in rendered and "EXAMPLE 2:" in rendered
+    assert "EXACT field names" in PLANNER_GUIDELINES
+    docs = operator_docs()
+    for op in ("QueryDatabase", "LlmFilter", "TopK", "Math", "SummarizeData"):
+        assert op in docs

@@ -44,7 +44,7 @@ def test_llm_planner_path_with_codegen(spark):
             },
         }
     )
-    planner = LlmPlanner(MockLLM([(r"query planner", canned)]))
+    planner = LlmPlanner(MockLLM([(r"query plan", canned)]))
     client = QueryClient(spark, SF, planner=planner)
     res = client.query("first five nations", codegen=True)
     assert isinstance(res.result, DataFrame) and res.result.count() == 5
