@@ -1005,6 +1005,22 @@ def q_db_reader(spark, sf) -> DataFrame:
     )
 
 
+def q_wire_roundtrip(spark, sf) -> DataFrame:
+    """Document wire format under the gate (data/wire.py; reference
+    data/document.py:214-278 web_serialize): documents -> ArynSDoc msgpack
+    blobs (pure-Python public-spec codec) -> deframe -> JSON -> typed
+    columns. Any codec/framing corruption breaks the hash. Both hops are
+    Arrow-batched mapInPandas — no driver funnel."""
+    from sycamore_spark.data import wire
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    wired = wire.docs_to_wire(docs)
+    back = wire.wire_to_docs(wired)
+    return back.select(
+        F.from_json("doc_json", "doc_id bigint, lang string, text string").alias("d")
+    ).select("d.*")
+
+
 def q_map_batch(spark, sf) -> DataFrame:
     """Generic UDF surface (§2.10): DocSet.map_batch (Arrow-batched
     pdf->pdf, reference BaseMapTransform/MapBatch) + flat_map (1->N rows,
@@ -1360,6 +1376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_batch": q_map_batch,
     "db_writer": q_db_writer,
     "db_reader": q_db_reader,
+    "wire_roundtrip": q_wire_roundtrip,
     "plan_exec": q_plan_exec,
     "merge_schemas": q_merge_schemas,
     "spread_properties": q_spread_properties,
@@ -1865,6 +1882,9 @@ def oracle_sql() -> dict[str, str]:
         "db_reader": (
             "SELECT doc_id::BIGINT AS doc_id, text AS text_representation "
             "FROM documents WHERE doc_id >= 100 AND doc_id < 300"
+        ),
+        "wire_roundtrip": (
+            "SELECT doc_id::BIGINT AS doc_id, lang, text FROM documents"
         ),
         "map_batch": (
             "SELECT doc_id::BIGINT AS doc_id, upper(text) AS upper_text, "
