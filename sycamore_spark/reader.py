@@ -83,13 +83,42 @@ class DocSetReader:
             con.close()
         return DocSet(self.spark.createDataFrame(pdf))
 
+    def db(self, client_cls, client_params, query_params, *, record_fn=None,
+           num_shards: int = 1, schema=None) -> DocSet:
+        """Protocol read through any BaseDBReader client (connectors.py
+        read_db; reference base_reader.py): distributed sharded read with a
+        fail-fast target-presence check. The bundled JsonlDirReaderClient +
+        per-service unwrappers (opensearch_read_record etc.) cover local /
+        test transports; live service clients plug into the same seam."""
+        from sycamore_spark.connectors import read_db
+
+        return DocSet(read_db(
+            self.spark, client_cls, client_params, query_params,
+            record_fn=record_fn, num_shards=num_shards, schema=schema,
+        ))
+
+    def wire(self, df_or_path, wire_col: str = "wire") -> DocSet:
+        """Deserialize ArynSDoc msgpack blobs (data/wire.py; reference
+        Document.web_deserialize) from a DataFrame or a parquet path into
+        doc_json rows (parse with from_json + an explicit schema)."""
+        from sycamore_spark.data import wire as W
+
+        df = (
+            self.spark.read.parquet(df_or_path)
+            if isinstance(df_or_path, str)
+            else df_or_path
+        )
+        return DocSet(W.wire_to_docs(df, wire_col=wire_col))
+
     def search(self, kind: str, **params) -> DocSet:
-        """Seam for OpenSearch/Elasticsearch/Weaviate/Pinecone/Qdrant
+        """Seam for live OpenSearch/Elasticsearch/Weaviate/Pinecone/Qdrant
         readers (reference: reader.py:226-703). No services exist in this
-        container — raises at call time with the connector named."""
+        container — raises at call time with the connector named. The
+        protocol machinery itself is live via ``.db(...)`` (read_db) with a
+        file-backed transport."""
         raise NotImplementedError(
             f"{kind} reader requires a live service/connector (reference "
-            "parity seam; use .parquet()/.duckdb() for local data)"
+            "parity seam; use .db()/.parquet()/.duckdb() for local data)"
         )
 
 

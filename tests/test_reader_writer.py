@@ -81,3 +81,46 @@ def test_search_reader_gated(spark):
 
     with _pytest.raises(NotImplementedError):
         ss.read(spark).search("opensearch", hosts=["x"])
+
+
+def test_reader_db_facade(spark, tmp_path):
+    """ctx.read.db(...) — the fluent entry point over the read protocol."""
+    import sycamore_spark as ss
+    from sycamore_spark.connectors import (
+        JsonlDirClient,
+        JsonlDirClientParams,
+        JsonlDirQueryParams,
+        JsonlDirReaderClient,
+        JsonlDirTargetParams,
+        write_db,
+    )
+
+    root = str(tmp_path)
+    df = spark.range(10).selectExpr("concat('d', id) AS doc_id", "id AS n")
+    write_db(
+        df, JsonlDirClient, JsonlDirClientParams(root=root),
+        JsonlDirTargetParams(name="t"),
+        record_fn=lambda row: {"doc_id": row["doc_id"], "n": row["n"]},
+    )
+    ds = ss.read(spark).db(
+        JsonlDirReaderClient,
+        JsonlDirClientParams(root=root),
+        JsonlDirQueryParams(name="t", query={"range": {"n": {"gte": 7}}}),
+        schema="doc_id string, n long",
+    )
+    assert sorted(r.n for r in ds.to_df().collect()) == [7, 8, 9]
+
+
+def test_reader_wire_facade(spark):
+    import sycamore_spark as ss
+    from sycamore_spark.data import wire as W
+
+    df = spark.createDataFrame([("d1", 5)], "doc_id string, n int")
+    wired = W.docs_to_wire(df)
+    out = (
+        ss.read(spark).wire(wired).to_df()
+        .selectExpr("from_json(doc_json, 'doc_id string, n int') AS d")
+        .select("d.*")
+        .collect()
+    )
+    assert out[0].doc_id == "d1" and out[0].n == 5
