@@ -1353,6 +1353,42 @@ def q_fingerprint(spark, sf) -> DataFrame:
     return textstats.fingerprints(_ds(spark, sf, "documents").to_df())
 
 
+def q_hash_sample(spark, sf) -> DataFrame:
+    """Deterministic content-addressed sampling (operators/sampling.py):
+    the same ~25% of doc_ids selected on every run, any partitioning — the
+    reproducible twin of the reference's RNG random_sample. Pure narrow
+    filter, md5-bucket replicated exactly in the oracle."""
+    from sycamore_spark.operators.sampling import hash_sample
+
+    docs = _ds(spark, sf, "documents").to_df()
+    return hash_sample(docs, "doc_id", 0.25).select("doc_id", "lang")
+
+
+def q_stratified_sample(spark, sf) -> DataFrame:
+    """Dataset-mixing sampler: per-stratum keep fractions (downsample 'en'
+    to 30%, keep 'de' fully, drop the rest) in one shuffle-free filter."""
+    from sycamore_spark.operators.sampling import stratified_hash_sample
+
+    docs = _ds(spark, sf, "documents").to_df()
+    return stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.3, "de": 1.0}
+    ).select("doc_id", "lang")
+
+
+def q_pack_shards(spark, sf) -> DataFrame:
+    """Training-shard packing: documents greedily packed into ~2000-token
+    shards in doc_id order (one window cumsum; at scale, partition by
+    date/source). shard boundaries are a pure function of the token-count
+    prefix sums, so the oracle replays them exactly."""
+    from sycamore_spark.operators.sampling import pack_shards
+
+    docs = _ds(spark, sf, "documents").to_df().select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens")
+    )
+    out = pack_shards(docs, "n_tokens", budget=2000, order_col="doc_id")
+    return out.select("doc_id", "n_tokens", "shard_id")
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the 19 queries that had no CORRECTNESS row in
 # r1/r2, then the three r2 reds just fixed, then the r1-only-checked set,
@@ -1380,6 +1416,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan_exec": q_plan_exec,
     "merge_schemas": q_merge_schemas,
     "spread_properties": q_spread_properties,
+    "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
+    "pack_shards": q_pack_shards,
     # -- red in r2, fixed this round --
     "custom_agg": q_custom_agg,
     "tpch_q18": q_tpch_q18,
@@ -1885,6 +1924,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "wire_roundtrip": (
             "SELECT doc_id::BIGINT AS doc_id, lang, text FROM documents"
+        ),
+        "hash_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 250000"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < "
+            "CASE WHEN lang = 'en' THEN 300000 WHEN lang = 'de' THEN 1000000 ELSE 0 END"
+        ),
+        "pack_shards": (
+            "WITH t AS (SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT)::VARCHAR AS shard_id FROM c"
         ),
         "map_batch": (
             "SELECT doc_id::BIGINT AS doc_id, upper(text) AS upper_text, "

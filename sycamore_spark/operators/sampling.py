@@ -1,0 +1,92 @@
+"""Deterministic sampling and training-shard packing.
+
+Beyond the reference (which has only ``DocSet.random_sample`` — RNG-based,
+non-reproducible across runs/cluster sizes): the two sampling shapes a
+training-data pipeline actually needs at 100 TB.
+
+- ``hash_sample`` — content-addressed sampling: a row is in the sample iff
+  ``hash(key) mod M < fraction*M``. The SAME rows are selected on every
+  run, any cluster size, any partitioning — which makes samples joinable
+  across pipeline stages (sample the documents table today, sample the
+  embeddings table tomorrow, the doc_ids line up). Pure narrow filter:
+  no shuffle, pushes down to the scan where the key is a stored column.
+- ``stratified_hash_sample`` — per-stratum fractions (e.g. downsample web
+  text to 10%, keep books at 100%) via one map lookup + the same hash
+  test. The dataset-mixing primitive. No shuffle.
+- ``pack_shards`` — pack variable-length documents into training shards of
+  ~``budget`` tokens: one window cumsum over a deterministic order inside
+  each partition key, ``floor((cumsum - size) / budget)`` as the shard id
+  (every shard except the last overshoots the boundary by at most one
+  document, the standard greedy packing). One shuffle on the pack key;
+  at scale, pack within date/source partitions so no single ordering
+  bottlenecks.
+
+Hashes are md5-prefix based (not xxhash64) so a DuckDB oracle can replay
+them exactly — same trick as dedup.md5_hash60.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_MOD = 1_000_000  # sampling resolution: fraction quantized to 1e-6
+
+
+def _hash_bucket(key: Column) -> Column:
+    """Uniform bucket in [0, 1e6) from the md5 of the key's string form —
+    engine-agnostic (DuckDB: ``('0x' || substr(md5(k), 1, 15))::BIGINT``)."""
+    h60 = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    return F.pmod(h60, F.lit(_MOD))
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, selected by key content (deterministic,
+    reproducible, partitioning-independent)."""
+    return df.filter(_hash_bucket(F.col(key)) < int(fraction * _MOD))
+
+
+def stratified_hash_sample(
+    df: DataFrame, key: str, stratum: str, fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``fractions`` maps stratum value
+    -> keep fraction; strata not listed keep ``default_fraction``. One
+    narrow filter — the mixing weights never cause a shuffle."""
+    thresh = F.lit(int(default_fraction * _MOD))
+    for val, frac in fractions.items():
+        thresh = F.when(F.col(stratum) == val, F.lit(int(frac * _MOD))).otherwise(thresh)
+    return df.filter(_hash_bucket(F.col(key)) < thresh)
+
+
+def pack_shards(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    order_col: str,
+    partition_cols: list[str] | None = None,
+    out_col: str = "shard_id",
+) -> DataFrame:
+    """Assign each row a training-shard id such that consecutive rows (in
+    ``order_col`` order, within ``partition_cols``) accumulate to ~``budget``
+    units per shard (greedy first-fit in a fixed order — deterministic,
+    unlike bin-packing heuristics that depend on arrival order).
+
+    shard = floor((cumsum_inclusive - size) / budget): a row starts a new
+    shard exactly when the PRECEDING rows already filled the current one.
+    One window (= one shuffle on the partition key; a global pack uses a
+    single ordering and is only for modest row counts — partition by
+    date/source at scale)."""
+    parts = [F.col(c) for c in (partition_cols or [])]
+    w = (
+        Window.partitionBy(*parts).orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(size_col).cast("long")).over(w)
+    shard = F.floor((cum - F.col(size_col).cast("long")) / F.lit(budget))
+    if parts:
+        out = F.concat_ws("-", *[c.cast("string") for c in parts], shard.cast("string"))
+    else:
+        out = shard.cast("string")
+    return df.withColumn(out_col, out)

@@ -1,0 +1,88 @@
+"""Deterministic sampling + shard packing (operators/sampling.py — beyond
+the reference's RNG random_sample: content-addressed, reproducible)."""
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from sycamore_spark.operators.sampling import (
+    hash_sample,
+    pack_shards,
+    stratified_hash_sample,
+)
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'fr' END AS lang",
+        "(id % 37) + 1 AS n_tokens",
+    )
+
+
+def test_hash_sample_deterministic_and_partitioning_independent(spark):
+    df = _docs(spark)
+    a = sorted(r.doc_id for r in hash_sample(df, "doc_id", 0.2).collect())
+    b = sorted(r.doc_id for r in hash_sample(df.repartition(13), "doc_id", 0.2).collect())
+    c = sorted(r.doc_id for r in hash_sample(df.coalesce(1), "doc_id", 0.2).collect())
+    assert a == b == c
+    # fraction is approximately honored (md5 is uniform)
+    assert 0.15 * 2000 < len(a) < 0.25 * 2000
+
+
+def test_hash_sample_is_subset_consistent(spark):
+    """A smaller fraction selects a subset of a larger one (thresholding one
+    hash, not re-rolling) — lets pipelines grow a sample without churn."""
+    df = _docs(spark)
+    small = {r.doc_id for r in hash_sample(df, "doc_id", 0.1).collect()}
+    big = {r.doc_id for r in hash_sample(df, "doc_id", 0.3).collect()}
+    assert small <= big
+
+
+def test_stratified_sample_respects_fractions(spark):
+    df = _docs(spark, 3000)
+    out = stratified_hash_sample(df, "doc_id", "lang", {"en": 0.5, "de": 1.0}).collect()
+    by_lang = defaultdict(int)
+    for r in out:
+        by_lang[r.lang] += 1
+    assert by_lang["de"] == 1000  # keep-all stratum is exact
+    assert 400 < by_lang["en"] < 600  # ~50%
+    assert by_lang["fr"] == 0  # default fraction 0
+
+
+def test_pack_shards_budget_and_order(spark):
+    df = _docs(spark, 500)
+    out = pack_shards(df, "n_tokens", budget=100, order_col="doc_id").collect()
+    shards = defaultdict(list)
+    for r in sorted(out, key=lambda r: r.doc_id):
+        shards[r.shard_id].append(r)
+    max_size = 37
+    for sid, rows in shards.items():
+        total = sum(r.n_tokens for r in rows)
+        # greedy packing: a shard exceeds budget by at most one document
+        assert total < 100 + max_size, (sid, total)
+        # rows in a shard are contiguous in pack order
+        ids = [r.doc_id for r in rows]
+        assert ids == list(range(ids[0], ids[0] + len(ids)))
+    # boundary-aligned packing: shard k covers start-offsets [k*B, (k+1)*B),
+    # so the running total through shard k must reach (k+1)*B whenever a
+    # later shard exists (each shard fills its budget range, modulo the
+    # overshoot it inherits from its predecessor's last document)
+    ordered = sorted(shards.items(), key=lambda kv: int(kv[0]))
+    running = 0
+    for i, (sid, rows) in enumerate(ordered):
+        running += sum(r.n_tokens for r in rows)
+        if i < len(ordered) - 1:
+            assert running >= (int(sid) + 1) * 100
+
+
+def test_pack_shards_partitioned(spark):
+    df = _docs(spark, 300)
+    out = pack_shards(
+        df, "n_tokens", budget=100, order_col="doc_id", partition_cols=["lang"]
+    ).collect()
+    # shard ids are namespaced by partition value and packing restarts per key
+    langs = {r.shard_id.split("-")[0] for r in out}
+    assert langs == {"en", "de", "fr"}
+    firsts = {r.shard_id for r in out if r.shard_id.endswith("-0")}
+    assert len(firsts) == 3
