@@ -1375,6 +1375,49 @@ def q_stratified_sample(spark, sf) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_redact_pii(spark, sf) -> DataFrame:
+    """PII scrubbing (operators/textstats.py redact_pii): emails/SSNs/cards/
+    phones/IPs replaced by tags via one chained native regexp_replace
+    projection (no Python, no shuffle). PII-shaped strings are synthesized
+    deterministically from doc_id so the corpus exercises every pattern;
+    the oracle replays the same regex chain in DuckDB (RE2-compatible
+    syntax, global flag)."""
+    from sycamore_spark.operators.textstats import redact_pii
+
+    docs = _ds(spark, sf, "documents").to_df().select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" reach me at user"), F.col("doc_id"),
+            F.lit("@example.com or +1 (555) 123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = redact_pii(docs, "text")
+    return out.select("doc_id", F.md5("text").alias("redacted_hash"))
+
+
+def q_concat_shards(spark, sf) -> DataFrame:
+    """Pretraining context assembly: pack_shards (~2000-token shards in
+    doc_id order) then one text blob per shard with document separators
+    (operators/sampling.py concat_shards). Output keeps the md5 of each
+    shard text so the whole pack->order->join path is under the hash."""
+    from sycamore_spark.operators.sampling import concat_shards, pack_shards
+
+    docs = _ds(spark, sf, "documents").to_df().select(
+        "doc_id", "text",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_shards(docs, "n_tokens", budget=2000, order_col="doc_id")
+    out = concat_shards(packed, "text", order_col="doc_id")
+    return out.select(
+        "shard_id", F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.md5("shard_text").alias("shard_hash"),
+    )
+
+
 def q_pack_shards(spark, sf) -> DataFrame:
     """Training-shard packing: documents greedily packed into ~2000-token
     shards in doc_id order (one window cumsum; at scale, partition by
@@ -1419,6 +1462,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "pack_shards": q_pack_shards,
+    "redact_pii": q_redact_pii,
+    "concat_shards": q_concat_shards,
     # -- red in r2, fixed this round --
     "custom_agg": q_custom_agg,
     "tpch_q18": q_tpch_q18,
@@ -1933,6 +1978,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < "
             "CASE WHEN lang = 'en' THEN 300000 WHEN lang = 'de' THEN 1000000 ELSE 0 END"
+        ),
+        "redact_pii": (
+            "WITH t AS (SELECT doc_id, text || ' reach me at user' || doc_id::VARCHAR || "
+            "'@example.com or +1 (555) 123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+            "' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+            "' ip 10.0.0.' || (doc_id % 256)::VARCHAR AS text FROM documents) "
+            "SELECT doc_id, md5("
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'), "
+            "'\\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{1,4}\\b', '<CARD>', 'g'), "
+            "'\\+?[0-9]{1,2}[ .-]?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\\b', '<PHONE>', 'g'), "
+            "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')"
+            ") AS redacted_hash FROM t"
+        ),
+        "concat_shards": (
+            "WITH t AS (SELECT doc_id, text, len(string_split(trim(text), ' '))::BIGINT AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, text, n_tokens, sum(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t), "
+            "s AS (SELECT doc_id, text, "
+            "CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT)::VARCHAR AS shard_id FROM c) "
+            "SELECT shard_id, count(*)::BIGINT AS n_docs, "
+            "md5(string_agg(text, E'\\n\\n' ORDER BY doc_id)) AS shard_hash FROM s GROUP BY 1"
         ),
         "pack_shards": (
             "WITH t AS (SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS n_tokens "

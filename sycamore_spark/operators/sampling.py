@@ -90,3 +90,33 @@ def pack_shards(
     else:
         out = shard.cast("string")
     return df.withColumn(out_col, out)
+
+
+def concat_shards(
+    df: DataFrame,
+    text_col: str,
+    shard_col: str = "shard_id",
+    order_col: str = "doc_id",
+    separator: str = "\n\n",
+    out_col: str = "shard_text",
+) -> DataFrame:
+    """Assemble packed shards into one training example per shard: documents
+    concatenated in ``order_col`` order with ``separator`` (the EOS/document
+    boundary marker). One groupBy on the shard id — pairs with
+    ``pack_shards`` so shard sizes are already ~budget tokens and no group
+    blows up an executor. Returns (shard_col, n_docs, out_col)."""
+    return (
+        df.groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(order_col), F.col(text_col)))
+                    ),
+                    lambda s: s[text_col],
+                ),
+                separator,
+            ).alias(out_col),
+        )
+    )

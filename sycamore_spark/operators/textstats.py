@@ -143,3 +143,37 @@ def ngram_contamination(
             6,
         ).alias("contamination_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene; regex-only so the whole pass stays
+# JVM-side — model-based NER redaction would be a mapInPandas seam)
+# ---------------------------------------------------------------------------
+
+# Order matters: longer/more-specific patterns first so a partial match by a
+# later pattern can't split an earlier one. Regexes use portable syntax
+# (no lookbehind) so DuckDB's RE2 replays them verbatim in the oracle.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # emails before bare domains
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # SSN-shaped 3-2-4 digit groups
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    # 13-16 digit card numbers with optional separators
+    (r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{1,4}\b", "<CARD>"),
+    # US/intl phone shapes: +1 (555) 123-4567 / 555-123-4567
+    (r"\+?[0-9]{1,2}[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b", "<PHONE>"),
+    # IPv4
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None,
+               patterns: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Scrub PII-shaped spans (emails, SSNs, card/phone numbers, IPs) from
+    ``text_col`` with a chained native ``regexp_replace`` — one codegen'd
+    projection, no shuffle, no Python. The pattern list is replaceable per
+    deployment; model-based redaction plugs in as a mapInPandas stage."""
+    c = F.col(text_col)
+    for pat, repl in patterns or PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col or text_col, c)

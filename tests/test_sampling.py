@@ -86,3 +86,32 @@ def test_pack_shards_partitioned(spark):
     assert langs == {"en", "de", "fr"}
     firsts = {r.shard_id for r in out if r.shard_id.endswith("-0")}
     assert len(firsts) == 3
+
+
+def test_concat_shards_assembles_in_order(spark):
+    df = spark.createDataFrame(
+        [(3, "c", "s0"), (1, "a", "s0"), (2, "b", "s0"), (9, "z", "s1")],
+        "doc_id long, text string, shard_id string",
+    )
+    out = {r.shard_id: r for r in
+           __import__("sycamore_spark.operators.sampling", fromlist=["concat_shards"])
+           .concat_shards(df, "text", separator="|").collect()}
+    assert out["s0"].shard_text == "a|b|c" and out["s0"].n_docs == 3
+    assert out["s1"].shard_text == "z" and out["s1"].n_docs == 1
+
+
+def test_redact_pii_patterns(spark):
+    from sycamore_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org call +1 (555) 123-4567 "
+             "ssn 123-45-6789 card 4111 1111 1111 1111 host 192.168.0.1 ok")],
+        "doc_id long, text string",
+    )
+    txt = redact_pii(df, "text").collect()[0].text
+    assert "<EMAIL>" in txt and "<PHONE>" in txt and "<SSN>" in txt
+    assert "<CARD>" in txt and "<IP>" in txt
+    for leaked in ("bob.smith", "123-45-6789", "4111", "192.168.0.1"):
+        assert leaked not in txt
+    # non-PII text untouched
+    assert txt.startswith("mail ") and txt.endswith(" ok")
