@@ -1375,6 +1375,27 @@ def q_stratified_sample(spark, sf) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_line_dedup(spark, sf) -> DataFrame:
+    """Repeated-line boilerplate removal (operators/textstats.py
+    remove_repeated_lines; C4/RefinedWeb-style cleaning). The corpus has no
+    newlines, so the gate synthesizes a 3-line shape per doc: original
+    text + a shared footer (appears in every doc -> removed) + a
+    doc-unique line (kept). The oracle replays explode/count/anti-join/
+    reassemble in SQL."""
+    from sycamore_spark.operators.textstats import remove_repeated_lines
+
+    docs = _ds(spark, sf, "documents").to_df().select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nShared boilerplate footer line\nUnique line for doc "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = remove_repeated_lines(docs, max_docs=2, min_len=10)
+    return out.select("doc_id", F.md5("text").alias("clean_hash"))
+
+
 def q_redact_pii(spark, sf) -> DataFrame:
     """PII scrubbing (operators/textstats.py redact_pii): emails/SSNs/cards/
     phones/IPs replaced by tags via one chained native regexp_replace
@@ -1464,6 +1485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_shards": q_pack_shards,
     "redact_pii": q_redact_pii,
     "concat_shards": q_concat_shards,
+    "line_dedup": q_line_dedup,
     # -- red in r2, fixed this round --
     "custom_agg": q_custom_agg,
     "tpch_q18": q_tpch_q18,
@@ -1978,6 +2000,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < "
             "CASE WHEN lang = 'en' THEN 300000 WHEN lang = 'de' THEN 1000000 ELSE 0 END"
+        ),
+        "line_dedup": (
+            "WITH t AS (SELECT doc_id, text || chr(10) || 'Shared boilerplate footer line' || "
+            "chr(10) || 'Unique line for doc ' || doc_id::VARCHAR AS text FROM documents), "
+            "l AS (SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) AS pos, "
+            "unnest(string_split(text, chr(10))) AS line FROM t), "
+            "bad AS (SELECT trim(line) AS nline FROM l WHERE length(trim(line)) >= 10 "
+            "GROUP BY 1 HAVING count(DISTINCT doc_id) > 2), "
+            "k AS (SELECT doc_id, pos, line FROM l "
+            "WHERE trim(line) NOT IN (SELECT nline FROM bad)), "
+            "r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt FROM k GROUP BY 1) "
+            "SELECT t.doc_id, md5(coalesce(r.txt, '')) AS clean_hash "
+            "FROM t LEFT JOIN r ON t.doc_id = r.doc_id"
         ),
         "redact_pii": (
             "WITH t AS (SELECT doc_id, text || ' reach me at user' || doc_id::VARCHAR || "

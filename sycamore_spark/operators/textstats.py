@@ -177,3 +177,59 @@ def redact_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None
     for pat, repl in patterns or PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return df.withColumn(out_col or text_col, c)
+
+
+def remove_repeated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 2,
+    min_len: int = 10,
+    out_col: str | None = None,
+) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate removal: a line whose trimmed form
+    appears in more than ``max_docs`` DISTINCT documents is dropped from
+    every document (navigation bars, cookie banners, footers). Lines
+    shorter than ``min_len`` after trimming are always kept (blank lines
+    and punctuation are not boilerplate evidence).
+
+    Scale shape: explode to (doc, pos, line) -> one hash agg on the
+    normalized line for distinct-doc counts -> the repeated-line set is
+    tiny relative to the corpus, so it comes back as a broadcast anti-join
+    -> reassemble per doc with one sort-free array_sort window. Two
+    shuffles total (line agg + doc regroup); the line table carries only
+    hashes and positions, never full documents.
+    """
+    out_col = out_col or text_col
+    other_cols = [c for c in df.columns if c not in (id_col, text_col)]
+
+    lines = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in other_cols],
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    norm = F.trim(F.col("_line"))
+    bad = (
+        lines.filter(F.length(norm) >= min_len)
+        .groupBy(norm.alias("_nline"))
+        .agg(F.countDistinct(F.col(id_col)).alias("_ndocs"))
+        .filter(F.col("_ndocs") > max_docs)
+        .select("_nline")
+    )
+    kept = lines.join(
+        F.broadcast(bad), F.trim(lines["_line"]) == bad["_nline"], "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col, *other_cols).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_line")))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    # docs whose every line was boilerplate still exist, with empty text
+    ids = df.select(id_col, *other_cols)
+    return ids.join(rebuilt, [id_col, *other_cols], "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    )

@@ -169,3 +169,23 @@ def test_char_shingles_column_and_dist(spark):
     assert shingles_dist(got["a"], got["a"]) == 0.0
     d_ab = shingles_dist(got["a"], got["b"])
     assert 0.0 < d_ab < 1.0  # similar but not identical
+
+
+def test_remove_repeated_lines(spark):
+    from sycamore_spark.operators.textstats import remove_repeated_lines
+
+    rows = [
+        (1, "intro one\nCOMMON FOOTER LINE HERE\nunique tail 1"),
+        (2, "intro two\nCOMMON FOOTER LINE HERE\nunique tail 2"),
+        (3, "intro three\nCOMMON FOOTER LINE HERE\nunique tail 3"),
+        (4, "COMMON FOOTER LINE HERE"),  # becomes empty
+        (5, "short\nok"),  # short lines always kept, even if repeated
+        (6, "short\nok"),
+        (7, "short\nok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in remove_repeated_lines(df, max_docs=2).collect()}
+    assert out[1] == "intro one\nunique tail 1"
+    assert out[4] == ""  # all-boilerplate doc survives as empty
+    assert out[5] == "short\nok"  # below min_len: kept despite 3 occurrences
+    assert len(out) == 7
