@@ -1375,6 +1375,26 @@ def q_stratified_sample(spark, sf) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_quantile_stats(spark, sf) -> DataFrame:
+    """Exact per-group quantiles (operators/textstats.py quantile_stats):
+    Spark percentile == DuckDB quantile_cont bit-for-bit (same linear
+    interpolation; verified EXACT on every group/quantile here)."""
+    from sycamore_spark.operators.textstats import quantile_stats
+
+    ev = _ds(spark, sf, "events").to_df()
+    return quantile_stats(ev, "value", ["event_type"], (0.5, 0.9, 0.99))
+
+
+def q_quantile_filter(spark, sf) -> DataFrame:
+    """Adaptive quality filter (filter_by_quantile): keep events at/above
+    their type's P90 value — threshold agg broadcast back, no data
+    reshuffle. Output is the surviving (event_id, event_type, value)."""
+    from sycamore_spark.operators.textstats import filter_by_quantile
+
+    ev = _ds(spark, sf, "events").to_df().select("event_id", "event_type", "value")
+    return filter_by_quantile(ev, "value", 0.9, ["event_type"])
+
+
 def q_line_dedup(spark, sf) -> DataFrame:
     """Repeated-line boilerplate removal (operators/textstats.py
     remove_repeated_lines; C4/RefinedWeb-style cleaning). The corpus has no
@@ -1486,6 +1506,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redact_pii": q_redact_pii,
     "concat_shards": q_concat_shards,
     "line_dedup": q_line_dedup,
+    "quantile_stats": q_quantile_stats,
+    "quantile_filter": q_quantile_filter,
     # -- red in r2, fixed this round --
     "custom_agg": q_custom_agg,
     "tpch_q18": q_tpch_q18,
@@ -2000,6 +2022,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < "
             "CASE WHEN lang = 'en' THEN 300000 WHEN lang = 'de' THEN 1000000 ELSE 0 END"
+        ),
+        "quantile_stats": (
+            "SELECT event_type, quantile_cont(value, 0.5) AS q5, "
+            "quantile_cont(value, 0.9) AS q9, quantile_cont(value, 0.99) AS q99 "
+            "FROM events GROUP BY 1"
+        ),
+        "quantile_filter": (
+            "WITH thr AS (SELECT event_type, quantile_cont(value, 0.9) AS t "
+            "FROM events GROUP BY 1) "
+            "SELECT event_id, e.event_type, value FROM events e "
+            "JOIN thr ON e.event_type = thr.event_type WHERE value >= t"
         ),
         "line_dedup": (
             "WITH t AS (SELECT doc_id, text || chr(10) || 'Shared boilerplate footer line' || "

@@ -233,3 +233,45 @@ def remove_repeated_lines(
     return ids.join(rebuilt, [id_col, *other_cols], "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(""))
     )
+
+
+def quantile_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-group quantiles of a (quality/length/score) column — the
+    numbers adaptive filtering thresholds come from. Uses Spark's exact
+    ``percentile`` (bit-identical to DuckDB's ``quantile_cont``: same
+    linear-interpolation definition, verified in the gate). One hash agg;
+    at 100 TB switch to ``approx_percentile`` for one-pass sketching —
+    same call shape, documented accuracy tradeoff."""
+    aggs = [
+        F.expr(f"percentile({value_col}, {q})").alias(f"q{str(q).replace('0.', '')}")
+        for q in quantiles
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def filter_by_quantile(
+    df: DataFrame,
+    value_col: str,
+    quantile: float,
+    group_cols: list[str] | None = None,
+    keep: str = "above",
+) -> DataFrame:
+    """Adaptive quality filter: keep rows whose ``value_col`` is above (or
+    below) their group's ``quantile`` threshold — 'drop the worst 10% per
+    source' without hand-tuned constants. Thresholds are one tiny agg
+    broadcast back onto the stream; the data never reshuffles."""
+    thr = quantile_stats(df, value_col, group_cols, (quantile,))
+    tcol = [c for c in thr.columns if c.startswith("q")][-1]
+    cmp_ok = F.col(value_col) >= F.col(tcol) if keep == "above" else F.col(value_col) <= F.col(tcol)
+    if group_cols:
+        out = df.join(F.broadcast(thr), group_cols, "inner").filter(cmp_ok)
+    else:
+        out = df.crossJoin(F.broadcast(thr)).filter(cmp_ok)
+    return out.drop(tcol)

@@ -189,3 +189,23 @@ def test_remove_repeated_lines(spark):
     assert out[4] == ""  # all-boilerplate doc survives as empty
     assert out[5] == "short\nok"  # below min_len: kept despite 3 occurrences
     assert len(out) == 7
+
+
+def test_quantile_filter_semantics(spark):
+    from sycamore_spark.operators.textstats import filter_by_quantile, quantile_stats
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b", float(i)) for i in range(200)],
+        "id long, grp string, v double",
+    )
+    # per-group thresholds: P90 of 0..99 is 89.1, of 100..199 is 189.1
+    thr = {r.grp: r.q9 for r in quantile_stats(df, "v", ["grp"], (0.9,)).collect()}
+    assert abs(thr["a"] - 89.1) < 1e-9 and abs(thr["b"] - 189.1) < 1e-9
+    out = filter_by_quantile(df, "v", 0.9, ["grp"]).collect()
+    assert sorted(r.id for r in out) == list(range(90, 100)) + list(range(190, 200))
+    # keep='below' flips the tail
+    low = filter_by_quantile(df, "v", 0.1, ["grp"], keep="below").collect()
+    assert sorted(r.id for r in low) == list(range(0, 10)) + list(range(100, 110))
+    # ungrouped path
+    g = filter_by_quantile(df, "v", 0.95).collect()
+    assert len(g) == 10 and min(r.id for r in g) == 190
