@@ -176,6 +176,66 @@ class DocSet:
     def random_sample(self, fraction: float, seed: int | None = None) -> "DocSet":
         return self._wrap(self.df.sample(fraction=fraction, seed=seed))
 
+    def hash_sample(self, fraction: float, key: str = "doc_id") -> "DocSet":
+        """Deterministic content-addressed sample: same rows on every run,
+        any partitioning; smaller fractions are subsets of larger ones
+        (operators/sampling.py — the reproducible twin of random_sample)."""
+        from sycamore_spark.operators.sampling import hash_sample
+
+        return self._wrap(hash_sample(self.df, key, fraction))
+
+    def stratified_sample(self, fractions: dict, stratum: str,
+                          key: str = "doc_id", default_fraction: float = 0.0) -> "DocSet":
+        """Per-stratum keep fractions (dataset mixing) in one shuffle-free
+        filter (operators/sampling.py stratified_hash_sample)."""
+        from sycamore_spark.operators.sampling import stratified_hash_sample
+
+        return self._wrap(stratified_hash_sample(
+            self.df, key, stratum, fractions, default_fraction=default_fraction
+        ))
+
+    def pack_shards(self, size_col: str, budget: int, order_col: str = "doc_id",
+                    partition_cols: list[str] | None = None) -> "DocSet":
+        """Greedy token-budget shard assignment for training-data export
+        (operators/sampling.py pack_shards)."""
+        from sycamore_spark.operators.sampling import pack_shards
+
+        return self._wrap(pack_shards(
+            self.df, size_col, budget, order_col, partition_cols=partition_cols
+        ))
+
+    def concat_shards(self, text_col: str = "text_representation",
+                      order_col: str = "doc_id", separator: str = "\n\n") -> "DocSet":
+        """One training example per packed shard: texts joined in order with
+        a document separator (operators/sampling.py concat_shards)."""
+        from sycamore_spark.operators.sampling import concat_shards
+
+        return self._wrap(concat_shards(
+            self.df, text_col, order_col=order_col, separator=separator
+        ))
+
+    def redact_pii(self, text_col: str = "text_representation", **kwargs) -> "DocSet":
+        """Scrub email/SSN/card/phone/IP-shaped spans via chained native
+        regex (operators/textstats.py redact_pii)."""
+        from sycamore_spark.operators.textstats import redact_pii
+
+        return self._wrap(redact_pii(self.df, text_col, **kwargs))
+
+    def remove_repeated_lines(self, text_col: str = "text_representation", **kwargs) -> "DocSet":
+        """C4-style boilerplate removal: drop lines repeated across more
+        than max_docs documents (operators/textstats.py)."""
+        from sycamore_spark.operators.textstats import remove_repeated_lines
+
+        return self._wrap(remove_repeated_lines(self.df, text_col=text_col, **kwargs))
+
+    def filter_by_quantile(self, value_col: str, quantile: float,
+                           group_cols: list[str] | None = None, keep: str = "above") -> "DocSet":
+        """Adaptive quality filter: keep rows above/below their group's
+        exact quantile (operators/textstats.py filter_by_quantile)."""
+        from sycamore_spark.operators.textstats import filter_by_quantile
+
+        return self._wrap(filter_by_quantile(self.df, value_col, quantile, group_cols, keep))
+
     # -- set ops (reference: transforms/union.py) --------------------------
 
     def union(self, *others: "DocSet") -> "DocSet":

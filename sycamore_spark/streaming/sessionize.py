@@ -91,8 +91,10 @@ def _session_fn_factory(user_col: str, ts_col: str, gap_seconds: int, out_fields
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             for row in pdf.to_dict("records"):
-                ts = int(pd.Timestamp(row[ts_col]).value // 1_000_000_000)
-                if last_ts is None or ts - last_ts > gap_seconds:
+                # microseconds, not seconds: sub-second gap boundaries must
+                # match the batch path's exact integer-micros comparison
+                ts = int(pd.Timestamp(row[ts_col]).value // 1_000)
+                if last_ts is None or ts - last_ts > gap_seconds * 1_000_000:
                     session_no += 1
                 last_ts = ts
                 row["session_id"] = f"{user}-{session_no}"
@@ -102,7 +104,7 @@ def _session_fn_factory(user_col: str, ts_col: str, gap_seconds: int, out_fields
             # Strictly after the current watermark, else Spark rejects it:
             # the batch's watermark can already have advanced past
             # last_ts + gap when this user's events arrived late.
-            timeout_ms = (last_ts + gap_seconds) * 1000
+            timeout_ms = last_ts // 1000 + gap_seconds * 1000
             wm_ms = state.getCurrentWatermarkMs()
             if timeout_ms <= wm_ms:
                 timeout_ms = wm_ms + 1

@@ -115,3 +115,27 @@ def test_redact_pii_patterns(spark):
         assert leaked not in txt
     # non-PII text untouched
     assert txt.startswith("mail ") and txt.endswith(" ok")
+
+
+def test_fluent_docset_surface(spark):
+    """The sampling/cleaning family is reachable from the fluent API."""
+    from sycamore_spark.docset import DocSet
+
+    df = spark.range(100).selectExpr(
+        "id AS doc_id",
+        "concat('doc text number ', id) AS text_representation",
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang",
+        "(id % 7) + 1 AS n_tokens",
+        "cast(id as double) AS score",
+    )
+    ds = DocSet(df)
+    assert 10 < ds.hash_sample(0.3).count() < 50
+    assert ds.stratified_sample({"en": 1.0}, "lang").count() == 50
+    packed = ds.pack_shards("n_tokens", budget=20)
+    assert "shard_id" in packed.to_df().columns
+    blobs = packed.concat_shards()
+    assert {"shard_id", "n_docs", "shard_text"} <= set(blobs.to_df().columns)
+    assert ds.redact_pii().count() == 100
+    assert ds.remove_repeated_lines().count() == 100
+    top = ds.filter_by_quantile("score", 0.9, ["lang"])
+    assert top.count() == 10  # top decile per stratum, exact on 0..99
