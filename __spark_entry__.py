@@ -1375,6 +1375,18 @@ def q_stratified_sample(spark, sf) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_dup_windows(spark, sf) -> DataFrame:
+    """Exact-substring duplication stats (operators/dedup.py
+    duplicate_window_stats): per-doc fraction of 40-char windows (stride
+    20) shared with another document — the window-granular surrogate for
+    suffix-array substring dedup. The corpus's duplicate docs make the
+    signal non-trivial; md5-prefix window hashes replay in DuckDB."""
+    from sycamore_spark.operators.dedup import duplicate_window_stats
+
+    docs = _ds(spark, sf, "documents").to_df()
+    return duplicate_window_stats(docs, "doc_id", "text", window=40, stride=20)
+
+
 def q_quantile_stats(spark, sf) -> DataFrame:
     """Exact per-group quantiles (operators/textstats.py quantile_stats):
     Spark percentile == DuckDB quantile_cont bit-for-bit (same linear
@@ -1508,6 +1520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "quantile_stats": q_quantile_stats,
     "quantile_filter": q_quantile_filter,
+    "dup_windows": q_dup_windows,
     # -- red in r2, fixed this round --
     "custom_agg": q_custom_agg,
     "tpch_q18": q_tpch_q18,
@@ -2022,6 +2035,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < "
             "CASE WHEN lang = 'en' THEN 300000 WHEN lang = 'de' THEN 1000000 ELSE 0 END"
+        ),
+        "dup_windows": (
+            "WITH t AS (SELECT doc_id, lower(text) AS s FROM documents), "
+            "nw AS (SELECT doc_id, s, greatest(CAST(floor((length(s) - 40) / 20.0) AS BIGINT) + 1, 0) AS n FROM t), "
+            "w AS (SELECT doc_id, ('0x' || substr(md5(substr(s, i*20 + 1, 40)), 1, 15))::BIGINT AS wh "
+            "FROM nw, unnest(range(n)) AS u(i)), "
+            "dup AS (SELECT wh FROM w GROUP BY 1 HAVING count(DISTINCT doc_id) > 1), "
+            "pd AS (SELECT doc_id, count(*)::BIGINT AS n_dup FROM w WHERE wh IN (SELECT wh FROM dup) GROUP BY 1) "
+            "SELECT nw.doc_id, n::BIGINT AS n_windows, coalesce(pd.n_dup, 0)::BIGINT AS n_dup_windows, "
+            "CASE WHEN n > 0 THEN coalesce(pd.n_dup, 0) / CAST(n AS DOUBLE) ELSE 0.0 END AS dup_fraction "
+            "FROM nw LEFT JOIN pd ON nw.doc_id = pd.doc_id"
         ),
         "quantile_stats": (
             "SELECT event_type, quantile_cont(value, 0.5) AS q5, "

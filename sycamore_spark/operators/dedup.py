@@ -397,3 +397,68 @@ def embedding_near_dup_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def duplicate_window_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    stride: int = 20,
+    hash_fn=None,
+) -> DataFrame:
+    """Exact-substring duplication signal (the 'dedup training data at the
+    substring level' measurement, window-granular so it distributes): slide
+    a ``window``-char window at ``stride`` over each lowercased text, hash
+    every window, and count how many of a doc's windows also occur in some
+    OTHER document. Returns (id, n_windows, n_dup_windows, dup_fraction).
+
+    Full suffix-array dedup is a single-machine algorithm; this is its
+    scale-out surrogate: window hashes catch any shared substring of
+    length >= window + stride - 1 (a run that long must contain a full
+    aligned window... of the same phase), and in practice flags the
+    copy-pasted boilerplate/quotation mass a corpus carries. Shape: one
+    explode to (id, pos-hash) with 8-byte hashes, one hash agg for the
+    cross-doc counts, one broadcast-sized join back — no pairwise work.
+    ``hash_fn`` defaults to md5_hash60 so a DuckDB oracle replays it
+    exactly; production can pass xxhash64 for speed.
+    """
+    hash_fn = hash_fn or md5_hash60
+    s = F.lower(F.col(text_col))
+    n_win = F.greatest(
+        F.floor((F.length(s) - window) / stride) + 1, F.lit(0)
+    ).cast("int")
+    # guard: Spark's sequence(0, -1) DESCENDS instead of being empty, so a
+    # doc shorter than the window must explicitly produce no windows
+    idxs = F.when(n_win > 0, F.sequence(F.lit(0), n_win - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(idxs, lambda i: hash_fn(F.substring(s, i * stride + 1, window)))
+        ).alias("_wh"),
+    )
+    # a hash is "duplicated" when it appears in more than one distinct doc
+    dup = (
+        wins.groupBy("_wh")
+        .agg(F.count_distinct(F.col("_id")).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("_wh")
+    )
+    marked = wins.join(F.broadcast(dup), "_wh", "left_semi")
+    per_doc_dup = marked.groupBy("_id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    base = df.select(F.col(id_col), n_win.alias("n_windows"))
+    out = (
+        base.join(per_doc_dup, base[id_col] == per_doc_dup["_id"], "left")
+        .drop("_id")
+        .withColumn("n_dup_windows", F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long"))
+    )
+    return out.select(
+        id_col,
+        F.col("n_windows").cast("long").alias("n_windows"),
+        "n_dup_windows",
+        F.when(F.col("n_windows") > 0, F.col("n_dup_windows") / F.col("n_windows"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )

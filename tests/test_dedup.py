@@ -108,3 +108,26 @@ def test_rolling_sketch_and_uniquify(spark):
 
     kept = sorted(r["doc_id"] for r in rolling_sketch_uniquify(df).collect())
     assert kept == [1, 3]  # 2 and 4 dropped as larger-id near-dups
+
+
+def test_duplicate_window_stats(spark):
+    from sycamore_spark.operators.dedup import duplicate_window_stats
+
+    shared = "x" * 10 + "this exact shared paragraph is long enough to cover windows " * 2
+    rows = [
+        (1, shared + " tail one distinct here to vary the suffix considerably"),
+        (2, shared + " completely different ending text over here that differs"),
+        (3, "entirely unique document content with no overlap whatsoever at all, long enough for windows"),
+        (4, "tiny"),  # shorter than one window -> 0 windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_window_stats(df, window=40, stride=20).collect()}
+    assert len(out) == 4
+    # docs 1 and 2 share a long prefix -> both have duplicated windows
+    assert out[1].n_dup_windows > 0 and out[2].n_dup_windows > 0
+    assert 0 < out[1].dup_fraction < 1
+    # the unique doc has windows but none duplicated
+    assert out[3].n_windows > 0 and out[3].n_dup_windows == 0 and out[3].dup_fraction == 0.0
+    # sub-window doc: no windows, fraction 0 (not NaN, no phantom
+    # descending-sequence windows)
+    assert out[4].n_windows == 0 and out[4].n_dup_windows == 0 and out[4].dup_fraction == 0.0
