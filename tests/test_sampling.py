@@ -139,3 +139,28 @@ def test_fluent_docset_surface(spark):
     assert ds.remove_repeated_lines().count() == 100
     top = ds.filter_by_quantile("score", 0.9, ["lang"])
     assert top.count() == 10  # top decile per stratum, exact on 0..99
+
+
+def test_hash_bucket_matches_duckdb(spark):
+    """The md5 sampling bucket is engine-agnostic: Spark's
+    conv(substr(md5,1,15),16,10) % 1e6 equals DuckDB's
+    ('0x'||substr(md5,1,15))::BIGINT % 1e6 for the same keys."""
+    import duckdb
+
+    from sycamore_spark.operators.sampling import _hash_bucket
+
+    keys = [str(i) for i in range(500)] + ["", "abc", "doc-42"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = dict(
+        (r.k, r.b) for r in df.select("k", _hash_bucket(F.col("k")).alias("b")).collect()
+    )
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t(k VARCHAR)")
+    for k in keys:
+        con.sql("INSERT INTO t VALUES (?)", params=[k])
+    duck = dict(
+        con.sql(
+            "SELECT k, ('0x' || substr(md5(k), 1, 15))::BIGINT % 1000000 FROM t"
+        ).fetchall()
+    )
+    assert got == duck
