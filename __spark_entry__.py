@@ -1724,7 +1724,7 @@ def oracle_sql() -> dict[str, str]:
             "((200 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(l_quantity AS BIGINT)) "
             "+ sum(CAST(l_quantity AS BIGINT))) "
             "// (2 * sum(CAST(l_quantity AS BIGINT)))) / CAST(10000.0 AS DOUBLE) AS wavg_price, "
-            "sum(CAST(l_quantity AS BIGINT)) AS total_qty FROM lineitem GROUP BY 1"
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty FROM lineitem GROUP BY 1"
         ),
         "rollup": (
             "SELECT r_name, n_name, count(*)::BIGINT AS n_cust, "
@@ -1794,7 +1794,7 @@ def oracle_sql() -> dict[str, str]:
             "/ round(sum(disc), 2)::DOUBLE AS promo_pct FROM j"
         ),
         "tpch_q18": (
-            "WITH big AS (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty "
+            "WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
             "FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 150) "
             "SELECT c_name, c_custkey, o_orderkey, "
             "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "

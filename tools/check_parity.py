@@ -42,6 +42,34 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def dtype_kind(dtype) -> str:
+    # Collapse pandas dtypes to comparable kinds: the driver canonicalizes
+    # *typed frames* (Spark .toPandas() vs DuckDB .df()), so a DuckDB HUGEINT
+    # rendered as float64 hashes differently from Spark's int64 even when the
+    # Python values are identical ints (r3 judge finding: custom_agg/tpch_q18).
+    # fetchall() can't see this class — both sides are Python int there.
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "datetime"
+    if k == "b":
+        return "bool"
+    return "object"
+
+
+def dtype_mismatches(scols, spark_pd, dcols, oracle_pd):
+    smap = {c.lower(): dtype_kind(spark_pd.dtypes.iloc[i]) for i, c in enumerate(spark_pd.columns)}
+    dmap = {c.lower(): dtype_kind(oracle_pd.dtypes.iloc[i]) for i, c in enumerate(oracle_pd.columns)}
+    return [
+        (c, smap[c], dmap[c])
+        for c in sorted(set(smap) & set(dmap))
+        if smap[c] != dmap[c]
+    ]
+
+
 def main():
     spark = ss.init(app_name="parity-check", shuffle_partitions=16)
     con = duckdb.connect()
@@ -60,7 +88,10 @@ def main():
         try:
             sdf = fn(spark, SF_DIR)
             scols = [c.lower() for c in sdf.columns]
+            sdf.persist()
             srows = [tuple(r) for r in sdf.collect()]
+            spark_pd = sdf.toPandas()
+            sdf.unpersist()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:300]}")
@@ -73,6 +104,7 @@ def main():
             res = con.sql(oracles[name])
             dcols = [c.lower() for c in res.columns]
             drows = res.fetchall()
+            oracle_pd = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {str(e)[:300]}")
@@ -84,6 +116,11 @@ def main():
         if len(srows) != len(drows):
             failures.append(name)
             print(f"FAIL  {name}: rowcount {len(srows)} vs {len(drows)}")
+            continue
+        mism = dtype_mismatches(scols, spark_pd, dcols, oracle_pd)
+        if mism:
+            failures.append(name)
+            print(f"FAIL  {name}: pandas dtype mismatch (spark vs oracle): {mism}")
             continue
         sn = norm_rows(scols, srows)
         dn = norm_rows(dcols, drows)
