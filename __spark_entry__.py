@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1291,15 +1292,59 @@ def q_sessionize(spark, sf) -> DataFrame:
     return out.select("event_id", "user_id", "session_id")
 
 
+_KMEANS_K, _KMEANS_DIM, _KMEANS_SCALE = 4, 64, 512
+
+
+def _kmeans_centroids(k: int = _KMEANS_K, dim: int = _KMEANS_DIM,
+                      scale: int = _KMEANS_SCALE) -> list[list[float]]:
+    """Deterministic fixed centroids: LCG-generated multiples of 1/scale in
+    [-0.5, 0.5) — exactly-representable doubles, so both engines parse the
+    identical constants."""
+    state = 1234567
+    out = []
+    for _ in range(k):
+        row = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            row.append(((state >> 8) % scale - scale // 2) / scale)
+        out.append(row)
+    return out
+
+
 def q_kmeans(spark, sf) -> DataFrame:
-    """MLlib KMeans over the embeddings table (docset.py:1042 kmeans;
-    transforms/clustering.py). Cluster ids depend on MLlib's sampled init →
-    rows-only check (k rows out); assignment quality is unit-tested."""
-    from sycamore_spark.operators.clustering import kmeans
+    """Nearest-centroid assignment over the embeddings table with fixed
+    centroids (reference docset.clustering, transforms/clustering.py:54-74 —
+    closed-form, unlike MLlib-trained KMeans whose sampled init defies a SQL
+    oracle; the trained path keeps its seeded unit test in
+    tests/test_textstats_embed.py). Integer-exact: quantize_scale makes every
+    distance an exact integer in float64, so the argmin is bit-identical
+    cross-engine."""
+    from sycamore_spark.operators.clustering import assign_clusters
 
     emb = _ds(spark, sf, "embeddings").to_df()
-    out = kmeans(emb, vec_col="embedding", k=4, seed=42)
-    return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).select("cluster", "n")
+    out = assign_clusters(emb, _kmeans_centroids(), vec_col="embedding",
+                          quantize_scale=_KMEANS_SCALE)
+    return out.select("vec_id", "cluster")
+
+
+def _kmeans_oracle_sql() -> str:
+    """DuckDB replay of q_kmeans: same quantization, same integer-valued
+    distances, same first-wins tie-break as numpy argmin."""
+    s = _KMEANS_SCALE
+    cints = [[int(np.floor(c * s + 0.5)) for c in row] for row in _kmeans_centroids()]
+    dists = []
+    for i, row in enumerate(cints):
+        lst = ", ".join(f"{v}.0" for v in row)
+        n2 = sum(v * v for v in row)
+        dists.append(f"-2 * list_dot_product(qe, [{lst}]) + {n2}.0 AS d{i}")
+    case = ("CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0 "
+            "WHEN d1 <= d2 AND d1 <= d3 THEN 1 WHEN d2 <= d3 THEN 2 ELSE 3 END")
+    return (
+        f"WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        f"x -> floor(x * {s} + 0.5)) AS qe FROM embeddings), "
+        f"d AS (SELECT vec_id, {', '.join(dists)} FROM q) "
+        f"SELECT vec_id, CAST({case} AS INTEGER) AS cluster FROM d"
+    )
 
 
 def q_rerank(spark, sf) -> DataFrame:
@@ -1654,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
     }
     lang_max = f"greatest({lang_scores['en']}, {lang_scores['de']}, {lang_scores['fr']}, {lang_scores['es']})"
     return {
+        "kmeans": _kmeans_oracle_sql(),
         "match_filter": "SELECT doc_id, source FROM documents WHERE contains(lower(text), 'spark')",
         "range_filter": "SELECT event_id, value FROM events WHERE value BETWEEN 5.0 AND 10.0",
         "range_filter_date": (

@@ -112,18 +112,34 @@ def _rerank_exact(df, query, text_col, score_col, limit, dim, hash_fn):
 
 
 def assign_clusters(df: DataFrame, centroids, vec_col: str = "embedding",
-                    out_col: str = "cluster") -> DataFrame:
+                    out_col: str = "cluster",
+                    quantize_scale: float | None = None) -> DataFrame:
     """Assign each row to its nearest given centroid (reference
     docset.clustering, docset.py:1082 — per-doc KMeans.closest there; one
-    vectorized argmin matmul per Arrow batch here)."""
+    vectorized argmin matmul per Arrow batch here).
+
+    ``quantize_scale=s`` switches to the integer-exact formulation: both
+    vectors and centroids are quantized with ``floor(x*s + 0.5)`` (the
+    cross-engine-deterministic IEEE rounding pattern — see
+    tests/test_rounding_seam.py), after which every distance is an exact
+    integer in float64, so the argmin (ties -> lowest index) is
+    bit-identical on any engine and summation order — replayable as a SQL
+    oracle."""
     from pyspark.sql.types import IntegerType
 
     C = np.asarray(centroids, dtype=np.float64)
+    if quantize_scale is not None:
+        s = float(quantize_scale)
+        C = np.floor(C * s + 0.5)
     c_norm2 = (C**2).sum(axis=1)
 
     @F.pandas_udf(IntegerType())
     def _closest(v: pd.Series) -> pd.Series:
         m = np.vstack(v.to_numpy())
+        if quantize_scale is not None:
+            m = np.floor(m * float(quantize_scale) + 0.5)
+        # -2*q.C + |C|^2 drops the per-row |q|^2 constant: argmin-invariant,
+        # and with quantized integer values every term is exact in float64.
         d = -2.0 * (m @ C.T) + c_norm2
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
