@@ -1531,64 +1531,16 @@ def q_pack_shards(spark, sf) -> DataFrame:
 
 
 # Ordered for driver sampling (the driver checks a ~50-query subset per
-# round, in order): first the 19 queries that had no CORRECTNESS row in
-# r1/r2, then the three r2 reds just fixed, then the r1-only-checked set,
-# then the ever-green remainder.
+# round, in order): first the three r3 reds fixed this round, then the 40
+# queries whose last driver row is r2 (so every declared query gets a fresh
+# row within r4/r5), then the queries whose code changed this round, then
+# the r3-green remainder.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- never driver-checked through r2 --
-    "text_stats": q_text_stats,
-    "lang_id": q_lang_id,
-    "quality": q_quality,
-    "fingerprint": q_fingerprint,
-    "repetition": q_repetition,
-    "contamination": q_contamination,
-    "dedup_embedding_lsh": q_dedup_embedding_lsh,
-    "stream_dedup": q_stream_dedup,
-    "sessionize": q_sessionize,
-    "salted_join": q_salted_join,
-    "interval_join": q_interval_join,
-    "cube": q_cube,
-    "kmeans": q_kmeans,
-    "rerank": q_rerank,
-    "map_batch": q_map_batch,
-    "db_writer": q_db_writer,
-    "db_reader": q_db_reader,
-    "wire_roundtrip": q_wire_roundtrip,
-    "plan_exec": q_plan_exec,
-    "merge_schemas": q_merge_schemas,
-    "spread_properties": q_spread_properties,
-    "hash_sample": q_hash_sample,
-    "stratified_sample": q_stratified_sample,
-    "pack_shards": q_pack_shards,
-    "redact_pii": q_redact_pii,
-    "concat_shards": q_concat_shards,
-    "line_dedup": q_line_dedup,
-    "quantile_stats": q_quantile_stats,
-    "quantile_filter": q_quantile_filter,
-    "dup_windows": q_dup_windows,
-    # -- red in r2, fixed this round --
+    # -- red in r3, fixed this round --
     "custom_agg": q_custom_agg,
     "tpch_q18": q_tpch_q18,
-    "sketch_rolling": q_sketch_rolling,
-    # -- green in r1 only (not re-sampled in r2) --
-    "asof_join": q_asof_join,
-    "frame_sample": q_frame_sample,
-    "summarize_fold": q_summarize_fold,
-    "extract_properties": q_extract_properties,
-    "graph_nodes": q_graph_nodes,
-    "graph_edges": q_graph_edges,
-    "dedup_embedding": q_dedup_embedding,
-    "ann_topk": q_ann_topk,
-    "ann_ivf": q_ann_ivf,
-    "multimodal_meta": q_multimodal_meta,
-    # -- ever-green --
-    "match_filter": q_match_filter,
-    "range_filter": q_range_filter,
-    "range_filter_date": q_range_filter_date,
-    "groupby_count": q_groupby_count,
-    "groupby_count_unique": q_groupby_count_unique,
-    "top_k": q_top_k,
-    "count_distinct": q_count_distinct,
+    "kmeans": q_kmeans,
+    # -- last driver-checked in r2 --
     "sort_limit": q_sort_limit,
     "field_in": q_field_in,
     "unroll": q_unroll,
@@ -1629,6 +1581,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    # -- code touched in r4 (broadcast-hint drop, null-safe line dedup,
+    # quantile quoting, stratified map-join, wire plainify) --
+    "dup_windows": q_dup_windows,
+    "line_dedup": q_line_dedup,
+    "quantile_stats": q_quantile_stats,
+    "quantile_filter": q_quantile_filter,
+    "stratified_sample": q_stratified_sample,
+    "wire_roundtrip": q_wire_roundtrip,
+    # -- green in r3, unchanged --
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "repetition": q_repetition,
+    "contamination": q_contamination,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "stream_dedup": q_stream_dedup,
+    "sessionize": q_sessionize,
+    "salted_join": q_salted_join,
+    "interval_join": q_interval_join,
+    "cube": q_cube,
+    "rerank": q_rerank,
+    "map_batch": q_map_batch,
+    "db_writer": q_db_writer,
+    "db_reader": q_db_reader,
+    "plan_exec": q_plan_exec,
+    "merge_schemas": q_merge_schemas,
+    "spread_properties": q_spread_properties,
+    "hash_sample": q_hash_sample,
+    "pack_shards": q_pack_shards,
+    "redact_pii": q_redact_pii,
+    "concat_shards": q_concat_shards,
+    "sketch_rolling": q_sketch_rolling,
+    "asof_join": q_asof_join,
+    "frame_sample": q_frame_sample,
+    "summarize_fold": q_summarize_fold,
+    "extract_properties": q_extract_properties,
+    "graph_nodes": q_graph_nodes,
+    "graph_edges": q_graph_edges,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "multimodal_meta": q_multimodal_meta,
+    "match_filter": q_match_filter,
+    "range_filter": q_range_filter,
+    "range_filter_date": q_range_filter_date,
+    "groupby_count": q_groupby_count,
+    "groupby_count_unique": q_groupby_count_unique,
+    "top_k": q_top_k,
+    "count_distinct": q_count_distinct,
 }
 
 

@@ -419,7 +419,8 @@ def duplicate_window_stats(
     aligned window... of the same phase), and in practice flags the
     copy-pasted boilerplate/quotation mass a corpus carries. Shape: one
     explode to (id, pos-hash) with 8-byte hashes, one hash agg for the
-    cross-doc counts, one broadcast-sized join back — no pairwise work.
+    cross-doc counts, one semi-join back (AQE picks broadcast only when the
+    duplicate set fits) — no pairwise work.
     ``hash_fn`` defaults to md5_hash60 so a DuckDB oracle replays it
     exactly; production can pass xxhash64 for speed.
     """
@@ -446,7 +447,10 @@ def duplicate_window_stats(
         .filter(F.col("_nd") > 1)
         .select("_wh")
     )
-    marked = wins.join(F.broadcast(dup), "_wh", "left_semi")
+    # no broadcast hint: the cross-doc duplicate-window set scales with the
+    # corpus's boilerplate mass (billions of rows on a 100 TB crawl), so a
+    # forced broadcast OOMs; AQE broadcasts it when it actually fits
+    marked = wins.join(dup, "_wh", "left_semi")
     per_doc_dup = marked.groupBy("_id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
     base = df.select(F.col(id_col), n_win.alias("n_windows"))
     out = (
