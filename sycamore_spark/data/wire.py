@@ -330,11 +330,21 @@ def wire_to_docs(df, wire_col: str = "wire"):
 
 
 def _plainify(v: Any) -> Any:
-    """numpy/pandas scalars and arrays -> plain Python for the codec."""
+    """numpy/pandas scalars and arrays -> plain Python for the codec.
+
+    Temporal and Decimal values are normalized rather than rejected —
+    msgpack has no native type for them, so the convention is: datetime /
+    pd.Timestamp / date -> ISO-8601 string (UTC offset preserved if aware),
+    Decimal -> string (lossless; a float cast would corrupt money columns).
+    Without this, docs_to_wire raised TypeError from packb deep inside an
+    executor for any DataFrame with a timestamp column."""
+    import datetime as _dt
+    import decimal as _decimal
+
     import numpy as np  # noqa: PLC0415
 
     if isinstance(v, np.generic):
-        return v.item()
+        v = v.item()  # np.datetime64 .item() yields datetime — fall through
     if isinstance(v, np.ndarray):
         return [_plainify(x) for x in v.tolist()]
     if isinstance(v, list):
@@ -346,6 +356,14 @@ def _plainify(v: Any) -> Any:
 
         if v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
             return None
+        if isinstance(v, pd.Timestamp):
+            v = v.to_pydatetime()
     except Exception:
         pass
+    if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
+        return v.isoformat()
+    if isinstance(v, _dt.timedelta):
+        return v.total_seconds()
+    if isinstance(v, _decimal.Decimal):
+        return str(v)
     return v

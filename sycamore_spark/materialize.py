@@ -24,12 +24,51 @@ LLM stage from rerunning because a downstream join OOMed.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 from typing import Optional
 
 from pyspark.sql import DataFrame
 
 _ACTIVE: Optional["AutoMaterialize"] = None
+
+
+# -- Hadoop-FS helpers (work on file://, hdfs://, s3a://, ... — a driver-local
+# os.path check silently breaks resume for any non-local out_root) ----------
+
+
+def _hadoop_fs(spark, path_str: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _fs_exists(spark, path_str: str) -> bool:
+    fs, p = _hadoop_fs(spark, path_str)
+    return bool(fs.exists(p))
+
+
+def _fs_write_text(spark, path_str: str, text: str) -> None:
+    fs, p = _hadoop_fs(spark, path_str)
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def _fs_read_text(spark, path_str: str) -> str:
+    fs, p = _hadoop_fs(spark, path_str)
+    stream = fs.open(p)
+    try:
+        # py4j passes arrays by value, so stream.read(buf) can't fill a
+        # Python bytearray — drain JVM-side instead (commons-io ships with
+        # hadoop-common)
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
 
 
 class AutoMaterialize:
@@ -49,8 +88,9 @@ class AutoMaterialize:
         """Return the stored stage output iff complete and USE_STORED."""
         if self.source_mode != "USE_STORED":
             return None
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            return df_like.sparkSession.read.parquet(path)
+        spark = df_like.sparkSession
+        if _fs_exists(spark, os.path.join(path, "_SUCCESS")):
+            return spark.read.parquet(path)
         return None
 
     def write(self, df: DataFrame, path: str) -> DataFrame:
@@ -98,20 +138,46 @@ def reliable_materialize(
     ``transform``: optional DataFrame -> DataFrame stage run per batch (the
     expensive work being protected). Returns the re-read union of all batch
     outputs — byte-equal to ``transform(df)`` but resumable mid-way.
+
+    Resume protocol: batch count and input fingerprint are persisted to
+    ``<out_root>/_RELIABLE_META.json`` on the first run (via the Hadoop FS
+    API, so resume works on hdfs://s3a:// paths, not just the driver's local
+    disk). A resume reuses the STORED n_batches (bucketing must match the
+    earlier run) and refuses to continue if the input row count changed —
+    otherwise the final ``batch-*`` read would union stale batches from the
+    earlier input.
     """
     import math
 
     from pyspark.sql import functions as F
 
+    spark = df.sparkSession
     total = df.count()
-    n_batches = max(1, math.ceil(total / max_batch))
+    meta_path = os.path.join(out_root, "_RELIABLE_META.json")
+    if _fs_exists(spark, meta_path):
+        meta = json.loads(_fs_read_text(spark, meta_path))
+        if meta.get("total") != total or meta.get("id_col") != id_col:
+            raise ValueError(
+                f"reliable_materialize: {out_root} holds batches from a different "
+                f"input (stored total={meta.get('total')}, id_col={meta.get('id_col')!r}; "
+                f"current total={total}, id_col={id_col!r}). Resuming would union "
+                f"stale batch outputs — clean the directory or use a new out_root."
+            )
+        n_batches = int(meta["n_batches"])
+    else:
+        n_batches = max(1, math.ceil(total / max_batch))
+        _fs_write_text(
+            spark, meta_path,
+            json.dumps({"n_batches": n_batches, "total": total, "id_col": id_col,
+                        "bucket_fn": "pmod(xxhash64(cast(id as string)), n)"}),
+        )
     bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_batches))
 
     retries = 0
     b = 0
     while b < n_batches:
         path = os.path.join(out_root, f"batch-{b:05d}")
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
+        if _fs_exists(spark, os.path.join(path, "_SUCCESS")):
             b += 1  # already materialized in a previous run — skip (resume)
             continue
         try:

@@ -47,17 +47,34 @@ def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     return df.filter(_hash_bucket(F.col(key)) < int(fraction * _MOD))
 
 
+# above this many strata a chained when() builds an expression tree that is
+# slow to analyze/codegen; switch to a broadcast map-join of the config
+_WHEN_CHAIN_MAX = 32
+
+
 def stratified_hash_sample(
     df: DataFrame, key: str, stratum: str, fractions: dict[str, float],
     default_fraction: float = 0.0,
 ) -> DataFrame:
     """Per-stratum deterministic sampling: ``fractions`` maps stratum value
-    -> keep fraction; strata not listed keep ``default_fraction``. One
-    narrow filter — the mixing weights never cause a shuffle."""
-    thresh = F.lit(int(default_fraction * _MOD))
-    for val, frac in fractions.items():
-        thresh = F.when(F.col(stratum) == val, F.lit(int(frac * _MOD))).otherwise(thresh)
-    return df.filter(_hash_bucket(F.col(key)) < thresh)
+    -> keep fraction; strata not listed keep ``default_fraction``. Small
+    maps compile to one narrow when()-chain filter (no shuffle at all);
+    large mixture configs (hundreds of sources) become a broadcast hash
+    join against the tiny config table — still no shuffle of the data."""
+    if len(fractions) <= _WHEN_CHAIN_MAX:
+        thresh = F.lit(int(default_fraction * _MOD))
+        for val, frac in fractions.items():
+            thresh = F.when(F.col(stratum) == val, F.lit(int(frac * _MOD))).otherwise(thresh)
+        return df.filter(_hash_bucket(F.col(key)) < thresh)
+    cfg = df.sparkSession.createDataFrame(
+        [(str(v), int(f * _MOD)) for v, f in fractions.items()],
+        schema="_stratum_val string, _thresh long",
+    )
+    joined = df.join(
+        F.broadcast(cfg), df[stratum].cast("string") == cfg["_stratum_val"], "left"
+    )
+    thresh = F.coalesce(F.col("_thresh"), F.lit(int(default_fraction * _MOD)))
+    return joined.filter(_hash_bucket(F.col(key)) < thresh).drop("_stratum_val", "_thresh")
 
 
 def pack_shards(

@@ -194,44 +194,46 @@ def remove_repeated_lines(
     and punctuation are not boilerplate evidence).
 
     Scale shape: explode to (doc, pos, line) -> one hash agg on the
-    normalized line for distinct-doc counts -> the repeated-line set is
-    tiny relative to the corpus, so it comes back as a broadcast anti-join
-    -> reassemble per doc with one sort-free array_sort window. Two
-    shuffles total (line agg + doc regroup); the line table carries only
-    hashes and positions, never full documents.
+    normalized line for distinct-doc counts -> anti-join the repeated-line
+    set back (no broadcast hint: the boilerplate-line set is unbounded on a
+    crawl-scale corpus, AQE broadcasts it only when it fits) -> reassemble
+    per doc with one sort-free array_sort. The exploded path carries only
+    (id, pos, line); passthrough columns are re-attached from the original
+    df by id, so a NULL in a passthrough column can't break the regroup
+    (equality-key grouping is null-unsafe in joins).
     """
     out_col = out_col or text_col
     other_cols = [c for c in df.columns if c not in (id_col, text_col)]
 
     lines = df.select(
         F.col(id_col),
-        *[F.col(c) for c in other_cols],
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
-    )
-    norm = F.trim(F.col("_line"))
+    ).withColumn("_nline", F.trim(F.col("_line")))
     bad = (
-        lines.filter(F.length(norm) >= min_len)
-        .groupBy(norm.alias("_nline"))
+        lines.filter(F.length(F.col("_nline")) >= min_len)
+        .groupBy("_nline")
         .agg(F.countDistinct(F.col(id_col)).alias("_ndocs"))
         .filter(F.col("_ndocs") > max_docs)
         .select("_nline")
     )
-    kept = lines.join(
-        F.broadcast(bad), F.trim(lines["_line"]) == bad["_nline"], "left_anti"
-    )
-    rebuilt = kept.groupBy(id_col, *other_cols).agg(
+    kept = lines.join(bad, "_nline", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_line")))),
                 lambda s: s["_line"],
             ),
             "\n",
-        ).alias(out_col)
+        ).alias("_rebuilt")
     )
     # docs whose every line was boilerplate still exist, with empty text
-    ids = df.select(id_col, *other_cols)
-    return ids.join(rebuilt, [id_col, *other_cols], "left").withColumn(
-        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    drop_out = [out_col] if out_col in df.columns else []
+    return (
+        df.drop(*drop_out)
+        .join(rebuilt, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col("_rebuilt"), F.lit("")))
+        .drop("_rebuilt")
+        .select(id_col, *other_cols, out_col)
     )
 
 
@@ -247,8 +249,14 @@ def quantile_stats(
     linear-interpolation definition, verified in the gate). One hash agg;
     at 100 TB switch to ``approx_percentile`` for one-pass sketching —
     same call shape, documented accuracy tradeoff."""
+    # F.percentile (not an F.expr interpolation) so column names needing
+    # backticks work; alias keeps the historical q5/q9/q99 form but maps any
+    # residual '.' (e.g. q=1.0) to '_' so downstream selection never needs
+    # quoting.
     aggs = [
-        F.expr(f"percentile({value_col}, {q})").alias(f"q{str(q).replace('0.', '')}")
+        F.percentile(F.col(value_col), F.lit(q)).alias(
+            "q" + str(q).replace("0.", "", 1).replace(".", "_")
+        )
         for q in quantiles
     ]
     if group_cols:

@@ -177,3 +177,37 @@ def test_reliable_materialize_gives_up_after_max_retries(spark, tmp_path):
             df, str(tmp_path / "out"), transform=always_fails,
             id_col="doc_id", max_batch=5, max_retries=2,
         )
+
+
+def test_reliable_materialize_refuses_changed_input(spark, tmp_path):
+    """Resuming against a different input must refuse, not silently union
+    stale batches: n_batches/row-count metadata is persisted under out_root
+    on the first run and validated on resume."""
+    out_root = str(tmp_path / "out")
+    df = spark.range(60).selectExpr("id AS doc_id")
+    materialize.reliable_materialize(df, out_root, id_col="doc_id", max_batch=20)
+    assert os.path.exists(os.path.join(out_root, "_RELIABLE_META.json"))
+
+    grown = spark.range(61).selectExpr("id AS doc_id")
+    with pytest.raises(ValueError, match="different\\s+input"):
+        materialize.reliable_materialize(grown, out_root, id_col="doc_id", max_batch=20)
+
+
+def test_reliable_materialize_resume_uses_stored_n_batches(spark, tmp_path):
+    """Same input, different max_batch on resume: the stored bucketing wins,
+    so completed batches stay valid and nothing is recomputed."""
+    out_root = str(tmp_path / "out")
+    df = spark.range(60).selectExpr("id AS doc_id")
+    materialize.reliable_materialize(df, out_root, id_col="doc_id", max_batch=20)
+
+    calls = []
+
+    def tracking(sub):
+        calls.append(1)
+        return sub
+
+    out = materialize.reliable_materialize(
+        df, out_root, transform=tracking, id_col="doc_id", max_batch=7
+    )
+    assert calls == []  # all three stored batches recognized as complete
+    assert sorted(r.doc_id for r in out.collect()) == list(range(60))

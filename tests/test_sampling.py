@@ -164,3 +164,42 @@ def test_hash_bucket_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == duck
+
+
+def test_stratified_sample_many_strata_uses_join_path(spark):
+    """A large mixture config (>_WHEN_CHAIN_MAX strata) routes through the
+    broadcast map-join and gives identical results to the when()-chain
+    semantics: listed strata keep their fraction, unlisted keep default."""
+    import time
+
+    from sycamore_spark.operators.sampling import stratified_hash_sample
+
+    rows = [(f"k{i}", f"s{i % 100}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, src string")
+    # 1000-entry config: even strata kept fully, odd dropped; s100+ unused
+    fractions = {f"s{i}": (1.0 if i % 2 == 0 else 0.0) for i in range(1000)}
+    t0 = time.time()
+    out = stratified_hash_sample(df, "k", "src", fractions, default_fraction=0.0)
+    plan_secs = time.time() - t0  # plan construction must not blow up
+    assert plan_secs < 5.0
+    got = sorted(r.k for r in out.collect())
+    want = sorted(k for k, s in rows if int(s[1:]) % 2 == 0)
+    assert got == want
+    # schema untouched: helper columns dropped
+    assert out.columns == ["k", "src"]
+
+
+def test_stratified_sample_join_and_when_paths_agree(spark):
+    from sycamore_spark.operators import sampling
+
+    rows = [(f"k{i}", f"s{i % 5}") for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, src string")
+    fractions = {"s0": 1.0, "s1": 0.5, "s2": 0.25, "s3": 0.0}
+    small = sampling.stratified_hash_sample(df, "k", "src", fractions, 0.1)
+    orig = sampling._WHEN_CHAIN_MAX
+    sampling._WHEN_CHAIN_MAX = 0  # force the join path
+    try:
+        large = sampling.stratified_hash_sample(df, "k", "src", fractions, 0.1)
+    finally:
+        sampling._WHEN_CHAIN_MAX = orig
+    assert sorted(r.k for r in small.collect()) == sorted(r.k for r in large.collect())

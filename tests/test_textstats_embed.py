@@ -209,3 +209,34 @@ def test_quantile_filter_semantics(spark):
     # ungrouped path
     g = filter_by_quantile(df, "v", 0.95).collect()
     assert len(g) == 10 and min(r.id for r in g) == 190
+
+
+def test_remove_repeated_lines_null_passthrough_column(spark):
+    """A NULL in a passthrough column must not lose the document's text:
+    the regroup keys on doc_id only and re-attaches other columns from the
+    original frame (null-unsafe equality was the r3 advisor finding)."""
+    from sycamore_spark.operators.textstats import remove_repeated_lines
+
+    rows = [
+        (1, None, "intro one\nCOMMON FOOTER LINE HERE\nunique tail 1"),
+        (2, "web", "intro two\nCOMMON FOOTER LINE HERE\nunique tail 2"),
+        (3, None, "intro three\nCOMMON FOOTER LINE HERE\nunique tail 3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: (r.source, r.text) for r in remove_repeated_lines(df, max_docs=2).collect()}
+    assert out[1] == (None, "intro one\nunique tail 1")
+    assert out[2] == ("web", "intro two\nunique tail 2")
+    assert out[3] == (None, "intro three\nunique tail 3")
+
+
+def test_quantile_stats_weird_column_names_and_q1(spark):
+    """Backtick-needing column names and q=1.0 both work (r3 advisor: the
+    f-string percentile() broke on 'value col' and q1.0 aliases)."""
+    from sycamore_spark.operators.textstats import quantile_stats
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(101)], ["value col"]
+    )
+    out = quantile_stats(df, "value col", quantiles=(0.5, 1.0)).collect()[0]
+    assert out["q5"] == 50.0
+    assert out["q1_0"] == 100.0
