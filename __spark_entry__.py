@@ -305,6 +305,19 @@ def q_dedup_jaccard(spark, sf) -> DataFrame:
     return dedup.jaccard_similar_pairs(_ds(spark, sf, "documents").to_df(), "doc_id", "text", threshold=0.95)
 
 
+def q_dedup_cc(spark, sf) -> DataFrame:
+    """Duplicate-cluster resolution — the stage after pair generation that
+    every dedup pipeline needs: near-dup pairs (exact jaccard >= 0.95) ->
+    connected components (distributed min-label propagation,
+    operators/dedup.py:connected_components) -> per-doc cluster id +
+    canonical flag (min id per cluster; singletons canonical). The oracle
+    replays the closure with a recursive CTE."""
+    docs = _ds(spark, sf, "documents").to_df()
+    pairs = dedup.jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.95)
+    out = dedup.canonical_docs(docs, pairs, "doc_id")
+    return out.select("doc_id", "component", "is_canonical")
+
+
 def q_dedup_minhash(spark, sf) -> DataFrame:
     """MinHash+LSH candidates verified with exact jaccard — with 32 bands x 2
     rows at t=0.8 the per-pair miss probability is ~5e-15, so the output
@@ -1581,6 +1594,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    # -- new in r4 --
+    "dedup_cc": q_dedup_cc,
     # -- code touched in r4 (broadcast-hint drop, null-safe line dedup,
     # quantile quoting, stratified map-join, wire plainify) --
     "dup_windows": q_dup_windows,
@@ -1992,6 +2007,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 6) AS jaccard FROM inter "
             "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
             "WHERE i / (sa.n + sb.n - i) >= 0.95"
+        ),
+        "dedup_cc": (
+            "WITH RECURSIVE tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i FROM tok a "
+            "JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT id_a, id_b FROM inter JOIN sz sa ON sa.doc_id = id_a "
+            "JOIN sz sb ON sb.doc_id = id_b WHERE i / (sa.n + sb.n - i) >= 0.95), "
+            "e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs), "
+            "reach(s, d) AS (SELECT s, d FROM e UNION "
+            "SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s WHERE e2.d <> r.s), "
+            "comp AS (SELECT s AS node, least(s, min(d)) AS component FROM reach GROUP BY s) "
+            "SELECT doc_id, coalesce(c.component, doc_id) AS component, "
+            "doc_id = coalesce(c.component, doc_id) AS is_canonical "
+            "FROM documents LEFT JOIN comp c ON doc_id = c.node"
         ),
         "dedup_minhash": (
             f"WITH sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents), "

@@ -466,3 +466,92 @@ def duplicate_window_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: pairs -> connected components -> canonical keep-list
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components of the similarity graph: the stage that turns
+    near-dup PAIRS (minhash/simhash/jaccard output) into duplicate CLUSTERS.
+    Returns (node, component) for every node appearing in ``edges``, where
+    ``component`` is the minimum node id reachable from it.
+
+    Distributed min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (one join + one min-agg per
+    round), converging in O(graph diameter) rounds. Near-dup graphs are
+    unions of dense cliques/stars (every member of a dup group pairs with
+    most others), so the diameter is small — propagation converges in a
+    handful of rounds where a generic web-graph would want the
+    O(log n)-round large-star/small-star alternation. Lineage is truncated
+    with an eager localCheckpoint per round (swap for
+    ``sparkContext.setCheckpointDir`` + ``checkpoint()`` on a real cluster
+    where executor loss must not lose the propagation state).
+
+    Convergence is detected distributively (an any-change semi-check per
+    round, no label collection on the driver); node ids may be any
+    orderable type — strings compare lexicographically.
+    """
+    sym = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .union(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+    comp = sym.groupBy("n").agg(F.min("m").alias("c")).select(
+        "n", F.least(F.col("n"), F.col("c")).alias("c")
+    )
+
+    for _ in range(max_iterations):
+        # neighbor labels: node n hears component c(m) from each neighbor m
+        msgs = sym.join(comp.withColumnRenamed("n", "m"), "m").select("n", "c")
+        new = (
+            comp.union(msgs)
+            .groupBy("n")
+            .agg(F.min("c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(comp.withColumnRenamed("c", "_old"), "n")
+            .filter(F.col("c") != F.col("_old"))
+            .limit(1)
+            .isEmpty()
+        )
+        comp = new
+        if changed:
+            break
+    return comp.select(F.col("n").alias("node"), F.col("c").alias("component"))
+
+
+def canonical_docs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """The dedup pipeline's final stage: given near-dup pairs, tag every
+    document with its duplicate-cluster id and whether it is the cluster's
+    canonical representative (the minimum id — deterministic, engine- and
+    partitioning-independent). Docs in no pair are their own singleton
+    cluster and always canonical. Filtering ``is_canonical`` yields the
+    keep-list; the (doc -> component) map is the redirect table.
+
+    Scale shape: components over the PAIR set only (tiny vs the corpus),
+    then one join back onto the full table — the corpus itself never enters
+    the iterative propagation.
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    out = df.join(cc, df[id_col] == cc["node"], "left").drop("node")
+    comp = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        out.withColumn("component", comp)
+        .withColumn("is_canonical", (F.col(id_col) == F.col("component")))
+    )

@@ -131,3 +131,47 @@ def test_duplicate_window_stats(spark):
     # sub-window doc: no windows, fraction 0 (not NaN, no phantom
     # descending-sequence windows)
     assert out[4].n_windows == 0 and out[4].n_dup_windows == 0 and out[4].dup_fraction == 0.0
+
+
+# ---------------------------------------------------------------------------
+# connected components + canonical selection (pairs -> clusters -> keep-list)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Multi-hop chains need real propagation (A-B, B-C, C-D: A never pairs
+    with D directly) and separate cliques stay separate."""
+    from sycamore_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4),          # chain 1-2-3-4 -> component 1
+         (10, 11), (11, 10),              # duplicate+reversed edges collapse
+         (20, 21), (21, 22), (20, 22)],   # triangle -> component 20
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_string_ids(spark):
+    from sycamore_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([("b", "a"), ("b", "c")], "id_a string, id_b string")
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_canonical_docs_keep_list(spark):
+    from sycamore_spark.operators.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 4, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (3, 4)], "id_a long, id_b long")
+    out = {r.doc_id: (r.component, r.is_canonical)
+           for r in canonical_docs(docs, pairs).collect()}
+    # cluster {1,2,3,4} keeps min id 1; untouched doc 9 is its own cluster
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+                   9: (9, True)}
+    keep = [d for d, (_, canon) in out.items() if canon]
+    assert sorted(keep) == [1, 9]
