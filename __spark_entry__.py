@@ -934,6 +934,90 @@ def q_stream_dedup(spark, sf) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("hash", "join", "stream")
+
+
+def q_bm25(spark, sf) -> DataFrame:
+    """Lexical BM25 retrieval scoring (operators/retrieval.py) — the
+    no-model retrieval baseline next to rerank/ANN (reference
+    transforms/similarity.py scores with a model; BM25 is pure dataflow).
+    Integer-micro per-term contributions make the per-doc sum exact and
+    partitioning-independent."""
+    from sycamore_spark.operators.retrieval import bm25_scores
+
+    docs = load_table(spark, sf, "documents")
+    return bm25_scores(docs, _BM25_TERMS, id_col="doc_id", text_col="text")
+
+
+def _bm25_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+        f"tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok IN ({terms}) GROUP BY 1, 2), "
+        "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), "
+        "contrib AS (SELECT doc_id, CAST(floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) "
+        "* ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1000000.0 + 0.5) AS BIGINT) AS c "
+        "FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats) "
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25_micros FROM contrib GROUP BY 1"
+    )
+
+
+def q_token_count(spark, sf) -> DataFrame:
+    """Tokenizer family under the oracle (functions/tokenizers.py; reference
+    functions/tokenizer.py:6-62): whitespace, character, and BPE-regex
+    counts per document as native expressions (the tiktoken/HF backends are
+    gated seams; the deterministic tokenizers are the countable surface)."""
+    from sycamore_spark.functions.tokenizers import (
+        bpe_regex_token_count_expr,
+        token_count_expr,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr(F.col("text"), "whitespace").cast("bigint").alias("ws_tokens"),
+        token_count_expr(F.col("text"), "character").cast("bigint").alias("n_chars_tok"),
+        bpe_regex_token_count_expr(F.col("text")).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def q_stream_window(spark, sf) -> DataFrame:
+    """Streaming event-time windowed aggregation under the gate
+    (streaming/windows.py): the events table replayed as an availableNow
+    file stream through a 1-hour tumbling window per event_type (count +
+    decimal-exact value sum). Complete output mode so trailing windows
+    inside the watermark horizon emit on a finite replay; the oracle is the
+    equivalent batch GROUP BY — the batch/stream consistency contract."""
+    import tempfile
+
+    from sycamore_spark.streaming.windows import windowed_agg
+
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "event_type", "value")
+    src = tempfile.mkdtemp(prefix="streamwin-gate-")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = windowed_agg(
+        stream, ts_col="ts", window_duration="1 hour", watermark="2 hours",
+        keys=("event_type",),
+        aggs=[
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("value_sum"),
+        ],
+    )
+    name = "stream_window_gate"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("win.start")).cast("bigint").alias("bucket"),
+        "event_type", "n", "value_sum",
+    )
+
+
 def q_db_writer(spark, sf) -> DataFrame:
     """BaseDBWriter protocol end-to-end (connectors.py; reference
     connectors/base_writer.py): documents -> OpenSearch-shaped records
@@ -1596,6 +1680,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     # -- new in r4 --
     "dedup_cc": q_dedup_cc,
+    "stream_window": q_stream_window,
+    "token_count": q_token_count,
+    "bm25": q_bm25,
     # -- code touched in r4 (broadcast-hint drop, null-safe line dedup,
     # quantile quoting, stratified map-join, wire plainify) --
     "dup_windows": q_dup_windows,
@@ -1651,6 +1738,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
+
+
+def _bpe_sql_pattern() -> str:
+    from sycamore_spark.functions.tokenizers import BPE_COUNT_PATTERN
+
+    return BPE_COUNT_PATTERN.replace("'", "''")
+
+
+_BPE_SQL_PATTERN = _bpe_sql_pattern()
 
 
 # DuckDB cosine expressed with list_inner_product so the double-precision
@@ -1771,6 +1867,19 @@ def oracle_sql() -> dict[str, str]:
         "time_bucket": (
             "SELECT epoch(date_trunc('hour', ts))::BIGINT AS bucket, count(*)::BIGINT AS n, "
             "round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS value_sum FROM events GROUP BY 1"
+        ),
+        "stream_window": (
+            "SELECT epoch(date_trunc('hour', ts))::BIGINT AS bucket, event_type, "
+            "count(*)::BIGINT AS n, "
+            "round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS value_sum FROM events GROUP BY 1, 2"
+        ),
+        "bm25": _bm25_oracle_sql(),
+        "token_count": (
+            "SELECT doc_id, "
+            "(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS ws_tokens, "
+            "length(text)::BIGINT AS n_chars_tok, "
+            f"len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}'))::BIGINT AS bpe_tokens "
+            "FROM documents"
         ),
         "json_extract": (
             "SELECT event_id, cast(json_extract_string(props, '$.k') AS BIGINT) AS k "

@@ -99,3 +99,19 @@ def token_count_expr(col: Column, kind: str = "whitespace") -> Column:
         return F.length(F.coalesce(col, F.lit("")))
     t = F.trim(F.coalesce(col, F.lit("")))
     return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+# BPERegexTokenizer._PAT without the `\s+(?!\S)` lookahead branch: RE2-based
+# engines (DuckDB, Go) reject lookahead, and for COUNTING the branch is
+# irrelevant — it only decides whether a whitespace run's last space attaches
+# to the run or the following ` ?`-prefixed token, shifting one boundary
+# without changing the number of matches.
+BPE_COUNT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_regex_token_count_expr(col: Column) -> Column:
+    """Native (JVM-side) BPE-regex token count: the BPERegexTokenizer's
+    pre-tokenization as one ``regexp_extract_all`` expression — no Python in
+    the hot path, and replayable on any RE2/PCRE engine via
+    ``BPE_COUNT_PATTERN``."""
+    return F.size(F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(BPE_COUNT_PATTERN), F.lit(0)))

@@ -223,3 +223,61 @@ def test_dedup_stream_unbounded_mode(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("select count(*) c from dedup_out2").collect()[0]["c"] == 2
+
+
+def test_windowed_agg_stream_equals_batch(spark, tmp_path):
+    """Batch/stream consistency for the windowed aggregation: the same
+    frame through readStream + windowed_agg (complete mode, availableNow)
+    equals the batch windowed_agg output."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from sycamore_spark.streaming.windows import windowed_agg
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(minutes=7 * i), "a" if i % 2 == 0 else "b", float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, k string, v double")
+    src = str(tmp_path / "events")
+    df.write.mode("overwrite").parquet(src)
+
+    def run(frame):
+        return windowed_agg(
+            frame, ts_col="ts", window_duration="30 minutes", watermark="1 hour",
+            keys=("k",), aggs=[F.count(F.lit(1)).cast("bigint").alias("n")],
+        )
+
+    batch = run(spark.read.parquet(src)).select(
+        F.unix_timestamp("win.start").alias("b"), "k", "n"
+    )
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        run(stream).writeStream.format("memory").queryName("winagg_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("winagg_test").select(
+        F.unix_timestamp("win.start").alias("b"), "k", "n"
+    )
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, streamed.collect()))
+
+
+def test_windowed_agg_sliding_windows(spark):
+    """A sliding window assigns each row to window_duration/slide windows."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from sycamore_spark.streaming.windows import windowed_agg
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [(1, base + datetime.timedelta(minutes=5))], "event_id long, ts timestamp"
+    )
+    out = windowed_agg(df, ts_col="ts", window_duration="10 minutes", slide="5 minutes")
+    wins = sorted(r.b for r in out.select(F.unix_timestamp("win.start").alias("b"), "n").collect())
+    # minute 5 falls in the [0,10) and [5,15) windows
+    assert len(wins) == 2 and wins[1] - wins[0] == 300

@@ -1,0 +1,57 @@
+"""BM25 lexical retrieval scoring (operators/retrieval.py)."""
+
+import math
+
+from sycamore_spark.operators.retrieval import bm25_scores
+
+
+def _bm25_reference(docs, terms, k1=1.2, b=0.75):
+    """Plain-Python Lucene BM25 over {id: text}, in integer micros."""
+    toks = {i: t.lower().split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for term in terms:
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for i, v in toks.items():
+            tf = v.count(term)
+            if tf == 0:
+                continue
+            dl = len(v)
+            c = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+            out[i] = out.get(i, 0) + math.floor(c * 1_000_000 + 0.5)
+    return out
+
+
+def test_bm25_matches_reference_formula(spark):
+    docs = {
+        1: "spark shuffle join broadcast join",
+        2: "spark filter scan",
+        3: "join join join hash table",
+        4: "unrelated text entirely",
+        5: "hash partition shuffle",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r.doc_id: r.bm25_micros for r in bm25_scores(df, ["join", "hash"]).collect()}
+    assert got == _bm25_reference(docs, ["join", "hash"])
+    # only matching docs appear
+    assert 4 not in got and 2 not in got
+
+
+def test_bm25_rare_term_outscores_common(spark):
+    """idf ordering: a doc matching a rare term beats a doc matching a
+    ubiquitous one at equal tf/dl."""
+    rows = [(i, "common filler words here") for i in range(20)]
+    rows += [(100, "rare common filler here"), (101, "common filler also here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bm25_micros for r in bm25_scores(df, ["rare", "common"]).collect()}
+    assert got[100] > got[101]
+
+
+def test_bm25_case_insensitive_and_empty_terms(spark):
+    df = spark.createDataFrame([(1, "Hash JOIN plan")], "doc_id long, text string")
+    got = {r.doc_id: r.bm25_micros for r in bm25_scores(df, ["HASH", "Join"]).collect()}
+    assert 1 in got and got[1] > 0

@@ -43,3 +43,24 @@ def test_token_count_expr(spark):
     assert got == [3, 0, 0]
     chars = [r[0] for r in df.select(token_count_expr(F.col("t"), "character")).collect()]
     assert chars == [6, 0, 0]
+
+
+def test_bpe_count_expr_matches_object_tokenizer(spark):
+    """The native (lookahead-free) count expression agrees with the Python
+    BPERegexTokenizer on token COUNT — the lookahead branch only moves a
+    whitespace boundary, never the number of matches."""
+    from sycamore_spark.functions.tokenizers import (
+        BPERegexTokenizer,
+        bpe_regex_token_count_expr,
+    )
+
+    texts = [
+        "hello world", "it's a test, isn't it?", "a   b   c", "trailing   ",
+        "   leading", "", "x" * 50, "num 123 mix4d !!; --", "tabs\tand\nnewlines \n ",
+        "we'll we've we're we'd I'm", "unicode naïve café ßharp",
+    ]
+    tok = BPERegexTokenizer()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {r.i: r.n for r in df.select("i", bpe_regex_token_count_expr(F.col("t")).alias("n")).collect()}
+    want = {i: tok.count(t) for i, t in enumerate(texts)}
+    assert got == want
