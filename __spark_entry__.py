@@ -550,6 +550,229 @@ def q_tpch_q19(spark, sf) -> DataFrame:
     return j.filter(cond).agg(F.round(rev, 2).cast("double").alias("revenue"))
 
 
+def q_tpch_q7(spark, sf) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations, by ship year): the
+    nation dimension joins twice under different roles — both broadcast —
+    so the only shuffle is lineitem->orders."""
+    nation = _ds(spark, sf, "nation").to_df()
+    n1 = nation.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    supp = _ds(spark, sf, "supplier").to_df()
+    cust = _ds(spark, sf, "customer").to_df()
+    orders = _ds(spark, sf, "orders").to_df()
+    li = (
+        _ds(spark, sf, "lineitem")
+        .range_filter("l_shipdate", "1996-01-01", "1997-12-31", date=True)
+        .to_df()
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+    ).agg(F.round(rev, 2).cast("double").alias("revenue"))
+
+
+def q_tpch_q8(spark, sf) -> DataFrame:
+    """TPC-H Q8 (market share of one supplier nation within a customer
+    region, by order year). The share is emitted as two rounded decimal
+    sums cast to double plus their IEEE quotient — identical on both
+    engines (q14 pattern)."""
+    part = _ds(spark, sf, "part").to_df().filter(F.col("p_type") == "ECONOMY")
+    region = _ds(spark, sf, "region").to_df().filter(F.col("r_name") == "AMERICA")
+    nation = _ds(spark, sf, "nation").to_df()
+    n1 = nation.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey"))
+    n2 = nation.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    supp = _ds(spark, sf, "supplier").to_df()
+    cust = _ds(spark, sf, "customer").to_df()
+    orders = (
+        _ds(spark, sf, "orders")
+        .range_filter("o_orderdate", "1996-01-01", "1997-12-31", date=True)
+        .to_df()
+    )
+    li = _ds(spark, sf, "lineitem").to_df()
+    volume = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    nat_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(F.lit(0).cast("decimal(18,4)"))
+    )
+    tot_vol = F.sum(volume)
+    return (
+        j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(nat_vol, 2).cast("double").alias("nation_rev"),
+            F.round(tot_vol, 2).cast("double").alias("total_rev"),
+            (F.round(nat_vol, 2).cast("double") / F.round(tot_vol, 2).cast("double")).alias("mkt_share"),
+        )
+    )
+
+
+def q_tpch_q12(spark, sf) -> DataFrame:
+    """TPC-H Q12 shape (adapted: l_linestatus stands in for the absent
+    l_shipmode): per-status counts of high/low-priority order lines in a
+    ship-date window. One fact-fact shuffle join, conditional long sums."""
+    orders = _ds(spark, sf, "orders").to_df()
+    li = (
+        _ds(spark, sf, "lineitem")
+        .range_filter("l_shipdate", "1996-01-01", "1996-12-31", date=True)
+        .to_df()
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+def q_tpch_q13(spark, sf) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): left outer join with a
+    join-side predicate, then two cascaded aggregations."""
+    cust = _ds(spark, sf, "customer").to_df()
+    orders = _ds(spark, sf, "orders").to_df()
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q15(spark, sf) -> DataFrame:
+    """TPC-H Q15 (top supplier by quarterly revenue): the scalar-max
+    subquery becomes a one-row broadcast join against the revenue view;
+    the equality compares exact decimals, cast to double only on output."""
+    li = (
+        _ds(spark, sf, "lineitem")
+        .range_filter("l_shipdate", "1996-01-01", "1996-03-31", date=True)
+        .to_df()
+    )
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(rev, 2).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    supp = _ds(spark, sf, "supplier").to_df()
+    return (
+        revenue.join(F.broadcast(mx), revenue.total_revenue == F.col("_mx"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17(spark, sf) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    avg-quantity subquery becomes a per-part aggregate joined back to the
+    fact; quantities aggregate as exact longs so the 0.2*avg threshold is
+    the same IEEE double on both engines."""
+    part = _ds(spark, sf, "part").to_df().filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5)
+    )
+    li = _ds(spark, sf, "lineitem").to_df()
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qsum"),
+        F.count(F.lit(1)).alias("qcnt"),
+    )
+    thresh = F.lit(0.2) * (F.col("qsum").cast("double") / F.col("qcnt"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < thresh)
+    )
+    return j.agg(
+        (F.round(F.sum(_dec("l_extendedprice")), 2).cast("double") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+def q_tpch_q21(spark, sf) -> DataFrame:
+    """TPC-H Q21 shape (suppliers solely responsible for an order's
+    returned items; l_returnflag='R' stands in for the absent
+    receipt-after-commit predicate). The two correlated EXISTS collapse
+    into ONE per-order supplier-stats aggregate — n_supp>=2 replays
+    EXISTS(other supplier), n_r_supp==1 replays NOT EXISTS(other 'R'
+    supplier) — so the plan is two hash aggs + broadcast dims instead of
+    two self-joins."""
+    li = _ds(spark, sf, "lineitem").to_df()
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("n_r_supp"),
+    )
+    orders_f = _ds(spark, sf, "orders").to_df().filter(F.col("o_orderstatus") == "F")
+    nation = _ds(spark, sf, "nation").to_df().filter(F.col("n_name") == "NATION_2")
+    supp = (
+        _ds(spark, sf, "supplier")
+        .to_df()
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    j = (
+        l1.join(orders_f, l1.l_orderkey == orders_f.o_orderkey, "left_semi")
+        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .join(per_order, l1.l_orderkey == F.col("ok"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+    )
+    return (
+        j.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+def q_tpch_q22(spark, sf) -> DataFrame:
+    """TPC-H Q22 (global-customer sales opportunity): scalar-average
+    subquery as a one-row broadcast cross join + anti-join against orders
+    (customers who never ordered). The average divides an exact decimal
+    sum by an exact count, so the cutoff is the same double everywhere.
+    (Adapted: 'never placed an urgent order' replaces 'no orders' — the
+    synthetic corpus has no order-less customers.)"""
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    cust = _ds(spark, sf, "customer").to_df().filter(F.col("c_nationkey").isin(codes))
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("_ab"))
+    )
+    urgent = _ds(spark, sf, "orders").to_df().filter(F.col("o_orderpriority") == "1-URGENT")
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .join(urgent, F.col("c_custkey") == urgent.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy(F.col("c_nationkey").cast("bigint").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def q_io_roundtrip(spark, sf) -> DataFrame:
     """Writer+scanner surface under the gate (sources/files.py, writer.py,
     materialize): documents -> JSONL write -> json scan -> parquet
@@ -1637,6 +1860,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "custom_agg": q_custom_agg,
     "tpch_q18": q_tpch_q18,
     "kmeans": q_kmeans,
+    # -- new in r4, never driver-checked --
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
+    "dedup_cc": q_dedup_cc,
+    "stream_window": q_stream_window,
+    "token_count": q_token_count,
+    "bm25": q_bm25,
     # -- last driver-checked in r2 --
     "sort_limit": q_sort_limit,
     "field_in": q_field_in,
@@ -1679,10 +1915,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     # -- new in r4 --
-    "dedup_cc": q_dedup_cc,
-    "stream_window": q_stream_window,
-    "token_count": q_token_count,
-    "bm25": q_bm25,
     # -- code touched in r4 (broadcast-hint drop, null-safe line dedup,
     # quantile quoting, stratified map-join, wire plainify) --
     "dup_windows": q_dup_windows,
@@ -1981,6 +2213,92 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) "
             "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30) "
             "OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)"
+        ),
+        "tpch_q7": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "year(l_shipdate)::BIGINT AS l_year, "
+            "round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate <= TIMESTAMP '1997-12-31' "
+            "AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+            "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "tpch_q8": (
+            "WITH j AS (SELECT year(o_orderdate)::BIGINT AS o_year, "
+            "cast(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) AS DECIMAL(18,4)) AS volume, "
+            "n2.n_name AS nation "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+            "JOIN region ON n1.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+            "WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate <= TIMESTAMP '1997-12-31') "
+            "SELECT o_year, "
+            "round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0::DECIMAL(18,4) END), 2)::DOUBLE AS nation_rev, "
+            "round(sum(volume), 2)::DOUBLE AS total_rev, "
+            "round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0::DECIMAL(18,4) END), 2)::DOUBLE "
+            "/ round(sum(volume), 2)::DOUBLE AS mkt_share FROM j GROUP BY 1"
+        ),
+        "tpch_q12": (
+            "SELECT l_linestatus, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count, "
+            "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate <= TIMESTAMP '1996-12-31' "
+            "GROUP BY 1"
+        ),
+        "tpch_q13": (
+            "WITH c_orders AS (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority <> '1-URGENT' GROUP BY 1) "
+            "SELECT c_count, count(*)::BIGINT AS custdist FROM c_orders "
+            "GROUP BY 1 ORDER BY custdist DESC, c_count DESC"
+        ),
+        "tpch_q15": (
+            "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+            "round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2) AS total_revenue "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate <= TIMESTAMP '1996-03-31' GROUP BY 1) "
+            "SELECT s_suppkey, s_name, total_revenue::DOUBLE AS total_revenue "
+            "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
+            "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue) ORDER BY s_suppkey"
+        ),
+        "tpch_q17": (
+            "WITH agg AS (SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS qsum, "
+            "count(*) AS qcnt FROM lineitem GROUP BY 1) "
+            "SELECT round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE / 7.0 AS avg_yearly "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey JOIN agg ON pk = p_partkey "
+            "WHERE p_brand = 'Brand#1' AND p_size <= 5 "
+            "AND l_quantity < 0.2 * (qsum::DOUBLE / qcnt)"
+        ),
+        "tpch_q21": (
+            "SELECT s_name, count(*)::BIGINT AS numwait "
+            "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+            "JOIN orders ON o_orderkey = l1.l_orderkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_2' "
+            "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+            "AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+            "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+            "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100"
+        ),
+        "tpch_q22": (
+            "WITH avg_bal AS (SELECT sum(c_acctbal::DECIMAL(18,2))::DOUBLE / count(*) AS ab "
+            "FROM customer WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)) "
+            "SELECT c_nationkey::BIGINT AS cntrycode, count(*)::BIGINT AS numcust, "
+            "round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS totacctbal "
+            "FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13) "
+            "AND c_acctbal > (SELECT ab FROM avg_bal) "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT') "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "standardize_state": (
             "SELECT c_custkey, 'Ships to ' || ["
