@@ -1667,6 +1667,66 @@ def _kmeans_oracle_sql() -> str:
     )
 
 
+def q_semantic_dedup(spark, sf) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): centroid-cell-bucketed embedding
+    near-dup with lowest-id keep policy. Uses the same fixed quantized
+    centroids as q_kmeans so the cell assignment is closed-form, and the
+    same raw-double cosine as dedup_embedding — both seams already proven
+    bit-exact cross-engine, so their composition is too."""
+    emb = _ds(spark, sf, "embeddings").to_df()
+    return dedup.semantic_dedup(
+        emb, "vec_id", "embedding", _kmeans_centroids(),
+        threshold=0.45, quantize_scale=_KMEANS_SCALE,
+    )
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB replay of q_semantic_dedup: kmeans-oracle assignment CTE +
+    dedup_embedding-oracle cosine within each cell + NOT-IN keep flag."""
+    s = _KMEANS_SCALE
+    cints = [[int(np.floor(c * s + 0.5)) for c in row] for row in _kmeans_centroids()]
+    dists = []
+    for i, row in enumerate(cints):
+        lst = ", ".join(f"{v}.0" for v in row)
+        n2 = sum(v * v for v in row)
+        dists.append(f"-2 * list_dot_product(qe, [{lst}]) + {n2}.0 AS d{i}")
+    case = ("CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0 "
+            "WHEN d1 <= d2 AND d1 <= d3 THEN 1 WHEN d2 <= d3 THEN 2 ELSE 3 END")
+    ip = "list_inner_product(cast({x}.embedding as double[]), cast({y}.embedding as double[]))"
+    cos = (f"{ip.format(x='a', y='b')} / "
+           f"(sqrt({ip.format(x='a', y='a')}) * sqrt({ip.format(x='b', y='b')}))")
+    return (
+        f"WITH q AS (SELECT vec_id, embedding, list_transform(embedding::DOUBLE[], "
+        f"x -> floor(x * {s} + 0.5)) AS qe FROM embeddings), "
+        f"d AS (SELECT vec_id, embedding, {', '.join(dists)} FROM q), "
+        f"asg AS (SELECT vec_id, embedding, CAST({case} AS INTEGER) AS cluster FROM d), "
+        f"drops AS (SELECT DISTINCT b.vec_id AS dv FROM asg a JOIN asg b "
+        f"ON a.cluster = b.cluster AND a.vec_id < b.vec_id WHERE {cos} >= 0.45) "
+        f"SELECT vec_id, cluster, vec_id NOT IN (SELECT dv FROM drops) AS keep FROM asg"
+    )
+
+
+def q_incremental_dedup(spark, sf) -> DataFrame:
+    """Incremental new-batch-vs-corpus dedup through the distributed Bloom
+    prefilter + exact verify join. The new batch is constructed
+    deterministically from the corpus itself: one slice re-submitted
+    verbatim (true dups — must vanish) and one slice with edited text
+    (novel — must survive). The Bloom filter only routes rows between the
+    cheap path and the verify join, so the result is exact and replayable
+    as a plain NOT IN anti-join."""
+    docs = _ds(spark, sf, "documents").to_df().select("doc_id", "text")
+    dup_half = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("new_id"), F.col("text")
+    )
+    novel_half = docs.filter(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 100000).alias("new_id"),
+        F.concat(F.col("text"), F.lit(" [v2]")).alias("text"),
+    )
+    new_batch = dup_half.unionByName(novel_half)
+    out = dedup.incremental_dedup(new_batch, docs, key_col="text", nbits=1 << 16)
+    return out.select("new_id", F.md5("text").alias("text_md5"))
+
+
 def q_rerank(spark, sf) -> DataFrame:
     """Similarity rerank (docset.py:1364): hashing-trick cosine scorer ->
     sort desc -> limit, in the integer-exact formulation (exact bigint
@@ -1870,6 +1930,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q21": q_tpch_q21,
     "tpch_q22": q_tpch_q22,
     "dedup_cc": q_dedup_cc,
+    "semantic_dedup": q_semantic_dedup,
+    "incremental_dedup": q_incremental_dedup,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2045,6 +2107,16 @@ def oracle_sql() -> dict[str, str]:
     lang_max = f"greatest({lang_scores['en']}, {lang_scores['de']}, {lang_scores['fr']}, {lang_scores['es']})"
     return {
         "kmeans": _kmeans_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "incremental_dedup": (
+            "WITH newb AS ("
+            "SELECT doc_id + 100000 AS new_id, text FROM documents WHERE doc_id % 5 = 0 "
+            "UNION ALL "
+            "SELECT doc_id + 100000 AS new_id, text || ' [v2]' AS text FROM documents "
+            "WHERE doc_id % 5 = 1) "
+            "SELECT new_id, md5(text) AS text_md5 FROM newb "
+            "WHERE text NOT IN (SELECT text FROM documents)"
+        ),
         "match_filter": "SELECT doc_id, source FROM documents WHERE contains(lower(text), 'spark')",
         "range_filter": "SELECT event_id, value FROM events WHERE value BETWEEN 5.0 AND 10.0",
         "range_filter_date": (

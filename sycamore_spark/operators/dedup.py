@@ -555,3 +555,127 @@ def canonical_docs(
         out.withColumn("component", comp)
         .withColumn("is_canonical", (F.col(id_col) == F.col("component")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDedup) — centroid-bucketed embedding near-dup
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    threshold: float = 0.99,
+    quantize_scale: float | None = None,
+) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign each embedding to its nearest centroid cell,
+    find cosine-similar pairs ONLY within a cell, and keep the lowest-id
+    member of each similar group. Returns (id, cluster, keep).
+
+    Scale shape: the cell assignment is one narrow Arrow-batched matmul
+    (``assign_clusters``); pairwise cosine work is bounded by cell size
+    (grow k with the corpus so cells stay small — SemDedup uses ~50k cells
+    for billions of docs); the wide ops are one shuffle on the cluster id
+    for the within-cell join and a final drop-set join. No global O(n²)
+    step. With ``quantize_scale`` the assignment argmin is integer-exact
+    and therefore bit-replayable in SQL (see ``assign_clusters``).
+    """
+    from .clustering import assign_clusters
+
+    assigned = assign_clusters(
+        df.select(id_col, vec_col), centroids, vec_col=vec_col,
+        out_col="cluster", quantize_scale=quantize_scale,
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("cluster").alias("_ca"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("cluster").alias("_cb"), F.col(vec_col).alias("_vb")
+    )
+    cos = V.cosine(F.col("_va"), F.col("_vb"))
+    drops = (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("id_a") < F.col("id_b")))
+        .filter(cos >= threshold)
+        .select(F.col("id_b").alias("_drop"))
+        .distinct()
+    )
+    return (
+        assigned.join(drops, assigned[id_col] == F.col("_drop"), "left_outer")
+        .select(F.col(id_col), F.col("cluster"), F.col("_drop").isNull().alias("keep"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — new batch vs existing corpus via distributed Bloom
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(col, nbits: int, nhashes: int):
+    """k Bloom bit positions for a string column, as an array<long> — all
+    JVM-side (xxhash64 with k different seeds), so corpus build and probe
+    compute identical positions with zero Python in the hash path."""
+    return F.array(*[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(nbits)) for i in range(nhashes)])
+
+
+def build_bloom(df: DataFrame, key_col: str, nbits: int = 1 << 20, nhashes: int = 5) -> np.ndarray:
+    """Distributed Bloom-filter build over ``key_col``: explode each key's k
+    bit positions, group by 64-bit word index with a ``bit_or`` of the set
+    bits (ONE bounded shuffle of at most nbits/64 rows regardless of corpus
+    size), and collect the word list into a numpy uint64 bitmap. The
+    collect is bounded by the filter size (nbits/64 longs), not the data.
+    """
+    words = (
+        df.select(F.explode(_bloom_positions(F.col(key_col), nbits, nhashes)).alias("p"))
+        .select(F.shiftright("p", 6).alias("w"),
+                F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("b"))
+        .groupBy("w").agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    bitmap = np.zeros(nbits // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[r["w"]] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return bitmap
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    key_col: str,
+    nbits: int = 1 << 20,
+    nhashes: int = 5,
+) -> DataFrame:
+    """Incremental (new-batch-vs-corpus) exact dedup: rows of ``new_df``
+    whose ``key_col`` does NOT appear in ``corpus_df``.
+
+    Scale shape: a Bloom filter over the corpus keys — built distributed
+    (``build_bloom``: bounded bit_or shuffle, bitmap-sized collect) and
+    broadcast into an Arrow-batched membership probe. Bloom-NEGATIVE rows
+    are definitely new and bypass the join entirely (the common case for a
+    fresh crawl batch); only bloom-positive candidates (true dups + the
+    false-positive fraction) pay the exact left-anti verification join
+    against the corpus. The result is exact regardless of filter sizing:
+    the verify join removes every false positive; sizing only tunes how
+    much of the batch takes the cheap path.
+    """
+    from pyspark.sql.types import BooleanType
+
+    bitmap = build_bloom(corpus_df, key_col, nbits=nbits, nhashes=nhashes)
+
+    @F.pandas_udf(BooleanType())
+    def _maybe_in(pos: pd.Series) -> pd.Series:
+        m = np.vstack(pos.to_numpy()).astype(np.int64)  # (batch, k)
+        hit = (bitmap[m >> 6] >> (m & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(hit.all(axis=1).astype(bool))
+
+    probed = new_df.withColumn(
+        "_maybe", _maybe_in(_bloom_positions(F.col(key_col), nbits, nhashes))
+    )
+    definite_new = probed.filter(~F.col("_maybe")).drop("_maybe")
+    candidates = probed.filter(F.col("_maybe")).drop("_maybe")
+    verified_new = candidates.join(
+        corpus_df.select(F.col(key_col).alias("_ck")).distinct(),
+        candidates[key_col] == F.col("_ck"),
+        "left_anti",
+    )
+    return definite_new.unionByName(verified_new)

@@ -175,3 +175,60 @@ def test_canonical_docs_keep_list(spark):
                    9: (9, True)}
     keep = [d for d, (_, canon) in out.items() if canon]
     assert sorted(keep) == [1, 9]
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    # two tight groups on orthogonal axes + one isolated vector
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.999, 0.01, 0.0]),   # near-dup of 3
+        (5, [0.0, 0.0, 0.0, 1.0]),      # isolated
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    out = {r.vec_id: (r.cluster, r.keep) for r in
+           dedup.semantic_dedup(df, "vec_id", "embedding", cents, threshold=0.98).collect()}
+    assert out[1] == (0, True) and out[2] == (0, False)
+    assert out[3] == (1, True) and out[4] == (1, False)
+    assert out[5] == (2, True)
+
+
+def test_semantic_dedup_cross_cell_pairs_ignored(spark):
+    # identical vectors forced into different cells are NOT compared:
+    # SemDedup's trade — recall bounded by cell assignment
+    vecs = [(1, [1.0, 1.0]), (2, [1.0, 1.0])]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    # centroids make vec 1/2 both land in cell 0; same cell -> pair found
+    out = dedup.semantic_dedup(df, "vec_id", "embedding",
+                               [[1.0, 1.0], [-1.0, -1.0]], threshold=0.99).collect()
+    assert {(r.vec_id, r.keep) for r in out} == {(1, True), (2, False)}
+
+
+def test_build_bloom_no_false_negatives(spark):
+    df = spark.createDataFrame([(f"key-{i}",) for i in range(200)], "k string")
+    bm = dedup.build_bloom(df, "k", nbits=1 << 12, nhashes=4)
+    assert bm.dtype.name == "uint64" and len(bm) == (1 << 12) // 64
+    assert int(bm.sum()) != 0
+
+
+def test_incremental_dedup_exact(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(100)], "id int, text string")
+    new = spark.createDataFrame(
+        [(1000 + i, f"text number {i}") for i in range(0, 50)]        # dups
+        + [(2000 + i, f"brand new text {i}") for i in range(30)],     # novel
+        "id int, text string")
+    out = dedup.incremental_dedup(new, corpus, key_col="text", nbits=1 << 12)
+    ids = {r.id for r in out.collect()}
+    assert ids == {2000 + i for i in range(30)}
+
+
+def test_incremental_dedup_tiny_filter_still_exact(spark):
+    # deliberately undersized bloom (high FP rate): the verify join must
+    # keep the result exact anyway
+    corpus = spark.createDataFrame([(i, f"c{i}") for i in range(50)], "id int, text string")
+    new = spark.createDataFrame([(100 + i, f"n{i}") for i in range(50)], "id int, text string")
+    out = dedup.incremental_dedup(new, corpus, key_col="text", nbits=64, nhashes=2)
+    assert out.count() == 50
