@@ -1667,6 +1667,44 @@ def _kmeans_oracle_sql() -> str:
     )
 
 
+def q_window_analytics(spark, sf) -> DataFrame:
+    """Analytic window suite (§2.5 beyond rank): lag/lead neighbors,
+    decimal-exact running sum, 3-row moving average — one shuffle serves
+    all four columns."""
+    out = _ds(spark, sf, "events").window_stats(
+        "event_type", "ts", "value", tiebreak_field="event_id", ma_rows=3
+    )
+    return out.to_df().select(
+        "event_id", "event_type", "prev_value", "next_value", "running_sum", "moving_avg"
+    )
+
+
+def q_pivot(spark, sf) -> DataFrame:
+    """Native pivot (absent in the reference; free from Spark like
+    cube/rollup): per-user-bucket event-type counts as columns. The value
+    list is pinned so the plan is a single pass (no distinct-values
+    pre-query)."""
+    ev = _ds(spark, sf, "events").to_df()
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.pmod(F.col("user_id"), F.lit(50)).alias("bucket"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "bucket", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types]
+    )
+
+
+def q_key_skew(spark, sf) -> DataFrame:
+    """Heavy-hitter key profiler (operators/profiling.py): the pre-flight
+    for salted_join — top keys with count, share, skew ratio."""
+    from sycamore_spark.operators.profiling import key_skew_profile
+
+    ev = _ds(spark, sf, "events").to_df()
+    return key_skew_profile(ev.withColumn("k", F.pmod(F.col("user_id"), F.lit(97))), "k", top_n=15)
+
+
 def q_semantic_dedup(spark, sf) -> DataFrame:
     """SemDedup (Abbas et al. 2023): centroid-cell-bucketed embedding
     near-dup with lowest-id keep policy. Uses the same fixed quantized
@@ -1932,6 +1970,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
+    "window_analytics": q_window_analytics,
+    "pivot": q_pivot,
+    "key_skew": q_key_skew,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2107,6 +2148,35 @@ def oracle_sql() -> dict[str, str]:
     lang_max = f"greatest({lang_scores['en']}, {lang_scores['de']}, {lang_scores['fr']}, {lang_scores['es']})"
     return {
         "kmeans": _kmeans_oracle_sql(),
+        "window_analytics": (
+            "SELECT event_id, event_type, "
+            "lag(value, 1) OVER w AS prev_value, "
+            "lead(value, 1) OVER w AS next_value, "
+            "(sum(value::DECIMAL(18,2)) OVER (PARTITION BY event_type ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS running_sum, "
+            "(sum(value::DECIMAL(18,2)) OVER (PARTITION BY event_type ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::DOUBLE "
+            "/ count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg "
+            "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)"
+        ),
+        "pivot": (
+            "SELECT user_id % 50 AS bucket, "
+            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click, "
+            "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase, "
+            "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup, "
+            "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view "
+            "FROM events GROUP BY 1"
+        ),
+        "key_skew": (
+            "WITH counts AS (SELECT user_id % 97 AS key, count(*)::BIGINT AS cnt "
+            "FROM events GROUP BY 1), "
+            "totals AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM counts) "
+            "SELECT key, cnt, cnt::DOUBLE / total AS share, "
+            "cnt::DOUBLE * nkeys / total AS skew_ratio "
+            "FROM counts, totals ORDER BY cnt DESC, key ASC LIMIT 15"
+        ),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "incremental_dedup": (
             "WITH newb AS ("

@@ -372,6 +372,37 @@ class DocSet:
         w = Window.partitionBy(field_expr(self.df, partition_field)).orderBy(*order)
         return self._wrap(self.df.withColumn(rank_col, F.row_number().over(w)))
 
+    def window_stats(
+        self, partition_field: str, order_field: str, value_field: str,
+        tiebreak_field: str | None = None, ma_rows: int = 3,
+    ) -> "DocSet":
+        """Analytic window suite over a partitioned ordered frame (SURVEY.md
+        §2.5 — Spark Window covers and exceeds the reference's
+        element-ordering): lag/lead neighbors, running sum, and a
+        ``ma_rows``-row moving average. Running/moving sums aggregate the
+        value as exact DECIMAL (order-independent) and convert to double
+        only on output, so results are identical cross-engine and under any
+        partitioning. One shuffle on the partition key serves all four
+        columns."""
+        order = [field_expr(self.df, order_field).asc()]
+        if tiebreak_field:
+            order.append(field_expr(self.df, tiebreak_field).asc())
+        w = Window.partitionBy(field_expr(self.df, partition_field)).orderBy(*order)
+        dec = field_expr(self.df, value_field).cast("decimal(18,2)")
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ma = w.rowsBetween(-(ma_rows - 1), Window.currentRow)
+        val = field_expr(self.df, value_field)
+        return self._wrap(
+            self.df
+            .withColumn("prev_value", F.lag(val, 1).over(w))
+            .withColumn("next_value", F.lead(val, 1).over(w))
+            .withColumn("running_sum", F.sum(dec).over(run).cast("double"))
+            .withColumn(
+                "moving_avg",
+                F.sum(dec).over(ma).cast("double") / F.count(F.lit(1)).over(ma),
+            )
+        )
+
     # -- document ETL / model / LLM delegates -------------------------------
     # Thin fluent forwarding onto the operator modules, mirroring the
     # reference DocSet method surface (docset.py:295-1644) so reference

@@ -1,0 +1,40 @@
+"""Dataset profiling operators for scale planning.
+
+At 100 TB the difference between a smooth job and a stuck one is usually a
+single hot key: one reducer gets the skewed partition and becomes the
+critical path. ``key_skew_profile`` is the pre-flight check that surfaces
+those keys so the pipeline can route them through ``salted_join``
+(operators/joins.py) or AQE skew handling before they burn a cluster-day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """Heavy-hitter profile of a prospective join/group key: the ``top_n``
+    largest keys with row count, share of total rows, and skew ratio
+    (count vs the mean rows-per-key — a ratio of R means that key's
+    reducer does R× the average work).
+
+    Plan shape: one hash-agg shuffle on the key (with map-side partial
+    aggregation) + a one-row totals broadcast + a top-n sort. No driver
+    collection; safe on any cardinality.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("_total")).alias("share"),
+            (F.col("cnt").cast("double") * F.col("_nkeys") / F.col("_total")).alias("skew_ratio"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_n)
+    )

@@ -144,3 +144,28 @@ def test_filter_callable_runs_rowwise(spark):
 def test_json_field_access(spark):
     ds = DocSet(spark.createDataFrame([("1", '{"a": {"b": 7}}')], "id string, properties string"))
     assert ds.to_df().select(ds.field("properties.a.b").cast("int").alias("x")).collect()[0].x == 7
+
+
+def test_window_stats(spark):
+    from sycamore_spark.docset import DocSet
+
+    rows = [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, "a", 4.0), (5, "b", 10.0)]
+    df = spark.createDataFrame(rows, "id int, grp string, value double")
+    out = {r.id: r for r in
+           DocSet(df).window_stats("grp", "id", "value", ma_rows=2).to_df().collect()}
+    assert out[1].prev_value is None and out[2].prev_value == 1.0
+    assert out[1].next_value == 2.0 and out[4].next_value is None
+    assert out[4].running_sum == 10.0  # 1+2+3+4
+    assert out[3].moving_avg == 2.5    # (2+3)/2
+    assert out[5].prev_value is None and out[5].running_sum == 10.0
+
+
+def test_key_skew_profile(spark):
+    from sycamore_spark.operators.profiling import key_skew_profile
+
+    rows = [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, "k", top_n=2).collect()
+    assert [r.key for r in out] == ["hot", "warm"]
+    assert out[0].cnt == 80 and abs(out[0].share - 0.8) < 1e-12
+    assert abs(out[0].skew_ratio - 2.4) < 1e-12  # 80 / (100/3 keys)

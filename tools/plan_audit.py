@@ -30,6 +30,8 @@ ONLY = set(sys.argv[2:])
 ALLOW_BNL = {
     "dedup_embedding",  # documented all-pairs oracle baseline; LSH twin is the scale path
     "ann_ivf",          # 10x8 centroid-routing crossJoin (constant-size)
+    "tpch_q22",         # scalar-subquery shape: crossJoin(broadcast(1-row avg)) — O(n)
+    "bm25",             # corpus-stats scalar: crossJoin(broadcast(1-row N/avgdl)) — O(n)
 }
 ALLOW_CARTESIAN = {"ann_ivf"}  # same tiny routing join
 
