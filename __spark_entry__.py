@@ -1667,6 +1667,40 @@ def _kmeans_oracle_sql() -> str:
     )
 
 
+def q_weighted_sample(spark, sf) -> DataFrame:
+    """Quality-weighted importance sampling (operators/sampling.py): keep
+    probability proportional to a per-row score (here a length-based
+    quality proxy), decided content-addressed so the sample is
+    deterministic at any cluster size. Narrow filter, no shuffle."""
+    from sycamore_spark.operators.sampling import weighted_hash_sample
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    weight = F.least(F.length("text"), F.lit(2000)).cast("double") / F.lit(2000.0)
+    return weighted_hash_sample(docs, "doc_id", weight).select("doc_id")
+
+
+def q_split_groups(spark, sf) -> DataFrame:
+    """Contamination-safe train/valid/test split (operators/sampling.py):
+    rows route by their content-fingerprint group, so exact dups (and,
+    composed with dedup.canonical_docs components, near-dups) always land
+    in the same split."""
+    from sycamore_spark.operators.sampling import group_aware_split
+
+    docs = load_table(spark, sf, "documents").withColumn("_fp", F.md5(F.col("text")))
+    out = group_aware_split(docs, "_fp", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
+def q_tfidf(spark, sf) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (operators/retrieval.py): smoothed
+    idf, integer-micro quantization (bm25 pattern), lexicographic
+    tie-break — the keyword-extraction fingerprint."""
+    from sycamore_spark.operators.retrieval import tfidf_topk_terms
+
+    docs = load_table(spark, sf, "documents")
+    return tfidf_topk_terms(docs, "doc_id", "text", k=5)
+
+
 def q_window_analytics(spark, sf) -> DataFrame:
     """Analytic window suite (§2.5 beyond rank): lag/lead neighbors,
     decimal-exact running sum, 3-row moving average — one shuffle serves
@@ -1973,6 +2007,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_analytics": q_window_analytics,
     "pivot": q_pivot,
     "key_skew": q_key_skew,
+    "weighted_sample": q_weighted_sample,
+    "split_groups": q_split_groups,
+    "tfidf": q_tfidf,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2148,6 +2185,33 @@ def oracle_sql() -> dict[str, str]:
     lang_max = f"greatest({lang_scores['en']}, {lang_scores['de']}, {lang_scores['fr']}, {lang_scores['es']})"
     return {
         "kmeans": _kmeans_oracle_sql(),
+        "weighted_sample": (
+            "SELECT doc_id FROM documents "
+            "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 "
+            "< floor(least(length(text), 2000)::DOUBLE / 2000.0 * 1000000.0 + 0.5)"
+        ),
+        "split_groups": (
+            "WITH b AS (SELECT doc_id, "
+            "('0x' || substr(md5(md5(text)), 1, 15))::BIGINT % 1000000 AS bucket "
+            "FROM documents) "
+            "SELECT doc_id, CASE WHEN bucket < 800000 THEN 'train' "
+            "WHEN bucket < 900000 THEN 'valid' ELSE 'test' END AS split FROM b"
+        ),
+        "tfidf": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), "
+            "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), "
+            "n AS (SELECT count(*) AS n_docs FROM documents), "
+            "scored AS (SELECT doc_id, tok, "
+            "CAST(floor(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000.0 + 0.5) AS BIGINT) AS tfidf_micros "
+            "FROM tf JOIN dfreq USING (tok) CROSS JOIN n), "
+            "ranked AS (SELECT doc_id, tok, tfidf_micros, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_micros DESC, tok ASC) AS rank "
+            "FROM scored) "
+            "SELECT doc_id, tok AS term, tfidf_micros, rank::BIGINT AS rank "
+            "FROM ranked WHERE rank <= 5"
+        ),
         "window_analytics": (
             "SELECT event_id, event_type, "
             "lag(value, 1) OVER w AS prev_value, "

@@ -84,3 +84,51 @@ def bm25_scores(
         .agg(F.sum("_c").alias("bm25_micros"))
         .select(F.col("_id").alias(id_col), "bm25_micros")
     )
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — keyword extraction / document
+    fingerprinting at corpus scale. Smoothed sklearn-form weighting:
+
+        tfidf(t, d) = tf(t, d) * (ln((N + 1) / (df(t) + 1)) + 1)
+
+    Returns (id_col, term, tfidf_micros bigint, rank) with scores in
+    integer micros (the bm25 quantization pattern, engine-exact) and ties
+    broken lexicographically so the top-k set is deterministic.
+
+    Plan shape: tokenize-explode -> (doc, term) tf agg -> term df agg
+    (shuffle join on term — the vocabulary is NOT broadcast: at corpus
+    scale it does not fit, and AQE will still broadcast when it does) ->
+    one-row N broadcast -> per-doc window top-k. Three hash aggs + one
+    window; no driver collection.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
+    )
+    tf = toks.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    idf = F.log((F.col("_n_docs") + F.lit(1.0)) / (F.col("_df") + F.lit(1.0))) + F.lit(1.0)
+    micros = F.floor(F.col("_tf") * idf * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_id").orderBy(F.col("tfidf_micros").desc(), F.col("_tok").asc())
+    return (
+        tf.join(dfreq, "_tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf_micros", micros)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_tok").alias("term"),
+            "tfidf_micros",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

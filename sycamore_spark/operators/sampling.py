@@ -77,6 +77,42 @@ def stratified_hash_sample(
     return joined.filter(_hash_bucket(F.col(key)) < thresh).drop("_stratum_val", "_thresh")
 
 
+def weighted_hash_sample(df: DataFrame, key: str, weight: Column) -> DataFrame:
+    """Importance sampling: keep each row with probability ``weight`` (a
+    per-row column in [0, 1] — typically a quality score), decided by the
+    same content-addressed hash test as ``hash_sample``. The
+    quality-weighted data-mixing primitive (keep high-quality docs at
+    ~100%, downsample low-quality tails proportionally) — deterministic,
+    reproducible at any cluster size, and a pure narrow filter: no
+    shuffle, no RNG state."""
+    return df.filter(
+        _hash_bucket(F.col(key)) < F.floor(weight * F.lit(float(_MOD)) + F.lit(0.5))
+    )
+
+
+def group_aware_split(
+    df: DataFrame, group_col: str, splits: dict[str, float], split_col: str = "split"
+) -> DataFrame:
+    """Contamination-safe train/valid/test assignment: every row is routed
+    by hashing its GROUP key — a dup-cluster component id
+    (dedup.canonical_docs), a content fingerprint, or a source domain — so
+    near-duplicates and siblings always land in the SAME split and the
+    eval set cannot leak training near-dups. ``splits`` maps split name ->
+    fraction (must sum to <= 1; remainder goes to the last split listed).
+    Pure narrow projection: no shuffle."""
+    bucket = _hash_bucket(F.col(group_col))
+    names = list(splits)
+    expr = F.lit(names[-1])
+    acc = 0.0
+    cuts = []
+    for name, frac in splits.items():
+        acc += frac
+        cuts.append((name, int(acc * _MOD)))
+    for name, cut in reversed(cuts[:-1]):
+        expr = F.when(bucket < cut, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def pack_shards(
     df: DataFrame,
     size_col: str,

@@ -55,3 +55,23 @@ def test_bm25_case_insensitive_and_empty_terms(spark):
     df = spark.createDataFrame([(1, "Hash JOIN plan")], "doc_id long, text string")
     got = {r.doc_id: r.bm25_micros for r in bm25_scores(df, ["HASH", "Join"]).collect()}
     assert 1 in got and got[1] > 0
+
+
+def test_tfidf_topk_terms(spark):
+    from sycamore_spark.operators.retrieval import tfidf_topk_terms
+
+    docs = [
+        (1, "apple apple banana common"),
+        (2, "banana cherry common"),
+        (3, "cherry durian common"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = tfidf_topk_terms(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term))
+    # doc 1: 'apple' (tf=2, df=1) must outrank everything
+    assert sorted(by_doc[1])[0] == (1, "apple")
+    # 'common' appears everywhere -> lowest idf, never rank 1
+    assert all(terms[0][1] != "common" for terms in map(sorted, by_doc.values()))
+    assert all(len(v) == 2 for v in by_doc.values())

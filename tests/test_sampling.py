@@ -203,3 +203,33 @@ def test_stratified_sample_join_and_when_paths_agree(spark):
     finally:
         sampling._WHEN_CHAIN_MAX = orig
     assert sorted(r.k for r in small.collect()) == sorted(r.k for r in large.collect())
+
+
+def test_weighted_hash_sample_extremes(spark):
+    from pyspark.sql import functions as F
+
+    from sycamore_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id int")
+    assert weighted_hash_sample(df, "id", F.lit(1.0)).count() == 200
+    assert weighted_hash_sample(df, "id", F.lit(0.0)).count() == 0
+    mid = weighted_hash_sample(df, "id", F.lit(0.5)).count()
+    assert 60 < mid < 140  # ~100, content-hash distributed
+    # deterministic: same selection every run
+    a = {r.id for r in weighted_hash_sample(df, "id", F.lit(0.3)).collect()}
+    b = {r.id for r in weighted_hash_sample(df, "id", F.lit(0.3)).collect()}
+    assert a == b
+
+
+def test_group_aware_split_groups_stay_together(spark):
+    from sycamore_spark.operators.sampling import group_aware_split
+
+    rows = [(i, f"grp-{i % 17}") for i in range(340)]
+    df = spark.createDataFrame(rows, "id int, grp string")
+    out = group_aware_split(df, "grp", {"train": 0.7, "valid": 0.15, "test": 0.15})
+    per_group = out.groupBy("grp").agg(
+        __import__("pyspark.sql.functions", fromlist=["countDistinct"]).countDistinct("split").alias("n")
+    ).collect()
+    assert all(r.n == 1 for r in per_group)  # no group straddles splits
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "valid", "test"} and "train" in splits
