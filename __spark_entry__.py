@@ -1667,6 +1667,39 @@ def _kmeans_oracle_sql() -> str:
     )
 
 
+def q_stream_join(spark, sf) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming/joins.py):
+    click->purchase attribution within 1 hour, both sides replayed as
+    availableNow file streams. The oracle is the equivalent batch interval
+    join in SQL — the batch/stream consistency contract."""
+    import tempfile
+
+    from sycamore_spark.streaming.joins import interval_join_streams
+
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "user_id", "event_type")
+    src = tempfile.mkdtemp(prefix="streamjoin-gate-")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"), "user_id"
+    )
+    buys = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts"), "user_id"
+    )
+    out = interval_join_streams(
+        clicks, buys, key="user_id", left_ts="click_ts", right_ts="buy_ts",
+        max_delay="1 hour", watermark="2 hours",
+    )
+    name = "stream_join_gate"
+    q = (
+        out.select("click_id", "buy_id", "user_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_weighted_sample(spark, sf) -> DataFrame:
     """Quality-weighted importance sampling (operators/sampling.py): keep
     probability proportional to a per-row score (here a length-based
@@ -2010,6 +2043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "split_groups": q_split_groups,
     "tfidf": q_tfidf,
+    "stream_join": q_stream_join,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2185,6 +2219,12 @@ def oracle_sql() -> dict[str, str]:
     lang_max = f"greatest({lang_scores['en']}, {lang_scores['de']}, {lang_scores['fr']}, {lang_scores['es']})"
     return {
         "kmeans": _kmeans_oracle_sql(),
+        "stream_join": (
+            "SELECT c.event_id AS click_id, p.event_id AS buy_id, c.user_id "
+            "FROM events c JOIN events p ON c.user_id = p.user_id "
+            "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+            "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"
+        ),
         "weighted_sample": (
             "SELECT doc_id FROM documents "
             "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 "

@@ -53,6 +53,13 @@ HEADLINE = [
     "doc_merge_table",
     "doc_unexplode",
     "table_ted",
+    # round-4 additions
+    "tpch_q13",
+    "tpch_q21",
+    "semantic_dedup",
+    "incremental_dedup",
+    "tfidf",
+    "window_analytics",
 ]
 
 

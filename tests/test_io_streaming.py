@@ -281,3 +281,27 @@ def test_windowed_agg_sliding_windows(spark):
     wins = sorted(r.b for r in out.select(F.unix_timestamp("win.start").alias("b"), "n").collect())
     # minute 5 falls in the [0,10) and [5,15) windows
     assert len(wins) == 2 and wins[1] - wins[0] == 300
+
+
+def test_interval_join_streams_batch_semantics(spark):
+    import datetime as dt
+
+    from sycamore_spark.streaming.joins import interval_join_streams
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    clicks = spark.createDataFrame(
+        [(1, t0, "u1"), (2, t0 + dt.timedelta(hours=3), "u1"), (3, t0, "u2")],
+        "click_id int, click_ts timestamp, user_id string",
+    )
+    buys = spark.createDataFrame(
+        [(10, t0 + dt.timedelta(minutes=30), "u1"),   # within 1h of click 1
+         (11, t0 + dt.timedelta(hours=2), "u1"),      # matches neither (too late for 1, early for 2)
+         (12, t0 + dt.timedelta(hours=1), "u2")],     # boundary: exactly +1h of click 3 -> included
+        "buy_id int, buy_ts timestamp, user_id string",
+    )
+    out = interval_join_streams(
+        clicks, buys, key="user_id", left_ts="click_ts", right_ts="buy_ts",
+        max_delay="1 hour",
+    )
+    pairs = {(r.click_id, r.buy_id) for r in out.collect()}
+    assert pairs == {(1, 10), (3, 12)}
