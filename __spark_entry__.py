@@ -1780,31 +1780,43 @@ def q_semantic_dedup(spark, sf) -> DataFrame:
     bit-exact cross-engine, so their composition is too."""
     emb = _ds(spark, sf, "embeddings").to_df()
     return dedup.semantic_dedup(
-        emb, "vec_id", "embedding", _kmeans_centroids(),
+        emb, "vec_id", "embedding", _kmeans_centroids(k=_SEMDEDUP_K),
         threshold=0.45, quantize_scale=_KMEANS_SCALE,
     )
 
 
+# SemDedup needs MANY cells (the whole point: pairwise work bounded by cell
+# size) — 32 cells keeps the gate's within-cell join ~1000x off quadratic
+_SEMDEDUP_K = 32
+
+
 def _semantic_dedup_oracle_sql() -> str:
-    """DuckDB replay of q_semantic_dedup: kmeans-oracle assignment CTE +
-    dedup_embedding-oracle cosine within each cell + NOT-IN keep flag."""
+    """DuckDB replay of q_semantic_dedup: kmeans-oracle assignment (argmin
+    via least() + first-wins CASE chain, matching numpy argmin tie-break) +
+    integer-exact quantized cosine within each cell (every dot product is
+    an exact integer in float64, so the sequential SQL sum equals the
+    engine's BLAS matmul bit-for-bit) + NOT-IN keep flag."""
     s = _KMEANS_SCALE
-    cints = [[int(np.floor(c * s + 0.5)) for c in row] for row in _kmeans_centroids()]
+    k = _SEMDEDUP_K
+    cints = [[int(np.floor(c * s + 0.5)) for c in row]
+             for row in _kmeans_centroids(k=k)]
     dists = []
     for i, row in enumerate(cints):
         lst = ", ".join(f"{v}.0" for v in row)
         n2 = sum(v * v for v in row)
         dists.append(f"-2 * list_dot_product(qe, [{lst}]) + {n2}.0 AS d{i}")
-    case = ("CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0 "
-            "WHEN d1 <= d2 AND d1 <= d3 THEN 1 WHEN d2 <= d3 THEN 2 ELSE 3 END")
-    ip = "list_inner_product(cast({x}.embedding as double[]), cast({y}.embedding as double[]))"
+    mn = "least(" + ", ".join(f"d{i}" for i in range(k)) + ")"
+    case = ("CASE " + " ".join(f"WHEN d{i} = _mn THEN {i}" for i in range(k - 1))
+            + f" ELSE {k - 1} END")
+    ip = "list_inner_product({x}.qe, {y}.qe)"
     cos = (f"{ip.format(x='a', y='b')} / "
            f"(sqrt({ip.format(x='a', y='a')}) * sqrt({ip.format(x='b', y='b')}))")
     return (
-        f"WITH q AS (SELECT vec_id, embedding, list_transform(embedding::DOUBLE[], "
+        f"WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
         f"x -> floor(x * {s} + 0.5)) AS qe FROM embeddings), "
-        f"d AS (SELECT vec_id, embedding, {', '.join(dists)} FROM q), "
-        f"asg AS (SELECT vec_id, embedding, CAST({case} AS INTEGER) AS cluster FROM d), "
+        f"d AS (SELECT vec_id, qe, {', '.join(dists)} FROM q), "
+        f"m AS (SELECT {mn} AS _mn, * FROM d), "
+        f"asg AS (SELECT vec_id, qe, CAST({case} AS INTEGER) AS cluster FROM m), "
         f"drops AS (SELECT DISTINCT b.vec_id AS dv FROM asg a JOIN asg b "
         f"ON a.cluster = b.cluster AND a.vec_id < b.vec_id WHERE {cos} >= 0.45) "
         f"SELECT vec_id, cluster, vec_id NOT IN (SELECT dv FROM drops) AS keep FROM asg"

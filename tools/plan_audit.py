@@ -30,8 +30,6 @@ ONLY = set(sys.argv[2:])
 ALLOW_BNL = {
     "dedup_embedding",  # documented all-pairs oracle baseline; LSH twin is the scale path
     "ann_ivf",          # 10x8 centroid-routing crossJoin (constant-size)
-    "tpch_q22",         # scalar-subquery shape: crossJoin(broadcast(1-row avg)) — O(n)
-    "bm25",             # corpus-stats scalar: crossJoin(broadcast(1-row N/avgdl)) — O(n)
 }
 ALLOW_CARTESIAN = {"ann_ivf"}  # same tiny routing join
 
@@ -47,8 +45,19 @@ def audit(name: str, df) -> dict:
     flags = []
     if "CartesianProduct" in plan and name not in ALLOW_CARTESIAN:
         flags.append("CARTESIAN")
-    if "BroadcastNestedLoopJoin" in plan and name not in ALLOW_BNL:
-        flags.append("BNL")
+    # count by unique operator id — AQE renders the tree twice but the
+    # numbered operator detail section once
+    n_bnl = len(set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan)))
+    if n_bnl and name not in ALLOW_BNL:
+        # Scalar-broadcast shape: a crossJoin against a ONE-ROW frame (a
+        # global keyless aggregate) is how Spark executes scalar subqueries
+        # — O(n) streamed against a single broadcast row, fine at any
+        # scale. The formatted plan shows each such aggregate as a
+        # HashAggregate with "Keys: []" (partial + final = 2 ops per
+        # scalar). Only flag BNLs beyond what those scalars account for.
+        n_scalar_aggs = len(re.findall(r"Keys: \[\]", plan)) // 2
+        if n_bnl > n_scalar_aggs:
+            flags.append("BNL")
     if "BatchEvalPython" in plan:
         flags.append("ROW_PY_UDF")
     n_exchange = len(re.findall(r"\bExchange\b", plan))
