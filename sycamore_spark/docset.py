@@ -594,6 +594,22 @@ class DocSet:
         with_schema = infer_schema_per_doc(self.df, llm_factory, **kwargs)
         return self._wrap(merge_schemas(with_schema, mode))
 
+    def suggest_schema(self, llm_factory, mode: str = "intersection", **kwargs):
+        """Infer + merge a corpus-wide schema and return it as a value
+        (reference docset.suggest_schema, docset.py:540 — infer_schema then
+        take the single combined row)."""
+        row = self.infer_schema(llm_factory, mode, **kwargs).take(1)
+        return row[0] if row else None
+
+    def clear_materialize(self, path: str) -> None:
+        """Delete a materialize checkpoint directory so the next
+        USE_STORED run recomputes (reference docset.clear_materialize,
+        docset.py:1785). Uses the Hadoop FS API, so it works on any
+        scheme the cluster can reach, not just the driver's local disk."""
+        from sycamore_spark.materialize import delete_path
+
+        delete_path(self.spark, path)
+
     def extract_graph_entities(self, llm_factory, entity_types: list[str], **kwargs) -> "DocSet":
         """Entity mentions table (reference docset.extract_graph_entities,
         docset.py:676; operators/graph.py)."""

@@ -58,6 +58,17 @@ def _fs_write_text(spark, path_str: str, text: str) -> None:
         stream.close()
 
 
+def delete_path(spark, path_str: str) -> bool:
+    """Recursively delete a checkpoint directory via the Hadoop FS API
+    (reference docset.clear_materialize, docset.py:1785 — there a
+    pyarrow-fs walk; here any scheme the cluster reaches). Returns True
+    if something was deleted."""
+    fs, p = _hadoop_fs(spark, path_str)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, True))
+
+
 def _fs_read_text(spark, path_str: str) -> str:
     fs, p = _hadoop_fs(spark, path_str)
     stream = fs.open(p)

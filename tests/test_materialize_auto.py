@@ -211,3 +211,28 @@ def test_reliable_materialize_resume_uses_stored_n_batches(spark, tmp_path):
     )
     assert calls == []  # all three stored batches recognized as complete
     assert sorted(r.doc_id for r in out.collect()) == list(range(60))
+
+
+def test_clear_materialize_roundtrip(spark, tmp_path):
+    from sycamore_spark.docset import DocSet
+
+    path = str(tmp_path / "ckpt")
+    ds = DocSet(spark.range(5).toDF("doc_id"))
+    ds.materialize(path, source_mode="USE_STORED")
+    assert (tmp_path / "ckpt" / "_SUCCESS").exists()
+    ds.clear_materialize(path)
+    assert not (tmp_path / "ckpt").exists()
+    # idempotent on missing path
+    ds.clear_materialize(path)
+
+
+def test_suggest_schema_returns_value(spark):
+    from sycamore_spark.docset import DocSet
+    from sycamore_spark.llm.client import MockLLM
+
+    df = spark.createDataFrame(
+        [(1, '{"title": "a", "pages": 3}'), (2, '{"title": "b", "pages": 9}')],
+        "doc_id int, text_representation string",
+    )
+    row = DocSet(df).suggest_schema(lambda: MockLLM())
+    assert row is not None
