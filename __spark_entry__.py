@@ -1667,6 +1667,62 @@ def _kmeans_oracle_sql() -> str:
     )
 
 
+def q_corpus_diff(spark, sf) -> DataFrame:
+    """Snapshot diff (operators/profiling.py corpus_diff): yesterday's
+    corpus vs a constructed today's (one slice removed, one edited, one
+    added) — one full-outer join on id comparing content fingerprints."""
+    from sycamore_spark.operators.profiling import corpus_diff
+
+    base = load_table(spark, sf, "documents").select("doc_id", "text")
+    kept = base.filter(F.col("doc_id") % 7 != 0)
+    changed = kept.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 1, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    added = base.filter(F.col("doc_id") % 7 == 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    new = changed.unionByName(added)
+    old_fp = base.select("doc_id", F.md5("text").alias("fp"))
+    new_fp = new.select("doc_id", F.md5("text").alias("fp"))
+    return corpus_diff(old_fp, new_fp, "doc_id", "fp")
+
+
+def q_stream_incdedup(spark, sf) -> DataFrame:
+    """Continuous incremental dedup (streaming/dedup.py
+    dedup_stream_vs_corpus): the incremental_dedup new batch replayed as
+    an availableNow stream, anti-joined per micro-batch against the
+    static corpus. Oracle = the same NOT IN as the batch twin — the
+    batch/stream consistency contract."""
+    import tempfile
+
+    from sycamore_spark.streaming.dedup import dedup_stream_vs_corpus
+
+    docs = _ds(spark, sf, "documents").to_df().select("doc_id", "text")
+    dup_half = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("new_id"), F.col("text")
+    )
+    novel_half = docs.filter(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 100000).alias("new_id"),
+        F.concat(F.col("text"), F.lit(" [v2]")).alias("text"),
+    )
+    new_batch = dup_half.unionByName(novel_half)
+    src = tempfile.mkdtemp(prefix="streaminc-gate-")
+    new_batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(new_batch.schema).parquet(src)
+    out = dedup_stream_vs_corpus(stream, docs, key_col="text")
+    name = "stream_incdedup_gate"
+    q = (
+        out.select("new_id", F.md5("text").alias("text_md5"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_stream_join(spark, sf) -> DataFrame:
     """Watermarked stream-stream interval join (streaming/joins.py):
     click->purchase attribution within 1 hour, both sides replayed as
@@ -2056,6 +2112,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_groups": q_split_groups,
     "tfidf": q_tfidf,
     "stream_join": q_stream_join,
+    "corpus_diff": q_corpus_diff,
+    "stream_incdedup": q_stream_incdedup,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2231,6 +2289,28 @@ def oracle_sql() -> dict[str, str]:
     lang_max = f"greatest({lang_scores['en']}, {lang_scores['de']}, {lang_scores['fr']}, {lang_scores['es']})"
     return {
         "kmeans": _kmeans_oracle_sql(),
+        "corpus_diff": (
+            "WITH old_fp AS (SELECT doc_id, md5(text) AS fp FROM documents), "
+            "new_fp AS ("
+            "SELECT doc_id, md5(CASE WHEN doc_id % 7 = 1 THEN text || ' v2' ELSE text END) AS fp "
+            "FROM documents WHERE doc_id % 7 <> 0 "
+            "UNION ALL SELECT doc_id + 100000 AS doc_id, md5(text) AS fp "
+            "FROM documents WHERE doc_id % 7 = 2) "
+            "SELECT coalesce(n.doc_id, o.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' "
+            "WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS status "
+            "FROM old_fp o FULL OUTER JOIN new_fp n ON o.doc_id = n.doc_id"
+        ),
+        "stream_incdedup": (
+            "WITH newb AS ("
+            "SELECT doc_id + 100000 AS new_id, text FROM documents WHERE doc_id % 5 = 0 "
+            "UNION ALL "
+            "SELECT doc_id + 100000 AS new_id, text || ' [v2]' AS text FROM documents "
+            "WHERE doc_id % 5 = 1) "
+            "SELECT new_id, md5(text) AS text_md5 FROM newb "
+            "WHERE text NOT IN (SELECT text FROM documents)"
+        ),
         "stream_join": (
             "SELECT c.event_id AS click_id, p.event_id AS buy_id, c.user_id "
             "FROM events c JOIN events p ON c.user_id = p.user_id "

@@ -13,6 +13,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    fp_col: str,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: one row per document id
+    with status ``added`` (only in new), ``removed`` (only in old),
+    ``changed`` (both, fingerprints differ), or ``unchanged``. The
+    dataset-versioning primitive: what moved between yesterday's crawl and
+    today's, which shards need re-embedding, what a rollback would touch.
+
+    Plan shape: one full-outer hash join on the id — at 100 TB, run it per
+    date/source partition (both sides pruned to the same partition) so the
+    join is co-located and the shuffle is per-partition-sized. Carries only
+    (id, fingerprint) through the join; payloads stay in place.
+    """
+    o = old.select(F.col(id_col).alias("_oid"), F.col(fp_col).alias("_ofp"))
+    n = new.select(F.col(id_col).alias("_nid"), F.col(fp_col).alias("_nfp"))
+    j = o.join(n, o["_oid"] == n["_nid"], "full_outer")
+    status = (
+        F.when(F.col("_oid").isNull(), F.lit("added"))
+        .when(F.col("_nid").isNull(), F.lit("removed"))
+        .when(F.col("_ofp") != F.col("_nfp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce(F.col("_nid"), F.col("_oid")).alias(id_col),
+        status.alias("status"),
+    )
+
+
 def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
     """Heavy-hitter profile of a prospective join/group key: the ``top_n``
     largest keys with row count, share of total rows, and skew ratio

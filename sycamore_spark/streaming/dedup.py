@@ -41,3 +41,27 @@ def dedup_stream(
             [fingerprint_col]
         )
     return out.dropDuplicates([fingerprint_col])
+
+
+def dedup_stream_vs_corpus(
+    stream: DataFrame,
+    corpus: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Continuous incremental dedup: drop stream rows whose ``key_col``
+    already exists in the STATIC corpus — the streaming twin of
+    ``operators.dedup.incremental_dedup`` (the crawl-ingest shape: new
+    pages flow in, anything already in the training corpus is discarded
+    before it costs a byte downstream).
+
+    Spark executes a stream-static left-anti join by re-probing the static
+    side per micro-batch — no streaming state at all (the corpus is the
+    state, and it lives in parquet). Pair with ``dedup_stream`` after this
+    join to also suppress duplicates WITHIN the stream. At 100 TB keep the
+    corpus side bucketed on the key so each micro-batch probe is a
+    co-located join, or swap in the Bloom-prefilter (dedup.build_bloom) as
+    a foreachBatch pre-filter when corpus re-reads dominate.
+    """
+    return stream.join(
+        corpus.select(F.col(key_col)).distinct(), key_col, "left_anti"
+    )

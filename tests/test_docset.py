@@ -169,3 +169,14 @@ def test_key_skew_profile(spark):
     assert [r.key for r in out] == ["hot", "warm"]
     assert out[0].cnt == 80 and abs(out[0].share - 0.8) < 1e-12
     assert abs(out[0].skew_ratio - 2.4) < 1e-12  # 80 / (100/3 keys)
+
+
+def test_corpus_diff_statuses(spark):
+    from sycamore_spark.operators.profiling import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, fp string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "id int, fp string")
+    out = {r.id: r.status for r in corpus_diff(old, new, "id", "fp").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
