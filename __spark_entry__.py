@@ -1667,6 +1667,25 @@ def _kmeans_oracle_sql() -> str:
     )
 
 
+def q_retrieval_metrics(spark, sf) -> DataFrame:
+    """Distributed retrieval evaluation (sycamore_spark/evaluation.py —
+    the reference's evaluation/ package re-expressed as one window + one
+    agg): per-language queries with a deterministic hash ranking and a
+    synthetic relevance rule; MRR/DCG quantized to integer micros."""
+    from sycamore_spark.evaluation import retrieval_metrics
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    results = docs.select(
+        "lang",
+        F.row_number().over(w).alias("rank"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("rel"),
+    )
+    return retrieval_metrics(results, "lang", "rank", "rel", k=10).orderBy("lang")
+
+
 def q_corpus_diff(spark, sf) -> DataFrame:
     """Snapshot diff (operators/profiling.py corpus_diff): yesterday's
     corpus vs a constructed today's (one slice removed, one edited, one
@@ -2114,6 +2133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_join": q_stream_join,
     "corpus_diff": q_corpus_diff,
     "stream_incdedup": q_stream_incdedup,
+    "retrieval_metrics": q_retrieval_metrics,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2289,6 +2309,28 @@ def oracle_sql() -> dict[str, str]:
     lang_max = f"greatest({lang_scores['en']}, {lang_scores['de']}, {lang_scores['fr']}, {lang_scores['es']})"
     return {
         "kmeans": _kmeans_oracle_sql(),
+        "retrieval_metrics": (
+            "WITH ranked AS (SELECT lang, doc_id, "
+            "row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rank, "
+            "CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS rel FROM documents), "
+            "staged AS (SELECT lang, rank, rel, "
+            "row_number() OVER (PARTITION BY lang ORDER BY rel DESC, rank ASC) AS irank FROM ranked), "
+            "g AS (SELECT lang, rank, rel, "
+            "CASE WHEN rank <= 10 AND rel > 0 THEN "
+            "CAST(floor(rel * 1000000.0 * 0.6931471805599453 / ln(rank + 1.0) + 0.5) AS BIGINT) ELSE 0 END AS gain, "
+            "CASE WHEN irank <= 10 AND rel > 0 THEN "
+            "CAST(floor(rel * 1000000.0 * 0.6931471805599453 / ln(irank + 1.0) + 0.5) AS BIGINT) ELSE 0 END AS igain "
+            "FROM staged), "
+            "agg AS (SELECT lang, count(*)::BIGINT AS n_retrieved, "
+            "sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_relevant, "
+            "sum(CASE WHEN rel > 0 AND rank <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits_at_k, "
+            "coalesce(CAST(floor(1000000.0 / min(CASE WHEN rel > 0 THEN rank END)::DOUBLE + 0.5) AS BIGINT), 0) AS mrr_micros, "
+            "CAST(sum(gain) AS BIGINT) AS dcg_micros, CAST(sum(igain) AS BIGINT) AS idcg_micros "
+            "FROM g GROUP BY 1) "
+            "SELECT lang, n_retrieved, n_relevant, hits_at_k, mrr_micros, dcg_micros, idcg_micros, "
+            "CASE WHEN idcg_micros > 0 THEN dcg_micros::DOUBLE / idcg_micros::DOUBLE ELSE 0.0 END AS ndcg "
+            "FROM agg ORDER BY lang"
+        ),
         "corpus_diff": (
             "WITH old_fp AS (SELECT doc_id, md5(text) AS fp FROM documents), "
             "new_fp AS ("

@@ -1,0 +1,39 @@
+"""Retrieval-metrics semantics on hand-built rankings."""
+
+import math
+
+from sycamore_spark.evaluation import retrieval_metrics
+
+
+def test_retrieval_metrics_known_values(spark):
+    # query A: relevant at ranks 1 and 3 (of 4); query B: nothing relevant
+    rows = [
+        ("A", 1, 1), ("A", 2, 0), ("A", 3, 1), ("A", 4, 0),
+        ("B", 1, 0), ("B", 2, 0),
+    ]
+    df = spark.createDataFrame(rows, "query_id string, rank int, rel int")
+    out = {r.query_id: r for r in retrieval_metrics(df, k=10).collect()}
+
+    a = out["A"]
+    assert a.n_retrieved == 4 and a.n_relevant == 2 and a.hits_at_k == 2
+    assert a.mrr_micros == 1_000_000  # first relevant at rank 1
+    # DCG = 1/log2(2) + 1/log2(4) = 1.0 + 0.5; IDCG = 1/log2(2) + 1/log2(3)
+    assert a.dcg_micros == 1_000_000 + 500_000
+    expected_idcg = 1_000_000 + math.floor(1_000_000 * math.log(2) / math.log(4) + 0.5)
+    assert a.idcg_micros == 1_000_000 + math.floor(1_000_000 * math.log(2) / math.log(3) + 0.5)
+    assert abs(a.ndcg - a.dcg_micros / a.idcg_micros) < 1e-15
+
+    b = out["B"]
+    assert b.n_relevant == 0 and b.mrr_micros == 0 and b.ndcg == 0.0
+
+
+def test_retrieval_metrics_k_cutoff(spark):
+    # relevant doc at rank 11 is outside k=10: counts toward n_relevant
+    # but not hits/dcg
+    rows = [("Q", i, 1 if i == 11 else 0) for i in range(1, 12)]
+    df = spark.createDataFrame(rows, "query_id string, rank int, rel int")
+    r = retrieval_metrics(df, k=10).collect()[0]
+    assert r.n_relevant == 1 and r.hits_at_k == 0 and r.dcg_micros == 0
+    assert r.mrr_micros == math.floor(1_000_000 / 11 + 0.5)
+    assert r.idcg_micros == 1_000_000  # ideal puts it at rank 1
+    assert r.ndcg == 0.0
