@@ -1667,6 +1667,24 @@ def _kmeans_oracle_sql() -> str:
     )
 
 
+def q_compact(spark, sf) -> DataFrame:
+    """Small-files compaction under the gate (writer.py compact_table):
+    fragment documents into 32 tiny files, compact to target size via
+    FS-measured bytes, read back — identity oracle proves losslessness."""
+    import glob
+    import tempfile
+
+    from sycamore_spark.writer import compact_table
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="compact-gate-")
+    src, dst = f"{root}/frag", f"{root}/out"
+    docs.repartition(32).write.parquet(src)
+    compact_table(spark, src, dst, target_mb=256)
+    assert len(glob.glob(f"{dst}/part-*")) < 32
+    return spark.read.parquet(dst).select("doc_id", F.md5("text").alias("text_md5"))
+
+
 def q_retrieval_metrics(spark, sf) -> DataFrame:
     """Distributed retrieval evaluation (sycamore_spark/evaluation.py —
     the reference's evaluation/ package re-expressed as one window + one
@@ -2134,6 +2152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff": q_corpus_diff,
     "stream_incdedup": q_stream_incdedup,
     "retrieval_metrics": q_retrieval_metrics,
+    "compact": q_compact,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2309,6 +2328,7 @@ def oracle_sql() -> dict[str, str]:
     lang_max = f"greatest({lang_scores['en']}, {lang_scores['de']}, {lang_scores['fr']}, {lang_scores['es']})"
     return {
         "kmeans": _kmeans_oracle_sql(),
+        "compact": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "retrieval_metrics": (
             "WITH ranked AS (SELECT lang, doc_id, "
             "row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rank, "

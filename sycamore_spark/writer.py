@@ -93,6 +93,42 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def compact_table(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_mb: int = 128,
+    sort_col: str | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~``target_mb`` each. The 100-TB hygiene job — streaming/ingest output
+    and per-batch materialize dirs accumulate thousands of KB-sized files,
+    and every downstream scan then pays a task per file plus NameNode/
+    listing pressure. Sizing uses the Hadoop FS content summary (works on
+    any scheme), so the partition count tracks ACTUAL bytes, not row
+    counts. Optional ``sort_col`` makes it a clustering rewrite
+    (repartitionByRange -> min/max pruning on the sorted column for
+    downstream range scans). Returns the output partition count.
+    """
+    import math
+
+    from sycamore_spark.materialize import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, src_dir)
+    total_bytes = fs.getContentSummary(p).getLength()
+    n = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    from pyspark.sql import functions as F  # noqa: F401  (parity with module style)
+
+    out = (
+        df.repartitionByRange(n, sort_col)
+        if sort_col
+        else df.repartition(n)
+    )
+    out.write.mode("overwrite").parquet(dst_dir)
+    return n
+
+
 def write_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
     """Iceberg sink (reference: writer.py:821). Requires the iceberg-spark
     runtime jar + catalog config on the session; raises a clear error when

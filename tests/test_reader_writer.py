@@ -124,3 +124,29 @@ def test_reader_wire_facade(spark):
         .collect()
     )
     assert out[0].doc_id == "d1" and out[0].n == 5
+
+
+def test_compact_table(spark, tmp_path):
+    from sycamore_spark.writer import compact_table
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    # fragment: 64 partitions of a small table -> 64 tiny files
+    spark.range(10000).toDF("id").repartition(64).write.parquet(src)
+    import glob
+    n_in = len(glob.glob(f"{src}/part-*"))
+    assert n_in == 64
+    n = compact_table(spark, src, dst, target_mb=128)
+    n_out = len(glob.glob(f"{dst}/part-*"))
+    assert n == 1 and n_out == 1
+    assert spark.read.parquet(dst).count() == 10000
+
+
+def test_compact_table_range_clustered(spark, tmp_path):
+    from sycamore_spark.writer import compact_table
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "compact2")
+    spark.range(1000).toDF("id").repartition(16).write.parquet(src)
+    compact_table(spark, src, dst, target_mb=128, sort_col="id")
+    assert spark.read.parquet(dst).count() == 1000
