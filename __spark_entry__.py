@@ -1856,6 +1856,15 @@ def q_pivot(spark, sf) -> DataFrame:
     )
 
 
+def q_unpivot(spark, sf) -> DataFrame:
+    """Native unpivot/melt (Spark 3.4+; absent in the reference like
+    pivot/cube): the pivot result melted back to long form — the
+    wide<->long round trip both directions under the gate."""
+    wide = q_pivot(spark, sf)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return wide.unpivot("bucket", types, "event_type", "cnt")
+
+
 def q_key_skew(spark, sf) -> DataFrame:
     """Heavy-hitter key profiler (operators/profiling.py): the pre-flight
     for salted_join — top keys with count, share, skew ratio."""
@@ -2144,6 +2153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "window_analytics": q_window_analytics,
     "pivot": q_pivot,
+    "unpivot": q_unpivot,
     "key_skew": q_key_skew,
     "weighted_sample": q_weighted_sample,
     "split_groups": q_split_groups,
@@ -2426,6 +2436,20 @@ def oracle_sql() -> dict[str, str]:
             "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup, "
             "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view "
             "FROM events GROUP BY 1"
+        ),
+        "unpivot": (
+            "WITH p AS (SELECT user_id % 50 AS bucket, "
+            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click, "
+            "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase, "
+            "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup, "
+            "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view "
+            "FROM events GROUP BY 1) "
+            "SELECT bucket, 'click' AS event_type, click AS cnt FROM p "
+            "UNION ALL SELECT bucket, 'error', error FROM p "
+            "UNION ALL SELECT bucket, 'purchase', purchase FROM p "
+            "UNION ALL SELECT bucket, 'signup', signup FROM p "
+            "UNION ALL SELECT bucket, 'view', view FROM p"
         ),
         "key_skew": (
             "WITH counts AS (SELECT user_id % 97 AS key, count(*)::BIGINT AS cnt "
