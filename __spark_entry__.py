@@ -1667,6 +1667,44 @@ def _kmeans_oracle_sql() -> str:
     )
 
 
+def q_bucketed_join(spark, sf) -> DataFrame:
+    """Bucketed co-located join under the gate (writer.write_bucketed):
+    both fact tables persisted bucketed on the join key, then joined and
+    aggregated — the repeatedly-joined-100TB-tables strategy. The query
+    asserts the join stage is EXCHANGE-FREE (bucketing pruned both
+    shuffles) before returning the oracle-checked aggregate."""
+    import contextlib
+    import io
+
+    from sycamore_spark.writer import write_bucketed
+
+    from sycamore_spark.materialize import delete_path
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    for t in ("gate_li_bkt", "gate_ord_bkt"):
+        # a fresh session's in-memory catalog forgets the table but its
+        # warehouse dir survives — drop both for idempotent re-runs
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        delete_path(spark, f"{warehouse}/{t}")
+    write_bucketed(li, "gate_li_bkt", 8, "l_orderkey")
+    write_bucketed(orders, "gate_ord_bkt", 8, "o_orderkey")
+    jl, jo = spark.table("gate_li_bkt"), spark.table("gate_ord_bkt")
+    # merge hint: at gate scale AQE would broadcast the small side; force
+    # the sort-merge path to surface the bucketed (exchange-free) plan the
+    # strategy exists for
+    joined = jl.join(jo.hint("merge"), jl.l_orderkey == jo.o_orderkey)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    assert "Exchange" not in buf.getvalue(), "bucketed join must be exchange-free"
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def q_compact(spark, sf) -> DataFrame:
     """Small-files compaction under the gate (writer.py compact_table):
     fragment documents into 32 tiny files, compact to target size via
@@ -2163,6 +2201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_incdedup": q_stream_incdedup,
     "retrieval_metrics": q_retrieval_metrics,
     "compact": q_compact,
+    "bucketed_join": q_bucketed_join,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2339,6 +2378,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kmeans": _kmeans_oracle_sql(),
         "compact": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "bucketed_join": (
+            "SELECT o_orderpriority AS priority, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
+            "count(*)::BIGINT AS n_lines "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ),
         "retrieval_metrics": (
             "WITH ranked AS (SELECT lang, doc_id, "
             "row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rank, "
