@@ -184,6 +184,71 @@ class DocSet:
 
         return self._wrap(hash_sample(self.df, key, fraction))
 
+    def weighted_sample(self, weight, key: str = "doc_id") -> "DocSet":
+        """Importance sampling: per-row keep probability from a weight
+        Column (e.g. a quality score), decided content-addressed
+        (operators/sampling.py weighted_hash_sample)."""
+        from sycamore_spark.operators.sampling import weighted_hash_sample
+
+        return self._wrap(weighted_hash_sample(self.df, key, weight))
+
+    def split_by_group(self, group_col: str, splits: dict,
+                       split_col: str = "split") -> "DocSet":
+        """Contamination-safe train/valid/test assignment routed by a
+        group key so near-dups never straddle splits
+        (operators/sampling.py group_aware_split)."""
+        from sycamore_spark.operators.sampling import group_aware_split
+
+        return self._wrap(group_aware_split(self.df, group_col, splits, split_col))
+
+    def semantic_dedup(self, centroids, id_col: str = "doc_id",
+                       vec_col: str = "embedding", **kwargs) -> "DocSet":
+        """SemDedup centroid-cell embedding near-dup with lowest-id keep
+        (operators/dedup.py semantic_dedup)."""
+        from sycamore_spark.operators.dedup import semantic_dedup
+
+        return self._wrap(semantic_dedup(self.df, id_col, vec_col, centroids, **kwargs))
+
+    def dedup_against(self, corpus: "DocSet | None" = None, corpus_df=None,
+                      key_col: str = "doc_id", **kwargs) -> "DocSet":
+        """Incremental new-batch-vs-corpus dedup via the distributed Bloom
+        prefilter + exact verify (operators/dedup.py incremental_dedup)."""
+        from sycamore_spark.operators.dedup import incremental_dedup
+
+        other = corpus.df if corpus is not None else corpus_df
+        return self._wrap(incremental_dedup(self.df, other, key_col, **kwargs))
+
+    def bm25(self, query_terms, id_col: str = "doc_id",
+             text_col: str = "text_representation", **kwargs) -> "DocSet":
+        """Distributed Lucene-BM25 scores for the docs containing any
+        query term (operators/retrieval.py bm25_scores)."""
+        from sycamore_spark.operators.retrieval import bm25_scores
+
+        return self._wrap(bm25_scores(self.df, query_terms, id_col, text_col, **kwargs))
+
+    def tfidf_terms(self, id_col: str = "doc_id",
+                    text_col: str = "text_representation", k: int = 5) -> "DocSet":
+        """Per-doc top-k TF-IDF keyword extraction
+        (operators/retrieval.py tfidf_topk_terms)."""
+        from sycamore_spark.operators.retrieval import tfidf_topk_terms
+
+        return self._wrap(tfidf_topk_terms(self.df, id_col, text_col, k=k))
+
+    def key_skew(self, key_col: str, top_n: int = 20) -> "DocSet":
+        """Heavy-hitter profile of a prospective join/group key — the
+        pre-flight for salted_join (operators/profiling.py)."""
+        from sycamore_spark.operators.profiling import key_skew_profile
+
+        return self._wrap(key_skew_profile(self.df, key_col, top_n))
+
+    def diff_against(self, old: "DocSet", id_col: str = "doc_id",
+                     fp_col: str = "fingerprint") -> "DocSet":
+        """Snapshot diff vs an older corpus version: added / removed /
+        changed / unchanged per id (operators/profiling.py corpus_diff)."""
+        from sycamore_spark.operators.profiling import corpus_diff
+
+        return self._wrap(corpus_diff(old.df, self.df, id_col, fp_col))
+
     def stratified_sample(self, fractions: dict, stratum: str,
                           key: str = "doc_id", default_fraction: float = 0.0) -> "DocSet":
         """Per-stratum keep fractions (dataset mixing) in one shuffle-free

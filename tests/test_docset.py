@@ -180,3 +180,39 @@ def test_corpus_diff_statuses(spark):
         [(1, "a"), (2, "B2"), (4, "d")], "id int, fp string")
     out = {r.id: r.status for r in corpus_diff(old, new, "id", "fp").collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_fluent_round4_delegates(spark):
+    from pyspark.sql import functions as F
+
+    from sycamore_spark.docset import DocSet
+
+    docs = DocSet(spark.createDataFrame(
+        [(i, f"doc text number {i}") for i in range(40)],
+        "doc_id int, text_representation string"))
+
+    assert docs.weighted_sample(F.lit(1.0)).count() == 40
+    splits = docs.split_by_group("doc_id", {"train": 0.5, "test": 0.5})
+    assert set(r.split for r in splits.to_df().select("split").distinct().collect()) <= {"train", "test"}
+    scored = docs.bm25(["doc"]).to_df()
+    assert scored.count() == 40 and "bm25_micros" in scored.columns
+    kw = docs.tfidf_terms(k=2).to_df()
+    assert kw.groupBy("doc_id").count().filter("count > 2").count() == 0
+    skew = docs.key_skew("text_representation", top_n=3).to_df()
+    assert skew.count() == 3
+
+    old = DocSet(spark.createDataFrame([(1, "a")], "doc_id int, fingerprint string"))
+    new = DocSet(spark.createDataFrame([(1, "b"), (2, "c")], "doc_id int, fingerprint string"))
+    d = {r.doc_id: r.status for r in new.diff_against(old).to_df().collect()}
+    assert d == {1: "changed", 2: "added"}
+
+    corpus = DocSet(spark.createDataFrame([(i,) for i in range(20)], "doc_id int"))
+    batch = DocSet(spark.createDataFrame([(i,) for i in range(15, 25)], "doc_id int"))
+    kept = batch.dedup_against(corpus, key_col="doc_id", nbits=1 << 12)
+    assert {r.doc_id for r in kept.to_df().collect()} == {20, 21, 22, 23, 24}
+
+    emb = DocSet(spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "doc_id int, embedding array<double>"))
+    sd = emb.semantic_dedup([[1.0, 0.0], [0.0, 1.0]], threshold=0.99).to_df()
+    assert {(r.doc_id, r.keep) for r in sd.collect()} == {(1, True), (2, False), (3, True)}
