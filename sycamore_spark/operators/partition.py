@@ -62,13 +62,43 @@ class _HtmlExtractor(HTMLParser):
         self._buf = []
 
 
-def _html_elements(html: str) -> list[dict]:
+_TABLE_RE = re.compile(r"<table\b.*?</table>", re.S | re.I)
+
+
+def _parse_fragment(html: str) -> list[tuple[str, str]]:
     p = _HtmlExtractor()
     try:
         p.feed(html)
     except Exception:
-        return [_element(0, "text", re.sub(r"<[^>]+>", " ", html))]
-    return [_element(i, kind, text) for i, (kind, text) in enumerate(p.elements)]
+        text = re.sub(r"<[^>]+>", " ", html).strip()
+        return [("text", text)] if text else []
+    return p.elements
+
+
+def _html_elements(html: str, extract_tables: bool = False) -> list[dict]:
+    if not extract_tables:
+        els = _parse_fragment(html)
+        if not els:
+            return [_element(0, "text", re.sub(r"<[^>]+>", " ", html))]
+        return [_element(i, kind, text) for i, (kind, text) in enumerate(els)]
+
+    # table mode (reference HtmlPartitioner extract_tables, partition.py:38):
+    # <table> regions become structured 'table' elements (parsed through the
+    # Table model, emitted as CSV text), interleaved in document order with
+    # the surrounding prose elements
+    from sycamore_spark.data.table import Table
+
+    out: list[tuple[str, str]] = []
+    pos = 0
+    for m in _TABLE_RE.finditer(html):
+        out.extend(_parse_fragment(html[pos:m.start()]))
+        try:
+            out.append(("table", Table.from_html(m.group(0)).to_csv()))
+        except Exception:
+            out.append(("table", re.sub(r"<[^>]+>", " ", m.group(0)).strip()))
+        pos = m.end()
+    out.extend(_parse_fragment(html[pos:]))
+    return [_element(i, kind, text) for i, (kind, text) in enumerate(out)]
 
 
 def _text_elements(text: str) -> list[dict]:
@@ -86,11 +116,30 @@ def _element(i: int, kind: str, text: str) -> dict:
 
 
 class HtmlPartitioner:
+    def __init__(self, extract_tables: bool = False):
+        self.extract_tables = extract_tables
+
     def __call__(self, row: dict) -> list[dict]:
         raw = row.get("binary_representation")
         html = (bytes(raw).decode("utf-8", "replace") if raw is not None
                 else row.get("text_representation") or "")
-        return _html_elements(html)
+        return _html_elements(html, extract_tables=self.extract_tables)
+
+
+class TextractTableExtractor:
+    """AWS Textract table extraction seam (reference
+    transforms/extract_table.py:32 TextractTableExtractor) — a live cloud
+    service client; gated in this container. Use
+    ``HtmlPartitioner(extract_tables=True)`` for the native path."""
+
+    def __init__(self, **params):
+        self.params = params
+
+    def __call__(self, row: dict) -> list[dict]:
+        raise NotImplementedError(
+            "TextractTableExtractor requires AWS Textract credentials and "
+            "network access; wire boto3/textractor here in deployment."
+        )
 
 
 class TextPartitioner:

@@ -118,3 +118,25 @@ def test_e2e_table_merger_on_layout_output(spark):
         page = t["page_number"]
         assert t["text_representation"].startswith(f"p{page} header ")
         assert json.loads(t["properties"])["title"] == f"p{page} header "
+
+
+def test_html_partitioner_extract_tables(spark):
+    html = (
+        "<html><h1>Report</h1><p>Before the table.</p>"
+        "<table><tr><th>name</th><th>qty</th></tr>"
+        "<tr><td>apples</td><td>3</td></tr>"
+        "<tr><td>pears</td><td>5</td></tr></table>"
+        "<p>After the table.</p></html>"
+    )
+    df = _docs_df(spark, [html])
+    out = partition(df, HtmlPartitioner(extract_tables=True)).collect()
+    els = out[0]["elements"]
+    kinds = [e["type"] for e in els]
+    assert "table" in kinds
+    table_el = next(e for e in els if e["type"] == "table")
+    assert "apples" in table_el["text_representation"] and "3" in table_el["text_representation"]
+    # document order preserved: table between the surrounding prose
+    assert kinds.index("table") > kinds.index("title")
+    # default mode unchanged: no table elements
+    plain = partition(df, HtmlPartitioner()).collect()[0]["elements"]
+    assert all(e["type"] != "table" for e in plain)
