@@ -1723,6 +1723,32 @@ def q_compact(spark, sf) -> DataFrame:
     return spark.read.parquet(dst).select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_attribution(spark, sf) -> DataFrame:
+    """Property attribution under the gate (llm/extract.py
+    attribute_values; reference property_extraction/attribution.py): docs
+    chunked into 10-word elements, the 25th word extracted as a
+    'property', then attributed back to the FIRST element containing it
+    — element index + exact character span, all SQL-replayable."""
+    from sycamore_spark.llm.extract import attribute_values
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("element_index"),
+            F.array_join(F.slice(words, i * 10 + 1, 10), " ").alias("text_representation"),
+        ),
+    )
+    staged = docs.select(
+        "doc_id",
+        F.try_element_at(words, F.lit(25)).alias("val25"),
+        chunks.alias("elements"),
+    ).filter(F.col("val25").isNotNull())
+    return attribute_values(staged, ["val25"], id_col="doc_id")
+
+
 def q_retrieval_metrics(spark, sf) -> DataFrame:
     """Distributed retrieval evaluation (sycamore_spark/evaluation.py —
     the reference's evaluation/ package re-expressed as one window + one
@@ -2202,6 +2228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retrieval_metrics": q_retrieval_metrics,
     "compact": q_compact,
     "bucketed_join": q_bucketed_join,
+    "attribution": q_attribution,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2383,6 +2410,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "count(*)::BIGINT AS n_lines "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ),
+        "attribution": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+            "prop AS (SELECT doc_id, ws[25] AS val, ws FROM w WHERE len(ws) >= 25), "
+            "els AS (SELECT doc_id, val, i AS element_index, "
+            "array_to_string(ws[(i * 10 + 1):(i * 10 + 10)], ' ') AS el_text "
+            "FROM prop, unnest(generate_series(0, CAST(ceil(len(ws) / 10.0) AS INT) - 1)) AS t(i)), "
+            "m AS (SELECT doc_id, element_index, position(val IN el_text) AS pos1, val "
+            "FROM els WHERE position(val IN el_text) > 0), "
+            "best AS (SELECT doc_id, min(element_index) AS element_index FROM m GROUP BY 1) "
+            "SELECT m.doc_id, 'val25' AS prop, m.element_index::INT AS element_index, "
+            "(pos1 - 1)::INT AS start, (pos1 - 1 + length(val))::INT AS \"end\", "
+            "1000000::BIGINT AS score_micros FROM m JOIN best USING (doc_id, element_index)"
         ),
         "retrieval_metrics": (
             "WITH ranked AS (SELECT lang, doc_id, "

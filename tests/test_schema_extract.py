@@ -186,3 +186,34 @@ def test_extract_batch_schema_stamps_every_doc(spark):
     ))
     out = ds.extract_batch_schema(OneSchemaLLM).take_all()
     assert all(_json.loads(r["_schema"]) == ["title", "year"] for r in out)
+
+
+def test_attribute_values_exact_and_fuzzy(spark):
+    from sycamore_spark.llm.extract import attribute_values
+
+    rows = [
+        (1, "Berlin", [
+            {"element_index": 0, "text_representation": "weather report for today"},
+            {"element_index": 1, "text_representation": "the capital is Berlin indeed"},
+        ]),
+        (2, "Munchen", [  # misspelled in the element -> fuzzy only
+            {"element_index": 0, "text_representation": "the city of Muenchen is nice"},
+        ]),
+        (3, "nowhere", [
+            {"element_index": 0, "text_representation": "totally unrelated"},
+        ]),
+    ]
+    schema = ("id int, val string, elements array<struct<element_index:int,"
+              "text_representation:string>>")
+    df = spark.createDataFrame(rows, schema)
+
+    exact = {r.id: r for r in
+             attribute_values(df, ["val"], id_col="id", fuzzy=False).collect()}
+    assert exact[1].element_index == 1 and exact[1].score_micros == 1_000_000
+    assert exact[1].start == 15 and exact[1].end == 21
+    assert 2 not in exact and 3 not in exact  # no verbatim match, fuzzy off
+
+    fz = {r.id: r for r in
+          attribute_values(df, ["val"], id_col="id", fuzzy=True).collect()}
+    assert fz[2].element_index == 0 and 0 < fz[2].score_micros < 1_000_000
+    assert fz[1].score_micros == 1_000_000  # exact still wins when present
