@@ -1723,6 +1723,16 @@ def q_compact(spark, sf) -> DataFrame:
     return spark.read.parquet(dst).select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_mixture_plan(spark, sf) -> DataFrame:
+    """Dataset mixture planning (operators/sampling.py mixture_plan): the
+    per-language keep fractions that hit a 50/25/25 en/de/fr target from
+    the corpus's actual counts — the scarcest stratum binds the total."""
+    from sycamore_spark.operators.sampling import mixture_plan
+
+    docs = load_table(spark, sf, "documents")
+    return mixture_plan(docs, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25})
+
+
 def q_attribution(spark, sf) -> DataFrame:
     """Property attribution under the gate (llm/extract.py
     attribute_values; reference property_extraction/attribution.py): docs
@@ -2229,6 +2239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compact": q_compact,
     "bucketed_join": q_bucketed_join,
     "attribution": q_attribution,
+    "mixture_plan": q_mixture_plan,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2410,6 +2421,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "count(*)::BIGINT AS n_lines "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ),
+        "mixture_plan": (
+            "WITH counts AS (SELECT lang AS stratum, count(*)::BIGINT AS cnt, "
+            "CAST(CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 "
+            "WHEN lang = 'fr' THEN 0.25 ELSE NULL END AS DOUBLE) AS target_share "
+            "FROM documents GROUP BY 1), "
+            "totals AS (SELECT sum(cnt) AS total, "
+            "min(CASE WHEN target_share > 0 THEN cnt::DOUBLE / target_share END) AS binding "
+            "FROM counts) "
+            "SELECT stratum, cnt, cnt::DOUBLE / total AS share, "
+            "coalesce(target_share, 0.0) AS target_share, "
+            "CASE WHEN target_share > 0 THEN binding * target_share / cnt::DOUBLE ELSE 0.0 END AS keep_fraction, "
+            "CAST(floor(CASE WHEN target_share > 0 THEN binding * target_share / cnt::DOUBLE ELSE 0.0 END "
+            "* cnt::DOUBLE + 0.5) AS BIGINT) AS expected_rows "
+            "FROM counts, totals ORDER BY stratum"
         ),
         "attribution": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "

@@ -113,6 +113,54 @@ def group_aware_split(
     return df.withColumn(split_col, expr)
 
 
+def mixture_plan(df: DataFrame, stratum: str, target: dict[str, float]) -> DataFrame:
+    """Compute the downsampling plan that achieves a TARGET mixture (e.g.
+    {'web': 0.6, 'books': 0.2, 'code': 0.2}) from the corpus's actual
+    per-stratum counts, keeping as much data as possible: the stratum with
+    the scarcest supply relative to its target binds the total
+    (binding = min over strata of count/target_share), and every stratum
+    keeps ``binding * target_share / count`` of its rows (<= 1 by
+    construction; strata outside the target keep 0). Feed the resulting
+    fractions straight into ``stratified_hash_sample`` to apply the plan.
+
+    One hash-agg over the stratum + a one-row binding broadcast — the
+    plan for a 100 TB corpus costs one aggregation.
+
+    Returns per stratum: count, share, target_share, keep_fraction,
+    expected_rows (= floor(keep * count + 0.5)).
+    """
+    tgt = F.lit(None).cast("double")
+    for name, frac in reversed(list(target.items())):
+        tgt = F.when(F.col("stratum") == name, F.lit(float(frac))).otherwise(tgt)
+    counts = (
+        df.groupBy(F.col(stratum).alias("stratum"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("target_share", tgt)
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"),
+        F.min(
+            F.when(F.col("target_share") > 0, F.col("cnt").cast("double") / F.col("target_share"))
+        ).alias("_binding"),
+    )
+    keep = F.when(
+        F.col("target_share") > 0,
+        F.col("_binding") * F.col("target_share") / F.col("cnt").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "stratum",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("_total")).alias("share"),
+            F.coalesce("target_share", F.lit(0.0)).alias("target_share"),
+            keep.alias("keep_fraction"),
+            F.floor(keep * F.col("cnt").cast("double") + F.lit(0.5)).cast("bigint").alias("expected_rows"),
+        )
+        .orderBy("stratum")
+    )
+
+
 def pack_shards(
     df: DataFrame,
     size_col: str,

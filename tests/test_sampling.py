@@ -233,3 +233,27 @@ def test_group_aware_split_groups_stay_together(spark):
     assert all(r.n == 1 for r in per_group)  # no group straddles splits
     splits = {r.split for r in out.select("split").distinct().collect()}
     assert splits <= {"train", "valid", "test"} and "train" in splits
+
+
+def test_mixture_plan_binding_and_apply(spark):
+    from sycamore_spark.operators.sampling import mixture_plan, stratified_hash_sample
+
+    rows = ([("web", i) for i in range(600)] + [("books", i) for i in range(100)]
+            + [("code", i) for i in range(300)] + [("junk", i) for i in range(50)])
+    df = spark.createDataFrame(rows, "src string, id int")
+    plan = {r.stratum: r for r in
+            mixture_plan(df, "src", {"web": 0.6, "books": 0.2, "code": 0.2}).collect()}
+    # books is scarcest: 100/0.2 = 500 binds; web 600/0.6=1000, code 300/0.2=1500
+    assert plan["books"].keep_fraction == 1.0
+    assert abs(plan["web"].keep_fraction - 0.5) < 1e-12       # 500*0.6/600
+    assert abs(plan["code"].keep_fraction - (500 * 0.2 / 300)) < 1e-12
+    assert plan["junk"].keep_fraction == 0.0
+    assert plan["books"].expected_rows == 100 and plan["web"].expected_rows == 300
+
+    # apply the plan: achieved mixture ~= target
+    fr = {k: v.keep_fraction for k, v in plan.items()}
+    out = stratified_hash_sample(df, "id", "src", fr).groupBy("src").count().collect()
+    got = {r.src: r["count"] for r in out}
+    assert "junk" not in got
+    total = sum(got.values())
+    assert abs(got["web"] / total - 0.6) < 0.1
