@@ -1723,6 +1723,16 @@ def q_compact(spark, sf) -> DataFrame:
     return spark.read.parquet(dst).select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_ewma(spark, sf) -> DataFrame:
+    """Per-key EWMA drift signal (operators/monitor.py ewma_by_key): the
+    smoothed per-event-type value level, folded in event order; the
+    sequential fold replays bit-for-bit as a DuckDB list_reduce."""
+    from sycamore_spark.operators.monitor import ewma_by_key
+
+    ev = load_table(spark, sf, "events").select("event_id", "event_type", "value")
+    return ewma_by_key(ev, "event_type", "event_id", "value", alpha=0.1)
+
+
 def q_mixture_plan(spark, sf) -> DataFrame:
     """Dataset mixture planning (operators/sampling.py mixture_plan): the
     per-language keep fractions that hit a 50/25/25 en/de/fr target from
@@ -2240,6 +2250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_join": q_bucketed_join,
     "attribution": q_attribution,
     "mixture_plan": q_mixture_plan,
+    "ewma": q_ewma,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2421,6 +2432,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "count(*)::BIGINT AS n_lines "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ),
+        "ewma": (
+            "SELECT event_type, count(*)::BIGINT AS n, "
+            "list_reduce(list(value ORDER BY event_id), "
+            "(acc, x) -> acc * CAST(0.9 AS DOUBLE) + CAST(0.1 AS DOUBLE) * x) AS ewma "
+            "FROM events GROUP BY 1"
         ),
         "mixture_plan": (
             "WITH counts AS (SELECT lang AS stratum, count(*)::BIGINT AS cnt, "

@@ -1,0 +1,51 @@
+"""Pipeline-drift monitoring operators.
+
+A 100 TB ingest pipeline needs continuous signals about its own data:
+is mean document quality drifting per source, is a domain's token rate
+spiking, did a crawler start emitting garbage. ``ewma_by_key`` is the
+classic smoothed per-key signal those monitors compare against.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Final exponentially-weighted moving average of ``value_col`` per
+    key, folding rows in ``order_col`` order (must be a total order
+    within each key): ``acc = v0; acc = acc*(1-alpha) + alpha*v``.
+
+    The fold is sequential by definition — it runs as one Arrow-batched
+    ``applyInPandas`` per key (one shuffle on the key; each key's history
+    must fit a task, which holds for per-source/per-domain monitoring).
+    Because the fold order is total and both engines execute the identical
+    IEEE operation sequence, the result is bit-replayable in SQL as a
+    ``list_reduce`` over an ordered list aggregate.
+
+    Returns (key, n, ewma).
+    """
+    a = float(alpha)
+    key_type = df.schema[key_col].dataType.simpleString()
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        v = pdf[value_col].astype("float64").to_numpy()
+        acc = v[0]
+        for x in v[1:]:
+            acc = acc * (1.0 - a) + a * x
+        return pd.DataFrame({key_col: [pdf[key_col].iloc[0]], "n": [len(v)], out_col: [acc]})
+
+    return (
+        df.select(key_col, order_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(_fold, schema=f"{key_col} {key_type}, n bigint, {out_col} double")
+    )

@@ -257,3 +257,18 @@ def test_mixture_plan_binding_and_apply(spark):
     assert "junk" not in got
     total = sum(got.values())
     assert abs(got["web"] / total - 0.6) < 0.1
+
+
+def test_ewma_by_key(spark):
+    from sycamore_spark.operators.monitor import ewma_by_key
+
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = {r.k: r for r in ewma_by_key(df, "k", "t", "v", alpha=0.5).collect()}
+    # a: 10 -> 10*0.5+20*0.5=15 -> 15*0.5+30*0.5=22.5
+    assert out["a"].ewma == 22.5 and out["a"].n == 3
+    assert out["b"].ewma == 5.0 and out["b"].n == 1
+    # order-insensitive input, order-sensitive fold
+    shuffled = spark.createDataFrame(list(reversed(rows)), "k string, t int, v double")
+    out2 = {r.k: r.ewma for r in ewma_by_key(shuffled, "k", "t", "v", alpha=0.5).collect()}
+    assert out2["a"] == 22.5
