@@ -1723,6 +1723,41 @@ def q_compact(spark, sf) -> DataFrame:
     return spark.read.parquet(dst).select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_xycut(spark, sf) -> DataFrame:
+    """XY-cut reading-order sort (operators/elements.py xycut_sort_elements;
+    reference utils/xycut.py): a staggered two-column layout (no y-gap
+    spans both columns) built per document — the cut must go column-first,
+    then rows, so the reading order has a closed form the oracle replays:
+    element i lands at index (i%2)*3 + i//2."""
+    from sycamore_spark.operators.elements import xycut_sort_elements
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    i_to_el = lambda i: F.struct(  # noqa: E731
+        i.cast("int").alias("element_index"),
+        F.lit("text").alias("type"),
+        F.concat(F.lit("e"), i.cast("string")).alias("text_representation"),
+        F.lit(None).cast("binary").alias("binary_representation"),
+        F.array(
+            F.lit(0.05) + F.lit(0.5) * (i % 2),
+            F.lit(0.25) * F.floor(i / 2) + F.lit(0.125) * (i % 2),
+            F.lit(0.45) + F.lit(0.5) * (i % 2),
+            F.lit(0.25) * F.floor(i / 2) + F.lit(0.125) * (i % 2) + F.lit(0.2),
+        ).alias("bbox"),
+        F.lit(1).cast("int").alias("page_number"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(None).cast("string").alias("properties"),
+    )
+    staged = docs.withColumn("elements", F.transform(F.sequence(F.lit(0), F.lit(5)), i_to_el))
+    out = xycut_sort_elements(staged)
+    return out.select(
+        "doc_id", F.explode("elements").alias("e")
+    ).select(
+        "doc_id",
+        F.col("e.element_index").alias("element_index"),
+        F.col("e.text_representation").alias("orig"),
+    )
+
+
 def q_ewma(spark, sf) -> DataFrame:
     """Per-key EWMA drift signal (operators/monitor.py ewma_by_key): the
     smoothed per-event-type value level, folded in event order; the
@@ -2251,6 +2286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution": q_attribution,
     "mixture_plan": q_mixture_plan,
     "ewma": q_ewma,
+    "xycut": q_xycut,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2432,6 +2468,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "count(*)::BIGINT AS n_lines "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ),
+        "xycut": (
+            "SELECT doc_id, CAST((i % 2) * 3 + i // 2 AS INT) AS element_index, "
+            "'e' || i AS orig FROM documents, "
+            "unnest(generate_series(0, 5)) AS t(i)"
         ),
         "ewma": (
             "SELECT event_type, count(*)::BIGINT AS n, "

@@ -855,3 +855,67 @@ def extract_document_structure(df: DataFrame, header_types: tuple = _HEADER_TYPE
         ),
     )
     return tagged.withColumn("sections", sections)
+
+
+# ---------------------------------------------------------------------------
+# XY-Cut reading-order sort (reference: utils/xycut.py, utils/bbox_sort.py,
+# utils/element_sort.py)
+# ---------------------------------------------------------------------------
+
+def _xycut(items: list[dict], eps: float = 1e-6) -> list[dict]:
+    """Recursive X-Y cut: split on whitespace bands — horizontal bands
+    (y-gaps, read top-to-bottom) preferred, else vertical columns
+    (x-gaps, read left-to-right) — and recurse into each region. Groups
+    with no separating gap on either axis fall back to (y1, x1) order.
+    Independent implementation of the classic Nagy & Seth X-Y cut; the
+    reference builds a B-tree over begin/end events (xycut.py:26) for the
+    same ordering."""
+    if len(items) <= 1:
+        return items
+    for axis in (1, 0):
+        s = sorted(items, key=lambda e: (e["bbox"][axis], e["bbox"][axis + 2]))
+        groups = [[s[0]]]
+        cur_max = s[0]["bbox"][axis + 2]
+        for it in s[1:]:
+            if it["bbox"][axis] >= cur_max - eps:
+                groups.append([it])
+            else:
+                groups[-1].append(it)
+            cur_max = max(cur_max, it["bbox"][axis + 2])
+        if len(groups) > 1:
+            out: list[dict] = []
+            for g in groups:
+                out.extend(_xycut(g, eps))
+            return out
+    return sorted(items, key=lambda e: (e["bbox"][1], e["bbox"][0]))
+
+
+def xycut_sort_elements(df: DataFrame) -> DataFrame:
+    """Reorder each document's elements into X-Y-cut reading order
+    (per page; elements without a bbox keep their relative order at the
+    end of their page) and reassign ``element_index`` to the new order.
+    Per-doc Arrow-batched pass — layout sorting a billion pages is
+    embarrassingly parallel."""
+    def run(it: Iterable[pd.DataFrame]):
+        for pdf in it:
+            out_rows = []
+            for row in pdf.to_dict("records"):
+                els = row.get("elements")
+                els = [] if els is None or len(els) == 0 else [dict(e) for e in els]
+                pages: dict = {}
+                for e in sorted(els, key=lambda x: (x.get("element_index") or 0)):
+                    pages.setdefault(e.get("page_number") or 1, []).append(e)
+                ordered: list[dict] = []
+                for pno in sorted(pages):
+                    page = pages[pno]
+                    with_box = [e for e in page if e.get("bbox") is not None]
+                    no_box = [e for e in page if e.get("bbox") is None]
+                    ordered.extend(_xycut(with_box))
+                    ordered.extend(no_box)
+                for i, e in enumerate(ordered):
+                    e["element_index"] = i
+                row["elements"] = ordered
+                out_rows.append(row)
+            yield pd.DataFrame(out_rows, columns=pdf.columns)
+
+    return df.mapInPandas(run, schema=df.schema)

@@ -155,3 +155,46 @@ def test_unexplode_parent_without_children_keeps_null_elements(spark):
     )
     out = unexplode_elements(df).collect()
     assert out[0]["doc_id"] == "lonely" and out[0]["elements"] is None
+
+
+def _box_doc(spark, boxes):
+    from sycamore_spark.data.schema import DOC_SCHEMA
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in DOC_SCHEMA.fields)
+    els = [
+        {"element_index": i, "type": "text", "text_representation": f"e{i}",
+         "binary_representation": None, "bbox": list(map(float, b)),
+         "page_number": 1, "embedding": None, "properties": None}
+        for i, b in enumerate(boxes)
+    ]
+    return spark.createDataFrame(
+        [("d1", None, "doc", None, None, None, None, None, None, els)], fields)
+
+
+def test_xycut_two_column_reading_order(spark):
+    from sycamore_spark.operators.elements import xycut_sort_elements
+
+    # staggered 2-column layout: no horizontal gap spans both columns,
+    # so the vertical cut fires first -> left column fully, then right
+    boxes = [
+        [0.55, 0.15, 0.95, 0.35],  # right r1
+        [0.05, 0.00, 0.45, 0.20],  # left r1
+        [0.55, 0.40, 0.95, 0.60],  # right r2
+        [0.05, 0.25, 0.45, 0.45],  # left r2
+    ]
+    out = xycut_sort_elements(_box_doc(spark, boxes)).collect()[0]["elements"]
+    assert [e["text_representation"] for e in out] == ["e1", "e3", "e0", "e2"]
+    assert [e["element_index"] for e in out] == [0, 1, 2, 3]
+
+
+def test_xycut_aligned_rows_read_row_major(spark):
+    from sycamore_spark.operators.elements import xycut_sort_elements
+
+    # aligned rows: horizontal gaps span the page -> row-major order
+    boxes = [
+        [0.55, 0.00, 0.95, 0.10],  # row1 right
+        [0.05, 0.00, 0.45, 0.10],  # row1 left
+        [0.05, 0.50, 0.45, 0.60],  # row2 left
+    ]
+    out = xycut_sort_elements(_box_doc(spark, boxes)).collect()[0]["elements"]
+    assert [e["text_representation"] for e in out] == ["e1", "e0", "e2"]
