@@ -479,6 +479,20 @@ class DocSet:
 
         return self._wrap(partition(self.df, partitioner))
 
+    def reorder_elements(self, key) -> "DocSet":
+        """Per-doc element reorder by a Python key (reference
+        functions/elements.py reorder_elements)."""
+        from sycamore_spark.operators.elements import reorder_elements
+
+        return self._wrap(reorder_elements(self.df, key))
+
+    def xycut_sort(self) -> "DocSet":
+        """XY-cut reading-order element sort (reference utils/xycut.py;
+        operators/elements.py xycut_sort_elements)."""
+        from sycamore_spark.operators.elements import xycut_sort_elements
+
+        return self._wrap(xycut_sort_elements(self.df))
+
     def explode(self) -> "DocSet":
         from sycamore_spark.operators.elements import explode_elements
 

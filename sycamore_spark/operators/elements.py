@@ -919,3 +919,24 @@ def xycut_sort_elements(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out_rows, columns=pdf.columns)
 
     return df.mapInPandas(run, schema=df.schema)
+
+
+def reorder_elements(df: DataFrame, key) -> DataFrame:
+    """Reorder each document's elements by a Python ``key`` function over
+    the element dict, reassigning ``element_index`` (reference
+    functions/elements.py:8 reorder_elements — comparator/key sort on the
+    in-row element list). Per-doc Arrow-batched; embarrassingly parallel."""
+    def run(it: Iterable[pd.DataFrame]):
+        for pdf in it:
+            out_rows = []
+            for row in pdf.to_dict("records"):
+                els = row.get("elements")
+                els = [] if els is None or len(els) == 0 else [dict(e) for e in els]
+                els.sort(key=key)
+                for i, e in enumerate(els):
+                    e["element_index"] = i
+                row["elements"] = els
+                out_rows.append(row)
+            yield pd.DataFrame(out_rows, columns=pdf.columns)
+
+    return df.mapInPandas(run, schema=df.schema)

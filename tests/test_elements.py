@@ -198,3 +198,12 @@ def test_xycut_aligned_rows_read_row_major(spark):
     ]
     out = xycut_sort_elements(_box_doc(spark, boxes)).collect()[0]["elements"]
     assert [e["text_representation"] for e in out] == ["e1", "e0", "e2"]
+
+
+def test_reorder_elements_by_key(spark):
+    from sycamore_spark.operators.elements import reorder_elements
+
+    df = _box_doc(spark, [[0.0, 0.9, 1.0, 1.0], [0.0, 0.1, 1.0, 0.2]])
+    out = reorder_elements(df, key=lambda e: e["bbox"][1]).collect()[0]["elements"]
+    assert [e["text_representation"] for e in out] == ["e1", "e0"]
+    assert [e["element_index"] for e in out] == [0, 1]
