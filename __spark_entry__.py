@@ -718,9 +718,14 @@ def q_tpch_q21(spark, sf) -> DataFrame:
     supplier) — so the plan is two hash aggs + broadcast dims instead of
     two self-joins."""
     li = _ds(spark, sf, "lineitem").to_df()
-    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("n_r_supp"),
+    # two countDistinct in one agg would expand the input 2x; a pre-distinct
+    # on (order, supplier) with an R flag gets both counts in one pass
+    per_supp = (
+        li.groupBy(F.col("l_orderkey").alias("ok"), "l_suppkey")
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("_isr"))
+    )
+    per_order = per_supp.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("_isr").alias("n_r_supp")
     )
     orders_f = _ds(spark, sf, "orders").to_df().filter(F.col("o_orderstatus") == "F")
     nation = _ds(spark, sf, "nation").to_df().filter(F.col("n_name") == "NATION_2")
