@@ -69,3 +69,46 @@ def run_batch_as_stream(spark: SparkSession, src_dir: str, schema: StructType,
     stream = stream_from_directory(spark, src_dir, schema)
     q = write_stream_parquet(transform(stream), out_dir, checkpoint)
     q.awaitTermination()
+
+
+def dedup_append_sink(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    key_col: str,
+    await_seconds: int | None = None,
+):
+    """Self-building deduplicated corpus: each micro-batch drops rows whose
+    ``key_col`` already exists in the corpus written SO FAR (plus in-batch
+    duplicates), then appends the remainder to ``out_dir``.
+
+    The foreachBatch + checkpoint combination is what makes this
+    exactly-once across restarts: Structured Streaming records the last
+    committed batch id in ``checkpoint``, so a replayed batch is
+    re-offered with the same id and the sink's append is not repeated for
+    batches already committed. The per-batch anti-join against the
+    corpus-so-far is the streaming twin of
+    ``dedup.incremental_dedup`` with the output as the corpus.
+
+    Returns the started StreamingQuery (already terminated when
+    ``await_seconds`` is given with an availableNow-style source).
+    """
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates([key_col])
+        try:
+            corpus = spark.read.parquet(out_dir).select(F.col(key_col)).distinct()
+            fresh = fresh.join(corpus, key_col, "left_anti")
+        except Exception:
+            pass  # first batch: no corpus yet
+        fresh.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_seconds:
+        q.awaitTermination(await_seconds)
+    return q

@@ -305,3 +305,27 @@ def test_interval_join_streams_batch_semantics(spark):
     )
     pairs = {(r.click_id, r.buy_id) for r in out.collect()}
     assert pairs == {(1, 10), (3, 12)}
+
+
+def test_dedup_append_sink_builds_unique_corpus(spark, tmp_path):
+    from sycamore_spark.streaming.ingest import dedup_append_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: keys 0..9 (5 dup'd in-batch); batch 2 (new file): 5..14
+    spark.createDataFrame(
+        [(i % 10, f"payload-{i % 10}") for i in range(15)], "k int, v string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k int, v string").option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    dedup_append_sink(stream, out, ckpt, key_col="k", await_seconds=120)
+    spark.createDataFrame(
+        [(i, f"payload-{i}") for i in range(5, 15)], "k int, v string"
+    ).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema("k int, v string").parquet(src)
+    dedup_append_sink(stream2, out, str(tmp_path / "ckpt"), key_col="k", await_seconds=120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 15  # 0..14, each exactly once
+    assert got.select("k").distinct().count() == 15
