@@ -249,6 +249,29 @@ class DocSet:
 
         return self._wrap(corpus_diff(old.df, self.df, id_col, fp_col))
 
+    def mixture_plan(self, stratum: str, target: dict) -> "DocSet":
+        """Downsampling plan achieving a target mixture — feed the result's
+        keep fractions into stratified_sample (operators/sampling.py
+        mixture_plan)."""
+        from sycamore_spark.operators.sampling import mixture_plan
+
+        return self._wrap(mixture_plan(self.df, stratum, target))
+
+    def ewma(self, key_col: str, order_col: str, value_col: str,
+             alpha: float = 0.1) -> "DocSet":
+        """Per-key EWMA drift signal (operators/monitor.py ewma_by_key)."""
+        from sycamore_spark.operators.monitor import ewma_by_key
+
+        return self._wrap(ewma_by_key(self.df, key_col, order_col, value_col, alpha))
+
+    def attribute(self, value_cols: list[str], id_col: str = "doc_id",
+                  fuzzy: bool = False) -> "DocSet":
+        """Extracted-property provenance to element spans
+        (llm/extract.py attribute_values)."""
+        from sycamore_spark.llm.extract import attribute_values
+
+        return self._wrap(attribute_values(self.df, value_cols, id_col=id_col, fuzzy=fuzzy))
+
     def stratified_sample(self, fractions: dict, stratum: str,
                           key: str = "doc_id", default_fraction: float = 0.0) -> "DocSet":
         """Per-stratum keep fractions (dataset mixing) in one shuffle-free

@@ -103,3 +103,30 @@ def test_extract_json_recovers_embedded(value):
     assert extract_json(payload) == value
     if isinstance(value, (dict, list)):
         assert extract_json(f"Sure! Here is the answer: {payload} Hope this helps.") == value
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(0, 0.9),
+            st.floats(0, 0.9),
+            st.floats(0.01, 0.1),
+            st.floats(0.01, 0.1),
+        ),
+        min_size=0, max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_xycut_is_total_deterministic_permutation(boxes):
+    from sycamore_spark.operators.elements import _xycut
+
+    items = [
+        {"i": i, "bbox": [x, y, x + w, y + h]}
+        for i, (x, y, w, h) in enumerate(boxes)
+    ]
+    out = _xycut([dict(e) for e in items])
+    # permutation: every element exactly once
+    assert sorted(e["i"] for e in out) == list(range(len(items)))
+    # deterministic: same input -> same order
+    out2 = _xycut([dict(e) for e in items])
+    assert [e["i"] for e in out] == [e["i"] for e in out2]
