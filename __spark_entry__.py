@@ -1728,6 +1728,15 @@ def q_compact(spark, sf) -> DataFrame:
     return spark.read.parquet(dst).select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_lm_score(spark, sf) -> DataFrame:
+    """Self-trained bigram-LM quality scoring (operators/textstats.py
+    ngram_lm_score — the CCNet/KenLM perplexity-filter role without an
+    external model): corpus-fit add-1-smoothed conditional probabilities,
+    per-doc average log-prob in integer micros."""
+    docs = load_table(spark, sf, "documents")
+    return textstats.ngram_lm_score(docs, "doc_id", "text")
+
+
 def q_xycut(spark, sf) -> DataFrame:
     """XY-cut reading-order sort (operators/elements.py xycut_sort_elements;
     reference utils/xycut.py): a staggered two-column layout (no y-gap
@@ -2292,6 +2301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_plan": q_mixture_plan,
     "ewma": q_ewma,
     "xycut": q_xycut,
+    "lm_score": q_lm_score,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2473,6 +2483,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "count(*)::BIGINT AS n_lines "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ),
+        "lm_score": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), "
+            "bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM toks, "
+            "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+            "bc AS (SELECT w1, w2, count(*) AS cbig FROM bg GROUP BY 1, 2), "
+            "cc AS (SELECT w1, count(*) AS cctx FROM bg GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT w) AS v FROM "
+            "(SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)), "
+            "s AS (SELECT doc_id, CAST(floor(ln((cbig + 1.0) / (cctx + v)) * 1000000.0 + 0.5) AS BIGINT) AS m "
+            "FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v) "
+            "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+            "CAST(sum(m) AS BIGINT) AS logprob_micros, "
+            "sum(m)::DOUBLE / 1000000.0 / count(*) AS avg_logprob "
+            "FROM s GROUP BY 1"
         ),
         "xycut": (
             "SELECT doc_id, CAST((i % 2) * 3 + i // 2 AS INT) AS element_index, "

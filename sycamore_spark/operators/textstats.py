@@ -283,3 +283,77 @@ def filter_by_quantile(
     else:
         out = df.crossJoin(F.broadcast(thr)).filter(cmp_ok)
     return out.drop(tcol)
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity-proxy quality scoring WITHOUT an external model (the
+    CCNet/KenLM role in a pretraining pipeline, self-trained on the
+    corpus): a word-bigram language model with add-1 smoothing is fit from
+    corpus counts, and each document is scored by its average bigram
+    log-probability — gibberish and boilerplate-shuffled text score far
+    below fluent text.
+
+        logp(d) = sum over bigrams (w1,w2) of ln((c(w1,w2)+1)/(c(w1)+V))
+
+    Per-bigram log-probs quantize to integer micros before the per-doc
+    sum (the bm25 pattern — bigint addition is associative, so the result
+    is partitioning-independent and bit-replayable in SQL).
+
+    Returns (id, n_bigrams, logprob_micros, avg_logprob) for documents
+    with at least one bigram.
+
+    Plan shape: two corpus hash-aggs (bigram counts, unigram counts +
+    vocabulary size) + one shuffle join of doc bigrams against the count
+    tables + one per-doc agg. Nothing collects to the driver; the model
+    IS a DataFrame.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_ws"),
+    )
+    bigrams = toks.select(
+        "_id",
+        F.explode(
+            F.when(
+                F.size("_ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_ws"), i).alias("w1"),
+                        F.element_at(F.col("_ws"), i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    big_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cbig"))
+    uni = bigrams.select(F.col("w1").alias("w")).union(bigrams.select("w2"))
+    vocab = uni.agg(F.countDistinct("w").alias("_v"))
+    ctx_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("_cctx"))
+
+    logp = F.log(
+        (F.col("_cbig") + F.lit(1.0)) / (F.col("_cctx") + F.col("_v").cast("double"))
+    )
+    micros = F.floor(logp * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    scored = (
+        bigrams.join(big_counts, ["w1", "w2"])
+        .join(ctx_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("_m", micros)
+    )
+    return (
+        scored.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_m").alias("logprob_micros"),
+        )
+        .withColumn(
+            "avg_logprob",
+            F.col("logprob_micros").cast("double") / F.lit(1_000_000.0) / F.col("n_bigrams"),
+        )
+    )

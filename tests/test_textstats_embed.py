@@ -240,3 +240,19 @@ def test_quantile_stats_weird_column_names_and_q1(spark):
     out = quantile_stats(df, "value col", quantiles=(0.5, 1.0)).collect()[0]
     assert out["q5"] == 50.0
     assert out["q1_0"] == 100.0
+
+
+def test_ngram_lm_score_fluent_vs_gibberish(spark):
+    from sycamore_spark.operators import textstats
+
+    fluent = "the cat sat on the mat and the cat sat on the rug"
+    docs = [(1, fluent), (2, fluent), (3, "zq xv qp wk jm zq bn vz")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r.doc_id: r for r in textstats.ngram_lm_score(df).collect()}
+    # repeated fluent bigrams are high-probability; unique gibberish is not
+    assert out[1].avg_logprob > out[3].avg_logprob
+    assert out[1].avg_logprob == out[2].avg_logprob  # identical docs, identical score
+    assert out[1].n_bigrams == 13
+    # single-word docs produce no row
+    one = spark.createDataFrame([(9, "word")], "doc_id int, text string")
+    assert textstats.ngram_lm_score(one).count() == 0
