@@ -252,7 +252,7 @@ def test_ngram_lm_score_fluent_vs_gibberish(spark):
     # repeated fluent bigrams are high-probability; unique gibberish is not
     assert out[1].avg_logprob > out[3].avg_logprob
     assert out[1].avg_logprob == out[2].avg_logprob  # identical docs, identical score
-    assert out[1].n_bigrams == 13
+    assert out[1].n_bigrams == 12
     # single-word docs produce no row
     one = spark.createDataFrame([(9, "word")], "doc_id int, text string")
     assert textstats.ngram_lm_score(one).count() == 0
