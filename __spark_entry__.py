@@ -1728,6 +1728,27 @@ def q_compact(spark, sf) -> DataFrame:
     return spark.read.parquet(dst).select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_data_card(spark, sf) -> DataFrame:
+    """Per-source dataset datasheet (the 'data card' trainers ask for):
+    docs, whitespace tokens, exact median length, mean quality-feature
+    level per language — one aggregation composing the textstats
+    surface."""
+    docs = load_table(spark, sf, "documents")
+    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws_tokens.cast("long")).alias("total_tokens"),
+            F.expr("percentile(length(text), 0.5)").alias("p50_len"),
+            F.round(
+                F.sum(F.length("text").cast("long")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_len"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_lm_score(spark, sf) -> DataFrame:
     """Self-trained bigram-LM quality scoring (operators/textstats.py
     ngram_lm_score — the CCNet/KenLM perplexity-filter role without an
@@ -2302,6 +2323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma": q_ewma,
     "xycut": q_xycut,
     "lm_score": q_lm_score,
+    "data_card": q_data_card,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2483,6 +2505,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "count(*)::BIGINT AS n_lines "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ),
+        "data_card": (
+            "SELECT lang, count(*)::BIGINT AS n_docs, "
+            "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens, "
+            "quantile_cont(length(text), 0.5) AS p50_len, "
+            "round(sum(length(text))::DOUBLE / count(*), 4) AS mean_len "
+            "FROM documents GROUP BY 1 ORDER BY 1"
         ),
         "lm_score": (
             "WITH toks AS (SELECT doc_id, "

@@ -60,6 +60,7 @@ HEADLINE = [
     "incremental_dedup",
     "tfidf",
     "window_analytics",
+    "lm_score",
 ]
 
 
