@@ -1728,6 +1728,27 @@ def q_compact(spark, sf) -> DataFrame:
     return spark.read.parquet(dst).select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_pipeline_e2e(spark, sf) -> DataFrame:
+    """The composed training-data pipeline under ONE oracle — what a user
+    actually runs end-to-end: exact dedup (lowest-id keep) -> length
+    quality band -> contamination-safe fingerprint split -> train slice
+    -> token-budget shard packing. Every stage is individually gated
+    elsewhere; this row proves the COMPOSITION."""
+    from sycamore_spark.operators.sampling import group_aware_split, pack_shards
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    reps = dedup.exact_dedup(docs, "doc_id", "text").select("doc_id")
+    kept = docs.join(reps, "doc_id").filter(F.length("text").between(100, 4000))
+    split = group_aware_split(
+        kept.withColumn("_fp", F.md5("text")), "_fp", {"train": 0.8, "valid": 0.2}
+    )
+    train = split.filter(F.col("split") == "train").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    )
+    packed = pack_shards(train, "n_tokens", 2000, "doc_id")
+    return packed.select("doc_id", "lang", "n_tokens", "shard_id")
+
+
 def q_data_card(spark, sf) -> DataFrame:
     """Per-source dataset datasheet (the 'data card' trainers ask for):
     docs, whitespace tokens, exact median length, mean quality-feature
@@ -2324,6 +2345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xycut": q_xycut,
     "lm_score": q_lm_score,
     "data_card": q_data_card,
+    "pipeline_e2e": q_pipeline_e2e,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2505,6 +2527,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "count(*)::BIGINT AS n_lines "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ),
+        "pipeline_e2e": (
+            "WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))), "
+            "kept AS (SELECT d.doc_id, d.text, d.lang FROM documents d "
+            "JOIN reps USING (doc_id) WHERE length(text) BETWEEN 100 AND 4000), "
+            "spl AS (SELECT doc_id, text, lang, "
+            "('0x' || substr(md5(md5(text)), 1, 15))::BIGINT % 1000000 AS bucket FROM kept), "
+            "train AS (SELECT doc_id, lang, "
+            "len(string_split(trim(text), ' '))::BIGINT AS n_tokens "
+            "FROM spl WHERE bucket < 800000), "
+            "c AS (SELECT doc_id, lang, n_tokens, "
+            "sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM train) "
+            "SELECT doc_id, lang, n_tokens, "
+            "CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT)::VARCHAR AS shard_id FROM c"
         ),
         "data_card": (
             "SELECT lang, count(*)::BIGINT AS n_docs, "
