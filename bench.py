@@ -61,6 +61,7 @@ HEADLINE = [
     "tfidf",
     "window_analytics",
     "lm_score",
+    "pipeline_e2e",
 ]
 
 
