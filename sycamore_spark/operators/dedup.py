@@ -70,37 +70,67 @@ def jaccard_similar_pairs(
     skew at scale; exactness is preserved only when it is None.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    from pyspark.sql.window import Window
+
     toks = F.array_distinct(T.tokens(F.col(text_col))) if ngram == 1 else F.array_distinct(
         T.word_shingles(F.col(text_col), k=ngram)
     )
-    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
-    sizes = base.select("_id", F.size("_toks").alias("_n"))
-    # postings carry xxhash64(token) — the self-join only tests equality,
-    # and 8-byte keys shrink the inverted-index shuffle vs raw strings
-    # (collision odds across a corpus vocabulary are ~|V|^2/2^65).
-    posting = base.select("_id", F.explode("_toks").alias("_t")).select(
-        "_id", F.xxhash64("_t").alias("_tok")
+    # token sets as sorted xxhash64 arrays: the joins only test equality,
+    # and 8-byte keys shrink every shuffle vs raw strings (collision odds
+    # across a corpus vocabulary are ~|V|^2/2^65).
+    hset = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(F.transform(toks, lambda t: F.xxhash64(t))).alias("_hs"),
     )
+    posting = hset.select("_id", F.explode("_hs").alias("_tok"))
     if max_token_doc_freq is not None:
         n_docs = df.count()
         cap = int(max_token_doc_freq * n_docs)
         hot = posting.groupBy("_tok").count().filter(F.col("count") > cap).select("_tok")
         posting = posting.join(F.broadcast(hot), "_tok", "left_anti")
+        hset = posting.groupBy("_id").agg(F.array_sort(F.collect_list("_tok")).alias("_hs"))
 
-    a = posting.alias("a")
-    b = posting.alias("b")
-    inter = (
-        a.join(b, (F.col("a._tok") == F.col("b._tok")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    # Exact prefix filtering (AllPairs / PPJoin): under ANY global token
+    # order shared by all docs, a pair with jaccard >= t has overlap
+    # >= ceil(t*|A|), so B must hit one of A's first |A|-ceil(t*|A|)+1
+    # tokens (otherwise the whole intersection fits in the last
+    # ceil(t*|A|)-1). Ordering tokens RAREST-FIRST makes those prefix
+    # tokens the low-frequency ones, so the candidate join multiplies
+    # short posting lists — the difference between O(sum f^2) over every
+    # token and over only the rare ones. Exactness is preserved: prefix
+    # only generates CANDIDATES; every pair is verified with the true
+    # intersection below.
+    tok_df = posting.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_tok").asc())
+    ranked = posting.join(tok_df, "_tok").withColumn("_r", F.row_number().over(w))
+    sizes = hset.select("_id", F.size("_hs").alias("_n"))
+    k = F.col("_n") - F.ceil(F.lit(float(threshold)) * F.col("_n")) + 1
+    pref = ranked.join(sizes, "_id").filter(F.col("_r") <= k).select("_id", "_tok", "_n")
+
+    # length filter (PPJoin): jaccard >= t bounds the size ratio —
+    # |B| in [t*|A|, |A|/t] — pruned inside the candidate join
+    t = float(threshold)
+    a, b = pref.alias("a"), posting.join(sizes, "_id").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a._id") != F.col("b._id"))
+            & (F.col("b._n") >= F.ceil(F.lit(t) * F.col("a._n")))
+            & (F.col("b._n") * F.lit(t) <= F.col("a._n")),
+        )
+        .select(
+            F.least(F.col("a._id"), F.col("b._id")).alias("id_a"),
+            F.greatest(F.col("a._id"), F.col("b._id")).alias("id_b"),
+        )
+        .distinct()
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
-    # Plain equi-joins on the id — the per-doc sizes table is O(n_docs) rows,
-    # far beyond broadcast range at scale; AQE may still broadcast when small.
-    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    va = hset.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_ha"))
+    vb = hset.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hb"))
+    inter = F.size(F.array_intersect(F.col("_ha"), F.col("_hb")))
+    jac = inter / (F.size("_ha") + F.size("_hb") - inter)
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -499,6 +529,10 @@ def connected_components(
     round, no label collection on the driver); node ids may be any
     orderable type — strings compare lexicographically.
     """
+    # materialize the edge set ONCE before symmetrizing — the union reads
+    # it twice, and recomputing an expensive pair-generation lineage per
+    # branch doubles the dominant cost of a dedup pipeline
+    edges = edges.localCheckpoint(eager=True)
     sym = (
         edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         .union(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
