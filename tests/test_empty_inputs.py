@@ -1,0 +1,66 @@
+"""Empty-input hardening: every operator must return an empty (or
+well-defined) result on an empty frame, not crash — partitions ARE empty
+routinely at scale (empty date partitions, filtered-out sources)."""
+
+from pyspark.sql import functions as F
+
+
+def _empty(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
+def test_dedup_family_empty(spark):
+    from sycamore_spark.operators import dedup
+
+    docs = _empty(spark, "doc_id int, text string")
+    assert dedup.exact_dedup(docs, "doc_id", "text").count() == 0
+    assert dedup.jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.9).count() == 0
+    emb = _empty(spark, "vec_id int, embedding array<double>")
+    out = dedup.semantic_dedup(emb, "vec_id", "embedding", [[1.0, 0.0], [0.0, 1.0]],
+                               threshold=0.9, quantize_scale=512)
+    assert out.count() == 0
+    corpus = spark.createDataFrame([(1, "a")], "id int, text string")
+    assert dedup.incremental_dedup(docs.select(F.col("doc_id").alias("id"),
+                                               "text"), corpus, "text").count() == 0
+
+
+def test_profiling_sampling_empty(spark):
+    from sycamore_spark.operators.monitor import ewma_by_key
+    from sycamore_spark.operators.profiling import corpus_diff, key_skew_profile
+    from sycamore_spark.operators.sampling import group_aware_split, mixture_plan
+
+    ev = _empty(spark, "k string, t int, v double")
+    assert key_skew_profile(ev, "k").count() == 0
+    assert ewma_by_key(ev, "k", "t", "v").count() == 0
+    assert mixture_plan(ev, "k", {"a": 0.5, "b": 0.5}).count() == 0
+    assert group_aware_split(ev, "k", {"train": 0.8, "test": 0.2}).count() == 0
+    snap = _empty(spark, "id int, fp string")
+    assert corpus_diff(snap, snap, "id", "fp").count() == 0
+
+
+def test_retrieval_eval_empty(spark):
+    from sycamore_spark.evaluation import retrieval_metrics
+    from sycamore_spark.operators.retrieval import bm25_scores, tfidf_topk_terms
+
+    docs = _empty(spark, "doc_id int, text string")
+    assert bm25_scores(docs, ["term"], "doc_id", "text").count() == 0
+    assert tfidf_topk_terms(docs, "doc_id", "text").count() == 0
+    res = _empty(spark, "query_id string, rank int, rel int")
+    assert retrieval_metrics(res).count() == 0
+
+
+def test_textstats_elements_empty(spark):
+    from sycamore_spark.llm.extract import attribute_values
+    from sycamore_spark.operators import textstats
+    from sycamore_spark.operators.elements import xycut_sort_elements
+
+    docs = _empty(spark, "doc_id int, text string")
+    assert textstats.ngram_lm_score(docs).count() == 0
+    els = _empty(
+        spark,
+        "doc_id int, val string, elements array<struct<element_index:int,"
+        "text_representation:string>>",
+    )
+    assert attribute_values(els, ["val"], id_col="doc_id").count() == 0
+    from sycamore_spark.data.schema import DOC_SCHEMA
+    assert xycut_sort_elements(_empty(spark, DOC_SCHEMA)).count() == 0
