@@ -1728,6 +1728,38 @@ def q_compact(spark, sf) -> DataFrame:
     return spark.read.parquet(dst).select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_rag_context(spark, sf) -> DataFrame:
+    """RAG context assembly — the retrieval-side composition a serving
+    pipeline runs: exact ANN top-k per query -> join the document store ->
+    token-budget cutoff in rank order -> ordered context concatenation.
+    One row per query with the packed context fingerprint."""
+    emb = _ds(spark, sf, "embeddings").to_df()
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    nn = similarity.brute_force_topk(queries, corpus, k=5)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    j = nn.join(docs, nn.neighbor_id == docs.doc_id)
+    toks = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    w = (
+        Window.partitionBy("query_id").orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = j.withColumn("_nt", toks).withColumn("_cum", F.sum("_nt").over(w))
+    kept = staged.filter(F.col("_cum") <= 300)
+    ordered = F.array_sort(F.collect_list(F.struct("rank", "text")))
+    return (
+        kept.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.md5(
+                F.array_join(F.transform(ordered, lambda s: s["text"]), "\n\n")
+            ).alias("context_md5"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_pipeline_e2e(spark, sf) -> DataFrame:
     """The composed training-data pipeline under ONE oracle — what a user
     actually runs end-to-end: exact dedup (lowest-id keep) -> length
@@ -2346,6 +2378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score": q_lm_score,
     "data_card": q_data_card,
     "pipeline_e2e": q_pipeline_e2e,
+    "rag_context": q_rag_context,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2527,6 +2560,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "count(*)::BIGINT AS n_lines "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ),
+        "rag_context": (
+            "WITH scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "list_inner_product(cast(q.embedding as double[]), cast(c.embedding as double[])) "
+            "/ (sqrt(list_inner_product(cast(q.embedding as double[]), cast(q.embedding as double[]))) "
+            "* sqrt(list_inner_product(cast(c.embedding as double[]), cast(c.embedding as double[])))) AS score "
+            "FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10), "
+            "ranked AS (SELECT query_id, neighbor_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank "
+            "FROM scored), "
+            "topk AS (SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5), "
+            "j AS (SELECT query_id, rank, text, "
+            "len(string_split(trim(text), ' '))::BIGINT AS nt "
+            "FROM topk JOIN documents ON neighbor_id = doc_id), "
+            "c AS (SELECT *, sum(nt) OVER (PARTITION BY query_id ORDER BY rank "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM j), "
+            "kept AS (SELECT * FROM c WHERE cum <= 300) "
+            "SELECT query_id, count(*)::BIGINT AS n_docs, "
+            "CAST(sum(nt) AS BIGINT) AS n_tokens, "
+            "md5(string_agg(text, '\n\n' ORDER BY rank)) AS context_md5 "
+            "FROM kept GROUP BY 1 ORDER BY 1"
         ),
         "pipeline_e2e": (
             "WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents "
