@@ -232,3 +232,30 @@ def test_incremental_dedup_tiny_filter_still_exact(spark):
     new = spark.createDataFrame([(100 + i, f"n{i}") for i in range(50)], "id int, text string")
     out = dedup.incremental_dedup(new, corpus, key_col="text", nbits=64, nhashes=2)
     assert out.count() == 50
+
+
+def test_prefix_filter_equals_bruteforce(spark):
+    # the AllPairs/PPJoin prefix filter is an OPTIMIZATION: results must
+    # equal the naive all-pairs jaccard on arbitrary corpora and thresholds
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(3, 15)))) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    def brute(threshold):
+        sets = {i: set(t.split()) for i, t in docs}
+        out = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                out.add((a, b))
+        return out
+
+    for t in (0.5, 0.8, 0.95):
+        got = {(r.id_a, r.id_b) for r in
+               dedup.jaccard_similar_pairs(df, "doc_id", "text", threshold=t).collect()}
+        assert got == brute(t), f"mismatch at threshold {t}"
