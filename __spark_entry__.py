@@ -1728,6 +1728,27 @@ def q_compact(spark, sf) -> DataFrame:
     return spark.read.parquet(dst).select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_embed(spark, sf) -> DataFrame:
+    """The hashing-trick embedder under the gate (operators/embed.py
+    hashing_embedding_expr — reference Embed parity's deterministic native
+    path): md5-bucketed token counts, l2-normalized, float32 output. The
+    oracle replays bucket counts, the same normalization, and float32
+    rounding (::FLOAT::DOUBLE) so the quantized values match bit-for-bit."""
+    from sycamore_spark.operators.dedup import md5_hash60
+    from sycamore_spark.operators.embed import hashing_embedding_expr
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    emb = docs.select(
+        "doc_id",
+        hashing_embedding_expr(F.col("text"), dim=16, hash_fn=md5_hash60).alias("e"),
+    )
+    return emb.select("doc_id", F.posexplode("e").alias("pos", "v")).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.floor(F.col("v").cast("double") * 1_000_000.0 + 0.5).cast("bigint").alias("v_micros"),
+    )
+
+
 def q_rag_context(spark, sf) -> DataFrame:
     """RAG context assembly — the retrieval-side composition a serving
     pipeline runs: exact ANN top-k per query -> join the document store ->
@@ -2379,6 +2400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_card": q_data_card,
     "pipeline_e2e": q_pipeline_e2e,
     "rag_context": q_rag_context,
+    "embed": q_embed,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2560,6 +2582,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "count(*)::BIGINT AS n_lines "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ),
+        "embed": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM documents), "
+            "b AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 AS pos FROM tok), "
+            "cnt AS (SELECT doc_id, pos, count(*)::DOUBLE AS c FROM b GROUP BY 1, 2), "
+            "grid AS (SELECT doc_id, i AS pos FROM documents, "
+            "unnest(generate_series(0, 15)) AS g(i)), "
+            "fill AS (SELECT g.doc_id, g.pos, coalesce(c, 0.0) AS c "
+            "FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.pos = cnt.pos), "
+            "nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS n FROM fill GROUP BY 1), "
+            "vals AS (SELECT f.doc_id, f.pos, "
+            "(f.c / CASE WHEN n > 0 THEN n ELSE 1.0 END)::FLOAT::DOUBLE AS v "
+            "FROM fill f JOIN nrm ON f.doc_id = nrm.doc_id) "
+            "SELECT doc_id, pos::BIGINT AS pos, "
+            "CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS v_micros FROM vals"
         ),
         "rag_context": (
             "WITH scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
