@@ -1728,6 +1728,62 @@ def q_compact(spark, sf) -> DataFrame:
     return spark.read.parquet(dst).select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_reduce_summary(spark, sf) -> DataFrame:
+    """GroupedDocSet.reduce under the gate (reference Reduce /
+    collect_to_summary_doc, transforms/aggregation.py:221): per-language
+    deterministic fold over the group's docs in id order — count + a
+    fingerprint of the ordered concatenation."""
+    import hashlib
+
+    docs = _ds(spark, sf, "documents").select("doc_id", "lang", "text")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        joined = "|".join(pdf["text"].str[:20])
+        return pd.DataFrame({
+            "lang": [pdf["lang"].iloc[0]],
+            "n_docs": [len(pdf)],
+            "summary_md5": [hashlib.md5(joined.encode()).hexdigest()],
+        })
+
+    return (
+        docs.groupby("lang")
+        .reduce(fold, schema="lang string, n_docs bigint, summary_md5 string")
+        .to_df()
+        .orderBy("lang")
+    )
+
+
+def q_llm_query(spark, sf) -> DataFrame:
+    """LLMQuery per-element mode under the gate (reference
+    transforms/llm_query.py LLMTextQueryAgent; llm/map.py llm_query): one
+    element per doc, mock replies with the uppercased first token of the
+    element text — SQL-replayable, so the per-element prompt render +
+    response-property plumbing is hash-checked."""
+    from sycamore_spark.llm.map import llm_query
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    el = F.struct(
+        F.lit(0).cast("int").alias("element_index"),
+        F.lit("text").alias("type"),
+        F.col("text").alias("text_representation"),
+        F.lit(None).cast("binary").alias("binary_representation"),
+        F.lit(None).cast("array<double>").alias("bbox"),
+        F.lit(1).cast("int").alias("page_number"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(None).cast("string").alias("properties"),
+    )
+    staged = docs.withColumn("elements", F.array(el))
+    out = llm_query(
+        staged, "Q:",
+        lambda: MockLLM([(r"Q:\n\s*(\S+)", lambda m: m.group(1).upper())]),
+    )
+    return out.select(
+        "doc_id",
+        F.get_json_object(F.col("elements")[0]["properties"], "$.llm_response").alias("response"),
+    )
+
+
 def q_embed(spark, sf) -> DataFrame:
     """The hashing-trick embedder under the gate (operators/embed.py
     hashing_embedding_expr — reference Embed parity's deterministic native
@@ -2401,6 +2457,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_e2e": q_pipeline_e2e,
     "rag_context": q_rag_context,
     "embed": q_embed,
+    "reduce_summary": q_reduce_summary,
+    "llm_query": q_llm_query,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2582,6 +2640,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "count(*)::BIGINT AS n_lines "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ),
+        "reduce_summary": (
+            "SELECT lang, count(*)::BIGINT AS n_docs, "
+            "md5(string_agg(substr(text, 1, 20), '|' ORDER BY doc_id)) AS summary_md5 "
+            "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "llm_query": (
+            "SELECT doc_id, upper(string_split(trim(text), ' ')[1]) AS response "
+            "FROM documents"
         ),
         "embed": (
             "WITH tok AS (SELECT doc_id, "
