@@ -1728,6 +1728,24 @@ def q_compact(spark, sf) -> DataFrame:
     return spark.read.parquet(dst).select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_duckdb_roundtrip(spark, sf) -> DataFrame:
+    """DuckDB writer + reader under the gate (reference duckdb_writer.py /
+    reader.py:377): documents staged to parquet, bulk-ingested into a
+    DuckDB file, read back through the reader facade — identity oracle
+    proves the full connector roundtrip."""
+    import tempfile
+
+    import sycamore_spark as ss
+    from sycamore_spark.writer import write_duckdb
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    root = tempfile.mkdtemp(prefix="duckdb-gate-")
+    db = f"{root}/gate.duckdb"
+    write_duckdb(docs, db, "docs", f"{root}/stage")
+    back = ss.read(spark).duckdb(db, "docs").to_df()
+    return back.select("doc_id", "lang", F.md5("text").alias("text_md5"))
+
+
 def q_reduce_summary(spark, sf) -> DataFrame:
     """GroupedDocSet.reduce under the gate (reference Reduce /
     collect_to_summary_doc, transforms/aggregation.py:221): per-language
@@ -2459,6 +2477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed": q_embed,
     "reduce_summary": q_reduce_summary,
     "llm_query": q_llm_query,
+    "duckdb_roundtrip": q_duckdb_roundtrip,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2640,6 +2659,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "count(*)::BIGINT AS n_lines "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ),
+        "duckdb_roundtrip": (
+            "SELECT doc_id, lang, md5(text) AS text_md5 FROM documents"
         ),
         "reduce_summary": (
             "SELECT lang, count(*)::BIGINT AS n_docs, "
