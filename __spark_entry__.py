@@ -1728,6 +1728,38 @@ def q_compact(spark, sf) -> DataFrame:
     return spark.read.parquet(dst).select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_binary_scan(spark, sf) -> DataFrame:
+    """BinaryScan + manifest metadata join under the gate (reference
+    file_scan.py:156 BinaryScan, :39 JsonManifest; writer FileWriter):
+    documents written one file each, scanned back as binary docs with the
+    extension filter, manifest properties broadcast-joined — doc ids
+    recovered from the path, content identity-checked."""
+    import json as _json
+    import tempfile
+
+    from sycamore_spark.sources.files import binary_scan
+    from sycamore_spark.writer import write_files
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    root = tempfile.mkdtemp(prefix="binscan-gate-")
+    write_files(docs, root, text_col="text", name_col="doc_id")
+    # binaryFile reports paths as file: URIs — manifest keys must match
+    manifest = {
+        f"file:{root}/{r['doc_id']}.txt": {"lang": r["lang"]}
+        for r in docs.select("doc_id", "lang").collect()
+    }
+    mpath = f"{root}/manifest.json"
+    with open(mpath, "w") as f:
+        _json.dump(manifest, f)
+    scanned = binary_scan(spark, root, binary_format="txt", manifest_path=mpath)
+    path = F.get_json_object("properties", "$.path")
+    return scanned.select(
+        F.regexp_extract(path, r"(\d+)\.txt$", 1).cast("bigint").alias("doc_id"),
+        F.get_json_object("properties", "$.lang").alias("lang"),
+        F.md5(F.col("binary_representation").cast("string")).alias("text_md5"),
+    )
+
+
 def q_duckdb_roundtrip(spark, sf) -> DataFrame:
     """DuckDB writer + reader under the gate (reference duckdb_writer.py /
     reader.py:377): documents staged to parquet, bulk-ingested into a
@@ -2478,6 +2510,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reduce_summary": q_reduce_summary,
     "llm_query": q_llm_query,
     "duckdb_roundtrip": q_duckdb_roundtrip,
+    "binary_scan": q_binary_scan,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2661,6 +2694,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
         ),
         "duckdb_roundtrip": (
+            "SELECT doc_id, lang, md5(text) AS text_md5 FROM documents"
+        ),
+        "binary_scan": (
             "SELECT doc_id, lang, md5(text) AS text_md5 FROM documents"
         ),
         "reduce_summary": (
