@@ -1728,6 +1728,66 @@ def q_compact(spark, sf) -> DataFrame:
     return spark.read.parquet(dst).select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def _doc_with_element(docs, el_type: str, text_col, props_col):
+    el = F.struct(
+        F.lit(0).cast("int").alias("element_index"),
+        F.lit(el_type).alias("type"),
+        text_col.alias("text_representation"),
+        F.lit(None).cast("binary").alias("binary_representation"),
+        F.lit(None).cast("array<double>").alias("bbox"),
+        F.lit(1).cast("int").alias("page_number"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        props_col.alias("properties"),
+    )
+    return docs.withColumn("elements", F.array(el))
+
+
+def q_table_props(spark, sf) -> DataFrame:
+    """ExtractTableProperties under the gate (reference
+    transforms/extract_table_properties.py:14): per-doc table element,
+    mock extracts the value cell into JSON — SQL-replayable, so the
+    table-element routing + property landing is hash-checked."""
+    from sycamore_spark.llm.map import extract_table_properties
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    csv = F.concat(F.lit("name,qty\napples,"), F.col("doc_id").cast("string"))
+    staged = _doc_with_element(docs, "table", csv, F.lit(None).cast("string"))
+    out = extract_table_properties(
+        staged,
+        lambda: MockLLM([(r"Table: name,qty\napples,(\d+)",
+                          lambda m: '{"apples": ' + m.group(1) + "}")]),
+    )
+    return out.select(
+        "doc_id",
+        F.get_json_object(F.col("elements")[0]["properties"], "$.table_kv").alias("kv"),
+    )
+
+
+def q_summarize_images(spark, sf) -> DataFrame:
+    """SummarizeImages under the gate (reference
+    transforms/summarize_images.py:155): per-doc image element with typed
+    metadata, mock describes from the metadata in the prompt —
+    SQL-replayable, so the image-element routing + summary landing is
+    hash-checked."""
+    from sycamore_spark.llm.map import summarize_images
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    meta = F.concat(
+        F.lit('{"width": '), (F.col("doc_id") % 640 + 1).cast("string"),
+        F.lit(', "height": '), (F.col("doc_id") % 480 + 1).cast("string"), F.lit("}"),
+    )
+    staged = _doc_with_element(docs, "Image", F.lit("figure"), meta)
+    out = summarize_images(
+        staged,
+        lambda: MockLLM([(r'"width": (\d+), "height": (\d+)',
+                          lambda m: f"image {m.group(1)}x{m.group(2)}")]),
+    )
+    return out.select(
+        "doc_id",
+        F.get_json_object(F.col("elements")[0]["properties"], "$.summary").alias("summary"),
+    )
+
+
 def q_binary_scan(spark, sf) -> DataFrame:
     """BinaryScan + manifest metadata join under the gate (reference
     file_scan.py:156 BinaryScan, :39 JsonManifest; writer FileWriter):
@@ -2511,6 +2571,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_query": q_llm_query,
     "duckdb_roundtrip": q_duckdb_roundtrip,
     "binary_scan": q_binary_scan,
+    "table_props": q_table_props,
+    "summarize_images": q_summarize_images,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2698,6 +2760,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "binary_scan": (
             "SELECT doc_id, lang, md5(text) AS text_md5 FROM documents"
+        ),
+        "table_props": (
+            "SELECT doc_id, '{\"apples\": ' || doc_id || '}' AS kv FROM documents"
+        ),
+        "summarize_images": (
+            "SELECT doc_id, 'image ' || (doc_id % 640 + 1) || 'x' || (doc_id % 480 + 1) "
+            "AS summary FROM documents"
         ),
         "reduce_summary": (
             "SELECT lang, count(*)::BIGINT AS n_docs, "
