@@ -1742,6 +1742,29 @@ def _doc_with_element(docs, el_type: str, text_col, props_col):
     return docs.withColumn("elements", F.array(el))
 
 
+def q_query_dataflow(spark, sf) -> DataFrame:
+    """Retrieval-as-dataflow under the gate (reference transforms/query.py
+    Query + QueryExecutor; operators/query_exec.py): query rows flow
+    through the deterministic term-overlap executor against a bounded
+    corpus, hits attached as typed arrays — exploded to scalars with
+    micro-quantized scores for the oracle."""
+    from sycamore_spark.operators.query_exec import LocalQueryExecutor, run_queries
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    corpus = {str(r["doc_id"]): r["text"] for r in docs.select("doc_id", "text").collect()}
+    queries = spark.createDataFrame(
+        [("q1", "table scan"), ("q2", "spark fast value"), ("q3", "window sort")],
+        "qid string, query string",
+    )
+    out = run_queries(queries, lambda: LocalQueryExecutor(corpus, k=10))
+    return out.select("qid", F.posexplode("hits").alias("pos", "h")).select(
+        "qid",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("h.doc_id").cast("bigint").alias("doc_id"),
+        F.floor(F.col("h.score") * 1_000_000.0 + 0.5).cast("bigint").alias("score_micros"),
+    )
+
+
 def q_table_props(spark, sf) -> DataFrame:
     """ExtractTableProperties under the gate (reference
     transforms/extract_table_properties.py:14): per-doc table element,
@@ -2573,6 +2596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binary_scan": q_binary_scan,
     "table_props": q_table_props,
     "summarize_images": q_summarize_images,
+    "query_dataflow": q_query_dataflow,
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
@@ -2760,6 +2784,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "binary_scan": (
             "SELECT doc_id, lang, md5(text) AS text_md5 FROM documents"
+        ),
+        "query_dataflow": (
+            "WITH q(qid, query) AS (VALUES ('q1', 'table scan'), "
+            "('q2', 'spark fast value'), ('q3', 'window sort')), "
+            "qt AS (SELECT qid, list_distinct(regexp_extract_all(lower(query), '\\w+')) AS terms FROM q), "
+            "dt AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\w+')) AS toks "
+            "FROM documents WHERE doc_id < 50), "
+            "scored AS (SELECT qid, doc_id, "
+            "len(list_intersect(terms, toks))::DOUBLE / len(terms) AS score FROM qt, dt), "
+            "ranked AS (SELECT qid, doc_id, score, "
+            "row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id::VARCHAR ASC) AS rn "
+            "FROM scored WHERE score > 0) "
+            "SELECT qid, (rn - 1)::BIGINT AS pos, doc_id, "
+            "CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_micros "
+            "FROM ranked WHERE rn <= 10"
         ),
         "table_props": (
             "SELECT doc_id, '{\"apples\": ' || doc_id || '}' AS kv FROM documents"
