@@ -64,3 +64,43 @@ def test_textstats_elements_empty(spark):
     assert attribute_values(els, ["val"], id_col="doc_id").count() == 0
     from sycamore_spark.data.schema import DOC_SCHEMA
     assert xycut_sort_elements(_empty(spark, DOC_SCHEMA)).count() == 0
+
+
+def test_null_text_behavior(spark):
+    """Null text must not crash; rows with null keys/text drop out of
+    text-keyed operators deterministically."""
+    from pyspark.sql import functions as F
+
+    from sycamore_spark.operators import textstats
+    from sycamore_spark.operators.retrieval import tfidf_topk_terms
+    from sycamore_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.createDataFrame(
+        [(1, "real text here with words"), (2, None), (3, "")],
+        "doc_id int, text string")
+
+    lm = textstats.ngram_lm_score(df)
+    assert {r.doc_id for r in lm.collect()} == {1}  # null/empty: no bigrams
+
+    tf = tfidf_topk_terms(df, "doc_id", "text", k=3)
+    assert 2 not in {r.doc_id for r in tf.collect()}
+
+    # NB: F.least() SKIPS nulls (returns the non-null arm), so a
+    # least(length(text), cap) weight treats null text as weight 1 — use a
+    # null-propagating expression when null text must drop out
+    w = (F.length("text").cast("double") / 100.0)
+    ws = weighted_hash_sample(df, "doc_id", w)
+    assert 2 not in {r.doc_id for r in ws.collect()}  # null weight -> dropped
+
+
+def test_ewma_null_values(spark):
+    from sycamore_spark.operators.monitor import ewma_by_key
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None), ("a", 3, 3.0)],
+        "k string, t int, v double")
+    # nulls inside a key's history: pandas float64 makes them NaN; the
+    # fold propagates NaN — callers should filter nulls first, and the
+    # operator must not crash
+    out = ewma_by_key(df.filter("v is not null"), "k", "t", "v", alpha=0.5).collect()
+    assert out[0].ewma == 2.0 and out[0].n == 2
