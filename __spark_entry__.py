@@ -778,6 +778,155 @@ def q_tpch_q22(spark, sf) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark, sf) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier; adapted: the corpus has no
+    partsupp table, so supply cost is derived as each supplier's minimum
+    observed l_extendedprice per part — a pure min over identical doubles,
+    exact on both engines). The correlated min-cost subquery becomes a
+    per-part aggregate joined back on exact double equality; region/nation
+    dims broadcast."""
+    li = _ds(spark, sf, "lineitem").to_df()
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.min("l_extendedprice").alias("cost"))
+    region = _ds(spark, sf, "region").to_df().filter(F.col("r_name") == "EUROPE")
+    nation = (
+        _ds(spark, sf, "nation")
+        .to_df()
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    supp = _ds(spark, sf, "supplier").to_df().join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    ps_eu = ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+    mincost = ps_eu.groupBy(F.col("l_partkey").alias("mk")).agg(F.min("cost").alias("_mc"))
+    part = _ds(spark, sf, "part").to_df().filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    )
+    return (
+        ps_eu.join(mincost, (ps_eu.l_partkey == F.col("mk")) & (F.col("cost") == F.col("_mc")))
+        .join(F.broadcast(part), ps_eu.l_partkey == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey", "cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+def q_tpch_q9(spark, sf) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year; adapted:
+    ps_supplycost is absent, so cost is the deterministic proxy
+    0.6 * p_retailprice * l_quantity — computed in exact decimal so the
+    profit sum is bit-identical on both engines)."""
+    part = _ds(spark, sf, "part").to_df().filter(F.col("p_name").like("%widget%"))
+    li = _ds(spark, sf, "lineitem").to_df()
+    orders = _ds(spark, sf, "orders").to_df()
+    supp = _ds(spark, sf, "supplier").to_df()
+    nation = _ds(spark, sf, "nation").to_df()
+    revenue = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    supplycost = (
+        F.lit("0.6").cast("decimal(2,1)") * _dec("p_retailprice") * _dec("l_quantity")
+    ).cast("decimal(18,4)")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(revenue - supplycost), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_tpch_q11(spark, sf) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification; adapted: part value
+    held by one nation's suppliers = exact-decimal revenue sum per part,
+    kept when above 1/10000 of the nation total). The scalar threshold is a
+    one-row broadcast; decimal compare is exact on both engines."""
+    nation = _ds(spark, sf, "nation").to_df().filter(F.col("n_name") == "NATION_9")
+    supp = _ds(spark, sf, "supplier").to_df().join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = _ds(spark, sf, "lineitem").to_df().join(
+        F.broadcast(supp.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    value = li.groupBy("l_partkey").agg(
+        F.round(F.sum(_dec("l_extendedprice")), 2).alias("value")
+    )
+    thresh = value.agg(
+        (F.sum("value") * F.lit("0.0001").cast("decimal(6,4)")).alias("_th")
+    )
+    return (
+        value.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("_th"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+def q_tpch_q16(spark, sf) -> DataFrame:
+    """TPC-H Q16 shape (supplier count by part attributes; adapted:
+    part-supplier pairs come from distinct lineitem (l_partkey, l_suppkey),
+    and the 'customer complaints' exclusion is the deterministic predicate
+    s_suppkey % 7 == 0 as an anti-join)."""
+    li = _ds(spark, sf, "lineitem").to_df()
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    excl = (
+        _ds(spark, sf, "supplier")
+        .to_df()
+        .filter(F.col("s_suppkey") % 7 == 0)
+        .select("s_suppkey")
+    )
+    part = _ds(spark, sf, "part").to_df().filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    return (
+        pairs.join(F.broadcast(excl), pairs.l_suppkey == excl.s_suppkey, "left_anti")
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q20(spark, sf) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess stock; adapted: ps_availqty
+    is absent, so the predicate keeps (supplier, part) pairs whose 1996
+    shipped quantity exceeds half their all-time shipped quantity —
+    integer-exact long sums, IEEE-exact 0.5x threshold)."""
+    part = _ds(spark, sf, "part").to_df().filter(F.col("p_name").like("%widget%"))
+    li = _ds(spark, sf, "lineitem").to_df().join(
+        F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    qty96 = F.sum(
+        F.when(F.year("l_shipdate") == 1996, F.col("l_quantity").cast("long")).otherwise(F.lit(0))
+    )
+    per_ps = li.groupBy("l_suppkey", "l_partkey").agg(
+        qty96.alias("q96"), F.sum(F.col("l_quantity").cast("long")).alias("qall")
+    )
+    hot = (
+        per_ps.filter(F.col("q96").cast("double") > F.lit(0.5) * F.col("qall").cast("double"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = _ds(spark, sf, "nation").to_df().filter(F.col("n_name") == "NATION_9")
+    return (
+        _ds(spark, sf, "supplier")
+        .to_df()
+        .join(hot, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 def q_io_roundtrip(spark, sf) -> DataFrame:
     """Writer+scanner surface under the gate (sources/files.py, writer.py,
     materialize): documents -> JSONL write -> json scan -> parquet
@@ -2565,6 +2714,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q17": q_tpch_q17,
     "tpch_q21": q_tpch_q21,
     "tpch_q22": q_tpch_q22,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3314,6 +3468,60 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT') "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "tpch_q2": (
+            "WITH ps AS (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost "
+            "FROM lineitem GROUP BY 1, 2), "
+            "ps_eu AS (SELECT ps.*, s_acctbal, s_name, s_suppkey, n_name "
+            "FROM ps JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), "
+            "mc AS (SELECT l_partkey AS mk, min(cost) AS mc FROM ps_eu GROUP BY 1) "
+            "SELECT s_acctbal, s_name, n_name, p_partkey, s_suppkey, cost "
+            "FROM ps_eu JOIN mc ON l_partkey = mk AND cost = mc.mc "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_type = 'STANDARD' AND p_size <= 15 "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey LIMIT 100"
+        ),
+        "tpch_q9": (
+            "SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year, "
+            "round(sum(cast(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) AS DECIMAL(18,4)) "
+            "- cast(0.6::DECIMAL(2,1) * p_retailprice::DECIMAL(18,2) * l_quantity::DECIMAL(18,2) AS DECIMAL(18,4))), 2)::DOUBLE AS sum_profit "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%widget%' "
+            "GROUP BY 1, 2 ORDER BY nation, o_year DESC"
+        ),
+        "tpch_q11": (
+            "WITH v AS (SELECT l_partkey, round(sum(l_extendedprice::DECIMAL(18,2)), 2) AS value "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_9' GROUP BY 1) "
+            "SELECT l_partkey, value::DOUBLE AS value FROM v "
+            "WHERE value > (SELECT sum(value) * 0.0001::DECIMAL(6,4) FROM v) "
+            "ORDER BY value DESC, l_partkey"
+        ),
+        "tpch_q16": (
+            "SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt "
+            "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35) "
+            "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0) "
+            "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "tpch_q20": (
+            "WITH per_ps AS (SELECT l_suppkey, l_partkey, "
+            "sum(CASE WHEN year(l_shipdate) = 1996 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q96, "
+            "sum(CAST(l_quantity AS BIGINT)) AS qall "
+            "FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%') "
+            "GROUP BY 1, 2) "
+            "SELECT s_name, s_acctbal FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_9' "
+            "AND s_suppkey IN (SELECT l_suppkey FROM per_ps WHERE q96::DOUBLE > 0.5 * qall::DOUBLE) "
+            "ORDER BY s_name"
         ),
         "standardize_state": (
             "SELECT c_custkey, 'Ships to ' || ["
