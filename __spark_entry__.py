@@ -2585,6 +2585,32 @@ def q_stratified_sample(spark, sf) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_cap_per_group(spark, sf) -> DataFrame:
+    """Per-source document cap (operators/sampling.py cap_per_group): at
+    most 15 docs per source, chosen content-addressedly (md5-rank inside
+    the group) so the surviving set is identical on every run and cluster
+    size — the per-domain cap every crawl pipeline applies. One window
+    shuffle on the group key; rank replayed exactly in DuckDB."""
+    from sycamore_spark.operators.sampling import cap_per_group
+
+    docs = _ds(spark, sf, "documents").to_df()
+    return cap_per_group(docs, "source", "doc_id", 15, keep_rank=True).select(
+        "doc_id", "source", F.col("_rk").cast("bigint").alias("rk")
+    )
+
+
+def q_corpus_shuffle(spark, sf) -> DataFrame:
+    """Deterministic training-order shuffle (operators/sampling.py
+    corpus_shuffle): md5-derived (shard, pos) for every doc — reproducible
+    at any cluster size, one exchange total, unlike orderBy(rand()).
+    Output proves both the shard routing and the within-shard permutation
+    against the oracle's row_number replay."""
+    from sycamore_spark.operators.sampling import corpus_shuffle
+
+    docs = _ds(spark, sf, "documents").to_df()
+    return corpus_shuffle(docs, "doc_id", 8).select("doc_id", "shard", "pos")
+
+
 def q_dup_windows(spark, sf) -> DataFrame:
     """Exact-substring duplication stats (operators/dedup.py
     duplicate_window_stats): per-doc fraction of 40-char windows (stride
@@ -2825,6 +2851,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_schemas": q_merge_schemas,
     "spread_properties": q_spread_properties,
     "hash_sample": q_hash_sample,
+    "cap_per_group": q_cap_per_group,
+    "corpus_shuffle": q_corpus_shuffle,
     "pack_shards": q_pack_shards,
     "redact_pii": q_redact_pii,
     "concat_shards": q_concat_shards,
@@ -3758,6 +3786,19 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": (
             "SELECT doc_id, lang FROM documents "
             "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 250000"
+        ),
+        "cap_per_group": (
+            "WITH r AS (SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk "
+            "FROM documents) "
+            "SELECT doc_id, source, rk::BIGINT AS rk FROM r WHERE rk <= 15"
+        ),
+        "corpus_shuffle": (
+            "SELECT doc_id, "
+            "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard, "
+            "row_number() OVER (PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 "
+            "ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT AS pos "
+            "FROM documents"
         ),
         "stratified_sample": (
             "SELECT doc_id, lang FROM documents "

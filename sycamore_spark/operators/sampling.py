@@ -193,6 +193,47 @@ def pack_shards(
     return df.withColumn(out_col, out)
 
 
+def cap_per_group(
+    df: DataFrame, group_col: str, key: str, n: int, keep_rank: bool = False
+) -> DataFrame:
+    """Keep at most ``n`` rows per group (the per-domain cap every
+    crawl-derived corpus applies so no single site dominates training).
+    Selection is content-addressed — rows are ranked inside each group by
+    the md5 of their key, so the SAME rows survive on every run and any
+    cluster size, and re-running after appending new rows evicts
+    deterministically instead of reshuffling the whole sample. One window
+    (= one shuffle on the group key); heavy-hitter groups cost one
+    partition's sort each — at crawl scale pre-filter obvious spam domains
+    first so no single group exceeds a partition."""
+    w = Window.partitionBy(F.col(group_col)).orderBy(
+        F.md5(F.col(key).cast("string")).asc(), F.col(key).asc()
+    )
+    out = df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= n)
+    return out if keep_rank else out.drop("_rk")
+
+
+def corpus_shuffle(
+    df: DataFrame, key: str, n_shards: int,
+    shard_col: str = "shard", pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    every row gets a pseudo-random (shard, position) derived purely from
+    its key's md5 — shard by hash bucket (narrow, no data movement),
+    position by rank of the hash within the shard (one shuffle on the
+    shard id, each shard sorts independently). Reading shards in id order
+    yields the same permutation on any cluster size — unlike
+    ``df.orderBy(rand())``, which is neither reproducible nor restartable.
+    At 100 TB each shard is one writer task's output file, so the shuffle
+    is the job's single required exchange."""
+    h = F.md5(F.col(key).cast("string"))
+    shard = F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(n_shards))
+    w = Window.partitionBy(shard).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w).cast("bigint"))
+    )
+
+
 def concat_shards(
     df: DataFrame,
     text_col: str,

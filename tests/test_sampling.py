@@ -272,3 +272,50 @@ def test_ewma_by_key(spark):
     shuffled = spark.createDataFrame(list(reversed(rows)), "k string, t int, v double")
     out2 = {r.k: r.ewma for r in ewma_by_key(shuffled, "k", "t", "v", alpha=0.5).collect()}
     assert out2["a"] == 22.5
+
+
+def test_cap_per_group_binds_and_is_deterministic(spark):
+    from sycamore_spark.operators.sampling import cap_per_group
+
+    df = _docs(spark)  # 3 langs, ~667 docs each
+    out = cap_per_group(df, "lang", "doc_id", 10)
+    rows = out.collect()
+    per = defaultdict(int)
+    for r in rows:
+        per[r.lang] += 1
+    assert set(per.values()) == {10}
+    # content-addressed: identical survivors regardless of partitioning
+    again = cap_per_group(df.repartition(17), "lang", "doc_id", 10)
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again.collect())
+    # schema untouched when keep_rank=False
+    assert out.columns == df.columns
+
+
+def test_cap_per_group_no_op_when_groups_small(spark):
+    from sycamore_spark.operators.sampling import cap_per_group
+
+    df = _docs(spark, n=12)
+    assert cap_per_group(df, "lang", "doc_id", 10).count() == 12
+
+
+def test_corpus_shuffle_is_a_permutation_and_reproducible(spark):
+    from sycamore_spark.operators.sampling import corpus_shuffle
+
+    df = _docs(spark, n=500)
+    out = corpus_shuffle(df, "doc_id", 4).collect()
+    # every row present once, shards within range, positions contiguous 1..n
+    assert sorted(r.doc_id for r in out) == list(range(500))
+    per_shard = defaultdict(list)
+    for r in out:
+        assert 0 <= r.shard < 4
+        per_shard[r.shard].append(r.pos)
+    for poss in per_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # cluster-size independence
+    again = corpus_shuffle(df.repartition(11), "doc_id", 4).collect()
+    assert sorted((r.doc_id, r.shard, r.pos) for r in out) == sorted(
+        (r.doc_id, r.shard, r.pos) for r in again
+    )
+    # the permutation actually shuffles (not identity order within a shard)
+    shard0 = [r.doc_id for r in sorted(out, key=lambda r: (r.shard, r.pos)) if r.shard == 0]
+    assert shard0 != sorted(shard0)
