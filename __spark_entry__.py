@@ -2611,6 +2611,98 @@ def q_corpus_shuffle(spark, sf) -> DataFrame:
     return corpus_shuffle(docs, "doc_id", 8).select("doc_id", "shard", "pos")
 
 
+def q_sketch_distinct(spark, sf) -> DataFrame:
+    """HLL distinct-count sketches (operators/sketches.py): per-type
+    approximate user counts, both direct and via the per-day-sketch ->
+    rollup path (the persist-kilobytes, never-rescan pattern). The gate
+    emits the EXACT count (hash-checked against DuckDB) plus both
+    estimates folded to within-5%% assertions — expected error at lg_k=12
+    is ~1.6%%, so the bound is ~3 sigma."""
+    from sycamore_spark.operators.sketches import hll_distinct, hll_rollup, hll_sketches
+
+    ev = _ds(spark, sf, "events").to_df()
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    est = hll_distinct(ev, "user_id", ["event_type"]).withColumnRenamed(
+        "approx_user_id_distinct", "_est"
+    )
+    daily = hll_sketches(
+        ev.withColumn("_day", F.to_date(F.col("ts"))), "user_id", ["event_type", "_day"]
+    )
+    rolled = hll_rollup(daily, ["event_type"]).withColumnRenamed("approx_distinct", "_roll")
+    ok = lambda c: (  # noqa: E731
+        F.abs(F.col(c) - F.col("exact_users"))
+        <= F.lit(0.05) * F.col("exact_users").cast("double")
+    ).cast("bigint")
+    return (
+        exact.join(est, "event_type")
+        .join(rolled, "event_type")
+        .select("event_type", "exact_users", ok("_est").alias("est_ok"), ok("_roll").alias("rollup_ok"))
+    )
+
+
+def q_sketch_quantile(spark, sf) -> DataFrame:
+    """KLL mergeable quantile sketch vs exact percentile: the gate emits
+    exact p50/p90 per event type (bit-checked vs DuckDB quantile_cont)
+    plus an assertion that the KLL estimate's true rank is within 5%% of
+    the target rank (k=200 guarantees ~1.65%%). Rank is measured, not
+    assumed: the estimate joins back against the data."""
+    from sycamore_spark.operators.sketches import kll_quantiles
+
+    ev = _ds(spark, sf, "events").to_df()
+    exact = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("value"), F.lit(0.9)).alias("p90"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    approx = kll_quantiles(ev, "value", [0.9], ["event_type"])
+    j = ev.join(F.broadcast(exact.join(approx, "event_type")), "event_type")
+    ranks = j.groupBy("event_type").agg(
+        F.first("p50").alias("p50"),
+        F.first("p90").alias("p90"),
+        F.first("_n").alias("_n"),
+        F.sum(F.when(F.col("value") < F.col("approx_q9"), 1).otherwise(0)).alias("_lt"),
+        F.sum(F.when(F.col("value") <= F.col("approx_q9"), 1).otherwise(0)).alias("_le"),
+    )
+    rank_ok = (
+        (F.col("_lt").cast("double") / F.col("_n") <= F.lit(0.95))
+        & (F.col("_le").cast("double") / F.col("_n") >= F.lit(0.85))
+    ).cast("bigint")
+    return ranks.select("event_type", "p50", "p90", rank_ok.alias("rank_ok"))
+
+
+def q_sketch_overlap(spark, sf) -> DataFrame:
+    """Theta-sketch set algebra (operators/sketches.py theta_overlap):
+    user overlap between the two busiest event types estimated from two
+    kilobyte sketches built in ONE scan — no join of raw rows. The gate
+    emits exact |A|, |B|, |A n B| (DuckDB-checked) and folds all five
+    theta estimates to 5%%-bound assertions (absolute bound scaled by the
+    union size for the small intersection/difference estimates)."""
+    from sycamore_spark.operators.sketches import theta_overlap
+
+    ev = _ds(spark, sf, "events").to_df()
+    est = theta_overlap(ev, "user_id", "event_type", "click", "view")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "view").select("user_id")
+    exact = (
+        a.agg(F.countDistinct("user_id").alias("exact_a"))
+        .crossJoin(b.agg(F.countDistinct("user_id").alias("exact_b")))
+        .crossJoin(
+            a.intersect(b).agg(F.count(F.lit(1)).alias("exact_inter"))
+        )
+    )
+    j = exact.crossJoin(F.broadcast(est))
+    tol = F.lit(0.05) * F.col("approx_union").cast("double")
+    ok = lambda e, x: (F.abs(F.col(e) - F.col(x)) <= tol).cast("bigint")  # noqa: E731
+    return j.select(
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+        ok("approx_a", "exact_a").alias("a_ok"),
+        ok("approx_b", "exact_b").alias("b_ok"),
+        ok("approx_intersection", "exact_inter").alias("inter_ok"),
+    )
+
+
 def q_dup_windows(spark, sf) -> DataFrame:
     """Exact-substring duplication stats (operators/dedup.py
     duplicate_window_stats): per-doc fraction of 40-char windows (stride
@@ -2745,6 +2837,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q11": q_tpch_q11,
     "tpch_q16": q_tpch_q16,
     "tpch_q20": q_tpch_q20,
+    "sketch_distinct": q_sketch_distinct,
+    "sketch_quantile": q_sketch_quantile,
+    "sketch_overlap": q_sketch_overlap,
+    "cap_per_group": q_cap_per_group,
+    "corpus_shuffle": q_corpus_shuffle,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -2851,8 +2948,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_schemas": q_merge_schemas,
     "spread_properties": q_spread_properties,
     "hash_sample": q_hash_sample,
-    "cap_per_group": q_cap_per_group,
-    "corpus_shuffle": q_corpus_shuffle,
     "pack_shards": q_pack_shards,
     "redact_pii": q_redact_pii,
     "concat_shards": q_concat_shards,
@@ -3786,6 +3881,23 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": (
             "SELECT doc_id, lang FROM documents "
             "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 250000"
+        ),
+        "sketch_distinct": (
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users, "
+            "1::BIGINT AS est_ok, 1::BIGINT AS rollup_ok FROM events GROUP BY 1"
+        ),
+        "sketch_quantile": (
+            "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
+            "quantile_cont(value, 0.9) AS p90, 1::BIGINT AS rank_ok "
+            "FROM events GROUP BY 1"
+        ),
+        "sketch_overlap": (
+            "WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'), "
+            "b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') "
+            "SELECT (SELECT count(*) FROM a)::BIGINT AS exact_a, "
+            "(SELECT count(*) FROM b)::BIGINT AS exact_b, "
+            "(SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b))::BIGINT AS exact_inter, "
+            "1::BIGINT AS a_ok, 1::BIGINT AS b_ok, 1::BIGINT AS inter_ok"
         ),
         "cap_per_group": (
             "WITH r AS (SELECT doc_id, source, row_number() OVER ("
