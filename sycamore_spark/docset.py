@@ -302,6 +302,46 @@ class DocSet:
             self.df, text_col, order_col=order_col, separator=separator
         ))
 
+    def cap_per_group(self, group_col: str, n: int, key: str = "doc_id") -> "DocSet":
+        """At most n docs per group (per-domain cap), chosen by md5 rank so
+        the survivors are stable across runs and cluster sizes
+        (operators/sampling.py cap_per_group)."""
+        from sycamore_spark.operators.sampling import cap_per_group
+
+        return self._wrap(cap_per_group(self.df, group_col, key, n))
+
+    def corpus_shuffle(self, n_shards: int, key: str = "doc_id") -> "DocSet":
+        """Deterministic training-order shuffle: md5-derived (shard, pos)
+        permutation, reproducible at any cluster size
+        (operators/sampling.py corpus_shuffle)."""
+        from sycamore_spark.operators.sampling import corpus_shuffle
+
+        return self._wrap(corpus_shuffle(self.df, key, n_shards))
+
+    def approx_distinct(self, key: str, group_cols: list[str] | None = None,
+                        lg_k: int = 12) -> "DocSet":
+        """HLL distinct-count estimate per group — the 100 TB twin of
+        count_distinct (operators/sketches.py hll_distinct)."""
+        from sycamore_spark.operators.sketches import hll_distinct
+
+        return self._wrap(hll_distinct(self.df, key, group_cols, lg_k))
+
+    def approx_quantiles(self, value_col: str, probs: list[float],
+                         group_cols: list[str] | None = None, k: int = 200) -> "DocSet":
+        """Mergeable KLL quantile estimates — the 100 TB twin of
+        quantile_stats' exact percentile (operators/sketches.py)."""
+        from sycamore_spark.operators.sketches import kll_quantiles
+
+        return self._wrap(kll_quantiles(self.df, value_col, probs, group_cols, k))
+
+    def overlap_with(self, key: str, side_col: str, side_a: str, side_b: str,
+                     lg_k: int = 12) -> "DocSet":
+        """Theta-sketch set-overlap cardinalities between two slices
+        without joining raw rows (operators/sketches.py theta_overlap)."""
+        from sycamore_spark.operators.sketches import theta_overlap
+
+        return self._wrap(theta_overlap(self.df, key, side_col, side_a, side_b, lg_k))
+
     def redact_pii(self, text_col: str = "text_representation", **kwargs) -> "DocSet":
         """Scrub email/SSN/card/phone/IP-shaped spans via chained native
         regex (operators/textstats.py redact_pii)."""

@@ -83,3 +83,25 @@ def test_standardize_delegate(spark):
     df = spark.createDataFrame([(1, "from TX with love")], "id long, note string")
     out = DocSet(df).standardize("note", kind="us_state").to_df().collect()
     assert out[0]["note"] == "from Texas with love"
+
+
+def test_sampling_sketch_delegates(spark):
+    df = spark.range(600).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'web' ELSE 'books' END AS source",
+        "cast(id % 101 AS double) AS score",
+    )
+    ds = DocSet(df)
+    capped = ds.cap_per_group("source", 50)
+    per = {r.source: r.n for r in capped.to_df().groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"web": 50, "books": 50}
+    shuffled = ds.corpus_shuffle(4).to_df()
+    assert {"shard", "pos"} <= set(shuffled.columns) and shuffled.count() == 600
+    est = ds.approx_distinct("doc_id", ["source"]).to_df().collect()
+    exact = {r.source: r.n for r in df.groupBy("source").agg(F.countDistinct("doc_id").alias("n")).collect()}
+    for r in est:
+        assert abs(r.approx_doc_id_distinct - exact[r.source]) <= 0.05 * exact[r.source]
+    q = ds.approx_quantiles("score", [0.5], ["source"]).to_df().collect()
+    assert all(30 <= r.approx_q5 <= 70 for r in q)
+    ov = ds.overlap_with("doc_id", "source", "web", "books").to_df().collect()[0]
+    assert ov.approx_intersection <= 10  # disjoint ids
