@@ -393,7 +393,11 @@ def _documents_as_docset(spark, sf) -> DataFrame:
     SQL-checkable)."""
     from sycamore_spark.data.schema import DOC_SCHEMA
 
-    df = load_table(spark, sf, "documents")
+    from sycamore_spark.functions.partitioning import fan_out
+
+    # single-file extracts load as ONE scan partition; the element
+    # pipelines downstream are pandas-stage-heavy, so widen first
+    df = fan_out(load_table(spark, sf, "documents"))
     toks = F.split(F.col("text"), " ")
     nchunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
     el_type = DOC_SCHEMA["elements"].dataType.elementType
@@ -1058,7 +1062,9 @@ def q_table_ted(spark, sf) -> DataFrame:
             out.append(ted_score(a, b))
         return pd.Series(out)
 
-    docs = _ds(spark, sf, "documents").to_df()
+    from sycamore_spark.functions.partitioning import fan_out
+
+    docs = fan_out(_ds(spark, sf, "documents").to_df())
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         ted(F.col("doc_id"), F.col("text")).alias("teds"),

@@ -1,0 +1,33 @@
+"""Parallelism repair for Python-heavy stages.
+
+Catalyst sizes scan partitions for JVM throughput
+(``spark.sql.files.maxPartitionBytes`` = 128 MB), which is correct for
+codegen'd expressions but wrong for Arrow/pandas stages whose per-row cost
+is dominated by Python: a 5 MB single-row-group parquet file loads as ONE
+partition, so a per-doc pandas UDF runs on one core while 31 idle. At
+cluster scale the input is thousands of files and this never bites; on a
+laptop or a small extract it silently serializes the slowest stages (this
+repo's table_ted bench query spent 2.1 s of its 2.4 s in exactly this
+trap).
+
+``fan_out`` widens ONLY when the input is narrower than the session's
+parallelism — a no-op on well-partitioned cluster inputs, so operators can
+apply it unconditionally before expensive Python stages. It uses
+round-robin ``repartition(n)`` (not coalesce, which cannot widen; not
+``rebalance``, which is AQE-hint-only) — one narrow-ish shuffle of rows
+that are about to each cost milliseconds of Python anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ``df`` up to the session's default parallelism (or
+    ``min_partitions``) if and only if it currently has fewer partitions.
+    Cheap insurance before a per-row Python stage; no-op at cluster scale."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
