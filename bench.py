@@ -62,6 +62,17 @@ HEADLINE = [
     "window_analytics",
     "lm_score",
     "pipeline_e2e",
+    # round-4 session-2 additions: full TPC-H, sketches, training-order ops
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "sketch_distinct",
+    "sketch_quantile",
+    "sketch_overlap",
+    "cap_per_group",
+    "corpus_shuffle",
 ]
 
 
