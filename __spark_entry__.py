@@ -2709,6 +2709,40 @@ def q_sketch_overlap(spark, sf) -> DataFrame:
     )
 
 
+def q_pagerank(spark, sf) -> DataFrame:
+    """Iterative PageRank (operators/graph.py pagerank) over the
+    symmetrized supplier-customer trade graph (distinct (suppkey,
+    custkey) pairs from lineitem x orders, both directions, prefixed
+    node ids). Integer micro-unit arithmetic with BIGINT floor division
+    makes all 3 power iterations order-independent and bit-replayable as
+    chained SQL CTEs — the honest way to gate an iterative algorithm."""
+    from sycamore_spark.operators.graph import pagerank
+
+    li = _ds(spark, sf, "lineitem").to_df()
+    orders = _ds(spark, sf, "orders").to_df()
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("a"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return pagerank(edges, "a", "b", iterations=3)
+
+
+def q_rank_normalize(spark, sf) -> DataFrame:
+    """Percent-rank score calibration (operators/textstats.py
+    normalize_by_rank): per-source percentile of n_chars — the
+    cross-domain normalization before a global quality cut. Identical
+    tie semantics and IEEE division on both engines."""
+    from sycamore_spark.operators.textstats import normalize_by_rank
+
+    docs = _ds(spark, sf, "documents").to_df().select("doc_id", "source", "n_chars")
+    return normalize_by_rank(docs, "n_chars", ["source"])
+
+
 def q_dup_windows(spark, sf) -> DataFrame:
     """Exact-substring duplication stats (operators/dedup.py
     duplicate_window_stats): per-doc fraction of 40-char windows (stride
@@ -2848,6 +2882,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_overlap": q_sketch_overlap,
     "cap_per_group": q_cap_per_group,
     "corpus_shuffle": q_corpus_shuffle,
+    "pagerank": q_pagerank,
+    "rank_normalize": q_rank_normalize,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3887,6 +3923,33 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": (
             "SELECT doc_id, lang FROM documents "
             "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 250000"
+        ),
+        "pagerank": (
+            "WITH pairs AS (SELECT DISTINCT 's' || l_suppkey::VARCHAR AS a, "
+            "'c' || o_custkey::VARCHAR AS b "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+            "edges AS (SELECT a AS src, b AS dst FROM pairs "
+            "UNION ALL SELECT b AS src, a AS dst FROM pairs), "
+            "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+            "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1), "
+            "r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes), "
+            "c1 AS (SELECT dst, CAST(sum((r * 85) // (100 * d)) AS BIGINT) AS s "
+            "FROM edges JOIN r0 ON src = node JOIN deg USING (src) GROUP BY 1), "
+            "r1 AS (SELECT node, CAST(150000 + coalesce(s, 0) AS BIGINT) AS r "
+            "FROM nodes LEFT JOIN c1 ON node = dst), "
+            "c2 AS (SELECT dst, CAST(sum((r * 85) // (100 * d)) AS BIGINT) AS s "
+            "FROM edges JOIN r1 ON src = node JOIN deg USING (src) GROUP BY 1), "
+            "r2 AS (SELECT node, CAST(150000 + coalesce(s, 0) AS BIGINT) AS r "
+            "FROM nodes LEFT JOIN c2 ON node = dst), "
+            "c3 AS (SELECT dst, CAST(sum((r * 85) // (100 * d)) AS BIGINT) AS s "
+            "FROM edges JOIN r2 ON src = node JOIN deg USING (src) GROUP BY 1), "
+            "r3 AS (SELECT node, CAST(150000 + coalesce(s, 0) AS BIGINT) AS r "
+            "FROM nodes LEFT JOIN c3 ON node = dst) "
+            "SELECT node, r AS rank_micros FROM r3"
+        ),
+        "rank_normalize": (
+            "SELECT doc_id, source, n_chars, percent_rank() OVER ("
+            "PARTITION BY source ORDER BY n_chars ASC) AS pct_rank FROM documents"
         ),
         "sketch_distinct": (
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users, "

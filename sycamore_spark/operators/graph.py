@@ -210,3 +210,80 @@ def extract_graph(
     nodes = resolve_graph_entities(mentions)
     raw_edges = extract_graph_relationships(df, llm_factory, relationship_types, id_col, text_col)
     return nodes, resolve_edges(raw_edges, nodes)
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge list — the domain-authority
+    signal crawl pipelines use to weight sources (a la Common Crawl's
+    harmonic-centrality seed ranking). Returns (node, rank_micros).
+
+    Arithmetic is INTEGER end-to-end: ranks live in micro-units (start
+    1_000_000 per node) and each edge contributes
+    ``(rank * damping_pct) div (100 * out_degree)`` — BIGINT floor
+    division, so partial-aggregation order can't perturb the result and
+    the whole iteration replays bit-exactly in ANSI SQL (``//`` in
+    DuckDB). Dangling nodes keep only the teleport term (no
+    redistribution — documented variant).
+
+    Scale shape: out-degrees and edges are computed once and cached; each
+    iteration is one join (edges x current ranks, shuffle on src) + one
+    hash agg on dst + a left join back to the node set, with
+    ``localCheckpoint`` cutting lineage so the plan doesn't grow with
+    iteration count (on a cluster use ``checkpoint`` to an HDFS dir
+    instead). Skewed in-degree (a hub domain) is an AQE skew-join case,
+    not a crash: contributions are pre-summed map-side.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    # hash-partition the (cached) edge list by source once: the per-iteration
+    # rank join and the out-degree aggregate both key on _src, so neither
+    # re-shuffles the edges again
+    e = (
+        edges.select(src.alias("_src"), dst.alias("_dst"))
+        .repartition(F.col("_src"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = nodes.withColumn("rank_micros", F.lit(1_000_000).cast("long"))
+    teleport = int(round((100 - damping_pct) / 100 * 1_000_000))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["_src"] == ranks["node"])
+            .join(deg, "_src")
+            .select(
+                F.col("_dst"),
+                F.expr(
+                    f"(rank_micros * CAST({damping_pct} AS BIGINT)) div "
+                    f"(CAST(100 AS BIGINT) * _deg)"
+                ).alias("_c"),
+            )
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["_dst"], "left")
+            .select(
+                "node",
+                (F.lit(teleport).cast("long") + F.coalesce(F.col("_s"), F.lit(0))).alias(
+                    "rank_micros"
+                ),
+            )
+            # eager: materialize each iteration so lineage is truly cut and
+            # the caches below can be released once the loop ends
+            .localCheckpoint(eager=True)
+        )
+    out = ranks
+    e.unpersist()
+    nodes.unpersist()
+    return out

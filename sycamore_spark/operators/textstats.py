@@ -357,3 +357,24 @@ def ngram_lm_score(
             F.col("logprob_micros").cast("double") / F.lit(1_000_000.0) / F.col("n_bigrams"),
         )
     )
+
+
+def normalize_by_rank(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Percent-rank normalization of a score within each group — the
+    cross-source calibration step before a global quality threshold
+    (raw classifier scores aren't comparable across domains; their
+    per-source percentile ranks are). percent_rank = (rank-1)/(n-1) with
+    identical tie semantics in Spark and ANSI SQL, and the division of
+    two small exact integers is the same IEEE double everywhere — so the
+    normalized scores hash-match the oracle bit-for-bit. One window
+    (= one shuffle on the group key; groups sort independently)."""
+    from pyspark.sql.window import Window
+
+    parts = [F.col(c) for c in (group_cols or [])]
+    w = Window.partitionBy(*parts).orderBy(F.col(value_col).asc())
+    return df.withColumn(out_col, F.percent_rank().over(w))

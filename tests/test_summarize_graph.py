@@ -156,3 +156,43 @@ def test_fluent_graph_and_infer_schema(spark):
 
     merged = ds.infer_schema(SchemaLLM, mode="intersection", text_col="text").take_all()
     assert merged[0]["fields"] == ["topic"]
+
+
+def test_pagerank_triangle_and_star(spark):
+    from pyspark.sql import functions as F
+    from sycamore_spark.operators.graph import pagerank
+
+    # symmetric triangle: all nodes equal by symmetry
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    r = {x.node: x.rank_micros for x in pagerank(tri, iterations=3).collect()}
+    assert len(set(r.values())) == 1
+    # star: hub receives from all leaves -> strictly higher rank
+    star_half = [("hub", f"l{i}") for i in range(6)]
+    star = spark.createDataFrame(
+        star_half + [(b, a) for a, b in star_half], "src string, dst string"
+    )
+    s = {x.node: x.rank_micros for x in pagerank(star, iterations=3).collect()}
+    assert s["hub"] > max(v for k, v in s.items() if k != "hub")
+    # deterministic across partitioning (integer arithmetic)
+    s2 = {x.node: x.rank_micros for x in pagerank(star.repartition(7), iterations=3).collect()}
+    assert s == s2
+
+
+def test_rank_normalize_bounds_and_groups(spark):
+    from pyspark.sql import functions as F
+    from sycamore_spark.operators.textstats import normalize_by_rank
+
+    df = spark.range(100).selectExpr("id", "id % 2 AS g", "cast(id AS double) AS score")
+    out = normalize_by_rank(df, "score", ["g"]).collect()
+    assert all(0.0 <= r.pct_rank <= 1.0 for r in out)
+    for g in (0, 1):
+        vals = [r for r in out if r.g == g]
+        assert min(r.pct_rank for r in vals) == 0.0
+        assert max(r.pct_rank for r in vals) == 1.0
+    # tied scores share a rank (SQL percent_rank semantics): all-equal group
+    tied = spark.range(10).selectExpr("id", "1 AS g", "cast(7 AS double) AS score")
+    tout = normalize_by_rank(tied, "score", ["g"]).collect()
+    assert {r.pct_rank for r in tout} == {0.0}
