@@ -2709,6 +2709,31 @@ def q_sketch_overlap(spark, sf) -> DataFrame:
     )
 
 
+def q_bloom_join(spark, sf) -> DataFrame:
+    """Runtime-filter join (operators/joins.py bloom_join): lineitem
+    prefiltered by a Bloom filter over selective urgent-October orders
+    before the join shuffle; exact join removes the FP epsilon, so the
+    revenue rollup hash-matches the plain-join oracle exactly."""
+    from sycamore_spark.operators.joins import bloom_join
+
+    li = _ds(spark, sf, "lineitem").to_df()
+    orders = (
+        _ds(spark, sf, "orders")
+        .range_filter("o_orderdate", "1996-10-01", "1996-10-31", date=True)
+        .to_df()
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    )
+    j = bloom_join(li, orders, "l_orderkey", "o_orderkey", nbits=1 << 16)
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(rev, 2).cast("double").alias("revenue"),
+        )
+    )
+
+
 def q_pagerank(spark, sf) -> DataFrame:
     """Iterative PageRank (operators/graph.py pagerank) over the
     symmetrized supplier-customer trade graph (distinct (suppkey,
@@ -2884,6 +2909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_shuffle": q_corpus_shuffle,
     "pagerank": q_pagerank,
     "rank_normalize": q_rank_normalize,
+    "bloom_join": q_bloom_join,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3923,6 +3949,13 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": (
             "SELECT doc_id, lang FROM documents "
             "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 250000"
+        ),
+        "bloom_join": (
+            "SELECT l_returnflag, count(*)::BIGINT AS n_lines, "
+            "round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate <= TIMESTAMP '1996-10-31' "
+            "AND o_orderpriority = '1-URGENT' GROUP BY 1"
         ),
         "pagerank": (
             "WITH pairs AS (SELECT DISTINCT 's' || l_suppkey::VARCHAR AS a, "

@@ -808,6 +808,15 @@ class DocSet:
 
         return self._wrap(salted_join(self.df, other.df, on, salt=salt, how=how))
 
+    def bloom_join(self, other: "DocSet", on: str, other_on: str | None = None,
+                   how: str = "inner", nbits: int = 1 << 20) -> "DocSet":
+        """Runtime-filter join: Bloom over the (small) other side's keys
+        prefilters this side before its shuffle; result identical to the
+        plain join (operators/joins.py bloom_join)."""
+        from sycamore_spark.operators.joins import bloom_join
+
+        return self._wrap(bloom_join(self.df, other.df, on, other_on, how=how, nbits=nbits))
+
     def query(self, executor_factory, **kwargs) -> "DocSet":
         """Run a DocSet of query rows through a QueryExecutor (reference:
         transforms/query.py:50; docset.py:1351)."""

@@ -20,6 +20,8 @@ wrapper's plain ``join``:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -166,3 +168,57 @@ def salted_join(
     )
     out = probe_s.join(build_s, on=[on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def bloom_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str | None = None,
+    how: str = "inner",
+    nbits: int = 1 << 20,
+    nhashes: int = 5,
+) -> DataFrame:
+    """Runtime-filter join: a Bloom filter over the small side's join keys
+    prefilters the big side BEFORE its shuffle, so only matching rows (plus
+    the false-positive epsilon) ever move — the explicit form of the
+    runtime row-group filters engines inject when the dimension side is
+    selective but too big to broadcast. The exact join afterwards removes
+    every false positive, so the result is IDENTICAL to the plain join.
+
+    Only ``inner`` and ``left_semi`` are accepted: prefiltering the probe
+    side is semantics-preserving exactly when unmatched probe rows are
+    dropped anyway. Join-key dtypes must match across sides (the filter
+    hashes raw column values on both).
+
+    Scale shape: the build is one bounded bit_or shuffle (<= nbits/64
+    rows) + a bitmap-sized collect broadcast into an Arrow probe; the
+    fact-table scan then carries a ~fp-rate-selective filter into its
+    exchange. Size nbits ~ 10x expected distinct keys for ~1%% FP.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_join supports how='inner'|'left_semi', got {how!r}: "
+            "prefiltering the probe side drops unmatched probe rows"
+        )
+    from pyspark.sql.types import BooleanType
+
+    from sycamore_spark.operators.dedup import _bloom_positions, build_bloom
+
+    small_key = small_key or big_key
+    bitmap = build_bloom(small, small_key, nbits=nbits, nhashes=nhashes)
+
+    @F.pandas_udf(BooleanType())
+    def _maybe(pos: pd.Series) -> pd.Series:
+        m = np.vstack(pos.to_numpy()).astype(np.int64)
+        hit = (bitmap[m >> 6] >> (m & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(hit.all(axis=1).astype(bool))
+
+    pref = big.filter(_maybe(_bloom_positions(F.col(big_key), nbits, nhashes)))
+    if how == "left_semi":
+        return pref.join(
+            small.select(F.col(small_key).alias("_bk")).distinct(),
+            pref[big_key] == F.col("_bk"),
+            "left_semi",
+        )
+    return pref.join(small, pref[big_key] == small[small_key], "inner")

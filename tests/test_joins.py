@@ -103,3 +103,25 @@ def test_interval_join(spark):
     # plan is an equi-join (hash), never a nested-loop/cartesian
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_bloom_join_equals_plain_join(spark):
+    from sycamore_spark.operators.joins import bloom_join
+
+    big = spark.range(20000).selectExpr("id", "id % 500 AS k", "id * 2 AS payload")
+    small = spark.range(50).selectExpr("id * 7 AS sk", "id AS dim")  # keys 0,7,...,343
+    got = bloom_join(big, small, "k", "sk", nbits=1 << 12)
+    want = big.join(small, big["k"] == small["sk"], "inner")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    semi = bloom_join(big, small, "k", "sk", how="left_semi", nbits=1 << 12)
+    want_semi = big.join(small, big["k"] == small["sk"], "left_semi")
+    assert sorted(map(tuple, semi.collect())) == sorted(map(tuple, want_semi.collect()))
+
+
+def test_bloom_join_rejects_outer(spark):
+    import pytest
+    from sycamore_spark.operators.joins import bloom_join
+
+    df = spark.range(10).selectExpr("id AS k")
+    with pytest.raises(ValueError):
+        bloom_join(df, df, "k", how="left")
