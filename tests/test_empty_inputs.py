@@ -104,3 +104,33 @@ def test_ewma_null_values(spark):
     # operator must not crash
     out = ewma_by_key(df.filter("v is not null"), "k", "t", "v", alpha=0.5).collect()
     assert out[0].ewma == 2.0 and out[0].n == 2
+
+
+def test_session2_operators_empty(spark):
+    from sycamore_spark.operators.graph import pagerank
+    from sycamore_spark.operators.joins import bloom_join
+    from sycamore_spark.operators.sampling import cap_per_group, corpus_shuffle
+    from sycamore_spark.operators.sketches import (
+        hll_distinct,
+        kll_quantiles,
+        theta_overlap,
+    )
+    from sycamore_spark.operators.textstats import normalize_by_rank
+
+    docs = _empty(spark, "doc_id bigint, source string, score double")
+    assert cap_per_group(docs, "source", "doc_id", 5).count() == 0
+    assert corpus_shuffle(docs, "doc_id", 4).count() == 0
+    assert normalize_by_rank(docs, "score", ["source"]).count() == 0
+    assert hll_distinct(docs, "doc_id", ["source"]).count() == 0
+    assert kll_quantiles(docs, "score", [0.5], ["source"]).count() == 0
+    # global (no group) sketch aggs over empty input yield one row of
+    # empty-sketch estimates rather than crashing
+    row = theta_overlap(docs, "doc_id", "source", "a", "b").collect()
+    assert len(row) == 1
+    edges = _empty(spark, "src string, dst string")
+    assert pagerank(edges, iterations=2).count() == 0
+    small = spark.createDataFrame([(1,)], "k bigint")
+    big = _empty(spark, "k bigint, payload string")
+    assert bloom_join(big, small, "k").count() == 0
+    # empty BUILD side: filter rejects everything, result still exact
+    assert bloom_join(small, big, "k").count() == 0
