@@ -2709,6 +2709,24 @@ def q_sketch_overlap(spark, sf) -> DataFrame:
     )
 
 
+def q_zorder(spark, sf) -> DataFrame:
+    """Morton / Z-order layout key (operators/layout.py zorder_key): the
+    multi-dimension clustering key behind OPTIMIZE ZORDER BY, built from
+    pure integer arithmetic so the identical formula replays in SQL. The
+    clustering rewrite itself (repartitionByRange + local sort) is
+    partition-layout, invisible in row output — the span-localization
+    property is unit-tested; the gate pins the key function."""
+    from sycamore_spark.operators.layout import zorder_key
+
+    docs = _ds(spark, sf, "documents").to_df()
+    d = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(256)).alias("a"),
+        F.pmod(F.col("n_chars"), F.lit(256)).alias("b"),
+    )
+    return d.select("doc_id", "a", "b", zorder_key(["a", "b"], bits=8).alias("z"))
+
+
 def q_bloom_join(spark, sf) -> DataFrame:
     """Runtime-filter join (operators/joins.py bloom_join): lineitem
     prefiltered by a Bloom filter over selective urgent-October orders
@@ -2910,6 +2928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "rank_normalize": q_rank_normalize,
     "bloom_join": q_bloom_join,
+    "zorder": q_zorder,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3949,6 +3968,17 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": (
             "SELECT doc_id, lang FROM documents "
             "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 250000"
+        ),
+        "zorder": (
+            "WITH t AS (SELECT doc_id, (doc_id * 2654435761) % 256 AS a, "
+            "n_chars % 256 AS b FROM documents) "
+            "SELECT doc_id, a, b, CAST("
+            + " + ".join(
+                f"((a // {1 << i}) % 2) * {1 << (2 * i)} + "
+                f"((b // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+                for i in range(8)
+            )
+            + " AS BIGINT) AS z FROM t"
         ),
         "bloom_join": (
             "SELECT l_returnflag, count(*)::BIGINT AS n_lines, "

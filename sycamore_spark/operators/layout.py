@@ -1,0 +1,76 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for scan
+pruning.
+
+A 100 TB table is pruned by file-level min/max statistics. Sorting by ONE
+column localizes only that column; queries filtering on a second dimension
+still touch every file. Interleaving the bits of several dimensions into
+one Morton key and range-partitioning on it bounds EVERY participating
+dimension's span within each output file — the layout trick behind
+Delta/Iceberg ``OPTIMIZE ZORDER BY`` — so multi-predicate scans skip most
+files.
+
+The Morton key here is built from pure integer arithmetic
+(``(x div 2^i) % 2`` terms — no engine-specific bit intrinsics), so the
+identical formula evaluates in Spark and in ANSI SQL for the oracle gate,
+and the key is deterministic for replay. Inputs must be NON-NEGATIVE
+integers already quantized to ``bits`` bits; quantize continuous or skewed
+columns first (``quantile_bucket`` below gives equi-depth buckets, which
+also fixes the classic Z-order failure on skewed value ranges).
+
+The cluster step is one ``repartitionByRange`` shuffle on the key plus a
+partition-local sort — exactly what a sort-by-one-column rewrite costs;
+only the KEY differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list[Column | str], bits: int = 8) -> Column:
+    """Morton-interleave ``bits`` low bits of each column (non-negative
+    integers) into one BIGINT. With k columns, bit i of column j lands at
+    position ``i*k + j``. len(cols)*bits must fit in 63 bits."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    k = len(cs)
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a signed BIGINT")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cs):
+        cl = c.cast("long")
+        for i in range(bits):
+            bit = (cl / F.lit(1 << i)).cast("long") % F.lit(2)
+            z = z + bit * F.lit(1 << (i * k + j))
+    return z
+
+
+def quantile_bucket(df: DataFrame, col: str, bits: int = 8) -> Column:
+    """Equi-depth bucket id (0 .. 2^bits - 1) for ``col`` via ntile — rank
+    space, not value space, so skewed columns spread evenly across the
+    Z-curve. One window sort; at corpus scale compute approximate split
+    points once (approx_percentile / KLL) and bucket by range instead."""
+    from pyspark.sql.window import Window
+
+    return F.ntile(1 << bits).over(Window.orderBy(F.col(col))) - F.lit(1)
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    n_partitions: int | None = None,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Rewrite ``df`` so rows are range-partitioned and sorted by the
+    Morton key of ``cols`` (already-quantized non-negative ints). Every
+    output partition then spans a compact hyper-rectangle in ALL listed
+    dimensions — write it out and min/max stats prune multi-predicate
+    scans. ``key_col`` keeps the key in the output (else it's dropped)."""
+    z = zorder_key(cols, bits)
+    tagged = df.withColumn(key_col or "_z", z)
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    out = tagged.repartitionByRange(n, F.col(key_col or "_z")).sortWithinPartitions(
+        F.col(key_col or "_z")
+    )
+    return out if key_col else out.drop("_z")
