@@ -185,6 +185,19 @@ def q_json_extract(spark, sf) -> DataFrame:
     return ds.to_df().select("event_id", k).filter(F.col("k") > 80)
 
 
+def q_json_variant(spark, sf) -> DataFrame:
+    """VariantType dotted-path access (functions/fields.py
+    parse_properties_variant + field_expr variant branch): properties
+    parsed to Spark 4's binary Variant once, then extracted with
+    variant_get — same values as the get_json_object path (same oracle
+    as json_extract), without per-expression JSON string re-parsing."""
+    from sycamore_spark.functions.fields import field_expr, parse_properties_variant
+
+    ev = parse_properties_variant(_ds(spark, sf, "events").to_df(), "props")
+    k = field_expr(ev, "props.k").cast("bigint").alias("k")
+    return ev.select("event_id", k).filter(F.col("k") > 80)
+
+
 def q_agg_stats(spark, sf) -> DataFrame:
     """Aggregation framework surface: multi-stat per group."""
     ev = _ds(spark, sf, "events")
@@ -2929,6 +2942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_normalize": q_rank_normalize,
     "bloom_join": q_bloom_join,
     "zorder": q_zorder,
+    "json_variant": q_json_variant,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3493,6 +3507,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "json_extract": (
+            "SELECT event_id, cast(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events WHERE cast(json_extract_string(props, '$.k') AS BIGINT) > 80"
+        ),
+        "json_variant": (
             "SELECT event_id, cast(json_extract_string(props, '$.k') AS BIGINT) AS k "
             "FROM events WHERE cast(json_extract_string(props, '$.k') AS BIGINT) > 80"
         ),

@@ -94,3 +94,4 @@ def test_streaming_sessionize_accepts_ntz(spark, ntz_events, tmp_path):
     rows = spark.sql("SELECT payload, session_id FROM ntz_sessions").collect()
     got = {r.payload: r.session_id for r in rows}
     assert got == {"a": "1-1", "b": "1-1", "c": "1-2", "d": "2-1"}
+
