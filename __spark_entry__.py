@@ -198,6 +198,38 @@ def q_json_variant(spark, sf) -> DataFrame:
     return ev.select("event_id", k).filter(F.col("k") > 80)
 
 
+def q_incremental_stats(spark, sf) -> DataFrame:
+    """Additive-state stats maintenance (operators/incremental.py): the
+    corpus split into an 'old snapshot' (doc_id %% 10 != 0) and a 'new
+    batch'; per-source states computed separately and MERGED — the oracle
+    computes the stats over the full table directly, so a green row
+    proves merge(stats(old), stats(delta)) == stats(all) bit-for-bit
+    (decimal sums are associative; double sums would not be)."""
+    from sycamore_spark.operators.incremental import corpus_stats, finalize_stats, merge_stats
+
+    docs = _ds(spark, sf, "documents").to_df()
+    old = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    delta = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    merged = merge_stats(
+        corpus_stats(old, ["source"], "n_chars"),
+        corpus_stats(delta, ["source"], "n_chars"),
+        ["source"],
+    )
+    out = finalize_stats(merged)
+    # floor(x*1e6+0.5)/1e6 on BOTH engines (Spark round(double) uses
+    # shortest-repr rounding and diverges from DuckDB's IEEE round)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return out.select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum").cast("double").alias("sum_chars"),
+        F.col("min").cast("bigint").alias("min_chars"),
+        F.col("max").cast("bigint").alias("max_chars"),
+        q6(F.col("mean")).alias("mean_chars"),
+        q6(F.col("stddev")).alias("stddev_chars"),
+    )
+
+
 def q_agg_stats(spark, sf) -> DataFrame:
     """Aggregation framework surface: multi-stat per group."""
     ev = _ds(spark, sf, "events")
@@ -2943,6 +2975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_join": q_bloom_join,
     "zorder": q_zorder,
     "json_variant": q_json_variant,
+    "incremental_stats": q_incremental_stats,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3509,6 +3542,20 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": (
             "SELECT event_id, cast(json_extract_string(props, '$.k') AS BIGINT) AS k "
             "FROM events WHERE cast(json_extract_string(props, '$.k') AS BIGINT) > 80"
+        ),
+        "incremental_stats": (
+            "WITH s AS (SELECT source, count(*)::BIGINT AS n, "
+            "CAST(sum(n_chars::DECIMAL(18,3)) AS DECIMAL(28,3)) AS sm, "
+            "CAST(sum(CAST(n_chars::DECIMAL(18,3) * n_chars::DECIMAL(18,3) AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sq, "
+            "min(n_chars)::BIGINT AS mn, max(n_chars)::BIGINT AS mx "
+            "FROM documents GROUP BY 1), "
+            "f AS (SELECT source, n, sm::DOUBLE AS sum_chars, mn, mx, "
+            "sm::DOUBLE / n::DOUBLE AS mean, "
+            "sqrt(greatest(sq::DOUBLE / n::DOUBLE - (sm::DOUBLE / n::DOUBLE) * (sm::DOUBLE / n::DOUBLE), 0.0)) AS sd "
+            "FROM s) "
+            "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
+            "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
+            "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
         ),
         "json_variant": (
             "SELECT event_id, cast(json_extract_string(props, '$.k') AS BIGINT) AS k "
