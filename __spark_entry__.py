@@ -230,6 +230,44 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_stream_stats(spark, sf) -> DataFrame:
+    """Streaming stats maintenance (streaming/stats.py): the documents
+    table replayed as an 8-file stream, 2 files per micro-batch, each
+    batch's additive state folded into a parquet state table. The oracle
+    is a FULL-TABLE recompute — green proves the maintained state is
+    independent of micro-batch boundaries (associative decimal states),
+    i.e. stream ingest == batch recompute bit-for-bit."""
+    import tempfile
+
+    from sycamore_spark.operators.incremental import finalize_stats
+    from sycamore_spark.streaming.stats import maintain_stats_stream
+
+    docs = _ds(spark, sf, "documents").to_df().select("doc_id", "source", "n_chars")
+    root = tempfile.mkdtemp(prefix="streamstats-gate-")
+    src = f"{root}/src"
+    docs.repartition(8).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = maintain_stats_stream(
+        stream, ["source"], "n_chars", f"{root}/state", f"{root}/ckpt"
+    )
+    q.awaitTermination(300)
+    out = finalize_stats(spark.read.parquet(f"{root}/state"))
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return out.select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum").cast("double").alias("sum_chars"),
+        F.col("min").cast("bigint").alias("min_chars"),
+        F.col("max").cast("bigint").alias("max_chars"),
+        q6(F.col("mean")).alias("mean_chars"),
+        q6(F.col("stddev")).alias("stddev_chars"),
+    )
+
+
 def q_agg_stats(spark, sf) -> DataFrame:
     """Aggregation framework surface: multi-stat per group."""
     ev = _ds(spark, sf, "events")
@@ -2976,6 +3014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder": q_zorder,
     "json_variant": q_json_variant,
     "incremental_stats": q_incremental_stats,
+    "stream_stats": q_stream_stats,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3542,6 +3581,20 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": (
             "SELECT event_id, cast(json_extract_string(props, '$.k') AS BIGINT) AS k "
             "FROM events WHERE cast(json_extract_string(props, '$.k') AS BIGINT) > 80"
+        ),
+"stream_stats": (
+            "WITH s AS (SELECT source, count(*)::BIGINT AS n, "
+            "CAST(sum(n_chars::DECIMAL(18,3)) AS DECIMAL(28,3)) AS sm, "
+            "CAST(sum(CAST(n_chars::DECIMAL(18,3) * n_chars::DECIMAL(18,3) AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sq, "
+            "min(n_chars)::BIGINT AS mn, max(n_chars)::BIGINT AS mx "
+            "FROM documents GROUP BY 1), "
+            "f AS (SELECT source, n, sm::DOUBLE AS sum_chars, mn, mx, "
+            "sm::DOUBLE / n::DOUBLE AS mean, "
+            "sqrt(greatest(sq::DOUBLE / n::DOUBLE - (sm::DOUBLE / n::DOUBLE) * (sm::DOUBLE / n::DOUBLE), 0.0)) AS sd "
+            "FROM s) "
+            "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
+            "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
+            "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
         ),
         "incremental_stats": (
             "WITH s AS (SELECT source, count(*)::BIGINT AS n, "

@@ -49,3 +49,27 @@ def test_finalize_mean_stddev(spark):
     )
     out = finalize_stats(corpus_stats(df, ["source"], "n_chars")).collect()[0]
     assert out.mean == 5.0 and out.stddev == 2.0  # classic textbook set
+
+
+def test_streaming_maintenance_batch_boundary_independent(spark, tmp_path):
+    from sycamore_spark.streaming.stats import maintain_stats_stream
+
+    docs = _docs(spark, 0, 3000)
+    src = str(tmp_path / "src")
+    docs.repartition(6).write.parquet(src)
+    states = []
+    for i, per_trigger in enumerate((1, 6)):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", per_trigger)
+            .parquet(src)
+        )
+        q = maintain_stats_stream(
+            stream, ["source"], "n_chars",
+            str(tmp_path / f"state{i}"), str(tmp_path / f"ckpt{i}"),
+        )
+        q.awaitTermination(300)
+        states.append(sorted(map(tuple, spark.read.parquet(str(tmp_path / f"state{i}")).collect())))
+    assert states[0] == states[1]
+    full = sorted(map(tuple, corpus_stats(docs, ["source"], "n_chars").collect()))
+    assert states[0] == full
