@@ -230,6 +230,19 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_nb_classify(spark, sf) -> DataFrame:
+    """Self-trained Naive-Bayes classifier (operators/classify.py): the
+    fastText-style lang-id role — fit per-(lang, token) log-probs + priors
+    from the corpus, score every doc against every label, argmax. Integer
+    micro-quantized log-probs before summation make training AND scoring
+    bit-replayable in SQL."""
+    from sycamore_spark.operators.classify import nb_classify, nb_train
+
+    docs = _ds(spark, sf, "documents").to_df()
+    token_model, label_model = nb_train(docs, "lang", "text")
+    return nb_classify(docs, token_model, label_model, "doc_id", "text")
+
+
 def q_stream_stats(spark, sf) -> DataFrame:
     """Streaming stats maintenance (streaming/stats.py): the documents
     table replayed as an 8-file stream, 2 files per micro-batch, each
@@ -3015,6 +3028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_variant": q_json_variant,
     "incremental_stats": q_incremental_stats,
     "stream_stats": q_stream_stats,
+    "nb_classify": q_nb_classify,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3595,6 +3609,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
             "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
             "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
+        ),
+        "nb_classify": (
+            "WITH toks AS (SELECT doc_id, lang, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok "
+            "FROM documents), "
+            "t2 AS (SELECT * FROM toks WHERE length(tok) > 0), "
+            "pair AS (SELECT lang AS lbl, tok, count(*)::BIGINT AS clt FROM t2 GROUP BY 1, 2), "
+            "lt AS (SELECT lang AS lbl, count(*)::BIGINT AS cl FROM t2 GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM t2), "
+            "tm AS (SELECT lbl, tok, CAST(floor(ln((clt + 1.0) / CAST(cl + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp "
+            "FROM pair JOIN lt USING (lbl), v), "
+            "nd AS (SELECT lang AS lbl, count(*)::BIGINT AS ndl FROM documents GROUP BY 1), "
+            "n AS (SELECT count(*)::BIGINT AS n FROM documents), "
+            "lm AS (SELECT lt.lbl, "
+            "CAST(floor(ln(CAST(ndl AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT) AS prior, "
+            "CAST(floor(ln(1.0 / CAST(cl + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS dflt "
+            "FROM lt JOIN nd USING (lbl), v, n), "
+            "tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM t2 GROUP BY 1, 2), "
+            "sc AS (SELECT doc_id, lm.lbl, CAST(prior + sum(tf * coalesce(lp, dflt)) AS BIGINT) AS score "
+            "FROM tf CROSS JOIN lm LEFT JOIN tm ON tm.lbl = lm.lbl AND tm.tok = tf.tok "
+            "GROUP BY 1, 2, prior), "
+            "r AS (SELECT doc_id, lbl, score, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY score DESC, lbl ASC) AS rn FROM sc) "
+            "SELECT doc_id, lbl AS label, score AS score_micros FROM r WHERE rn = 1"
         ),
         "incremental_stats": (
             "WITH s AS (SELECT source, count(*)::BIGINT AS n, "

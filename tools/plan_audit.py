@@ -30,6 +30,9 @@ ONLY = set(sys.argv[2:])
 ALLOW_BNL = {
     "dedup_embedding",  # documented all-pairs oracle baseline; LSH twin is the scale path
     "ann_ivf",          # 10x8 centroid-routing crossJoin (constant-size)
+    "nb_classify",      # label-model expansion: build side = one row per class
+                        # (bounded, kilobytes) + vocab/total scalars; streamed
+                        # O(n x |labels|) — the standard NB scoring shape
 }
 ALLOW_CARTESIAN = {"ann_ivf"}  # same tiny routing join
 
