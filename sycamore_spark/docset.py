@@ -342,6 +342,41 @@ class DocSet:
 
         return self._wrap(theta_overlap(self.df, key, side_col, side_a, side_b, lg_k))
 
+    def normalize_by_rank(self, value_col: str, group_cols: list[str] | None = None,
+                          out_col: str = "pct_rank") -> "DocSet":
+        """Percent-rank score calibration within groups
+        (operators/textstats.py normalize_by_rank)."""
+        from sycamore_spark.operators.textstats import normalize_by_rank
+
+        return self._wrap(normalize_by_rank(self.df, value_col, group_cols, out_col))
+
+    def corpus_stats(self, group_cols: list[str], value_col: str) -> "DocSet":
+        """Mergeable additive stats state — persist per snapshot, fold
+        deltas with operators.incremental.merge_stats
+        (operators/incremental.py)."""
+        from sycamore_spark.operators.incremental import corpus_stats
+
+        return self._wrap(corpus_stats(self.df, group_cols, value_col))
+
+    def classify(self, token_model, label_model, id_col: str = "doc_id",
+                 text_col: str = "text_representation") -> "DocSet":
+        """Score docs against a trained Naive-Bayes model
+        (operators/classify.py nb_classify; train with nb_train)."""
+        from sycamore_spark.operators.classify import nb_classify
+
+        tm = token_model.df if isinstance(token_model, DocSet) else token_model
+        lm = label_model.df if isinstance(label_model, DocSet) else label_model
+        return self._wrap(nb_classify(self.df, tm, lm, id_col, text_col))
+
+    def cluster_zorder(self, cols: list[str], bits: int = 8,
+                       n_partitions: int | None = None) -> "DocSet":
+        """Rewrite the layout so every partition bounds ALL listed
+        dimensions — multi-predicate min/max pruning
+        (operators/layout.py cluster_by_zorder)."""
+        from sycamore_spark.operators.layout import cluster_by_zorder
+
+        return self._wrap(cluster_by_zorder(self.df, cols, bits, n_partitions))
+
     def redact_pii(self, text_col: str = "text_representation", **kwargs) -> "DocSet":
         """Scrub email/SSN/card/phone/IP-shaped spans via chained native
         regex (operators/textstats.py redact_pii)."""

@@ -105,3 +105,25 @@ def test_sampling_sketch_delegates(spark):
     assert all(30 <= r.approx_q5 <= 70 for r in q)
     ov = ds.overlap_with("doc_id", "source", "web", "books").to_df().collect()[0]
     assert ov.approx_intersection <= 10  # disjoint ids
+
+
+def test_session2b_delegates(spark):
+    df = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'a b c code' ELSE 'x y z prose' END AS text_representation",
+        "CASE WHEN id % 2 = 0 THEN 'code' ELSE 'prose' END AS lang",
+        "cast(id AS double) AS score",
+        "id % 256 AS d1",
+        "(id * 7) % 256 AS d2",
+    )
+    ds = DocSet(df)
+    normed = ds.normalize_by_rank("score").to_df()
+    assert "pct_rank" in normed.columns
+    stats = ds.corpus_stats(["lang"], "score").to_df()
+    assert {"n", "sum", "sum_sq", "min", "max"} <= set(stats.columns)
+    from sycamore_spark.operators.classify import nb_train
+    tm, lm = nb_train(df, "lang", "text_representation")
+    pred = ds.classify(tm, lm).to_df()
+    assert pred.count() == 200
+    z = ds.cluster_zorder(["d1", "d2"], bits=8, n_partitions=4).to_df()
+    assert z.count() == 200 and "_z" not in z.columns
