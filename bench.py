@@ -73,6 +73,13 @@ HEADLINE = [
     "sketch_overlap",
     "cap_per_group",
     "corpus_shuffle",
+    "bloom_join",
+    "zorder",
+    "json_variant",
+    "incremental_stats",
+    "rank_normalize",
+    "nb_classify",
+    "pagerank",
 ]
 
 
