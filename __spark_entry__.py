@@ -230,6 +230,27 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_clip_outliers(spark, sf) -> DataFrame:
+    """Winsorization (operators/textstats.py clip_outliers): events value
+    clipped to per-type exact [P5, P95] — threshold agg broadcast back,
+    no data reshuffle; percentile == quantile_cont bit-for-bit."""
+    from sycamore_spark.operators.textstats import clip_outliers
+
+    ev = _ds(spark, sf, "events").to_df().select("event_id", "event_type", "value")
+    return clip_outliers(ev, "value", ["event_type"], 0.05, 0.95, out_col="clipped")
+
+
+def q_truncate(spark, sf) -> DataFrame:
+    """Token-budget truncation (operators/textstats.py truncate_tokens):
+    docs cut to their first 30 whitespace tokens as native array ops;
+    under-budget docs pass through byte-identical (md5-checked)."""
+    from sycamore_spark.operators.textstats import truncate_tokens
+
+    docs = _ds(spark, sf, "documents").to_df().select("doc_id", "text")
+    out = truncate_tokens(docs, "text", 30, out_col="cut")
+    return out.select("doc_id", F.md5("cut").alias("cut_md5"), "n_tokens_kept")
+
+
 def q_nb_classify(spark, sf) -> DataFrame:
     """Self-trained Naive-Bayes classifier (operators/classify.py): the
     fastText-style lang-id role — fit per-(lang, token) log-probs + priors
@@ -3029,6 +3050,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_stats": q_incremental_stats,
     "stream_stats": q_stream_stats,
     "nb_classify": q_nb_classify,
+    "clip_outliers": q_clip_outliers,
+    "truncate": q_truncate,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3609,6 +3632,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
             "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
             "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
+        ),
+        "clip_outliers": (
+            "WITH thr AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, "
+            "quantile_cont(value, 0.95) AS hi FROM events GROUP BY 1) "
+            "SELECT event_id, e.event_type, value, "
+            "least(greatest(value, lo), hi) AS clipped "
+            "FROM events e JOIN thr ON e.event_type = thr.event_type"
+        ),
+        "truncate": (
+            "WITH t AS (SELECT doc_id, text, "
+            "regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents) "
+            "SELECT doc_id, md5(CASE WHEN len(toks) <= 30 THEN text "
+            "ELSE array_to_string(list_slice(toks, 1, 30), ' ') END) AS cut_md5, "
+            "least(len(toks), 30)::BIGINT AS n_tokens_kept FROM t"
         ),
         "nb_classify": (
             "WITH toks AS (SELECT doc_id, lang, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok "

@@ -378,3 +378,54 @@ def normalize_by_rank(
     parts = [F.col(c) for c in (group_cols or [])]
     w = Window.partitionBy(*parts).orderBy(F.col(value_col).asc())
     return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def clip_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize: clip ``value_col`` to its per-group [lower_q, upper_q]
+    exact percentiles — the standard guard before feature scaling or
+    quality-score aggregation (one wild value shouldn't move a mean).
+    One threshold aggregate broadcast back; the data itself is not
+    reshuffled. Spark exact ``percentile`` == DuckDB ``quantile_cont``
+    bit-for-bit, so clipped values hash-match the oracle."""
+    out_col = out_col or value_col
+    gcols = group_cols or []
+    thr = df.groupBy(*[F.col(c) for c in gcols]).agg(
+        F.percentile(F.col(value_col), F.lit(lower_q)).alias("_lo"),
+        F.percentile(F.col(value_col), F.lit(upper_q)).alias("_hi"),
+    )
+    joined = df.join(F.broadcast(thr), gcols) if gcols else df.crossJoin(F.broadcast(thr))
+    clipped = F.least(F.greatest(F.col(value_col).cast("double"), F.col("_lo")), F.col("_hi"))
+    drop = [out_col] if out_col in df.columns and out_col != value_col else []
+    return joined.drop(*drop).withColumn(out_col, clipped).drop("_lo", "_hi")
+
+
+def truncate_tokens(
+    df: DataFrame,
+    text_col: str,
+    max_tokens: int,
+    out_col: str | None = None,
+    count_col: str | None = "n_tokens_kept",
+) -> DataFrame:
+    """Cut each document to its first ``max_tokens`` whitespace tokens —
+    the context-budget truncation step before shard packing (token
+    counting and slicing as native array ops; no Python). Documents under
+    budget pass through unchanged (including their exact whitespace);
+    over-budget docs are rebuilt space-joined."""
+    out_col = out_col or text_col
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.least(F.size(toks), F.lit(max_tokens))
+    truncated = F.when(
+        F.size(toks) <= max_tokens, F.col(text_col)
+    ).otherwise(F.array_join(F.slice(toks, 1, max_tokens), " "))
+    base = df.drop(out_col) if out_col != text_col and out_col in df.columns else df
+    out = base.withColumn(out_col, truncated)
+    if count_col:
+        out = out.withColumn(count_col, kept.cast("bigint"))
+    return out

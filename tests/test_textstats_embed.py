@@ -256,3 +256,34 @@ def test_ngram_lm_score_fluent_vs_gibberish(spark):
     # single-word docs produce no row
     one = spark.createDataFrame([(9, "word")], "doc_id int, text string")
     assert textstats.ngram_lm_score(one).count() == 0
+
+
+def test_clip_outliers_bounds_and_passthrough(spark):
+    from pyspark.sql import functions as F
+    from sycamore_spark.operators.textstats import clip_outliers
+
+    df = spark.range(1000).selectExpr(
+        "id", "id % 2 AS g", "cast(CASE WHEN id = 0 THEN 1e9 ELSE id % 100 END AS double) AS v"
+    )
+    out = clip_outliers(df, "v", ["g"], 0.01, 0.99, out_col="w")
+    rows = out.collect()
+    assert max(r.w for r in rows) < 1e6  # the wild value got clipped
+    # interior values untouched
+    mid = [r for r in rows if 10 <= r.v <= 90]
+    assert all(r.w == r.v for r in mid)
+    assert out.count() == 1000
+
+
+def test_truncate_tokens_budget_and_identity(spark):
+    from pyspark.sql import functions as F
+    from sycamore_spark.operators.textstats import truncate_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"w{i}" for i in range(50))), (3, "  leading  spaces kept ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in truncate_tokens(df, "text", 10, out_col="cut").collect()}
+    assert out[1].cut == "a b c" and out[1].n_tokens_kept == 3
+    assert out[2].cut == " ".join(f"w{i}" for i in range(10)) and out[2].n_tokens_kept == 10
+    # under budget: byte-identical passthrough, whitespace preserved
+    assert out[3].cut == "  leading  spaces kept "
