@@ -230,6 +230,27 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_top_per_group(spark, sf) -> DataFrame:
+    """Quality selection (operators/sampling.py top_per_group): 10 longest
+    docs per source, ties broken by doc_id — the 'best N per domain'
+    counterpart to cap_per_group's uniform cap."""
+    from sycamore_spark.operators.sampling import top_per_group
+
+    docs = _ds(spark, sf, "documents").to_df().select("doc_id", "source", "n_chars")
+    return top_per_group(docs, "source", "n_chars", 10, tiebreak_col="doc_id")
+
+
+def q_histogram(spark, sf) -> DataFrame:
+    """Fixed-width profiling histogram (operators/profiling.py histogram):
+    per-type event-value distribution over 20 buckets in [0, 100], edge
+    buckets absorbing out-of-range — explicit bucket arithmetic replays
+    exactly in SQL."""
+    from sycamore_spark.operators.profiling import histogram
+
+    ev = _ds(spark, sf, "events").to_df()
+    return histogram(ev, "value", 0.0, 100.0, 20, ["event_type"])
+
+
 def q_clip_outliers(spark, sf) -> DataFrame:
     """Winsorization (operators/textstats.py clip_outliers): events value
     clipped to per-type exact [P5, P95] — threshold agg broadcast back,
@@ -3052,6 +3073,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_classify": q_nb_classify,
     "clip_outliers": q_clip_outliers,
     "truncate": q_truncate,
+    "top_per_group": q_top_per_group,
+    "histogram": q_histogram,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3632,6 +3655,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
             "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
             "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
+        ),
+        "top_per_group": (
+            "WITH r AS (SELECT doc_id, source, n_chars, row_number() OVER ("
+            "PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk "
+            "FROM documents) "
+            "SELECT doc_id, source, n_chars FROM r WHERE rk <= 10"
+        ),
+        "histogram": (
+            "SELECT event_type, "
+            "least(greatest(floor((value - 0.0) / 100.0 * 20), 0), 19)::BIGINT AS bucket, "
+            "count(*)::BIGINT AS n FROM events GROUP BY 1, 2"
         ),
         "clip_outliers": (
             "WITH thr AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, "

@@ -72,3 +72,27 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("key").asc())
         .limit(top_n)
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram for data profiling: bucket =
+    floor((v - lo) / (hi - lo) * n), clamped to [0, n-1] with
+    out-of-range values in the edge buckets — explicit arithmetic (not an
+    engine builtin) so any SQL engine replays the exact bucket ids.
+    One hash aggregate; empty buckets are absent (join a bucket spine if
+    a dense axis is needed)."""
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(n_buckets))
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)).cast("bigint")
+    keys = [F.col(c) for c in (group_cols or [])]
+    return (
+        df.groupBy(*keys, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -262,3 +262,23 @@ def concat_shards(
             ).alias(out_col),
         )
     )
+
+
+def top_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n: int,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Keep the best ``n`` rows per group by an explicit score (quality
+    selection: 'best 1000 docs per domain'), vs cap_per_group's
+    content-addressed uniform cap. Deterministic: ties break by
+    ``tiebreak_col`` (default the order column itself, then group order).
+    One window shuffle on the group key."""
+    ordering = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    if tiebreak_col:
+        ordering.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(F.col(group_col)).orderBy(*ordering)
+    return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= n).drop("_rk")

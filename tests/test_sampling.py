@@ -319,3 +319,36 @@ def test_corpus_shuffle_is_a_permutation_and_reproducible(spark):
     # the permutation actually shuffles (not identity order within a shard)
     shard0 = [r.doc_id for r in sorted(out, key=lambda r: (r.shard, r.pos)) if r.shard == 0]
     assert shard0 != sorted(shard0)
+
+
+def test_top_per_group_selects_best_with_deterministic_ties(spark):
+    from sycamore_spark.operators.sampling import top_per_group
+
+    df = _docs(spark, n=300)  # n_tokens in 1..37, many ties
+    out = top_per_group(df, "lang", "n_tokens", 5, tiebreak_col="doc_id")
+    rows = out.collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r.lang].append((r.n_tokens, r.doc_id))
+    for lang, picked in per.items():
+        assert len(picked) == 5
+        floor_val = min(v for v, _ in picked)
+        all_vals = [r.n_tokens for r in df.filter(df.lang == lang).collect()]
+        # nothing better was left behind
+        assert sum(1 for v in all_vals if v > floor_val) <= 5
+    again = top_per_group(df.repartition(9), "lang", "n_tokens", 5, tiebreak_col="doc_id")
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again.collect())
+
+
+def test_histogram_buckets_and_edges(spark):
+    from sycamore_spark.operators.profiling import histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5.0, 0.0, 4.9, 5.0, 49.9, 99.9, 100.0, 250.0]], "v double"
+    )
+    got = {r.bucket: r.n for r in histogram(df, "v", 0.0, 100.0, 20).collect()}
+    assert got[0] == 3   # -5 clamped, 0.0, 4.9
+    assert got[1] == 1   # 5.0
+    assert got[9] == 1   # 49.9
+    assert got[19] == 3  # 99.9, 100.0 clamped, 250 clamped
+    assert sum(got.values()) == 8
