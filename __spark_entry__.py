@@ -230,6 +230,30 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_webdataset(spark, sf) -> DataFrame:
+    """WebDataset tar-shard roundtrip (data/webdataset.py): documents
+    packed into 8 deterministic tar shards (one parallel writer task
+    each, zeroed tar metadata), read back via binaryFile + Arrow unpack.
+    The oracle hashes the original text — any loss/corruption/mis-keying
+    in the archive path breaks the hash."""
+    import tempfile
+
+    from sycamore_spark.data.webdataset import read_webdataset, write_webdataset
+
+    docs = (
+        _ds(spark, sf, "documents")
+        .to_df()
+        .select("doc_id", "text", F.pmod(F.col("doc_id"), F.lit(8)).alias("shard_id"))
+    )
+    root = tempfile.mkdtemp(prefix="wds-gate-")
+    write_webdataset(docs, root, {"text": "txt"}, "shard_id", "doc_id")
+    back = read_webdataset(spark, f"{root}/*.tar")
+    return back.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.md5("content").alias("text_md5"),
+    )
+
+
 def q_top_per_group(spark, sf) -> DataFrame:
     """Quality selection (operators/sampling.py top_per_group): 10 longest
     docs per source, ties broken by doc_id — the 'best N per domain'
@@ -3075,6 +3099,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "truncate": q_truncate,
     "top_per_group": q_top_per_group,
     "histogram": q_histogram,
+    "webdataset": q_webdataset,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3655,6 +3680,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
             "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
             "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
+        ),
+        "webdataset": (
+            "SELECT doc_id, md5(text) AS text_md5 FROM documents"
         ),
         "top_per_group": (
             "WITH r AS (SELECT doc_id, source, n_chars, row_number() OVER ("

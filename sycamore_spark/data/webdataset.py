@@ -1,0 +1,117 @@
+"""WebDataset-style tar shard export/import.
+
+The de-facto interchange format for multimodal training data (image/text
+pairs streamed by PyTorch dataloaders) is a directory of tar files whose
+members are grouped by a sample key: ``{key}.txt``, ``{key}.jpg``,
+``{key}.json`` … consecutive in the archive so a reader streams samples
+sequentially with no index. (Public spec: the webdataset project's tar
+conventions; no external library is needed — stdlib ``tarfile`` writes
+and reads it.)
+
+Spark-first shape:
+- **write**: one ``applyInPandas`` group per shard id — each task streams
+  its rows (ordered by key for deterministic archives) into ONE tar via
+  stdlib tarfile, so N shards = N parallel writer tasks and no driver
+  involvement; the returned manifest (shard path, samples, bytes) is the
+  only small result. Pair with ``operators.sampling.pack_shards`` /
+  ``corpus_shuffle`` to choose shard ids upstream.
+- **read**: ``binaryFile`` scan of ``*.tar`` + one ``mapInPandas`` that
+  unpacks members and regroups by sample key — shards are the unit of
+  read parallelism exactly as dataloaders consume them.
+
+Tar metadata (mtime/uid/gid) is zeroed so archives are byte-deterministic
+for a given (key, payload) set — the roundtrip gate hashes CONTENT, and
+reproducible shards also make downstream caching/diffing sane.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_webdataset(
+    df: DataFrame,
+    out_dir: str,
+    columns: dict[str, str],
+    shard_col: str = "shard_id",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Write one ``{out_dir}/shard-{id}.tar`` per distinct ``shard_col``
+    value. ``columns`` maps DataFrame column -> member extension (e.g.
+    ``{"text": "txt", "image": "jpg"}``); string columns are UTF-8
+    encoded, binary columns written as-is, others JSON-ish via ``str``.
+    Returns the manifest DataFrame (shard, path, n_samples, n_bytes) —
+    an action has already materialized the files when it returns."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = dict(columns)
+    key = key_col
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = str(pdf[shard_col].iloc[0])
+        path = os.path.join(out_dir, f"shard-{shard}.tar")
+        pdf = pdf.sort_values(key, kind="mergesort")
+        n_bytes = 0
+        with tarfile.open(path, "w") as tar:
+            for _, row in pdf.iterrows():
+                for col, ext in cols.items():
+                    v = row[col]
+                    if v is None:
+                        continue
+                    payload = (
+                        v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+                    )
+                    info = tarfile.TarInfo(name=f"{row[key]}.{ext}")
+                    info.size = len(payload)
+                    info.mtime = 0  # deterministic archives
+                    tar.addfile(info, io.BytesIO(bytes(payload)))
+                    n_bytes += len(payload)
+        return pd.DataFrame(
+            [{"shard": shard, "path": path, "n_samples": len(pdf), "n_bytes": n_bytes}]
+        )
+
+    manifest = (
+        df.select(shard_col, key, *cols.keys())
+        .groupBy(shard_col)
+        .applyInPandas(_write, schema="shard string, path string, n_samples long, n_bytes long")
+    )
+    # materialize: the write happens inside the tasks
+    manifest = manifest.localCheckpoint(eager=True)
+    return manifest
+
+
+def read_webdataset(spark, path_glob: str) -> DataFrame:
+    """Read tar shards back into (shard, key, ext, content binary) rows —
+    one Arrow stage over a binaryFile scan; each shard unpacks in one
+    task. Pivot by ext downstream to reassemble sample columns."""
+    tars = spark.read.format("binaryFile").load(path_glob)
+
+    def _unpack(it):
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                with tarfile.open(fileobj=io.BytesIO(row["content"])) as tar:
+                    for m in tar.getmembers():
+                        if not m.isfile():
+                            continue
+                        key, _, ext = m.name.rpartition(".")
+                        out.append(
+                            {
+                                "shard_path": row["path"],
+                                "key": key,
+                                "ext": ext,
+                                "content": tar.extractfile(m).read(),
+                            }
+                        )
+            if out:
+                yield pd.DataFrame(out)
+
+    return tars.select("path", "content").mapInPandas(
+        _unpack, schema="shard_path string, key string, ext string, content binary"
+    )
