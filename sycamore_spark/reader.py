@@ -58,6 +58,13 @@ class DocSetReader:
 
         return DocSet(load_table(self.spark, sf_dir, name))
 
+    def webdataset(self, path_glob: str) -> DocSet:
+        """Tar shards in the WebDataset layout -> (shard_path, key, ext,
+        content) rows (data/webdataset.py)."""
+        from sycamore_spark.data.webdataset import read_webdataset
+
+        return DocSet(read_webdataset(self.spark, path_glob))
+
     def docs(self, rows) -> DocSet:
         """In-memory Document dicts (reference reader.document scan,
         reader.py:194)."""
@@ -152,6 +159,14 @@ class DocSetWriter:
         from sycamore_spark.writer import write_iceberg
 
         write_iceberg(self.ds.df, table, **kwargs)
+
+    def webdataset(self, out_dir: str, columns: dict[str, str],
+                   shard_col: str = "shard_id", key_col: str = "doc_id"):
+        """Tar shards in the WebDataset layout (data/webdataset.py);
+        returns the manifest DataFrame."""
+        from sycamore_spark.data.webdataset import write_webdataset
+
+        return write_webdataset(self.ds.df, out_dir, columns, shard_col, key_col)
 
 
 def read(spark: SparkSession) -> DocSetReader:
