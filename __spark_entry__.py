@@ -962,14 +962,19 @@ def q_tpch_q2(spark, sf) -> DataFrame:
     supp = _ds(spark, sf, "supplier").to_df().join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     )
-    ps_eu = ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
-    mincost = ps_eu.groupBy(F.col("l_partkey").alias("mk")).agg(F.min("cost").alias("_mc"))
     part = _ds(spark, sf, "part").to_df().filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
     )
+    # pushing the selective part filter BEFORE the supplier join and
+    # computing the correlated min as a window (one shuffle on l_partkey)
+    # replaces the agg + equality self-join of the textbook decorrelation
+    ps_eu = ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey).join(
+        F.broadcast(supp), ps.l_suppkey == supp.s_suppkey
+    )
+    wmin = Window.partitionBy(ps_eu.l_partkey)
     return (
-        ps_eu.join(mincost, (ps_eu.l_partkey == F.col("mk")) & (F.col("cost") == F.col("_mc")))
-        .join(F.broadcast(part), ps_eu.l_partkey == part.p_partkey)
+        ps_eu.withColumn("_mc", F.min("cost").over(wmin))
+        .filter(F.col("cost") == F.col("_mc"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey", "cost")
         .orderBy(
             F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"

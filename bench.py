@@ -80,6 +80,11 @@ HEADLINE = [
     "rank_normalize",
     "nb_classify",
     "pagerank",
+    "clip_outliers",
+    "truncate",
+    "top_per_group",
+    "histogram",
+    "webdataset",
 ]
 
 
