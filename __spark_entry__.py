@@ -230,6 +230,33 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_divergence(spark, sf) -> DataFrame:
+    """Token-distribution drift (operators/profiling.py
+    corpus_divergence): KL in both directions between the 'en' and 'de'
+    corpus slices over the joint vocabulary, nano-quantized before
+    summation so the drift metric replays bit-exactly in SQL."""
+    from sycamore_spark.operators.profiling import corpus_divergence
+
+    docs = _ds(spark, sf, "documents").to_df()
+    return corpus_divergence(docs, "lang", "en", "de", "text")
+
+
+def q_resample(spark, sf) -> DataFrame:
+    """Gap-fill resampling (operators/timeseries.py resample_fill): per
+    user-bucket hourly grid, last observation per cell (deterministic
+    tie-break), LOCF forward fill — the time_bucket_gapfill/locf shape.
+    Spine generated per key from its own range (no cross join)."""
+    from sycamore_spark.operators.timeseries import resample_fill
+
+    ev = (
+        _ds(spark, sf, "events")
+        .to_df()
+        .select(F.pmod(F.col("user_id"), F.lit(20)).alias("ukey"), "ts", "value", "event_id")
+    )
+    out = resample_fill(ev, "ts", "ukey", "value", 3600, id_col="event_id")
+    return out.select("ukey", "bucket_ts", "value", "filled")
+
+
 def q_webdataset(spark, sf) -> DataFrame:
     """WebDataset tar-shard roundtrip (data/webdataset.py): documents
     packed into 8 deterministic tar shards (one parallel writer task
@@ -3105,6 +3132,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_per_group": q_top_per_group,
     "histogram": q_histogram,
     "webdataset": q_webdataset,
+    "resample": q_resample,
+    "divergence": q_divergence,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3685,6 +3714,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
             "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
             "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
+        ),
+        "divergence": (
+            "WITH toks AS (SELECT lang AS s, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok "
+            "FROM documents WHERE lang IN ('en', 'de')), "
+            "t2 AS (SELECT * FROM toks WHERE length(tok) > 0), "
+            "c AS (SELECT tok, sum(CASE WHEN s = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca, "
+            "sum(CASE WHEN s = 'de' THEN 1 ELSE 0 END)::BIGINT AS cb FROM t2 GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb, "
+            "count(*)::BIGINT AS v FROM c), "
+            "p AS (SELECT (ca + 1.0) / CAST(na + v AS DOUBLE) AS pa, "
+            "(cb + 1.0) / CAST(nb + v AS DOUBLE) AS pb, na, nb, v FROM c, tot) "
+            "SELECT CAST(sum(floor(pa * ln(pa / pb) * 1e9 + 0.5)) AS BIGINT) AS kl_ab_nanos, "
+            "CAST(sum(floor(pb * ln(pb / pa) * 1e9 + 0.5)) AS BIGINT) AS kl_ba_nanos, "
+            "first(na) AS n_tokens_a, first(nb) AS n_tokens_b, first(v) AS vocab FROM p"
+        ),
+        "resample": (
+            "WITH t AS (SELECT user_id % 20 AS ukey, ts, value, event_id, "
+            "epoch_us(ts) // 3600000000 AS cell FROM events), "
+            "p AS (SELECT ukey, cell, value FROM (SELECT ukey, cell, value, "
+            "row_number() OVER (PARTITION BY ukey, cell ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM t) WHERE rn = 1), "
+            "rng AS (SELECT ukey, min(cell) AS lo, max(cell) AS hi FROM t GROUP BY 1), "
+            "spine AS (SELECT ukey, unnest(generate_series(lo, hi)) AS cell FROM rng), "
+            "j AS (SELECT spine.ukey, spine.cell, p.value FROM spine "
+            "LEFT JOIN p ON spine.ukey = p.ukey AND spine.cell = p.cell) "
+            "SELECT ukey, cell * 3600 AS bucket_ts, value, "
+            "last_value(value IGNORE NULLS) OVER (PARTITION BY ukey ORDER BY cell "
+            "ROWS UNBOUNDED PRECEDING) AS filled FROM j"
         ),
         "webdataset": (
             "SELECT doc_id, md5(text) AS text_md5 FROM documents"

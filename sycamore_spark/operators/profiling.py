@@ -96,3 +96,49 @@ def histogram(
         df.groupBy(*keys, bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def corpus_divergence(
+    df: DataFrame,
+    side_col: str,
+    side_a: str,
+    side_b: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Symmetric token-distribution drift between two corpus slices:
+    add-1-smoothed unigram distributions over the JOINT vocabulary and
+    both KL divergences, KL(A||B) and KL(B||A) — the distribution-shift
+    monitor for "did this month's crawl change?" / "does the mixture
+    match the target corpus?".
+
+    Exactness: each token's contribution ``p_a * ln(p_a / p_b)``
+    quantizes to integer NANOS before the sum (probabilities are ~1e-5,
+    so micros would lose the signal) — bigint sums are
+    partitioning-independent and the whole computation replays in SQL.
+    Plan: one token hash-agg per side (computed in a single pass with
+    conditional counts) + a full-outer token join + scalar broadcasts.
+    """
+    toks = df.select(
+        F.col(side_col).alias("_s"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
+    ).filter((F.length("_tok") > 0) & F.col("_s").isin(side_a, side_b))
+    counts = toks.groupBy("_tok").agg(
+        F.sum(F.when(F.col("_s") == side_a, 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col("_s") == side_b, 1).otherwise(0)).alias("_cb"),
+    )
+    totals = counts.agg(
+        F.sum("_ca").alias("_na"),
+        F.sum("_cb").alias("_nb"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    pa = (F.col("_ca") + F.lit(1.0)) / (F.col("_na") + F.col("_v")).cast("double")
+    pb = (F.col("_cb") + F.lit(1.0)) / (F.col("_nb") + F.col("_v")).cast("double")
+    nanos = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("long")  # noqa: E731
+    return j.agg(
+        F.sum(nanos(pa * F.log(pa / pb))).alias("kl_ab_nanos"),
+        F.sum(nanos(pb * F.log(pb / pa))).alias("kl_ba_nanos"),
+        F.first("_na").cast("bigint").alias("n_tokens_a"),
+        F.first("_nb").cast("bigint").alias("n_tokens_b"),
+        F.first("_v").cast("bigint").alias("vocab"),
+    )
