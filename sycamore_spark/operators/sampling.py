@@ -224,7 +224,11 @@ def corpus_shuffle(
     yields the same permutation on any cluster size — unlike
     ``df.orderBy(rand())``, which is neither reproducible nor restartable.
     At 100 TB each shard is one writer task's output file, so the shuffle
-    is the job's single required exchange."""
+    is the job's single required exchange.
+
+    ``key`` must be UNIQUE per row: rows sharing a key share an md5 and
+    the within-shard ordering between them is then arbitrary (dedupe or
+    add a disambiguating suffix first)."""
     h = F.md5(F.col(key).cast("string"))
     shard = F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(n_shards))
     w = Window.partitionBy(shard).orderBy(h.asc(), F.col(key).asc())
