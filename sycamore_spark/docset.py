@@ -377,6 +377,53 @@ class DocSet:
 
         return self._wrap(cluster_by_zorder(self.df, cols, bits, n_partitions))
 
+    def top_per_group(self, group_col: str, order_col: str, n: int,
+                      descending: bool = True, tiebreak_col: str | None = None) -> "DocSet":
+        """Best n rows per group by an explicit score
+        (operators/sampling.py top_per_group)."""
+        from sycamore_spark.operators.sampling import top_per_group
+
+        return self._wrap(top_per_group(self.df, group_col, order_col, n, descending, tiebreak_col))
+
+    def histogram(self, value_col: str, lo: float, hi: float, n_buckets: int,
+                  group_cols: list[str] | None = None) -> "DocSet":
+        """Fixed-width profiling histogram (operators/profiling.py)."""
+        from sycamore_spark.operators.profiling import histogram
+
+        return self._wrap(histogram(self.df, value_col, lo, hi, n_buckets, group_cols))
+
+    def clip_outliers(self, value_col: str, group_cols: list[str] | None = None,
+                      lower_q: float = 0.01, upper_q: float = 0.99,
+                      out_col: str | None = None) -> "DocSet":
+        """Winsorize to per-group exact percentiles
+        (operators/textstats.py clip_outliers)."""
+        from sycamore_spark.operators.textstats import clip_outliers
+
+        return self._wrap(clip_outliers(self.df, value_col, group_cols, lower_q, upper_q, out_col))
+
+    def truncate_tokens(self, max_tokens: int, text_col: str = "text_representation",
+                        out_col: str | None = None) -> "DocSet":
+        """Token-budget truncation (operators/textstats.py truncate_tokens)."""
+        from sycamore_spark.operators.textstats import truncate_tokens
+
+        return self._wrap(truncate_tokens(self.df, text_col, max_tokens, out_col))
+
+    def resample(self, ts_col: str, key_col: str, value_col: str,
+                 step_seconds: int, id_col: str | None = None) -> "DocSet":
+        """Gap-fill resampling onto a fixed grid with forward fill
+        (operators/timeseries.py resample_fill)."""
+        from sycamore_spark.operators.timeseries import resample_fill
+
+        return self._wrap(resample_fill(self.df, ts_col, key_col, value_col, step_seconds, id_col))
+
+    def divergence_between(self, side_col: str, side_a: str, side_b: str,
+                           text_col: str = "text_representation") -> "DocSet":
+        """Token-distribution KL drift between two corpus slices
+        (operators/profiling.py corpus_divergence)."""
+        from sycamore_spark.operators.profiling import corpus_divergence
+
+        return self._wrap(corpus_divergence(self.df, side_col, side_a, side_b, text_col))
+
     def redact_pii(self, text_col: str = "text_representation", **kwargs) -> "DocSet":
         """Scrub email/SSN/card/phone/IP-shaped spans via chained native
         regex (operators/textstats.py redact_pii)."""

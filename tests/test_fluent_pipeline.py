@@ -127,3 +127,27 @@ def test_session2b_delegates(spark):
     assert pred.count() == 200
     z = ds.cluster_zorder(["d1", "d2"], bits=8, n_partitions=4).to_df()
     assert z.count() == 200 and "_z" not in z.columns
+
+
+def test_session2c_delegates(spark):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=30 * i), float(i % 11),
+          "a" if i % 2 == 0 else "b", " ".join(f"t{j}" for j in range(i % 20)))
+         for i in range(1, 120)],
+        "doc_id long, ts timestamp, score double, side string, text_representation string",
+    )
+    ds = DocSet(df)
+    assert ds.top_per_group("side", "score", 3, tiebreak_col="doc_id").to_df().count() == 6
+    h = ds.histogram("score", 0.0, 11.0, 4).to_df()
+    assert h.agg(F.sum("n")).collect()[0][0] == 119
+    c = ds.clip_outliers("score", ["side"], 0.1, 0.9, out_col="w").to_df()
+    assert c.count() == 119 and "w" in c.columns
+    t = ds.truncate_tokens(5).to_df()
+    assert t.agg(F.max("n_tokens_kept")).collect()[0][0] == 5
+    r = ds.resample("ts", "side", "score", 3600, id_col="doc_id").to_df()
+    assert {"bucket_ts", "filled"} <= set(r.columns)
+    d = ds.divergence_between("side", "a", "b").to_df().collect()[0]
+    assert d.vocab > 0
