@@ -85,6 +85,8 @@ HEADLINE = [
     "top_per_group",
     "histogram",
     "webdataset",
+    "resample",
+    "divergence",
 ]
 
 
