@@ -230,6 +230,16 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_quantile_bucket(spark, sf) -> DataFrame:
+    """Equi-depth binning (operators/textstats.py bucket_by_quantiles):
+    per-type quartile tiers from exact percentile splits broadcast back —
+    curriculum/calibration tiers with no data reshuffle."""
+    from sycamore_spark.operators.textstats import bucket_by_quantiles
+
+    ev = _ds(spark, sf, "events").to_df().select("event_id", "event_type", "value")
+    return bucket_by_quantiles(ev, "value", 4, ["event_type"])
+
+
 def q_divergence(spark, sf) -> DataFrame:
     """Token-distribution drift (operators/profiling.py
     corpus_divergence): KL in both directions between the 'en' and 'de'
@@ -3134,6 +3144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "webdataset": q_webdataset,
     "resample": q_resample,
     "divergence": q_divergence,
+    "quantile_bucket": q_quantile_bucket,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3714,6 +3725,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
             "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
             "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
+        ),
+        "quantile_bucket": (
+            "WITH thr AS (SELECT event_type, quantile_cont(value, 0.25) AS q0, "
+            "quantile_cont(value, 0.5) AS q1, quantile_cont(value, 0.75) AS q2 "
+            "FROM events GROUP BY 1) "
+            "SELECT event_id, e.event_type, value, "
+            "(CASE WHEN value >= q0 THEN 1 ELSE 0 END + "
+            "CASE WHEN value >= q1 THEN 1 ELSE 0 END + "
+            "CASE WHEN value >= q2 THEN 1 ELSE 0 END)::BIGINT AS qbucket "
+            "FROM events e JOIN thr ON e.event_type = thr.event_type"
         ),
         "divergence": (
             "WITH toks AS (SELECT lang AS s, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok "

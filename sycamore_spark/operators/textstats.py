@@ -429,3 +429,35 @@ def truncate_tokens(
     if count_col:
         out = out.withColumn(count_col, kept.cast("bigint"))
     return out
+
+
+def bucket_by_quantiles(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    group_cols: list[str] | None = None,
+    out_col: str = "qbucket",
+) -> DataFrame:
+    """Equi-depth bucket ids from EXACT percentile split points (the
+    global, join-based twin of layout.quantile_bucket's ntile window):
+    split points are one aggregate broadcast back, the bucket id is a
+    sum of threshold comparisons — so the data is never reshuffled and
+    the same splits can bucket OTHER tables (score calibration,
+    curriculum tiers, zorder inputs). Ties at a split point go to the
+    higher bucket (value < split). At 100 TB swap the exact percentile
+    for the KLL sketch (operators/sketches.py) — same join shape."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    gcols = group_cols or []
+    thr = df.groupBy(*[F.col(c) for c in gcols]).agg(
+        *[
+            F.percentile(F.col(value_col), F.lit(q)).alias(f"_q{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    joined = df.join(F.broadcast(thr), gcols) if gcols else df.crossJoin(F.broadcast(thr))
+    v = F.col(value_col).cast("double")
+    bucket = sum(
+        (F.when(v >= F.col(f"_q{i}"), 1).otherwise(0) for i in range(len(qs))),
+        F.lit(0),
+    ).cast("bigint")
+    return joined.withColumn(out_col, bucket).drop(*[f"_q{i}" for i in range(len(qs))])

@@ -287,3 +287,18 @@ def test_truncate_tokens_budget_and_identity(spark):
     assert out[2].cut == " ".join(f"w{i}" for i in range(10)) and out[2].n_tokens_kept == 10
     # under budget: byte-identical passthrough, whitespace preserved
     assert out[3].cut == "  leading  spaces kept "
+
+
+def test_bucket_by_quantiles_equi_depth(spark):
+    from pyspark.sql import functions as F
+    from sycamore_spark.operators.textstats import bucket_by_quantiles
+
+    df = spark.range(400).selectExpr("id", "id % 2 AS g", "cast(id AS double) AS v")
+    out = bucket_by_quantiles(df, "v", 4, ["g"])
+    counts = {(r.g, r.qbucket): r.n for r in out.groupBy("g", "qbucket").agg(F.count("*").alias("n")).collect()}
+    assert set(b for (_, b) in counts) == {0, 1, 2, 3}
+    assert all(45 <= n <= 55 for n in counts.values())  # ~200/4 per group
+    # monotone: higher value never lands in a lower bucket
+    rows = sorted(out.filter("g = 0").collect(), key=lambda r: r.v)
+    buckets = [r.qbucket for r in rows]
+    assert buckets == sorted(buckets)
