@@ -230,6 +230,26 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_pattern_counts(spark, sf) -> DataFrame:
+    """PII/link density profiling (operators/textstats.py pattern_counts):
+    per-doc counts of emails/urls/ips/phones over text with synthetic
+    injections (same corpus construction as redact_pii's gate) — the
+    measure-before-scrub routing signal."""
+    from sycamore_spark.operators.textstats import pattern_counts
+
+    docs = _ds(spark, sf, "documents").to_df()
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://example.org/p/"), F.col("doc_id").cast("string"),
+            F.lit(" ip 10.0.0."), F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        ).alias("text"),
+    )
+    return pattern_counts(injected)
+
+
 def q_quantile_bucket(spark, sf) -> DataFrame:
     """Equi-depth binning (operators/textstats.py bucket_by_quantiles):
     per-type quartile tiers from exact percentile splits broadcast back —
@@ -3145,6 +3165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample": q_resample,
     "divergence": q_divergence,
     "quantile_bucket": q_quantile_bucket,
+    "pattern_counts": q_pattern_counts,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3725,6 +3746,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
             "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
             "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
+        ),
+        "pattern_counts": (
+            "WITH t AS (SELECT doc_id, text || ' reach me at user' || doc_id::VARCHAR || "
+            "'@example.com or https://example.org/p/' || doc_id::VARCHAR || "
+            "' ip 10.0.0.' || (doc_id % 256)::VARCHAR AS text FROM documents) "
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS emails, "
+            "len(regexp_extract_all(text, 'https?://[^\\s]+'))::BIGINT AS urls, "
+            "len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::BIGINT AS ips, "
+            "len(regexp_extract_all(text, '\\+?[0-9]{1,2}[ .-]?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\\b'))::BIGINT AS phones "
+            "FROM t"
         ),
         "quantile_bucket": (
             "WITH thr AS (SELECT event_type, quantile_cont(value, 0.25) AS q0, "

@@ -461,3 +461,28 @@ def bucket_by_quantiles(
         F.lit(0),
     ).cast("bigint")
     return joined.withColumn(out_col, bucket).drop(*[f"_q{i}" for i in range(len(qs))])
+
+
+def pattern_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-document counts of named regex patterns (emails, URLs, IPs,
+    phones by default) — the metadata-enrichment / risk-profiling twin of
+    redact_pii: instead of scrubbing, it MEASURES, so per-source PII
+    density can drive routing (redact vs drop vs keep). One codegen'd
+    ``regexp_count`` projection per pattern — narrow, no Python.
+    Portable regex subset (no lookbehind) so RE2 oracles replay it."""
+    pats = patterns or {
+        "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "urls": r"https?://[^\s]+",
+        "ips": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "phones": r"\+?[0-9]{1,2}[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b",
+    }
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        *[F.regexp_count(c, F.lit(p)).cast("bigint").alias(name) for name, p in pats.items()],
+    )

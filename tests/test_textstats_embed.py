@@ -302,3 +302,18 @@ def test_bucket_by_quantiles_equi_depth(spark):
     rows = sorted(out.filter("g = 0").collect(), key=lambda r: r.v)
     buckets = [r.qbucket for r in rows]
     assert buckets == sorted(buckets)
+
+
+def test_pattern_counts(spark):
+    from sycamore_spark.operators.textstats import pattern_counts
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and c@d.org, see https://x.y/z from 10.0.0.1"),
+         (2, "no signals here"),
+         (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pattern_counts(df).collect()}
+    assert (got[1].emails, got[1].urls, got[1].ips) == (2, 1, 1)
+    assert (got[2].emails, got[2].urls, got[2].ips, got[2].phones) == (0, 0, 0, 0)
+    assert got[3].emails is None  # null text propagates, not a crash
