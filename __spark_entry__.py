@@ -230,6 +230,25 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_validate(spark, sf) -> DataFrame:
+    """Data-quality expectations (operators/profiling.py
+    validate_expectations): four rules over events checked in ONE scan —
+    per-rule row counts/failures/ok, null rule results counted as
+    failures."""
+    from sycamore_spark.operators.profiling import validate_expectations
+
+    ev = _ds(spark, sf, "events").to_df()
+    return validate_expectations(
+        ev,
+        {
+            "user_id_not_null": "user_id IS NOT NULL",
+            "value_in_range": "value >= 0 AND value <= 1000",
+            "known_event_type": "event_type IN ('click','view','purchase','signup','error')",
+            "props_has_k": "get_json_object(props, '$.k') IS NOT NULL",
+        },
+    )
+
+
 def q_pattern_counts(spark, sf) -> DataFrame:
     """PII/link density profiling (operators/textstats.py pattern_counts):
     per-doc counts of emails/urls/ips/phones over text with synthetic
@@ -3166,6 +3185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "divergence": q_divergence,
     "quantile_bucket": q_quantile_bucket,
     "pattern_counts": q_pattern_counts,
+    "validate": q_validate,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3746,6 +3766,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
             "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
             "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
+        ),
+        "validate": (
+            "WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM events) "
+            "SELECT rule, n_rows, n_fail, CASE WHEN n_fail = 0 THEN 1 ELSE 0 END::BIGINT AS ok FROM ("
+            "SELECT 'user_id_not_null' AS rule, n_rows, "
+            "(SELECT count(*) FROM events WHERE NOT coalesce(user_id IS NOT NULL, FALSE))::BIGINT AS n_fail FROM n "
+            "UNION ALL SELECT 'value_in_range', n_rows, "
+            "(SELECT count(*) FROM events WHERE NOT coalesce(value >= 0 AND value <= 1000, FALSE))::BIGINT FROM n "
+            "UNION ALL SELECT 'known_event_type', n_rows, "
+            "(SELECT count(*) FROM events WHERE NOT coalesce(event_type IN ('click','view','purchase','signup','error'), FALSE))::BIGINT FROM n "
+            "UNION ALL SELECT 'props_has_k', n_rows, "
+            "(SELECT count(*) FROM events WHERE NOT coalesce(json_extract_string(props, '$.k') IS NOT NULL, FALSE))::BIGINT FROM n)"
         ),
         "pattern_counts": (
             "WITH t AS (SELECT doc_id, text || ' reach me at user' || doc_id::VARCHAR || "

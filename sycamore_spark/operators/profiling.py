@@ -142,3 +142,45 @@ def corpus_divergence(
         F.first("_nb").cast("bigint").alias("n_tokens_b"),
         F.first("_v").cast("bigint").alias("vocab"),
     )
+
+
+def validate_expectations(
+    df: DataFrame, rules: dict[str, "str | F.Column"]
+) -> DataFrame:
+    """Great-Expectations-style data-quality gate as ONE aggregation pass:
+    ``rules`` maps rule name -> boolean expression (SQL string or
+    Column); the result is one row per rule with (rule, n_rows, n_fail,
+    ok). Null rule results count as FAILURES (an expectation that cannot
+    be evaluated did not pass — the conservative contract).
+
+    Every rule is a conditional sum inside a single ``agg``, so a
+    hundred expectations still cost one scan and no shuffle beyond the
+    final one-row reduce; the per-rule melt is over that single row.
+    Wire ``ok`` into pipeline control flow (refuse to publish a shard
+    whose expectations fail) — the validation itself never moves data.
+    """
+    exprs = []
+    names = list(rules)
+    for name in names:
+        rule = rules[name]
+        cond = F.expr(rule) if isinstance(rule, str) else rule
+        exprs.append(
+            F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)).alias(f"_f_{name}")
+        )
+    row = df.agg(F.count(F.lit(1)).alias("_n"), *exprs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("_n").alias("n_rows"),
+                F.coalesce(F.col(f"_f_{name}"), F.lit(0)).alias("n_fail"),
+            )
+            for name in names
+        ]
+    )
+    ex = row.select(F.explode(pairs).alias("_r")).select(
+        F.col("_r.rule").alias("rule"),
+        F.col("_r.n_rows").cast("bigint").alias("n_rows"),
+        F.col("_r.n_fail").cast("bigint").alias("n_fail"),
+    )
+    return ex.withColumn("ok", (F.col("n_fail") == 0).cast("bigint"))

@@ -58,3 +58,18 @@ def test_corpus_divergence_properties(spark):
     # determinism across partitioning (integer sums)
     again = corpus_divergence(df2.repartition(7), "side", "a", "b").collect()[0]
     assert (diff.kl_ab_nanos, diff.kl_ba_nanos) == (again.kl_ab_nanos, again.kl_ba_nanos)
+
+
+def test_validate_expectations(spark):
+    from sycamore_spark.operators.profiling import validate_expectations
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 2000.0)], "id long, v double"
+    )
+    got = {r.rule: r for r in validate_expectations(
+        df, {"v_range": "v >= 0 AND v <= 1000", "id_pos": "id > 0"}
+    ).collect()}
+    # null v -> rule unevaluable -> counted as failure (conservative)
+    assert got["v_range"].n_fail == 2 and got["v_range"].ok == 0
+    assert got["id_pos"].n_fail == 0 and got["id_pos"].ok == 1
+    assert all(r.n_rows == 3 for r in got.values())
