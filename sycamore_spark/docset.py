@@ -424,6 +424,32 @@ class DocSet:
 
         return self._wrap(corpus_divergence(self.df, side_col, side_a, side_b, text_col))
 
+    def bucket_by_quantiles(self, value_col: str, n_buckets: int,
+                            group_cols: list[str] | None = None,
+                            out_col: str = "qbucket") -> "DocSet":
+        """Equi-depth tiers from exact percentile splits broadcast back
+        (operators/textstats.py bucket_by_quantiles)."""
+        from sycamore_spark.operators.textstats import bucket_by_quantiles
+
+        return self._wrap(bucket_by_quantiles(self.df, value_col, n_buckets, group_cols, out_col))
+
+    def pattern_counts(self, id_col: str = "doc_id",
+                       text_col: str = "text_representation",
+                       patterns: dict[str, str] | None = None) -> "DocSet":
+        """Per-doc PII/link density counts (operators/textstats.py
+        pattern_counts)."""
+        from sycamore_spark.operators.textstats import pattern_counts
+
+        return self._wrap(pattern_counts(self.df, id_col, text_col, patterns))
+
+    def validate(self, rules: dict) -> "DocSet":
+        """Data-quality expectation gate: one scan, per-rule
+        (n_rows, n_fail, ok) (operators/profiling.py
+        validate_expectations)."""
+        from sycamore_spark.operators.profiling import validate_expectations
+
+        return self._wrap(validate_expectations(self.df, rules))
+
     def redact_pii(self, text_col: str = "text_representation", **kwargs) -> "DocSet":
         """Scrub email/SSN/card/phone/IP-shaped spans via chained native
         regex (operators/textstats.py redact_pii)."""

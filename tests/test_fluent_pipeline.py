@@ -151,3 +151,17 @@ def test_session2c_delegates(spark):
     assert {"bucket_ts", "filled"} <= set(r.columns)
     d = ds.divergence_between("side", "a", "b").to_df().collect()[0]
     assert d.vocab > 0
+
+
+def test_session2d_delegates(spark):
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "cast(id AS double) AS score",
+        "'mail a@b.co here' AS text_representation",
+    )
+    ds = DocSet(df)
+    b = ds.bucket_by_quantiles("score", 4).to_df()
+    assert b.filter("qbucket BETWEEN 0 AND 3").count() == 100
+    p = ds.pattern_counts().to_df().collect()
+    assert all(r.emails == 1 for r in p)
+    v = {r.rule: r.ok for r in ds.validate({"pos": "doc_id >= 0"}).to_df().collect()}
+    assert v == {"pos": 1}
