@@ -87,6 +87,9 @@ HEADLINE = [
     "webdataset",
     "resample",
     "divergence",
+    "quantile_bucket",
+    "pattern_counts",
+    "validate",
 ]
 
 
