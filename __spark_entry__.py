@@ -230,6 +230,46 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_funnel(spark, sf) -> DataFrame:
+    """Strict-order funnel (operators/events.py funnel_counts):
+    signup -> click -> purchase, each step strictly after the previous
+    step's first occurrence; per-prefix user counts. One narrowing
+    join+agg per step, all keyed on the user."""
+    from sycamore_spark.operators.events import funnel_counts
+
+    ev = _ds(spark, sf, "events").to_df()
+    return funnel_counts(ev, ["signup", "click", "purchase"])
+
+
+def q_cohort(spark, sf) -> DataFrame:
+    """Weekly cohort retention (operators/events.py cohort_retention):
+    first-activity week x activity-week-offset distinct-user matrix;
+    integer epoch-week arithmetic, exact both engines."""
+    from sycamore_spark.operators.events import cohort_retention
+
+    ev = _ds(spark, sf, "events").to_df()
+    return cohort_retention(ev)
+
+
+def q_interval_union(spark, sf) -> DataFrame:
+    """Interval-union coverage (operators/events.py
+    interval_union_length): per user-bucket total covered time of
+    overlapping [ts, ts + value-seconds] intervals — the sweep as two
+    windows + one agg, integer micros end-to-end."""
+    from sycamore_spark.operators.events import interval_union_length
+
+    ev = _ds(spark, sf, "events").to_df()
+    from sycamore_spark.functions.time import epoch_micros
+
+    delta = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    iv = ev.select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("ukey"),
+        F.col("ts").alias("ivs"),
+        F.timestamp_micros(epoch_micros(F.col("ts")) + delta).alias("ive"),
+    )
+    return interval_union_length(iv, "ukey", "ivs", "ive")
+
+
 def q_validate(spark, sf) -> DataFrame:
     """Data-quality expectations (operators/profiling.py
     validate_expectations): four rules over events checked in ONE scan —
@@ -3186,6 +3226,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_bucket": q_quantile_bucket,
     "pattern_counts": q_pattern_counts,
     "validate": q_validate,
+    "funnel": q_funnel,
+    "cohort": q_cohort,
+    "interval_union": q_interval_union,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3766,6 +3809,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
             "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
             "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
+        ),
+        "funnel": (
+            "WITH ev AS (SELECT user_id AS u, event_type AS e, epoch_us(ts) AS t FROM events), "
+            "r0 AS (SELECT u, min(t) AS p FROM ev WHERE e = 'signup' GROUP BY 1), "
+            "r1 AS (SELECT ev.u, min(t) AS p FROM ev JOIN r0 ON ev.u = r0.u AND ev.t > r0.p "
+            "WHERE e = 'click' GROUP BY 1), "
+            "r2 AS (SELECT ev.u, min(t) AS p FROM ev JOIN r1 ON ev.u = r1.u AND ev.t > r1.p "
+            "WHERE e = 'purchase' GROUP BY 1) "
+            "SELECT 0::BIGINT AS step_index, 'signup' AS step, (SELECT count(*) FROM r0)::BIGINT AS users "
+            "UNION ALL SELECT 1, 'click', (SELECT count(*) FROM r1) "
+            "UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM r2)"
+        ),
+        "cohort": (
+            "WITH a AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS p FROM events), "
+            "f AS (SELECT u, min(p) AS c FROM a GROUP BY 1) "
+            "SELECT c AS cohort, p - c AS offset, count(DISTINCT u)::BIGINT AS users "
+            "FROM a JOIN f USING (u) GROUP BY 1, 2"
+        ),
+        "interval_union": (
+            "WITH iv AS (SELECT user_id % 50 AS ukey, epoch_us(ts) AS s, "
+            "epoch_us(ts) + CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS e FROM events), "
+            "f AS (SELECT ukey, s, e, CASE WHEN "
+            "max(e) OVER (PARTITION BY ukey ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL "
+            "OR s > max(e) OVER (PARTITION BY ukey ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "THEN 1 ELSE 0 END AS nw FROM iv), "
+            "g AS (SELECT ukey, s, e, sum(nw) OVER (PARTITION BY ukey ORDER BY s, e "
+            "ROWS UNBOUNDED PRECEDING) AS i FROM f), "
+            "sp AS (SELECT ukey, i, max(e) - min(s) AS len FROM g GROUP BY 1, 2) "
+            "SELECT ukey, CAST(sum(len) AS BIGINT) AS covered_micros, count(*)::BIGINT AS n_islands "
+            "FROM sp GROUP BY 1"
         ),
         "validate": (
             "WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM events) "

@@ -1,0 +1,113 @@
+"""Product-analytics operators over an event stream: funnels, cohort
+retention, interval coverage.
+
+The engine's event surface beyond windows/sessionization — the three
+queries every event warehouse runs, shaped for 100 TB:
+
+- ``funnel_counts``: ordered-step conversion. One narrowing join+agg per
+  step (all keyed on the user — AQE reuses the partitioning), never a
+  per-user Python pass; step count is small and static, data is not.
+- ``cohort_retention``: first-activity cohort x activity-period matrix.
+  Two hash aggregates and one broadcast-back join.
+- ``interval_union_length``: total covered time of overlapping intervals
+  per key (session coverage, uptime). The classic sweep — sort by start
+  within key, an island forms whenever a start exceeds the running max
+  of prior ends — expressed as two windows + one aggregate. Integer
+  epoch-micros arithmetic end-to-end, so results replay exactly in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sycamore_spark.functions.time import epoch_micros
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Strict-order funnel: for each prefix of ``steps``, how many users
+    completed it in order (each step strictly after the previous one's
+    FIRST qualifying occurrence — the standard first-touch funnel).
+    Returns (step_index, step, users) with users monotonically
+    non-increasing."""
+    ts = epoch_micros(F.col(ts_col))
+    ev = df.select(F.col(user_col).alias("_u"), F.col(event_col).alias("_e"), ts.alias("_t"))
+    reached = (
+        ev.filter(F.col("_e") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_t").alias("_prev"))
+    )
+    counts = [reached.count()]
+    for step in steps[1:]:
+        nxt = (
+            ev.filter(F.col("_e") == step)
+            .join(reached, "_u")
+            .filter(F.col("_t") > F.col("_prev"))
+            .groupBy("_u")
+            .agg(F.min("_t").alias("_prev"))
+        )
+        reached = nxt
+        counts.append(reached.count())
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, s, int(c)) for i, (s, c) in enumerate(zip(steps, counts))],
+        "step_index long, step string, users long",
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Cohort x period retention counts: users bucketed by their FIRST
+    activity period; for every (cohort, offset) the distinct users active
+    ``offset`` periods later. Periods are integer epoch divisions (exact).
+    Returns (cohort, offset, users)."""
+    per_us = int(period_seconds) * 1_000_000
+    period = F.floor(epoch_micros(F.col(ts_col)) / F.lit(per_us)).cast("long")
+    acts = df.select(F.col(user_col).alias("_u"), period.alias("_p")).distinct()
+    first = acts.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    return (
+        acts.join(first, "_u")
+        .groupBy(F.col("_cohort").alias("cohort"), (F.col("_p") - F.col("_cohort")).alias("offset"))
+        .agg(F.countDistinct("_u").alias("users"))
+    )
+
+
+def interval_union_length(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Total covered micros of the union of (possibly overlapping)
+    [start, end] intervals per key. Sweep as windows: running max of
+    prior ends (exclusive), an island starts where start exceeds it,
+    island ids by prefix sum, covered = max(end) - min(start) per island,
+    summed per key. Returns (key_col, covered_micros, n_islands)."""
+    s, e = epoch_micros(F.col(start_col)), epoch_micros(F.col(end_col))
+    base = df.select(F.col(key_col).alias("_k"), s.alias("_s"), e.alias("_e"))
+    w_order = Window.partitionBy("_k").orderBy(F.col("_s").asc(), F.col("_e").asc())
+    prev_max = F.max("_e").over(w_order.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "_new", F.when(prev_max.isNull() | (F.col("_s") > prev_max), 1).otherwise(0)
+    )
+    island = F.sum("_new").over(w_order.rowsBetween(Window.unboundedPreceding, 0))
+    spans = (
+        flagged.withColumn("_i", island)
+        .groupBy("_k", "_i")
+        .agg((F.max("_e") - F.min("_s")).alias("_len"))
+    )
+    return spans.groupBy(F.col("_k").alias(key_col)).agg(
+        F.sum("_len").cast("bigint").alias("covered_micros"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+    )

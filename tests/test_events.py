@@ -1,0 +1,58 @@
+"""Product-analytics operators (operators/events.py): funnels, cohorts,
+interval coverage."""
+
+import datetime as dt
+
+from sycamore_spark.operators.events import (
+    cohort_retention,
+    funnel_counts,
+    interval_union_length,
+)
+
+
+def _t(m):
+    return dt.datetime(2026, 1, 1) + dt.timedelta(minutes=m)
+
+
+def test_funnel_strict_order(spark):
+    rows = [
+        (1, "signup", _t(0)), (1, "click", _t(5)), (1, "purchase", _t(9)),   # full
+        (2, "signup", _t(0)), (2, "click", _t(5)),                           # no purchase
+        (3, "click", _t(0)), (3, "signup", _t(5)), (3, "purchase", _t(9)),   # click BEFORE signup -> stops at signup
+        (4, "purchase", _t(0)),                                              # never signed up
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r.step: r.users for r in funnel_counts(df, ["signup", "click", "purchase"]).collect()}
+    assert got == {"signup": 3, "click": 2, "purchase": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    week = dt.timedelta(days=7)
+    rows = [
+        (1, dt.datetime(2026, 1, 5)), (1, dt.datetime(2026, 1, 5) + week),   # cohort w, active w+1
+        (2, dt.datetime(2026, 1, 5)),                                        # cohort w only
+        (3, dt.datetime(2026, 1, 5) + week),                                 # cohort w+1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort, r.offset): r.users for r in cohort_retention(df).collect()}
+    cohorts = sorted({c for c, _ in got})
+    w0, w1 = cohorts[0], cohorts[-1]
+    assert got[(w0, 0)] == 2 and got[(w0, 1)] == 1 and got[(w1, 0)] == 1
+
+
+def test_interval_union_overlaps_and_islands(spark):
+    rows = [
+        ("a", _t(0), _t(10)), ("a", _t(5), _t(12)),   # overlap -> one island, 12 min
+        ("a", _t(20), _t(25)),                        # second island, 5 min
+        ("b", _t(0), _t(1)),
+    ]
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+    got = {r.k: r for r in interval_union_length(df, "k", "s", "e").collect()}
+    assert got["a"].covered_micros == 17 * 60 * 1_000_000 and got["a"].n_islands == 2
+    assert got["b"].covered_micros == 60 * 1_000_000 and got["b"].n_islands == 1
+    # contained interval adds nothing
+    df2 = spark.createDataFrame(
+        [("c", _t(0), _t(10)), ("c", _t(2), _t(3))], "k string, s timestamp, e timestamp"
+    )
+    r = interval_union_length(df2, "k", "s", "e").collect()[0]
+    assert r.covered_micros == 10 * 60 * 1_000_000 and r.n_islands == 1
