@@ -2017,6 +2017,31 @@ def q_asof_join(spark, sf) -> DataFrame:
     )
 
 
+def q_asof_forward(spark, sf) -> DataFrame:
+    """Forward as-of join (next-conversion attribution): each click
+    matched to the EARLIEST at-or-after purchase per user — the
+    direction='forward' path of the same union+window asof
+    (operators/joins.py; DuckDB oracle uses native ASOF with <=)."""
+    from sycamore_spark.operators.joins import asof_join
+
+    ev = _ds(spark, sf, "events").to_df()
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("amount"))
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", right_cols=["amount"], direction="forward"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("amount_right"),
+        F.unix_timestamp("ts_right").alias("purchase_epoch"),
+    )
+
+
 def q_interval_join(spark, sf) -> DataFrame:
     """Point-in-interval join: clicks within 1h after a purchase by the
     same user. Bucketized to an equi-join on (user, hour-bucket) + residual
@@ -3229,6 +3254,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "cohort": q_cohort,
     "interval_union": q_interval_union,
+    "asof_forward": q_asof_forward,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -4661,6 +4687,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.event_id, c.user_id, p.amount AS amount_right, "
             "epoch(date_trunc('second', p.ts))::BIGINT AS purchase_epoch "
             "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"
+        ),
+        "asof_forward": (
+            "WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
+            "p AS (SELECT user_id, ts, max(value) AS amount FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1, 2) "
+            "SELECT c.event_id, c.user_id, p.amount AS amount_right, "
+            "epoch(date_trunc('second', p.ts))::BIGINT AS purchase_epoch "
+            "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts"
         ),
         "sessionize": (
             "WITH g AS (SELECT event_id, user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "

@@ -36,16 +36,27 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gets the right row with the
-    greatest ``right_ts`` <= ``left_ts`` (or < when ``strict``) within the
-    same ``on`` key(s); right columns come back suffixed, null when no
-    earlier right row exists.
+    """As-of join (pandas ``merge_asof`` parity): each left row gets the
+    nearest right row within the same ``on`` key(s) — ``backward`` (the
+    greatest ``right_ts`` <= ``left_ts``; < when ``strict``),
+    ``forward`` (the least ``right_ts`` >= ``left_ts``; > when
+    ``strict``), or ``nearest`` (smaller absolute gap, ties to the
+    backward side). Right columns come back suffixed, null when no
+    qualifying right row exists.
 
-    Right rows should be unique per (key, ts) — pre-aggregate if not; with
-    duplicates the row sorting last (by the right frame's column order)
-    wins deterministically only if a tiebreak column orders them.
+    All directions share the same scale shape: one union + one (or for
+    ``nearest``, two) ordered window pass(es) per key — never a range
+    self-join. Right rows should be unique per (key, ts) — pre-aggregate
+    if not; with duplicates the row sorting last (by the right frame's
+    column order) wins deterministically only if a tiebreak column
+    orders them.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if direction == "nearest" and strict:
+        raise ValueError("strict is not defined for direction='nearest'")
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = right_cols or [c for c in right.columns if c not in keys + [right_ts]]
 
@@ -67,25 +78,66 @@ def asof_join(
     )
     unioned = l_tag.unionByName(r_tag)
 
-    # right rows sort before left rows at equal ts (backward, inclusive):
-    # _is_left ASC puts the right row first so last_value sees it.
-    # strict mode flips the order so a same-ts right row is NOT visible.
-    order = [F.col("_ts").asc(), F.col("_is_left").asc() if not strict else F.col("_is_left").desc()]
-    w = (
-        Window.partitionBy(*[F.col(k) for k in keys])
-        .orderBy(*order)
+    # Backward pass: right rows sort before left rows at equal ts
+    # (inclusive); strict flips the order so a same-ts right row is NOT
+    # visible. Forward pass mirrors it over the following frame.
+    carry_cols = right_cols + [right_ts]
+    parts = [F.col(k) for k in keys]
+    bwd_order = [F.col("_ts").asc(), F.col("_is_left").asc() if not strict else F.col("_is_left").desc()]
+    w_bwd = (
+        Window.partitionBy(*parts).orderBy(*bwd_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_carry_{c}")
-            for c in right_cols + [right_ts]
-        ],
+    # forward inclusive: the right row at equal ts must fall INSIDE the
+    # [current, following] frame of the left row -> left sorts first
+    fwd_order = [F.col("_ts").asc(), F.col("_is_left").desc() if not strict else F.col("_is_left").asc()]
+    w_fwd = (
+        Window.partitionBy(*parts).orderBy(*fwd_order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+
+    carried = unioned
+    if direction in ("backward", "nearest"):
+        carried = carried.select(
+            "*",
+            *[
+                F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w_bwd).alias(f"_bwd_{c}")
+                for c in carry_cols
+            ],
+        )
+    if direction in ("forward", "nearest"):
+        carried = carried.select(
+            "*",
+            *[
+                F.first(F.col(f"_r_{c}"), ignorenulls=True).over(w_fwd).alias(f"_fwd_{c}")
+                for c in carry_cols
+            ],
+        )
+    if direction == "backward":
+        pick = {c: F.col(f"_bwd_{c}") for c in carry_cols}
+    elif direction == "forward":
+        pick = {c: F.col(f"_fwd_{c}") for c in carry_cols}
+    else:
+        # numeric gap comparison that also works for TIMESTAMP_NTZ (which
+        # cannot cast to double — the round-2 lesson)
+        def _num(c, dtype):
+            if dtype.simpleString().startswith("timestamp"):
+                return F.unix_micros(c.cast("timestamp")).cast("double")
+            return c.cast("double")
+
+        bts = _num(F.col(f"_bwd_{right_ts}"), right.schema[right_ts].dataType)
+        fts = _num(F.col(f"_fwd_{right_ts}"), right.schema[right_ts].dataType)
+        lt = _num(F.col("_ts"), left.schema[left_ts].dataType)
+        use_bwd = F.when(F.col(f"_bwd_{right_ts}").isNull(), F.lit(False)).otherwise(
+            F.col(f"_fwd_{right_ts}").isNull() | ((lt - bts) <= (fts - lt))
+        )
+        pick = {
+            c: F.when(use_bwd, F.col(f"_bwd_{c}")).otherwise(F.col(f"_fwd_{c}"))
+            for c in carry_cols
+        }
     out = carried.filter(F.col("_is_left") == 1).select(
         *[F.col("_lrow")[c].alias(c) for c in left.columns],
-        *[F.col(f"_carry_{c}").alias(f"{c}{suffix}") for c in right_cols + [right_ts]],
+        *[pick[c].alias(f"{c}{suffix}") for c in carry_cols],
     )
     return out
 

@@ -125,3 +125,42 @@ def test_bloom_join_rejects_outer(spark):
     df = spark.range(10).selectExpr("id AS k")
     with pytest.raises(ValueError):
         bloom_join(df, df, "k", how="left")
+
+
+def test_asof_join_directions(spark):
+    from sycamore_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l10"), (1, 20, "l20"), (1, 35, "l35"), (2, 5, "l5")],
+        "k long, ts long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "r8"), (1, 20, "r20"), (1, 30, "r30"), (1, 100, "r100")],
+        "k long, ts long, rv string",
+    )
+    def run(**kw):
+        rows = asof_join(left, right, "k", **kw).collect()
+        return {(r.k, r.ts): r.rv_right for r in rows}
+
+    bwd = run()
+    assert bwd == {(1, 10): "r8", (1, 20): "r20", (1, 35): "r30", (2, 5): None}
+    fwd = run(direction="forward")
+    assert fwd == {(1, 10): "r20", (1, 20): "r20", (1, 35): "r100", (2, 5): None}
+    fwd_strict = run(direction="forward", strict=True)
+    assert fwd_strict[(1, 20)] == "r30"
+    near = run(direction="nearest")
+    # 10: gaps 2 vs 10 -> r8; 35: gaps 5 vs 65 -> r30; equidistant ties -> backward
+    assert near == {(1, 10): "r8", (1, 20): "r20", (1, 35): "r30", (2, 5): None}
+    # equidistant: left at 25 between r20 and r30 -> backward wins
+    l2 = spark.createDataFrame([(1, 25, "l25")], "k long, ts long, lv string")
+    n2 = asof_join(l2, right, "k", direction="nearest").collect()[0]
+    assert n2.rv_right == "r20"
+
+
+def test_asof_join_nearest_rejects_strict(spark):
+    import pytest
+    from sycamore_spark.operators.joins import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, ts long")
+    with pytest.raises(ValueError):
+        asof_join(df, df, "k", direction="nearest", strict=True)
