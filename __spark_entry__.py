@@ -230,6 +230,20 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_cusum(spark, sf) -> DataFrame:
+    """One-sided CUSUM level-shift statistic per event type
+    (operators/monitor.py cusum_by_key): the sequential fold replays
+    bit-exactly as a DuckDB list_reduce seeded with 0 via list_prepend
+    (same contract as ewma). The gate pins the final statistic; the
+    recovered-shift 'peak' column is prefix-fold-only and is covered by
+    unit tests instead."""
+    from sycamore_spark.operators.monitor import cusum_by_key
+
+    ev = _ds(spark, sf, "events").to_df()
+    out = cusum_by_key(ev, "event_type", "event_id", "value", target=50.0, slack=5.0)
+    return out.select("event_type", "n", "cusum")
+
+
 def q_funnel(spark, sf) -> DataFrame:
     """Strict-order funnel (operators/events.py funnel_counts):
     signup -> click -> purchase, each step strictly after the previous
@@ -3255,6 +3269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort": q_cohort,
     "interval_union": q_interval_union,
     "asof_forward": q_asof_forward,
+    "cusum": q_cusum,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3835,6 +3850,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
             "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
             "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
+        ),
+        "cusum": (
+            "SELECT event_type, count(*)::BIGINT AS n, "
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(value ORDER BY event_id)), "
+            "(acc, x) -> greatest(CAST(0 AS DOUBLE), acc + (x - CAST(50 AS DOUBLE) - CAST(5 AS DOUBLE)))) AS cusum "
+            "FROM events GROUP BY 1"
         ),
         "funnel": (
             "WITH ev AS (SELECT user_id AS u, event_type AS e, epoch_us(ts) AS t FROM events), "

@@ -49,3 +49,51 @@ def ewma_by_key(
         .groupBy(key_col)
         .applyInPandas(_fold, schema=f"{key_col} {key_type}, n bigint, {out_col} double")
     )
+
+
+def cusum_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    out_col: str = "cusum",
+) -> DataFrame:
+    """One-sided CUSUM level-shift detector per key: folding rows in
+    ``order_col`` order, ``acc = max(0, acc + (v - target - slack))`` —
+    the sequential-probability shift statistic that catches a sustained
+    upward drift long before a mean comparison does (alarm when the
+    final statistic exceeds a threshold h of your choosing).
+
+    Same execution/replay contract as ``ewma_by_key``: one Arrow fold per
+    key, total fold order, identical IEEE op sequence both engines — so
+    the statistic replays bit-exactly in SQL as a ``list_reduce`` over an
+    ordered list. Returns (key, n, cusum, peak) — ``peak`` is the maximum
+    the statistic reached, so a shift that later recovered still alarms.
+    """
+    t, s = float(target), float(slack)
+    key_type = df.schema[key_col].dataType.simpleString()
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        v = pdf[value_col].astype("float64").to_numpy()
+        acc = 0.0
+        peak = 0.0
+        for x in v:
+            acc = acc + (x - t - s)
+            if acc < 0.0:
+                acc = 0.0
+            if acc > peak:
+                peak = acc
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], "n": [len(v)], out_col: [acc], "peak": [peak]}
+        )
+
+    return (
+        df.select(key_col, order_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(
+            _fold, schema=f"{key_col} {key_type}, n bigint, {out_col} double, peak double"
+        )
+    )

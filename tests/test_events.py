@@ -56,3 +56,24 @@ def test_interval_union_overlaps_and_islands(spark):
     )
     r = interval_union_length(df2, "k", "s", "e").collect()[0]
     assert r.covered_micros == 10 * 60 * 1_000_000 and r.n_islands == 1
+
+
+def test_cusum_detects_shift_and_peak_remembers(spark):
+    from sycamore_spark.operators.monitor import cusum_by_key
+
+    # stable around 10, then a sustained +10 shift, then recovery
+    vals = [10.0] * 20 + [20.0] * 10 + [10.0] * 20
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "k string, t long, v double"
+    )
+    r = cusum_by_key(df, "k", "t", "v", target=10.0, slack=2.0).collect()[0]
+    # during the shift the statistic accumulated (20-12)*10 = 80
+    assert r.peak == 80.0
+    # after recovery each step subtracts 2; 20 steps wipe 40 -> 40 remains
+    assert r.cusum == 40.0
+    # no shift -> flat zero
+    df2 = spark.createDataFrame(
+        [("k", i, 10.0) for i in range(30)], "k string, t long, v double"
+    )
+    r2 = cusum_by_key(df2, "k", "t", "v", target=10.0, slack=2.0).collect()[0]
+    assert r2.cusum == 0.0 and r2.peak == 0.0
