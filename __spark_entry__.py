@@ -230,6 +230,16 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_transitions(spark, sf) -> DataFrame:
+    """First-order event-transition matrix (operators/events.py
+    event_transitions): per-user lag pairs -> (prev, next) counts and
+    exact-division probabilities; deterministic via event_id tiebreak."""
+    from sycamore_spark.operators.events import event_transitions
+
+    ev = _ds(spark, sf, "events").to_df()
+    return event_transitions(ev, tiebreak_col="event_id")
+
+
 def q_cusum(spark, sf) -> DataFrame:
     """One-sided CUSUM level-shift statistic per event type
     (operators/monitor.py cusum_by_key): the sequential fold replays
@@ -3270,6 +3280,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_union": q_interval_union,
     "asof_forward": q_asof_forward,
     "cusum": q_cusum,
+    "transitions": q_transitions,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3850,6 +3861,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
             "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
             "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
+        ),
+        "transitions": (
+            "WITH p AS (SELECT event_type, lag(event_type) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+            "c AS (SELECT prev AS prev_event, event_type AS next_event, count(*)::BIGINT AS n "
+            "FROM p WHERE prev IS NOT NULL GROUP BY 1, 2) "
+            "SELECT prev_event, next_event, n, "
+            "CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_event) AS DOUBLE) AS p "
+            "FROM c"
         ),
         "cusum": (
             "SELECT event_type, count(*)::BIGINT AS n, "

@@ -111,3 +111,30 @@ def interval_union_length(
         F.sum("_len").cast("bigint").alias("covered_micros"),
         F.count(F.lit(1)).cast("bigint").alias("n_islands"),
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order transition matrix over per-key event sequences: counts
+    and row-normalized probabilities of (prev_event -> next_event) — the
+    Markov summary behind next-action prediction and anomalous-flow
+    detection. One lag window per key + one hash aggregate; probability
+    is an exact division of two counts (same IEEE double everywhere).
+    Returns (prev_event, next_event, n, p)."""
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
+    w = Window.partitionBy(F.col(key_col)).orderBy(*order)
+    pairs = (
+        df.withColumn("_prev", F.lag(F.col(event_col)).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("prev_event"), F.col(event_col).alias("next_event"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("prev_event")
+    return pairs.withColumn(
+        "p", F.col("n").cast("double") / F.sum("n").over(w_tot).cast("double")
+    )

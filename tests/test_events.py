@@ -77,3 +77,17 @@ def test_cusum_detects_shift_and_peak_remembers(spark):
     )
     r2 = cusum_by_key(df2, "k", "t", "v", target=10.0, slack=2.0).collect()[0]
     assert r2.cusum == 0.0 and r2.peak == 0.0
+
+
+def test_event_transitions_matrix(spark):
+    from sycamore_spark.operators.events import event_transitions
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),   # a->b, b->a
+        (2, 1, "a"), (2, 2, "b"),                # a->b
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {(r.prev_event, r.next_event): (r.n, r.p) for r in event_transitions(df, ts_col="ts").collect()}
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 2  # no cross-user pair (user 1's 'a' never pairs with user 2's)
