@@ -90,6 +90,12 @@ HEADLINE = [
     "quantile_bucket",
     "pattern_counts",
     "validate",
+    "funnel",
+    "cohort",
+    "interval_union",
+    "asof_forward",
+    "cusum",
+    "transitions",
 ]
 
 
