@@ -230,6 +230,27 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_paths(spark, sf) -> DataFrame:
+    """Frequent 3-step event paths (operators/events.py frequent_paths):
+    lag-window trigrams per user -> global counts, top-20 with
+    deterministic tie-break."""
+    from sycamore_spark.operators.events import frequent_paths
+
+    ev = _ds(spark, sf, "events").to_df()
+    return frequent_paths(ev, 3, tiebreak_col="event_id", top_k=20)
+
+
+def q_zscore(spark, sf) -> DataFrame:
+    """Z-score outlier flags (operators/monitor.py zscore_outliers):
+    per-type standardized event values from exact decimal stats, z in
+    integer micros so the 3-sigma boundary is engine-exact."""
+    from sycamore_spark.operators.monitor import zscore_outliers
+
+    ev = _ds(spark, sf, "events").to_df().select("event_id", "event_type", "value")
+    out = zscore_outliers(ev, "value", ["event_type"], threshold=2.5)
+    return out.select("event_id", "event_type", "z_micros", "is_outlier")
+
+
 def q_transitions(spark, sf) -> DataFrame:
     """First-order event-transition matrix (operators/events.py
     event_transitions): per-user lag pairs -> (prev, next) counts and
@@ -3281,6 +3302,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_forward": q_asof_forward,
     "cusum": q_cusum,
     "transitions": q_transitions,
+    "paths": q_paths,
+    "zscore": q_zscore,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3861,6 +3884,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
             "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
             "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
+        ),
+        "paths": (
+            "WITH t AS (SELECT event_type AS s2, "
+            "lag(event_type, 1) OVER w AS s1, lag(event_type, 2) OVER w AS s0 "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "c AS (SELECT s0 AS step_0, s1 AS step_1, s2 AS step_2, count(*)::BIGINT AS n "
+            "FROM t WHERE s0 IS NOT NULL AND s1 IS NOT NULL GROUP BY 1, 2, 3), "
+            "r AS (SELECT *, row_number() OVER (ORDER BY n DESC, step_0, step_1, step_2) AS rk FROM c) "
+            "SELECT step_0, step_1, step_2, n FROM r WHERE rk <= 20"
+        ),
+        "zscore": (
+            "WITH s AS (SELECT event_type, count(*)::BIGINT AS n, "
+            "CAST(sum(value::DECIMAL(18,3)) AS DECIMAL(28,3)) AS sm, "
+            "CAST(sum(CAST(value::DECIMAL(18,3) * value::DECIMAL(18,3) AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sq "
+            "FROM events GROUP BY 1) "
+            "SELECT event_id, e.event_type, "
+            "CAST(floor((value - sm::DOUBLE / n::DOUBLE) / "
+            "sqrt(greatest(sq::DOUBLE / n::DOUBLE - (sm::DOUBLE / n::DOUBLE) * (sm::DOUBLE / n::DOUBLE), 0.0)) "
+            "* 1e6 + 0.5) AS BIGINT) AS z_micros, "
+            "CASE WHEN abs(CAST(floor((value - sm::DOUBLE / n::DOUBLE) / "
+            "sqrt(greatest(sq::DOUBLE / n::DOUBLE - (sm::DOUBLE / n::DOUBLE) * (sm::DOUBLE / n::DOUBLE), 0.0)) "
+            "* 1e6 + 0.5) AS BIGINT)) > 2500000 THEN 1 ELSE 0 END::BIGINT AS is_outlier "
+            "FROM events e JOIN s ON e.event_type = s.event_type"
         ),
         "transitions": (
             "WITH p AS (SELECT event_type, lag(event_type) OVER ("

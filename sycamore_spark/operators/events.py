@@ -138,3 +138,39 @@ def event_transitions(
     return pairs.withColumn(
         "p", F.col("n").cast("double") / F.sum("n").over(w_tot).cast("double")
     )
+
+
+def frequent_paths(
+    df: DataFrame,
+    length: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tiebreak_col: str | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Frequent ordered event paths of ``length`` consecutive steps per
+    key (the flow-mining extension of ``event_transitions``): lag windows
+    build each row's trailing path, one hash aggregate counts them.
+    Returns (step_0..step_{n-1}, n), optionally only the global top_k
+    (ties broken by path order for determinism)."""
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
+    w = Window.partitionBy(F.col(key_col)).orderBy(*order)
+    cols = {f"step_{length - 1}": F.col(event_col)}
+    for i in range(1, length):
+        cols[f"step_{length - 1 - i}"] = F.lag(F.col(event_col), i).over(w)
+    tagged = df.select(*[c.alias(n) for n, c in cols.items()])
+    complete = tagged.dropna(subset=[f"step_{i}" for i in range(length)])
+    out = complete.groupBy(*[f"step_{i}" for i in range(length)]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    if top_k:
+        rank_w = Window.orderBy(
+            F.col("n").desc(), *[F.col(f"step_{i}").asc() for i in range(length)]
+        )
+        out = (
+            out.withColumn("_rk", F.row_number().over(rank_w))
+            .filter(F.col("_rk") <= top_k)
+            .drop("_rk")
+        )
+    return out

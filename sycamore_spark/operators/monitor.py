@@ -97,3 +97,40 @@ def cusum_by_key(
             _fold, schema=f"{key_col} {key_type}, n bigint, {out_col} double, peak double"
         )
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier flagging: mean/stddev derived from exact
+    decimal sums (operators/incremental.py discipline), the z statistic
+    quantized to integer micros so the flag boundary is bit-identical on
+    any engine. Returns the input plus (z_micros, is_outlier). One
+    stats aggregate broadcast back; the data is not reshuffled."""
+    from pyspark.sql import functions as F
+
+    gcols = group_cols or []
+    v = F.col(value_col).cast("decimal(18,3)")
+    stats = df.groupBy(*[F.col(c) for c in gcols]).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v).cast("decimal(28,3)").alias("_sum"),
+        F.sum((v * v).cast("decimal(30,6)")).cast("decimal(38,6)").alias("_sq"),
+    )
+    j = df.join(F.broadcast(stats), gcols) if gcols else df.crossJoin(F.broadcast(stats))
+    n = F.col("_n").cast("double")
+    mean = F.col("_sum").cast("double") / n
+    var = F.col("_sq").cast("double") / n - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col(value_col).cast("double") - mean) / sd
+    z_micros = F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        j.withColumn("z_micros", z_micros)
+        .withColumn(
+            "is_outlier",
+            (F.abs(F.col("z_micros")) > F.lit(int(threshold * 1e6))).cast("bigint"),
+        )
+        .drop("_n", "_sum", "_sq")
+    )

@@ -91,3 +91,27 @@ def test_event_transitions_matrix(spark):
     assert got[("a", "b")] == (2, 1.0)
     assert got[("b", "a")] == (1, 1.0)
     assert len(got) == 2  # no cross-user pair (user 1's 'a' never pairs with user 2's)
+
+
+def test_frequent_paths_trigrams(spark):
+    from sycamore_spark.operators.events import frequent_paths
+
+    rows = [(1, i, e) for i, e in enumerate("abcabc")] + [(2, i, e) for i, e in enumerate("abc")]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {(r.step_0, r.step_1, r.step_2): r.n for r in frequent_paths(df, 3).collect()}
+    assert got[("a", "b", "c")] == 3  # twice in user 1, once in user 2
+    assert got[("b", "c", "a")] == 1 and got[("c", "a", "b")] == 1
+    top1 = frequent_paths(df, 3, top_k=1).collect()
+    assert len(top1) == 1 and (top1[0].step_0, top1[0].n) == ("a", 3)
+
+
+def test_zscore_outliers_flags_extremes(spark):
+    from sycamore_spark.operators.monitor import zscore_outliers
+
+    vals = [10.0] * 50 + [1000.0]
+    df = spark.createDataFrame([(i, "g", v) for i, v in enumerate(vals)], "id long, g string, v double")
+    out = zscore_outliers(df, "v", ["g"], threshold=3.0).collect()
+    flagged = [r.id for r in out if r.is_outlier == 1]
+    assert flagged == [50]
+    # z of the constant bulk is negative and small; sum of z ~ 0
+    assert abs(sum(r.z_micros for r in out)) < len(vals)
