@@ -96,6 +96,8 @@ HEADLINE = [
     "asof_forward",
     "cusum",
     "transitions",
+    "paths",
+    "zscore",
 ]
 
 
