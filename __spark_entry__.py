@@ -230,6 +230,17 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_mad(spark, sf) -> DataFrame:
+    """Robust MAD outlier flags (operators/monitor.py mad_outliers): the
+    median/MAD twin of zscore — exact percentiles both engines, score in
+    integer micros."""
+    from sycamore_spark.operators.monitor import mad_outliers
+
+    ev = _ds(spark, sf, "events").to_df().select("event_id", "event_type", "value")
+    out = mad_outliers(ev, "value", ["event_type"], threshold=3.0)
+    return out.select("event_id", "event_type", "mad_micros", "is_outlier")
+
+
 def q_paths(spark, sf) -> DataFrame:
     """Frequent 3-step event paths (operators/events.py frequent_paths):
     lag-window trigrams per user -> global counts, top-20 with
@@ -3304,6 +3315,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transitions": q_transitions,
     "paths": q_paths,
     "zscore": q_zscore,
+    "mad": q_mad,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3884,6 +3896,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
             "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
             "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
+        ),
+        "mad": (
+            "WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1), "
+            "d AS (SELECT e.event_id, e.event_type, e.value, m.med, "
+            "abs(e.value - m.med) AS dev FROM events e JOIN m ON e.event_type = m.event_type), "
+            "md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1) "
+            "SELECT d.event_id, d.event_type, "
+            "CASE WHEN md.mad = 0.0 THEN NULL "
+            "ELSE CAST(floor((d.value - d.med) / md.mad * 1e6 + 0.5) AS BIGINT) END AS mad_micros, "
+            "CASE WHEN md.mad = 0.0 THEN (d.value <> d.med)::BIGINT "
+            "ELSE (abs(CAST(floor((d.value - d.med) / md.mad * 1e6 + 0.5) AS BIGINT)) > 3000000)::BIGINT END AS is_outlier "
+            "FROM d JOIN md ON d.event_type = md.event_type"
         ),
         "paths": (
             "WITH t AS (SELECT event_type AS s2, "

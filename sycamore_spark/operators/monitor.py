@@ -134,3 +134,49 @@ def zscore_outliers(
         )
         .drop("_n", "_sum", "_sq")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier flags via the median absolute deviation — the
+    detector to use when the contamination itself corrupts mean/stddev
+    (zscore_outliers' known failure mode): score = (v - median) / MAD,
+    flagged when |score| exceeds ``threshold`` (3.5 is the classic
+    Iglewicz-Hoaglin cut for 0.6745-scaled scores; this uses the raw
+    MAD denominator so pick the threshold accordingly).
+
+    Two exact-percentile aggregates (median, then median of absolute
+    deviations — Spark percentile == DuckDB quantile_cont bit-for-bit)
+    broadcast back; scores quantize to integer micros so the boundary is
+    engine-exact. Zero-MAD groups (constant bulk) flag any deviation.
+    Returns the input plus (mad_micros, is_outlier)."""
+    from pyspark.sql import functions as F
+
+    gcols = group_cols or []
+    med = df.groupBy(*[F.col(c) for c in gcols]).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("_med")
+    )
+    j1 = df.join(F.broadcast(med), gcols) if gcols else df.crossJoin(F.broadcast(med))
+    dev = F.abs(F.col(value_col).cast("double") - F.col("_med"))
+    mad = j1.groupBy(*[F.col(c) for c in gcols]).agg(
+        F.percentile(dev, F.lit(0.5)).alias("_mad")
+    )
+    j2 = j1.join(F.broadcast(mad), gcols) if gcols else j1.crossJoin(F.broadcast(mad))
+    score = (F.col(value_col).cast("double") - F.col("_med")) / F.col("_mad")
+    score_micros = F.floor(score * F.lit(1e6) + F.lit(0.5)).cast("long")
+    zero_mad = F.col("_mad") == F.lit(0.0)
+    deviates = F.col(value_col).cast("double") != F.col("_med")
+    return (
+        j2.withColumn("mad_micros", F.when(zero_mad, F.lit(None)).otherwise(score_micros))
+        .withColumn(
+            "is_outlier",
+            F.when(zero_mad, deviates.cast("bigint")).otherwise(
+                (F.abs(F.col("mad_micros")) > F.lit(int(threshold * 1e6))).cast("bigint")
+            ),
+        )
+        .drop("_med", "_mad")
+    )

@@ -115,3 +115,26 @@ def test_zscore_outliers_flags_extremes(spark):
     assert flagged == [50]
     # z of the constant bulk is negative and small; sum of z ~ 0
     assert abs(sum(r.z_micros for r in out)) < len(vals)
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    from sycamore_spark.operators.monitor import mad_outliers, zscore_outliers
+
+    # 10% contamination at 1000x: MAD still flags all 5; the classic
+    # masking failure makes plain z-score miss some at the same sigma cut
+    vals = [float(10 + (i % 3)) for i in range(45)] + [10000.0] * 5
+    df = spark.createDataFrame([(i, "g", v) for i, v in enumerate(vals)], "id long, g string, v double")
+    m = mad_outliers(df, "v", ["g"], threshold=3.0).collect()
+    assert sorted(r.id for r in m if r.is_outlier == 1) == [45, 46, 47, 48, 49]
+    assert all(r.is_outlier == 0 for r in m if r.id < 45)
+
+
+def test_mad_zero_mad_group(spark):
+    from sycamore_spark.operators.monitor import mad_outliers
+
+    df = spark.createDataFrame(
+        [(i, "g", 7.0) for i in range(20)] + [(99, "g", 8.0)], "id long, g string, v double"
+    )
+    out = {r.id: r for r in mad_outliers(df, "v", ["g"]).collect()}
+    assert out[99].is_outlier == 1 and out[99].mad_micros is None
+    assert out[0].is_outlier == 0
