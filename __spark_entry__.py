@@ -230,6 +230,39 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_fuzzy_join(spark, sf) -> DataFrame:
+    """Blocked edit-distance join (operators/joins.py fuzzy_join): part
+    names with their 3rd character dropped resolved back to the catalog
+    at distance <= 1 — length-band blocking (complete for the distance
+    bound) + exact levenshtein verify; no all-pairs join."""
+    from sycamore_spark.operators.joins import fuzzy_join
+
+    names = _ds(spark, sf, "part").to_df().select("p_name").distinct()
+    probes = names.select(
+        F.concat(
+            F.substring(F.col("p_name"), 1, 2), F.substring(F.col("p_name"), 4, 1000)
+        ).alias("probe")
+    ).distinct()
+    out = fuzzy_join(probes, names, "probe", "p_name", max_distance=1)
+    return out.select(
+        "probe",
+        "p_name",
+        F.levenshtein(F.col("probe"), F.col("p_name")).cast("bigint").alias("dist"),
+    ).distinct()
+
+
+def q_rolling_median(spark, sf) -> DataFrame:
+    """Trailing rolling median (operators/timeseries.py
+    rolling_quantile): exact windowed percentile over the last 10 events
+    per type — identical interpolation to quantile_cont, replayed in the
+    same ROWS frame."""
+    from sycamore_spark.operators.timeseries import rolling_quantile
+
+    ev = _ds(spark, sf, "events").to_df().select("event_id", "event_type", "value")
+    out = rolling_quantile(ev, "event_type", "event_id", "value", 0.5, 10)
+    return out.select("event_id", "event_type", "rolling_q5")
+
+
 def q_mad(spark, sf) -> DataFrame:
     """Robust MAD outlier flags (operators/monitor.py mad_outliers): the
     median/MAD twin of zscore — exact percentiles both engines, score in
@@ -3316,6 +3349,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paths": q_paths,
     "zscore": q_zscore,
     "mad": q_mad,
+    "rolling_median": q_rolling_median,
+    "fuzzy_join": q_fuzzy_join,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3896,6 +3931,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
             "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
             "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
+        ),
+        "fuzzy_join": (
+            "WITH names AS (SELECT DISTINCT p_name FROM part), "
+            "probes AS (SELECT DISTINCT substr(p_name, 1, 2) || substr(p_name, 4) AS probe FROM names) "
+            "SELECT DISTINCT probe, p_name, levenshtein(probe, p_name)::BIGINT AS dist "
+            "FROM probes JOIN names ON abs(length(probe) - length(p_name)) <= 1 "
+            "AND levenshtein(probe, p_name) <= 1"
+        ),
+        "rolling_median": (
+            "SELECT event_id, event_type, quantile_cont(value, 0.5) OVER ("
+            "PARTITION BY event_type ORDER BY event_id "
+            "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS rolling_q5 FROM events"
         ),
         "mad": (
             "WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1), "

@@ -73,3 +73,28 @@ def resample_fill(
         F.col("_v").alias(value_col),
         F.last("_v", ignorenulls=True).over(w_fill).alias("filled"),
     )
+
+
+def rolling_quantile(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    q: float = 0.5,
+    window_rows: int = 10,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Trailing exact quantile over the last ``window_rows`` rows per key
+    (rolling median by default) — the robust smoother for monitoring
+    feeds, as a native windowed ``percentile`` (identical linear
+    interpolation to ANSI ``quantile_cont``, so rolling values replay
+    bit-for-bit). One window shuffle on the key; the frame is row-bounded
+    so state per row is O(window)."""
+    w = (
+        Window.partitionBy(F.col(key_col)).orderBy(F.col(order_col).asc())
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    return df.withColumn(
+        out_col or f"rolling_q{str(q).replace('0.', '')}",
+        F.percentile(F.col(value_col), F.lit(q)).over(w),
+    )

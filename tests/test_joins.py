@@ -164,3 +164,34 @@ def test_asof_join_nearest_rejects_strict(spark):
     df = spark.createDataFrame([(1, 1)], "k long, ts long")
     with pytest.raises(ValueError):
         asof_join(df, df, "k", direction="nearest", strict=True)
+
+
+def test_fuzzy_join_complete_within_distance(spark):
+    from pyspark.sql import functions as F
+    from sycamore_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [("kitten",), ("chair",), ("zzzz",)], "a string"
+    )
+    right = spark.createDataFrame(
+        [("sitting",), ("mitten",), ("chairs",), ("hair",), ("table",)], "b string"
+    )
+    got = {(r.a, r.b) for r in fuzzy_join(left, right, "a", "b", max_distance=2).collect()}
+    # brute-force reference: the blocked join must equal the cross join
+    brute = left.crossJoin(right).filter(F.levenshtein("a", "b") <= 2)
+    want = {(r.a, r.b) for r in brute.collect()}
+    assert got == want and ("kitten", "mitten") in got and ("chair", "chairs") in got
+    semi = fuzzy_join(left, right, "a", "b", max_distance=2, how="left_semi").collect()
+    assert sorted(r.a for r in semi) == ["chair", "kitten"]
+
+
+def test_rolling_quantile_window(spark):
+    from sycamore_spark.operators.timeseries import rolling_quantile
+
+    df = spark.createDataFrame(
+        [("k", i, float(i)) for i in range(1, 8)], "k string, t long, v double"
+    )
+    out = {r.t: r.rolling_q5 for r in rolling_quantile(df, "k", "t", "v", 0.5, 3).collect()}
+    assert out[1] == 1.0      # window [1]
+    assert out[2] == 1.5      # [1,2] interpolated
+    assert out[7] == 6.0      # [5,6,7]
