@@ -98,6 +98,9 @@ HEADLINE = [
     "transitions",
     "paths",
     "zscore",
+    "mad",
+    "rolling_median",
+    "fuzzy_join",
 ]
 
 
