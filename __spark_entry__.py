@@ -230,6 +230,16 @@ def q_incremental_stats(spark, sf) -> DataFrame:
     )
 
 
+def q_script_ratios(spark, sf) -> DataFrame:
+    """Character-script composition (operators/textstats.py
+    script_ratios): latin/CJK/digit/whitespace fractions per doc — the
+    script-mix quality signal, exercised over the multilingual corpus
+    (incl. zh docs). Unicode-class regexp counts, exact divisions."""
+    from sycamore_spark.operators.textstats import script_ratios
+
+    return script_ratios(_ds(spark, sf, "documents").to_df())
+
+
 def q_fuzzy_join(spark, sf) -> DataFrame:
     """Blocked edit-distance join (operators/joins.py fuzzy_join): part
     names with their 3rd character dropped resolved back to the catalog
@@ -3351,6 +3361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad": q_mad,
     "rolling_median": q_rolling_median,
     "fuzzy_join": q_fuzzy_join,
+    "script_ratios": q_script_ratios,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -3931,6 +3942,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n, sum_chars, mn AS min_chars, mx AS max_chars, "
             "floor(mean * 1e6 + 0.5) / 1e6 AS mean_chars, "
             "floor(sd * 1e6 + 0.5) / 1e6 AS stddev_chars FROM f"
+        ),
+        "script_ratios": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+            "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            "len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text)::DOUBLE END AS latin_frac, "
+            "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))::DOUBLE / length(text)::DOUBLE END AS cjk_frac, "
+            "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            "len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)::DOUBLE END AS digit_frac, "
+            "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            "len(regexp_extract_all(text, '\\s'))::DOUBLE / length(text)::DOUBLE END AS space_frac "
+            "FROM documents"
         ),
         "fuzzy_join": (
             "WITH names AS (SELECT DISTINCT p_name FROM part), "

@@ -486,3 +486,29 @@ def pattern_counts(
         F.col(id_col),
         *[F.regexp_count(c, F.lit(p)).cast("bigint").alias(name) for name, p in pats.items()],
     )
+
+
+def script_ratios(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-script composition: fractions of Latin
+    letters, CJK ideographs, digits, and whitespace — the script-mix
+    signal behind mixed-language splitting, mojibake detection, and
+    code-vs-prose routing. Unicode-class regexp counts are a single
+    codegen'd projection; fractions are exact integer-over-integer IEEE
+    divisions, identical on any engine with the same character classes.
+    Returns (id, n_chars, latin_frac, cjk_frac, digit_frac, space_frac).
+    """
+    c = F.col(text_col)
+    n = F.length(c)
+    frac = lambda pat: F.when(  # noqa: E731
+        n == 0, F.lit(0.0)
+    ).otherwise(F.regexp_count(c, F.lit(pat)).cast("double") / n.cast("double"))
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars"),
+        frac(r"[A-Za-z]").alias("latin_frac"),
+        frac(r"[\x{4e00}-\x{9fff}]").alias("cjk_frac"),
+        frac(r"[0-9]").alias("digit_frac"),
+        frac(r"\s").alias("space_frac"),
+    )

@@ -317,3 +317,18 @@ def test_pattern_counts(spark):
     assert (got[1].emails, got[1].urls, got[1].ips) == (2, 1, 1)
     assert (got[2].emails, got[2].urls, got[2].ips, got[2].phones) == (0, 0, 0, 0)
     assert got[3].emails is None  # null text propagates, not a crash
+
+
+def test_script_ratios(spark):
+    from sycamore_spark.operators.textstats import script_ratios
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "世界世界"), (3, "12 34"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in script_ratios(df).collect()}
+    assert got[1].latin_frac == 1.0 and got[1].cjk_frac == 0.0
+    assert got[2].cjk_frac == 1.0
+    assert got[3].digit_frac == 0.8 and got[3].space_frac == 0.2
+    assert got[4].latin_frac == 0.0 and got[4].n_chars == 0
+    assert got[5].n_chars is None  # null text propagates
