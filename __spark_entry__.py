@@ -3309,11 +3309,62 @@ def q_pack_shards(spark, sf) -> DataFrame:
 # row within r4/r5), then the queries whose code changed this round, then
 # the r3-green remainder.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- red in r3, fixed this round --
+    # -- never driver-checked (r4 dict positions 50-85): first 36 slots --
+    "script_ratios": q_script_ratios,
+    "dedup_cc": q_dedup_cc,
+    "semantic_dedup": q_semantic_dedup,
+    "incremental_dedup": q_incremental_dedup,
+    "window_analytics": q_window_analytics,
+    "pivot": q_pivot,
+    "unpivot": q_unpivot,
+    "key_skew": q_key_skew,
+    "weighted_sample": q_weighted_sample,
+    "split_groups": q_split_groups,
+    "tfidf": q_tfidf,
+    "stream_join": q_stream_join,
+    "corpus_diff": q_corpus_diff,
+    "stream_incdedup": q_stream_incdedup,
+    "retrieval_metrics": q_retrieval_metrics,
+    "compact": q_compact,
+    "bucketed_join": q_bucketed_join,
+    "attribution": q_attribution,
+    "mixture_plan": q_mixture_plan,
+    "ewma": q_ewma,
+    "xycut": q_xycut,
+    "lm_score": q_lm_score,
+    "data_card": q_data_card,
+    "pipeline_e2e": q_pipeline_e2e,
+    "rag_context": q_rag_context,
+    "embed": q_embed,
+    "reduce_summary": q_reduce_summary,
+    "llm_query": q_llm_query,
+    "duckdb_roundtrip": q_duckdb_roundtrip,
+    "binary_scan": q_binary_scan,
+    "table_props": q_table_props,
+    "summarize_images": q_summarize_images,
+    "query_dataflow": q_query_dataflow,
+    "stream_window": q_stream_window,
+    "token_count": q_token_count,
+    "bm25": q_bm25,
+    # -- stalest driver greens (last green r1/r2): slots 37-50 --
+    "sort_limit": q_sort_limit,
+    "field_in": q_field_in,
+    "unroll": q_unroll,
+    "union": q_union,
+    "set_ops": q_set_ops,
+    "term_frequency": q_term_frequency,
+    "groupby_collect": q_groupby_collect,
+    "window_rank": q_window_rank,
+    "time_bucket": q_time_bucket,
+    "json_extract": q_json_extract,
+    "agg_stats": q_agg_stats,
+    "rollup": q_rollup,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    # -- driver-green r3/r4 or remaining stale (rotate in r6) --
     "custom_agg": q_custom_agg,
     "tpch_q18": q_tpch_q18,
     "kmeans": q_kmeans,
-    # -- new in r4, never driver-checked --
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q12": q_tpch_q12,
@@ -3361,57 +3412,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad": q_mad,
     "rolling_median": q_rolling_median,
     "fuzzy_join": q_fuzzy_join,
-    "script_ratios": q_script_ratios,
-    "dedup_cc": q_dedup_cc,
-    "semantic_dedup": q_semantic_dedup,
-    "incremental_dedup": q_incremental_dedup,
-    "window_analytics": q_window_analytics,
-    "pivot": q_pivot,
-    "unpivot": q_unpivot,
-    "key_skew": q_key_skew,
-    "weighted_sample": q_weighted_sample,
-    "split_groups": q_split_groups,
-    "tfidf": q_tfidf,
-    "stream_join": q_stream_join,
-    "corpus_diff": q_corpus_diff,
-    "stream_incdedup": q_stream_incdedup,
-    "retrieval_metrics": q_retrieval_metrics,
-    "compact": q_compact,
-    "bucketed_join": q_bucketed_join,
-    "attribution": q_attribution,
-    "mixture_plan": q_mixture_plan,
-    "ewma": q_ewma,
-    "xycut": q_xycut,
-    "lm_score": q_lm_score,
-    "data_card": q_data_card,
-    "pipeline_e2e": q_pipeline_e2e,
-    "rag_context": q_rag_context,
-    "embed": q_embed,
-    "reduce_summary": q_reduce_summary,
-    "llm_query": q_llm_query,
-    "duckdb_roundtrip": q_duckdb_roundtrip,
-    "binary_scan": q_binary_scan,
-    "table_props": q_table_props,
-    "summarize_images": q_summarize_images,
-    "query_dataflow": q_query_dataflow,
-    "stream_window": q_stream_window,
-    "token_count": q_token_count,
-    "bm25": q_bm25,
-    # -- last driver-checked in r2 --
-    "sort_limit": q_sort_limit,
-    "field_in": q_field_in,
-    "unroll": q_unroll,
-    "union": q_union,
-    "set_ops": q_set_ops,
-    "term_frequency": q_term_frequency,
-    "groupby_collect": q_groupby_collect,
-    "window_rank": q_window_rank,
-    "time_bucket": q_time_bucket,
-    "json_extract": q_json_extract,
-    "agg_stats": q_agg_stats,
-    "rollup": q_rollup,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "tpch_q4": q_tpch_q4,
     "tpch_q6": q_tpch_q6,
@@ -3438,16 +3438,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
-    # -- new in r4 --
-    # -- code touched in r4 (broadcast-hint drop, null-safe line dedup,
-    # quantile quoting, stratified map-join, wire plainify) --
     "dup_windows": q_dup_windows,
     "line_dedup": q_line_dedup,
     "quantile_stats": q_quantile_stats,
     "quantile_filter": q_quantile_filter,
     "stratified_sample": q_stratified_sample,
     "wire_roundtrip": q_wire_roundtrip,
-    # -- green in r3, unchanged --
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "quality": q_quality,
