@@ -62,6 +62,7 @@ HEADLINE = [
     "window_analytics",
     "lm_score",
     "pipeline_e2e",
+    "rag_context",
     # round-4 session-2 additions: full TPC-H, sketches, training-order ops
     "tpch_q2",
     "tpch_q9",

@@ -46,7 +46,20 @@ def write_webdataset(
     ``{"text": "txt", "image": "jpg"}``); string columns are UTF-8
     encoded, binary columns written as-is, others JSON-ish via ``str``.
     Returns the manifest DataFrame (shard, path, n_samples, n_bytes) —
-    an action has already materialized the files when it returns."""
+    an action has already materialized the files when it returns.
+
+    FILESYSTEM CONTRACT: writer tasks open ``out_dir`` with plain OS
+    paths, so ``out_dir`` must be a path every executor can reach — local
+    mode, or a shared mounted filesystem (NFS/Lustre/FUSE-mounted object
+    store) on a cluster. Raw ``hdfs://``/``s3a://`` URIs are NOT
+    supported here (tarfile needs a seekable local file); for object
+    stores, write to a mounted path or a task-local tmpdir + upload.
+
+    KEY CONTRACT (WebDataset convention): the sample key is everything up
+    to the FIRST dot of a member name, so keys must not contain ``.`` —
+    enforced with a per-shard ValueError (a dotted key would silently
+    split wrong on any conforming reader, including ``read_webdataset``).
+    Multi-part extensions (``seg.png``) are fine."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -56,6 +69,13 @@ def write_webdataset(
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = str(pdf[shard_col].iloc[0])
         path = os.path.join(out_dir, f"shard-{shard}.tar")
+        dotted = pdf[key].astype(str).str.contains(".", regex=False)
+        if dotted.any():
+            bad = pdf.loc[dotted, key].iloc[0]
+            raise ValueError(
+                f"WebDataset sample keys must not contain '.' (key={bad!r}): "
+                "readers split key from extension at the first dot"
+            )
         pdf = pdf.sort_values(key, kind="mergesort")
         n_bytes = 0
         with tarfile.open(path, "w") as tar:
@@ -89,7 +109,12 @@ def write_webdataset(
 def read_webdataset(spark, path_glob: str) -> DataFrame:
     """Read tar shards back into (shard, key, ext, content binary) rows —
     one Arrow stage over a binaryFile scan; each shard unpacks in one
-    task. Pivot by ext downstream to reassemble sample columns."""
+    task. Pivot by ext downstream to reassemble sample columns.
+
+    Member names split key/extension at the FIRST dot (the WebDataset
+    grouping convention), so multi-part extensions like ``seg.png`` group
+    under the same key as their siblings — matching externally produced
+    shards, not just this module's writer."""
     tars = spark.read.format("binaryFile").load(path_glob)
 
     def _unpack(it):
@@ -100,7 +125,7 @@ def read_webdataset(spark, path_glob: str) -> DataFrame:
                     for m in tar.getmembers():
                         if not m.isfile():
                             continue
-                        key, _, ext = m.name.rpartition(".")
+                        key, _, ext = m.name.partition(".")
                         out.append(
                             {
                                 "shard_path": row["path"],

@@ -31,3 +31,30 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def lineage_cut(df: DataFrame, checkpoint_dir: str | None = None, eager: bool = True) -> DataFrame:
+    """Truncate ``df``'s lineage at an iteration boundary.
+
+    Iterative operators (label propagation, PageRank) grow their logical
+    plan every round; without a cut, planning cost grows quadratically and
+    the DAG eventually overflows. Two cuts exist with different durability:
+
+    - ``checkpoint_dir is None`` -> ``localCheckpoint``: blocks are kept in
+      executor storage. Fast (no FS write) but VOLATILE — on a real cluster
+      an executor loss mid-propagation recomputes from a truncated lineage
+      that no longer exists, failing the job. Right for local mode and
+      tests only.
+    - ``checkpoint_dir`` set -> durable ``checkpoint()`` to that directory
+      (HDFS/S3A/local path; ``sparkContext.setCheckpointDir`` is applied
+      idempotently). Survives executor loss — the required mode for long
+      iterative jobs on a multi-executor cluster.
+
+    Results are identical either way; only failure-recovery behavior
+    differs (unit-tested both paths in ``tests/test_checkpointing.py``).
+    """
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

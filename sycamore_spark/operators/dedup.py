@@ -508,6 +508,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of the similarity graph: the stage that turns
     near-dup PAIRS (minhash/simhash/jaccard output) into duplicate CLUSTERS.
@@ -521,24 +522,27 @@ def connected_components(
     most others), so the diameter is small — propagation converges in a
     handful of rounds where a generic web-graph would want the
     O(log n)-round large-star/small-star alternation. Lineage is truncated
-    with an eager localCheckpoint per round (swap for
-    ``sparkContext.setCheckpointDir`` + ``checkpoint()`` on a real cluster
-    where executor loss must not lose the propagation state).
+    per round via ``lineage_cut``: pass ``checkpoint_dir`` (HDFS/S3A path)
+    on a real cluster for a durable ``checkpoint()`` that survives executor
+    loss; the default ``localCheckpoint`` is faster but executor-volatile
+    (local mode / tests). Both paths return identical results.
 
     Convergence is detected distributively (an any-change semi-check per
     round, no label collection on the driver); node ids may be any
     orderable type — strings compare lexicographically.
     """
+    from sycamore_spark.functions.partitioning import lineage_cut
+
     # materialize the edge set ONCE before symmetrizing — the union reads
     # it twice, and recomputing an expensive pair-generation lineage per
     # branch doubles the dominant cost of a dedup pipeline
-    edges = edges.localCheckpoint(eager=True)
+    edges = lineage_cut(edges, checkpoint_dir)
     sym = (
         edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         .union(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
         .distinct()
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = lineage_cut(sym, checkpoint_dir)
     comp = sym.groupBy("n").agg(F.min("m").alias("c")).select(
         "n", F.least(F.col("n"), F.col("c")).alias("c")
     )
@@ -546,11 +550,9 @@ def connected_components(
     for _ in range(max_iterations):
         # neighbor labels: node n hears component c(m) from each neighbor m
         msgs = sym.join(comp.withColumnRenamed("n", "m"), "m").select("n", "c")
-        new = (
-            comp.union(msgs)
-            .groupBy("n")
-            .agg(F.min("c").alias("c"))
-            .localCheckpoint(eager=True)
+        new = lineage_cut(
+            comp.union(msgs).groupBy("n").agg(F.min("c").alias("c")),
+            checkpoint_dir,
         )
         changed = (
             new.join(comp.withColumnRenamed("c", "_old"), "n")
@@ -570,6 +572,7 @@ def canonical_docs(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The dedup pipeline's final stage: given near-dup pairs, tag every
     document with its duplicate-cluster id and whether it is the cluster's
@@ -582,7 +585,7 @@ def canonical_docs(
     then one join back onto the full table — the corpus itself never enters
     the iterative propagation.
     """
-    cc = connected_components(pairs, src=src, dst=dst)
+    cc = connected_components(pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir)
     out = df.join(cc, df[id_col] == cc["node"], "left").drop("node")
     comp = F.coalesce(F.col("component"), F.col(id_col))
     return (

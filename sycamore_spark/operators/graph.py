@@ -218,6 +218,7 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 3,
     damping_pct: int = 85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over an edge list — the domain-authority
     signal crawl pipelines use to weight sources (a la Common Crawl's
@@ -233,12 +234,16 @@ def pagerank(
 
     Scale shape: out-degrees and edges are computed once and cached; each
     iteration is one join (edges x current ranks, shuffle on src) + one
-    hash agg on dst + a left join back to the node set, with
-    ``localCheckpoint`` cutting lineage so the plan doesn't grow with
-    iteration count (on a cluster use ``checkpoint`` to an HDFS dir
-    instead). Skewed in-degree (a hub domain) is an AQE skew-join case,
-    not a crash: contributions are pre-summed map-side.
+    hash agg on dst + a left join back to the node set, with ``lineage_cut``
+    truncating the plan so it doesn't grow with iteration count. Pass
+    ``checkpoint_dir`` (HDFS/S3A path) on a real cluster for a durable
+    ``checkpoint()`` that survives executor loss mid-iteration; the default
+    ``localCheckpoint`` is executor-volatile (local mode / tests). Skewed
+    in-degree (a hub domain) is an AQE skew-join case, not a crash:
+    contributions are pre-summed map-side.
     """
+    from sycamore_spark.functions.partitioning import lineage_cut
+
     src, dst = F.col(src_col), F.col(dst_col)
     # hash-partition the cached edge list by source once: the
     # per-iteration rank join and the out-degree aggregate both key on
@@ -275,20 +280,21 @@ def pagerank(
             .groupBy("_dst")
             .agg(F.sum("_c").alias("_s"))
         )
-        ranks = (
+        ranks = lineage_cut(
             nodes.join(contribs, nodes["node"] == contribs["_dst"], "left")
             .select(
                 "node",
                 (F.lit(teleport).cast("long") + F.coalesce(F.col("_s"), F.lit(0))).alias(
                     "rank_micros"
                 ),
-            )
-            # lazy checkpoint: cuts lineage at each iteration boundary
+            ),
+            checkpoint_dir,
+            # lazy cut: truncates lineage at each iteration boundary
             # without a per-iteration job barrier; the single eager
-            # checkpoint below materializes the whole chain in one job
-            .localCheckpoint(eager=False)
+            # cut below materializes the whole chain in one job
+            eager=False,
         )
-    out = ranks.localCheckpoint(eager=True)
+    out = lineage_cut(ranks, checkpoint_dir, eager=True)
     e.unpersist()
     nodes.unpersist()
     return out

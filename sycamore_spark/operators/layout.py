@@ -9,13 +9,14 @@ dimension's span within each output file — the layout trick behind
 Delta/Iceberg ``OPTIMIZE ZORDER BY`` — so multi-predicate scans skip most
 files.
 
-The Morton key here is built from pure integer arithmetic
-(``(x div 2^i) % 2`` terms — no engine-specific bit intrinsics), so the
-identical formula evaluates in Spark and in ANSI SQL for the oracle gate,
-and the key is deterministic for replay. Inputs must be NON-NEGATIVE
-integers already quantized to ``bits`` bits; quantize continuous or skewed
-columns first (``quantile_bucket`` below gives equi-depth buckets, which
-also fixes the classic Z-order failure on skewed value ranges).
+The Morton key here is built from pure integer arithmetic — bit i of a
+column is ``shiftright(x, i) % 2``, which for non-negative BIGINTs equals
+the ANSI ``(x // 2^i) % 2`` the oracle replays in DuckDB, and is exact for
+ALL 63-bit inputs (an earlier float-division formulation silently corrupted
+keys for inputs >= 2^53). Inputs must be NON-NEGATIVE integers already
+quantized to ``bits`` bits; quantize continuous or skewed columns first
+(``quantile_bucket`` below gives equi-depth buckets, which also fixes the
+classic Z-order failure on skewed value ranges).
 
 The cluster step is one ``repartitionByRange`` shuffle on the key plus a
 partition-local sort — exactly what a sort-by-one-column rewrite costs;
@@ -40,7 +41,9 @@ def zorder_key(cols: list[Column | str], bits: int = 8) -> Column:
     for j, c in enumerate(cs):
         cl = c.cast("long")
         for i in range(bits):
-            bit = (cl / F.lit(1 << i)).cast("long") % F.lit(2)
+            # integer bit extraction: exact for any non-negative BIGINT
+            # (float division breaks silently at 2^53)
+            bit = F.shiftright(cl, i) % F.lit(2)
             z = z + bit * F.lit(1 << (i * k + j))
     return z
 

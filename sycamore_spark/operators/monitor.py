@@ -109,7 +109,13 @@ def zscore_outliers(
     decimal sums (operators/incremental.py discipline), the z statistic
     quantized to integer micros so the flag boundary is bit-identical on
     any engine. Returns the input plus (z_micros, is_outlier). One
-    stats aggregate broadcast back; the data is not reshuffled."""
+    stats aggregate broadcast back; the data is not reshuffled.
+
+    Zero-variance groups (sd == 0): every value equals the mean, so no
+    point can be an outlier — z_micros is NULL and is_outlier is 0. The
+    CASE short-circuits the division, so the query is safe under Spark 4's
+    default ANSI mode (an unguarded /0 would fail the whole job with
+    DIVIDE_BY_ZERO; mad_outliers guards its zero-MAD case the same way)."""
     from pyspark.sql import functions as F
 
     gcols = group_cols or []
@@ -124,13 +130,16 @@ def zscore_outliers(
     mean = F.col("_sum").cast("double") / n
     var = F.col("_sq").cast("double") / n - mean * mean
     sd = F.sqrt(F.greatest(var, F.lit(0.0)))
-    z = (F.col(value_col).cast("double") - mean) / sd
+    z = F.when(sd > F.lit(0.0), (F.col(value_col).cast("double") - mean) / sd)
     z_micros = F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long")
     return (
         j.withColumn("z_micros", z_micros)
         .withColumn(
             "is_outlier",
-            (F.abs(F.col("z_micros")) > F.lit(int(threshold * 1e6))).cast("bigint"),
+            F.coalesce(
+                (F.abs(F.col("z_micros")) > F.lit(int(threshold * 1e6))).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
         )
         .drop("_n", "_sum", "_sq")
     )

@@ -47,6 +47,14 @@ def bm25_scores(
     Returns (id_col, bm25_micros bigint): the score in integer micros
     (divide by 1e6 for the float value). N and avgdl are corpus-wide over
     ALL documents; df counts documents containing the term.
+
+    BROADCAST CONTRACT: the ``F.broadcast(dfreq)`` / ``F.broadcast(stats)``
+    hints below are bounded by the QUERY vocabulary (one row per query
+    term, one global stats row) — never by the corpus vocabulary — so they
+    stay kilobytes at any corpus size. Do NOT lift this shape to a
+    corpus-wide term table: ``tfidf_topk_terms`` in this module is the
+    corpus-vocabulary twin and deliberately does NOT broadcast its
+    vocabulary join (AQE upgrades it to broadcast only when it fits).
     """
     toks = df.select(
         F.col(id_col).alias("_id"),

@@ -33,10 +33,19 @@ def brute_force_topk(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     metric: str = "cosine",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query. Returns
     (query_id, neighbor_id, rank, score) — deterministic via (score desc,
     neighbor_id asc) ordering.
+
+    CONTRACT: the query side is collected to the driver and broadcast as a
+    numpy matrix — correct for the serving shape (tens to thousands of
+    queries), NOT for query sets that are themselves corpus-sized. The
+    ``max_queries`` guard (default 100k ≈ 300 MB of float64 at d=384)
+    raises before the collect rather than silently OOMing the driver; for
+    corpus-vs-corpus similarity use the LSH/IVF paths instead
+    (``ivf_topk``, ``dedup.embedding_neardup_lsh``).
 
     Shape: the (small, by contract) query set ships to every corpus
     partition as a numpy matrix; each Arrow batch scores ALL queries with
@@ -60,6 +69,14 @@ def brute_force_topk(
         StructField("rank", IntegerType()),
         StructField("score", DoubleType()),
     ])
+    n_queries = queries.limit(max_queries + 1).count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"brute_force_topk collects the query side to the driver; got "
+            f">{max_queries} query rows (max_queries={max_queries}). Chunk "
+            f"the query set or use ivf_topk / the LSH near-dup path for "
+            f"corpus-sized query sets."
+        )
     q_rows = queries.select(
         F.col(query_id).alias("query_id"), V.as_double(F.col(query_vec)).alias("_qv")
     ).collect()

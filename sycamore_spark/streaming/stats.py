@@ -12,11 +12,12 @@ full-table recompute.
 State handling: the state table is kilobytes (one row per group), so each
 batch reads it, merges, cuts lineage with an eager ``localCheckpoint``
 (the overwrite below deletes the files the plan would otherwise re-read),
-and atomically overwrites. Restart safety comes from the streaming
-checkpoint: a replayed batch re-merges its contribution, so pair this
-with an idempotent upstream (e.g. the self-deduplicating corpus sink in
-streaming/ingest.py) or a batch-id high-water mark for exactly-once
-state. At cluster scale the same pattern targets a transactional table
+and atomically overwrites. Restart safety: the state carries a
+``_hwm_batch`` high-water mark (the last folded batch id); a fold with
+``batch_id <= _hwm_batch`` is a replay — Structured Streaming re-runs a
+batch whose state overwrite committed but whose checkpoint commit didn't
+— and is skipped, making the fold idempotent (exactly-once state) by
+default. At cluster scale the same pattern targets a transactional table
 (Delta/Iceberg MERGE) instead of parquet overwrite.
 """
 
@@ -43,13 +44,27 @@ def maintain_stats_stream(
     and derive mean/stddev via ``finalize_stats``."""
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         spark = batch_df.sparkSession
-        new = corpus_stats(batch_df, group_cols, value_col)
         if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
             old = spark.read.parquet(state_dir)
-            merged = merge_stats(old, new, group_cols)
+            if "_hwm_batch" in old.columns:
+                hwm, hwm_ckpt = old.agg(
+                    F.max("_hwm_batch"), F.max("_hwm_ckpt")
+                ).first()
+                # batch ids are only monotonic WITHIN one checkpoint
+                # lineage — a different checkpoint dir restarts at 0 and
+                # must fold, so the mark is scoped to the checkpoint
+                if hwm is not None and hwm_ckpt == checkpoint_dir and batch_id <= hwm:
+                    return  # replayed batch: contribution already folded
+                old = old.drop("_hwm_batch", "_hwm_ckpt")
+            merged = merge_stats(old, corpus_stats(batch_df, group_cols, value_col), group_cols)
         else:
-            merged = new
+            merged = corpus_stats(batch_df, group_cols, value_col)
+        merged = merged.withColumn("_hwm_batch", F.lit(batch_id).cast("long")).withColumn(
+            "_hwm_ckpt", F.lit(checkpoint_dir)
+        )
         # eager checkpoint: the write below overwrites the very files the
         # merged plan reads, so cut lineage first (state is kilobytes)
         merged.localCheckpoint(eager=True).coalesce(1).write.mode("overwrite").parquet(

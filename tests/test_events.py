@@ -138,3 +138,18 @@ def test_mad_zero_mad_group(spark):
     out = {r.id: r for r in mad_outliers(df, "v", ["g"]).collect()}
     assert out[99].is_outlier == 1 and out[99].mad_micros is None
     assert out[0].is_outlier == 0
+
+
+def test_zscore_constant_group_is_safe_under_ansi(spark):
+    # sd == 0: an unguarded division fails the whole query under Spark 4's
+    # default ANSI mode; the guard defines z_micros NULL / is_outlier 0
+    from sycamore_spark.operators.monitor import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(i, "const", 5.0) for i in range(10)] + [(i, "var", float(i)) for i in range(10)],
+        "id long, g string, v double",
+    )
+    out = zscore_outliers(df, "v", ["g"]).collect()
+    const = [r for r in out if r.g == "const"]
+    assert all(r.z_micros is None and r.is_outlier == 0 for r in const)
+    assert any(r.z_micros is not None for r in out if r.g == "var")

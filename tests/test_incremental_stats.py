@@ -69,7 +69,47 @@ def test_streaming_maintenance_batch_boundary_independent(spark, tmp_path):
             str(tmp_path / f"state{i}"), str(tmp_path / f"ckpt{i}"),
         )
         q.awaitTermination(300)
-        states.append(sorted(map(tuple, spark.read.parquet(str(tmp_path / f"state{i}")).collect())))
+        st = spark.read.parquet(str(tmp_path / f"state{i}")).drop("_hwm_batch", "_hwm_ckpt")
+        states.append(sorted(map(tuple, st.collect())))
     assert states[0] == states[1]
     full = sorted(map(tuple, corpus_stats(docs, ["source"], "n_chars").collect()))
     assert states[0] == full
+
+
+def test_streaming_fold_is_replay_idempotent(spark, tmp_path):
+    # a batch whose state overwrite committed but whose checkpoint commit
+    # did not is re-run on restart; the _hwm_batch mark must make the
+    # re-fold a no-op (exactly-once state). Simulate by re-running the
+    # whole stream against the SAME checkpoint dir (no new data -> no new
+    # batches) and then faking a replay via the same checkpoint lineage.
+    from pyspark.sql import functions as F
+
+    from sycamore_spark.streaming.stats import maintain_stats_stream
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "source string, n_chars long"
+    )
+    df.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    maintain_stats_stream(stream, ["source"], "n_chars", state, ckpt).awaitTermination(120)
+    st1 = {r.source: (r.n, r.sum) for r in spark.read.parquet(state).collect()}
+    hwm1 = spark.read.parquet(state).agg(F.max("_hwm_batch")).first()[0]
+
+    # restart on the same checkpoint: no new files, nothing re-folds
+    stream2 = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    maintain_stats_stream(stream2, ["source"], "n_chars", state, ckpt).awaitTermination(120)
+    st2 = {r.source: (r.n, r.sum) for r in spark.read.parquet(state).collect()}
+    assert st2 == st1
+
+    # a FRESH checkpoint lineage (new data, ids restart at 0) must fold:
+    # the mark is scoped to the checkpoint dir, not globally
+    src3 = str(tmp_path / "src3")
+    spark.createDataFrame([("a", 30)], "source string, n_chars long").write.parquet(src3)
+    stream3 = spark.readStream.schema(df.schema).parquet(src3)
+    maintain_stats_stream(stream3, ["source"], "n_chars", state, str(tmp_path / "ckpt3")).awaitTermination(120)
+    st3 = {r.source: (r.n, r.sum) for r in spark.read.parquet(state).collect()}
+    assert st3["a"][0] == st1["a"][0] + 1
+    assert hwm1 is not None

@@ -61,3 +61,15 @@ def test_quantile_bucket_equi_depth_on_skew(spark):
     out = df.select(quantile_bucket(df, "v", bits=3).alias("bkt"))
     counts = [r.n for r in out.groupBy("bkt").agg(F.count("*").alias("n")).collect()]
     assert len(counts) == 8 and max(counts) == min(counts) == 512
+
+
+def test_zorder_key_exact_above_2_53(spark):
+    # float-division bit extraction silently corrupts keys >= 2^53; the
+    # shiftright formulation must reproduce the exact Python interleave
+    from sycamore_spark.operators.layout import zorder_key
+
+    big = (1 << 60) + 12345  # needs exact integer arithmetic
+    df = spark.createDataFrame([(big,)], ["a"])
+    got = df.select(zorder_key(["a"], bits=63).alias("z")).first()["z"]
+    expect = sum(((big >> i) & 1) << i for i in range(63))
+    assert got == expect == big & ((1 << 63) - 1)

@@ -236,3 +236,36 @@ def test_suggest_schema_returns_value(spark):
     )
     row = DocSet(df).suggest_schema(lambda: MockLLM())
     assert row is not None
+
+
+def test_reliable_materialize_uri_paths_resume(spark, tmp_path):
+    """Pin the Hadoop-FS contract: out_root as a file:// URI (the shape an
+    hdfs:// / s3a:// path takes) must materialize, persist meta, and resume.
+    os.path.exists() returns False for URI strings, so this test fails if
+    the resume protocol ever reverts to driver-local os.path checks."""
+    import os
+
+    df = spark.range(0, 60).selectExpr("cast(id as string) as doc_id", "id as v")
+    out_root = f"file://{tmp_path}/reliable-uri"
+    got = materialize.reliable_materialize(df, out_root, id_col="doc_id", max_batch=20)
+    assert got.count() == 60
+    # meta + batch markers live where the URI points (local disk here)
+    local_root = f"{tmp_path}/reliable-uri"
+    assert os.path.exists(os.path.join(local_root, "_RELIABLE_META.json"))
+    assert not os.path.exists(out_root)  # the URI itself is not an os path
+
+    # delete one batch's _SUCCESS: resume must rewrite ONLY that batch
+    batches = sorted(p for p in os.listdir(local_root) if p.startswith("batch-"))
+    victim = os.path.join(local_root, batches[0], "_SUCCESS")
+    os.remove(victim)
+    got2 = materialize.reliable_materialize(df, out_root, id_col="doc_id", max_batch=20)
+    assert got2.count() == 60
+    assert os.path.exists(victim)  # rewritten through the Hadoop FS path
+
+    # changed input must still be refused through the URI meta read
+    import pytest
+
+    with pytest.raises(ValueError, match="different"):
+        materialize.reliable_materialize(
+            df.limit(10), out_root, id_col="doc_id", max_batch=20
+        )

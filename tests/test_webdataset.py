@@ -54,3 +54,36 @@ def test_null_members_skipped(spark, tmp_path):
     write_webdataset(df, out, {"text": "txt", "image": "jpg"})
     back = read_webdataset(spark, f"{out}/*.tar").collect()
     assert {(int(r.key), r.ext) for r in back} == {(1, "txt"), (2, "jpg")}
+
+
+def test_dotted_keys_rejected_on_write(spark, tmp_path):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from sycamore_spark.data.webdataset import write_webdataset
+
+    docs = spark.createDataFrame(
+        [("0", "a.b", "hello")], ["shard_id", "doc_id", "text"]
+    )
+    with pytest.raises(Exception) as ei:
+        write_webdataset(docs, str(tmp_path / "wds"), {"text": "txt"}).collect()
+    assert "must not contain" in str(ei.value)
+
+
+def test_multipart_extensions_group_by_first_dot(spark, tmp_path):
+    # externally produced shards use multi-part extensions (seg.png):
+    # the WebDataset convention keys on the FIRST dot
+    import io
+    import tarfile
+
+    from sycamore_spark.data.webdataset import read_webdataset
+
+    path = tmp_path / "ext"
+    path.mkdir()
+    with tarfile.open(path / "shard-0.tar", "w") as tar:
+        for name, payload in [("s1.txt", b"t"), ("s1.seg.png", b"p"), ("s2.txt", b"u")]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            tar.addfile(info, io.BytesIO(payload))
+    rows = read_webdataset(spark, f"{path}/*.tar").collect()
+    got = {(r.key, r.ext) for r in rows}
+    assert got == {("s1", "txt"), ("s1", "seg.png"), ("s2", "txt")}
