@@ -63,4 +63,7 @@ def parse_properties_variant(df: DataFrame, col: str = "properties") -> DataFram
     binary encoding instead of re-parsing the JSON string per expression —
     the right trade whenever more than one property is read downstream.
     No-op (with a clear error from parse_json) on non-string input."""
+    from sycamore_spark import compat
+
+    compat.require("variant")
     return df.withColumn(col, F.parse_json(F.col(col)))

@@ -36,6 +36,9 @@ def dedup_stream(
 
     out = events.withColumn(fingerprint_col, T.fingerprint(F.col(text_col)))
     if ts_col is not None:
+        from sycamore_spark import compat
+
+        compat.require("stream_dedup_watermark")
         out = as_event_time(out, ts_col)  # watermark rejects TIMESTAMP_NTZ
         return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             [fingerprint_col]
