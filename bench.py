@@ -102,6 +102,16 @@ HEADLINE = [
     "mad",
     "rolling_median",
     "fuzzy_join",
+    # round-5 additions (containment excluded: exact pair enumeration over
+    # a template-heavy corpus is correctness-tier, like dedup_jaccard)
+    "cdc_snapshot",
+    "scd2",
+    "triangles",
+    "robust_scale",
+    "curriculum",
+    "active_users",
+    "heavy_hitters",
+    "mmr",
 ]
 
 

@@ -748,3 +748,61 @@ def incremental_dedup(
         "left_anti",
     )
     return definite_new.unionByName(verified_new)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    ngram: int = 1,
+) -> DataFrame:
+    """Asymmetric near-dup: directed pairs where token set A is contained
+    in B — ``C(A→B) = |A ∩ B| / |A| >= threshold``. Catches the cases
+    symmetric jaccard structurally misses: a doc pasted inside a larger
+    doc, boilerplate wrapping, quote expansion (|A∩B|/|A∪B| stays low
+    while C(A→B) ≈ 1). Returns (id_a, id_b, containment) with id_a the
+    CONTAINED side, both directions tested.
+
+    Same exact prefix-filter discipline as ``jaccard_similar_pairs``:
+    under a global rarest-first token order, overlap >= t*|A| forces B to
+    hit one of A's first |A| - ceil(t*|A|) + 1 tokens, so only the
+    contained side's short rare-token prefix drives the candidate join
+    (containment has no size-ratio bound — B may be any size — so the
+    prefix is the only, and the important, filter). Candidates are then
+    verified with the true intersection; exact at any partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.array_distinct(T.tokens(F.col(text_col))) if ngram == 1 else F.array_distinct(
+        T.word_shingles(F.col(text_col), k=ngram)
+    )
+    hset = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(F.transform(toks, lambda t: F.xxhash64(t))).alias("_hs"),
+    )
+    posting = hset.select("_id", F.explode("_hs").alias("_tok"))
+    tok_df = posting.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_tok").asc())
+    ranked = posting.join(tok_df, "_tok").withColumn("_r", F.row_number().over(w))
+    sizes = hset.select("_id", F.size("_hs").alias("_n"))
+    t = float(threshold)
+    k = F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1
+    pref = ranked.join(sizes, "_id").filter(F.col("_r") <= k).select("_id", "_tok")
+
+    a, b = pref.alias("a"), posting.alias("b")
+    cand = (
+        a.join(b, (F.col("a._tok") == F.col("b._tok")) & (F.col("a._id") != F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = hset.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_ha"))
+    vb = hset.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hb"))
+    inter = F.size(F.array_intersect(F.col("_ha"), F.col("_hb")))
+    cont = inter / F.size("_ha")
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= t)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )

@@ -174,3 +174,60 @@ def frequent_paths(
             .drop("_rk")
         )
     return out
+
+
+def active_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    windows: tuple[int, ...] = (1, 7, 28),
+) -> DataFrame:
+    """Rolling active-user counts — DAU/WAU/MAU and stickiness, the
+    product-health metrics every event pipeline reports. For each day d
+    and window W, counts DISTINCT users active in [d-W+1, d]. Returns one
+    row per observed day: (day string, au_1, au_7, au_28, ...).
+
+    Exact distinct-over-trailing-window without a window-function distinct
+    (Spark has none): dedup to (user, day) pairs first, then each pair
+    CONTRIBUTES to the W days it keeps the user active for (a sequence
+    explode — fan-out bounded by max(windows), ~28x on kilobyte rows,
+    orders of magnitude below the raw event count the first dedup
+    removed), then one count-distinct per (day, window). Two shuffles
+    total (pair dedup + final agg) regardless of window count; days with
+    no activity are absent by construction (report joins a calendar spine
+    when gaps matter). At extreme user counts swap the exact distinct for
+    the HLL sketch (operators/sketches.py) — states merge across days."""
+    from sycamore_spark.functions.time import epoch_micros
+
+    # integer day number: subtract the remainder first so the double
+    # division is over an exact multiple (bit-exact vs DuckDB's `//`)
+    us = epoch_micros(F.col(ts_col))
+    day = ((us - F.pmod(us, F.lit(86_400_000_000))) / F.lit(86_400_000_000)).cast("long")
+    pairs = events.select(
+        day.alias("_day"), F.col(user_col).alias("_user")
+    ).distinct()
+    observed = pairs.select("_day").distinct()
+    w_max = max(windows)
+    contrib = pairs.select(
+        "_user",
+        F.explode(
+            F.sequence(F.col("_day"), F.col("_day") + F.lit(w_max - 1))
+        ).alias("_d"),
+        F.col("_day").alias("_src_day"),
+    )
+    # keep only observed days (trailing windows of days nobody was active
+    # on aren't rows in the report)
+    contrib = contrib.join(observed.withColumnRenamed("_day", "_d"), "_d")
+    aggs = [
+        F.count_distinct(
+            F.when(F.col("_d") - F.col("_src_day") < F.lit(w), F.col("_user"))
+        ).alias(f"au_{w}")
+        for w in sorted(windows)
+    ]
+    out = contrib.groupBy("_d").agg(*aggs)
+    return out.select(
+        F.date_format(
+            F.timestamp_micros((F.col("_d") * F.lit(86_400_000_000)).cast("long")), "yyyy-MM-dd"
+        ).alias("day"),
+        *[f"au_{w}" for w in sorted(windows)],
+    ).orderBy("day")

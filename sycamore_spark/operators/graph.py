@@ -298,3 +298,32 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Global triangle count of the undirected graph — the standard
+    cohesion/clustering metric for link and citation graphs. Returns one
+    row (n_triangles bigint).
+
+    Shape: canonicalize each undirected edge to (lo, hi) once (dedups
+    reverse duplicates), then the classic two-join enumeration constrained
+    to a < b < c so every triangle is counted exactly once. Both joins are
+    hash equi-joins on a vertex id; degree skew (a hub vertex) is the AQE
+    skew-join case. No driver state; at web scale the standard
+    degree-ordering optimization (orient edges from lower- to higher-
+    degree endpoints) drops the join fan-out further — the a<b<c ordering
+    here is its id-ordered special case."""
+    lo, hi = F.least(F.col(src_col), F.col(dst_col)), F.greatest(F.col(src_col), F.col(dst_col))
+    e = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(lo.alias("a"), hi.alias("b"))
+        .distinct()
+    )
+    e1 = e.alias("e1")
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
+    e3 = e.select(F.col("a").alias("a2"), F.col("b").alias("c2")).alias("e3")
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -184,3 +184,35 @@ def validate_expectations(
         F.col("_r.n_fail").cast("bigint").alias("n_fail"),
     )
     return ex.withColumn("ok", (F.col("n_fail") == 0).cast("bigint"))
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str = "scaled_micros",
+) -> DataFrame:
+    """Median/IQR feature scaling — the normalization that survives the
+    heavy-tailed distributions quality scores and doc lengths actually
+    have (mean/stddev scaling lets one outlier set the scale):
+
+        scaled = (v - median) / (q75 - q25)
+
+    quantized to integer micros. Exact percentiles (Spark ``percentile``
+    == DuckDB ``quantile_cont`` bit-for-bit) computed per group in one
+    aggregate and broadcast back — the data itself is not reshuffled.
+    Zero-IQR groups (constant bulk) yield NULL, same convention as
+    ``monitor.mad_outliers``. At corpus scale swap the exact percentile
+    for the KLL sketch (operators/sketches.py) and bucket by range."""
+    gcols = group_cols or []
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*[F.col(c) for c in gcols]).agg(
+        F.percentile(v, F.lit(0.5)).alias("_med"),
+        (F.percentile(v, F.lit(0.75)) - F.percentile(v, F.lit(0.25))).alias("_iqr"),
+    )
+    j = df.join(F.broadcast(stats), gcols) if gcols else df.crossJoin(F.broadcast(stats))
+    scaled = F.when(
+        F.col("_iqr") > F.lit(0.0),
+        F.floor((v - F.col("_med")) / F.col("_iqr") * F.lit(1e6) + F.lit(0.5)).cast("long"),
+    )
+    return j.withColumn(out_col, scaled).drop("_med", "_iqr")

@@ -286,3 +286,37 @@ def top_per_group(
         ordering.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(F.col(group_col)).orderBy(*ordering)
     return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= n).drop("_rk")
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+    out_col: str = "curriculum_rank",
+) -> DataFrame:
+    """Curriculum training order: rank the corpus easiest-to-hardest by
+    ``score_col`` into ``n_buckets`` difficulty tiers, then interleave —
+    global position p takes the p-th easiest item of tier (p mod
+    n_buckets) — so every training window sees the full difficulty
+    spectrum while overall difficulty still ramps (the anti-pattern is
+    sorting outright: early batches then have zero hard examples and the
+    loss curve cliffs at each tier boundary).
+
+    Deterministic: all ordering is by (score, id), a total order. Shape:
+    two windows (global ntile + per-tier row_number) and one final
+    ordering key — no data movement beyond the sort shuffles a plain
+    ORDER BY would cost. Consume ``out_col`` with
+    ``repartitionByRange(out_col)`` to write shards in curriculum order.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(score_col).asc(), F.col(id_col).asc()]
+    tier = F.ntile(n_buckets).over(Window.orderBy(*order)) - F.lit(1)
+    tagged = df.withColumn("_tier", tier)
+    pos = F.row_number().over(Window.partitionBy("_tier").orderBy(*order)) - F.lit(1)
+    tagged = tagged.withColumn("_pos", pos)
+    rank = F.row_number().over(
+        Window.orderBy(F.col("_pos").asc(), F.col("_tier").asc())
+    )
+    return tagged.withColumn(out_col, rank).drop("_tier", "_pos")

@@ -235,3 +235,79 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 4,
+    lambda_pct: int = 70,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rel_col: str = "rel_micros",
+    vec_col: str = "embedding",
+    quantize_scale: float = 1024.0,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998): greedily pick ``k`` results per query maximizing
+
+        lambda * relevance - (1 - lambda) * max_sim_to_already_selected
+
+    — the standard fix for a RAG context window full of near-identical
+    top hits. Input is one row per (query, candidate) with a relevance
+    score in integer micros and the candidate's embedding; returns
+    (query_col, id_col, mmr_rank, mmr_score) — score in integer
+    lambda-weighted micros at selection time.
+
+    Exactness: embeddings are quantized to integers (so pairwise cosines
+    are identical under any summation order), cosines floor to micros,
+    and the greedy objective is pure BIGINT arithmetic
+    (``lambda_pct*rel - (100-lambda_pct)*penalty``) with ties broken by
+    ascending id — the whole selection replays bit-exactly in SQL.
+
+    Shape: one ``applyInPandas`` group per query. The greedy step is
+    inherently sequential per query but queries are independent, so the
+    stage parallelizes across the query set; per-group cost is one
+    (m x m) Gram matmul + k scans of m candidates. m is the upstream
+    retriever's candidate count (tens to hundreds) by construction —
+    this operator sits AFTER top-m retrieval, never on the raw corpus.
+    """
+    import pandas as pd
+
+    s = float(quantize_scale)
+    lam = int(lambda_pct)
+    qt = candidates.schema[query_col].dataType.simpleString()
+    it = candidates.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_col} {qt}, {id_col} {it}, mmr_rank int, mmr_score long"
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        M = np.floor(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * s + 0.5)
+        G = M @ M.T  # exact integers in float64
+        norms = np.sqrt(np.diag(G))
+        sim = np.floor(G / np.outer(norms, norms) * 1e6 + 0.5).astype(np.int64)
+        rel = pdf[rel_col].to_numpy().astype(np.int64)
+        ids = pdf[id_col].to_numpy()
+        qid = pdf[query_col].iloc[0]
+        selected: list[int] = []
+        avail = list(range(len(ids)))
+        rows = []
+        for step in range(min(k, len(ids))):
+            best_i, best_score = None, None
+            for i in avail:  # ascending id order -> smallest id wins ties
+                pen = max((int(sim[i, j]) for j in selected), default=0)
+                score = lam * int(rel[i]) - (100 - lam) * pen
+                if best_score is None or score > best_score:
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            avail.remove(best_i)
+            rows.append(
+                {query_col: qid, id_col: ids[best_i], "mmr_rank": step + 1,
+                 "mmr_score": best_score}
+            )
+        return pd.DataFrame(rows)
+
+    return (
+        candidates.select(query_col, id_col, rel_col, vec_col)
+        .groupBy(query_col)
+        .applyInPandas(_one, schema=out_schema)
+    )

@@ -136,3 +136,66 @@ def theta_overlap(
             "approx_a_minus_b"
         ),
     )
+
+
+def frequent_tokens(
+    df: DataFrame,
+    text_col: str,
+    k: int = 100,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Exact heavy hitters — every token with global count strictly above
+    ``n/k`` — found WITHOUT shuffling the full token stream. Returns
+    (token, cnt) with exact counts.
+
+    Two-phase Misra-Gries prefilter + exact verify:
+
+    1. each partition runs Misra-Gries with k counters over its own token
+       stream inside one Arrow stage (no shuffle): any token with
+       partition count > n_p/(k+1) survives its partition's summary, so
+       by pigeonhole the UNION of partition candidates contains every
+       token with GLOBAL count > n/k — a superset guarantee that holds
+       for ANY partitioning;
+    2. exact counts for candidates only: the token stream is semi-joined
+       against the (≤ k · n_partitions row) candidate set before the
+       count — the only shuffle carries candidate tokens, not the corpus
+       vocabulary — and the final filter ``cnt * k > n`` uses the exact
+       counts, so the OUTPUT is exact and partitioning-independent even
+       though the intermediate sketch is not.
+
+    This is the 100 TB replacement for ``GROUP BY token ORDER BY count``
+    top-frequency queries whose full-vocabulary shuffle dominates corpus
+    scans. For multiset item columns pass any text; tokens are lowercased
+    whitespace splits (``functions.text.tokens``).
+    """
+    import pandas as pd
+
+    from sycamore_spark.functions import text as T
+
+    toks = df.select(F.explode(T.tokens(F.col(text_col))).alias("token"))
+
+    def _mg(it):
+        state: dict[str, int] = {}
+        for pdf in it:
+            for tok, c in pdf["token"].value_counts().items():
+                if tok in state or len(state) < k:
+                    state[tok] = state.get(tok, 0) + int(c)
+                else:
+                    # batch decrement: remove the largest d that empties
+                    # at least one counter (equivalent to d unit MG steps)
+                    d = min(min(state.values()), int(c))
+                    state = {t: v - d for t, v in state.items() if v > d}
+                    if int(c) > d:
+                        state[tok] = int(c) - d
+        if state:
+            yield pd.DataFrame({"token": list(state.keys())})
+
+    cand = toks.mapInPandas(_mg, schema="token string").distinct()
+    n_total = toks.count()
+    exact = (
+        toks.join(cand, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * F.lit(k) > F.lit(n_total))
+    )
+    return exact.select("token", "cnt")
