@@ -3455,6 +3455,81 @@ def q_mmr(spark, sf) -> DataFrame:
     return mmr_rerank(cand, k=4, lambda_pct=70, quantize_scale=s)
 
 
+
+def q_trend(spark, sf) -> DataFrame:
+    """Per-event-type OLS trend (operators/timeseries.py trend_fit): daily
+    drift of event values, sufficient statistics as exact DECIMAL(38,0)
+    integers, closed-form slope/intercept quantized to micros."""
+    from sycamore_spark.functions.time import epoch_micros
+    from sycamore_spark.operators.timeseries import trend_fit
+
+    ev = _ds(spark, sf, "events").to_df()
+    us = epoch_micros(F.col("ts"))
+    day = ((us - F.pmod(us, F.lit(86_400_000_000))) / F.lit(86_400_000_000)).cast("long")
+    d = ev.select("event_type", (day - F.lit(19000)).alias("x"), "value")
+    return trend_fit(d, "x", "value", ["event_type"])
+
+
+def q_seasonal(spark, sf) -> DataFrame:
+    """Seasonal-naive residuals (operators/timeseries.py
+    seasonal_residuals): hourly event-value means minus the same hour one
+    day earlier, prior season looked up by equi-join (gaps yield NULL,
+    never the wrong season)."""
+    from sycamore_spark.operators.timeseries import seasonal_residuals
+
+    ev = _ds(spark, sf, "events").to_df()
+    return seasonal_residuals(ev, "ts", "value", ["event_type"]).select(
+        "event_type", "bucket", "mean_micros", "resid_micros"
+    )
+
+
+def q_join_size(spark, sf) -> DataFrame:
+    """Exact join-cardinality profile (operators/profiling.py
+    join_size_estimate): |lineitem ⋈ orders| predicted from per-key count
+    tables only — the what-if check before a 100 TB join, with the skew
+    hotspot surfaced as max_key_rows."""
+    from sycamore_spark.operators.profiling import join_size_estimate
+
+    li = _ds(spark, sf, "lineitem").to_df().select(F.col("l_orderkey").alias("k"))
+    o = _ds(spark, sf, "orders").to_df().select(F.col("o_orderkey").alias("k"))
+    return join_size_estimate(li, o, ["k"])
+
+
+def q_oov(spark, sf) -> DataFrame:
+    """Vocabulary coverage (operators/textstats.py vocab_coverage): OOV
+    token fraction of every doc against the src0 sub-corpus vocabulary —
+    the tokenizer-fit check; vocab join deliberately not broadcast."""
+    from sycamore_spark.functions import text as T
+    from sycamore_spark.operators.textstats import vocab_coverage
+
+    docs = _ds(spark, sf, "documents").to_df()
+    vocab = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    )
+    return vocab_coverage(docs, vocab).select("doc_id", "n_tokens", "n_oov", "oov_frac")
+
+
+def q_hll_active_users(spark, sf) -> DataFrame:
+    """Mergeable-sketch trailing active users (operators/sketches.py
+    approx_active_users_hll) gated against the exact twin: per day,
+    booleans asserting each HLL window estimate is within max(3, 5%) of
+    the exact distinct count — the bound-check convention for
+    approximate operators (merged HLL states are not bit-replayable)."""
+    from sycamore_spark.operators.events import active_users
+    from sycamore_spark.operators.sketches import approx_active_users_hll
+
+    ev = _ds(spark, sf, "events").to_df()
+    exact = active_users(ev, "ts", "user_id", windows=(1, 7, 28))
+    approx = approx_active_users_hll(ev, "ts", "user_id", windows=(1, 7, 28))
+    j = exact.join(approx, "day")
+    ok = lambda w: (  # noqa: E731
+        F.abs(F.col(f"approx_au_{w}") - F.col(f"au_{w}"))
+        <= F.greatest(F.lit(3.0), F.lit(0.05) * F.col(f"au_{w}"))
+    ).cast("bigint").alias(f"ok_{w}")
+    return j.select("day", ok(1), ok(7), ok(28))
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -3647,6 +3722,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment": q_containment,
     "heavy_hitters": q_heavy_hitters,
     "mmr": q_mmr,
+    "trend": q_trend,
+    "seasonal": q_seasonal,
+    "join_size": q_join_size,
+    "oov": q_oov,
+    "hll_active_users": q_hll_active_users,
 }
 
 
@@ -5212,6 +5292,52 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT count(*) AS c FROM tok) "
             "SELECT token, count(*)::BIGINT AS cnt FROM tok, n "
             "GROUP BY token, n.c HAVING count(*) * 50 > n.c"
+        ),
+        "trend": (
+            "WITH t AS (SELECT event_type, (epoch_us(ts) // 86400000000 - 19000)::DECIMAL(38,0) AS x, "
+            "floor(value * 1e6 + 0.5)::DECIMAL(38,0) AS ym FROM events), "
+            "s AS (SELECT event_type, count(*)::DECIMAL(38,0) AS n, sum(x)::DECIMAL(38,0) AS sx, "
+            "sum(ym)::DECIMAL(38,0) AS sy, sum((x * ym)::DECIMAL(38,0))::DECIMAL(38,0) AS sxy, "
+            "sum((x * x)::DECIMAL(38,0))::DECIMAL(38,0) AS sxx FROM t GROUP BY 1) "
+            "SELECT event_type, n::BIGINT AS n, "
+            "CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0.0 THEN "
+            "floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / "
+            "(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) + 0.5)::BIGINT END AS slope_micros, "
+            "CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0.0 THEN "
+            "floor((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / "
+            "(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE) / n::DOUBLE + 0.5)::BIGINT "
+            "END AS intercept_micros FROM s"
+        ),
+        "seasonal": (
+            "WITH a AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, "
+            "count(*) AS n, sum(value::DECIMAL(18,3))::DECIMAL(28,3) AS s FROM events GROUP BY 1, 2), "
+            "cur AS (SELECT event_type, bucket, "
+            "floor(s::DOUBLE / n::DOUBLE * 1e6 + 0.5)::BIGINT AS mean_micros FROM a) "
+            "SELECT c.event_type, c.bucket, c.mean_micros, "
+            "c.mean_micros - p.mean_micros AS resid_micros "
+            "FROM cur c LEFT JOIN cur p ON p.event_type = c.event_type AND p.bucket = c.bucket - 24"
+        ),
+        "join_size": (
+            "WITH ca AS (SELECT l_orderkey AS k, count(*)::DECIMAL(38,0) AS c FROM lineitem GROUP BY 1), "
+            "cb AS (SELECT o_orderkey AS k, count(*)::DECIMAL(38,0) AS c FROM orders GROUP BY 1), "
+            "p AS (SELECT (ca.c * cb.c)::DECIMAL(38,0) AS r FROM ca JOIN cb ON ca.k = cb.k) "
+            "SELECT count(*)::BIGINT AS matched_keys, sum(r)::DECIMAL(38,0)::BIGINT AS rows_out, "
+            "max(r)::DECIMAL(38,0)::BIGINT AS max_key_rows FROM p"
+        ),
+        "oov": (
+            "WITH v AS (SELECT DISTINCT unnest(string_split(trim(lower(text)), ' ')) AS tok "
+            "FROM documents WHERE source = 'src0'), "
+            "tk AS (SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok FROM documents), "
+            "j AS (SELECT tk.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS miss "
+            "FROM tk LEFT JOIN v ON tk.tok = v.tok) "
+            "SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(miss)::BIGINT AS n_oov, "
+            "round(sum(miss) / count(*), 6) AS oov_frac FROM j GROUP BY 1"
+        ),
+        "hll_active_users": (
+            "WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events), "
+            "days AS (SELECT DISTINCT d FROM ud) "
+            "SELECT strftime(make_timestamp(days.d * 86400000000), '%Y-%m-%d') AS day, "
+            "1::BIGINT AS ok_1, 1::BIGINT AS ok_7, 1::BIGINT AS ok_28 FROM days"
         ),
         "mmr": _mmr_oracle_sql(),
         "fingerprint": (

@@ -112,6 +112,11 @@ HEADLINE = [
     "active_users",
     "heavy_hitters",
     "mmr",
+    "trend",
+    "seasonal",
+    "join_size",
+    "oov",
+    "hll_active_users",
 ]
 
 

@@ -216,3 +216,31 @@ def robust_scale(
         F.floor((v - F.col("_med")) / F.col("_iqr") * F.lit(1e6) + F.lit(0.5)).cast("long"),
     )
     return j.withColumn(out_col, scaled).drop("_med", "_iqr")
+
+
+def join_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Exact inner-join OUTPUT cardinality without running the join:
+    |A ⋈ B| = Σ_k count_A(k)·count_B(k). Two hash aggregates (each a
+    map-side-combined count of its own table) and one join between the
+    PER-KEY COUNT tables — the shuffle carries one row per distinct key,
+    not the data. The what-if profiler to run before committing a 100 TB
+    join: ``max_key_rows`` is the skew hotspot a salted join would need
+    to handle, and ``rows_out`` vs ``matched_keys`` is the fan-out.
+
+    Returns one row: (matched_keys, rows_out, max_key_rows). Products and
+    sums carried in DECIMAL(38,0) — exact far past BIGINT overflow, which
+    a hot-key square would hit."""
+    ca = a.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_ca"))
+    cb = b.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_cb"))
+    per_key = ca.join(cb, key_cols).select(
+        (F.col("_ca") * F.col("_cb")).cast("decimal(38,0)").alias("_rows")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("matched_keys"),
+        F.sum("_rows").cast("decimal(38,0)").cast("bigint").alias("rows_out"),
+        F.max("_rows").cast("decimal(38,0)").cast("bigint").alias("max_key_rows"),
+    )

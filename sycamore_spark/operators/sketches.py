@@ -199,3 +199,58 @@ def frequent_tokens(
         .filter(F.col("cnt") * F.lit(k) > F.lit(n_total))
     )
     return exact.select("token", "cnt")
+
+
+def approx_active_users_hll(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    windows: tuple[int, ...] = (1, 7, 28),
+    lg_k: int = 12,
+) -> DataFrame:
+    """Trailing-window distinct users from MERGEABLE daily HLL states —
+    the 100 TB twin of ``operators.events.active_users``: the exact
+    version dedups and explodes (user, day) pairs, this one scans the
+    events ONCE into one kilobyte sketch per day and every trailing
+    window is a register-wise union of ≤ W daily states. Day N+1 never
+    rescans history, and the same states roll up to weekly/monthly
+    reports for free.
+
+    Returns (day string, windows' approx counts). Estimates carry HLL
+    error (~1.6% at lg_k=12) — gate with error-bound checks against the
+    exact twin, never estimate equality (merged and direct states are
+    not bit-identical)."""
+    from sycamore_spark.functions.time import epoch_micros
+
+    us = epoch_micros(F.col(ts_col))
+    day = ((us - F.pmod(us, F.lit(86_400_000_000))) / F.lit(86_400_000_000)).cast("long")
+    daily = (
+        events.select(day.alias("_day"), F.col(user_col).alias("_u"))
+        .groupBy("_day")
+        .agg(F.hll_sketch_agg(F.col("_u"), F.lit(lg_k)).alias("_sk"))
+    )
+    spine = daily.select(F.col("_day").alias("_d"))
+    # each day's state contributes to the trailing windows of the next
+    # max(windows) days — a W-bounded explode of kilobyte sketches
+    w_max = max(windows)
+    contrib = daily.select(
+        "_sk",
+        F.col("_day").alias("_src"),
+        F.explode(F.sequence(F.col("_day"), F.col("_day") + F.lit(w_max - 1))).alias("_d"),
+    ).join(spine, "_d")
+    aggs = [
+        F.hll_sketch_estimate(
+            F.hll_union_agg(
+                F.when(F.col("_d") - F.col("_src") < F.lit(w), F.col("_sk")), F.lit(True)
+            )
+        ).alias(f"approx_au_{w}")
+        for w in sorted(windows)
+    ]
+    out = contrib.groupBy("_d").agg(*aggs)
+    return out.select(
+        F.date_format(
+            F.timestamp_micros((F.col("_d") * F.lit(86_400_000_000)).cast("long")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        *[f"approx_au_{w}" for w in sorted(windows)],
+    )

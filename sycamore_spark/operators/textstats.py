@@ -512,3 +512,43 @@ def script_ratios(
         frac(r"[0-9]").alias("digit_frac"),
         frac(r"\s").alias("space_frac"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_col: str = "token",
+) -> DataFrame:
+    """Per-document vocabulary coverage: what fraction of a doc's token
+    OCCURRENCES fall outside a reference vocabulary — the OOV-rate check
+    run before committing a tokenizer/vocab to a training corpus (high
+    OOV sources either need vocab growth or are noise). Returns
+    (id_col, n_tokens, n_oov, oov_frac).
+
+    The vocabulary join is deliberately NOT broadcast: a corpus-derived
+    vocab is itself corpus-sized vocabulary data (the ``tfidf`` shape,
+    not the ``bm25`` query-vocabulary shape) — AQE upgrades to broadcast
+    when a small hand-curated vocab actually fits. One explode + one
+    left join on the token + one per-doc hash agg."""
+    from sycamore_spark.functions import text as T
+
+    toks = df.select(
+        F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("_tok")
+    )
+    v = vocab.select(F.col(vocab_col).alias("_tok")).distinct().withColumn(
+        "_in", F.lit(1)
+    )
+    j = toks.join(v, "_tok", "left")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).cast("bigint").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_frac",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6),
+        )
+    )
