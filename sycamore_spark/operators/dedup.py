@@ -771,6 +771,15 @@ def containment_pairs(
     (containment has no size-ratio bound — B may be any size — so the
     prefix is the only, and the important, filter). Candidates are then
     verified with the true intersection; exact at any partitioning.
+
+    CORRECTNESS-TIER BASELINE (the ``jaccard_similar_pairs`` caveat,
+    doubled): on a template-heavy corpus the TRUE directed-pair count
+    grows quadratically within each duplicate cluster, so exact
+    enumeration is output-bound no matter the filter (measured 42x for a
+    10x corpus on the synthetic near-dup-dense testdata — PERF.md r5).
+    The 100 TB path is minhash-LSH candidates (``minhash_lsh_pairs``)
+    verified with this containment formula, or a canonical-doc dedup
+    BEFORE containment so clusters are singletons.
     """
     from pyspark.sql.window import Window
 

@@ -69,17 +69,22 @@ def brute_force_topk(
         StructField("rank", IntegerType()),
         StructField("score", DoubleType()),
     ])
-    n_queries = queries.limit(max_queries + 1).count()
-    if n_queries > max_queries:
+    # the limit bounds the collect itself (driver memory stays capped even
+    # on a pathological input) and costs no extra job vs a separate count
+    q_rows = (
+        queries.select(
+            F.col(query_id).alias("query_id"), V.as_double(F.col(query_vec)).alias("_qv")
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
         raise ValueError(
             f"brute_force_topk collects the query side to the driver; got "
             f">{max_queries} query rows (max_queries={max_queries}). Chunk "
             f"the query set or use ivf_topk / the LSH near-dup path for "
             f"corpus-sized query sets."
         )
-    q_rows = queries.select(
-        F.col(query_id).alias("query_id"), V.as_double(F.col(query_vec)).alias("_qv")
-    ).collect()
     if not q_rows:
         return queries.sparkSession.createDataFrame([], out_type)
     qids = [r["query_id"] for r in q_rows]
