@@ -48,27 +48,34 @@ def write_webdataset(
     Returns the manifest DataFrame (shard, path, n_samples, n_bytes) —
     an action has already materialized the files when it returns.
 
-    FILESYSTEM CONTRACT: writer tasks open ``out_dir`` with plain OS
-    paths, so ``out_dir`` must be a path every executor can reach — local
-    mode, or a shared mounted filesystem (NFS/Lustre/FUSE-mounted object
-    store) on a cluster. Raw ``hdfs://``/``s3a://`` URIs are NOT
-    supported here (tarfile needs a seekable local file); for object
-    stores, write to a mounted path or a task-local tmpdir + upload.
+    FILESYSTEM CONTRACT: writer tasks resolve ``out_dir`` with
+    ``pyarrow.fs.FileSystem.from_uri`` (pyarrow ships on every executor
+    with Arrow-enabled Spark), so plain paths, ``file://``, ``hdfs://``
+    and ``s3://`` URIs all work from distributed executors — each task
+    builds its shard's tar in memory (shards are bounded by the upstream
+    pack budget by construction) and streams it out in one write, which
+    is also the object-store-friendly access pattern (single PUT, no
+    seeks). Scheme-specific credentials follow pyarrow's usual
+    environment/config discovery.
 
     KEY CONTRACT (WebDataset convention): the sample key is everything up
     to the FIRST dot of a member name, so keys must not contain ``.`` —
     enforced with a per-shard ValueError (a dotted key would silently
     split wrong on any conforming reader, including ``read_webdataset``).
     Multi-part extensions (``seg.png``) are fine."""
-    import os
+    from pyarrow import fs as pafs
 
-    os.makedirs(out_dir, exist_ok=True)
+    # resolve once on the driver to fail fast on bad URIs/schemes, and to
+    # create the output directory where the FS supports directories
+    drv_fs, drv_path = pafs.FileSystem.from_uri(out_dir)
+    drv_fs.create_dir(drv_path, recursive=True)
     cols = dict(columns)
     key = key_col
 
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        fs, root = pafs.FileSystem.from_uri(out_dir)
         shard = str(pdf[shard_col].iloc[0])
-        path = os.path.join(out_dir, f"shard-{shard}.tar")
+        path = f"{root.rstrip('/')}/shard-{shard}.tar"
         dotted = pdf[key].astype(str).str.contains(".", regex=False)
         if dotted.any():
             bad = pdf.loc[dotted, key].iloc[0]
@@ -78,7 +85,8 @@ def write_webdataset(
             )
         pdf = pdf.sort_values(key, kind="mergesort")
         n_bytes = 0
-        with tarfile.open(path, "w") as tar:
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
             for _, row in pdf.iterrows():
                 for col, ext in cols.items():
                     v = row[col]
@@ -92,6 +100,8 @@ def write_webdataset(
                     info.mtime = 0  # deterministic archives
                     tar.addfile(info, io.BytesIO(bytes(payload)))
                     n_bytes += len(payload)
+        with fs.open_output_stream(path) as out:
+            out.write(buf.getvalue())
         return pd.DataFrame(
             [{"shard": shard, "path": path, "n_samples": len(pdf), "n_bytes": n_bytes}]
         )

@@ -87,3 +87,24 @@ def test_multipart_extensions_group_by_first_dot(spark, tmp_path):
     rows = read_webdataset(spark, f"{path}/*.tar").collect()
     got = {(r.key, r.ext) for r in rows}
     assert got == {("s1", "txt"), ("s1", "seg.png"), ("s2", "txt")}
+
+
+def test_write_via_file_uri(spark, tmp_path):
+    # the pyarrow-fs path: a file:// URI (the shape hdfs://s3:// take)
+    # must write from executor tasks; os.path never sees the URI string
+    import os
+
+    from sycamore_spark.data.webdataset import read_webdataset, write_webdataset
+
+    docs = spark.createDataFrame(
+        [("0", "a", "x"), ("0", "b", "y"), ("1", "c", "z")],
+        ["shard_id", "doc_id", "text"],
+    )
+    uri = f"file://{tmp_path}/wds-uri"
+    m = {r.shard: r.n_samples for r in write_webdataset(docs, uri, {"text": "txt"}).collect()}
+    assert m == {"0": 2, "1": 1}
+    local = f"{tmp_path}/wds-uri"
+    assert sorted(os.listdir(local)) == ["shard-0.tar", "shard-1.tar"]
+    back = {(r.key, bytes(r.content)) for r in
+            read_webdataset(spark, f"{local}/*.tar").collect()}
+    assert back == {("a", b"x"), ("b", b"y"), ("c", b"z")}
