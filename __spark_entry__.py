@@ -3530,6 +3530,72 @@ def q_hll_active_users(spark, sf) -> DataFrame:
     return j.select("day", ok(1), ok(7), ok(28))
 
 
+
+def q_pmi(spark, sf) -> DataFrame:
+    """Top-20 PMI collocations (operators/textstats.py pmi_collocations):
+    adjacent-bigram pointwise mutual information over exact corpus counts,
+    ln on an exact-integer ratio quantized to micros (lm_score
+    precedent)."""
+    from sycamore_spark.operators.textstats import pmi_collocations
+
+    docs = _ds(spark, sf, "documents").to_df()
+    return pmi_collocations(docs, min_count=5, top_k=20)
+
+
+def q_kcore(spark, sf) -> DataFrame:
+    """k-core decomposition (operators/graph.py kcore): 8 confluent
+    peeling rounds over the supplier-customer co-purchase graph (the
+    pagerank gate's graph — naturally skewed degrees); survivors of the
+    16-core with their in-core degrees, bit-replayed by unrolled SQL."""
+    from sycamore_spark.operators.graph import kcore
+
+    li = _ds(spark, sf, "lineitem").to_df().select("l_orderkey", "l_suppkey")
+    o = _ds(spark, sf, "orders").to_df().select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore(edges, k=16, rounds=8)
+
+
+def q_csv_roundtrip(spark, sf) -> DataFrame:
+    """CSV sink+source roundtrip (reader/writer .csv): documents written
+    as headered CSV by distributed tasks and read back with an explicit
+    schema — byte-identity proven against the original table."""
+    import tempfile
+
+    import sycamore_spark as ss
+    from sycamore_spark.docset import DocSet
+
+    docs = _ds(spark, sf, "documents").to_df()
+    root = tempfile.mkdtemp(prefix="csv-gate-")
+    DocSet(docs).write.csv(f"{root}/docs")
+    return ss.read(spark).csv(f"{root}/docs", schema=docs.schema).to_df().select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def q_orc_roundtrip(spark, sf) -> DataFrame:
+    """ORC sink+source roundtrip (reader/writer .orc): columnar with
+    predicate pushdown, no extra jars — identity-checked against the
+    original table."""
+    import tempfile
+
+    import sycamore_spark as ss
+    from sycamore_spark.docset import DocSet
+
+    docs = _ds(spark, sf, "documents").to_df()
+    root = tempfile.mkdtemp(prefix="orc-gate-")
+    DocSet(docs).write.orc(f"{root}/docs")
+    return ss.read(spark).orc(f"{root}/docs").to_df().select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -3727,6 +3793,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_size": q_join_size,
     "oov": q_oov,
     "hll_active_users": q_hll_active_users,
+    "pmi": q_pmi,
+    "kcore": q_kcore,
+    "csv_roundtrip": q_csv_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
 }
 
 
@@ -3847,6 +3917,36 @@ def _mmr_oracle_sql(k: int = 4, lam: int = 70, s: float = 1024.0) -> str:
         for i in range(1, k + 1)
     )
     return "WITH " + ", ".join(parts) + " " + union
+
+
+def _kcore_oracle_sql(k: int = 16, rounds: int = 8) -> str:
+    """Unrolled confluent peeling (see q_kcore): identical fixed rounds."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
+    # unrolled rounds would re-open the parquet source exponentially
+    # (observed as "Too many open files"); materializing each round's
+    # edge set makes the replay linear in rounds
+    parts = [
+        "raw AS MATERIALIZED (SELECT DISTINCT 's' || l_suppkey::VARCHAR AS s, "
+        "'c' || o_custkey::VARCHAR AS d FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s <> d)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT n, count(*) AS c FROM ("
+            f"SELECT a AS n FROM e{p} UNION ALL SELECT b FROM e{p}) GROUP BY 1)"
+        )
+        parts.append(f"k{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE c >= {k})")
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT a, b FROM e{p} WHERE a IN (SELECT n FROM k{i}) "
+            f"AND b IN (SELECT n FROM k{i}))"
+        )
+    final = (
+        f"SELECT node, count(*)::BIGINT AS degree FROM ("
+        f"SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) "
+        f"GROUP BY 1 HAVING count(*) >= {k}"
+    )
+    return "WITH " + ", ".join(parts) + " " + final
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5338,6 +5438,29 @@ def oracle_sql() -> dict[str, str]:
             "days AS (SELECT DISTINCT d FROM ud) "
             "SELECT strftime(make_timestamp(days.d * 86400000000), '%Y-%m-%d') AS day, "
             "1::BIGINT AS ok_1, 1::BIGINT AS ok_7, 1::BIGINT AS ok_28 FROM days"
+        ),
+        "pmi": (
+            "WITH arr AS (SELECT string_split(trim(lower(text)), ' ') AS t FROM documents), "
+            "pairs AS (SELECT unnest(list_transform(range(len(t) - 1), "
+            "i -> {'w1': t[i+1], 'w2': t[i+2]})) AS p FROM arr WHERE len(t) > 1), "
+            "pc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS pair_count FROM pairs GROUP BY 1, 2), "
+            "uc AS (SELECT unnest(t) AS w FROM arr), "
+            "u AS (SELECT w, count(*) AS c FROM uc GROUP BY 1), "
+            "nn AS (SELECT sum(pair_count) AS np FROM pc), "
+            "j AS (SELECT w1, w2, pair_count, "
+            "floor(ln(pair_count::DOUBLE * np::DOUBLE / (c1.c::DOUBLE * c2.c::DOUBLE)) * 1000000.0 + 0.5)::BIGINT AS pmi_micros "
+            "FROM pc JOIN u c1 ON c1.w = pc.w1 JOIN u c2 ON c2.w = pc.w2, nn "
+            "WHERE pair_count >= 5) "
+            "SELECT w1, w2, pair_count::BIGINT AS pair_count, pmi_micros FROM ("
+            "SELECT *, row_number() OVER (ORDER BY pmi_micros DESC, w1, w2) AS rn FROM j) "
+            "WHERE rn <= 20"
+        ),
+        "kcore": _kcore_oracle_sql(),
+        "csv_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "orc_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         "mmr": _mmr_oracle_sql(),
         "fingerprint": (

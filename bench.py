@@ -117,6 +117,10 @@ HEADLINE = [
     "join_size",
     "oov",
     "hll_active_users",
+    "pmi",
+    "kcore",
+    "csv_roundtrip",
+    "orc_roundtrip",
 ]
 
 

@@ -327,3 +327,57 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         .join(e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete every
+    node with (undirected, deduped) degree < k; what survives is the
+    maximal subgraph where everyone has >= k neighbors — the standard
+    dense-community / spam-farm detector on link graphs, and the graph
+    twin of "drop docs whose dup-cluster support is thin".
+
+    Runs a FIXED ``rounds`` of peeling (each round: one degree hash-agg +
+    two semi-joins to drop edges touching peeled nodes, lineage cut per
+    round like ``pagerank``). Peeling is confluent — deletion order never
+    changes the fixpoint — and each non-final round strictly shrinks the
+    node set, so the exact k-core is reached once rounds >= peeling depth
+    (small for real graphs; bounded replay is also what keeps the result
+    a deterministic pure function of (edges, k, rounds), exactly
+    replayable in unrolled SQL). Returns (node, degree) of survivors
+    after ``rounds``.
+    """
+    from sycamore_spark.functions.partitioning import lineage_cut
+
+    lo, hi = F.least(F.col(src_col), F.col(dst_col)), F.greatest(F.col(src_col), F.col(dst_col))
+    e = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(lo.alias("a"), hi.alias("b"))
+        .distinct()
+    )
+    e = lineage_cut(e, checkpoint_dir)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("n")).union(e.select(F.col("b")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        keep = deg.filter(F.col("_d") >= k).select("n")
+        e = lineage_cut(
+            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b"),
+            checkpoint_dir,
+        )
+    deg = (
+        e.select(F.col("a").alias("node")).union(e.select(F.col("b")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return deg.filter(F.col("degree") >= k)

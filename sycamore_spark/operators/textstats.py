@@ -552,3 +552,69 @@ def vocab_coverage(
             F.round(F.col("n_oov") / F.col("n_tokens"), 6),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top PMI collocations — the adjacent word pairs that co-occur far
+    more than chance (pointwise mutual information), the standard
+    phrase-mining / tokenizer-merge-candidate signal:
+
+        pmi(w1,w2) = ln( c(w1,w2) · N / (c(w1) · c(w2)) )
+
+    over corpus-wide adjacent-bigram counts, N = total bigram count.
+    ``min_count`` drops the rare-pair PMI explosion (a hapax pair has
+    maximal PMI by construction). Returns the global top_k by
+    (pmi_micros desc, w1, w2): (w1, w2, pair_count, pmi_micros).
+
+    Exactness: all counts are exact BIGINT hash aggregates; the single
+    ``ln`` evaluates on an exact-integer ratio assembled in float64
+    identically on any engine, then floors to micros (the lm_score
+    precedent). Shapes: one explode + three hash aggs; the unigram join
+    keys on words — corpus-vocabulary sized, deliberately NOT broadcast
+    (AQE upgrades it when a small corpus fits)."""
+    from sycamore_spark.functions import text as T
+
+    # adjacent pairs via the array form — one pass, no positional self-join
+    arr = df.select(T.tokens(F.col(text_col)).alias("_t"))
+    pairs = arr.select(
+        F.explode(
+            F.when(
+                F.size("_t") > 1,
+                F.zip_with(
+                    F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(1))),
+                    F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(1))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            )
+        ).alias("_pr")
+    ).select(F.col("_pr.w1").alias("w1"), F.col("_pr.w2").alias("w2"))
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    uni = (
+        arr.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    n_pairs = pc.agg(F.sum("pair_count").alias("_n"))
+    j = (
+        pc.filter(F.col("pair_count") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("_c").alias("_c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("_c").alias("_c2")), "w2")
+        .crossJoin(F.broadcast(n_pairs))
+    )
+    ratio = (
+        F.col("pair_count").cast("double") * F.col("_n").cast("double")
+        / (F.col("_c1").cast("double") * F.col("_c2").cast("double"))
+    )
+    pmi = F.floor(F.log(ratio) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    scored = j.select("w1", "w2", "pair_count", pmi.alias("pmi_micros"))
+    # global top-k via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # top-k then a k-row merge on the driver), NOT an unpartitioned window
+    # that would funnel every scored pair through one task
+    return scored.orderBy(
+        F.col("pmi_micros").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)

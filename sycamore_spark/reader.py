@@ -48,6 +48,18 @@ class DocSetReader:
     def parquet(self, path) -> DocSet:
         return DocSet(self.spark.read.parquet(path))
 
+    def csv(self, path, schema=None, **kwargs) -> DocSet:
+        """CSV/TSV with an explicit schema (the 100 TB contract: schema
+        inference re-scans the input; never rely on it past a prototype).
+        header=True by default; pass sep="\t" for TSV."""
+        kwargs.setdefault("header", True)
+        r = self.spark.read.options(**{k: str(v) for k, v in kwargs.items()})
+        return DocSet(r.csv(path, schema=schema) if schema else r.option("inferSchema", "true").csv(path))
+
+    def orc(self, path) -> DocSet:
+        """ORC — columnar with predicate pushdown, no extra jars in Spark."""
+        return DocSet(self.spark.read.orc(path))
+
     def materialize(self, path) -> DocSet:
         """Re-read a materialized checkpoint (reference reader.materialize,
         materialize.py:517)."""
@@ -149,6 +161,15 @@ class DocSetWriter:
         from sycamore_spark.writer import write_files
 
         write_files(self.ds.df, path, **kwargs)
+
+    def csv(self, path: str, **kwargs) -> None:
+        kwargs.setdefault("header", True)
+        self.ds.df.write.mode(kwargs.pop("mode", "overwrite")).options(
+            **{k: str(v) for k, v in kwargs.items()}
+        ).csv(path)
+
+    def orc(self, path: str, mode: str = "overwrite") -> None:
+        self.ds.df.write.mode(mode).orc(path)
 
     def duckdb(self, db_path: str, table: str, stage_dir: str, **kwargs) -> None:
         from sycamore_spark.writer import write_duckdb

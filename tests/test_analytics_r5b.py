@@ -92,3 +92,75 @@ def test_hll_active_users_tracks_exact(spark):
         a1, a7 = approx[day]
         assert abs(a1 - e1) <= max(3, 0.05 * e1)
         assert abs(a7 - e7) <= max(3, 0.05 * e7)
+
+
+def test_pmi_collocations_finds_fixed_phrase(spark):
+    from sycamore_spark.operators.textstats import pmi_collocations
+
+    # "new york" always adjacent; filler words shuffled independently
+    import random
+
+    rng = random.Random(2)
+    filler = ["the", "a", "of", "to", "in"]
+    docs = []
+    for i in range(40):
+        words = []
+        for _ in range(10):
+            words.extend(["new", "york"] if rng.random() < 0.3
+                         else [rng.choice(filler)])
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = pmi_collocations(df, min_count=5, top_k=5).collect()
+    assert (out[0].w1, out[0].w2) == ("new", "york")
+    assert out[0].pmi_micros > 0
+
+
+def test_kcore_peels_tendrils(spark):
+    from sycamore_spark.operators.graph import kcore
+
+    # K4 core {1,2,3,4} + a chain 4-5-6 that must peel away at k=2
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r.degree for r in kcore(df, k=2).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_order_independent(spark):
+    import itertools
+    import random
+
+    from sycamore_spark.operators.graph import kcore
+
+    rng = random.Random(5)
+    edges = list({(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(60)})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node for r in kcore(df, k=3, rounds=12).collect()}
+    # brute-force fixpoint
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    while True:
+        deg = {n: sum(1 for e in und if n in e) for n in nodes}
+        drop = {n for n in nodes if deg[n] < 3}
+        if not drop:
+            break
+        nodes -= drop
+        und = {e for e in und if e[0] in nodes and e[1] in nodes}
+    assert got == nodes
+
+
+def test_csv_orc_roundtrip(spark, tmp_path):
+    import sycamore_spark as ss
+    from sycamore_spark.docset import DocSet
+
+    df = spark.createDataFrame(
+        [(1, "hello world", 11), (2, "spark, \"quoted\"", 15)],
+        "doc_id long, text string, n bigint",
+    )
+    ds = DocSet(df)
+    ds.write.csv(f"{tmp_path}/c")
+    ds.write.orc(f"{tmp_path}/o")
+    back_csv = ss.read(spark).csv(f"{tmp_path}/c", schema=df.schema).to_df()
+    back_orc = ss.read(spark).orc(f"{tmp_path}/o").to_df()
+    want = sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, back_csv.collect())) == want
+    assert sorted(map(tuple, back_orc.collect())) == want
