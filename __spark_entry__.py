@@ -3596,6 +3596,18 @@ def q_orc_roundtrip(spark, sf) -> DataFrame:
     )
 
 
+
+def q_semantic_chunk(spark, sf) -> DataFrame:
+    """Semantic chunking (operators/standardize.py semantic_chunk):
+    topic-drift chunk boundaries from integer-exact cosines between
+    adjacent 32-token hashing bag-of-words blocks — replays bit-for-bit
+    in SQL via the md5 60-bit cross-engine hash."""
+    from sycamore_spark.operators.standardize import semantic_chunk
+
+    docs = _ds(spark, sf, "documents").to_df()
+    return semantic_chunk(docs, block_tokens=32, dim=64, threshold_micros=600_000)
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -3797,6 +3809,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore": q_kcore,
     "csv_roundtrip": q_csv_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
+    "semantic_chunk": q_semantic_chunk,
 }
 
 
@@ -5461,6 +5474,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orc_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "semantic_chunk": (
+            "WITH arr AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM documents), "
+            "toks AS (SELECT doc_id, unnest(list_transform(range(len(t)), i -> {'p': i, 'tok': t[i+1]})) AS u FROM arr), "
+            "tb AS (SELECT doc_id, u.p // 32 AS b, ('0x' || substr(md5(u.tok), 1, 15))::BIGINT % 64 AS bk FROM toks), "
+            "counts AS (SELECT doc_id, b, bk, count(*) AS c FROM tb GROUP BY 1, 2, 3), "
+            "norms AS (SELECT doc_id, b, sum(c * c) AS nn FROM counts GROUP BY 1, 2), "
+            "dots AS (SELECT a.doc_id, a.b, sum(a.c * n.c) AS dot FROM counts a "
+            "JOIN counts n ON n.doc_id = a.doc_id AND n.b = a.b + 1 AND n.bk = a.bk GROUP BY 1, 2), "
+            "adj AS (SELECT n1.doc_id, n1.b, n1.nn, n2.nn AS nn2, d.dot FROM norms n1 "
+            "LEFT JOIN norms n2 ON n2.doc_id = n1.doc_id AND n2.b = n1.b + 1 "
+            "LEFT JOIN dots d ON d.doc_id = n1.doc_id AND d.b = n1.b), "
+            "scored AS (SELECT doc_id, b + 1 AS b, "
+            "floor(coalesce(dot::DOUBLE, 0.0) / (sqrt(nn::DOUBLE) * sqrt(nn2::DOUBLE)) * 1e6 + 0.5)::BIGINT AS cosm "
+            "FROM adj WHERE nn2 IS NOT NULL), "
+            "j AS (SELECT norms.doc_id, norms.b, s.cosm FROM norms "
+            "LEFT JOIN scored s ON s.doc_id = norms.doc_id AND s.b = norms.b) "
+            "SELECT doc_id, b AS block, cosm AS cos_prev_micros, "
+            "sum(CASE WHEN cosm IS NOT NULL AND cosm < 600000 THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY doc_id ORDER BY b ROWS UNBOUNDED PRECEDING)::BIGINT AS chunk_id FROM j"
         ),
         "mmr": _mmr_oracle_sql(),
         "fingerprint": (

@@ -121,6 +121,7 @@ HEADLINE = [
     "kcore",
     "csv_roundtrip",
     "orc_roundtrip",
+    "semantic_chunk",
 ]
 
 

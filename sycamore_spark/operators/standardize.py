@@ -227,3 +227,85 @@ def chunk_text_overlap(
     if join:
         chunks = F.transform(chunks, lambda c: F.array_join(c, " "))
     return df.withColumn(out_field, chunks)
+
+
+def semantic_chunk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 32,
+    dim: int = 64,
+    threshold_micros: int = 600_000,
+    hash_fn=None,
+) -> DataFrame:
+    """Semantic chunking: split each document where the TOPIC drifts, not
+    at a fixed byte count — the chunking strategy that keeps a RAG chunk
+    about one thing. The text is cut into fixed blocks of
+    ``block_tokens``; each block gets a hashing bag-of-words count vector
+    (bucket = hash(token) mod dim); a chunk boundary opens wherever the
+    cosine between ADJACENT block vectors drops below the threshold.
+    Returns one row per block: (id_col, block, cos_prev_micros, chunk_id)
+    — group by (id, chunk_id) downstream to assemble chunk text.
+
+    Exactness: count vectors are small integers, so the dot product and
+    norms are exact and the quantized cosine replays bit-for-bit in SQL
+    (use ``hash_fn=dedup.md5_hash60`` for the cross-engine hash). Shape:
+    one explode + one (id, block, bucket) hash agg + one self-join on the
+    NEXT block + one per-doc running sum — no Python, no O(n²); blocks
+    join only their immediate neighbor."""
+    from pyspark.sql.window import Window
+
+    from sycamore_spark.functions import text as T
+    from sycamore_spark.operators.dedup import md5_hash60
+
+    h = hash_fn or md5_hash60
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(T.tokens(F.col(text_col))).alias("_p", "_tok"),
+    )
+    W = int(block_tokens)
+    blocks = toks.select(
+        "_id",
+        ((F.col("_p") - F.pmod(F.col("_p"), F.lit(W))) / F.lit(W)).cast("long").alias("_b"),
+        F.pmod(h(F.col("_tok")), F.lit(dim)).alias("_bk"),
+    )
+    counts = blocks.groupBy("_id", "_b", "_bk").agg(F.count(F.lit(1)).alias("_c"))
+    norms = counts.groupBy("_id", "_b").agg(F.sum(F.col("_c") * F.col("_c")).alias("_nn"))
+    nxt = counts.select("_id", (F.col("_b") - 1).alias("_b"), "_bk", F.col("_c").alias("_c2"))
+    dots = (
+        counts.join(nxt, ["_id", "_b", "_bk"])
+        .groupBy("_id", "_b")
+        .agg(F.sum(F.col("_c") * F.col("_c2")).alias("_dot"))
+    )
+    adj = (
+        norms.alias("a")
+        .join(
+            norms.select("_id", (F.col("_b") - 1).alias("_b"), F.col("_nn").alias("_nn2")).alias("n2"),
+            ["_id", "_b"],
+            "left",
+        )
+        .join(dots, ["_id", "_b"], "left")
+    )
+    # cosine between block b and block b+1, attributed to block b+1 as
+    # "similarity to previous" — NULL for block 0 (never a boundary test)
+    cos = F.floor(
+        F.coalesce(F.col("_dot").cast("double"), F.lit(0.0))
+        / (F.sqrt(F.col("_nn").cast("double")) * F.sqrt(F.col("_nn2").cast("double")))
+        * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    scored = adj.select(
+        "_id", (F.col("_b") + 1).alias("_b"), cos.alias("cos_prev_micros")
+    ).filter(F.col("cos_prev_micros").isNotNull())
+    all_blocks = norms.select("_id", "_b").join(scored, ["_id", "_b"], "left")
+    boundary = F.when(
+        F.col("cos_prev_micros").isNotNull()
+        & (F.col("cos_prev_micros") < F.lit(int(threshold_micros))),
+        1,
+    ).otherwise(0)
+    w = Window.partitionBy("_id").orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    return all_blocks.select(
+        F.col("_id").alias(id_col),
+        F.col("_b").alias("block"),
+        "cos_prev_micros",
+        F.sum(boundary).over(w).cast("bigint").alias("chunk_id"),
+    )

@@ -164,3 +164,26 @@ def test_csv_orc_roundtrip(spark, tmp_path):
     want = sorted(map(tuple, df.collect()))
     assert sorted(map(tuple, back_csv.collect())) == want
     assert sorted(map(tuple, back_orc.collect())) == want
+
+
+def test_semantic_chunk_splits_on_topic_shift(spark):
+    from sycamore_spark.operators.standardize import semantic_chunk
+
+    topic_a = " ".join(["alpha beta gamma delta"] * 16)   # 64 tokens: blocks 0,1
+    topic_b = " ".join(["omega psi chi phi"] * 16)        # 64 tokens: blocks 2,3
+    df = spark.createDataFrame([(1, topic_a + " " + topic_b)], ["doc_id", "text"])
+    out = {r.block: r for r in semantic_chunk(df, block_tokens=32).collect()}
+    assert len(out) == 4
+    assert out[0].chunk_id == out[1].chunk_id          # same topic -> same chunk
+    assert out[2].chunk_id == out[1].chunk_id + 1      # boundary at topic shift
+    assert out[3].chunk_id == out[2].chunk_id
+    assert out[1].cos_prev_micros == 1_000_000         # identical blocks
+    assert out[2].cos_prev_micros < 600_000            # disjoint vocab
+
+
+def test_semantic_chunk_single_block_doc(spark):
+    from sycamore_spark.operators.standardize import semantic_chunk
+
+    df = spark.createDataFrame([(1, "just a few words here")], ["doc_id", "text"])
+    rows = semantic_chunk(df, block_tokens=32).collect()
+    assert len(rows) == 1 and rows[0].chunk_id == 0 and rows[0].cos_prev_micros is None
