@@ -3608,6 +3608,27 @@ def q_semantic_chunk(spark, sf) -> DataFrame:
     return semantic_chunk(docs, block_tokens=32, dim=64, threshold_micros=600_000)
 
 
+
+def q_dedup_profile(spark, sf) -> DataFrame:
+    """Duplicate-cluster size profile — the dedup REPORT: how many
+    clusters of each size, and how many docs deduplication would remove
+    (docs - clusters). Composes jaccard pairs -> connected components ->
+    per-cluster size -> size histogram; the oracle replays the closure
+    recursively and aggregates identically."""
+    docs = _ds(spark, sf, "documents").to_df()
+    pairs = dedup.jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.95)
+    tagged = dedup.canonical_docs(docs, pairs, "doc_id")
+    sizes = tagged.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .withColumn(
+            "docs_removed",
+            ((F.col("cluster_size") - F.lit(1)) * F.col("n_clusters")).cast("bigint"),
+        )
+    )
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -3810,6 +3831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_roundtrip": q_csv_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
     "semantic_chunk": q_semantic_chunk,
+    "dedup_profile": q_dedup_profile,
 }
 
 
@@ -5494,6 +5516,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, b AS block, cosm AS cos_prev_micros, "
             "sum(CASE WHEN cosm IS NOT NULL AND cosm < 600000 THEN 1 ELSE 0 END) "
             "OVER (PARTITION BY doc_id ORDER BY b ROWS UNBOUNDED PRECEDING)::BIGINT AS chunk_id FROM j"
+        ),
+        "dedup_profile": (
+            "WITH RECURSIVE tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i FROM tok a "
+            "JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT id_a, id_b FROM inter JOIN sz sa ON sa.doc_id = id_a "
+            "JOIN sz sb ON sb.doc_id = id_b WHERE i / (sa.n + sb.n - i) >= 0.95), "
+            "e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs), "
+            "reach(s, d) AS (SELECT s, d FROM e UNION "
+            "SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s WHERE e2.d <> r.s), "
+            "comp AS (SELECT s AS node, least(s, min(d)) AS component FROM reach GROUP BY s), "
+            "tagged AS (SELECT doc_id, coalesce(c.component, doc_id) AS component "
+            "FROM documents LEFT JOIN comp c ON doc_id = c.node), "
+            "cs AS (SELECT component, count(*) AS cluster_size FROM tagged GROUP BY 1) "
+            "SELECT cluster_size, count(*)::BIGINT AS n_clusters, "
+            "((cluster_size - 1) * count(*))::BIGINT AS docs_removed FROM cs GROUP BY 1"
         ),
         "mmr": _mmr_oracle_sql(),
         "fingerprint": (

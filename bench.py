@@ -123,6 +123,7 @@ HEADLINE = [
     "orc_roundtrip",
     "semantic_chunk",
 ]
+# dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 
 
 def main() -> None:
