@@ -134,3 +134,49 @@ def test_session2_operators_empty(spark):
     assert bloom_join(big, small, "k").count() == 0
     # empty BUILD side: filter rejects everything, result still exact
     assert bloom_join(small, big, "k").count() == 0
+
+
+def test_round5_operators_empty(spark):
+    from sycamore_spark.operators.cdc import apply_changes, scd2_history
+    from sycamore_spark.operators.dedup import containment_pairs
+    from sycamore_spark.operators.events import active_users
+    from sycamore_spark.operators.graph import kcore, triangle_count
+    from sycamore_spark.operators.profiling import join_size_estimate, robust_scale
+    from sycamore_spark.operators.sampling import curriculum_order
+    from sycamore_spark.operators.sketches import frequent_tokens
+    from sycamore_spark.operators.standardize import semantic_chunk
+    from sycamore_spark.operators.timeseries import seasonal_residuals, trend_fit
+
+    docs = _empty(spark, "doc_id long, text string")
+    ev = _empty(spark, "user_id long, ts timestamp, value double")
+    ch = _empty(spark, "k long, v string, seq long, op string")
+    ed = _empty(spark, "src long, dst long")
+
+    assert apply_changes(ch, ch, ["k"], "seq").count() == 0
+    assert scd2_history(ch, ["k"], "seq").count() == 0
+    assert triangle_count(ed).first()["n_triangles"] == 0
+    assert kcore(ed, k=2, rounds=3).count() == 0
+    assert robust_scale(_empty(spark, "v double"), "v").count() == 0
+    assert curriculum_order(docs, "doc_id").count() == 0
+    assert active_users(ev, "ts", "user_id").count() == 0
+    assert containment_pairs(docs, "doc_id", "text").count() == 0
+    assert frequent_tokens(docs, "text", k=5).count() == 0
+    assert semantic_chunk(docs).count() == 0
+    # keyless aggregate: one row with n=0 and NULL fits (SQL semantics)
+    tr = trend_fit(_empty(spark, "x long, y double"), "x", "y").first()
+    assert tr.n == 0 and tr.slope_micros is None
+    assert seasonal_residuals(ev, "ts", "value").count() == 0
+    est = join_size_estimate(ed, ed, ["src"]).first()
+    assert est.matched_keys == 0 and est.rows_out is None
+
+
+def test_round5_mmr_and_oov_empty(spark):
+    from sycamore_spark.operators.similarity import mmr_rerank
+    from sycamore_spark.operators.textstats import pmi_collocations, vocab_coverage
+
+    cands = _empty(spark, "query_id string, doc_id long, rel_micros long, embedding array<double>")
+    assert mmr_rerank(cands, k=3).count() == 0
+    docs = _empty(spark, "doc_id long, text string")
+    vocab = _empty(spark, "token string")
+    assert vocab_coverage(docs, vocab).count() == 0
+    assert pmi_collocations(docs).count() == 0
