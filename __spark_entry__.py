@@ -3629,6 +3629,26 @@ def q_dedup_profile(spark, sf) -> DataFrame:
     )
 
 
+
+def q_rouge(spark, sf) -> DataFrame:
+    """ROUGE-2 generated-answer evaluation (evaluation.py rouge_n_scores;
+    reference RougeMetrics, evaluation/metrics/generated_answer.py:5):
+    clipped-bigram recall/precision/F1 between two overlapping windows of
+    each doc (a synthetic gen/ref pair), all row-local exact integers
+    quantized to micros."""
+    from sycamore_spark.evaluation import rouge_n_scores
+    from sycamore_spark.functions import text as T
+
+    docs = _ds(spark, sf, "documents").to_df()
+    tk = T.tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.array_join(F.slice(tk, 1, 30), " ").alias("gen"),
+        F.array_join(F.slice(tk, 4, 30), " ").alias("ref"),
+    )
+    return rouge_n_scores(d, "gen", "ref", n=2)
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -3832,6 +3852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orc_roundtrip": q_orc_roundtrip,
     "semantic_chunk": q_semantic_chunk,
     "dedup_profile": q_dedup_profile,
+    "rouge": q_rouge,
 }
 
 
@@ -5533,6 +5554,29 @@ def oracle_sql() -> dict[str, str]:
             "cs AS (SELECT component, count(*) AS cluster_size FROM tagged GROUP BY 1) "
             "SELECT cluster_size, count(*)::BIGINT AS n_clusters, "
             "((cluster_size - 1) * count(*))::BIGINT AS docs_removed FROM cs GROUP BY 1"
+        ),
+        "rouge": (
+            "WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS tk FROM documents), "
+            "p AS (SELECT doc_id, array_to_string(tk[1:30], ' ') AS gen, "
+            "array_to_string(tk[4:33], ' ') AS ref FROM t), "
+            "tok AS (SELECT doc_id, string_split(trim(lower(gen)), ' ') AS gt, "
+            "string_split(trim(lower(ref)), ' ') AS rt FROM p), "
+            "gr AS (SELECT doc_id, "
+            "CASE WHEN len(gt) >= 2 THEN list_transform(range(len(gt) - 1), i -> gt[i+1] || '_' || gt[i+2]) "
+            "ELSE [] END AS g, "
+            "CASE WHEN len(rt) >= 2 THEN list_transform(range(len(rt) - 1), i -> rt[i+1] || '_' || rt[i+2]) "
+            "ELSE [] END AS r FROM tok), "
+            "m AS (SELECT doc_id, coalesce(list_sum(list_transform(list_distinct(g), x -> "
+            "least(len(list_filter(g, y -> y = x)), len(list_filter(r, y -> y = x))))), 0)::BIGINT AS match_2, "
+            "len(g)::BIGINT AS gen_n, len(r)::BIGINT AS ref_n FROM gr), "
+            "s AS (SELECT doc_id, match_2, gen_n, ref_n, "
+            "CASE WHEN ref_n > 0 THEN match_2 / ref_n END AS rec, "
+            "CASE WHEN gen_n > 0 THEN match_2 / gen_n END AS prec FROM m) "
+            "SELECT doc_id, match_2, gen_n, ref_n, "
+            "floor(rec * 1e6 + 0.5)::BIGINT AS recall_micros, "
+            "floor(prec * 1e6 + 0.5)::BIGINT AS precision_micros, "
+            "floor(CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec) "
+            "WHEN prec IS NOT NULL AND rec IS NOT NULL THEN 0.0 END * 1e6 + 0.5)::BIGINT AS f1_micros FROM s"
         ),
         "mmr": _mmr_oracle_sql(),
         "fingerprint": (

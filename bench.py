@@ -122,6 +122,7 @@ HEADLINE = [
     "csv_roundtrip",
     "orc_roundtrip",
     "semantic_chunk",
+    "rouge",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 

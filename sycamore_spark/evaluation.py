@@ -82,3 +82,64 @@ def retrieval_metrics(
         F.col("dcg_micros").cast("double") / F.col("idcg_micros").cast("double"),
     ).otherwise(F.lit(0.0))
     return out.withColumn("ndcg", ndcg)
+
+
+def rouge_n_scores(
+    df: DataFrame,
+    generated_col: str,
+    reference_col: str,
+    n: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ROUGE-N between a generated answer and its reference (the
+    reference repo's ``RougeMetrics``, evaluation/metrics/
+    generated_answer.py:5 — there the driver-side ``rouge_scorer``
+    library; here the published ROUGE-N definition as native
+    expressions, distributed over the whole eval set in one narrow map):
+
+        match     = Σ_g min(count_gen(g), count_ref(g))   (clipped n-grams)
+        recall    = match / |ref n-grams|
+        precision = match / |gen n-grams|
+        F1        = 2·P·R / (P + R)
+
+    Returns (id_col, match_n, gen_n, ref_n, recall_micros,
+    precision_micros, f1_micros) with NULL scores when a side has no
+    n-grams. All counts are exact row-local integers (the clipped-count
+    fold is O(distinct·len) per row — answers are short by construction),
+    so the quantized scores replay bit-for-bit in SQL."""
+    from sycamore_spark.functions import text as T
+
+    def grams(c):
+        toks = T.tokens(c)
+        if n == 1:
+            return toks
+        return F.when(
+            F.size(toks) >= n, T.word_shingles(c, k=n)
+        ).otherwise(F.array().cast("array<string>"))
+
+    g, r = grams(F.col(generated_col)), grams(F.col(reference_col))
+    d = df.select(F.col(id_col), g.alias("_g"), r.alias("_r"))
+    count_in = lambda arr, x: F.size(F.filter(arr, lambda y: y == x))  # noqa: E731
+    match = F.aggregate(
+        F.array_distinct(F.col("_g")),
+        F.lit(0),
+        lambda acc, x: acc + F.least(count_in(F.col("_g"), x), count_in(F.col("_r"), x)),
+    )
+    d = d.select(
+        id_col,
+        match.cast("bigint").alias(f"match_{n}"),
+        F.size("_g").cast("bigint").alias("gen_n"),
+        F.size("_r").cast("bigint").alias("ref_n"),
+    )
+    q = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    rec = F.when(F.col("ref_n") > 0, F.col(f"match_{n}") / F.col("ref_n"))
+    prec = F.when(F.col("gen_n") > 0, F.col(f"match_{n}") / F.col("gen_n"))
+    f1 = F.when(
+        (prec + rec) > 0, F.lit(2.0) * prec * rec / (prec + rec)
+    ).otherwise(F.when(prec.isNotNull() & rec.isNotNull(), F.lit(0.0)))
+    return d.select(
+        id_col, f"match_{n}", "gen_n", "ref_n",
+        q(rec).alias("recall_micros"),
+        q(prec).alias("precision_micros"),
+        q(f1).alias("f1_micros"),
+    )

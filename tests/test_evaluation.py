@@ -37,3 +37,32 @@ def test_retrieval_metrics_k_cutoff(spark):
     assert r.mrr_micros == math.floor(1_000_000 / 11 + 0.5)
     assert r.idcg_micros == 1_000_000  # ideal puts it at rank 1
     assert r.ndcg == 0.0
+
+
+def test_rouge_n_clipped_counts(spark):
+    from sycamore_spark.evaluation import rouge_n_scores
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "the cat lay on the mat")],
+        ["doc_id", "gen", "ref"],
+    )
+    r1 = rouge_n_scores(df, "gen", "ref", n=1).first()
+    # clipped unigram matches: the:2 cat:1 on:1 mat:1 = 5 of 6
+    assert (r1.match_1, r1.gen_n, r1.ref_n) == (5, 6, 6)
+    assert r1.recall_micros == 833333 and r1.f1_micros == 833333
+    r2 = rouge_n_scores(df, "gen", "ref", n=2).first()
+    # shared bigrams: the_cat, on_the, the_mat = 3 of 5
+    assert (r2.match_2, r2.gen_n, r2.ref_n) == (3, 5, 5)
+    assert r2.f1_micros == 600000
+
+
+def test_rouge_disjoint_and_identical(spark):
+    from sycamore_spark.evaluation import rouge_n_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "x y z"), (2, "same words here", "same words here")],
+        ["doc_id", "gen", "ref"],
+    )
+    out = {r.doc_id: r for r in rouge_n_scores(df, "gen", "ref", n=1).collect()}
+    assert out[1].f1_micros == 0
+    assert out[2].f1_micros == 1_000_000
