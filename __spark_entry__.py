@@ -3649,6 +3649,43 @@ def q_rouge(spark, sf) -> DataFrame:
     return rouge_n_scores(d, "gen", "ref", n=2)
 
 
+
+def q_cer(spark, sf) -> DataFrame:
+    """Character error rate (evaluation.py cer_scores; reference OCR
+    metrics, evaluation/ocr/metrics.py:3): native codepoint levenshtein
+    between each doc's 25-token window and an 'a'->'@' corrupted copy.
+    Oracle note: DuckDB levenshtein is byte-level — gate valid because
+    this corpus is ASCII-pure at every SF (verified)."""
+    from sycamore_spark.evaluation import cer_scores
+    from sycamore_spark.functions import text as T
+
+    docs = _ds(spark, sf, "documents").to_df()
+    tk = T.tokens(F.col("text"))
+    ref = F.array_join(F.slice(tk, 1, 25), " ")
+    d = docs.select(
+        "doc_id", ref.alias("ref"), F.replace(ref, F.lit("a"), F.lit("@")).alias("hyp")
+    )
+    return cer_scores(d, "ref", "hyp")
+
+
+def q_wer(spark, sf) -> DataFrame:
+    """Word error rate (evaluation.py wer_scores): word-level edit
+    distance via Arrow-batched DP; the oracle relabels each row's tokens
+    as single ASCII chars (injective, so char levenshtein IS word
+    levenshtein) and replays with DuckDB's native levenshtein."""
+    from sycamore_spark.evaluation import wer_scores
+    from sycamore_spark.functions import text as T
+
+    docs = _ds(spark, sf, "documents").to_df()
+    tk = F.slice(T.tokens(F.col("text")), 1, 25)
+    ref = F.array_join(tk, " ")
+    hyp = F.array_join(
+        F.transform(tk, lambda x: F.replace(x, F.lit("a"), F.lit("@"))), " "
+    )
+    d = docs.select("doc_id", ref.alias("ref"), hyp.alias("hyp"))
+    return wer_scores(d, "ref", "hyp")
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -3853,6 +3890,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_chunk": q_semantic_chunk,
     "dedup_profile": q_dedup_profile,
     "rouge": q_rouge,
+    "cer": q_cer,
+    "wer": q_wer,
 }
 
 
@@ -5577,6 +5616,28 @@ def oracle_sql() -> dict[str, str]:
             "floor(prec * 1e6 + 0.5)::BIGINT AS precision_micros, "
             "floor(CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec) "
             "WHEN prec IS NOT NULL AND rec IS NOT NULL THEN 0.0 END * 1e6 + 0.5)::BIGINT AS f1_micros FROM s"
+        ),
+        "cer": (
+            "WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS tk FROM documents), "
+            "p AS (SELECT doc_id, array_to_string(tk[1:25], ' ') AS ref FROM t), "
+            "q AS (SELECT doc_id, ref, replace(ref, 'a', '@') AS hyp FROM p) "
+            "SELECT doc_id, levenshtein(ref, hyp)::BIGINT AS edit_distance, "
+            "length(ref)::BIGINT AS ref_chars, "
+            "CASE WHEN length(ref) > 0 THEN "
+            "floor(levenshtein(ref, hyp) / length(ref) * 1e6 + 0.5)::BIGINT END AS cer_micros FROM q"
+        ),
+        "wer": (
+            "WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS tk FROM documents), "
+            "p AS (SELECT doc_id, tk[1:25] AS rt FROM t), "
+            "q AS (SELECT doc_id, rt, list_transform(rt, x -> replace(x, 'a', '@')) AS ht FROM p), "
+            "v AS (SELECT doc_id, rt, ht, list_distinct(list_concat(rt, ht)) AS vocab FROM q), "
+            "e AS (SELECT doc_id, "
+            "array_to_string(list_transform(rt, x -> chr(32 + list_position(vocab, x))), '') AS er, "
+            "array_to_string(list_transform(ht, x -> chr(32 + list_position(vocab, x))), '') AS eh, "
+            "len(rt) AS nr, len(ht) AS nh FROM v) "
+            "SELECT doc_id, levenshtein(er, eh)::BIGINT AS word_distance, "
+            "nr::BIGINT AS ref_words, nh::BIGINT AS hyp_words, "
+            "CASE WHEN nr > 0 THEN floor(levenshtein(er, eh) / nr * 1e6 + 0.5)::BIGINT END AS wer_micros FROM e"
         ),
         "mmr": _mmr_oracle_sql(),
         "fingerprint": (

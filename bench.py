@@ -123,6 +123,8 @@ HEADLINE = [
     "orc_roundtrip",
     "semantic_chunk",
     "rouge",
+    "cer",
+    "wer",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 

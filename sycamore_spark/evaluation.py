@@ -143,3 +143,97 @@ def rouge_n_scores(
         q(prec).alias("precision_micros"),
         q(f1).alias("f1_micros"),
     )
+
+
+def cer_scores(
+    df: DataFrame,
+    ref_col: str,
+    hyp_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character error rate per row — the reference's OCR-evaluation
+    metric (evaluation/ocr/metrics.py:3, there via the driver-side
+    ``jiwer`` library): CER = levenshtein(ref, hyp) / len(ref), all
+    JVM-native (``F.levenshtein`` is codepoint-level edit distance).
+    Returns (id_col, edit_distance, ref_chars, cer_micros); NULL CER for
+    empty references. Oracle caveat recorded at the gate: DuckDB's
+    levenshtein is BYTE-level, so the cross-engine hash gate holds on
+    ASCII corpora (this testdata is ASCII-pure at every SF); the operator
+    itself is codepoint-correct on any input."""
+    d = F.levenshtein(F.col(ref_col), F.col(hyp_col))
+    n = F.length(F.col(ref_col))
+    return df.select(
+        F.col(id_col),
+        d.cast("bigint").alias("edit_distance"),
+        n.cast("bigint").alias("ref_chars"),
+        F.when(n > 0, F.floor(d / n * F.lit(1e6) + F.lit(0.5)).cast("long")).alias(
+            "cer_micros"
+        ),
+    )
+
+
+def wer_scores(
+    df: DataFrame,
+    ref_col: str,
+    hyp_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word error rate per row (reference OCR metrics' ``wer``):
+    WER = word-level edit distance / ref word count. The distance is
+    computed with an Arrow-batched numpy DP (unit costs — any correct
+    implementation agrees on the DISTANCE, which is what makes the SQL
+    replay possible: the oracle relabels each row's tokens as single
+    ASCII characters, an injective encoding under which character
+    levenshtein IS word levenshtein). Returns (id_col, word_distance,
+    ref_words, hyp_words, wer_micros); NULL for empty references.
+
+    MER/WIL (the jiwer extras) are deliberately absent: they need the
+    alignment's hit count, which is not unique across minimal-distance
+    alignments and therefore not engine-replayable."""
+    import numpy as np
+    import pandas as pd
+
+    from sycamore_spark.functions import text as T
+
+    idt = df.schema[id_col].dataType.simpleString()
+    sel = df.select(
+        F.col(id_col),
+        T.tokens(F.col(ref_col)).alias("_r"),
+        T.tokens(F.col(hyp_col)).alias("_h"),
+    )
+
+    def _wer(it):
+        for pdf in it:
+            out = {"id": [], "d": [], "nr": [], "nh": []}
+            for rid, r, h in zip(pdf[id_col], pdf["_r"], pdf["_h"]):
+                r = list(r) if r is not None else []
+                h = list(h) if h is not None else []
+                nr, nh = len(r), len(h)
+                prev = np.arange(nh + 1, dtype=np.int64)
+                for i in range(1, nr + 1):
+                    cur = np.empty(nh + 1, dtype=np.int64)
+                    cur[0] = i
+                    for j in range(1, nh + 1):
+                        cur[j] = min(
+                            prev[j] + 1,
+                            cur[j - 1] + 1,
+                            prev[j - 1] + (0 if r[i - 1] == h[j - 1] else 1),
+                        )
+                    prev = cur
+                out["id"].append(rid)
+                out["d"].append(int(prev[nh]))
+                out["nr"].append(nr)
+                out["nh"].append(nh)
+            yield pd.DataFrame(out)
+
+    res = sel.mapInPandas(_wer, schema=f"id {idt}, d long, nr long, nh long")
+    return res.select(
+        F.col("id").alias(id_col),
+        F.col("d").alias("word_distance"),
+        F.col("nr").alias("ref_words"),
+        F.col("nh").alias("hyp_words"),
+        F.when(
+            F.col("nr") > 0,
+            F.floor(F.col("d") / F.col("nr") * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("wer_micros"),
+    )

@@ -66,3 +66,20 @@ def test_rouge_disjoint_and_identical(spark):
     out = {r.doc_id: r for r in rouge_n_scores(df, "gen", "ref", n=1).collect()}
     assert out[1].f1_micros == 0
     assert out[2].f1_micros == 1_000_000
+
+
+def test_cer_and_wer_known_values(spark):
+    from sycamore_spark.evaluation import cer_scores, wer_scores
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat", "the cot sat"),      # 1 char sub; 1 word sub
+         (2, "a b c d", "a b c"),                # 1 word deletion
+         (3, "", "anything")],
+        ["doc_id", "ref", "hyp"],
+    )
+    c = {r.doc_id: r for r in cer_scores(df, "ref", "hyp").collect()}
+    assert c[1].edit_distance == 1 and c[1].cer_micros == round(1 / 11 * 1e6)
+    assert c[3].cer_micros is None
+    w = {r.doc_id: r for r in wer_scores(df, "ref", "hyp").collect()}
+    assert w[1].word_distance == 1 and w[1].wer_micros == 333333
+    assert w[2].word_distance == 1 and w[2].ref_words == 4 and w[2].wer_micros == 250000
