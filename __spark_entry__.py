@@ -3686,6 +3686,46 @@ def q_wer(spark, sf) -> DataFrame:
     return wer_scores(d, "ref", "hyp")
 
 
+
+def q_qa_eval(spark, sf) -> DataFrame:
+    """The reference's QA evaluation pipeline composed end-to-end
+    (evaluation/pipeline.py + metrics): question embeddings -> exact
+    top-1 retrieval -> deterministic mock answer (the retrieved doc's
+    20-token window) -> document-retrieval hit flag against a labeled
+    truth doc + ROUGE-1 F1 between generated and truth answers. Every
+    stage is individually gated elsewhere; this row proves the
+    evaluation COMPOSITION."""
+    from sycamore_spark.evaluation import rouge_n_scores
+    from sycamore_spark.functions import text as T
+
+    emb = _ds(spark, sf, "embeddings").to_df()
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    top1 = similarity.brute_force_topk(queries, corpus, k=1).select(
+        "query_id", F.col("neighbor_id").alias("retrieved_doc")
+    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    win = lambda c: F.array_join(F.slice(T.tokens(c), 1, 20), " ")  # noqa: E731
+    gen = top1.join(docs, top1.retrieved_doc == docs.doc_id).select(
+        "query_id", "retrieved_doc", win(F.col("text")).alias("gen")
+    )
+    truth = gen.withColumn("truth_doc", (F.col("query_id") * 31) % 50)
+    t = truth.join(
+        docs.select(F.col("doc_id").alias("truth_doc"), win(F.col("text")).alias("ref")),
+        "truth_doc",
+    )
+    scored = rouge_n_scores(
+        t.select("query_id", "gen", "ref"), "gen", "ref", n=1, id_col="query_id"
+    ).select("query_id", "f1_micros")
+    return (
+        t.select(
+            "query_id", "retrieved_doc", "truth_doc",
+            (F.col("retrieved_doc") == F.col("truth_doc")).cast("bigint").alias("hit"),
+        )
+        .join(scored, "query_id")
+    )
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -3892,6 +3932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rouge": q_rouge,
     "cer": q_cer,
     "wer": q_wer,
+    "qa_eval": q_qa_eval,
 }
 
 
@@ -5638,6 +5679,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, levenshtein(er, eh)::BIGINT AS word_distance, "
             "nr::BIGINT AS ref_words, nh::BIGINT AS hyp_words, "
             "CASE WHEN nr > 0 THEN floor(levenshtein(er, eh) / nr * 1e6 + 0.5)::BIGINT END AS wer_micros FROM e"
+        ),
+        "qa_eval": (
+            "WITH scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            + _COS.format(a="q.embedding", b="c.embedding")
+            + " AS score FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 10), "
+            "top1 AS (SELECT query_id, neighbor_id AS retrieved_doc FROM ("
+            "SELECT query_id, neighbor_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn FROM scored) WHERE rn = 1), "
+            "gen AS (SELECT query_id, retrieved_doc, (query_id * 31) % 50 AS truth_doc, "
+            "array_to_string(string_split(trim(lower(d.text)), ' ')[1:20], ' ') AS g "
+            "FROM top1 JOIN documents d ON d.doc_id = retrieved_doc), "
+            "t AS (SELECT query_id, retrieved_doc, truth_doc, "
+            "string_split(trim(lower(g)), ' ') AS gt, "
+            "string_split(trim(lower(array_to_string(string_split(trim(lower(d.text)), ' ')[1:20], ' '))), ' ') AS rt "
+            "FROM gen JOIN documents d ON d.doc_id = truth_doc), "
+            "m AS (SELECT query_id, retrieved_doc, truth_doc, "
+            "coalesce(list_sum(list_transform(list_distinct(gt), x -> "
+            "least(len(list_filter(gt, y -> y = x)), len(list_filter(rt, y -> y = x))))), 0) AS mt, "
+            "len(gt) AS ng, len(rt) AS nr FROM t), "
+            "s AS (SELECT *, CASE WHEN nr > 0 THEN mt / nr END AS rec, "
+            "CASE WHEN ng > 0 THEN mt / ng END AS prec FROM m) "
+            "SELECT query_id, retrieved_doc, truth_doc, "
+            "(retrieved_doc = truth_doc)::BIGINT AS hit, "
+            "floor(CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec) "
+            "WHEN prec IS NOT NULL AND rec IS NOT NULL THEN 0.0 END * 1e6 + 0.5)::BIGINT AS f1_micros FROM s"
         ),
         "mmr": _mmr_oracle_sql(),
         "fingerprint": (

@@ -125,6 +125,7 @@ HEADLINE = [
     "rouge",
     "cer",
     "wer",
+    "qa_eval",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 
