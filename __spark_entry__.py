@@ -3726,6 +3726,37 @@ def q_qa_eval(spark, sf) -> DataFrame:
     )
 
 
+
+def q_doc_reconstruct(spark, sf) -> DataFrame:
+    """Parent-document reconstruction from element-level search hits
+    (connectors.py reconstruct_documents; reference
+    RAGDocumentReconstructor, connectors/doc_reconstruct.py:39): each doc
+    explodes into 3 element hits with deterministic relevance scores;
+    parents with even ids also hit directly, odd parents must be
+    SYNTHESIZED from their elements — one hash aggregate replays it."""
+    from sycamore_spark.connectors import reconstruct_documents
+
+    docs = _ds(spark, sf, "documents").to_df().select("doc_id")
+    elems = docs.select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("_i"), "doc_id"
+    ).select(
+        (F.col("doc_id") * 10 + F.col("_i")).cast("string").alias("hit_id"),
+        F.col("doc_id").cast("string").alias("parent_id"),
+        (F.pmod(F.col("doc_id") * 7 + F.col("_i") * 13, F.lit(100)).cast("double") / F.lit(100.0)).alias("score"),
+    )
+    parents = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("hit_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        (F.pmod(F.col("doc_id") * 3, F.lit(100)).cast("double") / F.lit(100.0)).alias("score"),
+    )
+    hits = elems.unionByName(parents)
+    out = reconstruct_documents(hits, id_col="hit_id")
+    return out.select(
+        "parent_key", "n_elements", "has_parent_row", "synthesized",
+        F.round("best_score", 6).alias("best_score"), "n_hits",
+    )
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -3933,6 +3964,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cer": q_cer,
     "wer": q_wer,
     "qa_eval": q_qa_eval,
+    "doc_reconstruct": q_doc_reconstruct,
 }
 
 
@@ -5704,6 +5736,20 @@ def oracle_sql() -> dict[str, str]:
             "(retrieved_doc = truth_doc)::BIGINT AS hit, "
             "floor(CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec) "
             "WHEN prec IS NOT NULL AND rec IS NOT NULL THEN 0.0 END * 1e6 + 0.5)::BIGINT AS f1_micros FROM s"
+        ),
+        "doc_reconstruct": (
+            "WITH elems AS (SELECT (doc_id * 10 + i)::VARCHAR AS hit_id, doc_id::VARCHAR AS parent_id, "
+            "((doc_id * 7 + i * 13) % 100)::DOUBLE / 100.0 AS score "
+            "FROM documents, unnest([0, 1, 2]) AS u(i)), "
+            "parents AS (SELECT doc_id::VARCHAR AS hit_id, NULL::VARCHAR AS parent_id, "
+            "((doc_id * 3) % 100)::DOUBLE / 100.0 AS score FROM documents WHERE doc_id % 2 = 0), "
+            "hits AS (SELECT * FROM elems UNION ALL SELECT * FROM parents) "
+            "SELECT coalesce(parent_id, hit_id) AS parent_key, "
+            "sum(CASE WHEN parent_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_elements, "
+            "max(CASE WHEN parent_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS has_parent_row, "
+            "(max(CASE WHEN parent_id IS NULL THEN 1 ELSE 0 END) = 0)::BIGINT AS synthesized, "
+            "round(max(score), 6) AS best_score, count(*)::BIGINT AS n_hits "
+            "FROM hits GROUP BY 1"
         ),
         "mmr": _mmr_oracle_sql(),
         "fingerprint": (

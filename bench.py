@@ -126,6 +126,7 @@ HEADLINE = [
     "cer",
     "wer",
     "qa_eval",
+    "doc_reconstruct",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 

@@ -590,3 +590,42 @@ def neo4j_node_record(label: str = "Document") -> RecordFn:
         }
 
     return fn
+
+
+def reconstruct_documents(
+    hits: DataFrame,
+    id_col: str = "doc_id",
+    parent_col: str = "parent_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Parent-document reconstruction from element-level search hits —
+    ``RAGDocumentReconstructor`` (reference connectors/
+    doc_reconstruct.py:39): vector/keyword search returns ELEMENT hits
+    (chunk rows carrying ``parent_id`` + relevance ``_score``); RAG wants
+    the parent documents back, with elements grouped under them and a
+    parent synthesized when only its elements were retrieved.
+
+    The reference folds hits through a driver-side dict; here it is one
+    hash aggregate on ``coalesce(parent_id, doc_id)`` — distributed, and
+    the output is deterministic regardless of hit order (the reference's
+    element order is response order; Spark's collect would not be, so
+    this returns ORDER-FREE aggregates: element count, parent-row
+    presence, best/mean relevance — the fields downstream RAG ranking
+    actually uses; join the element rows back on ``parent_key`` when the
+    full bodies are needed).
+
+    Returns (parent_key, n_elements, has_parent_row, synthesized,
+    best_score, n_hits)."""
+    from pyspark.sql import functions as F
+
+    key = F.coalesce(F.col(parent_col), F.col(id_col))
+    is_parent_row = F.col(parent_col).isNull()
+    out = hits.groupBy(key.alias("parent_key")).agg(
+        F.sum(F.when(~is_parent_row, 1).otherwise(0)).cast("bigint").alias("n_elements"),
+        F.max(is_parent_row.cast("bigint")).cast("bigint").alias("has_parent_row"),
+        F.max(F.col(score_col)).alias("best_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+    )
+    return out.withColumn(
+        "synthesized", (F.col("has_parent_row") == 0).cast("bigint")
+    ).select("parent_key", "n_elements", "has_parent_row", "synthesized", "best_score", "n_hits")

@@ -300,3 +300,24 @@ def test_service_record_mappers_roundtrip(spark, tmp_path):
         assert len(out) == 1, name
         assert out[0].doc_id == "d1", name
         assert out[0].text_representation == "hello", name
+
+
+def test_reconstruct_documents_groups_and_synthesizes(spark):
+    from sycamore_spark.connectors import reconstruct_documents
+
+    hits = spark.createDataFrame(
+        [
+            # doc 1: parent row + 2 elements
+            ("1", None, 0.9), ("1e1", "1", 0.8), ("1e2", "1", 0.7),
+            # doc 2: elements only -> parent synthesized
+            ("2e1", "2", 0.6), ("2e2", "2", 0.95),
+            # doc 3: lone parent hit, no elements
+            ("3", None, 0.5),
+        ],
+        "doc_id string, parent_id string, score double",
+    )
+    out = {r.parent_key: r for r in reconstruct_documents(hits).collect()}
+    assert out["1"].n_elements == 2 and out["1"].synthesized == 0
+    assert out["2"].n_elements == 2 and out["2"].synthesized == 1
+    assert out["2"].best_score == 0.95
+    assert out["3"].n_elements == 0 and out["3"].has_parent_row == 1
