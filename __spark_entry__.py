@@ -3757,6 +3757,17 @@ def q_doc_reconstruct(spark, sf) -> DataFrame:
     )
 
 
+
+def q_docids(spark, sf) -> DataFrame:
+    """Content-addressed doc-id minting (data/docid.py; reference
+    data/docid.py path_to_sha256_docid): the native sha2 column form —
+    id minting never leaves the JVM — replayed by DuckDB's sha256."""
+    from sycamore_spark.data.docid import docid_expr
+
+    docs = _ds(spark, sf, "documents").to_df()
+    return docs.select("doc_id", docid_expr(F.col("doc_id")).alias("docid"))
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -3965,6 +3976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wer": q_wer,
     "qa_eval": q_qa_eval,
     "doc_reconstruct": q_doc_reconstruct,
+    "docids": q_docids,
 }
 
 
@@ -5750,6 +5762,9 @@ def oracle_sql() -> dict[str, str]:
             "(max(CASE WHEN parent_id IS NULL THEN 1 ELSE 0 END) = 0)::BIGINT AS synthesized, "
             "round(max(score), 6) AS best_score, count(*)::BIGINT AS n_hits "
             "FROM hits GROUP BY 1"
+        ),
+        "docids": (
+            "SELECT doc_id, 'path-sha256-' || sha256(doc_id::VARCHAR) AS docid FROM documents"
         ),
         "mmr": _mmr_oracle_sql(),
         "fingerprint": (

@@ -127,6 +127,7 @@ HEADLINE = [
     "wer",
     "qa_eval",
     "doc_reconstruct",
+    "docids",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 

@@ -151,3 +151,57 @@ class ConcurrentLLM(LLM):
             self._lock = threading.Lock()
         with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
             return list(pool.map(self._one, prompts))
+
+
+class ChainedLLM(LLM):
+    """Failover chain across LLM clients (reference llms/chained_llm.py:12
+    ChainedLLM): try each client in order, first success wins — the
+    resilience wrapper for rate-limited / flaky providers. Failures are
+    per-PROMPT in ``generate_batch``: a batch partially served by the
+    primary only retries its failed prompts on the fallbacks, so one bad
+    prompt can't force a whole Arrow batch onto the slow provider.
+    Raises the LAST error when every client fails (reference behavior)."""
+
+    def __init__(self, chain: list[LLM]):
+        if not chain:
+            raise ValueError("ChainedLLM needs at least one client")
+        self.chain = list(chain)
+
+    def generate(self, prompt: str) -> str:
+        last: Exception | None = None
+        for llm in self.chain:
+            try:
+                return llm.generate(prompt)
+            except Exception as e:  # noqa: BLE001 - failover by contract
+                last = e
+        assert last is not None
+        raise last
+
+    def generate_batch(self, prompts: list[str]) -> list[str]:
+        results: list[str | None] = [None] * len(prompts)
+        pending = list(range(len(prompts)))
+        last: Exception | None = None
+        for llm in self.chain:
+            if not pending:
+                break
+            try:
+                replies = llm.generate_batch([prompts[i] for i in pending])
+                for i, r in zip(pending, replies):
+                    results[i] = r
+                pending = []
+            except Exception as e:  # noqa: BLE001
+                # batch-level failure: retry per prompt so partial
+                # capability still drains what it can
+                still = []
+                for i in pending:
+                    try:
+                        results[i] = llm.generate(prompts[i])
+                    except Exception as e2:  # noqa: BLE001
+                        last = e2
+                        still.append(i)
+                pending = still
+                last = last or e
+        if pending:
+            assert last is not None
+            raise last
+        return [r for r in results if r is not None]
