@@ -3768,6 +3768,46 @@ def q_docids(spark, sf) -> DataFrame:
     return docs.select("doc_id", docid_expr(F.col("doc_id")).alias("docid"))
 
 
+
+def q_bbox_sort(spark, sf) -> DataFrame:
+    """Column-aware bbox reading order (operators/elements.py
+    bbox_sort_elements; reference utils/bbox_sort.py — the DEFAULT page
+    sorter): full-width title, interleaved two-column body, full-width
+    footer per doc; the body must be read column-first, so the final
+    order has the closed form the oracle states."""
+    from sycamore_spark.operators.elements import bbox_sort_elements
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    labels = ["title", "L1", "R1", "L2", "R2", "footer"]
+    geom = {
+        "title": [0.05, 0.05, 0.95, 0.12],
+        "L1": [0.08, 0.20, 0.45, 0.40],
+        "R1": [0.55, 0.22, 0.92, 0.42],
+        "L2": [0.08, 0.45, 0.45, 0.65],
+        "R2": [0.55, 0.47, 0.92, 0.67],
+        "footer": [0.05, 0.90, 0.95, 0.97],
+    }
+    els = F.array(*[
+        F.struct(
+            F.lit(i).cast("int").alias("element_index"),
+            F.lit("text").alias("type"),
+            F.lit(lab).alias("text_representation"),
+            F.lit(None).cast("binary").alias("binary_representation"),
+            F.array(*[F.lit(v) for v in geom[lab]]).alias("bbox"),
+            F.lit(1).cast("int").alias("page_number"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.lit(None).cast("string").alias("properties"),
+        )
+        for i, lab in enumerate(labels)
+    ])
+    out = bbox_sort_elements(docs.withColumn("elements", els))
+    return out.select("doc_id", F.explode("elements").alias("e")).select(
+        "doc_id",
+        F.col("e.element_index").alias("element_index"),
+        F.col("e.text_representation").alias("orig"),
+    )
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -3977,6 +4017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa_eval": q_qa_eval,
     "doc_reconstruct": q_doc_reconstruct,
     "docids": q_docids,
+    "bbox_sort": q_bbox_sort,
 }
 
 
@@ -5765,6 +5806,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docids": (
             "SELECT doc_id, 'path-sha256-' || sha256(doc_id::VARCHAR) AS docid FROM documents"
+        ),
+        "bbox_sort": (
+            "SELECT doc_id, i::BIGINT AS element_index, "
+            "(['title', 'L1', 'L2', 'R1', 'R2', 'footer'])[i + 1] AS orig "
+            "FROM documents, unnest(range(6)) AS u(i)"
         ),
         "mmr": _mmr_oracle_sql(),
         "fingerprint": (

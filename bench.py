@@ -128,6 +128,7 @@ HEADLINE = [
     "qa_eval",
     "doc_reconstruct",
     "docids",
+    "bbox_sort",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 

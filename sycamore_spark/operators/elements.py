@@ -940,3 +940,96 @@ def reorder_elements(df: DataFrame, key) -> DataFrame:
             yield pd.DataFrame(out_rows, columns=pdf.columns)
 
     return df.mapInPandas(run, schema=df.schema)
+
+
+def _bbox_page_order(page: list[dict], left_to_right: bool = True) -> list[dict]:
+    """Column-aware page ordering (reference utils/bbox_sort.py
+    bbox_sort_page semantics, original implementation): sort vertically,
+    tag each element full/left/right by width and position, promote
+    left/right pairs that share a y-band to two-column sections, and
+    re-sort each two-column section column-first. Falls back gracefully
+    when bboxes are missing (treated as (0,0) keys, reference parity)."""
+    def box(e):
+        b = e.get("bbox")  # Arrow hands back numpy arrays: no bool()
+        return tuple(b) if b is not None and len(b) == 4 else (0.0, 0.0, 0.0, 0.0)
+
+    def vkey(e):
+        b = box(e)
+        return (b[1], b[0] if left_to_right else -b[0])
+
+    def hkey(e):
+        b = box(e)
+        q = int(5 * b[0])  # quantized column bucket, then top
+        return (q if left_to_right else -q, b[1])
+
+    page = sorted(page, key=vkey)
+
+    def tag(e):
+        b = e.get("bbox")
+        if b is None or len(b) != 4:
+            return None
+        width = b[2] - b[0]
+        if width > 0.6 or e.get("type") == "Page-footer":
+            return "full"
+        if width < 0.1 or width >= 0.45:
+            return None
+        if b[2] < 0.5:
+            return "left"
+        if b[0] > 0.5:
+            return "right"
+        return None
+
+    tags = [tag(e) for e in page]
+    # a 'left' element whose y-band also holds a 'right' element makes the
+    # whole overlapping band a two-column section
+    for i, e in enumerate(page):
+        if tags[i] != "left":
+            continue
+        top, bot = box(e)[1], box(e)[3]
+        band = [
+            j for j, o in enumerate(page)
+            if box(o)[1] < bot and box(o)[3] > top
+        ]
+        if any(tags[j] == "right" for j in band):
+            for j in band:
+                if tags[j] in ("left", "right", "2col"):
+                    tags[j] = "2col"
+    # resort each maximal run of '2col' column-first
+    out = list(page)
+    run_start = None
+    for i in range(len(out) + 1):
+        in_run = i < len(out) and tags[i] == "2col"
+        if in_run and run_start is None:
+            run_start = i
+        elif not in_run and run_start is not None:
+            out[run_start:i] = sorted(out[run_start:i], key=hkey)
+            run_start = None
+    return out
+
+
+def bbox_sort_elements(df: DataFrame, left_to_right: bool = True) -> DataFrame:
+    """Reorder each document's elements with the reference's DEFAULT page
+    sorter (utils/bbox_sort.py via utils/element_sort.py sort_document):
+    per page, vertical order with two-column sections detected and read
+    column-first. ``xycut_sort_elements`` is the recursive-cut
+    alternative; this is the tag-based one the reference applies when no
+    mode is given. Per-doc Arrow-batched; reassigns element_index."""
+    def run(it: Iterable[pd.DataFrame]):
+        for pdf in it:
+            out_rows = []
+            for row in pdf.to_dict("records"):
+                els = row.get("elements")
+                els = [] if els is None or len(els) == 0 else [dict(e) for e in els]
+                pages: dict = {}
+                for e in sorted(els, key=lambda x: (x.get("element_index") or 0)):
+                    pages.setdefault(e.get("page_number") or 0, []).append(e)
+                ordered: list[dict] = []
+                for pno in sorted(pages):
+                    ordered.extend(_bbox_page_order(pages[pno], left_to_right))
+                for i, e in enumerate(ordered):
+                    e["element_index"] = i
+                row["elements"] = ordered
+                out_rows.append(row)
+            yield pd.DataFrame(out_rows, columns=pdf.columns)
+
+    return df.mapInPandas(run, schema=df.schema)

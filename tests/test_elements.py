@@ -207,3 +207,55 @@ def test_reorder_elements_by_key(spark):
     out = reorder_elements(df, key=lambda e: e["bbox"][1]).collect()[0]["elements"]
     assert [e["text_representation"] for e in out] == ["e1", "e0"]
     assert [e["element_index"] for e in out] == [0, 1]
+
+
+def test_bbox_sort_two_column_sections(spark):
+    # page: full-width title, then 2-column body (L1 R1 L2 R2 interleaved
+    # vertically), then full-width footer. bbox sort must read the body
+    # column-first: L1 L2 R1 R2.
+    from sycamore_spark.operators.elements import bbox_sort_elements
+
+    boxes = {
+        "title": [0.05, 0.05, 0.95, 0.12],
+        "L1": [0.08, 0.20, 0.45, 0.40],
+        "R1": [0.55, 0.22, 0.92, 0.42],
+        "L2": [0.08, 0.45, 0.45, 0.65],
+        "R2": [0.55, 0.47, 0.92, 0.67],
+        "footer": [0.05, 0.90, 0.95, 0.97],
+    }
+    els = [
+        {"element_index": i, "type": "text", "text_representation": k,
+         "binary_representation": None, "bbox": v, "page_number": 1,
+         "embedding": None, "properties": None}
+        for i, (k, v) in enumerate(boxes.items())
+    ]
+    df = spark.createDataFrame(
+        [(1, els)],
+        "doc_id long, elements array<struct<element_index int, type string, "
+        "text_representation string, binary_representation binary, "
+        "bbox array<double>, page_number int, embedding array<float>, properties string>>",
+    )
+    out = bbox_sort_elements(df).collect()[0]["elements"]
+    order = [e["text_representation"] for e in out]
+    assert order == ["title", "L1", "L2", "R1", "R2", "footer"]
+    assert [e["element_index"] for e in out] == list(range(6))
+
+
+def test_bbox_sort_single_column_unchanged(spark):
+    from sycamore_spark.operators.elements import bbox_sort_elements
+
+    els = [
+        {"element_index": i, "type": "text", "text_representation": f"p{i}",
+         "binary_representation": None, "bbox": [0.1, 0.1 * i, 0.9, 0.1 * i + 0.08],
+         "page_number": 1, "embedding": None, "properties": None}
+        for i in (2, 0, 1)
+    ]
+    df = spark.createDataFrame(
+        [(1, els)],
+        "doc_id long, elements array<struct<element_index int, type string, "
+        "text_representation string, binary_representation binary, "
+        "bbox array<double>, page_number int, embedding array<float>, properties string>>",
+    )
+    out = bbox_sort_elements(df).collect()[0]["elements"]
+    # full-width rows: pure vertical order by y (p0 has index 1 originally)
+    assert [e["text_representation"] for e in out] == ["p0", "p1", "p2"]
