@@ -3808,6 +3808,26 @@ def q_bbox_sort(spark, sf) -> DataFrame:
     )
 
 
+
+def q_unit_convert(spark, sf) -> DataFrame:
+    """Property-unit normalization (operators/standardize.py
+    convert_units; reference utils/derivation.py UnitConverter): area
+    values tagged SF/acre/hectare/SM normalized to square meters via the
+    driver-compiled rate closure — the oracle composes the identical
+    rate arithmetic inline."""
+    from sycamore_spark.operators.standardize import convert_units
+
+    ev = _ds(spark, sf, "events").to_df()
+    unit = F.element_at(
+        F.array(F.lit("SF"), F.lit("SM"), F.lit("acre"), F.lit("hectare")),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    d = ev.select("event_id", "value", unit.alias("unit"))
+    return convert_units(d, "value", "unit", "SM").select(
+        "event_id", "unit", "converted_micros"
+    )
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -4018,6 +4038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_reconstruct": q_doc_reconstruct,
     "docids": q_docids,
     "bbox_sort": q_bbox_sort,
+    "unit_convert": q_unit_convert,
 }
 
 
@@ -5811,6 +5832,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, i::BIGINT AS element_index, "
             "(['title', 'L1', 'L2', 'R1', 'R2', 'footer'])[i + 1] AS orig "
             "FROM documents, unnest(range(6)) AS u(i)"
+        ),
+        "unit_convert": (
+            "WITH d AS (SELECT event_id, value, "
+            "(['SF', 'SM', 'acre', 'hectare'])[(event_id % 4)::INT + 1] AS unit FROM events) "
+            "SELECT event_id, unit, CASE unit "
+            "WHEN 'SF' THEN floor(value::DOUBLE * 0.092903 * 1e6 + 0.5)::BIGINT "
+            "WHEN 'SM' THEN floor(value::DOUBLE * 1.0 * 1e6 + 0.5)::BIGINT "
+            "WHEN 'acre' THEN floor(value::DOUBLE * (43560.0 * 0.092903) * 1e6 + 0.5)::BIGINT "
+            "WHEN 'hectare' THEN floor(value::DOUBLE * 10000.0 * 1e6 + 0.5)::BIGINT "
+            "END AS converted_micros FROM d"
         ),
         "mmr": _mmr_oracle_sql(),
         "fingerprint": (

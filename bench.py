@@ -129,6 +129,7 @@ HEADLINE = [
     "doc_reconstruct",
     "docids",
     "bbox_sort",
+    "unit_convert",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 

@@ -309,3 +309,80 @@ def semantic_chunk(
         "cos_prev_micros",
         F.sum(boundary).over(w).cast("bigint").alias("chunk_id"),
     )
+
+
+class UnitConverter:
+    """Unit-conversion graph for extracted-property normalization
+    (reference utils/derivation.py:8 — same built-in area units:
+    SF/SM/acre/hectare). Conversions are edges with a rate; missing pairs
+    are derived by composing rates along a breadth-first path, so adding
+    one edge to a new unit connects it to every existing one.
+
+    Determinism (beyond the reference): neighbor expansion is SORTED, so
+    the chosen path — and therefore the composed float rate — never
+    depends on dict insertion order across runs."""
+
+    def __init__(self):
+        self._edges: dict[str, dict[str, float]] = {}
+        self.add_conversion("SF", "SM", 0.092903)
+        self.add_conversion("acre", "SF", 43560.0)
+        self.add_conversion("hectare", "SM", 10000.0)
+        self.add_conversion("acre", "hectare", 0.404686)
+
+    def add_conversion(self, from_unit: str, to_unit: str, factor: float) -> None:
+        self._edges.setdefault(from_unit, {})[to_unit] = factor
+        self._edges.setdefault(to_unit, {})[from_unit] = 1.0 / factor
+
+    def find_conversion_rate(self, from_unit: str, to_unit: str) -> float | None:
+        if from_unit == to_unit:
+            return 1.0
+        from collections import deque
+
+        seen = {from_unit}
+        q = deque([(from_unit, 1.0)])
+        while q:
+            unit, rate = q.popleft()
+            for nbr in sorted(self._edges.get(unit, {})):
+                r = rate * self._edges[unit][nbr]
+                if nbr == to_unit:
+                    return r
+                if nbr not in seen:
+                    seen.add(nbr)
+                    q.append((nbr, r))
+        return None
+
+    def convert_exact(self, value: float, from_unit: str, to_unit: str) -> float | None:
+        rate = self.find_conversion_rate(from_unit, to_unit)
+        return None if rate is None else value * rate
+
+
+def convert_units(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    target_unit: str,
+    out_col: str = "converted_micros",
+    converter: UnitConverter | None = None,
+) -> DataFrame:
+    """Column form of ``UnitConverter``: normalize a (value, unit) pair
+    column to ``target_unit``, quantized to integer micros. The rate
+    CLOSURE is computed once on the driver (the unit graph is tiny by
+    nature) and compiled into a CASE expression — pure JVM per row, no
+    lookup join. Unknown units yield NULL."""
+    conv = converter or UnitConverter()
+    units = sorted(conv._edges)
+    expr = None
+    v = F.col(value_col).cast("double")
+    for u in units:
+        rate = conv.find_conversion_rate(u, target_unit)
+        if rate is None:
+            continue
+        branch = F.when(
+            F.col(unit_col) == u,
+            F.floor(v * F.lit(float(rate)) * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
+        expr = branch if expr is None else expr.when(
+            F.col(unit_col) == u,
+            F.floor(v * F.lit(float(rate)) * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
+    return df.withColumn(out_col, expr if expr is not None else F.lit(None).cast("long"))

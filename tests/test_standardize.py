@@ -112,3 +112,27 @@ def test_chunker_matches_python_reference_randomized(spark):
         ).collect()}
         for i, text in rows:
             assert out[i] == expected(text, chunk, overlap), (text, chunk, overlap)
+
+
+def test_unit_converter_composes_rates():
+    from sycamore_spark.operators.standardize import UnitConverter
+
+    c = UnitConverter()
+    assert c.find_conversion_rate("SF", "SF") == 1.0
+    assert abs(c.find_conversion_rate("acre", "SM") - 43560.0 * 0.092903) < 1e-6
+    assert c.find_conversion_rate("SF", "parsec") is None
+    c.add_conversion("SM", "SC", 10_000.0)  # square... centi-something
+    assert abs(c.convert_exact(2.0, "SF", "SC") - 2.0 * 0.092903 * 10_000.0) < 1e-6
+
+
+def test_convert_units_column(spark):
+    from sycamore_spark.operators.standardize import convert_units
+
+    df = spark.createDataFrame(
+        [(1, 1000.0, "SF"), (2, 2.0, "acre"), (3, 5.0, "furlong")],
+        ["id", "v", "u"],
+    )
+    out = {r.id: r.converted_micros for r in convert_units(df, "v", "u", "SM").collect()}
+    assert out[1] == int(1000.0 * 0.092903 * 1e6 + 0.5)
+    assert out[3] is None
+    assert out[2] is not None and out[2] > 8_000_000_000  # ~8094 SM in micros
