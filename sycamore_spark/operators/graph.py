@@ -362,6 +362,7 @@ def kcore(
         .distinct()
     )
     e = lineage_cut(e, checkpoint_dir)
+    n_edges = e.count()
     for _ in range(rounds):
         deg = (
             e.select(F.col("a").alias("n")).union(e.select(F.col("b")))
@@ -375,6 +376,13 @@ def kcore(
             .select("a", "b"),
             checkpoint_dir,
         )
+        # peeling only REMOVES edges, so an unchanged count IS the
+        # fixpoint — stop early (identical result to running all rounds;
+        # the count is one cheap job over the just-materialized cut)
+        n_now = e.count()
+        if n_now == n_edges:
+            break
+        n_edges = n_now
     deg = (
         e.select(F.col("a").alias("node")).union(e.select(F.col("b")))
         .groupBy("node")
