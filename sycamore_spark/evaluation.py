@@ -104,9 +104,9 @@ def rouge_n_scores(
 
     Returns (id_col, match_n, gen_n, ref_n, recall_micros,
     precision_micros, f1_micros) with NULL scores when a side has no
-    n-grams. All counts are exact row-local integers (the clipped-count
-    fold is O(distinct·len) per row — answers are short by construction),
-    so the quantized scores replay bit-for-bit in SQL."""
+    n-grams. All counts are exact row-local integers (clipped counts are
+    a Counter intersection in one fanned-out Arrow pass — O(len) per row,
+    zero shuffle), so the quantized scores replay bit-for-bit in SQL."""
     from sycamore_spark.functions import text as T
 
     def grams(c):
@@ -118,18 +118,35 @@ def rouge_n_scores(
         ).otherwise(F.array().cast("array<string>"))
 
     g, r = grams(F.col(generated_col)), grams(F.col(reference_col))
-    d = df.select(F.col(id_col), g.alias("_g"), r.alias("_r"))
-    count_in = lambda arr, x: F.size(F.filter(arr, lambda y: y == x))  # noqa: E731
-    match = F.aggregate(
-        F.array_distinct(F.col("_g")),
-        F.lit(0),
-        lambda acc, x: acc + F.least(count_in(F.col("_g"), x), count_in(F.col("_r"), x)),
-    )
-    d = d.select(
-        id_col,
-        match.cast("bigint").alias(f"match_{n}"),
-        F.size("_g").cast("bigint").alias("gen_n"),
-        F.size("_r").cast("bigint").alias("ref_n"),
+    base = df.select(F.col(id_col), g.alias("_g"), r.alias("_r"))
+    # clipped counts per row via one Arrow pass: Counter(g) & Counter(r)
+    # is exactly the clipped intersection, O(len) per row with ZERO
+    # shuffle — measured faster than both the interpreted HOF fold
+    # (O(distinct x len) per row) and an explode+join shape (3 shuffles)
+    import pandas as pd
+    from collections import Counter
+
+    idt = df.schema[id_col].dataType.simpleString()
+
+    def _clip(it):
+        for pdf in it:
+            out = {"id": [], "m": [], "ng": [], "nr": []}
+            for rid, gg, rr in zip(pdf[id_col], pdf["_g"], pdf["_r"]):
+                gg = list(gg) if gg is not None else []
+                rr = list(rr) if rr is not None else []
+                out["id"].append(rid)
+                out["m"].append(sum((Counter(gg) & Counter(rr)).values()))
+                out["ng"].append(len(gg))
+                out["nr"].append(len(rr))
+            yield pd.DataFrame(out)
+
+    from sycamore_spark.functions.partitioning import fan_out
+
+    d = fan_out(base).mapInPandas(_clip, schema=f"id {idt}, m long, ng long, nr long").select(
+        F.col("id").alias(id_col),
+        F.col("m").alias(f"match_{n}"),
+        F.col("ng").alias("gen_n"),
+        F.col("nr").alias("ref_n"),
     )
     q = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
     rec = F.when(F.col("ref_n") > 0, F.col(f"match_{n}") / F.col("ref_n"))
@@ -207,26 +224,27 @@ def wer_scores(
             out = {"id": [], "d": [], "nr": [], "nh": []}
             for rid, r, h in zip(pdf[id_col], pdf["_r"], pdf["_h"]):
                 r = list(r) if r is not None else []
-                h = list(h) if h is not None else []
-                nr, nh = len(r), len(h)
+                h_arr = np.array(h if h is not None else [], dtype=object)
+                nr, nh = len(r), len(h_arr)
                 prev = np.arange(nh + 1, dtype=np.int64)
+                jj = np.arange(nh + 1, dtype=np.int64)
                 for i in range(1, nr + 1):
-                    cur = np.empty(nh + 1, dtype=np.int64)
-                    cur[0] = i
-                    for j in range(1, nh + 1):
-                        cur[j] = min(
-                            prev[j] + 1,
-                            cur[j - 1] + 1,
-                            prev[j - 1] + (0 if r[i - 1] == h[j - 1] else 1),
-                        )
-                    prev = cur
+                    # vectorized DP row: t[j] = min(del-from-prev, sub);
+                    # the left-to-right insert term cur[j-1]+1 is a
+                    # prefix-min after subtracting j (classic rewrite:
+                    # cur[j] = j + min_{k<=j}(t[k] - k))
+                    t = np.minimum(prev[1:] + 1, prev[:-1] + (r[i - 1] != h_arr))
+                    head = np.concatenate(([np.int64(i)], t - jj[1:]))
+                    prev = np.minimum.accumulate(head) + jj
                 out["id"].append(rid)
                 out["d"].append(int(prev[nh]))
                 out["nr"].append(nr)
                 out["nh"].append(nh)
             yield pd.DataFrame(out)
 
-    res = sel.mapInPandas(_wer, schema=f"id {idt}, d long, nr long, nh long")
+    from sycamore_spark.functions.partitioning import fan_out
+
+    res = fan_out(sel).mapInPandas(_wer, schema=f"id {idt}, d long, nr long, nh long")
     return res.select(
         F.col("id").alias(id_col),
         F.col("d").alias("word_distance"),
