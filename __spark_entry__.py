@@ -3828,6 +3828,37 @@ def q_unit_convert(spark, sf) -> DataFrame:
     )
 
 
+
+def q_stream_cdc(spark, sf) -> DataFrame:
+    """Streaming CDC snapshot maintenance (streaming/cdc.py): the events
+    change feed (every 17th event id a delete) replayed as an 8-file
+    stream, 2 files per micro-batch, folded latest-wins with tombstones
+    into a parquet snapshot. The oracle is a FULL-FEED recompute — green
+    proves the maintained snapshot is independent of batch boundaries
+    and that tombstones block lower-sequence resurrection."""
+    import tempfile
+
+    from sycamore_spark.streaming.cdc import maintain_snapshot_stream, read_snapshot
+
+    ev = _ds(spark, sf, "events").to_df()
+    vm = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    changes = ev.select(
+        "user_id", vm.alias("v_micros"), F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 17 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    root = tempfile.mkdtemp(prefix="streamcdc-gate-")
+    src = f"{root}/src"
+    changes.repartition(8).write.parquet(src)
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = maintain_snapshot_stream(stream, ["user_id"], "seq", f"{root}/state", f"{root}/ckpt")
+    q.awaitTermination(300)
+    return read_snapshot(spark, f"{root}/state").select("user_id", "v_micros", "seq")
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -4039,6 +4070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docids": q_docids,
     "bbox_sort": q_bbox_sort,
     "unit_convert": q_unit_convert,
+    "stream_cdc": q_stream_cdc,
 }
 
 
@@ -5842,6 +5874,12 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 'acre' THEN floor(value::DOUBLE * (43560.0 * 0.092903) * 1e6 + 0.5)::BIGINT "
             "WHEN 'hectare' THEN floor(value::DOUBLE * 10000.0 * 1e6 + 0.5)::BIGINT "
             "END AS converted_micros FROM d"
+        ),
+        "stream_cdc": (
+            "WITH ch AS (SELECT user_id, floor(value * 1e6 + 0.5)::BIGINT AS v_micros, "
+            "event_id AS seq, CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn FROM ch) "
+            "SELECT user_id, v_micros, seq FROM r WHERE rn = 1 AND op <> 'D'"
         ),
         "mmr": _mmr_oracle_sql(),
         "fingerprint": (

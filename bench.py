@@ -130,6 +130,7 @@ HEADLINE = [
     "docids",
     "bbox_sort",
     "unit_convert",
+    "stream_cdc",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 

@@ -38,20 +38,26 @@ def apply_changes(
     seq_col: str,
     op_col: str = "op",
     delete_op: str = "D",
+    keep_deletes: bool = False,
 ) -> DataFrame:
     """Merge a change feed into a base snapshot, producing the new
     snapshot: per key the row with the highest ``seq_col`` wins, and wins
     of ``delete_op`` drop the key entirely. ``base`` must carry the same
     columns (give it a constant ``op`` != delete_op and a ``seq_col``
     below every change's). Returns the surviving rows minus the
-    bookkeeping rank column."""
+    bookkeeping rank column.
+
+    ``keep_deletes=True`` retains winning delete rows as TOMBSTONES
+    instead of dropping them — required whenever the output is itself the
+    base of a LATER merge (incremental/streaming maintenance): without
+    the tombstone, a late-arriving lower-sequence update would resurrect
+    a deleted key. Readers filter ``op != delete_op`` for the live view."""
     merged = base.unionByName(changes)
     w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
-    return (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col(op_col) != F.lit(delete_op)))
-        .drop("_rn")
-    )
+    ranked = merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    if not keep_deletes:
+        ranked = ranked.filter(F.col(op_col) != F.lit(delete_op))
+    return ranked.drop("_rn")
 
 
 def scd2_history(

@@ -329,3 +329,51 @@ def test_dedup_append_sink_builds_unique_corpus(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 15  # 0..14, each exactly once
     assert got.select("k").distinct().count() == 15
+
+
+def test_streaming_cdc_snapshot_boundary_independent(spark, tmp_path):
+    from sycamore_spark.streaming.cdc import maintain_snapshot_stream, read_snapshot
+
+    rows = [
+        (1, "a1", 1, "U"), (2, "b1", 2, "U"), (1, "a2", 3, "U"),
+        (2, None, 4, "D"),                       # delete key 2
+        (3, "c1", 5, "U"), (2, "b2", 6, "U"),    # reinsert key 2
+        (3, None, 7, "D"),
+    ]
+    df = spark.createDataFrame(rows, "k long, v string, seq long, op string")
+    states = []
+    for i, nfiles in enumerate((1, 4)):
+        src = str(tmp_path / f"src{i}")
+        df.repartition(nfiles).write.parquet(src)
+        stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        q = maintain_snapshot_stream(
+            stream, ["k"], "seq", str(tmp_path / f"state{i}"), str(tmp_path / f"ckpt{i}")
+        )
+        q.awaitTermination(120)
+        snap = read_snapshot(spark, str(tmp_path / f"state{i}"))
+        states.append(sorted((r.k, r.v) for r in snap.collect()))
+    # 1 batch vs 4: identical snapshot; key 2 reinserted after delete,
+    # key 3 deleted, key 1 latest value
+    assert states[0] == states[1] == [(1, "a2"), (2, "b2")]
+
+
+def test_streaming_cdc_tombstone_blocks_resurrection(spark, tmp_path):
+    from sycamore_spark.streaming.cdc import maintain_snapshot_stream, read_snapshot
+
+    # batch 1: insert + delete; batch 2 (later files): a LOWER-seq update
+    # arriving late must NOT resurrect the deleted key
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "x", 10, "U"), (1, None, 20, "D")], "k long, v string, seq long, op string"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(1, "late", 15, "U")], "k long, v string, seq long, op string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k long, v string, seq long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_snapshot_stream(stream, ["k"], "seq", str(tmp_path / "st"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert read_snapshot(spark, str(tmp_path / "st")).count() == 0
