@@ -310,6 +310,67 @@ class DocSet:
 
         return self._wrap(cap_per_group(self.df, group_col, key, n))
 
+    def curriculum_order(self, score_col: str, id_col: str = "doc_id",
+                         n_buckets: int = 10) -> "DocSet":
+        """Interleaved difficulty-tier training order
+        (operators/sampling.py curriculum_order)."""
+        from sycamore_spark.operators.sampling import curriculum_order
+
+        return self._wrap(curriculum_order(self.df, score_col, id_col, n_buckets))
+
+    def robust_scale(self, value_col: str, group_cols: list[str] | None = None) -> "DocSet":
+        """Median/IQR scaling in integer micros (operators/profiling.py
+        robust_scale)."""
+        from sycamore_spark.operators.profiling import robust_scale
+
+        return self._wrap(robust_scale(self.df, value_col, group_cols))
+
+    def semantic_chunk(self, id_col: str = "doc_id", text_col: str = "text",
+                       block_tokens: int = 32, threshold_micros: int = 600_000) -> "DocSet":
+        """Topic-drift chunk boundaries (operators/standardize.py
+        semantic_chunk)."""
+        from sycamore_spark.operators.standardize import semantic_chunk
+
+        return self._wrap(semantic_chunk(
+            self.df, id_col, text_col, block_tokens, threshold_micros=threshold_micros
+        ))
+
+    def frequent_tokens(self, text_col: str = "text", k: int = 100) -> "DocSet":
+        """Exact heavy hitters above n/k via Misra-Gries prefilter
+        (operators/sketches.py frequent_tokens)."""
+        from sycamore_spark.operators.sketches import frequent_tokens
+
+        return self._wrap(frequent_tokens(self.df, text_col, k))
+
+    def containment_pairs(self, id_col: str = "doc_id", text_col: str = "text",
+                          threshold: float = 0.9) -> "DocSet":
+        """Asymmetric doc-inside-doc near-dup pairs (operators/dedup.py
+        containment_pairs)."""
+        from sycamore_spark.operators.dedup import containment_pairs
+
+        return self._wrap(containment_pairs(self.df, id_col, text_col, threshold))
+
+    def apply_changes(self, changes: "DocSet", key_cols: list[str], seq_col: str,
+                      **kwargs) -> "DocSet":
+        """Latest-wins CDC merge of a change feed into this snapshot
+        (operators/cdc.py apply_changes)."""
+        from sycamore_spark.operators.cdc import apply_changes
+
+        return self._wrap(apply_changes(self.df, changes.df, key_cols, seq_col, **kwargs))
+
+    def scd2_history(self, key_cols: list[str], seq_col: str) -> "DocSet":
+        """SCD2 versioned audit rows (operators/cdc.py scd2_history)."""
+        from sycamore_spark.operators.cdc import scd2_history
+
+        return self._wrap(scd2_history(self.df, key_cols, seq_col))
+
+    def mmr_rerank(self, k: int = 4, lambda_pct: int = 70, **kwargs) -> "DocSet":
+        """Maximal-marginal-relevance diversification of retrieval
+        candidates (operators/similarity.py mmr_rerank)."""
+        from sycamore_spark.operators.similarity import mmr_rerank
+
+        return self._wrap(mmr_rerank(self.df, k=k, lambda_pct=lambda_pct, **kwargs))
+
     def corpus_shuffle(self, n_shards: int, key: str = "doc_id") -> "DocSet":
         """Deterministic training-order shuffle: md5-derived (shard, pos)
         permutation, reproducible at any cluster size

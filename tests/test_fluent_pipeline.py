@@ -165,3 +165,22 @@ def test_session2d_delegates(spark):
     assert all(r.emails == 1 for r in p)
     v = {r.rule: r.ok for r in ds.validate({"pos": "doc_id >= 0"}).to_df().collect()}
     assert v == {"pos": 1}
+
+
+def test_round5_fluent_surface(spark):
+    from pyspark.sql import functions as F
+
+    from sycamore_spark.docset import DocSet
+
+    docs = DocSet(spark.createDataFrame(
+        [(i, f"w{i % 7} common text here", float(i)) for i in range(30)],
+        "doc_id long, text string, score double",
+    ))
+    assert "curriculum_rank" in docs.curriculum_order("score").to_df().columns
+    assert "scaled_micros" in docs.robust_scale("score").to_df().columns
+    assert {"block", "chunk_id"} <= set(docs.semantic_chunk().to_df().columns)
+    assert docs.frequent_tokens(k=3).to_df().columns == ["token", "cnt"]
+    base = DocSet(spark.createDataFrame([(1, "a", -1, "U")], "k long, v string, seq long, op string"))
+    ch = DocSet(spark.createDataFrame([(1, "b", 5, "U")], "k long, v string, seq long, op string"))
+    assert base.apply_changes(ch, ["k"], "seq").to_df().first().v == "b"
+    assert "is_current" in ch.scd2_history(["k"], "seq").to_df().columns
