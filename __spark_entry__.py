@@ -3865,7 +3865,59 @@ def q_stream_cdc(spark, sf) -> DataFrame:
 # row within r4/r5), then the queries whose code changed this round, then
 # the r3-green remainder.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- never driver-checked (r4 dict positions 50-85): first 36 slots --
+    # -- never driver-checked: sampled first --
+    "cdc_snapshot": q_cdc_snapshot,
+    "scd2": q_scd2,
+    "triangles": q_triangles,
+    "robust_scale": q_robust_scale,
+    "curriculum": q_curriculum,
+    "active_users": q_active_users,
+    "containment": q_containment,
+    "heavy_hitters": q_heavy_hitters,
+    "mmr": q_mmr,
+    "trend": q_trend,
+    "seasonal": q_seasonal,
+    "join_size": q_join_size,
+    "oov": q_oov,
+    "hll_active_users": q_hll_active_users,
+    "pmi": q_pmi,
+    "kcore": q_kcore,
+    "csv_roundtrip": q_csv_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
+    "semantic_chunk": q_semantic_chunk,
+    "dedup_profile": q_dedup_profile,
+    "rouge": q_rouge,
+    "cer": q_cer,
+    "wer": q_wer,
+    "qa_eval": q_qa_eval,
+    "doc_reconstruct": q_doc_reconstruct,
+    "docids": q_docids,
+    "bbox_sort": q_bbox_sort,
+    "unit_convert": q_unit_convert,
+    "stream_cdc": q_stream_cdc,
+    # -- stalest driver greens --
+    "tpch_q5": q_tpch_q5,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q19": q_tpch_q19,
+    "standardize_state": q_standardize_state,
+    "standardize_date": q_standardize_date,
+    "augment_text": q_augment_text,
+    "chunk_overlap": q_chunk_overlap,
+    "io_roundtrip": q_io_roundtrip,
+    "assign_props": q_assign_props,
+    "layout_merge": q_layout_merge,
+    "doc_explode": q_doc_explode,
+    "doc_unexplode": q_doc_unexplode,
+    "doc_merge": q_doc_merge,
+    "doc_merge_table": q_doc_merge_table,
+    "table_ted": q_table_ted,
+    "doc_markdown": q_doc_markdown,
+    "doc_sections": q_doc_sections,
+    "llm_filter": q_llm_filter,
+    # -- fresher greens (rotate next round) --
     "script_ratios": q_script_ratios,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
@@ -3902,7 +3954,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window": q_stream_window,
     "token_count": q_token_count,
     "bm25": q_bm25,
-    # -- stalest driver greens (last green r1/r2): slots 37-50 --
     "sort_limit": q_sort_limit,
     "field_in": q_field_in,
     "unroll": q_unroll,
@@ -3917,7 +3968,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup": q_rollup,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
-    # -- driver-green r3/r4 or remaining stale (rotate in r6) --
     "custom_agg": q_custom_agg,
     "tpch_q18": q_tpch_q18,
     "kmeans": q_kmeans,
@@ -3968,27 +4018,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad": q_mad,
     "rolling_median": q_rolling_median,
     "fuzzy_join": q_fuzzy_join,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q4": q_tpch_q4,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q19": q_tpch_q19,
-    "standardize_state": q_standardize_state,
-    "standardize_date": q_standardize_date,
-    "augment_text": q_augment_text,
-    "chunk_overlap": q_chunk_overlap,
-    "io_roundtrip": q_io_roundtrip,
-    "assign_props": q_assign_props,
-    "layout_merge": q_layout_merge,
-    "doc_explode": q_doc_explode,
-    "doc_unexplode": q_doc_unexplode,
-    "doc_merge": q_doc_merge,
-    "doc_merge_table": q_doc_merge_table,
-    "table_ted": q_table_ted,
-    "doc_markdown": q_doc_markdown,
-    "doc_sections": q_doc_sections,
-    "llm_filter": q_llm_filter,
     "llm_extract": q_llm_extract,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -4041,36 +4070,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_count_unique": q_groupby_count_unique,
     "top_k": q_top_k,
     "count_distinct": q_count_distinct,
-    # -- new in r5, never driver-checked (rotate to front in r6) --
-    "cdc_snapshot": q_cdc_snapshot,
-    "scd2": q_scd2,
-    "triangles": q_triangles,
-    "robust_scale": q_robust_scale,
-    "curriculum": q_curriculum,
-    "active_users": q_active_users,
-    "containment": q_containment,
-    "heavy_hitters": q_heavy_hitters,
-    "mmr": q_mmr,
-    "trend": q_trend,
-    "seasonal": q_seasonal,
-    "join_size": q_join_size,
-    "oov": q_oov,
-    "hll_active_users": q_hll_active_users,
-    "pmi": q_pmi,
-    "kcore": q_kcore,
-    "csv_roundtrip": q_csv_roundtrip,
-    "orc_roundtrip": q_orc_roundtrip,
-    "semantic_chunk": q_semantic_chunk,
-    "dedup_profile": q_dedup_profile,
-    "rouge": q_rouge,
-    "cer": q_cer,
-    "wer": q_wer,
-    "qa_eval": q_qa_eval,
-    "doc_reconstruct": q_doc_reconstruct,
-    "docids": q_docids,
-    "bbox_sort": q_bbox_sort,
-    "unit_convert": q_unit_convert,
-    "stream_cdc": q_stream_cdc,
 }
 
 
