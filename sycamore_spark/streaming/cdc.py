@@ -15,20 +15,51 @@ Correctness properties, both oracle-gated:
   so a late-arriving lower-sequence update cannot resurrect a deleted
   key across batches; the returned live view filters them out.
 
-Restart safety: the same checkpoint-scoped ``_hwm_batch`` high-water mark
-as ``streaming/stats.py`` — a replayed batch (state overwrite committed,
-checkpoint commit lost) is skipped, making the fold idempotent. At
-cluster scale the overwrite becomes a transactional MERGE INTO
-(Delta/Iceberg); the logic is unchanged.
+Scale design (the 100 TB path): the snapshot is laid out as
+``n_buckets`` key-hash partitions (``_bucket = pmod(xxhash64(keys),
+n)``).  Each micro-batch computes the set of buckets its keys touch
+(bounded collect: at most ``n_buckets`` rows), reads ONLY those buckets
+back (partition pruning on the ``_bucket`` directory column), merges the
+batch into them, and rewrites ONLY those buckets via dynamic partition
+overwrite.  Work per batch is proportional to the touched slice of the
+snapshot, not the whole table — the parquet-native analogue of a
+transactional MERGE INTO (Delta/Iceberg), which is the drop-in upgrade
+at cluster scale.
+
+All state-dir probes and the high-water-mark sidecar go through the
+Hadoop FS API (``materialize._fs_exists`` etc.), so ``hdfs://`` /
+``s3a://`` / ``file://`` state dirs behave identically to local paths —
+a driver-local ``os.path`` probe would silently take the no-prior-state
+branch on every batch for URI schemes and discard the snapshot.
+
+Restart safety: a checkpoint-scoped high-water mark in the ``_hwm``
+sidecar (written AFTER the state commit) — a replayed batch (state write
+committed, checkpoint commit lost) is skipped; and because latest-wins
+merge of an already-folded batch is content-idempotent, even the
+crash-between-state-and-hwm window re-merges to the identical snapshot.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
+from sycamore_spark.materialize import _fs_exists, _fs_read_text, _fs_write_text
 from sycamore_spark.operators.cdc import apply_changes
+
+_BUCKET = "_bucket"
+
+
+def _bucket_expr(key_cols: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+
+
+def _read_hwm(spark, state_dir: str) -> tuple[str, int] | None:
+    path = state_dir.rstrip("/") + "/_hwm"
+    if not _fs_exists(spark, path):
+        return None
+    ckpt, _, bid = _fs_read_text(spark, path).rpartition("\n")
+    return ckpt, int(bid)
 
 
 def maintain_snapshot_stream(
@@ -40,23 +71,36 @@ def maintain_snapshot_stream(
     op_col: str = "op",
     delete_op: str = "D",
     available_now: bool = True,
+    n_buckets: int = 16,
 ):
     """Start a foreachBatch query folding each micro-batch of the change
-    stream into the snapshot at ``state_dir``. Returns the
+    stream into the bucketed snapshot at ``state_dir``. Returns the
     StreamingQuery (caller awaits). Read the LIVE snapshot with
-    ``read_snapshot`` (filters tombstones and bookkeeping)."""
+    ``read_snapshot`` (filters tombstones and bookkeeping).
+
+    ``n_buckets`` fixes the snapshot's key-hash layout; every batch
+    touches (reads + rewrites) only the buckets containing its keys.
+    Size it so one bucket fits an executor comfortably at the target
+    scale; it must stay constant for the lifetime of ``state_dir``."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import functions as F
-
         spark = batch_df.sparkSession
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-            old = spark.read.parquet(state_dir)
-            if "_hwm_batch" in old.columns:
-                hwm, hwm_ckpt = old.agg(F.max("_hwm_batch"), F.max("_hwm_ckpt")).first()
-                if hwm is not None and hwm_ckpt == checkpoint_dir and batch_id <= hwm:
-                    return  # replayed batch: already merged
-                old = old.drop("_hwm_batch", "_hwm_ckpt")
+        batch_df = batch_df.withColumn(_BUCKET, _bucket_expr(key_cols, n_buckets))
+        # bounded collect: at most n_buckets rows
+        touched = [r[0] for r in batch_df.select(_BUCKET).distinct().collect()]
+        if not touched:
+            return  # empty batch: nothing to merge, HWM unchanged is fine
+        # the _hwm sidecar (written after each state commit) is the
+        # prior-state marker: dynamic partition overwrite does NOT write a
+        # root _SUCCESS file, so probing _SUCCESS would silently take the
+        # no-prior-state branch on every batch after the first
+        hwm = _read_hwm(spark, state_dir)
+        if hwm is not None:
+            if hwm[0] == checkpoint_dir and batch_id <= hwm[1]:
+                return  # replayed batch: already merged
+            old = spark.read.parquet(state_dir).filter(F.col(_BUCKET).isin(touched))
             merged = apply_changes(
                 old, batch_df, key_cols, seq_col,
                 op_col=op_col, delete_op=delete_op, keep_deletes=True,
@@ -66,11 +110,18 @@ def maintain_snapshot_stream(
                 batch_df.limit(0), batch_df, key_cols, seq_col,
                 op_col=op_col, delete_op=delete_op, keep_deletes=True,
             )
-        merged = merged.withColumn("_hwm_batch", F.lit(batch_id).cast("long")).withColumn(
-            "_hwm_ckpt", F.lit(checkpoint_dir)
+        # cut lineage first: the dynamic overwrite below replaces the very
+        # bucket files the merged plan reads
+        (
+            merged.localCheckpoint(eager=True)
+            .repartition(len(touched), _BUCKET)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_BUCKET)
+            .parquet(state_dir)
         )
-        merged.localCheckpoint(eager=True).coalesce(1).write.mode("overwrite").parquet(
-            state_dir
+        _fs_write_text(
+            spark, state_dir.rstrip("/") + "/_hwm", f"{checkpoint_dir}\n{batch_id}"
         )
 
     writer = (
@@ -85,7 +136,7 @@ def maintain_snapshot_stream(
 
 def read_snapshot(spark, state_dir: str, op_col: str = "op", delete_op: str = "D") -> DataFrame:
     """The live snapshot: tombstones and bookkeeping columns removed."""
-    from pyspark.sql import functions as F
-
     df = spark.read.parquet(state_dir)
-    return df.filter(F.col(op_col) != F.lit(delete_op)).drop("_hwm_batch", "_hwm_ckpt")
+    return df.filter(F.col(op_col) != F.lit(delete_op)).drop(
+        _BUCKET, "_hwm_batch", "_hwm_ckpt"
+    )

@@ -23,10 +23,9 @@ default. At cluster scale the same pattern targets a transactional table
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 
+from sycamore_spark.materialize import _fs_exists
 from sycamore_spark.operators.incremental import corpus_stats, merge_stats
 
 
@@ -37,6 +36,7 @@ def maintain_stats_stream(
     state_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    n_state_partitions: int = 1,
 ):
     """Start a foreachBatch query folding each micro-batch's additive
     stats state into ``state_dir``. Returns the StreamingQuery (caller
@@ -47,7 +47,10 @@ def maintain_stats_stream(
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        # Hadoop-FS probe: works for hdfs:// / s3a:// / file:// state dirs,
+        # where a driver-local os.path check is always False and would make
+        # every batch overwrite the state with its own contribution alone
+        if _fs_exists(spark, state_dir.rstrip("/") + "/_SUCCESS"):
             old = spark.read.parquet(state_dir)
             if "_hwm_batch" in old.columns:
                 hwm, hwm_ckpt = old.agg(
@@ -66,10 +69,12 @@ def maintain_stats_stream(
             "_hwm_ckpt", F.lit(checkpoint_dir)
         )
         # eager checkpoint: the write below overwrites the very files the
-        # merged plan reads, so cut lineage first (state is kilobytes)
-        merged.localCheckpoint(eager=True).coalesce(1).write.mode("overwrite").parquet(
-            state_dir
-        )
+        # merged plan reads, so cut lineage first (state is one row per
+        # group — n_state_partitions > 1 only matters for very wide group
+        # domains, where a single-task write would bottleneck)
+        merged.localCheckpoint(eager=True).repartition(n_state_partitions).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
 
     writer = (
         stream.writeStream.foreachBatch(_fold)

@@ -377,3 +377,79 @@ def test_streaming_cdc_tombstone_blocks_resurrection(spark, tmp_path):
     q = maintain_snapshot_stream(stream, ["k"], "seq", str(tmp_path / "st"), str(tmp_path / "ck"))
     q.awaitTermination(120)
     assert read_snapshot(spark, str(tmp_path / "st")).count() == 0
+
+
+def test_streaming_cdc_bucketed_state_layout(spark, tmp_path):
+    """n_buckets>1 produces a key-hash-partitioned state dir (one
+    _bucket=N subdir per touched bucket, >1 part file overall) and the
+    snapshot still matches the single-bucket fold."""
+    from sycamore_spark.streaming.cdc import maintain_snapshot_stream, read_snapshot
+
+    rows = [(k, f"v{k}-{s}", s, "U") for k in range(40) for s in (k, k + 100)]
+    df = spark.createDataFrame(rows, "k long, v string, seq long, op string")
+    snaps = []
+    for i, nb in enumerate((1, 8)):
+        src = str(tmp_path / f"src{i}")
+        df.repartition(3).write.parquet(src)
+        stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        st = str(tmp_path / f"state{i}")
+        q = maintain_snapshot_stream(
+            stream, ["k"], "seq", st, str(tmp_path / f"ckpt{i}"), n_buckets=nb
+        )
+        q.awaitTermination(120)
+        bucket_dirs = [d for d in os.listdir(st) if d.startswith("_bucket=")]
+        assert len(bucket_dirs) == (1 if nb == 1 else nb)  # 40 keys cover all 8
+        snaps.append(sorted((r.k, r.v) for r in read_snapshot(spark, st).collect()))
+    assert snaps[0] == snaps[1] == [(k, f"v{k}-{k + 100}") for k in range(40)]
+
+
+def test_streaming_cdc_uri_state_dir(spark, tmp_path):
+    """file:// URI state/checkpoint dirs must fold across batches — a
+    driver-local os.path probe would silently drop prior state (ADVICE
+    r5): with two single-row batches, key 1's batch-1 value must survive
+    batch 2's unrelated key."""
+    from sycamore_spark.streaming.cdc import maintain_snapshot_stream, read_snapshot
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "keep", 1, "U")], "k long, v string, seq long, op string"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(2, "other", 2, "U")], "k long, v string, seq long, op string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k long, v string, seq long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = f"file://{tmp_path}/state-uri"
+    q = maintain_snapshot_stream(
+        stream, ["k"], "seq", state, f"file://{tmp_path}/ckpt-uri", n_buckets=4
+    )
+    q.awaitTermination(120)
+    got = sorted((r.k, r.v) for r in read_snapshot(spark, state).collect())
+    assert got == [(1, "keep"), (2, "other")]
+
+
+def test_streaming_stats_state_partitions(spark, tmp_path):
+    """n_state_partitions>1 spreads the stats state over multiple part
+    files while the folded result is unchanged."""
+    from sycamore_spark.operators.incremental import finalize_stats
+    from sycamore_spark.streaming.stats import maintain_stats_stream
+
+    df = spark.createDataFrame(
+        [(i % 5, float(i)) for i in range(50)], "g int, v double"
+    )
+    src = str(tmp_path / "ssrc")
+    df.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    st = str(tmp_path / "sstate")
+    q = maintain_stats_stream(
+        stream, ["g"], "v", st, str(tmp_path / "sckpt"), n_state_partitions=3
+    )
+    q.awaitTermination(120)
+    parts = [f for f in os.listdir(st) if f.endswith(".parquet")]
+    assert len(parts) == 3
+    out = finalize_stats(spark.read.parquet(st).drop("_hwm_batch", "_hwm_ckpt"))
+    got = {r.g: (r.n, r.mean) for r in out.collect()}
+    assert got[0] == (10, 22.5)  # values 0,5,...,45
