@@ -980,8 +980,10 @@ def _bbox_page_order(page: list[dict], left_to_right: bool = True) -> list[dict]
         return None
 
     tags = [tag(e) for e in page]
-    # a 'left' element whose y-band also holds a 'right' element makes the
-    # whole overlapping band a two-column section
+    # tag_two_columns parity: a 'left' element whose y-band also holds a
+    # 'right' element retags EVERY band member to '2col' — including
+    # 'full' and untagged ones (a figure spanning both columns belongs to
+    # the two-column section it interrupts)
     for i, e in enumerate(page):
         if tags[i] != "left":
             continue
@@ -992,18 +994,19 @@ def _bbox_page_order(page: list[dict], left_to_right: bool = True) -> list[dict]
         ]
         if any(tags[j] == "right" for j in band):
             for j in band:
-                if tags[j] in ("left", "right", "2col"):
-                    tags[j] = "2col"
-    # resort each maximal run of '2col' column-first
+                tags[j] = "2col"
+    # bbox_sort_based_on_tags parity: a 2col section starts at its first
+    # '2col' tag and closes only at the next 'full'/'2col' TAG TRANSITION
+    # — interior None/left/right tags do not break the run
     out = list(page)
-    run_start = None
-    for i in range(len(out) + 1):
-        in_run = i < len(out) and tags[i] == "2col"
-        if in_run and run_start is None:
-            run_start = i
-        elif not in_run and run_start is not None:
-            out[run_start:i] = sorted(out[run_start:i], key=hkey)
-            run_start = None
+    lidx, ltag = 0, (tags[0] if tags else None)
+    for idx, t in enumerate(tags):
+        if t in ("full", "2col") and t != ltag:
+            if ltag == "2col":
+                out[lidx:idx] = sorted(out[lidx:idx], key=hkey)
+            lidx, ltag = idx, t
+    if ltag == "2col":
+        out[lidx:] = sorted(out[lidx:], key=hkey)
     return out
 
 

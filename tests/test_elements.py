@@ -259,3 +259,39 @@ def test_bbox_sort_single_column_unchanged(spark):
     out = bbox_sort_elements(df).collect()[0]["elements"]
     # full-width rows: pure vertical order by y (p0 has index 1 originally)
     assert [e["text_representation"] for e in out] == ["p0", "p1", "p2"]
+
+
+def test_bbox_sort_full_width_element_inside_two_column_band(spark):
+    """Reference-parity case (ADVICE r5): a full-width figure whose y-band
+    overlaps a left/right pair is retagged '2col' WITH the band (reference
+    tag_two_columns retags every band member), and the 2col section runs
+    through it to the next 'full' transition — so the left column reads
+    first (L1 L2), then the figure (quantized col 1), then the right
+    column (R1 R2)."""
+    from sycamore_spark.operators.elements import bbox_sort_elements
+
+    boxes = {
+        "title": [0.10, 0.05, 0.90, 0.10],
+        "L1": [0.10, 0.15, 0.45, 0.30],
+        "R1": [0.55, 0.15, 0.90, 0.30],
+        "fig": [0.20, 0.20, 0.85, 0.25],   # width 0.65 -> 'full', overlaps the band
+        "L2": [0.10, 0.35, 0.45, 0.50],
+        "R2": [0.55, 0.35, 0.90, 0.50],
+        "footer": [0.10, 0.90, 0.90, 0.95],
+    }
+    els = [
+        {"element_index": i, "type": "text", "text_representation": k,
+         "binary_representation": None, "bbox": v, "page_number": 1,
+         "embedding": None, "properties": None}
+        for i, (k, v) in enumerate(boxes.items())
+    ]
+    df = spark.createDataFrame(
+        [(1, els)],
+        "doc_id long, elements array<struct<element_index int, type string, "
+        "text_representation string, binary_representation binary, "
+        "bbox array<double>, page_number int, embedding array<float>, properties string>>",
+    )
+    out = bbox_sort_elements(df).collect()[0]["elements"]
+    order = [e["text_representation"] for e in out]
+    # hkey = (int(5*left), top): L1/L2 col 0, fig col 1, R1/R2 col 2
+    assert order == ["title", "L1", "L2", "fig", "R1", "R2", "footer"]
