@@ -186,6 +186,14 @@ class ChainedLLM(LLM):
                 break
             try:
                 replies = llm.generate_batch([prompts[i] for i in pending])
+                # order/length contract: Arrow batch stages align replies to
+                # prompts positionally, so a short or None-holed batch must
+                # fail over, not silently misalign the whole batch
+                if len(replies) != len(pending) or any(r is None for r in replies):
+                    raise RuntimeError(
+                        f"generate_batch returned {len(replies)} replies for "
+                        f"{len(pending)} prompts (or a None reply)"
+                    )
                 for i, r in zip(pending, replies):
                     results[i] = r
                 pending = []
@@ -204,4 +212,5 @@ class ChainedLLM(LLM):
         if pending:
             assert last is not None
             raise last
-        return [r for r in results if r is not None]
+        assert all(r is not None for r in results), "generate_batch left unfilled slots"
+        return results  # type: ignore[return-value]  # every slot filled, same order

@@ -303,20 +303,47 @@ def curriculum_order(
     sorting outright: early batches then have zero hard examples and the
     loss curve cliffs at each tier boundary).
 
-    Deterministic: all ordering is by (score, id), a total order. Shape:
-    two windows (global ntile + per-tier row_number) and one final
-    ordering key — no data movement beyond the sort shuffles a plain
-    ORDER BY would cost. Consume ``out_col`` with
-    ``repartitionByRange(out_col)`` to write shards in curriculum order.
+    Deterministic: all ordering is by (score, id), a total order. Shape
+    (no global window anywhere — an unpartitioned ntile/row_number would
+    funnel the whole corpus through ONE WindowExec task): the global rank
+    is computed as range-partitioned per-partition row_numbers plus
+    partition offsets (the offsets come from a window over the tiny
+    per-partition count table, <= numPartitions rows, broadcast back);
+    the ntile tier, in-tier position, and final interleave rank are then
+    pure arithmetic on that rank — bucket sizes are closed-form
+    (first N%n tiers get ceil(N/n) rows, the rest floor(N/n)), and so is
+    the (pos, tier)-major interleave. Total cost: one range shuffle (what
+    a plain ORDER BY costs) + one hash shuffle on the partition id.
+    Consume ``out_col`` with ``repartitionByRange(out_col)`` to write
+    shards in curriculum order.
     """
     from pyspark.sql.window import Window
 
     order = [F.col(score_col).asc(), F.col(id_col).asc()]
-    tier = F.ntile(n_buckets).over(Window.orderBy(*order)) - F.lit(1)
-    tagged = df.withColumn("_tier", tier)
-    pos = F.row_number().over(Window.partitionBy("_tier").orderBy(*order)) - F.lit(1)
-    tagged = tagged.withColumn("_pos", pos)
-    rank = F.row_number().over(
-        Window.orderBy(F.col("_pos").asc(), F.col("_tier").asc())
+    parts = df.repartitionByRange(*order).withColumn("_pid", F.spark_partition_id())
+    cnts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return tagged.withColumn(out_col, rank).drop("_tier", "_pos")
+    cnts = cnts.select(
+        "_pid",
+        F.coalesce(F.sum("_pn").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_pn").over(w_all).alias("_N"),
+    )
+    tagged = parts.join(F.broadcast(cnts), "_pid")
+    rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*order))
+    gr0 = (F.col("_off") + rn - F.lit(1)).cast("long")  # 0-based global rank
+    n = F.lit(n_buckets).cast("long")
+    total = F.col("_N").cast("long")
+    small = F.floor(total / n)               # min tier size
+    r0 = total % n                           # tiers sized small+1
+    big = small + F.when(r0 > 0, F.lit(1)).otherwise(F.lit(0))
+    tier = F.when(gr0 < r0 * big, F.floor(gr0 / big)).otherwise(
+        r0 + F.floor((gr0 - r0 * big) / F.greatest(small, F.lit(1)))
+    )
+    pos = gr0 - (tier * small + F.least(tier, r0))
+    rank = F.lit(1) + F.when(pos < small, pos * n + tier).otherwise(
+        small * n + (pos - small) * r0 + tier
+    )
+    return tagged.withColumn(out_col, rank.cast("int")).drop("_pid", "_off", "_N")

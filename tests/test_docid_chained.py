@@ -90,3 +90,36 @@ def test_chained_llm_all_fail_raises():
         ChainedLLM([_Boom(), _Boom()]).generate("x")
     with pytest.raises(ValueError):
         ChainedLLM([])
+
+
+class _ShortBatch:
+    """Violates the batch contract: drops the last reply (or returns a
+    None hole) instead of raising — the silent-misalignment case."""
+
+    def __init__(self, hole=False):
+        self.hole = hole
+
+    def generate(self, prompt):
+        raise RuntimeError("per-prompt down")
+
+    def generate_batch(self, prompts):
+        out = [f"short:{p}" for p in prompts]
+        if self.hole:
+            out[0] = None
+            return out
+        return out[:-1]
+
+
+def test_chained_llm_short_batch_fails_over_not_misaligns():
+    from sycamore_spark.llm.client import ChainedLLM
+
+    # a short reply list must NOT be accepted (it would misalign every
+    # later prompt); the chain falls through to the healthy client and the
+    # output is same-length, same-order
+    c = ChainedLLM([_ShortBatch(), _Echo()])
+    assert c.generate_batch(["a", "b", "c"]) == ["ok:a", "ok:b", "ok:c"]
+    c = ChainedLLM([_ShortBatch(hole=True), _Echo()])
+    assert c.generate_batch(["a", "b"]) == ["ok:a", "ok:b"]
+    # no healthy fallback: raise, never return a short/holey list
+    with pytest.raises(RuntimeError):
+        ChainedLLM([_ShortBatch()]).generate_batch(["a", "b"])

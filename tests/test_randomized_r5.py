@@ -141,3 +141,33 @@ def test_mmr_matches_reference_greedy(spark):
         sel.append(best)
         avail.remove(best)
     assert got == sel
+
+
+def test_curriculum_matches_windowed_ntile_spec(spark):
+    """The arithmetic-rank implementation must equal the windowed spec
+    (ntile tier -> per-tier row_number -> orderBy(pos, tier)) exactly,
+    including non-divisible N and N < n_buckets."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sycamore_spark.operators.sampling import curriculum_order
+
+    rng = random.Random(11)
+    for n_rows, nb in ((53, 7), (40, 8), (5, 10), (1, 3)):
+        rows = [(i, float(rng.randint(0, 9))) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "doc_id long, score double")
+        got = {
+            r.doc_id: r.curriculum_rank
+            for r in curriculum_order(df, "score", n_buckets=nb).collect()
+        }
+        order = [F.col("score").asc(), F.col("doc_id").asc()]
+        tier = F.ntile(nb).over(Window.orderBy(*order)) - F.lit(1)
+        spec = df.withColumn("_tier", tier)
+        spec = spec.withColumn(
+            "_pos", F.row_number().over(Window.partitionBy("_tier").orderBy(*order)) - F.lit(1)
+        ).withColumn(
+            "curriculum_rank",
+            F.row_number().over(Window.orderBy(F.col("_pos").asc(), F.col("_tier").asc())),
+        )
+        want = {r.doc_id: r.curriculum_rank for r in spec.collect()}
+        assert got == want, (n_rows, nb)
