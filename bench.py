@@ -133,6 +133,9 @@ HEADLINE = [
     "stream_cdc",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
+# containment_lsh excluded: like containment, its sf0.1 output is the 2.2M
+# true pairs of this template-heavy corpus (output-bound; PERF.md r6 records
+# its 1.1x warm 10x ratio vs the exact baseline's 41.8x)
 
 
 def main() -> None:
@@ -160,14 +163,22 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cold_total_sec": round(sum(cold.values()), 3),
-    }))
+    }
+    line = json.dumps(result)
+    # Also persist to a file: terminal capture can truncate the (long) JSON
+    # line mid-dict, which nulls the driver's parsed record (BENCH_r05).
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+    print(line)
+    print(f"bench result written to {out_path}", file=sys.stderr)
     spark.stop()
 
 

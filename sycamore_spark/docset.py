@@ -350,6 +350,17 @@ class DocSet:
 
         return self._wrap(containment_pairs(self.df, id_col, text_col, threshold))
 
+    def containment_lsh_pairs(self, id_col: str = "doc_id", text_col: str = "text",
+                              threshold: float = 0.9, **kwargs) -> "DocSet":
+        """Scale path for containment_pairs: size-stratified minhash LSH
+        candidates + exact verification (operators/dedup.py
+        containment_lsh_pairs)."""
+        from sycamore_spark.operators.dedup import containment_lsh_pairs
+
+        return self._wrap(
+            containment_lsh_pairs(self.df, id_col, text_col, threshold, **kwargs)
+        )
+
     def apply_changes(self, changes: "DocSet", key_cols: list[str], seq_col: str,
                       **kwargs) -> "DocSet":
         """Latest-wins CDC merge of a change feed into this snapshot

@@ -805,6 +805,14 @@ def containment_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+    return _verify_containment(cand, hset, t)
+
+
+def _verify_containment(cand: DataFrame, hset: DataFrame, t: float) -> DataFrame:
+    """Exact containment check over directed candidate pairs: joins each
+    side's full token-hash set and keeps C(A→B) = |A∩B|/|A| >= t. Shared
+    by the exact prefix-filter baseline and the LSH candidate route, so
+    both emit identical values for identical surviving pairs."""
     va = hset.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_ha"))
     vb = hset.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hb"))
     inter = F.size(F.array_intersect(F.col("_ha"), F.col("_hb")))
@@ -815,3 +823,182 @@ def containment_pairs(
         .filter(F.col("containment") >= t)
         .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
     )
+
+
+def _lsh_rows_per_band(jmin: float, num_perm: int, miss_target: float) -> int:
+    """Largest rows-per-band r whose miss probability (1 - jmin^r)^(num_perm//r)
+    stays under miss_target at the jaccard lower bound — larger r means
+    fewer noise candidates; r=1 is the full-recall fallback."""
+    best = 1
+    for r in range(1, num_perm + 1):
+        b = num_perm // r
+        if b < 1:
+            break
+        if (1.0 - jmin ** r) ** b <= miss_target:
+            best = r
+    return best
+
+
+def _lsh_bands(jmin: float, r: int, num_perm: int, miss_target: float) -> int:
+    """Smallest band count b with (1 - jmin^r)^b <= miss_target (capped at
+    num_perm // r): emitting more bands than the target needs only
+    multiplies each true pair's duplicate matches (and the candidate
+    shuffle) without buying recall."""
+    cap = num_perm // r
+    p = 1.0 - jmin ** r
+    if p <= 0.0:
+        return 1
+    for b in range(1, cap + 1):
+        if p ** b <= miss_target:
+            return b
+    return cap
+
+
+def containment_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    ngram: int = 1,
+    num_perm: int = 128,
+    max_gap: int = 4,
+    size_base: float = 2.0,
+    miss_target: float = 1e-6,
+    seed: int = 1,
+) -> DataFrame:
+    """The SCALE PATH for ``containment_pairs``: size-stratified minhash
+    LSH candidates (the LSH-Ensemble construction — Zhu, Nazi et al.,
+    VLDB 2016) verified with the exact containment formula, so the output
+    has no false positives and recall is an explicit, tunable envelope.
+
+    Why stratify: containment C(A→B) >= t only bounds JACCARD through the
+    size ratio r = |B|/|A|:  J >= t / (r + 1 - t).  A tiny doc contained
+    in a huge one has near-zero jaccard, so one global band setting
+    either misses it or drowns in noise. Docs are bucketed into geometric
+    size strata (``size_base``); for each stratum gap d (container minus
+    contained, -1..``max_gap``), the ratio is < base^(d+1), giving a
+    per-gap jaccard floor J_min(d), and rows-per-band is chosen as the
+    largest value whose miss probability at J_min(d) is under
+    ``miss_target`` (r=1 fallback = any shared minhash value collides).
+    One equi-join on (stratum, gap, band, bucket) generates every
+    candidate across all gaps at once; exact verification follows.
+
+    Recall envelope: pairs with |B|/|A| >= base^(max_gap+1) are OUTSIDE
+    the candidate space (their jaccard floor is ~0 — no minhash scheme
+    sees them); raise ``max_gap`` or route through the exact
+    ``containment_pairs`` prefix filter for adversarial size spreads.
+    Per-doc cost is linear: one signature + O(max_gap * num_perm)
+    emitted bucket keys. The true output is still quadratic within
+    duplicate clusters — that is the answer's size, not the algorithm's.
+    """
+    t = float(threshold)
+    toks = F.array_distinct(T.tokens(F.col(text_col))) if ngram == 1 else F.array_distinct(
+        T.word_shingles(F.col(text_col), k=ngram)
+    )
+    sig = minhash_signature(df, id_col, text_col, num_perm, shingle_k=ngram, seed=seed)
+    nset = df.select(F.col(id_col).alias("_id"), F.size(toks).alias("_n")).filter(
+        F.col("_n") > 0
+    )
+    stratum = F.floor(F.log(float(size_base), F.col("_n").cast("double"))).cast("int")
+    # persisted AND materialized up front: keys() references this from BOTH
+    # join sides within one job — an unmaterialized cache would be computed
+    # (Arrow minhash kernel over the corpus) once per branch
+    sized = (
+        nset.join(sig, "_id").withColumn("_s", F.greatest(stratum, F.lit(0))).persist()
+    )
+    sized.count()
+
+    gaps = list(range(-1, max_gap + 1))
+    jmin_for_gap = {
+        d: t / (float(size_base) ** (d + 1) + 1.0 - t) for d in gaps
+    }
+    rows_for_gap = {
+        d: _lsh_rows_per_band(jmin_for_gap[d], num_perm, miss_target) for d in gaps
+    }
+    bands_for_gap = {
+        d: _lsh_bands(jmin_for_gap[d], rows_for_gap[d], num_perm, miss_target)
+        for d in gaps
+    }
+
+    # One exploded key table carrying BOTH roles: the contained side
+    # probes UP into the container's stratum (ksp = s + d); the container
+    # side publishes at its own stratum (ks = s). All bucket hashes come
+    # from ONE Arrow kernel returning a position-indexed array — a
+    # ~(gaps * num_perm)-wide struct expression here blows janino's 64 KB
+    # codegen method limit and silently drops the whole stage to
+    # interpreted eval (observed: compile error in the logs + ~4x the
+    # runtime). Positions map to (gap, band) via a tiny broadcast table.
+    from pyspark.sql.types import ArrayType, LongType
+
+    layout = [(d, bi) for d in gaps for bi in range(bands_for_gap[d])]
+    gap_specs = [(rows_for_gap[d], bands_for_gap[d]) for d in gaps]
+    C = np.uint64(1000003)  # polynomial bucket combine; uint64 wraparound
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(sigs: pd.Series) -> pd.Series:
+        out = []
+        for s in sigs:
+            m = np.asarray(s, dtype=np.int64).view(np.uint64)
+            parts = []
+            for r, nb in gap_specs:
+                if r == 1:
+                    parts.append(m[:nb])
+                else:
+                    v = m[: nb * r].reshape(nb, r)
+                    acc = v[:, 0].copy()
+                    with np.errstate(over="ignore"):
+                        for j in range(1, r):
+                            acc = acc * C + v[:, j]
+                    parts.append(acc)
+            out.append(np.concatenate(parts).view(np.int64))
+        return pd.Series(out)
+
+    mapping = df.sparkSession.createDataFrame(
+        [(i, d, bi) for i, (d, bi) in enumerate(layout)], "pos int, kd int, kb int"
+    )
+    kdf = (
+        sized.select("_id", "_s", F.posexplode(_buckets("_sig")).alias("pos", "kh"))
+        .join(F.broadcast(mapping), "pos")
+        .select(
+            "_id",
+            (F.col("_s") + F.col("kd")).alias("ksp"),
+            F.col("_s").alias("ks"),
+            "kd",
+            "kb",
+            "kh",
+        )
+        .persist()
+    )
+    kdf.count()
+    a, b = kdf.alias("a"), kdf.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ksp") == F.col("b.ks"))
+            & (F.col("a.kd") == F.col("b.kd"))
+            & (F.col("a.kb") == F.col("b.kb"))
+            & (F.col("a.kh") == F.col("b.kh"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    # materialize candidates, then release the corpus-wide signature cache;
+    # exact token-hash sets are built only for docs that appear in some
+    # candidate pair (minhash_lsh_pairs discipline — candidate-bounded cache)
+    cand = cand.persist()
+    cand.count()
+    kdf.unpersist()
+    sized.unpersist()
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_cid"))
+        .union(cand.select(F.col("id_b")))
+        .distinct()
+    )
+    relevant = df.join(F.broadcast(cand_ids), df[id_col] == F.col("_cid"), "inner")
+    hset = relevant.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(F.transform(toks, lambda x: F.xxhash64(x))).alias("_hs"),
+    ).persist()
+    hset.count()  # materialize before the dual (id_a, id_b) join branches
+    return _verify_containment(cand, hset, t)

@@ -177,3 +177,32 @@ def test_mmr_deterministic_ties_by_id(spark):
     )
     out = [r.doc_id for r in mmr_rerank(cands, k=3).orderBy("mmr_rank").collect()]
     assert out == [3, 5, 9]
+
+
+def test_containment_lsh_matches_exact(spark):
+    """The size-stratified LSH route must reproduce the exact baseline on
+    a corpus with asymmetric sizes (ratio up to ~5, inside the default
+    max_gap envelope), template noise, and both directions tested."""
+    import random
+
+    from sycamore_spark.operators.dedup import containment_lsh_pairs, containment_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    # 10 template clusters: one big doc, one contained subset (~ratio 3-5),
+    # one near-miss (half overlap)
+    for c in range(10):
+        big = rng.sample(vocab, 60)
+        small = big[: rng.randint(12, 20)]
+        miss = big[:30] + rng.sample(vocab, 30)
+        rows += [
+            (c * 10 + 1, " ".join(big)),
+            (c * 10 + 2, " ".join(small)),
+            (c * 10 + 3, " ".join(miss)),
+        ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {tuple(r) for r in containment_pairs(docs, "doc_id", "text", 0.95).collect()}
+    lsh = {tuple(r) for r in containment_lsh_pairs(docs, "doc_id", "text", 0.95).collect()}
+    assert lsh == exact
+    assert len(exact) >= 10  # every cluster's (small -> big) pair is found
