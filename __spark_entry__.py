@@ -3874,6 +3874,112 @@ def q_stream_cdc(spark, sf) -> DataFrame:
     return read_snapshot(spark, f"{root}/state").select("user_id", "v_micros", "seq")
 
 
+
+def q_bbox_rotation(spark, sf) -> DataFrame:
+    """Page rotation normalization (operators/elements.py
+    normalize_rotation; reference utils/rotation.py:34-77 +
+    table_structure/extract.py:203 — detect the quadrant rotation from
+    mean unit text-direction vectors, rotate bboxes back upright about
+    the page center). Pages are synthesized with a known quad
+    (doc_id % 4): element bboxes rotated forward, direction vectors at
+    quad*90deg with +-6deg per-element jitter. The oracle replays
+    detection (unit-normalize, average, atan2, nearest quarter turn) and
+    the inverse rotation; green proves every page's quad is recovered and
+    every bbox is restored."""
+    from sycamore_spark.operators.elements import normalize_rotation, rot_bbox_expr
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    d = docs.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("e"))
+    quad = (F.col("doc_id") % 4).cast("int")
+    x1 = F.lit(0.1) + (F.col("e") % 2).cast("double") * F.lit(0.45)
+    y1 = F.lit(0.05) + F.floor(F.col("e") / 2).cast("double") * F.lit(0.3)
+    upright = F.array(x1, y1, x1 + F.lit(0.35), y1 + F.lit(0.2))
+    jitter = ((F.col("doc_id") * 7 + F.col("e") * 13) % 21 - F.lit(10)).cast(
+        "double"
+    ) / F.lit(100.0)
+    ang = quad.cast("double") * F.lit(1.5707963267948966) + jitter
+    d2 = d.select(
+        "doc_id", "e",
+        rot_bbox_expr(upright, quad).alias("bbox"),
+        F.cos(ang).alias("vx"), F.sin(ang).alias("vy"),
+    )
+    out = normalize_rotation(d2)
+    m = lambda c: F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")  # noqa: E731
+    return out.select(
+        "doc_id", "e", "rotation_quad",
+        m(F.col("bbox_upright")[0]).alias("x1_micros"),
+        m(F.col("bbox_upright")[1]).alias("y1_micros"),
+        m(F.col("bbox_upright")[2]).alias("x2_micros"),
+        m(F.col("bbox_upright")[3]).alias("y2_micros"),
+    )
+
+
+_SUBTASK_DATA = {
+    "task_descriptions": {"REV": "revenue analysis", "AST": "asset analysis"},
+    "task_formulas": {
+        "REV": {
+            "formulas": ["NETREV = GROSSREV - RETURNS"],
+            "instructions": "Use fiscal year {year}. ",
+        },
+        "AST": {
+            "formulas": ["TOTAST = CURAST + FIXAST"],
+            "instructions": "Report total assets for {year}. ",
+        },
+    },
+    "subtask_instructions": {
+        "GROSSREV": "Find gross revenue in {year}. ",
+        "RETURNS": "Find returns in {year}. ",
+        "CURAST": "Find current assets in {year}. ",
+    },
+}
+
+
+def q_subtask_exec(spark, sf) -> DataFrame:
+    """The reference's evaluation SubtaskExecutor pipeline
+    (evaluation/subtasks.py:13-200) composed end-to-end, Spark-first:
+    task identification (keyword CASE standing in for the LLM seam,
+    subtasks.py:47) -> formula fan-out per task (broadcast join,
+    _get_formulas) -> subtask expansion with {filter} template
+    substitution and the reference's literal query suffix
+    (_get_subtasks) -> batch BM25 retrieval top-3 per subtask against
+    the documents corpus (bm25_scores_multi — one posting aggregation
+    serves every subtask, replacing the per-element OpenSearch call in
+    _get_results). The oracle replays the whole composition."""
+    from sycamore_spark.evaluation import (
+        attach_subtasks, expand_formulas, keyword_task_case,
+    )
+    from sycamore_spark.operators.retrieval import bm25_scores_multi
+
+    docs = load_table(spark, sf, "documents")
+    qs = docs.filter(F.col("doc_id") < 12).select(
+        F.col("doc_id").alias("qid"),
+        F.concat(
+            F.lit("What is the "),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("revenue"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("asset base"))
+            .otherwise(F.lit("weather")),
+            F.lit(" this year?"),
+        ).alias("question"),
+        (F.col("doc_id") % 5 != 0).alias("subtasks_reqd"),
+        F.create_map(
+            F.lit("year"), (F.lit(2020) + F.col("doc_id") % 3).cast("string")
+        ).alias("filters"),
+    )
+    qs = qs.withColumn(
+        "task_id", keyword_task_case(_SUBTASK_DATA["task_descriptions"], F.col("question"))
+    ).filter(F.col("task_id").isNotNull())
+    formulas = expand_formulas(qs, _SUBTASK_DATA["task_formulas"])
+    subtasks = attach_subtasks(
+        formulas, _SUBTASK_DATA["subtask_instructions"], filters_col="filters"
+    ).select(
+        F.concat(F.col("qid"), F.lit(":"), F.col("term")).alias("query_id"),
+        F.col("subtask").alias("query"),
+    )
+    return bm25_scores_multi(
+        docs, subtasks, id_col="doc_id", text_col="text", k=3
+    )
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -3911,6 +4017,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unit_convert": q_unit_convert,
     "stream_cdc": q_stream_cdc,
     "containment_lsh": q_containment_lsh,
+    "bbox_rotation": q_bbox_rotation,
+    "subtask_exec": q_subtask_exec,
     # -- stalest driver greens --
     "tpch_q5": q_tpch_q5,
     "tpch_q4": q_tpch_q4,
@@ -5675,6 +5783,57 @@ def oracle_sql() -> dict[str, str]:
             "JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
             "SELECT id_a, id_b, round(i / sa.n, 6) AS containment FROM inter "
             "JOIN sz sa ON sa.doc_id = id_a WHERE i / sa.n >= 0.98"
+        ),
+        "bbox_rotation": (
+            "WITH d AS (SELECT doc_id, r.e FROM documents CROSS JOIN (SELECT unnest(range(6)) AS e) r), "
+            "g AS (SELECT doc_id, e, (doc_id % 4)::INT AS q, "
+            "0.1 + (e % 2) * 0.45 AS x1, 0.05 + (e // 2) * 0.3 AS y1, "
+            "0.1 + (e % 2) * 0.45 + 0.35 AS x2, 0.05 + (e // 2) * 0.3 + 0.2 AS y2, "
+            "(doc_id % 4) * 1.5707963267948966 + ((doc_id * 7 + e * 13) % 21 - 10) / 100.0 AS ang FROM d), "
+            "sc AS (SELECT doc_id, e, q, "
+            "CASE q WHEN 1 THEN y1 WHEN 2 THEN 1.0 - x2 WHEN 3 THEN 1.0 - y2 ELSE x1 END AS sx1, "
+            "CASE q WHEN 1 THEN 1.0 - x2 WHEN 2 THEN 1.0 - y2 WHEN 3 THEN x1 ELSE y1 END AS sy1, "
+            "CASE q WHEN 1 THEN y2 WHEN 2 THEN 1.0 - x1 WHEN 3 THEN 1.0 - y1 ELSE x2 END AS sx2, "
+            "CASE q WHEN 1 THEN 1.0 - x1 WHEN 2 THEN 1.0 - y1 WHEN 3 THEN x2 ELSE y2 END AS sy2, "
+            "cos(ang) AS vx, sin(ang) AS vy FROM g), "
+            "ag AS (SELECT doc_id, avg(vx / sqrt(vx*vx + vy*vy)) AS mvx, "
+            "avg(vy / sqrt(vx*vx + vy*vy)) AS mvy FROM sc GROUP BY 1), "
+            "det AS (SELECT doc_id, CASE WHEN sqrt(mvx*mvx + mvy*mvy) < 0.8 THEN 0 "
+            "ELSE ((round(atan2(mvy, mvx) * 0.6366197723675814)::INT % 4) + 4) % 4 END AS quad FROM ag), "
+            "inv AS (SELECT sc.doc_id, sc.e, det.quad, ((4 - det.quad) % 4) AS iq, sx1, sy1, sx2, sy2 "
+            "FROM sc JOIN det ON sc.doc_id = det.doc_id) "
+            "SELECT doc_id, e, quad AS rotation_quad, "
+            "floor(CASE iq WHEN 1 THEN sy1 WHEN 2 THEN 1.0 - sx2 WHEN 3 THEN 1.0 - sy2 ELSE sx1 END * 1000000.0 + 0.5)::BIGINT AS x1_micros, "
+            "floor(CASE iq WHEN 1 THEN 1.0 - sx2 WHEN 2 THEN 1.0 - sy2 WHEN 3 THEN sx1 ELSE sy1 END * 1000000.0 + 0.5)::BIGINT AS y1_micros, "
+            "floor(CASE iq WHEN 1 THEN sy2 WHEN 2 THEN 1.0 - sx1 WHEN 3 THEN 1.0 - sy1 ELSE sx2 END * 1000000.0 + 0.5)::BIGINT AS x2_micros, "
+            "floor(CASE iq WHEN 1 THEN 1.0 - sx1 WHEN 2 THEN 1.0 - sy1 WHEN 3 THEN sx2 ELSE sy2 END * 1000000.0 + 0.5)::BIGINT AS y2_micros "
+            "FROM inv"
+        ),
+        "subtask_exec": (
+            "WITH q AS (SELECT doc_id AS qid, "
+            "CASE doc_id % 3 WHEN 0 THEN 'REV' WHEN 1 THEN 'AST' END AS task_id, "
+            "(2020 + doc_id % 3)::VARCHAR AS yr FROM documents "
+            "WHERE doc_id < 12 AND doc_id % 5 <> 0 AND doc_id % 3 <> 2), "
+            "sub AS (SELECT qid, term, CASE term "
+            "WHEN 'GROSSREV' THEN 'Find gross revenue in ' || yr || '. ' "
+            "WHEN 'RETURNS' THEN 'Find returns in ' || yr || '. ' "
+            "WHEN 'CURAST' THEN 'Find current assets in ' || yr || '. ' END "
+            "|| 'Return only the code ' || term || ' alongside the amount found and no additional information.' AS subtask "
+            "FROM q CROSS JOIN (SELECT unnest(['GROSSREV', 'RETURNS', 'CURAST']) AS term) t "
+            "WHERE (task_id = 'REV' AND term IN ('GROSSREV', 'RETURNS')) OR (task_id = 'AST' AND term = 'CURAST')), "
+            "qt AS (SELECT qid || ':' || term AS query_id, "
+            "unnest(list_distinct(regexp_split_to_array(lower(trim(subtask)), '\\s+'))) AS tok FROM sub), "
+            "toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+            "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY 1, 2), "
+            "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), "
+            "contrib AS (SELECT query_id, doc_id, CAST(floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) "
+            "* ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1000000.0 + 0.5) AS BIGINT) AS c "
+            "FROM qt JOIN tf USING (tok) JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats), "
+            "scores AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS bm25_micros FROM contrib GROUP BY 1, 2), "
+            "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25_micros DESC, doc_id ASC) AS r FROM scores) "
+            "SELECT query_id, doc_id, bm25_micros FROM rk WHERE r <= 3"
         ),
         "containment_lsh": (
             "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "

@@ -131,11 +131,14 @@ HEADLINE = [
     "bbox_sort",
     "unit_convert",
     "stream_cdc",
+    # round-6 additions
+    "bbox_rotation",
+    "subtask_exec",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M
 # true pairs of this template-heavy corpus (output-bound; PERF.md r6 records
-# its 1.1x warm 10x ratio vs the exact baseline's 41.8x)
+# its 12.3x warm 10x ratio vs the exact baseline's 41.8x)
 
 
 def main() -> None:

@@ -226,6 +226,25 @@ class DocSet:
 
         return self._wrap(bm25_scores(self.df, query_terms, id_col, text_col, **kwargs))
 
+    def bm25_multi(self, queries: "DocSet", id_col: str = "doc_id",
+                   text_col: str = "text_representation", **kwargs) -> "DocSet":
+        """Batch BM25: one posting aggregation scores a whole DataFrame
+        of queries (operators/retrieval.py bm25_scores_multi)."""
+        from sycamore_spark.operators.retrieval import bm25_scores_multi
+
+        qdf = queries.df if hasattr(queries, "df") else queries
+        return self._wrap(
+            bm25_scores_multi(self.df, qdf, id_col, text_col, **kwargs)
+        )
+
+    def normalize_rotation(self, **kwargs) -> "DocSet":
+        """Detect per-page quadrant rotation from text-direction vectors
+        and rotate bboxes upright (operators/elements.py
+        normalize_rotation; reference utils/rotation.py)."""
+        from sycamore_spark.operators.elements import normalize_rotation
+
+        return self._wrap(normalize_rotation(self.df, **kwargs))
+
     def tfidf_terms(self, id_col: str = "doc_id",
                     text_col: str = "text_representation", k: int = 5) -> "DocSet":
         """Per-doc top-k TF-IDF keyword extraction

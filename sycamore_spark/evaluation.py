@@ -255,3 +255,96 @@ def wer_scores(
             F.floor(F.col("d") / F.col("nr") * F.lit(1e6) + F.lit(0.5)).cast("long"),
         ).alias("wer_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Subtask decomposition executor (reference evaluation/subtasks.py:13-200)
+# ---------------------------------------------------------------------------
+
+def keyword_task_case(task_descriptions: dict, question_col) -> "F.Column":  # type: ignore[name-defined]
+    """Deterministic stand-in for the reference's LLM task identifier
+    (subtasks.py:47 generates a task id from the question with
+    _TaskIdentifierZeroShotGuidancePrompt): first task whose description
+    keyword appears (case-insensitive) in the question wins, in dict
+    order. Compiled to one CASE expression — the ``convert_units``
+    driver-compiled-closure pattern. Swap in ``llm_map`` for the
+    LLM-backed route; the downstream stages only see a task-id column."""
+    q = F.lower(question_col)
+    expr = F.lit(None).cast("string")
+    for task_id, desc in reversed(list(task_descriptions.items())):
+        kw = str(desc).lower().split()[0] if str(desc).strip() else str(task_id).lower()
+        expr = F.when(q.contains(kw.lower()), F.lit(task_id)).otherwise(expr)
+    return expr
+
+
+def expand_formulas(
+    questions: DataFrame,
+    task_formulas: dict,
+    task_col: str = "task_id",
+    reqd_col: str | None = "subtasks_reqd",
+) -> DataFrame:
+    """Fan each task-identified question out to that task's formula
+    documents (reference subtasks.py:44-74 _get_formulas): one child row
+    per formula carrying the task's instructions; a task with NO formulas
+    yields one empty-formula row (reference lines 67-72), so
+    instruction-only tasks still flow. Questions where ``reqd_col`` is
+    false produce nothing, matching the ``subtasks_reqd`` guard.
+    Broadcast join against the (tiny, driver-supplied) formula table —
+    the question side stays distributed."""
+    rows = []
+    for tid, spec in task_formulas.items():
+        formulas = list(spec.get("formulas", [])) or [""]
+        for i, formula in enumerate(formulas):
+            rows.append((str(tid), i, formula, spec.get("instructions", "")))
+    ftab = questions.sparkSession.createDataFrame(
+        rows, "task_id string, formula_index int, formula string, instructions string"
+    ).withColumnRenamed("task_id", task_col)
+    out = questions
+    if reqd_col is not None:
+        out = out.filter(F.col(reqd_col))
+    return out.join(F.broadcast(ftab), task_col)
+
+
+def attach_subtasks(
+    formulas: DataFrame,
+    subtask_instructions: dict,
+    formula_col: str = "formula",
+    filters_col: str | None = None,
+    out_col: str = "subtask",
+    term_col: str = "term",
+) -> DataFrame:
+    """Expand each formula row into its subtask queries (reference
+    subtasks.py:76-93 _get_subtasks): every instruction TERM that occurs
+    in the formula text becomes one subtask element whose text is the
+    term's instruction template — ``{key}`` placeholders substituted from
+    the row's ``filters_col`` map — plus the reference's literal suffix
+    'Return only the code <term> alongside the amount found and no
+    additional information.'. The term table rides along as an array
+    literal (a handful of terms), so matching is a native filter+explode,
+    no join, no BNL; substitution is a fold over map_entries."""
+    terms_arr = F.array(*[
+        F.struct(F.lit(str(term)).alias("t"), F.lit(str(tmpl)).alias("tpl"))
+        for term, tmpl in subtask_instructions.items()
+    ])
+    hit = F.filter(terms_arr, lambda s: F.col(formula_col).contains(s["t"]))
+    out = formulas.withColumn("_hit", F.explode(hit))
+    tpl = F.col("_hit")["tpl"]
+    if filters_col is not None:
+        tpl = F.aggregate(
+            F.map_entries(F.coalesce(F.col(filters_col), F.expr("map()"))),
+            tpl,
+            lambda acc, kv: F.replace(
+                acc, F.concat(F.lit("{"), kv["key"], F.lit("}")), kv["value"]
+            ),
+        )
+    subtask = F.concat(
+        tpl,
+        F.lit("Return only the code "),
+        F.col("_hit")["t"],
+        F.lit(" alongside the amount found and no additional information."),
+    )
+    return (
+        out.withColumn(term_col, F.col("_hit")["t"])
+        .withColumn(out_col, subtask)
+        .drop("_hit")
+    )

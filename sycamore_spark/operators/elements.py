@@ -1036,3 +1036,79 @@ def bbox_sort_elements(df: DataFrame, left_to_right: bool = True) -> DataFrame:
             yield pd.DataFrame(out_rows, columns=pdf.columns)
 
     return df.mapInPandas(run, schema=df.schema)
+
+
+# ---------------------------------------------------------------------------
+# Page rotation normalization (reference utils/rotation.py:34-77,
+# table_structure/extract.py:42-74,203-263)
+# ---------------------------------------------------------------------------
+
+def rot_bbox_expr(bbox: Column, quad: Column) -> Column:
+    """Rotate a normalized ``[x1, y1, x2, y2]`` bbox ``quad`` * 90 degrees
+    counterclockwise about the page center (0.5, 0.5) — the closed form of
+    the reference's rot_xy-both-corners + min/max re-normalization
+    (utils/rotation.py rot_tuple). Pure Column arithmetic; ``quad`` may be
+    any integer column (taken mod 4, Python semantics for negatives)."""
+    x1, y1, x2, y2 = (bbox[i] for i in range(4))
+    q = F.pmod(quad, F.lit(4))
+    one = F.lit(1.0)
+    return (
+        F.when(q == 1, F.array(y1, one - x2, y2, one - x1))
+        .when(q == 2, F.array(one - x2, one - y2, one - x1, one - y1))
+        .when(q == 3, F.array(one - y2, x1, one - y1, x2))
+        .otherwise(bbox)
+    )
+
+
+def detect_quad_expr(mean_vx: Column, mean_vy: Column, thres: float = 0.8) -> Column:
+    """Quadrant rotation implied by an average direction vector
+    (reference utils/rotation.py quad_rotation): 0 when the mean is
+    shorter than ``thres`` (mixed directions cancel), else the phase
+    rounded to the nearest quarter turn. Note the reference uses Python
+    round (half-even); this uses Spark round (half-up) — they differ only
+    for a mean vector at exactly 45 degrees, where "nearest quarter turn"
+    is ill-defined anyway."""
+    import math
+
+    mag = F.sqrt(mean_vx * mean_vx + mean_vy * mean_vy)
+    quad = F.pmod(
+        F.round(F.atan2(mean_vy, mean_vx) * F.lit(2.0 / math.pi)).cast("int"), F.lit(4)
+    )
+    return F.when(mag < F.lit(float(thres)), F.lit(0)).otherwise(quad)
+
+
+def normalize_rotation(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    bbox_col: str = "bbox",
+    vx_col: str = "vx",
+    vy_col: str = "vy",
+    thres: float = 0.8,
+    out_col: str = "bbox_upright",
+    quad_col: str = "rotation_quad",
+) -> DataFrame:
+    """Detect each page's quadrant rotation from its elements' text
+    direction vectors and rotate every bbox back upright — the
+    reference's table-extraction pre-pass (table_structure/extract.py:203:
+    ``quad = quad_rotation(average_vector(tokens));
+    rotated_table(element, -quad)``) applied per document over an
+    exploded (doc, element) frame.
+
+    Reference-parity details: each direction vector is normalized to unit
+    length BEFORE averaging (utils/rotation.py VectorMean via
+    vector_mean_attr_norm — a long line of small tokens must not outvote
+    rotation direction by magnitude), and the un-rotation is by -quad mod
+    4. One window shuffle on ``doc_col``; the rotation itself is pure
+    Column arithmetic. Adds ``quad_col`` (the detected rotation) and
+    ``out_col`` (the upright bbox)."""
+    from pyspark.sql.window import Window
+
+    vx, vy = F.col(vx_col), F.col(vy_col)
+    ln = F.sqrt(vx * vx + vy * vy)
+    uvx = F.when(ln > 0, vx / ln).otherwise(vx)
+    uvy = F.when(ln > 0, vy / ln).otherwise(vy)
+    w = Window.partitionBy(doc_col)
+    quad = detect_quad_expr(F.avg(uvx).over(w), F.avg(uvy).over(w), thres)
+    out = df.withColumn(quad_col, quad)
+    inv = F.pmod(F.lit(4) - F.col(quad_col), F.lit(4))
+    return out.withColumn(out_col, rot_bbox_expr(F.col(bbox_col), inv))

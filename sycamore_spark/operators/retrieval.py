@@ -94,6 +94,89 @@ def bm25_scores(
     )
 
 
+def bm25_scores_multi(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int | None = None,
+) -> DataFrame:
+    """Batch twin of ``bm25_scores``: score every (query, doc) pair where
+    the doc contains at least one of that query's terms, for a whole
+    DataFrame of queries at once — the distributed search-scoring shape
+    (one posting aggregation serves every query). Identical per-term
+    arithmetic to ``bm25_scores`` (integer micros before the associative
+    bigint sum), with SET semantics for each query's terms (duplicate
+    words in a query count once — the reference executor passes term
+    lists, not bags).
+
+    Returns (query_id_col, id_col, bm25_micros), optionally top-``k``
+    rows per query (rank window ordered by score desc, id asc — ties
+    deterministic).
+
+    Scale shape: corpus tokens are pruned by a semi-join against the
+    DISTINCT query vocabulary before the tf aggregation, so posting
+    construction touches only matching terms; per-term document
+    frequencies are broadcast (bounded by the query vocabulary, per the
+    ``bm25_scores`` broadcast contract — never the corpus vocabulary).
+    The queries-to-postings join is a plain hash equi-join on the term.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
+    )
+    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("_n_docs"), F.avg("_dl").alias("_avgdl"))
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(query_text_col))), r"\s+"))
+        ).alias("_tok"),
+    )
+    wanted = qterms.select("_tok").distinct()
+    matched = toks.join(wanted, "_tok", "left_semi")
+    tf = matched.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+
+    scored = (
+        qterms.join(tf, "_tok")
+        .join(F.broadcast(dfreq), "_tok")
+        .join(dl, "_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("_tf") * F.lit(k1 + 1.0)) / (
+        F.col("_tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+    )
+    contrib = F.floor(idf * tf_norm * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    out = (
+        scored.withColumn("_c", contrib)
+        .groupBy("_qid", "_id")
+        .agg(F.sum("_c").alias("bm25_micros"))
+    )
+    if k is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("_qid").orderBy(
+            F.col("bm25_micros").desc(), F.col("_id").asc()
+        )
+        out = out.withColumn("_rk", F.row_number().over(w)).filter(
+            F.col("_rk") <= k
+        ).drop("_rk")
+    return out.select(
+        F.col("_qid").alias(query_id_col), F.col("_id").alias(id_col), "bm25_micros"
+    )
+
+
 def tfidf_topk_terms(
     df: DataFrame,
     id_col: str = "doc_id",

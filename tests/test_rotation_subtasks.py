@@ -1,0 +1,159 @@
+"""Round-6 additions: page rotation normalization (reference
+utils/rotation.py) and the evaluation subtask executor
+(reference evaluation/subtasks.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_rot_bbox_expr_quads(spark):
+    from sycamore_spark.operators.elements import rot_bbox_expr
+
+    df = spark.createDataFrame([([0.1, 0.2, 0.4, 0.5],)], "bbox array<double>")
+    got = {
+        q: df.select(rot_bbox_expr(F.col("bbox"), F.lit(q)).alias("r")).first().r
+        for q in (0, 1, 2, 3, 4, -1)
+    }
+    # reference rot_xy: q1 (x,y)->(y,1-x); q2 ->(1-x,1-y); q3 ->(1-y,x)
+    assert got[0] == [0.1, 0.2, 0.4, 0.5]
+    assert got[1] == pytest.approx([0.2, 0.6, 0.5, 0.9])
+    assert got[2] == pytest.approx([0.6, 0.5, 0.9, 0.8])
+    assert got[3] == pytest.approx([0.5, 0.1, 0.8, 0.4])
+    assert got[4] == got[0]
+    assert got[-1] == got[3]  # python-mod semantics for negatives
+
+
+def test_rot_bbox_expr_roundtrip(spark):
+    from sycamore_spark.operators.elements import rot_bbox_expr
+
+    df = spark.createDataFrame([([0.12, 0.3, 0.77, 0.61],)], "bbox array<double>")
+    for q in (1, 2, 3):
+        back = df.select(
+            rot_bbox_expr(rot_bbox_expr(F.col("bbox"), F.lit(q)), F.lit((4 - q) % 4)).alias("r")
+        ).first().r
+        assert back == pytest.approx([0.12, 0.3, 0.77, 0.61])
+
+
+def test_normalize_rotation_detects_and_restores(spark):
+    from sycamore_spark.operators.elements import normalize_rotation, rot_bbox_expr
+
+    rows = []
+    for doc in range(8):
+        quad = doc % 4
+        for e in range(5):
+            jit = ((doc * 3 + e) % 11 - 5) / 50.0  # +-0.1 rad
+            ang = quad * math.pi / 2 + jit
+            rows.append((doc, e, [0.1, 0.1 + e * 0.15, 0.4, 0.2 + e * 0.15],
+                         math.cos(ang), math.sin(ang)))
+    df = spark.createDataFrame(rows, "doc_id long, e int, up array<double>, vx double, vy double")
+    scanned = df.select(
+        "doc_id", "e", "vx", "vy",
+        rot_bbox_expr(F.col("up"), (F.col("doc_id") % 4).cast("int")).alias("bbox"),
+        F.col("up"),
+    )
+    out = normalize_rotation(scanned)
+    rws = out.collect()
+    assert all(r.rotation_quad == r.doc_id % 4 for r in rws)
+    for r in rws:
+        assert list(r.bbox_upright) == pytest.approx(list(r.up))
+
+
+def test_normalize_rotation_mixed_directions_no_rotation(spark):
+    from sycamore_spark.operators.elements import normalize_rotation
+
+    # opposing vectors cancel: |mean| < thres -> quad 0, bbox untouched
+    rows = [(1, 0, [0.1, 0.1, 0.5, 0.3], 1.0, 0.0), (1, 1, [0.1, 0.4, 0.5, 0.6], -1.0, 0.0)]
+    df = spark.createDataFrame(rows, "doc_id long, e int, bbox array<double>, vx double, vy double")
+    out = normalize_rotation(df).collect()
+    assert all(r.rotation_quad == 0 for r in out)
+    assert all(list(r.bbox_upright) == list(r.bbox) for r in out)
+
+
+def test_subtask_pipeline_matches_reference_shape(spark):
+    """Mirror reference subtasks.py semantics: subtasks_reqd gate, task
+    fan-out to formulas (empty formulas -> one empty row), term matching
+    in formula text, template substitution from filters, literal query
+    suffix."""
+    from sycamore_spark.evaluation import (
+        attach_subtasks, expand_formulas, keyword_task_case,
+    )
+
+    data = {
+        "task_descriptions": {"REV": "revenue analysis", "AST": "asset analysis"},
+        "task_formulas": {
+            "REV": {"formulas": ["NETREV = GROSSREV - RETURNS"], "instructions": "Use {year}. "},
+            "AST": {"formulas": [], "instructions": "Assets only. "},
+        },
+        "subtask_instructions": {
+            "GROSSREV": "Find gross revenue in {year}. ",
+            "RETURNS": "Find returns in {year}. ",
+        },
+    }
+    qs = spark.createDataFrame(
+        [
+            (1, "What is the revenue this year?", True, {"year": "2021"}),
+            (2, "What is the asset base this year?", True, {"year": "2022"}),
+            (3, "What is the revenue this year?", False, {"year": "2023"}),  # not reqd
+            (4, "What about the weather?", True, {"year": "2024"}),          # no task
+        ],
+        "qid long, question string, subtasks_reqd boolean, filters map<string,string>",
+    )
+    qs = qs.withColumn(
+        "task_id", keyword_task_case(data["task_descriptions"], F.col("question"))
+    ).filter(F.col("task_id").isNotNull())
+    formulas = expand_formulas(qs, data["task_formulas"])
+    frows = {(r.qid, r.formula_index): (r.formula, r.instructions) for r in formulas.collect()}
+    # q1 -> REV formula; q2 -> AST empty-formula row (reference lines 67-72);
+    # q3 dropped by subtasks_reqd; q4 dropped by task identification
+    assert frows == {
+        (1, 0): ("NETREV = GROSSREV - RETURNS", "Use {year}. "),
+        (2, 0): ("", "Assets only. "),
+    }
+    subs = attach_subtasks(formulas, data["subtask_instructions"], filters_col="filters")
+    srows = {(r.qid, r.term): r.subtask for r in subs.collect()}
+    assert srows == {
+        (1, "GROSSREV"): "Find gross revenue in 2021. Return only the code GROSSREV "
+                         "alongside the amount found and no additional information.",
+        (1, "RETURNS"): "Find returns in 2021. Return only the code RETURNS "
+                        "alongside the amount found and no additional information.",
+    }
+
+
+def test_bm25_multi_agrees_with_single(spark):
+    from sycamore_spark.operators.retrieval import bm25_scores, bm25_scores_multi
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry durian"),
+            (3, "apple apple apple"),
+            (4, "elderberry fig"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(10, "apple banana apple"), (11, "fig")], "query_id long, query string"
+    )
+    multi = {
+        (r.query_id, r.doc_id): r.bm25_micros
+        for r in bm25_scores_multi(docs, queries).collect()
+    }
+    # per-query equivalence with the single-query op (which takes a term SET)
+    for qid, terms in ((10, ["apple", "banana"]), (11, ["fig"])):
+        single = {r.doc_id: r.bm25_micros for r in bm25_scores(docs, terms).collect()}
+        got = {d: s for (q, d), s in multi.items() if q == qid}
+        assert got == single, qid
+
+
+def test_bm25_multi_topk(spark):
+    from sycamore_spark.operators.retrieval import bm25_scores_multi
+
+    docs = spark.createDataFrame(
+        [(i, "term " * (i + 1)) for i in range(6)], "doc_id long, text string"
+    )
+    out = bm25_scores_multi(
+        docs, spark.createDataFrame([(1, "term")], "query_id long, query string"), k=3
+    ).collect()
+    assert len(out) == 3
