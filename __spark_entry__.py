@@ -3980,6 +3980,26 @@ def q_subtask_exec(spark, sf) -> DataFrame:
     )
 
 
+
+def q_dup_spans(spark, sf) -> DataFrame:
+    """Exact duplicate-substring span detection (operators/dedup.py
+    duplicate_spans): the n-gram formulation of suffix-array training-data
+    dedup (Lee et al. 2021) — every maximal token span (>= 8 tokens) that
+    occurs elsewhere in the corpus, with the corpus-wide first occurrence
+    marked canonical (the deterministic remove-all-but-one rule). One
+    native transform + one hash agg + one join + one island window."""
+    from sycamore_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf, "documents")
+    out = duplicate_spans(docs, "doc_id", "text", min_len=8)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_dup_grams", "has_canonical",
+    )
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -4019,6 +4039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_lsh": q_containment_lsh,
     "bbox_rotation": q_bbox_rotation,
     "subtask_exec": q_subtask_exec,
+    "dup_spans": q_dup_spans,
     # -- stalest driver greens --
     "tpch_q5": q_tpch_q5,
     "tpch_q4": q_tpch_q4,
@@ -5834,6 +5855,21 @@ def oracle_sql() -> dict[str, str]:
             "scores AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS bm25_micros FROM contrib GROUP BY 1, 2), "
             "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25_micros DESC, doc_id ASC) AS r FROM scores) "
             "SELECT query_id, doc_id, bm25_micros FROM rk WHERE r <= 3"
+        ),
+        "dup_spans": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents), "
+            "ix AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM t WHERE len(tk) >= 8), "
+            "g AS (SELECT doc_id, (i - 1)::BIGINT AS pos, md5(array_to_string(tk[i:i+7], chr(31))) AS gh, "
+            "doc_id * 1048576 + (i - 1) AS ck FROM ix), "
+            "d AS (SELECT gh, min(ck) AS canon FROM g GROUP BY 1 HAVING count(*) > 1), "
+            "mk AS (SELECT g.doc_id, g.pos, g.ck, d.canon FROM g JOIN d USING (gh)), "
+            "w1 AS (SELECT *, max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM mk), "
+            "w2 AS (SELECT *, sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM w1) "
+            "SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end, "
+            "count(*)::BIGINT AS n_dup_grams, max(CASE WHEN ck = canon THEN 1 ELSE 0 END)::BIGINT AS has_canonical "
+            "FROM w2 GROUP BY doc_id, isl"
         ),
         "containment_lsh": (
             "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "

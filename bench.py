@@ -134,6 +134,7 @@ HEADLINE = [
     # round-6 additions
     "bbox_rotation",
     "subtask_exec",
+    "dup_spans",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

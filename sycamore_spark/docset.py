@@ -369,6 +369,15 @@ class DocSet:
 
         return self._wrap(containment_pairs(self.df, id_col, text_col, threshold))
 
+    def duplicate_spans(self, id_col: str = "doc_id", text_col: str = "text",
+                        min_len: int = 8) -> "DocSet":
+        """Maximal duplicated token spans across the corpus with canonical
+        first-occurrence marking (operators/dedup.py duplicate_spans —
+        the Lee et al. 2021 n-gram span dedup)."""
+        from sycamore_spark.operators.dedup import duplicate_spans
+
+        return self._wrap(duplicate_spans(self.df, id_col, text_col, min_len))
+
     def containment_lsh_pairs(self, id_col: str = "doc_id", text_col: str = "text",
                               threshold: float = 0.9, **kwargs) -> "DocSet":
         """Scale path for containment_pairs: size-stratified minhash LSH

@@ -750,6 +750,88 @@ def incremental_dedup(
     return definite_new.unionByName(verified_new)
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """Exact duplicate-substring spans across the corpus — the n-gram
+    formulation of suffix-array training-data dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): a token
+    span is duplicated iff one of its ``min_len``-grams occurs elsewhere
+    in the corpus, so marking every position whose L-gram is non-unique
+    and merging the overlapping [pos, pos+L) intervals yields exactly the
+    maximal duplicated spans of length >= ``min_len``.
+
+    Returns one row per maximal span: (id_col, span_start, span_end
+    [token indices, end exclusive], n_dup_grams, has_canonical) —
+    ``has_canonical`` = 1 iff the span contains the corpus-wide FIRST
+    occurrence (min (doc, pos)) of one of its grams, the deterministic
+    keep-one rule for remove-all-but-one cleaning.
+
+    Scale shape: per-position grams are one native transform over the
+    token array (no UDF) exploded to (doc, pos, gram-key) — linear in
+    corpus tokens; non-unique grams come from ONE hash aggregation on the
+    gram key; marked positions come back via an equi-join on the key;
+    interval merge is the classic running-max-end island window,
+    partitioned per document. Gram keys are md5 of the joined token
+    window (md5 replays in any engine; swap xxhash64 for tighter shuffle
+    bytes when cross-engine replay is not needed)."""
+    from pyspark.sql.window import Window
+
+    L = int(min_len)
+    toks = T.tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+    gram = lambda i: F.md5(F.array_join(F.slice(F.col("_t"), i + 1, L), "\x1f"))  # noqa: E731
+    pos_grams = (
+        base.filter(F.col("_n") >= L)
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n") - L),
+                    lambda i: F.struct(i.alias("pos"), gram(i).alias("gh")),
+                )
+            ).alias("_g"),
+        )
+        .select("_id", F.col("_g.pos").alias("_pos"), F.col("_g.gh").alias("_gh"))
+    )
+    # canonical key packs (doc, pos) into one bigint so min() is the
+    # lexicographic first occurrence (pos < 2^20 per doc by contract)
+    ck = F.col("_id").cast("long") * F.lit(1 << 20).cast("long") + F.col("_pos")
+    dup = (
+        pos_grams.withColumn("_ck", ck)
+        .groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.min("_ck").alias("_canon"))
+        .filter(F.col("_cnt") > 1)
+    )
+    marked = pos_grams.withColumn("_ck", ck).join(dup, "_gh")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    prev_end = F.max(F.col("_pos") + F.lit(L)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island = F.when(
+        prev_end.isNull() | (F.col("_pos") > prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    spans = (
+        marked.withColumn("_isl", F.sum(island).over(w))
+        .groupBy("_id", "_isl")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + F.lit(L)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.max((F.col("_ck") == F.col("_canon")).cast("int")).alias("has_canonical"),
+        )
+    )
+    return spans.select(
+        F.col("_id").alias(id_col), "span_start", "span_end", "n_dup_grams",
+        F.col("has_canonical").cast("bigint").alias("has_canonical"),
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

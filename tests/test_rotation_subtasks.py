@@ -157,3 +157,43 @@ def test_bm25_multi_topk(spark):
         docs, spark.createDataFrame([(1, "term")], "query_id long, query string"), k=3
     ).collect()
     assert len(out) == 3
+
+
+def test_duplicate_spans_exact(spark):
+    """Lee-et-al n-gram span dedup: overlapping dup grams merge to one
+    maximal span; the corpus-wide first occurrence is canonical; unique
+    docs produce nothing."""
+    from sycamore_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l unique1 unique2"),
+            (2, "x y a b c d e f g h i j other words here now"),
+            (3, "no repeats in this document at all whatsoever ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(tuple(r) for r in duplicate_spans(docs, min_len=8).collect())
+    # shared run "a b .. j" (10 tokens): doc1 tokens 0..9 (canonical,
+    # smaller (doc,pos)), doc2 tokens 2..11
+    assert out == [(1, 0, 10, 3, 1), (2, 2, 12, 3, 0)]
+
+
+def test_duplicate_spans_two_islands(spark):
+    from sycamore_spark.operators.dedup import duplicate_spans
+
+    shared1 = "p q r s t u v w"        # 8 tokens
+    shared2 = "h i j k l m n o"        # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared1 + " gapone gaptwo gapthree " + shared2),
+            (2, shared1 + " totally different middle content here " + shared2),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(tuple(r) for r in duplicate_spans(docs, min_len=8).collect())
+    # each doc: two separate islands of exactly one gram each
+    assert out == [
+        (1, 0, 8, 1, 1), (1, 11, 19, 1, 1),
+        (2, 0, 8, 1, 0), (2, 13, 21, 1, 0),
+    ]
