@@ -4000,6 +4000,42 @@ def q_dup_spans(spark, sf) -> DataFrame:
     )
 
 
+
+def q_url_canon(spark, sf) -> DataFrame:
+    """URL canonicalization + registered-domain extraction
+    (operators/web.py — the crawl-pipeline dedup/quota keys): scheme and
+    host lowercased, www. and default ports stripped, fragment dropped,
+    tracking params (utm_*, gclid, ...) removed, surviving params
+    sorted, trailing slash trimmed. URLs are synthesized per doc with
+    mixed case, variant ports, tracking params, and a co.uk-style
+    two-part suffix; the oracle replays the identical string pipeline."""
+    from sycamore_spark.operators.web import canonical_urls
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("http")).otherwise(F.lit("HTTPS"))
+    port = (
+        F.when((F.col("doc_id") % 4 == 0) & (F.col("doc_id") % 2 == 0), F.lit(":80"))
+        .when((F.col("doc_id") % 4 == 0), F.lit(":443"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/Page/"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/Page"))
+        .otherwise(F.lit(""))
+    )
+    query = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("?b=2&utm_source=news&a=1")
+    ).otherwise(F.lit("?a=1&gclid=xyz"))
+    frag = F.when(F.col("doc_id") % 3 == 0, F.lit("#Top")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme, F.lit("://WWW.Ex"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Co.UK"), port, path, query, frag,
+    )
+    d = docs.withColumn("url", url)
+    return canonical_urls(d, "url").select("doc_id", "url", "canonical_url", "domain")
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -4040,6 +4076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bbox_rotation": q_bbox_rotation,
     "subtask_exec": q_subtask_exec,
     "dup_spans": q_dup_spans,
+    "url_canon": q_url_canon,
     # -- stalest driver greens --
     "tpch_q5": q_tpch_q5,
     "tpch_q4": q_tpch_q4,
@@ -5870,6 +5907,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end, "
             "count(*)::BIGINT AS n_dup_grams, max(CASE WHEN ck = canon THEN 1 ELSE 0 END)::BIGINT AS has_canonical "
             "FROM w2 GROUP BY doc_id, isl"
+        ),
+        "url_canon": (
+            "WITH d AS (SELECT doc_id, "
+            "(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END) || '://WWW.Ex' || (doc_id % 7)::VARCHAR || '.Co.UK' "
+            "|| (CASE WHEN doc_id % 4 = 0 AND doc_id % 2 = 0 THEN ':80' WHEN doc_id % 4 = 0 THEN ':443' "
+            "WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) "
+            "|| (CASE doc_id % 3 WHEN 0 THEN '/Page/' WHEN 1 THEN '/Page' ELSE '' END) "
+            "|| (CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=news&a=1' ELSE '?a=1&gclid=xyz' END) "
+            "|| (CASE WHEN doc_id % 3 = 0 THEN '#Top' ELSE '' END) AS url FROM documents), "
+            "p AS (SELECT doc_id, url, "
+            "CASE WHEN regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1) = '' THEN 'http' "
+            "ELSE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) END AS scheme, "
+            "lower(regexp_extract(url, '^(?:[A-Za-z][A-Za-z0-9+.\\-]*://)?([^/?#]*)', 1)) AS hostport, "
+            "regexp_replace(regexp_extract(url, '^(?:[A-Za-z][A-Za-z0-9+.\\-]*://)?[^/?#]*([^?#]*)', 1), '/$', '') AS path, "
+            "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM d), "
+            "h AS (SELECT *, regexp_replace(regexp_extract(hostport, '^([^:]*)', 1), '^www\\.', '') AS host, "
+            "regexp_extract(hostport, ':(\\d+)$', 1) AS port FROM p), "
+            "c AS (SELECT doc_id, url, scheme, host, path, "
+            "CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443')) "
+            "THEN ':' || port ELSE '' END AS portstr, "
+            "array_to_string(list_sort(list_filter(string_split(query, '&'), "
+            "p -> p <> '' AND split_part(p, '=', 1) NOT IN ('gclid', 'fbclid', 'ref', 'mc_cid', 'mc_eid') "
+            "AND NOT starts_with(split_part(p, '=', 1), 'utm_'))), '&') AS qstr FROM h), "
+            "canon AS (SELECT doc_id, url, scheme || '://' || host || portstr || path "
+            "|| CASE WHEN qstr <> '' THEN '?' || qstr ELSE '' END AS canonical_url, host FROM c), "
+            "dom AS (SELECT doc_id, url, canonical_url, string_split(host, '.') AS ls FROM canon) "
+            "SELECT doc_id, url, canonical_url, "
+            "CASE WHEN len(ls) >= 3 AND ls[-2] IN ('co', 'com', 'org', 'net', 'ac', 'gov', 'edu') AND len(ls[-1]) <= 3 "
+            "THEN array_to_string(ls[-3:], '.') ELSE array_to_string(ls[-2:], '.') END AS domain FROM dom"
         ),
         "containment_lsh": (
             "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "

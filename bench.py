@@ -135,6 +135,7 @@ HEADLINE = [
     "bbox_rotation",
     "subtask_exec",
     "dup_spans",
+    "url_canon",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

@@ -369,6 +369,20 @@ class DocSet:
 
         return self._wrap(containment_pairs(self.df, id_col, text_col, threshold))
 
+    def canonical_urls(self, url_col: str, **kwargs) -> "DocSet":
+        """Attach canonical-URL and registered-domain columns
+        (operators/web.py canonical_urls)."""
+        from sycamore_spark.operators.web import canonical_urls
+
+        return self._wrap(canonical_urls(self.df, url_col, **kwargs))
+
+    def url_dedup(self, url_col: str, id_col: str = "doc_id") -> "DocSet":
+        """One row per canonical URL, smallest id wins
+        (operators/web.py url_dedup)."""
+        from sycamore_spark.operators.web import url_dedup
+
+        return self._wrap(url_dedup(self.df, url_col, id_col))
+
     def duplicate_spans(self, id_col: str = "doc_id", text_col: str = "text",
                         min_len: int = 8) -> "DocSet":
         """Maximal duplicated token spans across the corpus with canonical

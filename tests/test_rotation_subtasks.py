@@ -197,3 +197,39 @@ def test_duplicate_spans_two_islands(spark):
         (1, 0, 8, 1, 1), (1, 11, 19, 1, 1),
         (2, 0, 8, 1, 0), (2, 13, 21, 1, 0),
     ]
+
+
+def test_url_canonicalization_variants_collide(spark):
+    from sycamore_spark.operators.web import canonical_urls, url_dedup
+
+    urls = [
+        (1, "HTTP://WWW.Example.COM:80/a/b/?b=2&utm_source=x&a=1#frag"),
+        (2, "http://example.com/a/b?a=1&b=2"),
+        (3, "https://example.com/a/b?a=1&b=2"),     # different scheme: distinct
+        (4, "example.com/a/b?a=1&b=2"),             # schemeless -> http
+        (5, "http://shop.example.co.uk:8080/"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {r.doc_id: (r.canonical_url, r.domain) for r in canonical_urls(df, "url").collect()}
+    assert got[1] == ("http://example.com/a/b?a=1&b=2", "example.com")
+    assert got[2] == got[1]
+    assert got[4] == got[1]
+    assert got[3][0] == "https://example.com/a/b?a=1&b=2"
+    assert got[5] == ("http://shop.example.co.uk:8080", "example.co.uk")
+    kept = sorted(r.doc_id for r in url_dedup(df, "url").collect())
+    assert kept == [1, 3, 5]  # 2 and 4 collapse into 1 (min id wins)
+
+
+def test_registered_domain_heuristics(spark):
+    from pyspark.sql import functions as F
+
+    from sycamore_spark.operators.web import registered_domain_expr
+
+    df = spark.createDataFrame(
+        [("a.b.example.com",), ("example.co.uk",), ("localhost",),
+         ("https://deep.sub.gov.au/x",), ("example.company",)],
+        "h string",
+    )
+    got = [r.d for r in df.select(registered_domain_expr(F.col("h")).alias("d")).collect()]
+    # .company is a long TLD: two labels, no three-label rule
+    assert got == ["example.com", "example.co.uk", "localhost", "sub.gov.au", "example.company"]
