@@ -4036,6 +4036,52 @@ def q_url_canon(spark, sf) -> DataFrame:
     return canonical_urls(d, "url").select("doc_id", "url", "canonical_url", "domain")
 
 
+
+def q_crawl_prep(spark, sf) -> DataFrame:
+    """Crawl-corpus preparation composed end-to-end (the web-pipeline
+    story: operators/web.py + sampling.py + textstats.py): synthesize
+    URL variants per doc (3 variants each — scheme/case/tracking-param
+    noise) -> canonicalize -> url_dedup collapses the variants ->
+    registered-domain quota key -> quality length filter -> per-domain
+    cap (content-addressed, 12/domain) -> per-domain kept/seen counts.
+    Every stage is individually gated elsewhere (url_canon,
+    cap_per_group, text_stats); this row proves the COMPOSITION."""
+    from sycamore_spark.operators.sampling import cap_per_group
+    from sycamore_spark.operators.web import canonical_urls, url_dedup
+
+    docs = load_table(spark, sf, "documents")
+    # 3 URL variants per doc, all collapsing to one canonical URL
+    v = docs.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("vi"),
+    )
+    scheme = F.when(F.col("vi") == 0, F.lit("http")).otherwise(F.lit("HTTP"))
+    tail = (
+        F.when(F.col("vi") == 1, F.lit("?utm_source=feed"))
+        .when(F.col("vi") == 2, F.lit("/"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        scheme, F.lit("://WWW.Site"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(".COM/doc/"), F.col("doc_id").cast("string"), tail,
+    )
+    crawl = v.select(
+        (F.col("doc_id") * 3 + F.col("vi")).alias("crawl_id"),
+        F.col("doc_id"), F.col("text"), url.alias("url"),
+    )
+    unique = url_dedup(crawl, "url", id_col="crawl_id")
+    canon = canonical_urls(unique, "url")
+    kept = canon.filter(F.length("text") >= 200)
+    capped = cap_per_group(kept, "domain", "canonical_url", 12)
+    return (
+        capped.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -4077,6 +4123,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subtask_exec": q_subtask_exec,
     "dup_spans": q_dup_spans,
     "url_canon": q_url_canon,
+    "crawl_prep": q_crawl_prep,
     # -- stalest driver greens --
     "tpch_q5": q_tpch_q5,
     "tpch_q4": q_tpch_q4,
@@ -5936,6 +5983,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, url, canonical_url, "
             "CASE WHEN len(ls) >= 3 AND ls[-2] IN ('co', 'com', 'org', 'net', 'ac', 'gov', 'edu') AND len(ls[-1]) <= 3 "
             "THEN array_to_string(ls[-3:], '.') ELSE array_to_string(ls[-2:], '.') END AS domain FROM dom"
+        ),
+        "crawl_prep": (
+            "WITH v AS (SELECT doc_id, text, r.vi FROM documents CROSS JOIN (SELECT unnest(range(3)) AS vi) r), "
+            "crawl AS (SELECT doc_id * 3 + vi AS crawl_id, doc_id, text, "
+            "(CASE WHEN vi = 0 THEN 'http' ELSE 'HTTP' END) || '://WWW.Site' || (doc_id % 40)::VARCHAR "
+            "|| '.COM/doc/' || doc_id::VARCHAR "
+            "|| (CASE WHEN vi = 1 THEN '?utm_source=feed' WHEN vi = 2 THEN '/' ELSE '' END) AS url FROM v), "
+            "canon AS (SELECT crawl_id, doc_id, text, "
+            "'http://site' || (doc_id % 40)::VARCHAR || '.com/doc/' || doc_id::VARCHAR AS canonical_url, "
+            "'site' || (doc_id % 40)::VARCHAR || '.com' AS domain FROM crawl), "
+            "uniq AS (SELECT * FROM (SELECT *, min(crawl_id) OVER (PARTITION BY canonical_url) AS kp FROM canon) "
+            "WHERE crawl_id = kp), "
+            "kept AS (SELECT * FROM uniq WHERE length(text) >= 200), "
+            "capped AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY domain "
+            "ORDER BY md5(canonical_url) ASC, canonical_url ASC) AS rk FROM kept) WHERE rk <= 12) "
+            "SELECT domain, count(*)::BIGINT AS kept, min(doc_id) AS min_doc FROM capped GROUP BY domain"
         ),
         "containment_lsh": (
             "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "

@@ -136,6 +136,7 @@ HEADLINE = [
     "subtask_exec",
     "dup_spans",
     "url_canon",
+    "crawl_prep",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M
