@@ -233,3 +233,37 @@ def test_registered_domain_heuristics(spark):
     got = [r.d for r in df.select(registered_domain_expr(F.col("h")).alias("d")).collect()]
     # .company is a long TLD: two labels, no three-label rule
     assert got == ["example.com", "example.co.uk", "localhost", "sub.gov.au", "example.company"]
+
+
+def test_subtask_task_identification_via_llm_seam(spark):
+    """The reference identifies the task with an LLM
+    (subtasks.py:47); here the same seam runs through llm_map with a
+    MockLLM whose rules answer the task-identification prompt — the
+    downstream formula fan-out only sees the task-id column, so the
+    keyword CASE and the LLM route are interchangeable."""
+    from sycamore_spark.evaluation import expand_formulas
+    from sycamore_spark.llm.client import MockLLM
+    from sycamore_spark.llm.map import llm_map
+
+    qs = spark.createDataFrame(
+        [(1, "What was net revenue last quarter?", True),
+         (2, "List the asset classes held.", True)],
+        "qid long, question string, subtasks_reqd boolean",
+    )
+    factory = lambda: MockLLM(rules=[(r"revenue", "REV"), (r"asset", "AST")])  # noqa: E731
+    tagged = llm_map(
+        qs,
+        "Identify the task for: {{ doc.question }}",
+        "task_id",
+        factory,
+    )
+    out = expand_formulas(
+        tagged,
+        {"REV": {"formulas": ["NETREV = GROSSREV - RETURNS"], "instructions": "i1"},
+         "AST": {"formulas": ["TOTAST = CURAST + FIXAST"], "instructions": "i2"}},
+    )
+    got = {(r.qid, r.formula): r.instructions for r in out.collect()}
+    assert got == {
+        (1, "NETREV = GROSSREV - RETURNS"): "i1",
+        (2, "TOTAST = CURAST + FIXAST"): "i2",
+    }
