@@ -4082,6 +4082,36 @@ def q_crawl_prep(spark, sf) -> DataFrame:
     )
 
 
+
+def q_predicate_dsl(spark, sf) -> DataFrame:
+    """The reference's property-predicate DSL (utils/predicates.py, used
+    by schema validation and split_elements) compiled to native Column
+    predicates (functions/filters.py compile_predicate): three predicate
+    strings — a float comparison, a compound string AND with the
+    reference's inverted `like` (column IN literal), and a string
+    equality — each counted over events. The oracle inlines the
+    equivalent SQL conditions."""
+    from sycamore_spark.functions.filters import compile_predicate
+
+    ev = _ds(spark, sf, "events").to_df()
+    preds = [
+        ("p_value_gt", compile_predicate("x > 50.0", F.col("value"), "float")),
+        ("p_type_compound", compile_predicate(
+            "(x like 'signup-login-purchase') AND (x != 'view')",
+            F.col("event_type"), "string")),
+        ("p_type_eq", compile_predicate("x == 'click'", F.col("event_type"), "string")),
+    ]
+    out = ev.agg(*[F.sum(c.cast("long")).alias(name) for name, c in preds])
+    return out.select(
+        F.stack(
+            F.lit(3),
+            F.lit("p_value_gt"), F.col("p_value_gt"),
+            F.lit("p_type_compound"), F.col("p_type_compound"),
+            F.lit("p_type_eq"), F.col("p_type_eq"),
+        ).alias("pred", "matched")
+    )
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -4124,6 +4154,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_spans": q_dup_spans,
     "url_canon": q_url_canon,
     "crawl_prep": q_crawl_prep,
+    "predicate_dsl": q_predicate_dsl,
     # -- stalest driver greens --
     "tpch_q5": q_tpch_q5,
     "tpch_q4": q_tpch_q4,
@@ -5999,6 +6030,15 @@ def oracle_sql() -> dict[str, str]:
             "capped AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY domain "
             "ORDER BY md5(canonical_url) ASC, canonical_url ASC) AS rk FROM kept) WHERE rk <= 12) "
             "SELECT domain, count(*)::BIGINT AS kept, min(doc_id) AS min_doc FROM capped GROUP BY domain"
+        ),
+        "predicate_dsl": (
+            "WITH c AS (SELECT "
+            "sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)::BIGINT AS p_value_gt, "
+            "sum(CASE WHEN contains('signup-login-purchase', event_type) AND event_type <> 'view' THEN 1 ELSE 0 END)::BIGINT AS p_type_compound, "
+            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS p_type_eq FROM events) "
+            "SELECT 'p_value_gt' AS pred, p_value_gt AS matched FROM c "
+            "UNION ALL SELECT 'p_type_compound', p_type_compound FROM c "
+            "UNION ALL SELECT 'p_type_eq', p_type_eq FROM c"
         ),
         "containment_lsh": (
             "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "

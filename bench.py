@@ -137,6 +137,7 @@ HEADLINE = [
     "dup_spans",
     "url_canon",
     "crawl_prep",
+    "predicate_dsl",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

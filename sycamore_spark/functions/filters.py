@@ -58,3 +58,77 @@ def range_filter_expr(
     if end is not None:
         cond = cond & (col <= end)
     return cond
+
+
+def compile_predicate(expr: str, col: Column, dtype: str = "string") -> Column:
+    """The reference's property-predicate DSL (utils/predicates.py
+    PredicateExpressionParser / Expression, used by schema validation and
+    split_elements) COMPILED to one native Column expression instead of
+    per-row python evaluation — the predicate runs inside whole-stage
+    codegen and pushes down to the scan where possible.
+
+    Grammar (reference parity): ``x <op> <value>`` or
+    ``(expr) AND|OR (expr)`` (at most two terms). Ops by type —
+    string: like / == / != (reference quirk preserved: ``x like 'v'``
+    evaluates ``extracted in value``, i.e. the COLUMN is a substring of
+    the literal); int/float: < <= > >= == !=; bool: == / != against
+    true/false. Invalid syntax raises SyntaxError at COMPILE time (the
+    reference's parse-only mode), so a bad predicate never reaches
+    executors."""
+    import ast
+
+    num_ops = {
+        "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
+        "==": lambda c, v: c == v, "!=": lambda c, v: c != v,
+    }
+
+    def parse_one(e: str) -> Column:
+        toks = e.split()
+        if len(toks) != 3:
+            raise SyntaxError(
+                "Invalid syntax: expression must be in the form of 'x' <op> <value>"
+            )
+        if toks[0] != "x":
+            raise SyntaxError("Invalid syntax: the property reference must always be 'x'")
+        op, raw = toks[1], toks[2]
+        if dtype == "string":
+            val = ast.literal_eval(raw)
+            if op == "like":
+                return F.lit(val).contains(col)
+            if op == "==":
+                return col == F.lit(val)
+            if op == "!=":
+                return col != F.lit(val)
+        elif dtype in ("int", "float"):
+            val = int(raw) if dtype == "int" else float(raw)
+            if op in num_ops:
+                return num_ops[op](col, F.lit(val))
+        elif dtype == "bool":
+            if raw.lower() not in ("true", "false"):
+                raise SyntaxError("Boolean data type can only be compared to 'True' or 'False'")
+            val = raw.lower() == "true"
+            if op == "==":
+                return col == F.lit(val)
+            if op == "!=":
+                return col != F.lit(val)
+        raise SyntaxError(f"Invalid syntax: '{op}' is not allowed/supported for {dtype}")
+
+    s = expr.strip()
+    if s.startswith("("):
+        if not s.endswith(")"):
+            raise SyntaxError("Invalid syntax: missing a closing parenthesis")
+        idx = s.find(")", 1)
+        c1 = parse_one(s[1:idx])
+        idx2 = s.find("(", idx + 1)
+        if idx2 == -1:
+            return c1
+        conj = s[idx + 1:idx2].strip().lower()
+        if conj not in ("and", "or"):
+            raise SyntaxError("Invalid syntax: only one of AND or OR is allowed between expressions")
+        idx3 = s.find(")", idx2 + 1)
+        if idx3 == -1:
+            raise SyntaxError("Invalid syntax: missing a closing parenthesis for the second expression")
+        c2 = parse_one(s[idx2 + 1:idx3])
+        return (c1 & c2) if conj == "and" else (c1 | c2)
+    return parse_one(s)

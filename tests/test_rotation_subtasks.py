@@ -267,3 +267,33 @@ def test_subtask_task_identification_via_llm_seam(spark):
         (1, "NETREV = GROSSREV - RETURNS"): "i1",
         (2, "TOTAST = CURAST + FIXAST"): "i2",
     }
+
+
+def test_predicate_dsl_compile(spark):
+    """Reference utils/predicates.py grammar compiled to Columns: type
+    ops, the inverted `like` quirk, compound AND/OR, and compile-time
+    SyntaxError for invalid expressions."""
+    import pytest as _pytest
+
+    from sycamore_spark.functions.filters import compile_predicate
+
+    df = spark.createDataFrame(
+        [("click", 10.0, True), ("view", 60.0, False), ("purchase", 99.0, True)],
+        "t string, v double, b boolean",
+    )
+
+    def n(c):
+        return df.filter(c).count()
+
+    assert n(compile_predicate("x > 50.0", F.col("v"), "float")) == 2
+    assert n(compile_predicate("x == 'click'", F.col("t"), "string")) == 1
+    # inverted like: column must be a substring of the literal
+    assert n(compile_predicate("x like 'super-click-stream'", F.col("t"), "string")) == 1
+    assert n(compile_predicate(
+        "(x like 'view-purchase') AND (x != 'view')", F.col("t"), "string")) == 1
+    assert n(compile_predicate(
+        "(x == 'click') OR (x == 'view')", F.col("t"), "string")) == 2
+    assert n(compile_predicate("x == True", F.col("b"), "bool")) == 2
+    for bad in ("y > 1", "x >", "x ~ 1", "(x == 'a') NAND (x == 'b')", "x is 'a'"):
+        with _pytest.raises(SyntaxError):
+            compile_predicate(bad, F.col("t"), "string")
