@@ -4112,6 +4112,44 @@ def q_predicate_dsl(spark, sf) -> DataFrame:
     )
 
 
+
+def q_temp_mixture(spark, sf) -> DataFrame:
+    """Temperature (alpha=0.5) sampling plan over the documents language
+    mixture (operators/sampling.py temperature_mixture — the
+    multilingual-LM alpha-sampling practice). The keep fraction's closed
+    form (n_min/n_j)^(1-alpha) needs no float summation, so the whole
+    plan replays bit-exactly (sqrt + floor both sides); share_micros is
+    exact BIGINT division."""
+    from sycamore_spark.operators.sampling import temperature_mixture
+
+    docs = load_table(spark, sf, "documents")
+    out = temperature_mixture(docs, "lang", alpha=0.5)
+    return out.select(
+        "stratum", "cnt", "share_micros", "keep_micros", "expected_rows"
+    )
+
+
+def q_snippets(spark, sf) -> DataFrame:
+    """Search-snippet extraction composed with retrieval
+    (operators/retrieval.py best_snippets + bm25_scores_multi): two fixed
+    queries -> batch BM25 top-3 docs -> for each hit, the 10-token window
+    with the most query-term matches (range-frame count window + rank
+    pick, earliest-start ties). The oracle replays retrieval AND
+    highlighting end-to-end."""
+    from sycamore_spark.operators.retrieval import best_snippets, bm25_scores_multi
+
+    docs = load_table(spark, sf, "documents")
+    qs = spark.createDataFrame(
+        [(1, "model training data"), (2, "query engine performance")],
+        "query_id long, query string",
+    )
+    top = bm25_scores_multi(docs, qs, id_col="doc_id", text_col="text", k=3)
+    snip = best_snippets(docs, qs, window=10, pairs=top)
+    return top.join(snip, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", "bm25_micros", "snippet_start", "hits", "snippet"
+    )
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -4155,6 +4193,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canon": q_url_canon,
     "crawl_prep": q_crawl_prep,
     "predicate_dsl": q_predicate_dsl,
+    "temp_mixture": q_temp_mixture,
+    "snippets": q_snippets,
     # -- stalest driver greens --
     "tpch_q5": q_tpch_q5,
     "tpch_q4": q_tpch_q4,
@@ -6039,6 +6079,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'p_value_gt' AS pred, p_value_gt AS matched FROM c "
             "UNION ALL SELECT 'p_type_compound', p_type_compound FROM c "
             "UNION ALL SELECT 'p_type_eq', p_type_eq FROM c"
+        ),
+        "temp_mixture": (
+            "WITH c AS (SELECT lang AS stratum, count(*)::BIGINT AS cnt FROM documents GROUP BY 1), "
+            "t AS (SELECT *, min(cnt) OVER () AS nmin, sum(cnt) OVER () AS tot FROM c) "
+            "SELECT stratum, cnt, ((cnt * 1000000) // tot)::BIGINT AS share_micros, "
+            "floor(sqrt(nmin::DOUBLE / cnt::DOUBLE) * 1000000.0 + 0.5)::BIGINT AS keep_micros, "
+            "floor(sqrt(nmin::DOUBLE / cnt::DOUBLE) * cnt::DOUBLE + 0.5)::BIGINT AS expected_rows "
+            "FROM t ORDER BY stratum"
+        ),
+        "snippets": (
+            "WITH qs AS (SELECT * FROM (VALUES (1, 'model training data'), (2, 'query engine performance')) q(query_id, query)), "
+            "qt AS (SELECT query_id, unnest(list_distinct(string_split(trim(lower(query)), ' '))) AS tok FROM qs), "
+            "tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tks FROM documents), "
+            "toks AS (SELECT doc_id, unnest(tks) AS tok, unnest(range(len(tks))) AS pos FROM tk), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+            "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY 1, 2), "
+            "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), "
+            "contrib AS (SELECT query_id, doc_id, CAST(floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) "
+            "* ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1000000.0 + 0.5) AS BIGINT) AS c "
+            "FROM qt JOIN tf USING (tok) JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats), "
+            "scores AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS bm25_micros FROM contrib GROUP BY 1, 2), "
+            "top AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25_micros DESC, doc_id ASC) AS r "
+            "FROM scores) WHERE r <= 3), "
+            "m AS (SELECT qt.query_id, toks.doc_id, toks.pos FROM toks JOIN qt USING (tok) "
+            "JOIN top ON top.query_id = qt.query_id AND top.doc_id = toks.doc_id), "
+            "h AS (SELECT *, count(*) OVER (PARTITION BY query_id, doc_id ORDER BY pos "
+            "RANGE BETWEEN CURRENT ROW AND 9 FOLLOWING) AS hits FROM m), "
+            "pick AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id "
+            "ORDER BY hits DESC, pos ASC) AS rk FROM h) WHERE rk = 1) "
+            "SELECT p.query_id, p.doc_id, top.bm25_micros, p.pos::BIGINT AS snippet_start, p.hits::BIGINT AS hits, "
+            "array_to_string(tk.tks[p.pos + 1 : p.pos + 10], ' ') AS snippet "
+            "FROM pick p JOIN top ON top.query_id = p.query_id AND top.doc_id = p.doc_id "
+            "JOIN tk ON tk.doc_id = p.doc_id"
         ),
         "containment_lsh": (
             "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "

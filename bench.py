@@ -138,6 +138,8 @@ HEADLINE = [
     "url_canon",
     "crawl_prep",
     "predicate_dsl",
+    "temp_mixture",
+    "snippets",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

@@ -177,6 +177,74 @@ def bm25_scores_multi(
     )
 
 
+def best_snippets(
+    df: DataFrame,
+    queries: DataFrame,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Search-result snippet extraction: for each (query, matching doc),
+    the ``window``-token span with the most query-term hits — the
+    highlight a search UI shows under each hit. The optimal fixed-width
+    window can always be anchored at a matched position, so candidates
+    are exactly the matched (query, doc, pos) triples: one range-frame
+    window (count of matches in [pos, pos + window)) scores them, one
+    rank window picks the winner (ties: earliest start).
+
+    ``pairs`` (optional, (query_id, id) columns) restricts scoring to
+    given candidate pairs — at scale pass the retrieval top-k here so
+    snippet work is bounded by results, not by every doc matching any
+    term. Returns (query_id_col, id_col, snippet_start, hits, snippet).
+    Matching is set-semantics lowercase whitespace tokens, consistent
+    with the bm25 operators."""
+    from pyspark.sql.window import Window
+
+    toks_arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("_id"), toks_arr.alias("_tk"))
+    postings = base.select(
+        "_id", F.posexplode("_tk").alias("_pos", "_tok")
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(query_text_col))), r"\s+"))
+        ).alias("_tok"),
+    )
+    matched = postings.join(qterms, "_tok").select("_qid", "_id", "_pos")
+    if pairs is not None:
+        want = pairs.select(
+            F.col(query_id_col).alias("_qid"), F.col(id_col).alias("_id")
+        ).distinct()
+        matched = matched.join(want, ["_qid", "_id"], "left_semi")
+    w_hits = (
+        Window.partitionBy("_qid", "_id")
+        .orderBy("_pos")
+        .rangeBetween(0, window - 1)
+    )
+    w_pick = Window.partitionBy("_qid", "_id").orderBy(
+        F.col("hits").desc(), F.col("_pos").asc()
+    )
+    best = (
+        matched.withColumn("hits", F.count(F.lit(1)).over(w_hits))
+        .withColumn("_rk", F.row_number().over(w_pick))
+        .filter(F.col("_rk") == 1)
+    )
+    out = best.join(base, "_id").select(
+        F.col("_qid").alias(query_id_col),
+        F.col("_id").alias(id_col),
+        F.col("_pos").cast("long").alias("snippet_start"),
+        F.col("hits").cast("long").alias("hits"),
+        F.array_join(F.slice(F.col("_tk"), F.col("_pos") + 1, window), " ").alias(
+            "snippet"
+        ),
+    )
+    return out
+
+
 def tfidf_topk_terms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -288,6 +288,61 @@ def top_per_group(
     return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= n).drop("_rk")
 
 
+def temperature_mixture(df: DataFrame, stratum: str, alpha: float = 0.5) -> DataFrame:
+    """Temperature (alpha) sampling plan — the multilingual-LM practice
+    (mBERT / XLM-R exponent-smoothed sampling): the target share of each
+    stratum is its natural share raised to ``alpha`` and renormalized,
+    ``q_i ∝ p_i^alpha``, so low-resource strata are up-weighted relative
+    to their raw frequency (alpha=1 keeps the natural mixture, alpha=0
+    is uniform). The plan keeps as much data as possible under that
+    mixture: the stratum scarcest relative to its target binds the total
+    (``binding = min_i n_i / q_i``) and every stratum keeps
+    ``binding * q_i / n_i`` (<= 1 by construction). Feed the fractions
+    into ``stratified_hash_sample`` to apply.
+
+    The normalization CANCELS in the keep fraction — with q_i ∝ n_i^alpha,
+    ``binding = min_i n_i/q_i ∝ n_min^(1-alpha)`` and
+    ``keep_j = binding * q_j / n_j = (n_min / n_j)^(1-alpha)`` — so the
+    plan needs only the per-stratum counts and their integer minimum: one
+    hash-agg + a min window over the tiny count table, no float
+    summations, and the result replays bit-exactly in any IEEE engine
+    (one division + one pow per stratum; for alpha=0.5 that's a single
+    correctly-rounded sqrt). ``target_share`` is still emitted for
+    reporting (it does carry a float sum; hash integer columns, not it).
+
+    Returns per stratum: cnt, share_micros (exact integer division),
+    target_share, keep_fraction, keep_micros, expected_rows."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(stratum).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("stratum").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n = F.col("cnt").cast("double")
+    nmin = F.min("cnt").over(w).cast("double")
+    total = F.sum("cnt").over(w)
+    wgt = F.pow(n, F.lit(float(alpha)))
+    q = wgt / F.sum(wgt).over(w)
+    keep = F.pow(nmin / n, F.lit(1.0 - float(alpha)))
+    return counts.select(
+        "stratum",
+        "cnt",
+        # exact BIGINT arithmetic: micros of the natural share
+        (F.col("cnt") * F.lit(1_000_000)).cast("long").alias("_sm") ,
+        total.alias("_tot"),
+        q.alias("target_share"),
+        keep.alias("keep_fraction"),
+        F.floor(keep * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint").alias("keep_micros"),
+        F.floor(keep * n + F.lit(0.5)).cast("bigint").alias("expected_rows"),
+    ).select(
+        "stratum", "cnt",
+        F.expr("_sm div _tot").alias("share_micros"),  # exact: Spark div == DuckDB //
+        "target_share", "keep_fraction", "keep_micros", "expected_rows",
+    ).orderBy("stratum")
+
+
 def curriculum_order(
     df: DataFrame,
     score_col: str,

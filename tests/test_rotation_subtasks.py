@@ -297,3 +297,39 @@ def test_predicate_dsl_compile(spark):
     for bad in ("y > 1", "x >", "x ~ 1", "(x == 'a') NAND (x == 'b')", "x is 'a'"):
         with _pytest.raises(SyntaxError):
             compile_predicate(bad, F.col("t"), "string")
+
+
+def test_temperature_mixture_plan(spark):
+    from sycamore_spark.operators.sampling import temperature_mixture
+
+    df = spark.createDataFrame(
+        [(i, "hi" if i < 90 else "lo") for i in range(100)], "id long, lang string"
+    )
+    out = {r.stratum: r for r in temperature_mixture(df, "lang", alpha=0.5).collect()}
+    # closed form: keep_j = sqrt(n_min / n_j); scarcest stratum keeps all
+    assert out["lo"].keep_fraction == 1.0 and out["lo"].expected_rows == 10
+    assert out["hi"].keep_micros == 333333  # sqrt(10/90) = 1/3
+    assert out["hi"].expected_rows == 30
+    # alpha=1 keeps the natural mixture (everything)
+    nat = {r.stratum: r.keep_fraction for r in temperature_mixture(df, "lang", alpha=1.0).collect()}
+    assert nat == {"hi": 1.0, "lo": 1.0}
+    # alpha=0 equalizes counts
+    uni = {r.stratum: r.expected_rows for r in temperature_mixture(df, "lang", alpha=0.0).collect()}
+    assert uni == {"hi": 10, "lo": 10}
+
+
+def test_best_snippets_picks_densest_window(spark):
+    from sycamore_spark.operators.retrieval import best_snippets
+
+    docs = spark.createDataFrame(
+        [(1, "x x x apple x x x x x x x apple banana apple x x"),
+         (2, "no fruit words here at all")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(7, "apple banana")], "query_id long, query string")
+    out = best_snippets(docs, qs, window=5).collect()
+    assert len(out) == 1  # doc 2 matches nothing
+    r = out[0]
+    # densest 5-token window starts at the 2nd apple (pos 11): apple banana apple
+    assert (r.query_id, r.doc_id, r.snippet_start, r.hits) == (7, 1, 11, 3)
+    assert r.snippet == "apple banana apple x x"
