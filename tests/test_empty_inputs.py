@@ -180,3 +180,34 @@ def test_round5_mmr_and_oov_empty(spark):
     vocab = _empty(spark, "token string")
     assert vocab_coverage(docs, vocab).count() == 0
     assert pmi_collocations(docs).count() == 0
+
+
+def test_round6_operators_empty(spark):
+    from pyspark.sql import functions as F
+
+    from sycamore_spark.evaluation import attach_subtasks, expand_formulas
+    from sycamore_spark.operators.dedup import containment_lsh_pairs, duplicate_spans
+    from sycamore_spark.operators.elements import normalize_rotation
+    from sycamore_spark.operators.retrieval import best_snippets, bm25_scores_multi
+    from sycamore_spark.operators.sampling import temperature_mixture
+    from sycamore_spark.operators.web import canonical_urls, url_dedup
+
+    docs = _empty(spark, "doc_id long, text string")
+    qs = _empty(spark, "query_id long, query string")
+    urls = _empty(spark, "doc_id long, url string")
+    geo = _empty(spark, "doc_id long, bbox array<double>, vx double, vy double")
+
+    assert containment_lsh_pairs(docs, "doc_id", "text").count() == 0
+    assert duplicate_spans(docs, "doc_id", "text").count() == 0
+    assert normalize_rotation(geo).count() == 0
+    assert bm25_scores_multi(docs, qs).count() == 0
+    assert best_snippets(docs, qs).count() == 0
+    assert temperature_mixture(docs, "text").count() == 0
+    assert canonical_urls(urls, "url").count() == 0
+    assert url_dedup(urls, "url").count() == 0
+    # empty question set through the subtask pipeline
+    q0 = _empty(spark, "qid long, question string, subtasks_reqd boolean, "
+                       "filters map<string,string>, task_id string")
+    f0 = expand_formulas(q0, {"T": {"formulas": ["A = B"], "instructions": "i"}})
+    assert f0.count() == 0
+    assert attach_subtasks(f0, {"B": "find b. "}, filters_col="filters").count() == 0
