@@ -862,32 +862,107 @@ def extract_document_structure(df: DataFrame, header_types: tuple = _HEADER_TYPE
 # utils/element_sort.py)
 # ---------------------------------------------------------------------------
 
-def _xycut(items: list[dict], eps: float = 1e-6) -> list[dict]:
-    """Recursive X-Y cut: split on whitespace bands — horizontal bands
-    (y-gaps, read top-to-bottom) preferred, else vertical columns
-    (x-gaps, read left-to-right) — and recurse into each region. Groups
-    with no separating gap on either axis fall back to (y1, x1) order.
-    Independent implementation of the classic Nagy & Seth X-Y cut; the
-    reference builds a B-tree over begin/end events (xycut.py:26) for the
-    same ordering."""
-    if len(items) <= 1:
-        return items
-    for axis in (1, 0):
-        s = sorted(items, key=lambda e: (e["bbox"][axis], e["bbox"][axis + 2]))
-        groups = [[s[0]]]
-        cur_max = s[0]["bbox"][axis + 2]
-        for it in s[1:]:
-            if it["bbox"][axis] >= cur_max - eps:
-                groups.append([it])
-            else:
-                groups[-1].append(it)
-            cur_max = max(cur_max, it["bbox"][axis + 2])
-        if len(groups) > 1:
-            out: list[dict] = []
-            for g in groups:
-                out.extend(_xycut(g, eps))
-            return out
-    return sorted(items, key=lambda e: (e["bbox"][1], e["bbox"][0]))
+def _xycut_bbox(e: dict) -> tuple:
+    b = e.get("bbox")
+    if b is not None and len(b) == 4:
+        return tuple(b)
+    return (1.0, 1.0, 1.0, 1.0)  # reference get_bbox: max values sort at end
+
+
+def _xycut_events(elems: list[dict], axis: int) -> list[tuple]:
+    """Begin/end event sweep list, sorted with CLOSE (0) before OPEN (1)
+    at equal coordinates (reference make_begin_end); the third slot is
+    the element's list index — a deterministic tie-break where the
+    reference would compare raw Element objects."""
+    bel = []
+    for idx, e in enumerate(elems):
+        b = _xycut_bbox(e)
+        aa, bb = b[axis], b[axis + 2]
+        if bb < aa:
+            aa, bb = bb, aa
+        bel.append((aa, 1, idx))  # OPEN
+        bel.append((bb, 0, idx))  # CLOSE
+    bel.sort()
+    return bel
+
+
+def _xycut_widest(bel: list[tuple]) -> tuple[float, int | None]:
+    """Widest zero-overlap gap along one axis (reference widest_cut /
+    gen_overlap): whenever the open-interval count returns to zero with a
+    later event remaining, the distance to that event is a candidate cut
+    width. Ties keep the FIRST (earliest) gap."""
+    best: tuple[float, int | None] = (-1.0, None)
+    if len(bel) <= 2:  # one element: no cut exists
+        return best
+    count = 0
+    n = len(bel)
+    for ii, (coord, isopen, idx) in enumerate(bel):
+        if isopen:
+            count += 1
+        else:
+            count -= 1
+            if count == 0 and ii + 1 < n:
+                width = bel[ii + 1][0] - coord
+                if width > best[0]:
+                    best = (width, idx)
+    return best
+
+
+def _xycut_cleave(elems: list[dict]) -> list[list[dict]] | None:
+    """Binary split across the widest gap (reference choose_axis +
+    cleave_elems): the axis with the wider zero-overlap gap wins (ties
+    prefer the vertical cut, mirroring ``if xw < yw``); elements are
+    emitted in close-event order along that axis and the segment breaks
+    after the cut element. None = no cut on either axis."""
+    if len(elems) < 2:
+        return None
+    xw, xi = _xycut_widest(_xycut_events(elems, 0))
+    yw, yi = _xycut_widest(_xycut_events(elems, 1))
+    if max(xw, yw) < 0.0:
+        return None
+    if xw < yw:
+        order, cut = _xycut_events(elems, 1), yi
+    else:
+        order, cut = _xycut_events(elems, 0), xi
+    segs: list[list[dict]] = [[]]
+    for _, isopen, idx in order:
+        if not isopen:
+            segs[-1].append(elems[idx])
+            if idx == cut:
+                segs.append([])
+    if not segs[-1]:
+        segs.pop()
+    return segs
+
+
+def _xycut_rec(items: list[dict]) -> list[dict]:
+    segs = _xycut_cleave(items)
+    if segs is None or len(segs) == 1:
+        return list(items)  # leaf keeps the parent's close-event order
+    out: list[dict] = []
+    for s in segs:
+        out.extend(_xycut_rec(s))
+    return out
+
+
+def _xycut(items: list[dict]) -> list[dict]:
+    """Recursive X-Y cut in the reference's exact shape (utils/xycut.py
+    xycut_sort_page / divide_node / cleave_elems): sweep begin/end events
+    per axis, binary-split across the WIDEST whitespace gap (not every
+    gap), recurse into each side, and — when the top-level pass finds no
+    cut anywhere — fall back to the default column-aware bbox sorter,
+    exactly as the reference falls back to bbox_sort_page. Deterministic
+    tie-breaks (event index) where the reference's tuple sort would
+    compare raw Element objects."""
+    if len(items) < 2:
+        return list(items)
+    segs = _xycut_cleave(items)
+    if segs is None or len(segs) == 1:
+        return _bbox_page_order(items)
+    out: list[dict] = []
+    for s in segs:
+        out.extend(_xycut_rec(s))
+    return out
 
 
 def xycut_sort_elements(df: DataFrame) -> DataFrame:

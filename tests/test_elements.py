@@ -295,3 +295,32 @@ def test_bbox_sort_full_width_element_inside_two_column_band(spark):
     order = [e["text_representation"] for e in out]
     # hkey = (int(5*left), top): L1/L2 col 0, fig col 1, R1/R2 col 2
     assert order == ["title", "L1", "L2", "fig", "R1", "R2", "footer"]
+
+
+def test_xycut_widest_gap_wins_over_axis_preference(spark):
+    """Reference semantics (utils/xycut.py choose_axis): the WIDEST
+    whitespace gap picks the cut axis. Here the vertical gap (0.3) beats
+    the narrow horizontal gap (0.05), so the page reads column-first —
+    an always-split-on-y implementation would read row-major instead."""
+    from sycamore_spark.operators.elements import xycut_sort_elements
+
+    boxes = {
+        "L1": [0.0, 0.00, 0.2, 0.40],
+        "R1": [0.5, 0.00, 0.7, 0.40],
+        "L2": [0.0, 0.45, 0.2, 0.90],
+        "R2": [0.5, 0.45, 0.7, 0.90],
+    }
+    els = [
+        {"element_index": i, "type": "text", "text_representation": k,
+         "binary_representation": None, "bbox": v, "page_number": 1,
+         "embedding": None, "properties": None}
+        for i, (k, v) in enumerate(boxes.items())
+    ]
+    df = spark.createDataFrame(
+        [(1, els)],
+        "doc_id long, elements array<struct<element_index int, type string, "
+        "text_representation string, binary_representation binary, "
+        "bbox array<double>, page_number int, embedding array<float>, properties string>>",
+    )
+    out = xycut_sort_elements(df).collect()[0]["elements"]
+    assert [e["text_representation"] for e in out] == ["L1", "L2", "R1", "R2"]
