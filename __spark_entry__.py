@@ -1454,9 +1454,10 @@ def q_table_ted(spark, sf) -> DataFrame:
 
 
 def q_doc_merge(spark, sf) -> DataFrame:
-    """GreedyTextElementMerger with a 20-token budget packs the 10-token
-    chunks in pairs (merge_elements.py:58); chunk count per doc checked."""
-    merged = elements.merge_greedy_text(_documents_as_docset(spark, sf), max_tokens=20)
+    """GreedyTextElementMerger with a 21-token budget packs the 10-token
+    chunks in pairs — 10 + 1 separator + 10 under the reference's token
+    accounting (merge_elements.py:85); chunk count per doc checked."""
+    merged = elements.merge_greedy_text(_documents_as_docset(spark, sf), max_tokens=21)
     return merged.select(F.col("doc_id").alias("key"), F.size("elements").cast("bigint").alias("count"))
 
 

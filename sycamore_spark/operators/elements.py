@@ -375,11 +375,18 @@ def _token_len(text: str | None) -> int:
     return len(text.split()) if text else 0
 
 
-def merge_greedy_text(df: DataFrame, max_tokens: int = 512) -> DataFrame:
+def merge_greedy_text(
+    df: DataFrame, max_tokens: int = 512, merge_across_pages: bool = True
+) -> DataFrame:
     """GreedyTextElementMerger (reference: merge_elements.py:58): pack
     consecutive elements into chunks under a token budget; oversized
-    elements become their own chunk. Per-doc fold in pandas (stateful within
-    a row only — still embarrassingly parallel)."""
+    elements become their own chunk. Reference-parity details: the merge
+    test charges ONE separator token per join (``tok1 + 1 + tok2 >
+    max_tokens``, the newline the texts are joined with); a chunk that
+    actually merged >1 elements becomes type "Section" while singleton
+    chunks keep their element untouched; ``merge_across_pages=False``
+    never merges across a page boundary. Per-doc fold in pandas (stateful
+    within a row only — still embarrassingly parallel)."""
     def run(it: Iterable[pd.DataFrame]):
         for pdf in it:
             out_rows = []
@@ -389,14 +396,18 @@ def merge_greedy_text(df: DataFrame, max_tokens: int = 512) -> DataFrame:
                 merged, cur, cur_tokens = [], [], 0
                 for e in sorted(els, key=lambda x: (x.get("element_index") or 0)):
                     t = _token_len(e.get("text_representation"))
-                    breaks = json.loads(e.get("properties") or "{}").get("_break") == "true"
-                    if cur and (cur_tokens + t > max_tokens or breaks):
-                        merged.append(_combine(cur, len(merged)))
+                    page_break = (
+                        not merge_across_pages
+                        and cur
+                        and e.get("page_number") != cur[-1].get("page_number")
+                    )
+                    if cur and (cur_tokens + 1 + t > max_tokens or page_break):
+                        merged.append(_combine(cur, len(merged), merged_type="Section"))
                         cur, cur_tokens = [], 0
+                    cur_tokens = t if not cur else cur_tokens + 1 + t
                     cur.append(e)
-                    cur_tokens += t
                 if cur:
-                    merged.append(_combine(cur, len(merged)))
+                    merged.append(_combine(cur, len(merged), merged_type="Section"))
                 row["elements"] = merged
                 out_rows.append(row)
             yield pd.DataFrame(out_rows, columns=pdf.columns)
@@ -404,7 +415,13 @@ def merge_greedy_text(df: DataFrame, max_tokens: int = 512) -> DataFrame:
     return df.mapInPandas(run, schema=df.schema)
 
 
-def _combine(group: list[dict], index: int) -> dict:
+def _combine(group: list[dict], index: int, merged_type: str | None = None) -> dict:
+    """Merge a run of elements (reference merge_elements.py merge()):
+    texts newline-joined, binaries concatenated, bbox unioned, properties
+    first-wins with the distinct ``page_numbers`` collected (sorted here
+    — the reference's list(set(...)) order is unspecified). A singleton
+    run keeps its element's type; a real merge takes ``merged_type``
+    when given (GreedyText -> "Section")."""
     texts = [e.get("text_representation") or "" for e in group]
     first = group[0]
     bboxes = [e.get("bbox") for e in group if e.get("bbox") is not None]
@@ -412,15 +429,25 @@ def _combine(group: list[dict], index: int) -> dict:
     if bboxes:
         bbox = [min(b[0] for b in bboxes), min(b[1] for b in bboxes),
                 max(b[2] for b in bboxes), max(b[3] for b in bboxes)]
+    bins = [e.get("binary_representation") for e in group
+            if e.get("binary_representation") is not None]
+    props: dict = {}
+    pages = sorted({e.get("page_number") for e in group if e.get("page_number") is not None})
+    for e in group:
+        for k, v in json.loads(e.get("properties") or "{}").items():
+            if k not in props:
+                props[k] = v
+    if len(pages) > 0:
+        props["page_numbers"] = pages
     return {
         "element_index": index,
-        "type": first.get("type"),
+        "type": (merged_type or first.get("type")) if len(group) > 1 else first.get("type"),
         "text_representation": "\n".join(t for t in texts if t),
-        "binary_representation": None,
+        "binary_representation": b"".join(bytes(b) for b in bins) if bins else None,
         "bbox": bbox,
         "page_number": first.get("page_number"),
         "embedding": None,
-        "properties": first.get("properties"),
+        "properties": json.dumps(props) if props else first.get("properties"),
     }
 
 
@@ -453,7 +480,9 @@ def merge_marked(df: DataFrame) -> DataFrame:
 
         def flush():
             if cur:
-                merged.append(_combine(cur, len(merged)))
+                c = _combine(cur, len(merged))
+                c["type"] = "Text"  # reference MarkedMerger emits type Text
+                merged.append(c)
                 cur.clear()
 
         for e in els:

@@ -86,10 +86,16 @@ def test_merge_greedy_text(spark):
         dict(type="text", text_representation="four five"),
         dict(type="text", text_representation="six seven eight nine ten eleven"),
     ])])
-    out = E.merge_greedy_text(df, max_tokens=5).collect()[0]
+    # reference token accounting: 3 + 1 (separator) + 2 = 6 fits a 6-token
+    # budget; 5 would not (merge_elements.py:85 charges the newline)
+    out = E.merge_greedy_text(df, max_tokens=6).collect()[0]
     texts = [e.text_representation for e in out.elements]
     assert texts[0] == "one two three\nfour five"
     assert len(out.elements) == 2
+    assert out.elements[0].type == "Section"      # real merge
+    assert out.elements[1].type == "text"         # singleton untouched
+    strict = E.merge_greedy_text(df, max_tokens=5).collect()[0]
+    assert len(strict.elements) == 3              # separator token counted
 
 
 def test_split_elements(spark):
