@@ -758,24 +758,69 @@ def merge_tables(
     return df.mapInPandas(run, schema=df.schema)
 
 
-def split_elements(df: DataFrame, max_tokens: int = 512) -> DataFrame:
-    """SplitElements (reference: split_elements.py:12): binary-split any
-    element over the token budget at the best sentence/comma/space boundary
-    nearest the midpoint, recursively."""
-    def split_text(text: str) -> list[str]:
-        words = text.split()
-        if len(words) <= max_tokens:
-            return [text]
-        mid = len(text) // 2
-        best = None
-        for pat in (r"[.!?]\s", r",\s", r"\s"):
-            cands = [m.end() for m in re.finditer(pat, text)]
-            if cands:
-                best = min(cands, key=lambda p: abs(p - mid))
+def _split_boundary(txt: str) -> int:
+    """Split index for one binary division (reference split_elements.py
+    split_one:148-188): scan OUTWARD from the midpoint, at most half//2
+    steps (stay near the middle — a sentence end far away must not win
+    over a comma nearby), testing both frontier chars per precedence
+    level (.!? > ; > () > : > , > whitespace); remember the first hit per
+    level, stop early on a sentence ender; the highest-precedence hit + 1
+    is the cut (fallback: one past the midpoint)."""
+    half = len(txt) // 2
+    left, right = half, half + 1
+    predicates = [
+        lambda c: c in ".!?",
+        lambda c: c == ";",
+        lambda c: c in "()",
+        lambda c: c == ":",
+        lambda c: c == ",",
+        str.isspace,
+    ]
+    results: list[int | None] = [None] * len(predicates)
+    for _ in range(half // 2):
+        if left < 0 or right >= len(txt):
+            break
+        lchar, rchar = txt[left], txt[right]
+        go = True
+        for ii, pred in enumerate(predicates):
+            if pred(lchar):
+                if results[ii] is None:
+                    results[ii] = left
+                go = ii != 0
                 break
-        if best is None or best in (0, len(text)):
-            best = mid
-        return split_text(text[:best].rstrip()) + split_text(text[best:].lstrip())
+            if pred(rchar):
+                if results[ii] is None:
+                    results[ii] = right
+                go = ii != 0
+                break
+        if not go:
+            break
+        left -= 1
+        right += 1
+    for res in results:
+        if res is not None:
+            return res + 1
+    return half + 1
+
+
+def split_elements(df: DataFrame, max_tokens: int = 512, max_depth: int = 20) -> DataFrame:
+    """SplitElements (reference: split_elements.py:12 split_one):
+    recursively binary-split any element over the token budget at the
+    best boundary NEAR THE MIDPOINT (outward scan with the reference's
+    punctuation precedence), keeping the halves verbatim (no whitespace
+    trimming — concatenating the splits reproduces the original text)
+    and re-encoding each half as its binary representation, exactly as
+    the reference's add_binary path does. Recursion is depth-capped at
+    ``max_depth`` (the reference raises RecursionError; here the
+    oversized piece is kept whole). The reference's table-specific
+    newline-seeking branch belongs to the gated table partitioner."""
+    def split_text(text: str, depth: int = 0) -> list[str]:
+        if not text or _token_len(text) <= max_tokens or depth > max_depth:
+            return [text]
+        idx = _split_boundary(text)
+        if idx <= 0 or idx >= len(text):
+            return [text]
+        return split_text(text[:idx], depth + 1) + split_text(text[idx:], depth + 1)
 
     def run(it: Iterable[pd.DataFrame]):
         for pdf in it:
@@ -790,6 +835,8 @@ def split_elements(df: DataFrame, max_tokens: int = 512) -> DataFrame:
                         for part in split_text(text):
                             ne = dict(e)
                             ne["text_representation"] = part
+                            # reference add_binary: each half re-encoded
+                            ne["binary_representation"] = part.encode("utf-8")
                             ne["element_index"] = len(new_els)
                             new_els.append(ne)
                     else:

@@ -330,3 +330,22 @@ def test_xycut_widest_gap_wins_over_axis_preference(spark):
     )
     out = xycut_sort_elements(df).collect()[0]["elements"]
     assert [e["text_representation"] for e in out] == ["L1", "L2", "R1", "R2"]
+
+
+def test_split_elements_reference_boundary_semantics(spark):
+    """Reference split_one parity: the outward midpoint scan must prefer a
+    NEARBY comma over a FAR sentence end (scan radius half//2), halves are
+    kept verbatim (concatenation reproduces the text), and each half's
+    binary is the re-encoded text (add_binary)."""
+    # sentence '.' only near the start; ',' sits exactly mid-text
+    left = "alpha beta gamma. " + "pad " * 20
+    text = (left + "middle, " + "tail " * 21).strip()
+    df = docs_from_rows(spark, [dict(doc_id="d", elements=[
+        dict(type="text", text_representation=text),
+    ])])
+    out = E.split_elements(df, max_tokens=30).collect()[0]
+    parts = [e.text_representation for e in out.elements]
+    assert "".join(parts) == text  # verbatim halves, no trimming
+    assert any(p.endswith("middle,") for p in parts)  # cut right after the comma
+    for e in out.elements:
+        assert bytes(e.binary_representation) == e.text_representation.encode()
