@@ -1263,3 +1263,77 @@ def normalize_rotation(
     out = df.withColumn(quad_col, quad)
     inv = F.pmod(F.lit(4) - F.col(quad_col), F.lit(4))
     return out.withColumn(out_col, rot_bbox_expr(F.col(bbox_col), inv))
+
+
+def to_html_tables(
+    df: DataFrame,
+    wrap_in_html: bool = True,
+) -> DataFrame:
+    """One output document per table element, carrying the table's HTML
+    rendering — the reference's ``to_html_tables`` + ``html_table_filename_fn``
+    (reference utils/html_utils.py:8-34): each extracted table becomes a
+    standalone doc inheriting the parent's ``path`` and ``page_number``
+    properties plus a 0-based ``table_num`` (enumerated over TABLE elements
+    only, in element order), and a derived filename
+    ``{basename_without_ext}_table_{table_num}.html``.
+
+    A table element must carry ``table_cells`` in its properties JSON (the
+    repo-wide cell convention: content/rows/cols/is_header); like the
+    reference, an untyped table is an error, not a silent skip. HTML comes
+    from data/table.py ``Table.to_html`` — identical DOM to the reference's
+    renderer, without bs4 pretty-print whitespace (documented divergence;
+    parsers see the same tree). ``wrap_in_html`` adds the reference's
+    ``<html><body>`` shell.
+
+    Scale shape: posexplode + filter + ONE per-doc window for table_num
+    (partition = doc, tiny), then an Arrow-batched render UDF; no other
+    shuffle, and non-table elements are dropped before any Python runs.
+    """
+    from pyspark.sql.window import Window
+
+    els = df.select(
+        "doc_id",
+        F.get_json_object("properties", "$.path").alias("_path"),
+        F.get_json_object("properties", "$.page_number").alias("_doc_page"),
+        F.posexplode("elements").alias("_pos", "_el"),
+    ).filter(F.col("_el")["type"] == "table")
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    els = els.withColumn("_table_num", F.row_number().over(w) - 1)
+
+    @F.pandas_udf("string")
+    def render(props: pd.Series) -> pd.Series:
+        from sycamore_spark.data.table import Table
+
+        out = []
+        for p in props:
+            d = json.loads(p) if p else {}
+            cells = d.get("table_cells")
+            if cells is None:
+                raise ValueError(
+                    "table element without table_cells: cannot render HTML "
+                    "(reference html_utils.to_html_tables raises here too)"
+                )
+            html = Table.from_spark_rows(cells, caption=d.get("caption")).to_html()
+            if wrap_in_html:
+                html = f"<html><body>{html}</body></html>"
+            out.append(html)
+        return pd.Series(out)
+
+    name = F.element_at(F.split(F.col("_path"), "/"), -1)
+    base = F.when(
+        name.contains("."), F.regexp_replace(name, r"\.[^.]*$", "")
+    ).otherwise(F.lit(""))
+    page = F.coalesce(
+        F.col("_el")["page_number"].cast("bigint"),
+        F.col("_doc_page").cast("bigint"),
+    )
+    return els.select(
+        F.col("doc_id").alias("parent_id"),
+        render(F.col("_el")["properties"]).alias("text_representation"),
+        F.col("_path").alias("path"),
+        page.alias("page_number"),
+        F.col("_table_num").cast("bigint").alias("table_num"),
+        F.concat(base, F.lit("_table_"), F.col("_table_num"), F.lit(".html")).alias(
+            "filename"
+        ),
+    )

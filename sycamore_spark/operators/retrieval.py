@@ -291,3 +291,52 @@ def tfidf_topk_terms(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional exact-phrase search: documents containing ``phrase`` as a
+    consecutive token run (lowercase whitespace tokens, same convention as
+    the bm25 operators). The reference's OpenSearch/Elasticsearch readers
+    push match_phrase queries to the service (reference
+    sycamore/connectors/opensearch/opensearch_reader.py query DSL
+    pass-through); natively this is a pure per-row scan — no postings
+    self-join, no shuffle at all before the caller's next operator:
+
+      positions = filter(0 .. len(tokens) - n,
+                         i -> slice(tokens, i+1, n) == phrase_tokens)
+
+    stays entirely inside whole-stage codegen (HOF ``filter`` + ``slice``
+    on the token array), so the operator is embarrassingly parallel and
+    scan-bound at 100 TB; only matching docs (usually a tiny fraction)
+    survive to the output. Returns (id_col, n_hits bigint, first_pos
+    bigint) for docs with >= 1 occurrence; occurrences may overlap (each
+    start offset counts).
+    """
+    terms = [t for t in phrase.lower().strip().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    n = len(terms)
+    tk = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    want = F.array(*[F.lit(t) for t in terms])
+    # sequence(0, stop) DESCENDS when stop < 0 — guard short docs explicitly.
+    starts = F.when(
+        F.size(tk) >= n,
+        F.filter(
+            F.sequence(F.lit(0), F.size(tk) - F.lit(n)),
+            lambda i: F.slice(tk, i + 1, n) == want,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col), starts.alias("_hits"))
+        .filter(F.size("_hits") > 0)
+        .select(
+            id_col,
+            F.size("_hits").cast("long").alias("n_hits"),
+            F.element_at("_hits", 1).cast("long").alias("first_pos"),
+        )
+    )

@@ -349,3 +349,97 @@ def test_split_elements_reference_boundary_semantics(spark):
     assert any(p.endswith("middle,") for p in parts)  # cut right after the comma
     for e in out.elements:
         assert bytes(e.binary_representation) == e.text_representation.encode()
+
+
+def _el(i, typ, props=None, page=None):
+    return {
+        "element_index": i,
+        "type": typ,
+        "text_representation": f"e{i}",
+        "binary_representation": None,
+        "bbox": None,
+        "page_number": page,
+        "embedding": None,
+        "properties": props,
+    }
+
+
+def test_to_html_tables_renders_and_enumerates(spark):
+    import json as _json
+
+    from sycamore_spark.data.schema import DOC_SCHEMA
+    from sycamore_spark.operators.elements import to_html_tables
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in DOC_SCHEMA.fields)
+    cells = [
+        {"content": "h&1", "rows": [0], "cols": [0], "is_header": True, "bbox": None},
+        {"content": "h<2", "rows": [0], "cols": [1], "is_header": True, "bbox": None},
+        {"content": "a", "rows": [1], "cols": [0], "is_header": False, "bbox": None},
+        {"content": "b", "rows": [1, 2], "cols": [1], "is_header": False, "bbox": None},
+    ]
+    tprops = _json.dumps({"table_cells": cells})
+    els = [
+        _el(0, "text"),
+        _el(1, "table", tprops, page=3),
+        _el(2, "text"),
+        _el(3, "table", tprops),  # no element page -> falls back to doc page
+    ]
+    df = spark.createDataFrame(
+        [("d1", None, "doc", "t", None, None, None, None,
+          '{"path": "/data/reports/q3.final.pdf", "page_number": 9}', els)],
+        fields,
+    )
+    out = sorted(to_html_tables(df).collect(), key=lambda r: r.table_num)
+    assert [r.table_num for r in out] == [0, 1]  # tables only, 0-based
+    expect = (
+        "<html><body><table>"
+        "<tr><th>h&amp;1</th><th>h&lt;2</th></tr>"
+        '<tr><td>a</td><td rowspan="2">b</td></tr>'
+        "<tr></tr>"
+        "</table></body></html>"
+    )
+    assert out[0].text_representation == expect
+    # filename strips ONLY the last extension, like the reference's
+    # ".".join(name.split(".")[:-1])
+    assert out[0].filename == "q3.final_table_0.html"
+    assert out[1].filename == "q3.final_table_1.html"
+    assert out[0].page_number == 3      # element page wins
+    assert out[1].page_number == 9      # doc-properties fallback
+    assert out[0].parent_id == "d1"
+    assert out[0].path == "/data/reports/q3.final.pdf"
+
+
+def test_to_html_tables_missing_cells_raises_and_no_wrap(spark):
+    import json as _json
+
+    import pytest
+    from pyspark.errors import PythonException
+
+    from sycamore_spark.data.schema import DOC_SCHEMA
+    from sycamore_spark.operators.elements import to_html_tables
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in DOC_SCHEMA.fields)
+    df = spark.createDataFrame(
+        [("d1", None, "doc", "t", None, None, None, None,
+          '{"path": "noext"}',
+          [_el(0, "table", '{"caption": "only"}')])],
+        fields,
+    )
+    with pytest.raises(PythonException, match="table_cells"):
+        to_html_tables(df).collect()
+
+    cells = [{"content": "x", "rows": [0], "cols": [0], "is_header": False,
+              "bbox": None}]
+    df2 = spark.createDataFrame(
+        [("d2", None, "doc", "t", None, None, None, None,
+          '{"path": "noext"}',
+          [_el(0, "table", _json.dumps({"table_cells": cells,
+                                        "caption": "Cap"}))])],
+        fields,
+    )
+    row = to_html_tables(df2, wrap_in_html=False).collect()[0]
+    assert row.text_representation == (
+        "<table><caption>Cap</caption><tr><td>x</td></tr></table>"
+    )
+    # reference filename_fn: extension-less name -> empty base
+    assert row.filename == "_table_0.html"

@@ -75,3 +75,41 @@ def test_tfidf_topk_terms(spark):
     # 'common' appears everywhere -> lowest idf, never rank 1
     assert all(terms[0][1] != "common" for terms in map(sorted, by_doc.values()))
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_phrase_search_counts_and_positions(spark):
+    from sycamore_spark.operators.retrieval import phrase_search
+
+    docs = [
+        (1, "the quick brown fox jumps"),          # 1 hit at 1
+        (2, "quick brown quick brown fox"),        # 2 hits (0, 2)
+        (3, "brown quick fox"),                    # reversed order: no hit
+        (4, "quick"),                              # shorter than phrase
+        (5, "QUICK Brown tail"),                   # case-insensitive hit at 0
+        (6, ""),                                   # empty doc
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_hits, r.first_pos)
+           for r in phrase_search(df, "Quick BROWN").collect()}
+    assert got == {1: (1, 1), 2: (2, 0), 5: (1, 0)}
+
+
+def test_phrase_search_overlapping_and_single_token(spark):
+    from sycamore_spark.operators.retrieval import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "b a b")], "doc_id long, text string"
+    )
+    # overlapping starts each count: "a a" in "a a a a" -> starts 0,1,2
+    got = {r.doc_id: (r.n_hits, r.first_pos)
+           for r in phrase_search(df, "a a").collect()}
+    assert got == {1: (3, 0)}
+    # single-token phrase degrades to term positions
+    got1 = {r.doc_id: (r.n_hits, r.first_pos)
+            for r in phrase_search(df, "a").collect()}
+    assert got1 == {1: (4, 0), 2: (1, 1)}
+    # empty phrase rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        phrase_search(df, "   ")
