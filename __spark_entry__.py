@@ -4226,6 +4226,62 @@ def q_html_tables(spark, sf) -> DataFrame:
     ).orderBy("doc_id", "table_num")
 
 
+def q_inverted_index(spark, sf) -> DataFrame:
+    """Inverted-index build with impact-ordered pruning
+    (operators/retrieval.py build_inverted_index): per-term postings with
+    tf/df, keeping each term's top-5 docs (tf desc, id asc) for terms
+    with df >= 50 — the index-build half of the lexical retrieval suite
+    (the reference delegates it to OpenSearch; connectors/opensearch
+    writer builds this structure service-side)."""
+    from sycamore_spark.operators.retrieval import build_inverted_index
+
+    docs = load_table(spark, sf, "documents")
+    idx = build_inverted_index(docs, min_df=50, top_docs=5)
+    return idx.orderBy("term", "rank")
+
+
+def q_pdf_convert(spark, sf) -> DataFrame:
+    """Binary-to-PDF conversion plumbing (operators/multimodal.py
+    convert_binary_to_pdf; reference utils/fileformat_tools.py:13-58):
+    each doc's text bytes round-trip through a REAL per-row temp-file
+    write/convert/read-back inside the Arrow stage, with a deterministic
+    converter standing in for LibreOffice (absent in this container —
+    the default converter is the honest gate). The oracle replays the
+    extension rule and the converter's byte transform."""
+    from sycamore_spark.operators.multimodal import (
+        convert_binary_to_pdf,
+        file_extension_expr,
+    )
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("/corpus/"), F.col("doc_id"),
+            F.element_at(
+                F.array(F.lit(".docx"), F.lit(".odt"), F.lit(".pptx")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+        ).alias("path"),
+        F.encode("text", "UTF-8").alias("binary"),
+    )
+
+    def fake_converter(src, out_dir):
+        from pathlib import Path
+
+        sp = Path(src)
+        (Path(out_dir) / f"{sp.stem}.pdf").write_bytes(
+            b"%PDF-1.4\n" + sp.read_bytes() + b"\n%%EOF"
+        )
+
+    out = convert_binary_to_pdf(docs, converter=fake_converter)
+    return out.select(
+        "doc_id",
+        file_extension_expr("path").alias("src_ext"),
+        "filetype",
+        F.md5("binary").alias("pdf_md5"),
+    ).orderBy("doc_id")
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -4273,6 +4329,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snippets": q_snippets,
     "phrase_search": q_phrase_search,
     "html_tables": q_html_tables,
+    "inverted_index": q_inverted_index,
+    "pdf_convert": q_pdf_convert,
     # -- stalest driver greens --
     "tpch_q5": q_tpch_q5,
     "tpch_q4": q_tpch_q4,
@@ -6217,6 +6275,21 @@ def oracle_sql() -> dict[str, str]:
             "'</th></tr><tr><td>' || t3 || '</td><td>' || t4 || "
             "'</td></tr></table></body></html>' AS html "
             "FROM tbl ORDER BY doc_id, table_num"
+        ),
+        "inverted_index": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term FROM documents), "
+            "tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks WHERE term <> '' GROUP BY 1, 2), "
+            "r AS (SELECT term, doc_id, tf, count(*) OVER (PARTITION BY term)::BIGINT AS df, "
+            "row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC)::BIGINT AS rank FROM tf) "
+            "SELECT term, df, rank, doc_id, tf FROM r WHERE df >= 50 AND rank <= 5 "
+            "ORDER BY term, rank"
+        ),
+        "pdf_convert": (
+            "SELECT doc_id, "
+            "['.docx', '.odt', '.pptx'][(doc_id % 3 + 1)::INT] AS src_ext, "
+            "'application/pdf' AS filetype, "
+            "md5('%PDF-1.4' || chr(10) || text || chr(10) || '%%EOF') AS pdf_md5 "
+            "FROM documents ORDER BY doc_id"
         ),
         "containment_lsh": (
             "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "

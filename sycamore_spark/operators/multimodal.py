@@ -304,3 +304,143 @@ def audio_features(
             yield pdf[names]
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# -- file format conversion (reference utils/fileformat_tools.py) ------------
+
+def file_extension_expr(path_col) -> "F.Column":
+    """Native twin of the reference's ``get_file_extension``
+    (reference utils/fileformat_tools.py:61-66): the suffix (with dot) of
+    the path's final component, after stripping s3/http(s) URL query/
+    fragment parts. Empty string when the name has no dot (Path.suffix
+    semantics; a lone leading dot like ``.bashrc`` is a name, not a
+    suffix). Pure Column expression — runs in codegen."""
+    p = F.col(path_col) if isinstance(path_col, str) else path_col
+    scheme = F.regexp_extract(p, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    stripped = F.when(
+        F.lower(scheme).isin("s3", "http", "https"),
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(p, r"[?#].*$", ""), r"^[^:]+://", ""),
+            r"^[^/]*", "",
+        ),
+    ).otherwise(p)
+    name = F.element_at(F.split(stripped, "/"), -1)
+    return F.when(
+        name.rlike(r"^.+\.[^.]+$") & ~name.rlike(r"^\.[^.]*$"),
+        F.regexp_extract(name, r"(\.[^.]+)$", 1),
+    ).otherwise(F.lit(""))
+
+
+def image_page_filename_expr(path_col, page_col) -> "F.Column":
+    """Native twin of the reference's ``image_page_filename_fn``
+    (reference utils/image_utils.py:77-81):
+    ``{basename_without_ext}_page_{page}.png``, with the same
+    ``".".join(name.split(".")[:-1])`` base rule as the HTML-table
+    filenames (extension-less name -> empty base)."""
+    p = F.col(path_col) if isinstance(path_col, str) else path_col
+    g = F.col(page_col) if isinstance(page_col, str) else page_col
+    name = F.element_at(F.split(p, "/"), -1)
+    base = F.when(
+        name.contains("."), F.regexp_replace(name, r"\.[^.]*$", "")
+    ).otherwise(F.lit(""))
+    return F.concat(base, F.lit("_page_"), g.cast("string"), F.lit(".png"))
+
+
+def crop_box_expr(bbox_col, width_col, height_col, padding: int = 10) -> "F.Column":
+    """Native crop-box arithmetic of the reference's ``crop_to_bbox``
+    (reference utils/image_utils.py:18-35): relative bbox [x1,y1,x2,y2]
+    scaled to pixel space with ``padding`` added outward on all four
+    sides. The decode+crop itself is the PIL-gated part (absent in this
+    container); the geometry — the part every crop pipeline shuffles and
+    filters on — is exact Column math and is what this returns:
+    array(x1*W - p, y1*H - p, x2*W + p, y2*H + p)."""
+    b = F.col(bbox_col) if isinstance(bbox_col, str) else bbox_col
+    w = (F.col(width_col) if isinstance(width_col, str) else width_col).cast("double")
+    h = (F.col(height_col) if isinstance(height_col, str) else height_col).cast("double")
+    pad = F.lit(float(padding))
+    return F.array(
+        F.element_at(b, 1) * w - pad,
+        F.element_at(b, 2) * h - pad,
+        F.element_at(b, 3) * w + pad,
+        F.element_at(b, 4) * h + pad,
+    )
+
+
+def _default_pdf_converter(source_path: str, out_dir: str) -> None:
+    """LibreOffice headless conversion, exactly the reference's
+    ``run_libreoffice`` invocation (utils/fileformat_tools.py:20-33);
+    honestly gated when the binary is absent."""
+    import shutil
+    import subprocess
+    from tempfile import TemporaryDirectory
+
+    if shutil.which("libreoffice") is None:
+        raise NotImplementedError(
+            "libreoffice is not installed in this container; pass converter= "
+            "to convert_binary_to_pdf (reference fileformat_tools requires a "
+            "manual LibreOffice install the same way)"
+        )
+    with TemporaryDirectory() as temp_dir:
+        subprocess.run(
+            [
+                "libreoffice", "--headless", "--convert-to", "pdf",
+                source_path, "--outdir", out_dir,
+                f"-env:UserInstallation=file://{temp_dir}",
+            ],
+            check=True,
+        )
+
+
+def convert_binary_to_pdf(
+    df: DataFrame,
+    converter=None,
+    binary_col: str = "binary",
+    path_col: str = "path",
+) -> DataFrame:
+    """Convert each row's binary payload to PDF through an office-suite
+    converter — the reference's ``binary_representation_to_pdf``
+    (reference utils/fileformat_tools.py:13-58), distributed: the
+    temp-file round trip (write payload with its source extension, run
+    the converter, read back ``{stem}.pdf``) happens per row inside an
+    Arrow-batched ``mapInPandas`` stage, so one converter process chain
+    per task, never on the driver. Replaces ``binary_col`` with the PDF
+    bytes and adds ``filetype = application/pdf`` — the reference's
+    property update.
+
+    ``converter(source_path, out_dir)`` defaults to the reference's
+    headless LibreOffice invocation (NotImplementedError when absent, as
+    in the container); tests inject deterministic converters. At 100 TB
+    the stage is pure per-row CPU — no shuffle, scales with executors;
+    pair with a `fan_out` when reading few large binary files.
+    """
+    conv = converter or _default_pdf_converter
+    ext_col = "_src_ext"
+    with_ext = df.withColumn(ext_col, file_extension_expr(path_col))
+    out_fields = [f for f in with_ext.schema.fields if f.name != ext_col]
+    out_schema = StructType(out_fields + [StructField("filetype", StringType())])
+    names = [f.name for f in out_fields]
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        import os
+        from pathlib import Path
+        from tempfile import NamedTemporaryFile
+
+        for pdf in batches:
+            payloads = []
+            for raw, ext in zip(pdf[binary_col], pdf[ext_col]):
+                if raw is None:
+                    raise ValueError("binary payload is required for PDF conversion")
+                with NamedTemporaryFile(suffix=ext or "") as tmp:
+                    tmp.write(bytes(raw))
+                    tmp.flush()
+                    tmp_path = Path(tmp.name)
+                    conv(str(tmp_path), str(tmp_path.parent))
+                    out_path = tmp_path.parent / f"{tmp_path.stem}.pdf"
+                    payloads.append(out_path.read_bytes())
+                    os.unlink(out_path)
+            res = pdf[names].copy()
+            res[binary_col] = payloads
+            res["filetype"] = "application/pdf"
+            yield res
+
+    return with_ext.mapInPandas(run, schema=out_schema)

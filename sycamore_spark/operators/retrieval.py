@@ -340,3 +340,59 @@ def phrase_search(
             F.element_at("_hits", 1).cast("long").alias("first_pos"),
         )
     )
+
+
+def build_inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    top_docs: int | None = None,
+) -> DataFrame:
+    """Materialize an inverted index: one row per (term, doc) posting with
+    term frequency, document frequency, and the doc's rank within the
+    term's postings (tf desc, id asc — the static quality order a search
+    tier serves from). This is the index-build half of the lexical
+    retrieval suite (``bm25_scores*`` / ``best_snippets`` are the
+    query-time half; the reference delegates both to OpenSearch /
+    Elasticsearch — reference connectors/opensearch/opensearch_writer.py
+    builds exactly this structure service-side).
+
+    ``min_df`` drops hapax/noise terms; ``top_docs`` keeps only each
+    term's best k postings (impact-ordered index pruning — the standard
+    way a 100 TB corpus keeps the serving index bounded). Returns
+    (term, df bigint, rank bigint, id_col, tf bigint).
+
+    Scale shape: ONE explode feeding ONE (term, doc) hash agg (map-side
+    combine collapses the token stream before the shuffle), then a
+    per-term window for df + rank. Partition-by-term is the natural index
+    bucketing — write the result ``partitionBy(hash(term) % N)`` for
+    co-located query-time lookups; stopword-term skew is AQE's skew-join
+    case, or pre-drop stopwords via a max-df ceiling the same way min_df
+    prunes the tail.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term", "_id").agg(F.count(F.lit(1)).alias("tf"))
+    w_term = Window.partitionBy("term")
+    w_rank = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("_id").asc()
+    )
+    out = (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("df") >= min_df)
+    )
+    if top_docs is not None:
+        out = out.filter(F.col("rank") <= top_docs)
+    return out.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("_id").alias(id_col),
+        F.col("tf").cast("long").alias("tf"),
+    )

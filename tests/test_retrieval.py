@@ -113,3 +113,30 @@ def test_phrase_search_overlapping_and_single_token(spark):
 
     with pytest.raises(ValueError):
         phrase_search(df, "   ")
+
+
+def test_build_inverted_index_postings(spark):
+    from sycamore_spark.operators.retrieval import build_inverted_index
+
+    docs = [
+        (1, "apple apple banana"),
+        (2, "apple banana banana"),
+        (3, "apple cherry"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = build_inverted_index(df).collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r.term, []).append((r.rank, r.doc_id, r.tf, r.df))
+    # apple: df=3; doc 1 (tf=2) ranks first, then 2 and 3 (tf=1, id asc)
+    assert sorted(by_term["apple"]) == [(1, 1, 2, 3), (2, 2, 1, 3), (3, 3, 1, 3)]
+    # banana: doc 2 (tf=2) beats doc 1
+    assert sorted(by_term["banana"]) == [(1, 2, 2, 2), (2, 1, 1, 2)]
+    assert sorted(by_term["cherry"]) == [(1, 3, 1, 1)]
+    assert "" not in by_term  # empty doc contributes nothing
+
+    # min_df prunes hapax terms; top_docs prunes postings
+    pruned = build_inverted_index(df, min_df=2, top_docs=1).collect()
+    got = {(r.term, r.doc_id) for r in pruned}
+    assert got == {("apple", 1), ("banana", 2)}
