@@ -140,6 +140,10 @@ HEADLINE = [
     "predicate_dsl",
     "temp_mixture",
     "snippets",
+    "phrase_search",
+    "html_tables",
+    "inverted_index",
+    "pdf_convert",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M
