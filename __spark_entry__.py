@@ -4282,6 +4282,104 @@ def q_pdf_convert(spark, sf) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_BPE_ROUNDS = 8
+
+
+def q_bpe_merges(spark, sf) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py bpe_train;
+    the train-your-own half of the reference's tokenizer backends —
+    reference functions/tokenizer.py delegates to tiktoken/HF): 8 merge
+    rounds over the documents corpus, each round ONE hash agg over the
+    word-TYPE table + a one-row collect. Returns the learned merge table;
+    the oracle unrolls the identical 8 rounds (the double-space symbol
+    layout makes each greedy merge a literal replace both engines
+    replay exactly)."""
+    from sycamore_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf, "documents")
+    merges = bpe_train(docs, num_merges=_BPE_ROUNDS)
+    return spark.createDataFrame(
+        [
+            (m["round"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "merge_round int, lft string, rgt string, merged string, pair_count long",
+    ).orderBy("merge_round")
+
+
+def q_bpe_encode(spark, sf) -> DataFrame:
+    """BPE encoding with a corpus-trained model (operators/bpe.py
+    bpe_encode): train 8 merges, then count BPE tokens per document via a
+    zero-shuffle codegen replace chain (the model rides as expression
+    literals — the distributed analogue of broadcasting the tokenizer).
+    The oracle re-trains AND re-encodes in SQL."""
+    from sycamore_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf, "documents")
+    merges = bpe_train(docs, num_merges=_BPE_ROUNDS)
+    return bpe_encode(docs, merges).orderBy("doc_id")
+
+
+def _bpe_oracle_ctes(rounds: int) -> str:
+    """Unrolled DuckDB replay of bpe_train: wf -> sym0, then per round
+    pair-count -> argmax -> literal replace (MATERIALIZED so DuckDB does
+    not re-expand the chain per reference)."""
+    parts = [
+        "WITH wf AS MATERIALIZED ("
+        " SELECT w, count(*)::BIGINT AS f FROM ("
+        "  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w"
+        "  FROM documents) t WHERE w <> '' GROUP BY 1), "
+        "sym0 AS MATERIALIZED ("
+        " SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, f FROM wf)"
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"sym{r - 1}"
+        parts.append(
+            f"p{r} AS (SELECT l[i] AS lft, l[i+1] AS rgt, sum(f)::BIGINT AS pair_count"
+            f" FROM (SELECT unnest(range(1, len(l))) AS i, l, f"
+            f"       FROM (SELECT string_split(trim(s), '  ') AS l, f FROM {prev}) q) z"
+            f" GROUP BY 1, 2), "
+            f"b{r} AS MATERIALIZED (SELECT lft, rgt, pair_count FROM p{r}"
+            f" ORDER BY pair_count DESC, lft, rgt LIMIT 1), "
+            f"sym{r} AS MATERIALIZED (SELECT replace(s,"
+            f" ' ' || (SELECT lft FROM b{r}) || '  ' || (SELECT rgt FROM b{r}) || ' ',"
+            f" ' ' || (SELECT lft || rgt FROM b{r}) || ' ') AS s, f FROM {prev})"
+        )
+    return ", ".join(parts)
+
+
+def _bpe_merges_oracle(rounds: int) -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS merge_round, lft, rgt, lft || rgt AS merged, pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"{_bpe_oracle_ctes(rounds)} {selects} ORDER BY merge_round"
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    sep = "\x1f"
+    stream = (
+        f"regexp_replace(array_to_string(words, ' {sep} '),"
+        f" '([^ {sep}])', ' \\1 ', 'g')"
+    )
+    for r in range(1, rounds + 1):
+        stream = (
+            f"replace({stream},"
+            f" ' ' || (SELECT lft FROM b{r}) || '  ' || (SELECT rgt FROM b{r}) || ' ',"
+            f" ' ' || (SELECT lft || rgt FROM b{r}) || ' ')"
+        )
+    return (
+        f"{_bpe_oracle_ctes(rounds)}, "
+        "docs AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        " replace(lower(trim(text)), chr(31), ''), '\\s+'), x -> x <> '') AS words"
+        " FROM documents) "
+        "SELECT doc_id, CASE WHEN len(words) = 0 THEN 0"
+        f" ELSE len(list_filter(string_split(trim({stream}), '  '), t -> t <> '{sep}'))"
+        " END::BIGINT AS bpe_tokens, len(words)::BIGINT AS words"
+        " FROM docs ORDER BY doc_id"
+    )
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -4331,6 +4429,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_tables": q_html_tables,
     "inverted_index": q_inverted_index,
     "pdf_convert": q_pdf_convert,
+    "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     # -- stalest driver greens --
     "tpch_q5": q_tpch_q5,
     "tpch_q4": q_tpch_q4,
@@ -6291,6 +6391,8 @@ def oracle_sql() -> dict[str, str]:
             "md5('%PDF-1.4' || chr(10) || text || chr(10) || '%%EOF') AS pdf_md5 "
             "FROM documents ORDER BY doc_id"
         ),
+        "bpe_merges": _bpe_merges_oracle(_BPE_ROUNDS),
+        "bpe_encode": _bpe_encode_oracle(_BPE_ROUNDS),
         "containment_lsh": (
             "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "
             "sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1), "

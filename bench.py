@@ -144,6 +144,8 @@ HEADLINE = [
     "html_tables",
     "inverted_index",
     "pdf_convert",
+    "bpe_merges",
+    "bpe_encode",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

@@ -344,6 +344,23 @@ class DocSet:
 
         return self._wrap(robust_scale(self.df, value_col, group_cols))
 
+    def bpe_train(self, text_col: str = "text", num_merges: int = 10,
+                  **kwargs) -> list[dict]:
+        """Learn a BPE merge table over the corpus (operators/bpe.py
+        bpe_train). Returns the model (list of merge dicts), not a DocSet —
+        feed it to .bpe_encode()."""
+        from sycamore_spark.operators.bpe import bpe_train
+
+        return bpe_train(self.df, text_col, num_merges, **kwargs)
+
+    def bpe_encode(self, merges: list[dict], id_col: str = "doc_id",
+                   text_col: str = "text", **kwargs) -> "DocSet":
+        """Per-doc BPE token counts with a trained merge table
+        (operators/bpe.py bpe_encode)."""
+        from sycamore_spark.operators.bpe import bpe_encode
+
+        return self._wrap(bpe_encode(self.df, merges, id_col, text_col, **kwargs))
+
     def semantic_chunk(self, id_col: str = "doc_id", text_col: str = "text",
                        block_tokens: int = 32, threshold_micros: int = 600_000) -> "DocSet":
         """Topic-drift chunk boundaries (operators/standardize.py
