@@ -153,6 +153,90 @@ class ConcurrentLLM(LLM):
             return list(pool.map(self._one, prompts))
 
 
+class CachedLLM(LLM):
+    """Disk-cache wrapper around any LLM (reference utils/cache.py
+    DiskCache + llms/llms.py ``_llm_cache_get``/``_llm_cache_set``):
+    completions keyed by sha256 of (model_tag, prompt), one JSON file per
+    key under ``cache_dir``, with the reference's hit/miss counters and
+    its corruption guard (a stored entry whose recorded key does not match
+    the lookup is treated as a miss and rewritten, not returned).
+
+    ``generate_batch`` serves hits from disk and forwards ONLY the misses
+    to the inner client in one batch, preserving prompt order — on a
+    dedup-heavy corpus where templated prompts repeat across documents,
+    repeats become file reads instead of API calls. Writes are atomic
+    (tmp file + rename) so concurrent Spark tasks sharing a cache dir
+    (executor-local disk or a shared FS) never observe torn entries.
+    Wrap at the task level like ConcurrentLLM:
+    ``llm_factory=lambda: CachedLLM(RealClient(), "/mnt/llm-cache")``.
+    """
+
+    def __init__(self, inner: LLM, cache_dir: str, model_tag: str = "default"):
+        self.inner = inner
+        self.cache_dir = cache_dir
+        self.model_tag = model_tag
+        self.hits = 0
+        self.misses = 0
+
+    def _key(self, prompt: str) -> str:
+        return hashlib.sha256(
+            (self.model_tag + "\x00" + prompt).encode("utf-8")
+        ).hexdigest()
+
+    def _path(self, key: str) -> str:
+        import os
+
+        return os.path.join(self.cache_dir, key + ".json")
+
+    def _get(self, key: str) -> str | None:
+        import json
+
+        try:
+            with open(self._path(key), encoding="utf-8") as f:
+                entry = json.load(f)
+        except (OSError, ValueError):
+            return None
+        # reference Cache.get key-validation: never serve a mismatched entry
+        if entry.get("key") != key or not isinstance(entry.get("reply"), str):
+            return None
+        return entry["reply"]
+
+    def _set(self, key: str, reply: str) -> None:
+        import json
+        import os
+        import tempfile
+
+        os.makedirs(self.cache_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.cache_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                json.dump({"key": key, "reply": reply}, f)
+            os.replace(tmp, self._path(key))
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def generate_batch(self, prompts: list[str]) -> list[str]:
+        keys = [self._key(p) for p in prompts]
+        results: list[str | None] = [self._get(k) for k in keys]
+        miss_idx = [i for i, r in enumerate(results) if r is None]
+        self.hits += len(prompts) - len(miss_idx)
+        self.misses += len(miss_idx)
+        if miss_idx:
+            replies = self.inner.generate_batch([prompts[i] for i in miss_idx])
+            if len(replies) != len(miss_idx):
+                raise RuntimeError(
+                    f"inner generate_batch returned {len(replies)} replies "
+                    f"for {len(miss_idx)} prompts"
+                )
+            for i, r in zip(miss_idx, replies):
+                results[i] = r
+                self._set(keys[i], r)
+        return results  # type: ignore[return-value]
+
+
 class ChainedLLM(LLM):
     """Failover chain across LLM clients (reference llms/chained_llm.py:12
     ChainedLLM): try each client in order, first success wins — the
