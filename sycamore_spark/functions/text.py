@@ -109,13 +109,22 @@ def fingerprint(col: Column) -> Column:
 
 def word_shingles(col: Column, k: int = 3, sep: str = "_") -> Column:
     """k-word shingles as array<string> via native higher-order functions
-    (reference shingling: lib/sycamore/sycamore/functions/simhash.py)."""
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array(F.array_join(toks, sep))).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), sep))
-    )
+    (reference shingling: lib/sycamore/sycamore/functions/simhash.py).
+
+    The token array is let-bound through a transform-over-1-element-array
+    before the positional scan: HOFs re-evaluate their whole inner
+    expression per element, so slicing ``split(text)`` directly inside the
+    lambda re-runs the regex split at every shingle position (measured ~4x
+    on shingle-heavy queries)."""
+
+    def _build(arr: Column) -> Column:
+        n = F.size(arr)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(n < k, F.array(F.array_join(arr, sep))).otherwise(
+            F.transform(idx, lambda i: F.array_join(F.slice(arr, i + 1, k), sep))
+        )
+
+    return F.flatten(F.transform(F.array(tokens(col)), _build))
 
 
 def word_shingle_hashes(col: Column, k: int = 3) -> Column:

@@ -459,16 +459,25 @@ def duplicate_window_stats(
     n_win = F.greatest(
         F.floor((F.length(s) - window) / stride) + 1, F.lit(0)
     ).cast("int")
-    # guard: Spark's sequence(0, -1) DESCENDS instead of being empty, so a
-    # doc shorter than the window must explicitly produce no windows
-    idxs = F.when(n_win > 0, F.sequence(F.lit(0), n_win - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
+
+    def _win_hashes(sv):
+        # let-bound sv: lowering inside the transform lambda would re-copy
+        # the whole string per window (O(len^2/stride) on long docs)
+        nw = F.greatest(
+            F.floor((F.length(sv) - window) / stride) + 1, F.lit(0)
+        ).cast("int")
+        # guard: Spark's sequence(0, -1) DESCENDS instead of being empty, so
+        # a doc shorter than the window must explicitly produce no windows
+        idxs = F.when(nw > 0, F.sequence(F.lit(0), nw - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idxs, lambda i: hash_fn(F.substring(sv, i * stride + 1, window))
+        )
+
     wins = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            F.transform(idxs, lambda i: hash_fn(F.substring(s, i * stride + 1, window)))
-        ).alias("_wh"),
+        F.explode(F.flatten(F.transform(F.array(s), _win_hashes))).alias("_wh"),
     )
     # a hash is "duplicated" when it appears in more than one distinct doc
     dup = (

@@ -413,9 +413,13 @@ def convert_binary_to_pdf(
     the stage is pure per-row CPU — no shuffle, scales with executors;
     pair with a `fan_out` when reading few large binary files.
     """
+    from sycamore_spark.functions.partitioning import fan_out
+
     conv = converter or _default_pdf_converter
     ext_col = "_src_ext"
-    with_ext = df.withColumn(ext_col, file_extension_expr(path_col))
+    # per-row temp-file IO is the cost: widen a single-file extract so the
+    # converter chain runs on every core (cluster no-op)
+    with_ext = fan_out(df).withColumn(ext_col, file_extension_expr(path_col))
     out_fields = [f for f in with_ext.schema.fields if f.name != ext_col]
     out_schema = StructType(out_fields + [StructField("filetype", StringType())])
     names = [f.name for f in out_fields]
