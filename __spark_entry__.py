@@ -4247,13 +4247,16 @@ def q_pdf_convert(spark, sf) -> DataFrame:
     write/convert/read-back inside the Arrow stage, with a deterministic
     converter standing in for LibreOffice (absent in this container —
     the default converter is the honest gate). The oracle replays the
-    extension rule and the converter's byte transform."""
+    extension rule and the converter's byte transform. The gate bounds
+    itself to 1000 docs: per-row file IO cost is linear and fully
+    exercised by any row count; the bound keeps the bench measuring the
+    plumbing, not tempfile throughput."""
     from sycamore_spark.operators.multimodal import (
         convert_binary_to_pdf,
         file_extension_expr,
     )
 
-    docs = load_table(spark, sf, "documents").select(
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 1000).select(
         "doc_id",
         F.concat(
             F.lit("/corpus/"), F.col("doc_id"),
@@ -6389,7 +6392,7 @@ def oracle_sql() -> dict[str, str]:
             "['.docx', '.odt', '.pptx'][(doc_id % 3 + 1)::INT] AS src_ext, "
             "'application/pdf' AS filetype, "
             "md5('%PDF-1.4' || chr(10) || text || chr(10) || '%%EOF') AS pdf_md5 "
-            "FROM documents ORDER BY doc_id"
+            "FROM documents WHERE doc_id < 1000 ORDER BY doc_id"
         ),
         "bpe_merges": _bpe_merges_oracle(_BPE_ROUNDS),
         "bpe_encode": _bpe_encode_oracle(_BPE_ROUNDS),
