@@ -237,6 +237,44 @@ class DocSet:
             bm25_scores_multi(self.df, qdf, id_col, text_col, **kwargs)
         )
 
+    def phrase_search(self, phrase: str, id_col: str = "doc_id",
+                      text_col: str = "text_representation") -> "DocSet":
+        """Positional exact-phrase match with occurrence count and first
+        offset (operators/retrieval.py phrase_search)."""
+        from sycamore_spark.operators.retrieval import phrase_search
+
+        return self._wrap(phrase_search(self.df, phrase, id_col, text_col))
+
+    def snippets(self, queries: "DocSet", window: int = 10,
+                 id_col: str = "doc_id",
+                 text_col: str = "text_representation", **kwargs) -> "DocSet":
+        """Best max-term-density snippet window per (query, doc) pair
+        (operators/retrieval.py best_snippets)."""
+        from sycamore_spark.operators.retrieval import best_snippets
+
+        qdf = queries.df if hasattr(queries, "df") else queries
+        return self._wrap(
+            best_snippets(self.df, qdf, window, id_col, text_col, **kwargs)
+        )
+
+    def inverted_index(self, id_col: str = "doc_id",
+                       text_col: str = "text_representation",
+                       **kwargs) -> "DocSet":
+        """Materialized (term, doc) postings with tf/df and impact rank
+        (operators/retrieval.py build_inverted_index)."""
+        from sycamore_spark.operators.retrieval import build_inverted_index
+
+        return self._wrap(build_inverted_index(self.df, id_col, text_col, **kwargs))
+
+    def to_pdf(self, converter=None, binary_col: str = "binary_representation",
+               path_col: str = "path") -> "DocSet":
+        """Convert binary payloads to PDF via an office-suite converter
+        (operators/multimodal.py convert_binary_to_pdf; reference
+        utils/fileformat_tools.py binary_representation_to_pdf)."""
+        from sycamore_spark.operators.multimodal import convert_binary_to_pdf
+
+        return self._wrap(convert_binary_to_pdf(self.df, converter, binary_col, path_col))
+
     def normalize_rotation(self, **kwargs) -> "DocSet":
         """Detect per-page quadrant rotation from text-direction vectors
         and rotate bboxes upright (operators/elements.py
