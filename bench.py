@@ -187,13 +187,27 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
     }
     line = json.dumps(result)
-    # Also persist to a file: terminal capture can truncate the (long) JSON
-    # line mid-dict, which nulls the driver's parsed record (BENCH_r05).
+    # Full record (all per-query timings) goes to a file: the driver's stdout
+    # tail capture is ~2000 chars, and a 119-entry "queries" dict overflows it,
+    # nulling the parsed record (BENCH_r05/r06). The LAST stdout line is a
+    # compact summary that always fits the capture window: same metric/value/
+    # unit/sf, "queries" trimmed to the 5 slowest, plus n_queries + a pointer.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
     with open(out_path, "w") as f:
         f.write(line + "\n")
-    print(line)
     print(f"bench result written to {out_path}", file=sys.stderr)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": result["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        "cold_total_sec": result["cold_total_sec"],
+        "queries": slowest,
+        "full_record": "bench_out.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

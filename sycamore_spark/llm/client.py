@@ -154,26 +154,31 @@ class ConcurrentLLM(LLM):
 
 
 class CachedLLM(LLM):
-    """Disk-cache wrapper around any LLM (reference utils/cache.py
-    DiskCache + llms/llms.py ``_llm_cache_get``/``_llm_cache_set``):
-    completions keyed by sha256 of (model_tag, prompt), one JSON file per
-    key under ``cache_dir``, with the reference's hit/miss counters and
-    its corruption guard (a stored entry whose recorded key does not match
-    the lookup is treated as a miss and rewritten, not returned).
+    """Cache wrapper around any LLM (reference utils/cache.py caches +
+    llms/llms.py ``_llm_cache_get``/``_llm_cache_set``): completions keyed
+    by sha256 of (model_tag, prompt), stored in a pluggable ``Cache``
+    backend (``data/cache.py``: DiskCache / S3Cache / NullCache via the
+    reference's ``cache_from_path`` scheme dispatcher — a string here may
+    be a plain dir, ``file://...``, ``s3://...``, or ``null://``), with
+    the reference's hit/miss counters and its corruption guard (a stored
+    entry whose recorded key does not match the lookup is treated as a
+    miss and rewritten, not returned).
 
-    ``generate_batch`` serves hits from disk and forwards ONLY the misses
-    to the inner client in one batch, preserving prompt order — on a
-    dedup-heavy corpus where templated prompts repeat across documents,
-    repeats become file reads instead of API calls. Writes are atomic
-    (tmp file + rename) so concurrent Spark tasks sharing a cache dir
-    (executor-local disk or a shared FS) never observe torn entries.
+    ``generate_batch`` serves hits from the cache and forwards ONLY the
+    misses to the inner client in one batch, preserving prompt order — on
+    a dedup-heavy corpus where templated prompts repeat across documents,
+    repeats become cache reads instead of API calls. Disk writes are
+    atomic (tmp file + rename) so concurrent Spark tasks sharing a cache
+    dir (executor-local disk or a shared FS) never observe torn entries.
     Wrap at the task level like ConcurrentLLM:
     ``llm_factory=lambda: CachedLLM(RealClient(), "/mnt/llm-cache")``.
     """
 
-    def __init__(self, inner: LLM, cache_dir: str, model_tag: str = "default"):
+    def __init__(self, inner: LLM, cache, model_tag: str = "default"):
+        from sycamore_spark.data.cache import Cache, cache_from_path
+
         self.inner = inner
-        self.cache_dir = cache_dir
+        self.cache: Cache = cache_from_path(cache) if isinstance(cache, str) else cache
         self.model_tag = model_tag
         self.hits = 0
         self.misses = 0
@@ -183,18 +188,9 @@ class CachedLLM(LLM):
             (self.model_tag + "\x00" + prompt).encode("utf-8")
         ).hexdigest()
 
-    def _path(self, key: str) -> str:
-        import os
-
-        return os.path.join(self.cache_dir, key + ".json")
-
     def _get(self, key: str) -> str | None:
-        import json
-
-        try:
-            with open(self._path(key), encoding="utf-8") as f:
-                entry = json.load(f)
-        except (OSError, ValueError):
+        entry = self.cache.get(key + ".json")
+        if not isinstance(entry, dict):
             return None
         # reference Cache.get key-validation: never serve a mismatched entry
         if entry.get("key") != key or not isinstance(entry.get("reply"), str):
@@ -202,21 +198,7 @@ class CachedLLM(LLM):
         return entry["reply"]
 
     def _set(self, key: str, reply: str) -> None:
-        import json
-        import os
-        import tempfile
-
-        os.makedirs(self.cache_dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=self.cache_dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w", encoding="utf-8") as f:
-                json.dump({"key": key, "reply": reply}, f)
-            os.replace(tmp, self._path(key))
-        except OSError:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+        self.cache.set(key + ".json", {"key": key, "reply": reply})
 
     def generate_batch(self, prompts: list[str]) -> list[str]:
         keys = [self._key(p) for p in prompts]

@@ -63,6 +63,27 @@ def _render(template: str, row: dict) -> str:
         return _render_fallback(template, row)
 
 
+def _cached_factory(
+    llm_factory: LLMFactory, cache_dir: str | None, model_tag: str = "default"
+) -> LLMFactory:
+    """Wrap an llm_factory so every task-level client reads/writes a shared
+    completion cache (reference llms/llms.py caches INSIDE the LLM class —
+    ``_llm_cache_get``/``_llm_cache_set`` run on every generate — so every
+    llm_map/extract_entity call benefits; here the same effect comes from
+    wrapping the factory at the seam every LLM stage goes through).
+    ``cache_dir`` accepts any ``cache_from_path`` scheme (dir, file://,
+    s3://, null://). Returns the factory unchanged when cache_dir is None."""
+    if cache_dir is None:
+        return llm_factory
+
+    def factory() -> LLM:
+        from sycamore_spark.llm.client import CachedLLM
+
+        return CachedLLM(llm_factory(), cache_dir, model_tag)
+
+    return factory
+
+
 def llm_map(
     df: DataFrame,
     prompt: str,
@@ -72,6 +93,7 @@ def llm_map(
     max_tries: int = 3,
     validate: Callable[[str], bool] | None = None,
     name: str | None = None,
+    cache_dir: str | None = None,
 ) -> DataFrame:
     """Render ``prompt`` (jinja2, row fields in scope as ``doc.*``/names) per
     row, call the LLM in micro-batches, retry rows failing ``validate`` up to
@@ -79,11 +101,16 @@ def llm_map(
     validates — reference keeps the last response, we keep null so failures
     are filterable).
 
+    ``cache_dir`` (optional) interposes a CachedLLM over the factory so
+    repeated prompts — across rows, retries, AND separate runs sharing the
+    dir — are served from the completion cache instead of the client.
+
     Under ``materialize.enable(root)`` the stage auto-checkpoints
     (AutoMaterialize): a rerun with the same prompt/output/schema (+
     ``name``) reuses the stored parquet instead of re-invoking the LLM."""
     from sycamore_spark import materialize as _mat
 
+    llm_factory = _cached_factory(llm_factory, cache_dir)
     if _mat.active() is not None:
         return _mat.checkpoint_stage(
             lambda: _llm_map_build(df, prompt, output_col, llm_factory, batch_size, max_tries, validate),
@@ -139,6 +166,7 @@ def llm_filter(
     threshold: int = 3,
     keep_score: bool = False,
     score_col: str = "_llm_filter_score",
+    cache_dir: str | None = None,
 ) -> DataFrame:
     """LLM scores each doc 0-5 against a question; keep score >= threshold
     (reference: docset.py:1204, transforms/llm_filter.py:113 — the score
@@ -150,6 +178,7 @@ def llm_filter(
     scored = llm_map(
         df, prompt, score_col, llm_factory,
         validate=lambda r: r.strip().isdigit() and 0 <= int(r.strip()) <= 5,
+        cache_dir=cache_dir,
     )
     out = scored.filter(F.col(score_col).cast("int") >= threshold)
     return out if keep_score else out.drop(score_col)
@@ -161,6 +190,7 @@ def extract_entity(
     llm_factory: LLMFactory,
     field: str = "text_representation",
     prompt: str | None = None,
+    cache_dir: str | None = None,
 ) -> DataFrame:
     """Pull a named entity from each doc into ``properties[entity_name]``
     (reference: docset.py:576, transforms/extract_entity.py:50)."""
@@ -169,7 +199,7 @@ def extract_entity(
         f"Reply with only the value.\nText: {{{{ doc.{field} }}}}"
     )
     tmp = f"_entity_{entity_name}"
-    out = llm_map(df, prompt, tmp, llm_factory)
+    out = llm_map(df, prompt, tmp, llm_factory, cache_dir=cache_dir)
     props = F.from_json(F.coalesce(F.col("properties"), F.lit("{}")), "map<string,string>")
     merged = F.to_json(F.map_concat(
         F.map_filter(props, lambda k, _: k != F.lit(entity_name)),
@@ -369,6 +399,7 @@ def llm_map_elements(
     elements_col: str = "elements",
     element_filter: Callable[[dict], bool] | None = None,
     name: str | None = None,
+    cache_dir: str | None = None,
 ) -> DataFrame:
     """Per-element LLM map (reference: docset.llm_map_elements,
     docset.py:1141; transforms/base_llm.py LLMMapElements): render the
@@ -376,9 +407,11 @@ def llm_map_elements(
     the LLM batched across ALL elements of the Arrow batch, and write the
     completion into the element's properties JSON under ``out_prop``.
     Non-matching elements pass through untouched. Auto-checkpoints under
-    ``materialize.enable`` like llm_map."""
+    ``materialize.enable`` like llm_map; ``cache_dir`` interposes a
+    CachedLLM like llm_map."""
     from sycamore_spark import materialize as _mat
 
+    llm_factory = _cached_factory(llm_factory, cache_dir)
     if _mat.active() is not None:
         return _mat.checkpoint_stage(
             lambda: _llm_map_elements_build(df, prompt, out_prop, llm_factory, elements_col, element_filter),

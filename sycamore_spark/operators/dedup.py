@@ -1086,7 +1086,11 @@ def containment_lsh_pairs(
         .union(cand.select(F.col("id_b")))
         .distinct()
     )
-    relevant = df.join(F.broadcast(cand_ids), df[id_col] == F.col("_cid"), "inner")
+    # left_semi with NO broadcast hint: the candidate-id set is corpus-scale on
+    # template-heavy corpora (~13M ids at sf0.1, PERF.md), so a forced broadcast
+    # would blow the driver/executor broadcast limits at 100 TB. AQE picks the
+    # strategy (broadcast when small, shuffled semi when not).
+    relevant = df.join(cand_ids, df[id_col] == F.col("_cid"), "left_semi")
     hset = relevant.select(
         F.col(id_col).alias("_id"),
         F.array_sort(F.transform(toks, lambda x: F.xxhash64(x))).alias("_hs"),
