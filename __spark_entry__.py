@@ -2554,6 +2554,73 @@ def q_pipeline_e2e(spark, sf) -> DataFrame:
     return packed.select("doc_id", "lang", "n_tokens", "shard_id")
 
 
+def q_doc_etl_e2e(spark, sf) -> DataFrame:
+    """The reference's own document-ETL demo pipeline composed end-to-end
+    (examples/bench.py:32-47: binary scan -> partition -> regex_replace
+    (COALESCE_WHITESPACE) -> extract_entity(title) -> merge -> spread_
+    properties([path,title]) -> split_elements -> explode -> sketch ->
+    embed) on the synthetic corpus, under ONE oracle hash. Stand-ins are
+    the repo's established deterministic seams: 10-token-chunk partition
+    (the doc_merge/doc_explode closed form), a MockLLM title extractor
+    (first 3 tokens), the greedy merger at a 21-token budget (pairs; the
+    MarkedMerger path is separately proven by layout_merge), and the
+    md5-bucket hashing embedder. Verified per parent doc: the split+
+    explode reconstruction hash (concatenating the split pieces in element
+    order MUST reproduce the merged texts — split's defining invariant),
+    the spread title/path properties on every child, sketch/embed presence
+    on children, and two quantized parent embedding coordinates."""
+    from sycamore_spark.operators import dedup as _dd
+    from sycamore_spark.operators.elements import COALESCE_WHITESPACE
+
+    base = _documents_as_docset(spark, sf).withColumn(
+        "properties",
+        F.to_json(F.create_map(F.lit("path"), F.concat(F.lit("mem://"), F.col("doc_id")))),
+    )
+    rule = (r"Text: (\S+ \S+ \S+)", lambda m: m.group(1))
+    ds = (
+        DocSet(base)
+        .regex_replace(COALESCE_WHITESPACE)
+        .extract_entity("title", lambda: MockLLM([rule]))
+        .merge("greedy", max_tokens=21)
+        .spread_properties(["path", "title"])
+        .split_elements(max_tokens=13)
+        .explode()
+        .sketch()
+        .embed(dim=16, hash_fn=_dd.md5_hash60)
+    )
+    df = ds.to_df()
+    kids = df.filter(F.col("parent_id").isNotNull()).select(
+        F.col("parent_id").cast("bigint").alias("doc_id"),
+        F.regexp_extract(F.col("doc_id"), r"-el(\d+)$", 1).cast("int").alias("_idx"),
+        F.col("text_representation").alias("_t"),
+        F.get_json_object("properties", "$.title").alias("_title"),
+        F.get_json_object("properties", "$.path").alias("_path"),
+        (F.col("shingles").isNotNull() & (F.size("shingles") == 64)).alias("_sk"),
+        (F.col("embedding").isNotNull() & (F.size("embedding") == 16)).alias("_em"),
+    )
+    per_parent = kids.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_idx", "_t"))), lambda s: s["_t"]
+                ),
+                "",
+            )
+        ).alias("texts_hash"),
+        F.min("_title").alias("title"),
+        F.min("_path").alias("path"),
+        F.min("_sk").alias("children_sketched"),
+        F.min("_em").alias("children_embedded"),
+    )
+    q = lambda c: F.floor(c.cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    parents = df.filter(F.col("parent_id").isNull()).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        q(F.element_at("embedding", 1)).alias("emb0_micros"),
+        q(F.element_at("embedding", 8)).alias("emb7_micros"),
+    )
+    return per_parent.join(parents, "doc_id")
+
+
 def q_data_card(spark, sf) -> DataFrame:
     """Per-source dataset datasheet (the 'data card' trainers ask for):
     docs, whitespace tokens, exact median length, mean quality-feature
@@ -3743,6 +3810,45 @@ def q_qa_eval(spark, sf) -> DataFrame:
 
 
 
+def q_eval_pipeline(spark, sf) -> DataFrame:
+    """The evaluation HARNESS composed end-to-end (evaluation.py
+    EvaluationPipeline; reference evaluation/pipeline.py execute():
+    build queries -> retrieve -> per-query metrics -> aggregate):
+    questions are the first 5 tokens of every 17th document, retrieval is
+    batch BM25 top-5 over the whole corpus (ONE posting aggregation for
+    all questions), relevance = the source document, the answerer returns
+    the top hit's first 8 tokens, scored with ROUGE-1 F1 against the
+    source doc's tokens 4..11, and the reference's _aggregate_metrics
+    means ride along as a one-row broadcast. Distinct from `qa_eval`
+    (embedding top-1 composition): this row proves the HARNESS class —
+    retriever seam, truth join, metric join, summary agg — in one plan."""
+    from sycamore_spark.evaluation import EvaluationPipeline
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    questions = docs.filter(F.col("doc_id") % 17 == 3).select(
+        F.col("doc_id").alias("question_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("question"),
+        F.array_join(F.slice(toks, 4, 8), " ").alias("ground_truth_answer"),
+        F.col("doc_id").alias("ground_truth_doc_id"),
+    )
+
+    def answerer(hits_text):
+        return hits_text.select(
+            "question_id", F.array_join(F.slice(toks, 1, 8), " ").alias("generated")
+        )
+
+    per_query, summary = EvaluationPipeline(k=5).execute(questions, docs, answerer=answerer)
+    return per_query.select(
+        "question_id", "n_retrieved", "n_relevant", "hits_at_k",
+        "mrr_micros", "dcg_micros", "idcg_micros", "ndcg", "f1_micros",
+    ).crossJoin(
+        F.broadcast(
+            summary.select("n_queries", "mean_hits_at_k", "mean_mrr_micros", "micro_ndcg")
+        )
+    )
+
+
 def q_doc_reconstruct(spark, sf) -> DataFrame:
     """Parent-document reconstruction from element-level search hits
     (connectors.py reconstruct_documents; reference
@@ -4414,6 +4520,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cer": q_cer,
     "wer": q_wer,
     "qa_eval": q_qa_eval,
+    "eval_pipeline": q_eval_pipeline,
+    "doc_etl_e2e": q_doc_etl_e2e,
     "doc_reconstruct": q_doc_reconstruct,
     "docids": q_docids,
     "bbox_sort": q_bbox_sort,
@@ -6560,6 +6668,103 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, levenshtein(er, eh)::BIGINT AS word_distance, "
             "nr::BIGINT AS ref_words, nh::BIGINT AS hyp_words, "
             "CASE WHEN nr > 0 THEN floor(levenshtein(er, eh) / nr * 1e6 + 0.5)::BIGINT END AS wer_micros FROM e"
+        ),
+        "doc_etl_e2e": (
+            # ETL-chain replay: 10-token chunks merged in pairs (newline-
+            # joined) reconstruct the split+explode output verbatim; title =
+            # first 3 tokens (the MockLLM rule); path set at scan; embedding
+            # replay = the embed-oracle md5-bucket arithmetic at dim 16
+            "WITH tk AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS tk, "
+            "CAST(ceil(len(regexp_split_to_array(text, ' ')) / 10.0) AS INT) AS nchunks FROM documents), "
+            "recon AS (SELECT doc_id, tk, array_to_string(list_transform(range(CAST(ceil(nchunks / 2.0) AS INT)), m -> "
+            "array_to_string(tk[(2*m*10+1):(2*m*10+10)], ' ') || "
+            "CASE WHEN 2*m+1 <= nchunks-1 THEN chr(10) || array_to_string(tk[((2*m+1)*10+1):((2*m+1)*10+10)], ' ') "
+            "ELSE '' END), '') AS full FROM tk), "
+            "tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM documents), "
+            "b AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 AS pos FROM tok), "
+            "cnt AS (SELECT doc_id, pos, count(*)::DOUBLE AS c FROM b GROUP BY 1, 2), "
+            "grid AS (SELECT doc_id, i AS pos FROM documents, unnest([0, 7]) AS g(i)), "
+            "nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS n FROM cnt GROUP BY 1), "
+            "vals AS (SELECT g.doc_id, g.pos, "
+            "(coalesce(c, 0.0) / CASE WHEN n > 0 THEN n ELSE 1.0 END)::FLOAT::DOUBLE AS v "
+            "FROM grid g JOIN nrm ON g.doc_id = nrm.doc_id "
+            "LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.pos = cnt.pos), "
+            "emb AS (SELECT doc_id, "
+            "CAST(floor(max(CASE WHEN pos = 0 THEN v END) * 1000000.0 + 0.5) AS BIGINT) AS emb0_micros, "
+            "CAST(floor(max(CASE WHEN pos = 7 THEN v END) * 1000000.0 + 0.5) AS BIGINT) AS emb7_micros "
+            "FROM vals GROUP BY 1) "
+            "SELECT r.doc_id, md5(r.full) AS texts_hash, "
+            "array_to_string(r.tk[1:3], ' ') AS title, "
+            "'mem://' || r.doc_id AS path, "
+            "TRUE AS children_sketched, TRUE AS children_embedded, "
+            "e.emb0_micros, e.emb7_micros "
+            "FROM recon r JOIN emb e ON r.doc_id = e.doc_id"
+        ),
+        "eval_pipeline": (
+            # harness replay: BM25 top-5 (the bm25 oracle arithmetic) ->
+            # rel = source doc -> retrieval metrics k=5 (the
+            # retrieval_metrics oracle arithmetic) -> ROUGE-1 F1 of top-1
+            # answer vs source tokens 4..11 -> one-row means cross-joined
+            "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), "
+            "q AS (SELECT doc_id AS question_id, "
+            "array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[1:5], ' ') AS question, "
+            "array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[4:11], ' ') AS ref "
+            "FROM documents WHERE doc_id % 17 = 3), "
+            "qterms AS (SELECT question_id, unnest(list_distinct(regexp_split_to_array(question, '\\s+'))) AS tok FROM q), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+            "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
+            "WHERE tok IN (SELECT DISTINCT tok FROM qterms) GROUP BY 1, 2), "
+            "dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), "
+            "contrib AS (SELECT qt.question_id, t.doc_id, "
+            "CAST(floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) "
+            "* ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1000000.0 + 0.5) AS BIGINT) AS c "
+            "FROM qterms qt JOIN tf t USING (tok) JOIN dfq USING (tok) "
+            "JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN stats), "
+            "scoredq AS (SELECT question_id, doc_id, CAST(sum(c) AS BIGINT) AS bm25 FROM contrib GROUP BY 1, 2), "
+            "topk AS (SELECT * FROM (SELECT question_id, doc_id, "
+            "row_number() OVER (PARTITION BY question_id ORDER BY bm25 DESC, doc_id ASC) AS rank "
+            "FROM scoredq) WHERE rank <= 5), "
+            "labeled AS (SELECT question_id, doc_id, rank, "
+            "CASE WHEN doc_id = question_id THEN 1.0 ELSE 0.0 END AS rel FROM topk), "
+            "staged AS (SELECT question_id, rank, rel, "
+            "row_number() OVER (PARTITION BY question_id ORDER BY rel DESC, rank ASC) AS irank FROM labeled), "
+            "g AS (SELECT question_id, rank, rel, "
+            "CASE WHEN rank <= 5 AND rel > 0 THEN "
+            "CAST(floor(rel * 1000000.0 * 0.6931471805599453 / ln(rank + 1.0) + 0.5) AS BIGINT) ELSE 0 END AS gain, "
+            "CASE WHEN irank <= 5 AND rel > 0 THEN "
+            "CAST(floor(rel * 1000000.0 * 0.6931471805599453 / ln(irank + 1.0) + 0.5) AS BIGINT) ELSE 0 END AS igain "
+            "FROM staged), "
+            "agg AS (SELECT question_id, count(*)::BIGINT AS n_retrieved, "
+            "sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_relevant, "
+            "sum(CASE WHEN rel > 0 AND rank <= 5 THEN 1 ELSE 0 END)::BIGINT AS hits_at_k, "
+            "coalesce(CAST(floor(1000000.0 / min(CASE WHEN rel > 0 THEN rank END)::DOUBLE + 0.5) AS BIGINT), 0) AS mrr_micros, "
+            "CAST(sum(gain) AS BIGINT) AS dcg_micros, CAST(sum(igain) AS BIGINT) AS idcg_micros "
+            "FROM g GROUP BY 1), "
+            "gen AS (SELECT t.question_id, "
+            "array_to_string((regexp_split_to_array(lower(trim(d.text)), '\\s+'))[1:8], ' ') AS gen "
+            "FROM topk t JOIN documents d ON t.doc_id = d.doc_id WHERE t.rank = 1), "
+            "r1 AS (SELECT g.question_id, regexp_split_to_array(lower(trim(g.gen)), '\\s+') AS gg, "
+            "regexp_split_to_array(lower(trim(q.ref)), '\\s+') AS rr FROM gen g JOIN q USING (question_id)), "
+            "m AS (SELECT question_id, "
+            "coalesce(list_sum(list_transform(list_distinct(gg), x -> "
+            "least(len(list_filter(gg, y -> y = x)), len(list_filter(rr, y -> y = x))))), 0)::BIGINT AS m1, "
+            "len(gg)::BIGINT AS gen_n, len(rr)::BIGINT AS ref_n FROM r1), "
+            "f1 AS (SELECT question_id, "
+            "floor(CASE WHEN (CASE WHEN gen_n > 0 THEN m1 / gen_n END) + (CASE WHEN ref_n > 0 THEN m1 / ref_n END) > 0 "
+            "THEN 2.0 * (CASE WHEN gen_n > 0 THEN m1 / gen_n END) * (CASE WHEN ref_n > 0 THEN m1 / ref_n END) "
+            "/ ((CASE WHEN gen_n > 0 THEN m1 / gen_n END) + (CASE WHEN ref_n > 0 THEN m1 / ref_n END)) "
+            "WHEN gen_n > 0 AND ref_n > 0 THEN 0.0 END * 1e6 + 0.5)::BIGINT AS f1_micros FROM m), "
+            "summ AS (SELECT count(*)::BIGINT AS n_queries, "
+            "sum(hits_at_k)::DOUBLE / count(*) AS mean_hits_at_k, "
+            "sum(mrr_micros)::DOUBLE / count(*) AS mean_mrr_micros, "
+            "CASE WHEN sum(idcg_micros) > 0 THEN sum(dcg_micros)::DOUBLE / sum(idcg_micros)::DOUBLE ELSE 0.0 END AS micro_ndcg "
+            "FROM agg) "
+            "SELECT a.question_id, a.n_retrieved, a.n_relevant, a.hits_at_k, "
+            "a.mrr_micros, a.dcg_micros, a.idcg_micros, "
+            "CASE WHEN a.idcg_micros > 0 THEN a.dcg_micros::DOUBLE / a.idcg_micros::DOUBLE ELSE 0.0 END AS ndcg, "
+            "f1.f1_micros, s.n_queries, s.mean_hits_at_k, s.mean_mrr_micros, s.micro_ndcg "
+            "FROM agg a JOIN f1 USING (question_id) CROSS JOIN summ s"
         ),
         "qa_eval": (
             "WITH scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "

@@ -348,3 +348,275 @@ def attach_subtasks(
         .withColumn(out_col, subtask)
         .drop("_hit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation harness (reference evaluation/pipeline.py, evaluate.py,
+# datasets.py — the last unported files of the evaluation package)
+# ---------------------------------------------------------------------------
+
+def augment_questions_with_subtasks(
+    questions: DataFrame,
+    subtask_answers: DataFrame,
+    term_order: list[str],
+    question_id_col: str = "question_id",
+    question_col: str = "question",
+    reqd_col: str | None = "subtasks_reqd",
+) -> DataFrame:
+    """Prepend each question's subtask evidence (reference
+    evaluation/pipeline.py:79-94 ``_build_opensearch_query``): per formula
+    doc, ``" Formula: <formula>; Values: <answer>, <answer>, "`` with the
+    answers in the reference's element order — the order terms matched in
+    ``attach_subtasks`` (its term-array order == ``term_order``, the
+    subtask_instructions key order) — then the task's
+    ``" Instructions: <instructions> Use this information to answer the
+    following question. "`` suffix, then the original question.
+
+    ``subtask_answers`` is the subtask executor's output with a generated
+    ``answer`` per (question, formula_index, term) — the seam where the
+    reference fans out to the LLM (``elem.properties["generated_answer"]``).
+    Questions with no subtask rows (or ``reqd_col`` false) pass through
+    unchanged. Plan: two hash aggregations (formula-level concat, then
+    question-level concat) + one left join back to the questions — never a
+    driver collect, so a million-question sweep is the same plan."""
+    pos = F.array_position(
+        F.array(*[F.lit(t) for t in term_order]), F.col("term")
+    )
+    per_formula = (
+        subtask_answers.withColumn("_tpos", pos)
+        .groupBy(question_id_col, "formula_index", "formula", "instructions")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_tpos"), F.col("answer")))
+                    ),
+                    lambda s: s["answer"],
+                ),
+                ", ",
+            ).alias("_values")
+        )
+        .withColumn(
+            "_ftext",
+            F.when(
+                F.length(F.coalesce(F.col("formula"), F.lit(""))) > 0,
+                F.concat(
+                    F.lit(" Formula: "), F.col("formula"),
+                    F.lit("; Values: "), F.col("_values"), F.lit(", "),
+                ),
+            ).otherwise(F.lit("")),
+        )
+    )
+    per_question = per_formula.groupBy(question_id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("formula_index"), F.col("_ftext")))
+                ),
+                lambda s: s["_ftext"],
+            ),
+            "",
+        ).alias("_formulas"),
+        # all formula rows of a task share one instructions string
+        F.first("instructions").alias("_instr"),
+    ).select(
+        question_id_col,
+        F.concat(
+            F.col("_formulas"),
+            F.lit(" Instructions: "), F.col("_instr"),
+            F.lit(" Use this information to answer the following question. "),
+        ).alias("_prefix"),
+    )
+    out = questions.join(per_question, question_id_col, "left")
+    gate = F.col("_prefix").isNotNull()
+    if reqd_col is not None and reqd_col in questions.columns:
+        gate = gate & F.col(reqd_col)
+    return out.withColumn(
+        question_col,
+        F.when(gate, F.concat(F.col("_prefix"), F.col(question_col))).otherwise(
+            F.col(question_col)
+        ),
+    ).drop("_prefix")
+
+
+def bm25_retriever(k1: float = 1.2, b: float = 0.75):
+    """Default retriever for EvaluationPipeline: batch BM25 top-k over the
+    corpus (operators/retrieval.py bm25_scores_multi — ONE posting
+    aggregation serves every question). The reference's retriever is an
+    OpenSearch hybrid query (pipeline.py:96-146); that transport lives
+    behind the gated connector protocols. Returns a callable
+    (questions, corpus, k) -> (query_id, doc_id, rank)."""
+
+    def retrieve(questions: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+        from sycamore_spark.operators.retrieval import bm25_scores_multi
+
+        scored = bm25_scores_multi(
+            corpus, questions,
+            id_col="doc_id", text_col="text",
+            query_id_col="question_id", query_text_col="question",
+            k1=k1, b=b, k=k, keep_rank=True,
+        )
+        return scored.select(
+            F.col("question_id").alias("query_id"),
+            F.col("doc_id"),
+            F.col("rank"),
+        )
+
+    return retrieve
+
+
+class EvaluationPipeline:
+    """QA-dataset evaluation harness (reference evaluation/pipeline.py:15
+    ``EvaluationPipeline.execute``): questions -> retrieval -> per-query
+    metrics -> aggregated summary. The reference's four stages map to:
+
+    1. ``_build_opensearch_query`` (+ subtask augmentation) -> native
+       question DataFrame, optionally pre-processed with
+       ``augment_questions_with_subtasks``;
+    2. ``OpenSearchQueryExecutor`` -> the injectable ``retriever`` seam
+       (default ``bm25_retriever()``; the OpenSearch/hybrid-KNN transport
+       is a gated connector, connectors.py);
+    3. ``_process_queries`` (document_retrieval_metrics + rouge_metrics)
+       -> ``retrieval_metrics`` over the retrieved/truth join, plus
+       ``rouge_n_scores`` when an ``answerer`` produces generated answers
+       against ``ground_truth_answer``;
+    4. ``_aggregate_metrics`` (statistics.mean per metric) -> ONE hash
+       aggregation emitting the mean of each metric across queries.
+
+    Everything stays distributed: metrics are per-query rows, the summary
+    is a single agg — evaluating a million-query sweep is the same plan as
+    ten (the reference collects every doc to the driver, take_all()).
+    """
+
+    def __init__(self, retriever=None, k: int = 10, rouge_n: int = 1):
+        self.retriever = retriever or bm25_retriever()
+        self.k = k
+        self.rouge_n = rouge_n
+
+    def execute(
+        self,
+        questions: DataFrame,
+        corpus: DataFrame,
+        truth: DataFrame | None = None,
+        answerer=None,
+    ):
+        """Run the harness. ``questions``: (question_id, question[,
+        ground_truth_answer]). ``corpus``: (doc_id, text). ``truth``:
+        (question_id, doc_id) relevant pairs — defaults to the questions'
+        ``ground_truth_doc_id`` column. ``answerer``: optional callable
+        (retrieved-with-text DataFrame) -> (question_id, generated) used
+        for the generated-answer (ROUGE) metrics. Returns (per_query,
+        summary) DataFrames."""
+        retrieved = self.retriever(questions, corpus, self.k)
+        if truth is None:
+            truth = questions.select(
+                "question_id", F.col("ground_truth_doc_id").alias("doc_id")
+            )
+        rel = truth.withColumn("_rel", F.lit(1))
+        labeled = retrieved.join(
+            rel,
+            (retrieved.query_id == rel.question_id) & (retrieved.doc_id == rel.doc_id),
+            "left",
+        ).select(
+            retrieved.query_id.alias("question_id"),
+            retrieved.doc_id,
+            retrieved.rank,
+            F.coalesce(F.col("_rel"), F.lit(0)).alias("rel"),
+        )
+        per_query = retrieval_metrics(
+            labeled, query_col="question_id", rank_col="rank", rel_col="rel", k=self.k
+        )
+        rouge_cols = []
+        if answerer is not None and "ground_truth_answer" in questions.columns:
+            hits_text = labeled.filter(F.col("rank") == 1).join(
+                corpus.select("doc_id", "text"), "doc_id"
+            ).select("question_id", "rank", "text")
+            generated = answerer(hits_text)
+            paired = generated.join(
+                questions.select("question_id", F.col("ground_truth_answer").alias("_ref")),
+                "question_id",
+            )
+            rscore = rouge_n_scores(
+                paired.select("question_id", "generated", "_ref"),
+                "generated", "_ref", n=self.rouge_n, id_col="question_id",
+            ).select("question_id", "recall_micros", "precision_micros", "f1_micros")
+            per_query = per_query.join(rscore, "question_id", "left")
+            rouge_cols = ["recall_micros", "precision_micros", "f1_micros"]
+        # reference _aggregate_metrics: mean of each metric over all queries;
+        # exact bigint sums divided as IEEE doubles -> engine-replayable
+        aggs = [
+            F.count(F.lit(1)).alias("n_queries"),
+            (F.sum("hits_at_k").cast("double") / F.count(F.lit(1))).alias("mean_hits_at_k"),
+            (F.sum("mrr_micros").cast("double") / F.count(F.lit(1))).alias("mean_mrr_micros"),
+            # micro-averaged NDCG: one quotient of two exact bigint sums,
+            # guarded so an all-irrelevant sweep yields 0.0, not a NULL/inf
+            # that differs across engines
+            F.when(
+                F.sum("idcg_micros") > 0,
+                F.sum("dcg_micros").cast("double") / F.sum("idcg_micros").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("micro_ndcg"),
+        ]
+        for c in rouge_cols:
+            aggs.append(
+                (F.sum(c).cast("double") / F.count(F.when(F.col(c).isNotNull(), 1))).alias(f"mean_{c}")
+            )
+        summary = per_query.agg(*aggs)
+        return per_query, summary
+
+
+def datapoints_from_json(
+    spark,
+    gt: dict,
+    custom_question_augmentation: str = "{}",
+    question_augmentation_filter: str = "",
+):
+    """Build an evaluation-datapoint DataFrame from a ground-truth JSON
+    dict (reference evaluate.py:100-117 ``create_evaluation_datapoint`` +
+    evaluate.py:37-53 ``add_filters_to_question``): one row per entry of
+    ``gt["data"]`` with the question formatted through
+    ``custom_question_augmentation.format(Question, filters[filter_key])``,
+    the answer, the filters map, and the flattened SearchContexts as
+    ground-truth source documents. The GT file is a driver-side artifact
+    (the reference loads it with json.load), so building rows driver-side
+    is the honest bound — the RESULT is a distributed DataFrame."""
+    rows = []
+    for i, dp in enumerate(gt.get("data", [])):
+        filters = dict(dp.get("Filters", {}) or {})
+        question = dp.get("Question", "")
+        if filters or custom_question_augmentation != "{}":
+            question = custom_question_augmentation.format(
+                question, filters.get(question_augmentation_filter)
+            )
+        contexts = [
+            (
+                str(sc.get("document_url", "")),
+                (sc.get("page_numbers") or [sc.get("page_number")])[0],
+                str(sc.get("text_representation", "")),
+            )
+            for sc in dp.get("SearchContexts", [])
+        ]
+        rows.append((i, question, dp.get("Answer"), filters, contexts))
+    return spark.createDataFrame(
+        rows,
+        "question_id int, question string, ground_truth_answer string, "
+        "filters map<string,string>, "
+        "ground_truth_source_documents array<struct<location:string,page_number:int,text:string>>",
+    )
+
+
+def huggingface_datapoints(spark, dataset, doc_extractor, limit: int = 10000):
+    """HuggingFace-dataset loader seam (reference datasets.py:14-46
+    ``HuggingFaceScan``/``EvaluationDataSetReader.huggingface``): iterate
+    the (streaming or materialized) dataset, map ``doc_extractor`` over
+    each raw example, and build the datapoint DataFrame. The ``datasets``
+    library is not in this container, so the transport is the INJECTED
+    ``dataset`` iterable itself — any iterable of dicts works (tests use a
+    plain list); a real HF dataset object satisfies the same protocol.
+    ``limit`` bounds driver memory; raise it deliberately for big sweeps
+    or pre-shard the dataset."""
+    import itertools
+
+    rows = [doc_extractor(ex) for ex in itertools.islice(iter(dataset), limit)]
+    if not rows:
+        raise ValueError("dataset produced no examples")
+    return spark.createDataFrame(rows)

@@ -61,16 +61,19 @@ def embed(
     model_name: str | None = None,
     batch_size: int = 100,
     skip_existing: bool = True,
+    hash_fn=None,
 ) -> DataFrame:
     """Attach an embedding column.
 
-    - ``model_name=None``: deterministic native hashing embedder.
+    - ``model_name=None``: deterministic native hashing embedder
+      (``hash_fn`` overrides the token hash, e.g. ``dedup.md5_hash60``
+      for an oracle-replicable bucket assignment).
     - otherwise: SentenceTransformer via Arrow-batched mapInPandas (model
       loaded once per task; raises ImportError if the library is absent —
       this container stubs model inference deliberately).
     """
     if model_name is None:
-        new = hashing_embedding_expr(F.col(text_col), dim)
+        new = hashing_embedding_expr(F.col(text_col), dim, hash_fn)
         if skip_existing and out_col in df.columns:
             new = F.coalesce(F.col(out_col), new)
         return df.withColumn(out_col, new)

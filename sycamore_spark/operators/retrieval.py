@@ -104,6 +104,7 @@ def bm25_scores_multi(
     k1: float = 1.2,
     b: float = 0.75,
     k: int | None = None,
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Batch twin of ``bm25_scores``: score every (query, doc) pair where
     the doc contains at least one of that query's terms, for a whole
@@ -163,17 +164,18 @@ def bm25_scores_multi(
         .groupBy("_qid", "_id")
         .agg(F.sum("_c").alias("bm25_micros"))
     )
+    extra = []
     if k is not None:
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("_qid").orderBy(
             F.col("bm25_micros").desc(), F.col("_id").asc()
         )
-        out = out.withColumn("_rk", F.row_number().over(w)).filter(
-            F.col("_rk") <= k
-        ).drop("_rk")
+        out = out.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+        if keep_rank:
+            extra = [F.col("_rk").alias("rank")]
     return out.select(
-        F.col("_qid").alias(query_id_col), F.col("_id").alias(id_col), "bm25_micros"
+        F.col("_qid").alias(query_id_col), F.col("_id").alias(id_col), "bm25_micros", *extra
     )
 
 
