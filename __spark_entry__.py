@@ -4496,6 +4496,58 @@ def _bpe_encode_oracle(rounds: int) -> str:
 # the r3-green remainder.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "eval_pipeline": q_eval_pipeline,
+    "doc_etl_e2e": q_doc_etl_e2e,
+    # -- stalest driver greens --
+    "standardize_state": q_standardize_state,
+    "standardize_date": q_standardize_date,
+    "augment_text": q_augment_text,
+    "chunk_overlap": q_chunk_overlap,
+    "io_roundtrip": q_io_roundtrip,
+    "assign_props": q_assign_props,
+    "layout_merge": q_layout_merge,
+    "doc_explode": q_doc_explode,
+    "doc_unexplode": q_doc_unexplode,
+    "doc_merge": q_doc_merge,
+    "doc_merge_table": q_doc_merge_table,
+    "table_ted": q_table_ted,
+    "doc_markdown": q_doc_markdown,
+    "doc_sections": q_doc_sections,
+    "llm_filter": q_llm_filter,
+    "llm_extract": q_llm_extract,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dup_windows": q_dup_windows,
+    "line_dedup": q_line_dedup,
+    "quantile_stats": q_quantile_stats,
+    "quantile_filter": q_quantile_filter,
+    "stratified_sample": q_stratified_sample,
+    "wire_roundtrip": q_wire_roundtrip,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "repetition": q_repetition,
+    "contamination": q_contamination,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "stream_dedup": q_stream_dedup,
+    "sessionize": q_sessionize,
+    "salted_join": q_salted_join,
+    "interval_join": q_interval_join,
+    "cube": q_cube,
+    "rerank": q_rerank,
+    "map_batch": q_map_batch,
+    "db_writer": q_db_writer,
+    "db_reader": q_db_reader,
+    "plan_exec": q_plan_exec,
+    "merge_schemas": q_merge_schemas,
+    "spread_properties": q_spread_properties,
+    "hash_sample": q_hash_sample,
+    "pack_shards": q_pack_shards,
+    "redact_pii": q_redact_pii,
+    # -- fresher greens (rotate next round) --
     "cdc_snapshot": q_cdc_snapshot,
     "scd2": q_scd2,
     "triangles": q_triangles,
@@ -4520,8 +4572,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cer": q_cer,
     "wer": q_wer,
     "qa_eval": q_qa_eval,
-    "eval_pipeline": q_eval_pipeline,
-    "doc_etl_e2e": q_doc_etl_e2e,
     "doc_reconstruct": q_doc_reconstruct,
     "docids": q_docids,
     "bbox_sort": q_bbox_sort,
@@ -4542,29 +4592,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_convert": q_pdf_convert,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
-    # -- stalest driver greens --
     "tpch_q5": q_tpch_q5,
     "tpch_q4": q_tpch_q4,
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
     "tpch_q19": q_tpch_q19,
-    "standardize_state": q_standardize_state,
-    "standardize_date": q_standardize_date,
-    "augment_text": q_augment_text,
-    "chunk_overlap": q_chunk_overlap,
-    "io_roundtrip": q_io_roundtrip,
-    "assign_props": q_assign_props,
-    "layout_merge": q_layout_merge,
-    "doc_explode": q_doc_explode,
-    "doc_unexplode": q_doc_unexplode,
-    "doc_merge": q_doc_merge,
-    "doc_merge_table": q_doc_merge_table,
-    "table_ted": q_table_ted,
-    "doc_markdown": q_doc_markdown,
-    "doc_sections": q_doc_sections,
-    "llm_filter": q_llm_filter,
-    # -- fresher greens (rotate next round) --
     "script_ratios": q_script_ratios,
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
@@ -4665,39 +4698,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad": q_mad,
     "rolling_median": q_rolling_median,
     "fuzzy_join": q_fuzzy_join,
-    "llm_extract": q_llm_extract,
-    "dedup_exact": q_dedup_exact,
-    "dedup_jaccard": q_dedup_jaccard,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "dup_windows": q_dup_windows,
-    "line_dedup": q_line_dedup,
-    "quantile_stats": q_quantile_stats,
-    "quantile_filter": q_quantile_filter,
-    "stratified_sample": q_stratified_sample,
-    "wire_roundtrip": q_wire_roundtrip,
-    "text_stats": q_text_stats,
-    "lang_id": q_lang_id,
-    "quality": q_quality,
-    "fingerprint": q_fingerprint,
-    "repetition": q_repetition,
-    "contamination": q_contamination,
-    "dedup_embedding_lsh": q_dedup_embedding_lsh,
-    "stream_dedup": q_stream_dedup,
-    "sessionize": q_sessionize,
-    "salted_join": q_salted_join,
-    "interval_join": q_interval_join,
-    "cube": q_cube,
-    "rerank": q_rerank,
-    "map_batch": q_map_batch,
-    "db_writer": q_db_writer,
-    "db_reader": q_db_reader,
-    "plan_exec": q_plan_exec,
-    "merge_schemas": q_merge_schemas,
-    "spread_properties": q_spread_properties,
-    "hash_sample": q_hash_sample,
-    "pack_shards": q_pack_shards,
-    "redact_pii": q_redact_pii,
     "concat_shards": q_concat_shards,
     "sketch_rolling": q_sketch_rolling,
     "asof_join": q_asof_join,

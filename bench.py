@@ -146,6 +146,9 @@ HEADLINE = [
     "pdf_convert",
     "bpe_merges",
     "bpe_encode",
+    # round-7 additions
+    "eval_pipeline",
+    "doc_etl_e2e",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

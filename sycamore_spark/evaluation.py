@@ -488,10 +488,14 @@ class EvaluationPipeline:
     ten (the reference collects every doc to the driver, take_all()).
     """
 
-    def __init__(self, retriever=None, k: int = 10, rouge_n: int = 1):
+    def __init__(
+        self, retriever=None, k: int = 10, rouge_n: int = 1,
+        checkpoint_dir: str | None = None,
+    ):
         self.retriever = retriever or bm25_retriever()
         self.k = k
         self.rouge_n = rouge_n
+        self.checkpoint_dir = checkpoint_dir
 
     def execute(
         self,
@@ -506,7 +510,16 @@ class EvaluationPipeline:
         ``ground_truth_doc_id`` column. ``answerer``: optional callable
         (retrieved-with-text DataFrame) -> (question_id, generated) used
         for the generated-answer (ROUGE) metrics. Returns (per_query,
-        summary) DataFrames."""
+        summary) DataFrames.
+
+        The labeled retrieval table (<= k rows per question — question-
+        scale, never corpus-scale) is lineage-cut after retrieval: the
+        metric, ROUGE, and summary branches all re-read it, and without
+        the cut each branch would re-run the corpus-scale retrieval.
+        Pass ``checkpoint_dir`` (HDFS/S3A) on a real cluster for a
+        durable cut; the local default is executor-volatile."""
+        from sycamore_spark.functions.partitioning import lineage_cut
+
         retrieved = self.retriever(questions, corpus, self.k)
         if truth is None:
             truth = questions.select(
@@ -523,6 +536,7 @@ class EvaluationPipeline:
             retrieved.rank,
             F.coalesce(F.col("_rel"), F.lit(0)).alias("rel"),
         )
+        labeled = lineage_cut(labeled, self.checkpoint_dir)
         per_query = retrieval_metrics(
             labeled, query_col="question_id", rank_col="rank", rel_col="rel", k=self.k
         )
