@@ -805,6 +805,112 @@ def _documents_as_docset(spark, sf) -> DataFrame:
     )
 
 
+def _paged_docset(spark, sf, title_rule: bool = False) -> DataFrame:
+    """documents table → docs whose 10-token chunk elements each live on
+    their OWN page (page_number = chunk index + 1) — the multi-page shape
+    the pdf_utils page operators need. With ``title_rule``: the first four
+    chunks sit on page 1 with Section-header/Caption/Text types cycling by
+    index (i%3), deterministic integer font sizes ((doc_id + 3i) % 5 + 10),
+    and docs with doc_id % 7 == 0 get a pre-existing Title at index 3 —
+    the promote_title gate's closed form."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+
+    def make(i):
+        if title_rule:
+            typ = (
+                F.when((F.col("doc_id") % 7 == 0) & (i == 3), F.lit("Title"))
+                .when(i % 3 == 0, F.lit("Section-header"))
+                .when(i % 3 == 1, F.lit("Caption"))
+                .otherwise(F.lit("Text"))
+            )
+            page = F.when(i < 4, F.lit(1)).otherwise(i + 1).cast("int")
+            props = F.to_json(F.struct(
+                ((F.col("doc_id") + i * 3) % 5 + 10).cast("double").alias("font_size")
+            ))
+        else:
+            typ = F.lit("text")
+            page = (i + 1).cast("int")
+            props = F.lit(None).cast("string")
+        return F.struct(
+            i.cast("int").alias("element_index"),
+            typ.alias("type"),
+            F.array_join(F.slice(toks, i * 10 + 1, 10), " ").alias("text_representation"),
+            page.alias("page_number"),
+            props.alias("properties"),
+        )
+
+    els = F.transform(F.sequence(F.lit(0), nchunks - 1), make)
+    return docs.select(
+        "doc_id",
+        F.lit(None).cast("string").alias("properties"),
+        els.alias("elements"),
+    )
+
+
+def q_select_pages(spark, sf) -> DataFrame:
+    """Page selection with renumbering (operators/pages.py select_pages;
+    reference utils/pdf_utils.py:99-133 select_pages +
+    flatten_selected_pages): keep pages [2, [4,5]] of each one-chunk-per-
+    page doc — survivors renumber to 1..3, the {new: original} remap lands
+    in properties, pages past the doc's chunk count select nothing."""
+    from sycamore_spark.operators.pages import select_pages
+
+    out = select_pages(_paged_docset(spark, sf), [2, [4, 5]], page_count=10)
+    texts = F.transform(
+        F.col("elements"),
+        lambda e: F.concat(e["page_number"].cast("string"), F.lit(":"), e["text_representation"]),
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size("elements").cast("bigint").alias("n_kept"),
+        F.md5(F.array_join(texts, "|")).alias("pages_hash"),
+        F.get_json_object("properties", "$.remapped_pages").alias("remap"),
+    )
+
+
+def q_pdf_split(spark, sf) -> DataFrame:
+    """Page-chunk document splitting (operators/pages.py split_pages;
+    reference utils/pdf_utils.py:136-181 split_pdf): each doc fans out to
+    ceil(pages/2) children of 2 consecutive pages, elements renumbered to
+    1-based within the child, _original_id/_split_index/remapped_pages
+    properties exactly as the reference writes them (last chunk's remap
+    bounded by the page count)."""
+    from sycamore_spark.operators.pages import split_pages
+
+    out = split_pages(_paged_docset(spark, sf), num_pages=2)
+    texts = F.transform(
+        F.col("elements"),
+        lambda e: F.concat(e["page_number"].cast("string"), F.lit(":"), e["text_representation"]),
+    )
+    return out.select(
+        F.col("parent_id").cast("bigint").alias("parent"),
+        F.col("_split_index").cast("bigint").alias("split_index"),
+        F.size("elements").cast("bigint").alias("n_elements"),
+        F.md5(F.array_join(texts, "|")).alias("pages_hash"),
+        F.get_json_object("properties", "$.remapped_pages").alias("remap"),
+    )
+
+
+def q_promote_title(spark, sf) -> DataFrame:
+    """Title promotion (operators/pages.py promote_title; reference
+    utils/pdf_utils.py:216-231): docs with a page-1 Title keep it; others
+    promote the FIRST page-1 Section-header/Caption with the strictly
+    greatest font_size. The closed form: candidates are page-1 indices
+    i in 0..min(3, nchunks-1) with i%3 != 2, font (doc_id + 3i) % 5 + 10,
+    winner = min index at the max."""
+    from sycamore_spark.operators.pages import promote_title
+
+    out = promote_title(_paged_docset(spark, sf, title_rule=True))
+    titles = F.filter(F.col("elements"), lambda e: e["type"] == F.lit("Title"))
+    return out.select(
+        "doc_id",
+        F.array_min(F.transform(titles, lambda e: e["element_index"])).cast("bigint").alias("title_idx"),
+        F.size(titles).cast("bigint").alias("n_titles"),
+    )
+
+
 def q_tpch_q4(spark, sf) -> DataFrame:
     """TPC-H Q4 shape (adapted to this schema: EXISTS-lineitem with
     returned items): order-priority counts over a quarter, the EXISTS
@@ -4498,6 +4604,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
     "eval_pipeline": q_eval_pipeline,
     "doc_etl_e2e": q_doc_etl_e2e,
+    "select_pages": q_select_pages,
+    "pdf_split": q_pdf_split,
+    "promote_title": q_promote_title,
     # -- stalest driver greens --
     "standardize_state": q_standardize_state,
     "standardize_date": q_standardize_date,
@@ -4544,10 +4653,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan_exec": q_plan_exec,
     "merge_schemas": q_merge_schemas,
     "spread_properties": q_spread_properties,
+    # -- fresher greens (rotate next round) --
     "hash_sample": q_hash_sample,
     "pack_shards": q_pack_shards,
     "redact_pii": q_redact_pii,
-    # -- fresher greens (rotate next round) --
     "cdc_snapshot": q_cdc_snapshot,
     "scd2": q_scd2,
     "triangles": q_triangles,
@@ -6668,6 +6777,50 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, levenshtein(er, eh)::BIGINT AS word_distance, "
             "nr::BIGINT AS ref_words, nh::BIGINT AS hyp_words, "
             "CASE WHEN nr > 0 THEN floor(levenshtein(er, eh) / nr * 1e6 + 0.5)::BIGINT END AS wer_micros FROM e"
+        ),
+        "select_pages": (
+            # pages [2,4,5] of the one-chunk-per-page docs, renumbered 1..3;
+            # pages past the doc's chunk count select nothing
+            "WITH tk AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS tk, "
+            "CAST(ceil(len(regexp_split_to_array(text, ' ')) / 10.0) AS INT) AS nch FROM documents), "
+            "sel AS (SELECT doc_id, list_filter([{'j': 1, 'p': 2}, {'j': 2, 'p': 4}, {'j': 3, 'p': 5}], "
+            "s -> s.p <= nch) AS kept, tk FROM tk) "
+            "SELECT doc_id, len(kept)::BIGINT AS n_kept, "
+            # DuckDB array_to_string([]) is NULL, not '' — coalesce for the
+            # zero-kept docs (Spark array_join([]) IS '')
+            "md5(coalesce(array_to_string(list_transform(kept, s -> "
+            "s.j || ':' || array_to_string(tk[((s.p-1)*10+1):((s.p-1)*10+10)], ' ')), '|'), '')) AS pages_hash, "
+            "'{\"1\": 2, \"2\": 4, \"3\": 5}' AS remap FROM sel"
+        ),
+        "pdf_split": (
+            # ceil(nch/2) children per doc; child k keeps pages 2k+1..min(2k+2,nch)
+            # renumbered 1-based; remap '{}' for k=0, else the bounded {new: orig}
+            "WITH tk AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS tk, "
+            "CAST(ceil(len(regexp_split_to_array(text, ' ')) / 10.0) AS INT) AS nch FROM documents), "
+            "ch AS (SELECT doc_id, tk, nch, unnest(range(CAST(ceil(nch / 2.0) AS INT))) AS k FROM tk), "
+            "rows_ AS (SELECT doc_id, k, least(2, nch - 2*k) AS cnt, tk FROM ch) "
+            "SELECT doc_id AS parent, k::BIGINT AS split_index, cnt::BIGINT AS n_elements, "
+            "md5(array_to_string(list_transform(range(1, cnt + 1), i -> "
+            "i || ':' || array_to_string(tk[((2*k + i - 1)*10+1):((2*k + i - 1)*10+10)], ' ')), '|')) AS pages_hash, "
+            "CASE WHEN k = 0 THEN '{}' ELSE "
+            "'{' || array_to_string(list_transform(range(1, cnt + 1), i -> "
+            "'\"' || i || '\": ' || (i + 2*k)), ', ') || '}' END AS remap "
+            "FROM rows_"
+        ),
+        "promote_title": (
+            # pre-existing Title at index 3 when doc_id%7=0 and the doc has
+            # >=4 chunks; otherwise promote min index at max font among
+            # page-1 candidates (i in 0..min(3,nch-1), i%3 != 2)
+            "WITH tk AS (SELECT doc_id, "
+            "CAST(ceil(len(regexp_split_to_array(text, ' ')) / 10.0) AS INT) AS nch FROM documents), "
+            "c AS (SELECT doc_id, nch, list_filter(range(0, least(3, nch - 1) + 1), "
+            "i -> i % 3 != 2 AND NOT (doc_id % 7 = 0 AND i = 3)) AS cand FROM tk), "
+            "m AS (SELECT doc_id, nch, cand, "
+            "list_max(list_transform(cand, i -> (doc_id + i*3) % 5 + 10)) AS mx FROM c) "
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 7 = 0 AND nch >= 4 THEN 3 "
+            "ELSE list_min(list_filter(cand, i -> (doc_id + i*3) % 5 + 10 = mx)) END::BIGINT AS title_idx, "
+            "1::BIGINT AS n_titles FROM m"
         ),
         "doc_etl_e2e": (
             # ETL-chain replay: 10-token chunks merged in pairs (newline-

@@ -149,6 +149,9 @@ HEADLINE = [
     # round-7 additions
     "eval_pipeline",
     "doc_etl_e2e",
+    "select_pages",
+    "pdf_split",
+    "promote_title",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

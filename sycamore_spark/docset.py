@@ -894,6 +894,28 @@ class DocSet:
 
         return self._wrap(split_elements(self.df, max_tokens))
 
+    def select_pages(self, page_selection, **kwargs) -> "DocSet":
+        """Keep only the selected pages (ints / [start,end] ranges,
+        1-indexed), renumbering elements (reference utils/pdf_utils.py
+        select_pages)."""
+        from sycamore_spark.operators.pages import select_pages
+
+        return self._wrap(select_pages(self.df, page_selection, **kwargs))
+
+    def split_pages(self, num_pages: int = 1, **kwargs) -> "DocSet":
+        """Split each doc into children of num_pages consecutive pages
+        (reference utils/pdf_utils.py split_pdf)."""
+        from sycamore_spark.operators.pages import split_pages
+
+        return self._wrap(split_pages(self.df, num_pages, **kwargs))
+
+    def promote_title(self, **kwargs) -> "DocSet":
+        """Retype the largest-font page-1 header/caption as Title
+        (reference utils/pdf_utils.py promote_title)."""
+        from sycamore_spark.operators.pages import promote_title
+
+        return self._wrap(promote_title(self.df, **kwargs))
+
     def augment_text(self, template, out_field: str = "text_representation") -> "DocSet":
         from sycamore_spark.operators.standardize import augment_text
 
