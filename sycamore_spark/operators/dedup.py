@@ -235,11 +235,13 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b")))
         .distinct()
     )
-    relevant = df.join(
-        F.broadcast(cand_ids), df[id_col] == F.col("_cid"), "inner"
-    ).drop("_cid")
+    # No broadcast hint: on template-heavy corpora the candidate set is
+    # corpus-scale, and a forced broadcast would blow the driver/executor
+    # broadcast limits at 100 TB. AQE picks the strategy (broadcast when
+    # small, shuffled semi when not) — same discipline as containment_lsh.
+    relevant = df.join(cand_ids, df[id_col] == F.col("_cid"), "left_semi")
     # persisted: referenced by BOTH sides of the pair join — without the
-    # cache each side re-runs the scan + broadcast filter + string shingling
+    # cache each side re-runs the scan + semi-join filter + string shingling
     # (different join keys, so AQE exchange reuse can't kick in). Bounded by
     # the candidate set, and LRU-evictable.
     shingle_sets = relevant.select(
