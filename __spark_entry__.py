@@ -911,6 +911,164 @@ def q_promote_title(spark, sf) -> DataFrame:
     )
 
 
+_CROP_GEOM = {
+    "title": [0.05, 0.06, 0.95, 0.12],
+    "L1": [0.08, 0.20, 0.45, 0.40],
+    "R1": [0.55, 0.22, 0.92, 0.42],
+    "footer": [0.05, 0.90, 0.95, 0.97],
+}
+
+
+def q_crop_regions(spark, sf) -> DataFrame:
+    """Crop geometry (operators/images.py crop_boxes; reference
+    utils/image_utils.py crop_to_bbox :18-34): relative bboxes scaled to
+    per-doc page size, padded 10px on all sides (floats), plus the integer
+    pixel rect PIL's Image.crop would materialize (half-even per-coordinate
+    rounding, no clamping). Page width varies by doc (612 + doc_id % 5) so
+    the scaling is data-driven, not constant-folded."""
+    from sycamore_spark.operators.images import crop_boxes
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    els = F.array(*[
+        F.struct(
+            F.lit(i).cast("int").alias("element_index"),
+            F.array(*[F.lit(v) for v in geom]).alias("bbox"),
+        )
+        for i, geom in enumerate(_CROP_GEOM.values())
+    ])
+    d = (
+        docs.select("doc_id", F.explode(els).alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.element_index").alias("element_index"),
+            F.col("e.bbox").alias("bbox"),
+            (F.lit(612) + (F.col("doc_id") % 5).cast("int")).alias("page_width"),
+            F.lit(792).alias("page_height"),
+        )
+    )
+    out = crop_boxes(d, padding=10)
+    m = lambda c: F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")  # noqa: E731
+    return out.select(
+        "doc_id",
+        F.col("element_index").cast("bigint").alias("element_index"),
+        m(F.col("crop.x1")).alias("cx1_micros"),
+        m(F.col("crop.y1")).alias("cy1_micros"),
+        m(F.col("crop.x2")).alias("cx2_micros"),
+        m(F.col("crop.y2")).alias("cy2_micros"),
+        F.col("crop_px.x0").alias("px0"),
+        F.col("crop_px.y0").alias("py0"),
+        F.col("crop_px.w").alias("pw"),
+        F.col("crop_px.h").alias("ph"),
+    )
+
+
+def q_draw_boxes(spark, sf) -> DataFrame:
+    """Draw plan (operators/images.py draw_ops; reference
+    utils/image_utils.py try_draw_boxes :203-231 minus rasterization):
+    per-box rectangle via the _default_coord_fn heuristic (4-coord
+    relative, 4-coord absolute, flattened 8-coord quad), default color
+    "blue"/width 3, label = box index, label anchor at
+    (x1 - width/100, y1 - height/100). Rasterization is the gated PIL
+    seam; the plan itself is pure native geometry."""
+    from sycamore_spark.operators.images import draw_ops
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    dd = F.col("doc_id").cast("double")
+    rel4 = F.array(F.lit(0.11), F.lit(0.22), F.lit(0.51), F.lit(0.61))
+    abs4 = F.array(
+        F.lit(20.0) + (dd % 7), F.lit(30.0), F.lit(80.0) + (dd % 11), F.lit(90.0)
+    )
+    quad8 = F.array(
+        F.lit(0.12), F.lit(0.18), F.lit(0.52), F.lit(0.18),
+        F.lit(0.52), F.lit(0.58), F.lit(0.12), F.lit(0.58),
+    )
+    d = docs.select(
+        "doc_id",
+        F.array(rel4, abs4, quad8).alias("boxes"),
+        F.lit(200).alias("page_width"),
+        F.lit(400).alias("page_height"),
+    )
+    out = draw_ops(d)
+    m = lambda c: F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")  # noqa: E731
+    return out.select(
+        "doc_id",
+        F.col("box_index").cast("bigint").alias("box_index"),
+        m(F.col("rect.x1")).alias("rx1_micros"),
+        m(F.col("rect.y1")).alias("ry1_micros"),
+        m(F.col("rect.x2")).alias("rx2_micros"),
+        m(F.col("rect.y2")).alias("ry2_micros"),
+        "outline",
+        F.col("line_width").cast("bigint").alias("line_width"),
+        "label",
+        m(F.col("label_x")).alias("lx_micros"),
+        m(F.col("label_y")).alias("ly_micros"),
+    )
+
+
+def q_image_urls(spark, sf) -> DataFrame:
+    """Encoding/naming glue (operators/images.py; reference
+    utils/image_utils.py base64_data_url :66-74 and
+    image_page_filename_fn :77-81): base64 data URLs over binary payloads
+    (Spark's MIME chunking stripped to match Python b64encode) and page
+    image filenames from a multi-dot path. Zero shuffle, all codegen."""
+    from sycamore_spark.operators.images import (
+        base64_data_url_expr,
+        page_image_filename_expr,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    payload = F.encode(F.substring(F.col("text"), 1, 100), "utf-8")
+    path = F.concat(
+        F.lit("corpus/doc_"), F.col("doc_id").cast("string"), F.lit(".v1.pdf")
+    )
+    page = (F.col("doc_id") % 5 + F.lit(1)).cast("int")
+    return docs.select(
+        "doc_id",
+        base64_data_url_expr(payload, "PNG").alias("data_url"),
+        page_image_filename_expr(path, page).alias("filename"),
+    )
+
+
+def q_element_images(spark, sf) -> DataFrame:
+    """Element image extraction (operators/images.py
+    extract_element_images; reference utils/image_utils.py
+    extract_image_from_element :277-305): image-typed elements get their
+    bbox cropped out of the (fake-decoded) page image — a real numpy
+    raw-buffer crop with PIL rounding/zero-fill semantics — inside one
+    Arrow-batched mapInPandas; text elements pass through. Payload is
+    truncated to 64 bytes so the fake page grid stays small at any SF."""
+    from sycamore_spark.operators.images import extract_element_images
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    payload = F.encode(F.substring(F.col("text"), 1, 64), "utf-8")
+    el = lambda i, typ, bbox: F.struct(  # noqa: E731
+        F.lit(i).cast("int").alias("element_index"),
+        F.lit(typ).alias("type"),
+        F.array(*[F.lit(v) for v in bbox]).alias("bbox"),
+        F.lit(None).cast("binary").alias("binary_representation"),
+        F.lit(None).cast("string").alias("properties"),
+    )
+    d = docs.select(
+        "doc_id",
+        payload.alias("binary_representation"),
+        F.array(
+            el(0, "Image", [0.11, 0.21, 0.51, 0.61]),
+            el(1, "Text", [0.0, 0.9, 1.0, 1.0]),
+        ).alias("elements"),
+    )
+    out = extract_element_images(d, backend="fake")
+    img = F.element_at(
+        F.filter(F.col("elements"), lambda e: e["type"] == F.lit("Image")), 1
+    )
+    return out.select(
+        "doc_id",
+        F.md5(img["binary_representation"]).alias("crop_md5"),
+        F.length(img["binary_representation"]).cast("bigint").alias("crop_bytes"),
+        F.get_json_object(img["properties"], "$.image_width").cast("bigint").alias("crop_w"),
+        F.get_json_object(img["properties"], "$.image_height").cast("bigint").alias("crop_h"),
+    )
+
+
 def q_tpch_q4(spark, sf) -> DataFrame:
     """TPC-H Q4 shape (adapted to this schema: EXISTS-lineitem with
     returned items): order-priority counts over a quarter, the EXISTS
@@ -4607,6 +4765,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "select_pages": q_select_pages,
     "pdf_split": q_pdf_split,
     "promote_title": q_promote_title,
+    "crop_regions": q_crop_regions,
+    "draw_boxes": q_draw_boxes,
+    "image_urls": q_image_urls,
+    "element_images": q_element_images,
     # -- stalest driver greens --
     "standardize_state": q_standardize_state,
     "standardize_date": q_standardize_date,
@@ -4978,6 +5140,83 @@ def _kcore_oracle_sql(k: int = 16, rounds: int = 8) -> str:
     return "WITH " + ", ".join(parts) + " " + final
 
 
+def _rhe_sql(e: str) -> str:
+    """Half-even rounding of a double expression to BIGINT — the DuckDB
+    mirror of images._round_half_even (Pillow's per-coordinate
+    ``int(round(c))``): f = floor(x+0.5), stepping an odd f down on an
+    exact .5 tie. The tie branch uses Spark-pmod semantics
+    (((f % 2) + 2) % 2) so negative coordinates agree across engines."""
+    f = f"floor(({e}) + 0.5)"
+    return (
+        f"CASE WHEN {f} - ({e}) = 0.5 AND (({f}::BIGINT % 2) + 2) % 2 = 1 "
+        f"THEN {f}::BIGINT - 1 ELSE {f}::BIGINT END"
+    )
+
+
+def _crop_regions_oracle_sql() -> str:
+    geom_vals = ", ".join(
+        f"({i}, {g[0]}, {g[1]}, {g[2]}, {g[3]})"
+        for i, g in enumerate(_CROP_GEOM.values())
+    )
+    mic = lambda e: f"floor(({e}) * 1000000.0 + 0.5)::BIGINT"  # noqa: E731
+    return (
+        f"WITH geom(i, gx1, gy1, gx2, gy2) AS (VALUES {geom_vals}), "
+        "d AS (SELECT doc_id, i, gx1::DOUBLE AS bx1, gy1::DOUBLE AS by1, "
+        "gx2::DOUBLE AS bx2, gy2::DOUBLE AS by2, "
+        "(612 + (doc_id % 5))::DOUBLE AS w, 792.0 AS h FROM documents, geom), "
+        "c AS (SELECT doc_id, i, bx1 * w - 10 AS cx1, by1 * h - 10 AS cy1, "
+        "bx2 * w + 10 AS cx2, by2 * h + 10 AS cy2 FROM d), "
+        f"p AS (SELECT doc_id, i, cx1, cy1, cx2, cy2, {_rhe_sql('cx1')} AS px0, "
+        f"{_rhe_sql('cy1')} AS py0, {_rhe_sql('cx2')} AS px1, {_rhe_sql('cy2')} AS py1 FROM c) "
+        "SELECT doc_id, i::BIGINT AS element_index, "
+        f"{mic('cx1')} AS cx1_micros, {mic('cy1')} AS cy1_micros, "
+        f"{mic('cx2')} AS cx2_micros, {mic('cy2')} AS cy2_micros, "
+        "px0, py0, greatest(px1 - px0, 0) AS pw, greatest(py1 - py0, 0) AS ph FROM p"
+    )
+
+
+def _draw_boxes_oracle_sql() -> str:
+    mic = lambda e: f"floor(({e}) * 1000000.0 + 0.5)::BIGINT"  # noqa: E731
+    return (
+        "WITH b(i) AS (VALUES (0), (1), (2)), "
+        "d AS (SELECT doc_id, i, 200.0 AS w, 400.0 AS h FROM documents, b), "
+        "r AS (SELECT doc_id, i, w, h, "
+        "CASE i WHEN 0 THEN 0.11::DOUBLE * w WHEN 1 THEN 20.0 + (doc_id % 7)::DOUBLE "
+        "ELSE 0.12::DOUBLE * w END AS rx1, "
+        "CASE i WHEN 0 THEN 0.22::DOUBLE * h WHEN 1 THEN 30.0 "
+        "ELSE 0.18::DOUBLE * h END AS ry1, "
+        "CASE i WHEN 0 THEN 0.51::DOUBLE * w WHEN 1 THEN 80.0 + (doc_id % 11)::DOUBLE "
+        "ELSE 0.52::DOUBLE * w END AS rx2, "
+        "CASE i WHEN 0 THEN 0.61::DOUBLE * h WHEN 1 THEN 90.0 "
+        "ELSE 0.58::DOUBLE * h END AS ry2 FROM d) "
+        "SELECT doc_id, i::BIGINT AS box_index, "
+        f"{mic('rx1')} AS rx1_micros, {mic('ry1')} AS ry1_micros, "
+        f"{mic('rx2')} AS rx2_micros, {mic('ry2')} AS ry2_micros, "
+        "'blue' AS outline, 3::BIGINT AS line_width, i::VARCHAR AS label, "
+        f"{mic('rx1 - w / 100.0')} AS lx_micros, {mic('ry1 - h / 100.0')} AS ly_micros FROM r"
+    )
+
+
+def _element_images_oracle_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents), "
+        "m AS (SELECT doc_id, p, octet_length(encode(p))::BIGINT AS n FROM d), "
+        "dim AS (SELECT doc_id, p, 16 + n % 640 AS w, 16 + (n * 7) % 480 AS h FROM m), "
+        "buf AS (SELECT doc_id, w, h, "
+        "substr(repeat(md5(p), ((w * h) // 32 + 1)::INT), 1, (w * h)::INT) AS grid FROM dim), "
+        "rect AS (SELECT doc_id, w, grid, "
+        f"{_rhe_sql('0.11::DOUBLE * w')} AS x0, {_rhe_sql('0.21::DOUBLE * h')} AS y0, "
+        f"{_rhe_sql('0.51::DOUBLE * w')} AS x1, {_rhe_sql('0.61::DOUBLE * h')} AS y1 FROM buf), "
+        "ys AS (SELECT doc_id, grid, w, x0, x1, y0, y1, "
+        "unnest(range(y0, y1)) AS y FROM rect) "
+        "SELECT doc_id, "
+        "md5(string_agg(substr(grid, (y * w + x0 + 1)::INT, (x1 - x0)::INT), '' ORDER BY y)) AS crop_md5, "
+        "((x1 - x0) * (y1 - y0))::BIGINT AS crop_bytes, "
+        "(x1 - x0)::BIGINT AS crop_w, (y1 - y0)::BIGINT AS crop_h "
+        "FROM ys GROUP BY doc_id, x0, x1, y0, y1"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     lang_scores = {
         lang: f"len(list_intersect(list_distinct(string_split(lower(text),' ')), {arr}))"
@@ -4985,6 +5224,15 @@ def oracle_sql() -> dict[str, str]:
     }
     lang_max = f"greatest({lang_scores['en']}, {lang_scores['de']}, {lang_scores['fr']}, {lang_scores['es']})"
     return {
+        "crop_regions": _crop_regions_oracle_sql(),
+        "draw_boxes": _draw_boxes_oracle_sql(),
+        "image_urls": (
+            "SELECT doc_id, "
+            "'data:image/png/;base64,' || to_base64(encode(substr(text, 1, 100))) AS data_url, "
+            "'doc_' || doc_id || '.v1_page_' || ((doc_id % 5) + 1) || '.png' AS filename "
+            "FROM documents"
+        ),
+        "element_images": _element_images_oracle_sql(),
         "kmeans": _kmeans_oracle_sql(),
         "compact": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "bucketed_join": (

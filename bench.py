@@ -152,6 +152,10 @@ HEADLINE = [
     "select_pages",
     "pdf_split",
     "promote_title",
+    "crop_regions",
+    "draw_boxes",
+    "image_urls",
+    "element_images",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

@@ -916,6 +916,28 @@ class DocSet:
 
         return self._wrap(promote_title(self.df, **kwargs))
 
+    def crop_boxes(self, **kwargs) -> "DocSet":
+        """Attach padded crop windows + PIL pixel rects for element bboxes
+        (reference utils/image_utils.py crop_to_bbox)."""
+        from sycamore_spark.operators.images import crop_boxes
+
+        return self._wrap(crop_boxes(self.df, **kwargs))
+
+    def draw_boxes(self, **kwargs) -> "DocSet":
+        """Native draw plan for bbox visualization (reference
+        utils/image_utils.py try_draw_boxes); render with
+        operators.images.render_boxes (gated PIL seam)."""
+        from sycamore_spark.operators.images import draw_ops
+
+        return self._wrap(draw_ops(self.df, **kwargs))
+
+    def extract_element_images(self, **kwargs) -> "DocSet":
+        """Crop image elements' bboxes out of their page image (reference
+        utils/image_utils.py extract_images_from_elements)."""
+        from sycamore_spark.operators.images import extract_element_images
+
+        return self._wrap(extract_element_images(self.df, **kwargs))
+
     def augment_text(self, template, out_field: str = "text_representation") -> "DocSet":
         from sycamore_spark.operators.standardize import augment_text
 
