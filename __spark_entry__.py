@@ -4215,6 +4215,53 @@ def q_unit_convert(spark, sf) -> DataFrame:
 
 
 
+def q_unit_derive(spark, sf) -> DataFrame:
+    """Property derivation group fill (operators/derive.py
+    fill_missing_units; reference utils/derivation.py:145-157): each
+    event knows exactly one of area_sf/area_sm/area_acre (event_id % 3);
+    the other two are filled from it with the reference's PRECISION-AWARE
+    rounded conversion (rounding grid one digit finer than the input's
+    own decimal precision, half-even). The oracle replays the identical
+    IEEE arithmetic with driver-interpolated rate/factor literals, so the
+    hash match is bit-exact on the rounded doubles."""
+    from sycamore_spark.operators.derive import fill_missing_units
+
+    ev = _ds(spark, sf, "events").to_df()
+    m = (F.col("event_id") % 3).cast("int")
+    d = ev.select(
+        "event_id",
+        F.when(m == 0, F.col("value")).alias("area_sf"),
+        F.when(m == 1, F.col("value")).alias("area_sm"),
+        F.when(m == 2, F.col("value")).alias("area_acre"),
+    )
+    out = fill_missing_units(
+        d, {"area_sf": "SF", "area_sm": "SM", "area_acre": "acre"}
+    )
+    return out.select(
+        "event_id", "area_sf", "area_sm", "area_acre",
+        "area_sf__src", "area_sm__src", "area_acre__src",
+    )
+
+
+def q_formula_derive(spark, sf) -> DataFrame:
+    """Algebraic property fill (operators/derive.py fill_from_formula;
+    reference utils/derivation.py:187-267): ``rate_a / qty_b = total_t``
+    with exactly-two-known rows solving for each missing symbol
+    (event_id % 4 picks which) and a one-known row left untouched —
+    the reference's known==2 rule and division-by-zero guards."""
+    from sycamore_spark.operators.derive import fill_from_formula
+
+    ev = _ds(spark, sf, "events").to_df()
+    m = (F.col("event_id") % 4).cast("int")
+    d = ev.select(
+        "event_id",
+        F.when(m != 1, F.col("value")).alias("rate_a"),
+        F.when((m == 0) | (m == 1), F.col("value") + F.lit(1.0)).alias("qty_b"),
+        F.when((m == 1) | (m == 2), F.col("value") * F.lit(2.0)).alias("total_t"),
+    )
+    return fill_from_formula(d, "rate_a / qty_b = total_t")
+
+
 def q_stream_cdc(spark, sf) -> DataFrame:
     """Streaming CDC snapshot maintenance (streaming/cdc.py): the events
     change feed (every 17th event id a delete) replayed as an 8-file
@@ -4847,6 +4894,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docids": q_docids,
     "bbox_sort": q_bbox_sort,
     "unit_convert": q_unit_convert,
+    "unit_derive": q_unit_derive,
+    "formula_derive": q_formula_derive,
     "stream_cdc": q_stream_cdc,
     "containment_lsh": q_containment_lsh,
     "bbox_rotation": q_bbox_rotation,
@@ -5057,6 +5106,63 @@ def _rerank_oracle_sql() -> str:
         "SELECT doc_id::BIGINT AS doc_id, "
         f"CASE WHEN na2 > 0 THEN dot::DOUBLE / (sqrt(na2::DOUBLE) * sqrt({nb2}::DOUBLE)) ELSE 0.0 END AS score "
         "FROM s ORDER BY score DESC, doc_id ASC LIMIT 25"
+    )
+
+
+def _unit_derive_oracle_sql() -> str:
+    """DuckDB replay of fill_missing_units' precision-aware rounded
+    conversion (derive.py convert_rounded_expr): the BFS-composed rates
+    and the repeated-division factor table are interpolated as repr()
+    literals (bit-exact round-trip), the half-even snap is spelled out,
+    and the operation ORDER matches the Spark expression exactly —
+    factor * half_even((v * rate) / factor) — so doubles agree bitwise."""
+    from sycamore_spark.operators.derive import rounding_factor_table
+    from sycamore_spark.operators.standardize import UnitConverter
+
+    conv = UnitConverter()
+    fields = {"area_sf": "SF", "area_sm": "SM", "area_acre": "acre"}
+    names = list(fields)
+    table = rounding_factor_table()
+    fac = (
+        "CASE length(split_part(refv::VARCHAR, '.', 2)) "
+        + " ".join(f"WHEN {d} THEN {table[d]!r}" for d in range(17))
+        + f" ELSE {table[17]!r} END"
+    )
+
+    def half_even(x: str) -> str:
+        return (
+            f"(CASE WHEN floor(({x}) + 0.5) - ({x}) = 0.5 "
+            f"AND CAST(floor(({x}) + 0.5) AS BIGINT) % 2 = 1 "
+            f"THEN floor(({x}) + 0.5) - 1 ELSE floor(({x}) + 0.5) END)"
+        )
+
+    out_cols = []
+    for n in names:
+        val = f"{n}"
+        src = "NULL::VARCHAR"
+        for r in names:
+            if r == n:
+                continue
+            rate = conv.find_conversion_rate(fields[r], fields[n])
+            if rate is None:
+                continue
+            cond = f"{n} IS NULL AND refn = '{r}'"
+            conv_expr = f"fac * {half_even(f'(refv * {rate!r}) / fac')}"
+            val = f"CASE WHEN {cond} THEN {conv_expr} ELSE {val} END"
+            src = f"CASE WHEN {cond} THEN '{r}' ELSE {src} END"
+        out_cols.append(f"{val} AS {n}")
+        out_cols.append(f"{src} AS {n}__src")
+    return (
+        "WITH d AS (SELECT event_id, "
+        "CASE WHEN event_id % 3 = 0 THEN value END AS area_sf, "
+        "CASE WHEN event_id % 3 = 1 THEN value END AS area_sm, "
+        "CASE WHEN event_id % 3 = 2 THEN value END AS area_acre FROM events), "
+        "r AS (SELECT *, coalesce(area_sf, area_sm, area_acre) AS refv, "
+        "CASE WHEN area_sf IS NOT NULL THEN 'area_sf' "
+        "WHEN area_sm IS NOT NULL THEN 'area_sm' "
+        "WHEN area_acre IS NOT NULL THEN 'area_acre' END AS refn FROM d), "
+        f"rf AS (SELECT *, {fac} AS fac FROM r) "
+        f"SELECT event_id, {', '.join(out_cols)} FROM rf"
     )
 
 
@@ -7231,6 +7337,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, v_micros, seq FROM r WHERE rn = 1 AND op <> 'D'"
         ),
         "mmr": _mmr_oracle_sql(),
+        "unit_derive": _unit_derive_oracle_sql(),
+        "formula_derive": (
+            "WITH d AS (SELECT event_id, "
+            "CASE WHEN event_id % 4 <> 1 THEN value END AS rate_a, "
+            "CASE WHEN event_id % 4 IN (0, 1) THEN value + 1.0 END AS qty_b, "
+            "CASE WHEN event_id % 4 IN (1, 2) THEN value * 2.0 END AS total_t "
+            "FROM events) "
+            "SELECT event_id, "
+            "CASE WHEN event_id % 4 = 1 THEN total_t * qty_b ELSE rate_a END AS rate_a, "
+            "CASE WHEN event_id % 4 = 2 THEN "
+            "(CASE WHEN total_t <> 0 THEN rate_a / total_t END) ELSE qty_b END AS qty_b, "
+            "CASE WHEN event_id % 4 = 0 THEN "
+            "(CASE WHEN qty_b <> 0 THEN rate_a / qty_b END) ELSE total_t END AS total_t "
+            "FROM d"
+        ),
         "fingerprint": (
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint FROM documents"
         ),

@@ -130,6 +130,8 @@ HEADLINE = [
     "docids",
     "bbox_sort",
     "unit_convert",
+    "unit_derive",
+    "formula_derive",
     "stream_cdc",
     # round-6 additions
     "bbox_rotation",

@@ -951,6 +951,28 @@ class DocSet:
         fn = {"us_state": std.standardize_us_state, "datetime": std.standardize_datetime}[kind]
         return self._wrap(fn(self.df, field, **kwargs))
 
+    def fill_missing_units(self, fields: dict, **kwargs) -> "DocSet":
+        """Fill null unit-group properties from the first known one with
+        the precision-aware rounded conversion (reference
+        utils/derivation.py fill_missing_units :145-157)."""
+        from sycamore_spark.operators.derive import fill_missing_units
+
+        return self._wrap(fill_missing_units(self.df, fields, **kwargs))
+
+    def unit_group(self, fields: dict, **kwargs) -> "DocSet":
+        """Same fill with the EXACT conversion (reference unit_group
+        :157-185)."""
+        from sycamore_spark.operators.derive import unit_group
+
+        return self._wrap(unit_group(self.df, fields, **kwargs))
+
+    def fill_from_formula(self, formula: str) -> "DocSet":
+        """Solve ``a <op> b = target`` for the one missing property per
+        row (reference fill_from_formula :187-267)."""
+        from sycamore_spark.operators.derive import fill_from_formula
+
+        return self._wrap(fill_from_formula(self.df, formula))
+
     def embed(self, **kwargs) -> "DocSet":
         from sycamore_spark.operators.embed import embed
 

@@ -3,6 +3,7 @@
 - aggregation: custom partial+final Aggregation frame, Reduce
 - clustering: kmeans, llm-assign clustering, rerank
 - dedup: exact / jaccard / minhash-LSH / simhash / embedding near-dup
+- derive: unit-group property fill (rounded + exact), formula solve
 - elements: explode, marks, mergers, split, regex/markdown over elements
 - embed: embedding stages (deterministic fake + pluggable real)
 - graph: entity/relationship extraction → nodes/edges tables

@@ -355,6 +355,52 @@ class UnitConverter:
         rate = self.find_conversion_rate(from_unit, to_unit)
         return None if rate is None else value * rate
 
+    @staticmethod
+    def rounding_factor(value: float, additional_digits: int = 1) -> float:
+        """Precision-of-input rounding factor (reference derivation.py:119-135).
+
+        Derived from ``str(value)``: with a decimal point, one tenth per
+        digit after it; without (int inputs), ten per trailing zero —
+        computed by the reference's repeated ``/= 10`` / ``*= 10`` (NOT
+        ``10**-d``: repeated division accumulates different ulps, e.g.
+        0.1/10 != 10.0**-2), reproduced exactly.
+        """
+        s = str(value)
+        factor = 1.0
+        if "." in s:
+            for i in range(1, len(s) + 1):
+                if s[-i] == ".":
+                    break
+                factor /= 10
+        else:
+            for i in range(1, len(s) + 1):
+                if s[-i] != "0":
+                    break
+                factor *= 10
+        factor /= 10**additional_digits
+        return factor
+
+    def convert(
+        self, value: float, from_unit: str, to_unit: str, additional_digits: int = 1
+    ) -> float | None:
+        """Precision-aware conversion (reference derivation.py:145-152):
+        the exact product snapped to a grid one digit (``additional_digits``)
+        finer than the input's own precision, Python half-even rounding."""
+        rate = self.find_conversion_rate(from_unit, to_unit)
+        if rate is None:
+            return None
+        exact = value * rate
+        factor = self.rounding_factor(value, additional_digits)
+        return factor * round(exact / factor, 0)
+
+    def check(self, from_unit: str, to_unit: str, value1: float, value2: float) -> bool:
+        """Consistency probe (reference derivation.py:162-166): converted
+        value1 within 5% relative error of value2."""
+        converted = self.convert_exact(value1, from_unit, to_unit)
+        if converted is None:
+            return False
+        return value2 != 0 and abs(converted - value2) / value2 < 0.05
+
 
 def convert_units(
     df: DataFrame,
