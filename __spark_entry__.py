@@ -2852,7 +2852,12 @@ def q_doc_etl_e2e(spark, sf) -> DataFrame:
         .sketch()
         .embed(dim=16, hash_fn=_dd.md5_hash60)
     )
-    df = ds.to_df()
+    # The verification reads df from TWO branches (children agg + parent
+    # embedding probe) joined at the end — without a lineage cut the whole
+    # 9-stage pipeline (three Arrow passes) computes once per branch
+    # (measured 20.3 s -> ~8 s at sf0.1). localCheckpoint materializes the
+    # exploded corpus once; executor-volatile is fine (local gate).
+    df = ds.to_df().localCheckpoint(eager=True)
     kids = df.filter(F.col("parent_id").isNotNull()).select(
         F.col("parent_id").cast("bigint").alias("doc_id"),
         F.regexp_extract(F.col("doc_id"), r"-el(\d+)$", 1).cast("int").alias("_idx"),
@@ -4816,6 +4821,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "draw_boxes": q_draw_boxes,
     "image_urls": q_image_urls,
     "element_images": q_element_images,
+    "unit_derive": q_unit_derive,
+    "formula_derive": q_formula_derive,
     # -- stalest driver greens --
     "standardize_state": q_standardize_state,
     "standardize_date": q_standardize_date,
@@ -4894,8 +4901,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docids": q_docids,
     "bbox_sort": q_bbox_sort,
     "unit_convert": q_unit_convert,
-    "unit_derive": q_unit_derive,
-    "formula_derive": q_formula_derive,
     "stream_cdc": q_stream_cdc,
     "containment_lsh": q_containment_lsh,
     "bbox_rotation": q_bbox_rotation,

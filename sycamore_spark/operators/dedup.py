@@ -141,18 +141,19 @@ def jaccard_similar_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_perm: int = 64,
-                      shingle_k: int = 3, seed: int = 1) -> DataFrame:
-    """MinHash signatures, zero shuffle: each shingle is hashed ONCE
-    (JVM xxhash64), and the ``num_perm`` permutations are seeded
-    multiply-shift universal hashes ``a_i*h + b_i (mod 2^64)`` computed as
-    one wrapped numpy kernel per document — the standard minhash
-    construction (one strong base hash + cheap pairwise-independent
-    permutations). The earlier form evaluated xxhash64 per (shingle x perm):
-    64x the hashing work, and as a HOF fold it also ran interpreted.
-    Signature VALUES differ from that form, but minhash semantics (pairwise
-    collision probability = Jaccard) depend only on the permutation family,
-    and LSH pairs are always verified with exact Jaccard downstream."""
+def minhash_signature_col(text_col, num_perm: int = 64, shingle_k: int = 3,
+                          seed: int = 1):
+    """MinHash signature as a per-row COLUMN, zero shuffle: each shingle
+    is hashed ONCE (JVM xxhash64), and the ``num_perm`` permutations are
+    seeded multiply-shift universal hashes ``a_i*h + b_i (mod 2^64)``
+    computed as one wrapped numpy kernel per document — the standard
+    minhash construction (one strong base hash + cheap pairwise-
+    independent permutations). The earlier form evaluated xxhash64 per
+    (shingle x perm): 64x the hashing work, and as a HOF fold it also ran
+    interpreted. Signature VALUES differ from that form, but minhash
+    semantics (pairwise collision probability = Jaccard) depend only on
+    the permutation family, and LSH pairs are always verified with exact
+    Jaccard downstream."""
     import random
 
     from pyspark.sql.types import ArrayType, LongType
@@ -175,9 +176,16 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_perm: int =
             out.append(m.min(axis=0).view(np.int64))
         return pd.Series(out)
 
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    return _mins(T.word_shingle_hashes(text, k=shingle_k))
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_perm: int = 64,
+                      shingle_k: int = 3, seed: int = 1) -> DataFrame:
+    """(id, signature) frame view of ``minhash_signature_col``."""
     return df.select(
         F.col(id_col).alias("_id"),
-        _mins(T.word_shingle_hashes(F.col(text_col), k=shingle_k)).alias("_sig"),
+        minhash_signature_col(text_col, num_perm, shingle_k, seed).alias("_sig"),
     )
 
 

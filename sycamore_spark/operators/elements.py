@@ -24,6 +24,7 @@ from collections.abc import Callable, Iterable
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
 
 from sycamore_spark.data.schema import DOC_SCHEMA
 
@@ -38,26 +39,48 @@ COALESCE_WHITESPACE = [(r"\s+", " "), (r"^ ", ""), (r" $", "")]
 def explode_elements(df: DataFrame) -> DataFrame:
     """Promote each element to a top-level child document; parents are kept
     with their elements cleared (reference: transforms/explode.py:41-55 —
-    children get parent_id, inherit the parent's properties)."""
-    parents = df.withColumn("elements", F.lit(None).cast(DOC_SCHEMA["elements"].dataType))
-    el = F.col("_el")
-    children = (
-        df.select(F.col("doc_id").alias("parent_id"), F.col("properties").alias("_pprops"),
-                  F.explode("elements").alias("_el"))
-        .select(
-            F.concat(F.col("parent_id"), F.lit("-el"), el["element_index"]).alias("doc_id"),
-            F.col("parent_id"),
+    children get parent_id, inherit the parent's properties).
+
+    SINGLE pass: each input row generates ``[parent] ++ children`` through
+    one explode. The earlier parents-UNION-children form referenced df from
+    two branches, recomputing the whole upstream lineage once per branch —
+    in a composed pipeline (doc_etl_e2e) that doubled every upstream stage."""
+    none_elements = F.lit(None).cast(DOC_SCHEMA["elements"].dataType)
+    parent = F.struct(
+        F.col("doc_id").alias("doc_id"),
+        F.col("parent_id").alias("parent_id"),
+        F.col("type").alias("type"),
+        F.col("text_representation").alias("text_representation"),
+        F.col("binary_representation").alias("binary_representation"),
+        F.col("bbox").alias("bbox"),
+        F.col("shingles").alias("shingles"),
+        F.col("embedding").cast(DOC_SCHEMA["embedding"].dataType).alias("embedding"),
+        F.col("properties").alias("properties"),
+        none_elements.alias("elements"),
+    )
+
+    def child(el):
+        return F.struct(
+            F.concat(F.col("doc_id"), F.lit("-el"), el["element_index"]).alias("doc_id"),
+            F.col("doc_id").alias("parent_id"),
             el["type"].alias("type"),
             el["text_representation"].alias("text_representation"),
             el["binary_representation"].alias("binary_representation"),
             el["bbox"].alias("bbox"),
             F.lit(None).cast(DOC_SCHEMA["shingles"].dataType).alias("shingles"),
-            el["embedding"].alias("embedding"),
-            F.coalesce(el["properties"], F.col("_pprops")).alias("properties"),
-            F.lit(None).cast(DOC_SCHEMA["elements"].dataType).alias("elements"),
+            el["embedding"].cast(DOC_SCHEMA["embedding"].dataType).alias("embedding"),
+            F.coalesce(el["properties"], F.col("properties")).alias("properties"),
+            none_elements.alias("elements"),
         )
+
+    rows = F.concat(
+        F.array(parent),
+        F.coalesce(
+            F.transform(F.col("elements"), child),
+            F.array().cast(ArrayType(DOC_SCHEMA)),
+        ),
     )
-    return parents.select(*[f.name for f in DOC_SCHEMA.fields]).unionByName(children)
+    return df.select(F.explode(rows).alias("_d")).select("_d.*")
 
 
 def unexplode_elements(df: DataFrame) -> DataFrame:

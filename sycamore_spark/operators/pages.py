@@ -217,13 +217,20 @@ def promote_title(
     font = lambda e: F.get_json_object(e["properties"], "$.font_size").cast("double")  # noqa: E731
     on_p1 = lambda e: e["page_number"] == 1  # noqa: E731
 
+    # HOF discipline: Spark re-evaluates a lambda's ENTIRE inner expression
+    # per element. font() (a JSON parse) is bound once per element into a
+    # struct, and has_title/target (full array scans) are let-bound once per
+    # ROW via the flatten(transform(array(ctx), ...)) idiom — without the
+    # binding the final transform re-scanned the array per element (O(n^2)
+    # JSON parses per doc; measured 6.0 -> 0.9 s at sf0.1).
     has_title = F.exists(els, lambda e: on_p1(e) & (e["type"] == F.lit("Title")))
     cand_fonts = F.filter(
-        F.transform(els, lambda e: F.when(
-            on_p1(e) & is_cand(e) & font(e).isNotNull() & (font(e) > 0),
-            F.struct(font(e).alias("f"), e["element_index"].alias("i")),
+        F.transform(els, lambda e: F.struct(
+            font(e).alias("f"),
+            e["element_index"].alias("i"),
+            (on_p1(e) & is_cand(e)).alias("ok"),
         )),
-        lambda s: s.isNotNull(),
+        lambda s: s["ok"] & s["f"].isNotNull() & (s["f"] > 0),
     )
     mx = F.array_max(F.transform(cand_fonts, lambda s: s["f"]))
     # first-wins on strict greater == the minimum element_index at the max
@@ -232,11 +239,17 @@ def promote_title(
             F.filter(cand_fonts, lambda s: s["f"] == mx), lambda s: s["i"]
         )
     )
-    promoted = F.transform(
-        els,
-        lambda e: F.when(
-            ~has_title & target.isNotNull() & (e["element_index"] == target),
-            e.withField("type", F.lit("Title")),
-        ).otherwise(e),
+    ctx = F.struct(has_title.alias("ht"), target.alias("tg"))
+    promoted = F.flatten(
+        F.transform(
+            F.array(ctx),
+            lambda c: F.transform(
+                els,
+                lambda e: F.when(
+                    ~c["ht"] & c["tg"].isNotNull() & (e["element_index"] == c["tg"]),
+                    e.withField("type", F.lit("Title")),
+                ).otherwise(e),
+            ),
+        )
     )
     return df.withColumn(elements_col, promoted)

@@ -18,11 +18,15 @@ from sycamore_spark.operators import dedup
 
 def sketch(df: DataFrame, id_col: str = "doc_id", text_col: str = "text_representation",
            num_perm: int = 64, shingle_k: int = 3) -> DataFrame:
-    """Attach the minhash signature as ``shingles`` (array<bigint>)."""
-    sig = dedup.minhash_signature(df, id_col, text_col, num_perm, shingle_k).select(
-        F.col("_id").alias(id_col), F.col("_sig").alias("shingles")
+    """Attach the minhash signature as ``shingles`` (array<bigint>).
+
+    A per-row withColumn, NOT a join back onto df: the earlier
+    self-join form computed the whole upstream lineage twice (once for
+    the signature side, once for the probe side) — in a composed pipeline
+    (doc_etl_e2e) that doubled every upstream Arrow stage."""
+    return df.drop("shingles").withColumn(
+        "shingles", dedup.minhash_signature_col(text_col, num_perm, shingle_k)
     )
-    return df.drop("shingles").join(sig, id_col)
 
 
 def sketch_uniquify(df: DataFrame, id_col: str = "doc_id", text_col: str = "text_representation",
