@@ -653,168 +653,6 @@ def q_tpch_q5(spark, sf) -> DataFrame:
     return j.groupBy("n_name").agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
 
 
-def q_tpch_q7(spark, sf) -> DataFrame:
-    """Q7-style (volume shipping): revenue flowing between two nations in
-    either direction, by supplier nation / customer nation / ship year.
-    Both nation dims broadcast; one fact-fact shuffle (lineitem x orders)."""
-    nation = _ds(spark, sf, "nation").to_df()
-    n1 = nation.select(F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation"))
-    n2 = nation.select(F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation"))
-    li = _ds(spark, sf, "lineitem").range_filter(
-        "l_shipdate", "1996-01-01", "1997-12-31", date=True
-    ).to_df()
-    orders = _ds(spark, sf, "orders").to_df()
-    cust = _ds(spark, sf, "customer").to_df()
-    supp = _ds(spark, sf, "supplier").to_df()
-    volume = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    j = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), supp.s_nationkey == F.col("_sn_key"))
-        .join(F.broadcast(n2), cust.c_nationkey == F.col("_cn_key"))
-        .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-        )
-    )
-    return (
-        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
-        .agg(F.round(F.sum(volume), 2).cast("double").alias("revenue"))
-    )
-
-
-def q_tpch_q8(spark, sf) -> DataFrame:
-    """Q8-style (national market share): NATION_5 suppliers' share of
-    PROMO-part order volume delivered into ASIA, by order year. The share
-    is two exact decimal sums cast to double and divided — engine-
-    replayable without decimal-division scale rules."""
-    region = _ds(spark, sf, "region").match_filter("r_name", "ASIA", ignore_case=False).to_df()
-    nation = _ds(spark, sf, "nation").to_df()
-    n_cust = nation.select(F.col("n_nationkey").alias("_cn_key"), F.col("n_regionkey").alias("_cr_key"))
-    n_supp = nation.select(F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation"))
-    part = _ds(spark, sf, "part").match_filter("p_type", "PROMO", ignore_case=False).to_df()
-    li = _ds(spark, sf, "lineitem").to_df()
-    orders = _ds(spark, sf, "orders").range_filter(
-        "o_orderdate", "1996-01-01", "1997-12-31", date=True
-    ).to_df()
-    cust = _ds(spark, sf, "customer").to_df()
-    supp = _ds(spark, sf, "supplier").to_df()
-    volume = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("_cn_key"))
-        .join(F.broadcast(region), F.col("_cr_key") == region.r_regionkey)
-        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("_sn_key"))
-    )
-    by_year = j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year")).agg(
-        F.sum(F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("_num"),
-        F.sum(volume).alias("_den"),
-    )
-    share = F.floor(
-        F.col("_num").cast("double") / F.col("_den").cast("double") * F.lit(1_000_000.0) + F.lit(0.5)
-    ).cast("long")
-    return by_year.select("o_year", share.alias("mkt_share_micros"))
-
-
-def q_tpch_q12(spark, sf) -> DataFrame:
-    """Q12-style (shipping-mode priority): this schema carries no
-    l_shipmode/receiptdate, so the mode is l_returnflag and the window is
-    the 1996 ship year — counting high-priority (1-URGENT/2-HIGH) vs
-    lower-priority orders per flag, the Q12 CASE-sum shape."""
-    li = _ds(spark, sf, "lineitem").range_filter(
-        "l_shipdate", "1996-01-01", "1996-12-31", date=True
-    ).to_df()
-    orders = _ds(spark, sf, "orders").to_df()
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(F.col("l_returnflag").alias("flag"))
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
-        )
-    )
-
-
-def q_tpch_q15(spark, sf) -> DataFrame:
-    """Q15-style (top supplier): per-supplier revenue over 1996 Q1, keep
-    the supplier(s) whose revenue equals the maximum. The max is a one-row
-    broadcast scalar; equality compares EXACT decimals, rounded only on
-    output."""
-    li = _ds(spark, sf, "lineitem").range_filter(
-        "l_shipdate", "1996-01-01", "1996-03-31", date=True
-    ).to_df()
-    supp = _ds(spark, sf, "supplier").to_df()
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(revenue).alias("_total")
-    )
-    mx = rev.agg(F.max("_total").alias("_mx"))
-    return (
-        rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("_total") == F.col("_mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
-        .select(
-            "supplier_no", "s_name",
-            F.round(F.col("_total"), 2).cast("double").alias("total_revenue"),
-        )
-    )
-
-
-def q_tpch_q17(spark, sf) -> DataFrame:
-    """Q17-style (small-quantity-order revenue): average yearly revenue
-    lost if small orders (quantity < 20% of the part's average) for
-    Brand#1 small parts were dropped. The 0.2*avg comparison is cleared
-    of division: qty * 5 * n < sum(qty) in exact decimals."""
-    part = (
-        _ds(spark, sf, "part").match_filter("p_brand", "Brand#1", ignore_case=False)
-        .to_df().filter(F.col("p_size") < 10)
-    )
-    li = _ds(spark, sf, "lineitem").to_df()
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    per_part = j.groupBy("p_partkey").agg(
-        F.sum(_dec("l_quantity")).alias("_qsum"),
-        F.count(F.lit(1)).alias("_n"),
-    )
-    small = j.join(F.broadcast(per_part.withColumnRenamed("p_partkey", "_pk")),
-                   F.col("p_partkey") == F.col("_pk")).filter(
-        _dec("l_quantity") * F.lit(5) * F.col("_n") < F.col("_qsum")
-    )
-    total = small.agg(F.sum(_dec("l_extendedprice")).alias("_t"))
-    cents = F.floor(F.col("_t").cast("double") / F.lit(7.0) * F.lit(100.0) + F.lit(0.5)).cast("long")
-    return total.select(F.coalesce(cents, F.lit(0)).alias("avg_yearly_cents"))
-
-
-def q_tpch_q22(spark, sf) -> DataFrame:
-    """Q22-style (global sales opportunity): this schema has no phone
-    country codes, so the code is c_nationkey % 5 restricted to {0,1,2};
-    customers with above-average positive balance and NO orders, counted
-    per code. The above-average test is division-free: bal * n > sum over
-    exact decimals. The no-orders probe is a left-anti join."""
-    cust = _ds(spark, sf, "customer").to_df().withColumn(
-        "cntrycode", F.pmod(F.col("c_nationkey"), F.lit(5)).cast("bigint")
-    ).filter(F.col("cntrycode").isin(0, 1, 2))
-    pos = cust.filter(_dec("c_acctbal") > F.lit(0).cast("decimal(18,2)"))
-    stats = pos.agg(
-        F.sum(_dec("c_acctbal")).alias("_bsum"), F.count(F.lit(1)).alias("_bn")
-    )
-    orders = _ds(spark, sf, "orders").to_df().select("o_custkey")
-    return (
-        pos.crossJoin(F.broadcast(stats))
-        .filter(_dec("c_acctbal") * F.col("_bn") > F.col("_bsum"))
-        .join(orders, F.col("c_custkey") == orders.o_custkey, "left_anti")
-        .groupBy("cntrycode")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
-        )
-    )
-
-
 # ---------------------------------------------------------------------------
 # Deduplication suite (training-data pipeline; SketchUniquify parity §2.7)
 # ---------------------------------------------------------------------------
@@ -4985,12 +4823,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "element_images": q_element_images,
     "unit_derive": q_unit_derive,
     "formula_derive": q_formula_derive,
-    "tpch_q7": q_tpch_q7,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q12": q_tpch_q12,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q22": q_tpch_q22,
     # -- stalest driver greens --
     "standardize_state": q_standardize_state,
     "standardize_date": q_standardize_date,
@@ -6169,73 +6001,6 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_nationkey = s_nationkey AND r_name = 'ASIA' "
             "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31' "
             "GROUP BY n_name"
-        ),
-        "tpch_q7": (
-            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
-            "year(l_shipdate)::BIGINT AS l_year, "
-            "round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue "
-            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-            "JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey "
-            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
-            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
-            "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
-            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
-            "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate <= TIMESTAMP '1997-12-31' "
-            "GROUP BY 1, 2, 3"
-        ),
-        "tpch_q8": (
-            "WITH j AS (SELECT year(o_orderdate)::BIGINT AS o_year, "
-            "l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) AS volume, "
-            "ns.n_name AS supp_nation "
-            "FROM lineitem JOIN part ON l_partkey = p_partkey "
-            "JOIN orders ON l_orderkey = o_orderkey "
-            "JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey "
-            "JOIN nation nc ON c_nationkey = nc.n_nationkey "
-            "JOIN region ON nc.n_regionkey = r_regionkey "
-            "JOIN nation ns ON s_nationkey = ns.n_nationkey "
-            "WHERE r_name = 'ASIA' AND p_type = 'PROMO' "
-            "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate <= TIMESTAMP '1997-12-31') "
-            "SELECT o_year, floor(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0::DECIMAL(18,2) END)::DOUBLE "
-            "/ sum(volume)::DOUBLE * 1e6 + 0.5)::BIGINT AS mkt_share_micros "
-            "FROM j GROUP BY 1"
-        ),
-        "tpch_q12": (
-            "SELECT l_returnflag AS flag, "
-            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count, "
-            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count "
-            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate <= TIMESTAMP '1996-12-31' "
-            "GROUP BY 1"
-        ),
-        "tpch_q15": (
-            "WITH rev AS (SELECT l_suppkey AS supplier_no, "
-            "sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS total "
-            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate <= TIMESTAMP '1996-03-31' "
-            "GROUP BY 1) "
-            "SELECT supplier_no, s_name, round(total, 2)::DOUBLE AS total_revenue "
-            "FROM rev JOIN supplier ON supplier_no = s_suppkey "
-            "WHERE total = (SELECT max(total) FROM rev)"
-        ),
-        "tpch_q17": (
-            "WITH j AS (SELECT l_quantity, l_extendedprice, p_partkey "
-            "FROM lineitem JOIN part ON l_partkey = p_partkey "
-            "WHERE p_brand = 'Brand#1' AND p_size < 10), "
-            "pp AS (SELECT p_partkey AS pk, sum(l_quantity::DECIMAL(18,2)) AS qsum, count(*) AS n "
-            "FROM j GROUP BY 1) "
-            "SELECT coalesce(floor(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0 * 100.0 + 0.5)::BIGINT, 0) AS avg_yearly_cents "
-            "FROM j JOIN pp ON p_partkey = pk "
-            "WHERE l_quantity::DECIMAL(18,2) * 5 * n < qsum"
-        ),
-        "tpch_q22": (
-            "WITH pos AS (SELECT c_custkey, c_acctbal::DECIMAL(18,2) AS bal, "
-            "(c_nationkey % 5)::BIGINT AS cntrycode FROM customer "
-            "WHERE (c_nationkey % 5) IN (0, 1, 2) AND c_acctbal::DECIMAL(18,2) > 0::DECIMAL(18,2)), "
-            "st AS (SELECT sum(bal) AS bsum, count(*) AS bn FROM pos) "
-            "SELECT cntrycode, count(*)::BIGINT AS numcust, round(sum(bal), 2)::DOUBLE AS totacctbal "
-            "FROM pos, st "
-            "WHERE bal * bn > bsum "
-            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
-            "GROUP BY 1"
         ),
         "tpch_q4": (
             "SELECT o_orderpriority AS key, count(*)::BIGINT AS count FROM orders "

@@ -28,12 +28,6 @@ HEADLINE = [
     "tpch_q14",
     "tpch_q18",
     "tpch_q19",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q12",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q22",
     "groupby_count_unique",
     "sort_limit",
     "window_rank",
