@@ -1038,6 +1038,18 @@ class DocSet:
 
         return self._wrap(extract_properties_typed(self.df, schema, llm_factory, **kwargs))
 
+    def extract(self, schema, llm_factory, **kwargs) -> "DocSet":
+        """SchemaV2-driven typed property extraction (reference
+        DocSet.extract, docset.py:462, the property_extraction Extract
+        entry point) — same stage as ``extract_properties``."""
+        return self.extract_properties(schema, llm_factory, **kwargs)
+
+    def lineage(self):
+        """The lazy plan carrier (reference DocSet.lineage, docset.py:61,
+        returns its plan Node) — here the underlying Spark DataFrame,
+        whose logical plan IS the docset's lineage."""
+        return self.df
+
     def extract_schema(self, llm_factory, **kwargs) -> "DocSet":
         """Per-document schema inference into properties._schema (reference
         docset.extract_schema, docset.py:604)."""

@@ -84,6 +84,25 @@ class DocSetReader:
 
         return DocSet(docs_from_rows(self.spark, rows))
 
+    def pandas(self, pdf) -> DocSet:
+        """In-memory pandas frame scan (reference reader.pandas)."""
+        return DocSet(self.spark.createDataFrame(pdf))
+
+    def arrow(self, tbl) -> DocSet:
+        """In-memory Arrow table scan (reference reader.arrow)."""
+        return DocSet(self.spark.createDataFrame(tbl.to_pandas()))
+
+    def json_document(self, paths) -> DocSet:
+        """JSON already in Document shape (reference reader.json_document)
+        — same scan as ``document``."""
+        return self.document(paths)
+
+    def manifest(self, paths, manifest_path: str, binary_format: str | None = None) -> DocSet:
+        """Binary scan with a JSON metadata manifest merged into
+        properties (reference JsonManifestMetadataProvider,
+        file_scan.py:39) — sugar over ``binary(..., manifest_path=...)``."""
+        return self.binary(paths, binary_format=binary_format, manifest_path=manifest_path)
+
     def duckdb(self, db_path: str, table_or_sql: str) -> DocSet:
         """DuckDB reader (reference: reader.py:377): driver-side Arrow
         handoff — right-sized for dimension/config tables; export big
@@ -151,6 +170,14 @@ class DocSetWriter:
         from sycamore_spark.writer import write_parquet
 
         write_parquet(self.ds.df, path, **kwargs)
+
+    def db(self, client_cls, client_params, target_params, record_fn, **kwargs) -> None:
+        """Protocol write through any BaseDBWriter client (connectors.py
+        write_db; reference base.py BaseDBWriter) — the same seam the
+        opensearch/weaviate/pinecone/qdrant/neo4j record mappers feed."""
+        from sycamore_spark.connectors import write_db
+
+        write_db(self.ds.df, client_cls, client_params, target_params, record_fn, **kwargs)
 
     def json(self, path: str, **kwargs) -> None:
         from sycamore_spark.writer import write_json
