@@ -130,3 +130,95 @@ def test_xycut_is_total_deterministic_permutation(boxes):
     # deterministic: same input -> same order
     out2 = _xycut([dict(e) for e in items])
     assert [e["i"] for e in out] == [e["i"] for e in out2]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    value=st.floats(0.001, 1e6, allow_nan=False, allow_infinity=False),
+    fu=st.sampled_from(["SF", "SM", "acre", "hectare", "parsec"]),
+    tu=st.sampled_from(["SF", "SM", "acre", "hectare", "parsec"]),
+    extra=st.integers(0, 3),
+)
+def test_unit_convert_matches_reference_replica(value, fu, tu, extra):
+    """UnitConverter.convert (precision-aware rounding) equals a verbatim
+    replica of the reference's derivation.py:119-152 on random inputs —
+    including the str(value)-derived factor and half-even round."""
+    from sycamore_spark.operators.standardize import UnitConverter
+
+    conv = UnitConverter()
+    rate = conv.find_conversion_rate(fu, tu)
+    got = conv.convert(value, fu, tu, additional_digits=extra)
+    if rate is None:
+        assert got is None
+        return
+    s = str(value)
+    factor = 1.0
+    if "." in s:
+        for i in range(1, len(s) + 1):
+            if s[-i] == ".":
+                break
+            factor /= 10
+    else:
+        for i in range(1, len(s) + 1):
+            if s[-i] != "0":
+                break
+            factor *= 10
+    factor /= 10**extra
+    assert got == factor * round(value * rate / factor, 0)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a=st.one_of(st.none(), st.floats(-1e3, 1e3, allow_nan=False)),
+    b=st.one_of(st.none(), st.floats(-1e3, 1e3, allow_nan=False)),
+    t=st.one_of(st.none(), st.floats(-1e3, 1e3, allow_nan=False)),
+    op=st.sampled_from("+-*/"),
+)
+def test_formula_solve_roundtrip(a, b, t, op):
+    """fill_from_formula's solve branches (driver replica of the Spark
+    expressions): with exactly two knowns and no zero-guard hit, plugging
+    the solved value back satisfies the formula; otherwise untouched."""
+    known = sum(x is not None for x in (a, b, t))
+    sa, sb, st_ = a, b, t
+    if known == 2:
+        if t is None:
+            if op == "+":
+                st_ = a + b
+            elif op == "-":
+                st_ = a - b
+            elif op == "*":
+                st_ = a * b
+            elif op == "/":
+                st_ = None if b == 0 else a / b
+        elif a is None:
+            if op == "+":
+                sa = t - b
+            elif op == "-":
+                sa = t + b
+            elif op == "*":
+                sa = None if b == 0 else t / b
+            elif op == "/":
+                sa = t * b
+        elif b is None:
+            if op == "+":
+                sb = t - a
+            elif op == "-":
+                sb = a - t
+            elif op == "*":
+                sb = None if a == 0 else t / a
+            elif op == "/":
+                sb = None if t == 0 else a / t
+    import math
+
+    solved = known == 2 and (sa, sb, st_) != (a, b, t)
+    if solved and None not in (sa, sb, st_) and all(
+        math.isfinite(x) for x in (sa, sb, st_)
+    ):
+        lhs = {"+": sa + sb, "-": sa - sb, "*": sa * sb,
+               "/": sa / sb if sb != 0 else None}[op]
+        # overflow / tiny-divisor cases produce inf on BOTH sides (the
+        # operator replays IEEE); the closure property only holds finitely
+        if lhs is not None and math.isfinite(lhs):
+            assert abs(lhs - st_) <= 1e-6 * max(1.0, abs(st_))
+    if known != 2:
+        assert (sa, sb, st_) == (a, b, t)
