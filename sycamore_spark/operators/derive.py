@@ -128,17 +128,29 @@ def _group_fill(
     fields: dict[str, str],
     conv: UnitConverter,
     convert_expr,
+    factor_digits: int | None = None,
 ) -> DataFrame:
     """Shared fill: first non-null field (in dict order) is the reference;
     every other null field converts from it. One coalesce + one CASE chain
-    per field."""
+    per field.
+
+    The reference value, its name, and (for the rounded variant) the
+    18-branch rounding-factor CASE are let-bound as projected columns —
+    inlining them per output column blew janino's 64 KB codegen method
+    limit, silently dropping the whole stage to interpreted eval (~6x
+    slower; the round-6 wide-literal lesson). ``convert_expr`` receives
+    (ref_value_col, rate, factor_col-or-None)."""
     names = list(fields)
     ref_val = F.coalesce(*[F.col(n).cast("double") for n in names])
     # first-non-null field name, mirroring the coalesce above
     ref_name = F.lit(None).cast("string")
     for n in reversed(names):
         ref_name = F.when(F.col(n).isNotNull(), F.lit(n)).otherwise(ref_name)
-    out = df
+    out = df.withColumn("_refv", ref_val).withColumn("_refn", ref_name)
+    fac = None
+    if factor_digits is not None:
+        out = out.withColumn("_fac", _rounding_factor_expr(F.col("_refv"), factor_digits))
+        fac = F.col("_fac")
     for n in names:
         branches = F.col(n).cast("double")
         filled_src = F.lit(None).cast("string")
@@ -148,13 +160,13 @@ def _group_fill(
             rate = conv.find_conversion_rate(fields[r], fields[n])
             if rate is None:
                 continue
-            cond = F.col(n).isNull() & (ref_name == F.lit(r))
-            branches = F.when(cond, convert_expr(ref_val, rate)).otherwise(branches)
+            cond = F.col(n).isNull() & (F.col("_refn") == F.lit(r))
+            branches = F.when(cond, convert_expr(F.col("_refv"), rate, fac)).otherwise(branches)
             filled_src = F.when(cond, F.lit(r)).otherwise(filled_src)
         out = out.withColumn(n + "__new", branches).withColumn(n + "__src", filled_src)
     for n in names:
         out = out.drop(n).withColumnRenamed(n + "__new", n)
-    return out
+    return out.drop("_refv", "_refn", "_fac")
 
 
 def fill_missing_units(
@@ -168,10 +180,12 @@ def fill_missing_units(
     filled with the precision-aware ROUNDED conversion. Adds
     ``{field}__src`` with the anchoring field name for filled cells."""
     conv = converter or UnitConverter()
-    return _group_fill(
-        df, fields, conv,
-        lambda v, rate: convert_rounded_expr(v, rate, additional_digits),
-    )
+
+    def convert(v, rate, fac):
+        exact = v * F.lit(float(rate))
+        return fac * _half_even(exact / fac)
+
+    return _group_fill(df, fields, conv, convert, factor_digits=additional_digits)
 
 
 def unit_group(
@@ -185,7 +199,7 @@ def unit_group(
     conv = converter or UnitConverter()
     for n, u in fields.items():
         assert u, f"Have a property {n} without units requested for conversion"
-    return _group_fill(df, fields, conv, lambda v, rate: v * F.lit(float(rate)))
+    return _group_fill(df, fields, conv, lambda v, rate, fac: v * F.lit(float(rate)))
 
 
 def parse_formula(formula: str) -> tuple[str, str, str, str]:
