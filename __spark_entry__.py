@@ -2852,42 +2852,43 @@ def q_doc_etl_e2e(spark, sf) -> DataFrame:
         .sketch()
         .embed(dim=16, hash_fn=_dd.md5_hash60)
     )
-    # The verification reads df from TWO branches (children agg + parent
-    # embedding probe) joined at the end — without a lineage cut the whole
-    # 9-stage pipeline (three Arrow passes) computes once per branch
-    # (measured 20.3 s -> ~8 s at sf0.1). localCheckpoint materializes the
-    # exploded corpus once; executor-volatile is fine (local gate).
-    df = ds.to_df().localCheckpoint(eager=True)
-    kids = df.filter(F.col("parent_id").isNotNull()).select(
-        F.col("parent_id").cast("bigint").alias("doc_id"),
-        F.regexp_extract(F.col("doc_id"), r"-el(\d+)$", 1).cast("int").alias("_idx"),
-        F.col("text_representation").alias("_t"),
-        F.get_json_object("properties", "$.title").alias("_title"),
-        F.get_json_object("properties", "$.path").alias("_path"),
-        (F.col("shingles").isNotNull() & (F.size("shingles") == 64)).alias("_sk"),
-        (F.col("embedding").isNotNull() & (F.size("embedding") == 16)).alias("_em"),
+    # Verification is ONE family-keyed aggregation (family = parent's
+    # doc_id, i.e. coalesce(parent_id, doc_id)): children feed conditional
+    # aggs (collect_list skips the null parent-row structs), the parent row
+    # feeds the embedding probes — so the 9-stage pipeline computes exactly
+    # once with no lineage cut. (Earlier form read the output from two
+    # branches + a join: the whole chain ran per branch, 20.3 s at sf0.1;
+    # a localCheckpoint cut it to ~5 s; the single-agg form needs neither.)
+    df = ds.to_df()
+    child = F.col("parent_id").isNotNull()
+    q = lambda c: F.floor(c.cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    kid_struct = F.when(
+        child,
+        F.struct(
+            F.regexp_extract(F.col("doc_id"), r"-el(\d+)$", 1).cast("int").alias("_idx"),
+            F.col("text_representation").alias("_t"),
+        ),
     )
-    per_parent = kids.groupBy("doc_id").agg(
+    return df.groupBy(
+        F.coalesce(F.col("parent_id"), F.col("doc_id")).cast("bigint").alias("doc_id")
+    ).agg(
         F.md5(
             F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_idx", "_t"))), lambda s: s["_t"]
-                ),
+                F.transform(F.array_sort(F.collect_list(kid_struct)), lambda s: s["_t"]),
                 "",
             )
         ).alias("texts_hash"),
-        F.min("_title").alias("title"),
-        F.min("_path").alias("path"),
-        F.min("_sk").alias("children_sketched"),
-        F.min("_em").alias("children_embedded"),
+        F.min(F.when(child, F.get_json_object("properties", "$.title"))).alias("title"),
+        F.min(F.when(child, F.get_json_object("properties", "$.path"))).alias("path"),
+        F.min(
+            F.when(child, F.col("shingles").isNotNull() & (F.size("shingles") == 64))
+        ).alias("children_sketched"),
+        F.min(
+            F.when(child, F.col("embedding").isNotNull() & (F.size("embedding") == 16))
+        ).alias("children_embedded"),
+        F.min(F.when(~child, q(F.element_at("embedding", 1)))).alias("emb0_micros"),
+        F.min(F.when(~child, q(F.element_at("embedding", 8)))).alias("emb7_micros"),
     )
-    q = lambda c: F.floor(c.cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
-    parents = df.filter(F.col("parent_id").isNull()).select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        q(F.element_at("embedding", 1)).alias("emb0_micros"),
-        q(F.element_at("embedding", 8)).alias("emb7_micros"),
-    )
-    return per_parent.join(parents, "doc_id")
 
 
 def q_data_card(spark, sf) -> DataFrame:
