@@ -126,11 +126,17 @@ def bm25_scores_multi(
     ``bm25_scores`` broadcast contract — never the corpus vocabulary).
     The queries-to-postings join is a plain hash equi-join on the term.
     """
+    # ONE corpus pass: per-doc (term, tf) counted inside the split array
+    # (map_from... via aggregate would re-scan; explode once then one agg),
+    # with doc length derived from the same aggregation instead of a second
+    # corpus-wide explode. At corpus scale the explode is the dominant
+    # stage — computing dl from all_tf halves the corpus work.
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
     )
-    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
+    all_tf = toks.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    dl = all_tf.groupBy("_id").agg(F.sum("_tf").alias("_dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("_n_docs"), F.avg("_dl").alias("_avgdl"))
 
     qterms = queries.select(
@@ -140,8 +146,7 @@ def bm25_scores_multi(
         ).alias("_tok"),
     )
     wanted = qterms.select("_tok").distinct()
-    matched = toks.join(wanted, "_tok", "left_semi")
-    tf = matched.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    tf = all_tf.join(wanted, "_tok", "left_semi")
     dfreq = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
 
     scored = (
