@@ -4221,6 +4221,79 @@ def q_unit_convert(spark, sf) -> DataFrame:
 
 
 
+def q_stepthrough_extract(spark, sf) -> DataFrame:
+    """Step-through property extraction (llm/stepthrough.py; reference
+    transforms/property_extraction: Extract loop + TakeFirstTrimSchema +
+    BatchElements): two-element docs where alpha appears on element 1
+    (found, TRIMMED — the element-2 prompt no longer asks for it, so its
+    decoy 'alpha=WRONG' can never land), beta/flag appear on element 2 of
+    even docs only (odd docs fill null), and tags accumulates across both
+    batches (array concat + dedup + sort, never trimmed). The mock answers
+    exactly the requested fields found in the batch text."""
+    import re as _re
+
+    from sycamore_spark.data.schema2 import DataType, NamedProperty, Property, SchemaV2
+    from sycamore_spark.llm.stepthrough import batch_elements, extract_stepthrough
+
+    schema = SchemaV2(properties=[
+        NamedProperty(name="alpha", type=Property(type=DataType.STRING)),
+        NamedProperty(name="beta", type=Property(type=DataType.STRING)),
+        NamedProperty(name="tags", type=Property(type=DataType.ARRAY)),
+        NamedProperty(name="flag", type=Property(type=DataType.BOOL)),
+    ])
+
+    def factory():
+        def reply(m):
+            import json as _json
+
+            wanted = [f.strip() for f in m.group(1).split(",") if f.strip()]
+            text = m.group(2)
+            out = {}
+            for name in wanted:
+                vals = _re.findall(rf"\b{name}=([^\s]+)", text)
+                if not vals:
+                    continue
+                v = vals[0]
+                out[name] = v.split(";") if ";" in v else (
+                    v == "true" if v in ("true", "false") else v)
+            return _json.dumps(out)
+
+        return MockLLM([(r"fields \[([^\]]*)\].*?Text: (.*)", reply)])
+
+    docs = load_table(spark, sf, "documents").select(F.col("doc_id").cast("string").alias("doc_id"))
+    d = docs.withColumn(
+        "elements",
+        F.array(
+            F.struct(
+                F.lit(0).alias("element_index"),
+                F.concat(F.lit("alpha=A"), F.col("doc_id"),
+                         F.lit(" tags=t1;t9")).alias("text_representation"),
+                F.lit(1).alias("page_number"),
+            ),
+            F.struct(
+                F.lit(1).alias("element_index"),
+                F.when(
+                    F.col("doc_id").cast("bigint") % 2 == 0,
+                    F.concat(F.lit("alpha=WRONG beta=B"), F.col("doc_id"),
+                             F.lit(" tags=t3 flag=true")),
+                ).otherwise(F.lit("alpha=WRONG tags=t3")).alias("text_representation"),
+                F.lit(2).alias("page_number"),
+            ),
+        ),
+    )
+    out = extract_stepthrough(d, schema, factory, stepper=batch_elements(1))
+    ent = F.from_json(
+        "entity", "alpha string, beta string, tags array<string>, flag boolean"
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        ent["alpha"].alias("alpha"),
+        ent["beta"].alias("beta"),
+        F.array_join(ent["tags"], ",").alias("tags"),
+        ent["flag"].alias("flag"),
+    )
+
+
 def q_unit_derive(spark, sf) -> DataFrame:
     """Property derivation group fill (operators/derive.py
     fill_missing_units; reference utils/derivation.py:145-157): each
@@ -4824,6 +4897,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "element_images": q_element_images,
     "unit_derive": q_unit_derive,
     "formula_derive": q_formula_derive,
+    "stepthrough_extract": q_stepthrough_extract,
     # -- stalest driver greens --
     "standardize_state": q_standardize_state,
     "standardize_date": q_standardize_date,
@@ -7344,6 +7418,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mmr": _mmr_oracle_sql(),
         "unit_derive": _unit_derive_oracle_sql(),
+        "stepthrough_extract": (
+            "SELECT doc_id, 'A' || doc_id::VARCHAR AS alpha, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'B' || doc_id::VARCHAR END AS beta, "
+            "'t1,t3,t9' AS tags, "
+            "CASE WHEN doc_id % 2 = 0 THEN true END AS flag "
+            "FROM documents"
+        ),
         "formula_derive": (
             "WITH d AS (SELECT event_id, "
             "CASE WHEN event_id % 4 <> 1 THEN value END AS rate_a, "

@@ -132,6 +132,7 @@ HEADLINE = [
     "unit_convert",
     "unit_derive",
     "formula_derive",
+    "stepthrough_extract",
     "stream_cdc",
     # round-6 additions
     "bbox_rotation",

@@ -1044,6 +1044,14 @@ class DocSet:
         entry point) — same stage as ``extract_properties``."""
         return self.extract_properties(schema, llm_factory, **kwargs)
 
+    def extract_stepthrough(self, schema, llm_factory, **kwargs) -> "DocSet":
+        """Element-batch step-through extraction with a shrinking schema
+        (reference property_extraction Extract + TakeFirstTrimSchema +
+        step-through strategies; llm/stepthrough.py)."""
+        from sycamore_spark.llm.stepthrough import extract_stepthrough
+
+        return self._wrap(extract_stepthrough(self.df, schema, llm_factory, **kwargs))
+
     def lineage(self):
         """The lazy plan carrier (reference DocSet.lineage, docset.py:61,
         returns its plan Node) — here the underlying Spark DataFrame,
