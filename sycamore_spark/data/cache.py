@@ -80,7 +80,12 @@ class DiskCache(Cache):
         self._every = max(1, max_ents // 100)
         self._sets = 0
         os.makedirs(self._cache_loc, exist_ok=True)
-        self.lru()
+        # DELIBERATE deviation from the reference (cache.py:126 evicts on
+        # construction too): the reference builds ONE long-lived cache per
+        # process, but _cached_factory constructs one per Spark TASK — an
+        # eager sweep would charge every task an O(max_ents) scandir+stat
+        # on a (possibly shared-FS) directory before its first call. The
+        # amortized set-path sweep below bounds the directory the same way.
 
     def _path(self, key: str) -> str:
         if os.sep in key or key in (".", ".."):

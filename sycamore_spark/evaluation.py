@@ -379,9 +379,13 @@ def augment_questions_with_subtasks(
     unchanged. Plan: two hash aggregations (formula-level concat, then
     question-level concat) + one left join back to the questions — never a
     driver collect, so a million-question sweep is the same plan."""
-    pos = F.array_position(
+    # array_position returns 0 for a term ABSENT from term_order, which
+    # would sort that answer before every legitimate term — unknown terms
+    # order LAST instead (ties fall back to the struct's answer field)
+    raw_pos = F.array_position(
         F.array(*[F.lit(t) for t in term_order]), F.col("term")
     )
+    pos = F.when(raw_pos == 0, F.lit(len(term_order) + 1)).otherwise(raw_pos)
     per_formula = (
         subtask_answers.withColumn("_tpos", pos)
         .groupBy(question_id_col, "formula_index", "formula", "instructions")

@@ -218,6 +218,26 @@ class CachedLLM(LLM):
                 self._set(keys[i], r)
         return results  # type: ignore[return-value]
 
+    def generate_batch_fresh(self, prompts: list[str]) -> list[str]:
+        """Bypass cache READS and overwrite the stored entries.
+
+        The retry path of validate-gated stages (llm_map max_tries) must
+        use this: a cached reply that already failed its validator would
+        otherwise be served verbatim on every retry — and persist across
+        runs — so the row could never validate. Fresh replies heal the
+        cache (the entry is rewritten with whatever the client now says)."""
+        keys = [self._key(p) for p in prompts]
+        self.misses += len(prompts)
+        replies = self.inner.generate_batch(prompts)
+        if len(replies) != len(prompts):
+            raise RuntimeError(
+                f"inner generate_batch returned {len(replies)} replies "
+                f"for {len(prompts)} prompts"
+            )
+        for k, r in zip(keys, replies):
+            self._set(k, r)
+        return replies
+
 
 class ChainedLLM(LLM):
     """Failover chain across LLM clients (reference llms/chained_llm.py:12

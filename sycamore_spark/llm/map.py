@@ -140,9 +140,16 @@ def _llm_map_build(
             tries = 0
             while pending and tries < max_tries:
                 prompts = [_render(prompt, rows[i]) for i in pending]
+                # retries must bypass the completion cache: the prompt is
+                # identical, so a cached reply that just failed `validate`
+                # would be served again forever (and poison future runs).
+                # CachedLLM.generate_batch_fresh re-asks and heals the entry.
+                gen = llm.generate_batch
+                if tries > 0:
+                    gen = getattr(llm, "generate_batch_fresh", gen)
                 replies: list[str] = []
                 for s in range(0, len(prompts), batch_size):
-                    replies.extend(llm.generate_batch(prompts[s:s + batch_size]))
+                    replies.extend(gen(prompts[s:s + batch_size]))
                 still = []
                 for i, r in zip(pending, replies):
                     if validate is None or validate(r):

@@ -41,11 +41,12 @@ _MAX_DECIMALS = 17
 
 
 def _half_even(c: Column) -> Column:
-    """Python ``round(x, 0)`` (half-even) as a double expression."""
-    f = F.floor(c + F.lit(0.5))
-    tie = (f.cast("double") - c) == F.lit(0.5)
-    odd = F.pmod(f, F.lit(2)) == F.lit(1)
-    return F.when(tie & odd, f - F.lit(1)).otherwise(f).cast("double")
+    """Python ``round(x, 0)`` (half-even) as a double expression — the
+    shared ``functions/rounding.py`` helper (one implementation keeps the
+    derive and image-crop oracle arithmetic bit-identical)."""
+    from sycamore_spark.functions.rounding import round_half_even
+
+    return round_half_even(c, "double")
 
 
 def rounding_factor_table(additional_digits: int = 1) -> list[float]:
@@ -141,18 +142,23 @@ def _group_fill(
     slower; the round-6 wide-literal lesson). ``convert_expr`` receives
     (ref_value_col, rate, factor_col-or-None)."""
     names = list(fields)
-    ref_val = F.coalesce(*[F.col(n).cast("double") for n in names])
-    # first-non-null field name, mirroring the coalesce above
+    ref_val = F.coalesce(*[F.col(n).try_cast("double") for n in names])
+    # first-non-null field name — tested on the CAST value so it names the
+    # same field the coalesce picked (a raw-isNotNull test would disagree on
+    # a non-castable string like 'N/A': wrong rate applied to another
+    # field's value, wrong __src provenance)
     ref_name = F.lit(None).cast("string")
     for n in reversed(names):
-        ref_name = F.when(F.col(n).isNotNull(), F.lit(n)).otherwise(ref_name)
+        ref_name = F.when(
+            F.col(n).try_cast("double").isNotNull(), F.lit(n)
+        ).otherwise(ref_name)
     out = df.withColumn("_refv", ref_val).withColumn("_refn", ref_name)
     fac = None
     if factor_digits is not None:
         out = out.withColumn("_fac", _rounding_factor_expr(F.col("_refv"), factor_digits))
         fac = F.col("_fac")
     for n in names:
-        branches = F.col(n).cast("double")
+        branches = F.col(n).try_cast("double")
         filled_src = F.lit(None).cast("string")
         for r in names:
             if r == n:
@@ -160,7 +166,9 @@ def _group_fill(
             rate = conv.find_conversion_rate(fields[r], fields[n])
             if rate is None:
                 continue
-            cond = F.col(n).isNull() & (F.col("_refn") == F.lit(r))
+            # "missing" = not castable to double (consistent with ref_val/
+            # ref_name above; for double inputs identical to isNull)
+            cond = F.col(n).try_cast("double").isNull() & (F.col("_refn") == F.lit(r))
             branches = F.when(cond, convert_expr(F.col("_refv"), rate, fac)).otherwise(branches)
             filled_src = F.when(cond, F.lit(r)).otherwise(filled_src)
         out = out.withColumn(n + "__new", branches).withColumn(n + "__src", filled_src)

@@ -55,10 +55,9 @@ def _round_half_even(c: Column) -> Column:
     diverge. f = floor(x+0.5); on an exact tie (f-x == 0.5) an odd f steps
     down to the even neighbour.
     """
-    f = F.floor(c + F.lit(0.5))
-    tie = (f.cast("double") - c) == F.lit(0.5)
-    odd = F.pmod(f, F.lit(2)) == F.lit(1)
-    return F.when(tie & odd, f - F.lit(1)).otherwise(f).cast("long")
+    from sycamore_spark.functions.rounding import round_half_even
+
+    return round_half_even(c, "long")
 
 
 def crop_box_expr(
@@ -172,15 +171,24 @@ def draw_ops(
     """
     w = F.col(width_col).cast("double")
     h = F.col(height_col).cast("double")
+    # OUTER explode: a page with no (or null) boxes must survive as one
+    # instruction-free passthrough row — the reference's try_draw_boxes
+    # returns the page unmodified rather than dropping it (an inner
+    # explode silently lost box-less pages from the rendered output)
     out = df.select(
-        "*", F.posexplode(F.col(boxes_col)).alias("box_index", "_rawbox")
+        "*", F.posexplode_outer(F.col(boxes_col)).alias("box_index", "_rawbox")
     )
     rect = normalize_box_expr(F.col("_rawbox"), w, h)
     return (
         out.withColumn("rect", rect)
-        .filter(F.col("rect").isNotNull())
-        .withColumn("outline", F.lit(color))
-        .withColumn("line_width", F.lit(int(line_width)))
+        # keep: valid instructions + the no-boxes passthrough row; an
+        # individually unrecognized box is skipped (reference :206-208)
+        .filter(F.col("rect").isNotNull() | F.col("box_index").isNull())
+        .withColumn("outline", F.when(F.col("rect").isNotNull(), F.lit(color)))
+        .withColumn(
+            "line_width",
+            F.when(F.col("rect").isNotNull(), F.lit(int(line_width))),
+        )
         .withColumn("label", F.col("box_index").cast("string"))
         .withColumn("label_x", F.col("rect")["x1"] - w / F.lit(100.0))
         .withColumn("label_y", F.col("rect")["y1"] - h / F.lit(100.0))
@@ -345,10 +353,23 @@ def extract_element_images(
                         rect = tuple(int(np.round(v)) for v in fx)
                         cropped = _crop_grid(buf, w, h, rect)
                         d["binary_representation"] = cropped
-                        d["properties"] = (
-                            f'{{"image_mode": "L", "image_width": {max(rect[2]-rect[0],0)},'
-                            f' "image_height": {max(rect[3]-rect[1],0)}}}'
-                        )
+                        # MERGE into existing properties (the reference sets
+                        # image_size/image_mode attrs alongside what's there,
+                        # :285-287 — overwriting destroyed captions etc.)
+                        import json as _json
+
+                        try:
+                            props = _json.loads(d.get("properties") or "{}")
+                            if not isinstance(props, dict):
+                                props = {}
+                        except Exception:
+                            props = {}
+                        props.update({
+                            "image_mode": "L",
+                            "image_width": max(rect[2] - rect[0], 0),
+                            "image_height": max(rect[3] - rect[1], 0),
+                        })
+                        d["properties"] = _json.dumps(props, sort_keys=True)
                     new_els.append(d)
                 out_elements.append(new_els)
             pdf = pdf.copy()

@@ -150,10 +150,21 @@ def split_pages(
         F.array_max(F.transform(els, lambda e: e["page_number"])), F.lit(1)
     )
     n_chunks = F.ceil(pc / F.lit(float(num_pages))).cast("int")
+    # children inherit the parent's remaining document columns (the
+    # reference's split_pdf copies the Document) — binary stays null (the
+    # actual page-split binary is the gated pypdf seam); without the
+    # passthrough any downstream DocSet stage reading standard columns
+    # (sketch/embed/explode) broke on unresolved columns
+    inherit = [
+        c for c in df.columns
+        if c not in (id_col, "parent_id", elements_col, "properties",
+                     "binary_representation")
+    ]
     out = df.select(
         F.col(id_col).alias("_orig_id"),
         els.alias("_els"),
         pc.alias("_pc"),
+        *[F.col(c) for c in inherit],
         F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_split_index", "_chunk"),
     )
     start = F.col("_chunk") * num_pages + 1
@@ -192,13 +203,17 @@ def split_pages(
         F.array(F.lit("_original_id"), F.lit("_split_index"), F.lit("remapped_pages")),
         F.array(F.col("_orig_id").cast("string"), F.col("_split_index").cast("string"), remap),
     ))
-    return out.select(
+    cols = [
         F.concat(F.col("_orig_id"), F.lit("-pg"), F.col("_split_index")).alias(id_col),
         F.col("_orig_id").alias("parent_id"),
         F.col("_split_index"),
         kept.alias(elements_col),
         props.alias("properties"),
-    )
+        *[F.col(c) for c in inherit],
+    ]
+    if "binary_representation" in df.columns:
+        cols.append(F.lit(None).cast("binary").alias("binary_representation"))
+    return out.select(*cols)
 
 
 def promote_title(

@@ -170,14 +170,18 @@ def bm25_scores_multi(
         .agg(F.sum("_c").alias("bm25_micros"))
     )
     extra = []
-    if k is not None:
+    if k is not None or keep_rank:
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("_qid").orderBy(
             F.col("bm25_micros").desc(), F.col("_id").asc()
         )
-        out = out.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+        out = out.withColumn("_rk", F.row_number().over(w))
+        if k is not None:
+            out = out.filter(F.col("_rk") <= k)
         if keep_rank:
+            # honored with or without k (a silently missing rank column
+            # failed far from the cause at the caller's select)
             extra = [F.col("_rk").alias("rank")]
     return out.select(
         F.col("_qid").alias(query_id_col), F.col("_id").alias(id_col), "bm25_micros", *extra

@@ -105,12 +105,17 @@ def rolling_sketch_pairs(df: DataFrame, id_col: str = "doc_id",
 
     ska = sk.select(F.col("_id").alias("id_a"), F.col("shingles").alias("_ska"))
     skb = sk.select(F.col("_id").alias("id_b"), F.col("shingles").alias("_skb"))
-    return (
+    out = (
         cand.join(ska, "id_a").join(skb, "id_b")
         .withColumn("dist", _dist(F.col("_ska"), F.col("_skb")))
         .filter(F.col("dist") < threshold)
         .select("id_a", "id_b", F.round("dist", 6).alias("dist"))
     )
+    # materialize the (small, pairs-only) result through the cache, then
+    # release it — persisted operators must not leak executor state
+    out = out.localCheckpoint(eager=True)
+    sk.unpersist()
+    return out
 
 
 def rolling_sketch_uniquify(df: DataFrame, id_col: str = "doc_id",

@@ -395,7 +395,10 @@ class UnitConverter:
 
     def check(self, from_unit: str, to_unit: str, value1: float, value2: float) -> bool:
         """Consistency probe (reference derivation.py:162-166): converted
-        value1 within 5% relative error of value2."""
+        value1 within 5% relative error of value2. Divides by the SIGNED
+        value2 — a negative expected value passes unconditionally — which
+        is the reference's own arithmetic, reproduced verbatim for parity
+        (its unit graph is all-positive areas, so the branch is benign)."""
         converted = self.convert_exact(value1, from_unit, to_unit)
         if converted is None:
             return False

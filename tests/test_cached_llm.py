@@ -80,3 +80,47 @@ def test_cached_llm_short_inner_batch_raises(tmp_path):
     c = CachedLLM(_Short(), str(tmp_path / "cache"))
     with pytest.raises(RuntimeError, match="1 replies"):
         c.generate_batch(["a", "b"])
+
+
+def test_generate_batch_fresh_heals_poisoned_entries(tmp_path):
+    inner = _Counting()
+    c = CachedLLM(inner, str(tmp_path / "cache"))
+    # poison: cache an entry that (say) a validator would reject
+    c._set(c._key("p"), "INVALID")
+    assert c.generate_batch(["p"]) == ["INVALID"]  # served verbatim
+    # fresh: bypasses the read, re-asks the inner client, overwrites
+    assert c.generate_batch_fresh(["p"]) == ["r:p"]
+    assert inner.calls == [["p"]]
+    c2 = CachedLLM(_Counting(), str(tmp_path / "cache"))
+    assert c2.generate_batch(["p"]) == ["r:p"]  # healed entry persists
+
+
+def test_llm_map_retry_bypasses_cache(spark, tmp_path):
+    """A cached reply that fails `validate` must not be re-served on the
+    retry: the retry goes to the inner client and the row validates."""
+    from sycamore_spark.llm.client import CachedLLM as _C
+    from sycamore_spark.llm.map import llm_map
+
+    cache_dir = str(tmp_path / "cache")
+    # pre-poison the cache with an invalid completion for the exact prompt
+    probe = _C(_Counting(), cache_dir)
+    prompt = "score doc-X"
+    probe._set(probe._key(prompt), "not-a-number")
+
+    df = spark.createDataFrame([("doc-X",)], "text string")
+
+    def factory():
+        class Valid(LLM):
+            def generate_batch(self, prompts):
+                return ["7" for _ in prompts]
+
+        return Valid()
+
+    out = llm_map(
+        df, "score {{ doc.text }}", "score", factory,
+        validate=lambda s: s.strip().isdigit(), max_tries=3,
+        cache_dir=cache_dir,
+    ).collect()
+    assert out[0].score == "7"
+    # and the healed entry now serves a poison-free second run
+    assert probe.generate_batch([prompt]) == ["7"]

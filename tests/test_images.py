@@ -175,3 +175,47 @@ def test_crop_grid_zero_fill_out_of_bounds():
     # 3x3 crop anchored at (-1,-1): first row/col zero, rest from grid
     assert out == bytes([0, 0, 0, 0, 1, 2, 0, 5, 6])
     assert im._crop_grid(buf, 4, 3, (2, 2, 2, 5)) == b""  # zero-width
+
+
+def test_extract_element_images_preserves_existing_properties(spark):
+    """The crop must MERGE its size/mode into existing element properties
+    (code-review finding: the overwrite destroyed captions)."""
+    import json
+
+    from sycamore_spark.data.schema import docs_from_rows
+    from sycamore_spark.operators.images import extract_element_images
+
+    df = docs_from_rows(spark, [{
+        "doc_id": "d1",
+        "binary_representation": b"page-bytes-0123456789" * 10,
+        "elements": [{
+            "type": "Image", "bbox": [0.1, 0.1, 0.5, 0.5],
+            "properties": {"caption": "Fig 3", "source": "p2"},
+        }],
+    }])
+    el = extract_element_images(df).collect()[0].elements[0]
+    props = json.loads(el["properties"])
+    assert props["caption"] == "Fig 3" and props["source"] == "p2"
+    assert props["image_mode"] == "L" and props["image_width"] > 0
+
+
+def test_draw_ops_preserves_boxless_pages(spark):
+    """Pages with no/null boxes survive as one instruction-free row (the
+    reference returns the page unmodified; an inner explode dropped them)."""
+    from sycamore_spark.operators.images import draw_ops
+
+    df = spark.createDataFrame(
+        [("p1", [[0.1, 0.1, 0.5, 0.5]], 100.0, 100.0),
+         ("p2", [], 100.0, 100.0),
+         ("p3", None, 100.0, 100.0)],
+        "page string, boxes array<array<double>>, page_width double, page_height double",
+    )
+    out = draw_ops(df).collect()
+    by_page = {}
+    for r in out:
+        by_page.setdefault(r.page, []).append(r)
+    assert set(by_page) == {"p1", "p2", "p3"}
+    assert by_page["p1"][0].rect is not None and by_page["p1"][0].outline == "blue"
+    for p in ("p2", "p3"):
+        (row,) = by_page[p]
+        assert row.rect is None and row.box_index is None and row.outline is None

@@ -151,3 +151,26 @@ def test_docset_fluent_pages(spark):
     assert ds.select_pages([1]).to_df().count() == 2
     assert ds.split_pages(2).to_df().count() == 6
     assert ds.promote_title().to_df().count() == 2
+
+
+def test_split_pages_composes_with_downstream_stages(spark):
+    """Children must stay DOC-shaped (code-review finding: the split select
+    dropped text/binary/shingles/embedding, breaking .sketch()/.explode())."""
+    from sycamore_spark.data.schema import docs_from_rows
+    from sycamore_spark.docset import DocSet
+    from sycamore_spark.operators.pages import split_pages
+
+    df = docs_from_rows(spark, [{
+        "doc_id": "d1", "type": "pdf", "text_representation": "whole doc",
+        "elements": [
+            {"text_representation": "p1", "page_number": 1},
+            {"text_representation": "p2", "page_number": 2},
+        ],
+    }])
+    out = split_pages(df, num_pages=1)
+    assert "text_representation" in out.columns and "binary_representation" in out.columns
+    # the review's failure scenario: a downstream standard stage
+    sk = DocSet(out.drop("_split_index")).sketch().to_df().collect()
+    assert all(r.shingles is not None for r in sk)
+    assert {r.type for r in sk} == {"pdf"}  # inherited
+    assert all(r.binary_representation is None for r in sk)  # gated seam
