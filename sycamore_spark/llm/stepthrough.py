@@ -6,13 +6,15 @@ Reference parity (lib/sycamore/sycamore/transforms/property_extraction):
   ``NPagesAtATime`` (page-number cutoff sweep), ``BatchElements``.
 - ``strategy.py:61-63`` ``NoSchemaSplitting`` (plus a fixed-size splitter,
   the useful scale variant of the ``SchemaPartitionStrategy`` seam).
-- ``strategy.py:83-186`` ``TakeFirstTrimSchema`` merge semantics over flat
-  schemas: a found SCALAR is kept first-wins and TRIMMED from the schema
-  (later batches are never asked for it); an ARRAY concatenates existing +
-  new with value-dedup + sort and is never trimmed; a BOOL is sticky-true
-  (kept false until a batch flips it true, trimmed once true); extraction
-  for a document stops early when the remaining schema is empty
-  (``completed``).
+- ``strategy.py:83-186`` ``TakeFirstTrimSchema`` merge semantics: a found
+  SCALAR is kept first-wins and TRIMMED from the schema (later batches are
+  never asked for it); an ARRAY concatenates existing + new with
+  value-dedup + sort and is never trimmed; a BOOL is sticky-true (kept
+  false until a batch flips it true, trimmed once true); OBJECT properties
+  recurse — the remaining schema keeps only still-unsatisfied subfields
+  and drops the object once empty (the reference's zip_traverse walk +
+  drop-empty-objects pass); extraction for a document stops early when
+  the remaining schema is empty (``completed``).
 - ``extract.py:174-215`` the ``Extract`` transform loop — schema parts
   extracted independently, stitched, then missing fields filled with
   None/[] and landed under ``entity``.
@@ -34,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import StringType, StructType
 
-from sycamore_spark.data.schema2 import DataType, SchemaV2
+from sycamore_spark.data.schema2 import DataType, NamedProperty, Property, SchemaV2
 from sycamore_spark.llm.client import LLM
 from sycamore_spark.llm.extract import extract_json
 
@@ -104,7 +106,7 @@ def fixed_size_schema_partition(max_fields: int):
     return split
 
 
-# -- TakeFirstTrimSchema over flat schemas (reference strategy.py:83-186) ----
+# -- TakeFirstTrimSchema (reference strategy.py:83-186) ----------------------
 
 
 def take_first_trim(
@@ -112,12 +114,30 @@ def take_first_trim(
 ) -> tuple[dict, list, bool]:
     """Merge ``new`` batch output into ``fields`` under the reference's
     take-first-and-trim rules; returns (fields, still_remaining, completed).
-    ``remaining`` is the list of NamedProperty still being asked for."""
+    ``remaining`` is the list of NamedProperty still being asked for.
+
+    OBJECT properties recurse (the reference walks the nested schema with
+    zip_traverse): subfields merge independently under the same rules, a
+    nested object stays in the remaining schema with only its
+    still-unsatisfied subfields, and it trims entirely once every subfield
+    is satisfied (the reference's drop-empty-objects pass,
+    strategy.py:169-180)."""
     still = []
     for np in remaining:
         k, dt = np.name, np.type.type
         nv = new.get(k)
         ev = fields.get(k)
+        if dt == DataType.OBJECT:
+            sub_new = nv if isinstance(nv, dict) else {}
+            sub_fields = ev if isinstance(ev, dict) else {}
+            sub_fields, sub_still, _ = take_first_trim(
+                list(np.type.properties or []), sub_fields, sub_new
+            )
+            fields[k] = sub_fields
+            if sub_still:
+                trimmed = Property(type=DataType.OBJECT, properties=sub_still)
+                still.append(NamedProperty(name=k, type=trimmed))
+            continue
         if dt == DataType.ARRAY:
             ev = [] if ev is None else ev
             nv = [] if nv is None else (nv if isinstance(nv, list) else [nv])
@@ -148,18 +168,34 @@ def take_first_trim(
 
 def _fill_missing(schema: SchemaV2, fields: dict) -> dict:
     """Reference extract.py:189-205 — unfound properties land as None
-    (scalars/bools) or [] (arrays) so the output shape is schema-stable."""
+    (scalars/bools), [] (arrays), or a recursively-filled dict (objects)
+    so the output shape is schema-stable."""
     out = {}
     for np in schema.properties:
         v = fields.get(np.name)
-        if v is None:
+        if np.type.type == DataType.OBJECT:
+            sub = SchemaV2(properties=list(np.type.properties or []))
+            v = _fill_missing(sub, v if isinstance(v, dict) else {})
+        elif v is None:
             v = [] if np.type.type == DataType.ARRAY else None
         out[np.name] = v
     return out
 
 
+def _prop_names(remaining: list, prefix: str = "") -> list[str]:
+    """Dotted names of every still-wanted LEAF (nested objects render as
+    parent.child so the model sees exactly what remains)."""
+    out = []
+    for np in remaining:
+        if np.type.type == DataType.OBJECT:
+            out.extend(_prop_names(list(np.type.properties or []), prefix + np.name + "."))
+        else:
+            out.append(prefix + np.name)
+    return out
+
+
 def _render_prompt(remaining: list, texts: list[str]) -> str:
-    names = ", ".join(np.name for np in remaining)
+    names = ", ".join(_prop_names(remaining))
     return (
         f"Extract a JSON object with fields [{names}] from the text below; "
         "omit fields not present.\nText: " + "\n".join(t or "" for t in texts)

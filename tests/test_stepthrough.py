@@ -172,3 +172,37 @@ def test_extract_stepthrough_distributed(spark):
             assert e["beta"] == f"B{r.doc_id}" and e["flag"] is True
         else:
             assert e["beta"] is None and e["flag"] is None
+
+
+def test_take_first_trim_nested_objects():
+    """OBJECT properties recurse: subfields merge under the same rules, the
+    remaining schema keeps only unsatisfied subfields, and the object trims
+    once every subfield is satisfied (reference zip_traverse walk +
+    drop-empty-objects pass)."""
+    nested = SchemaV2(properties=[
+        NamedProperty(name="title", type=Property(type=DataType.STRING)),
+        NamedProperty(name="address", type=Property(type=DataType.OBJECT, properties=[
+            NamedProperty(name="city", type=Property(type=DataType.STRING)),
+            NamedProperty(name="zip", type=Property(type=DataType.STRING)),
+        ])),
+    ])
+    remaining = list(nested.properties)
+    fields, remaining, done = take_first_trim(
+        remaining, {}, {"title": "T", "address": {"city": "Oslo"}})
+    assert fields == {"title": "T", "address": {"city": "Oslo"}}
+    # title trimmed; address survives with ONLY zip left
+    assert [np.name for np in remaining] == ["address"]
+    assert [p.name for p in remaining[0].type.properties] == ["zip"]
+    from sycamore_spark.llm.stepthrough import _prop_names
+
+    assert _prop_names(remaining) == ["address.zip"]
+    fields, remaining, done = take_first_trim(
+        remaining, fields, {"address": {"city": "DECOY", "zip": "0150"}})
+    # take-first inside the object: city untouched; zip lands; object trims
+    assert fields["address"] == {"city": "Oslo", "zip": "0150"}
+    assert remaining == [] and done
+    # fill shape: a never-found object fills as a nested all-null dict
+    from sycamore_spark.llm.stepthrough import _fill_missing
+
+    assert _fill_missing(nested, {"title": "T"}) == {
+        "title": "T", "address": {"city": None, "zip": None}}
