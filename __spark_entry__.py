@@ -1994,6 +1994,39 @@ def _bm25_oracle_sql() -> str:
     )
 
 
+def q_bm25_pruned(spark, sf) -> DataFrame:
+    """Batch BM25 with document-frequency pruning (operators/retrieval.py
+    bm25_scores_multi max_df): query terms appearing in more than 1/5 of
+    the corpus are dropped before the scoring join — the stopword/impact
+    pruning that bounds the fan-out at 100 TB (near-ubiquitous terms carry
+    ~0 IDF but dominate the scored pairs). Deterministic df threshold, so
+    the oracle replays the identical pruning + integer-micro arithmetic;
+    top-5 per question with rank (ties broken by doc_id)."""
+    from sycamore_spark.operators.retrieval import bm25_scores_multi
+
+    # the synthetic corpus is a ~30-word vocabulary where EVERY term is
+    # near-ubiquitous (df ~75-80%), so a rare per-doc marker r<doc_id%211>
+    # is appended — queries mix one ubiquitous term ('table', pruned) with
+    # one rare marker (kept), making the pruning observable
+    raw = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = raw.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" r"), (F.col("doc_id") % 211).cast("string")).alias("text"),
+    )
+    questions = raw.filter(F.col("doc_id") % 17 == 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat(F.lit("table r"), (F.col("doc_id") % 211).cast("string")).alias("query"),
+    )
+    max_df = docs.count() // 5
+    out = bm25_scores_multi(
+        docs, questions, k=5, keep_rank=True, max_df=max_df
+    )
+    return out.select(
+        F.col("query_id").alias("question_id"), "doc_id", "bm25_micros",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_token_count(spark, sf) -> DataFrame:
     """Tokenizer family under the oracle (functions/tokenizers.py; reference
     functions/tokenizer.py:6-62): whitespace, character, and BPE-regex
@@ -4898,6 +4931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unit_derive": q_unit_derive,
     "formula_derive": q_formula_derive,
     "stepthrough_extract": q_stepthrough_extract,
+    "bm25_pruned": q_bm25_pruned,
     # -- stalest driver greens --
     "standardize_state": q_standardize_state,
     "standardize_date": q_standardize_date,
@@ -5769,6 +5803,28 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS value_sum FROM events GROUP BY 1, 2"
         ),
         "bm25": _bm25_oracle_sql(),
+        "bm25_pruned": (
+            "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "
+            "toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM d), "
+            "all_tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, sum(tf) AS dl FROM all_tf GROUP BY 1), "
+            "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+            "qterms AS (SELECT doc_id AS qid, unnest(list_distinct("
+            "regexp_split_to_array('table r' || (doc_id % 211)::VARCHAR, '\\s+'))) AS tok "
+            "FROM documents WHERE doc_id % 17 = 3), "
+            "tf AS (SELECT * FROM all_tf WHERE tok IN (SELECT DISTINCT tok FROM qterms)), "
+            "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), "
+            "dfk AS (SELECT * FROM df WHERE df <= (SELECT count(*) FROM documents) // 5), "
+            "contrib AS (SELECT qid, tf.doc_id, "
+            "floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) "
+            "* ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1000000.0 + 0.5)::BIGINT AS c "
+            "FROM qterms JOIN tf USING (tok) JOIN dfk USING (tok) "
+            "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats), "
+            "scored AS (SELECT qid, doc_id, sum(c)::BIGINT AS bm25_micros FROM contrib GROUP BY 1, 2), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY bm25_micros DESC, doc_id ASC) AS rnk FROM scored) "
+            "SELECT qid AS question_id, doc_id, bm25_micros, rnk::BIGINT AS rank "
+            "FROM r WHERE rnk <= 5"
+        ),
         "token_count": (
             "SELECT doc_id, "
             "(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS ws_tokens, "

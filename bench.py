@@ -133,6 +133,7 @@ HEADLINE = [
     "unit_derive",
     "formula_derive",
     "stepthrough_extract",
+    "bm25_pruned",
     "stream_cdc",
     # round-6 additions
     "bbox_rotation",

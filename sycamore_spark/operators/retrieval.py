@@ -105,6 +105,7 @@ def bm25_scores_multi(
     b: float = 0.75,
     k: int | None = None,
     keep_rank: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Batch twin of ``bm25_scores``: score every (query, doc) pair where
     the doc contains at least one of that query's terms, for a whole
@@ -114,6 +115,13 @@ def bm25_scores_multi(
     bigint sum), with SET semantics for each query's terms (duplicate
     words in a query count once — the reference executor passes term
     lists, not bags).
+
+    ``max_df`` (optional) drops query terms whose document frequency
+    exceeds it BEFORE the scoring join — the classic stopword/impact
+    pruning: on natural-language questions the scored fan-out is dominated
+    by near-ubiquitous terms whose IDF contribution is ~0, and at corpus
+    scale that join is the whole cost. Deterministic (a pure df threshold),
+    so an oracle can replay it exactly; None = exact scoring of all terms.
 
     Returns (query_id_col, id_col, bm25_micros), optionally top-``k``
     rows per query (rank window ordered by score desc, id asc — ties
@@ -148,6 +156,9 @@ def bm25_scores_multi(
     wanted = qterms.select("_tok").distinct()
     tf = all_tf.join(wanted, "_tok", "left_semi")
     dfreq = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("_df") <= max_df)
+        tf = tf.join(F.broadcast(dfreq.select("_tok")), "_tok", "left_semi")
 
     scored = (
         qterms.join(tf, "_tok")

@@ -333,3 +333,26 @@ def test_best_snippets_picks_densest_window(spark):
     # densest 5-token window starts at the 2nd apple (pos 11): apple banana apple
     assert (r.query_id, r.doc_id, r.snippet_start, r.hits) == (7, 1, 11, 3)
     assert r.snippet == "apple banana apple x x"
+
+
+def test_bm25_multi_max_df_prunes_ubiquitous_terms(spark):
+    """max_df drops query terms above the df threshold BEFORE scoring:
+    a stopword present in every doc contributes nothing; rare terms score;
+    keep_rank without k emits ranks over the full result."""
+    from sycamore_spark.operators.retrieval import bm25_scores_multi
+
+    docs = spark.createDataFrame(
+        [(i, "the common filler rare%d" % (i % 2)) for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "the rare0"), (2, "the rare1")], "query_id bigint, query string"
+    )
+    exact = bm25_scores_multi(docs, qs).collect()
+    assert {r.doc_id for r in exact} == set(range(6))  # 'the' matches all
+    pruned = bm25_scores_multi(docs, qs, max_df=4).collect()
+    # 'the' (df=6) pruned; each query matches only its rare half
+    got = {(r.query_id, r.doc_id) for r in pruned}
+    assert got == {(1, d) for d in (0, 2, 4)} | {(2, d) for d in (1, 3, 5)}
+    ranked = bm25_scores_multi(docs, qs, max_df=4, keep_rank=True).collect()
+    assert {r.rank for r in ranked} == {1, 2, 3}  # honored without k
