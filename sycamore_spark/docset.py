@@ -66,8 +66,62 @@ class DocSet:
     def take_all(self) -> list:
         return self.df.collect()
 
-    def show(self, n: int = 20, truncate: bool = True) -> None:
-        self.df.show(n, truncate=truncate)
+    def show(
+        self,
+        limit: int = 20,
+        show_elements: bool = True,
+        num_elements: int = -1,  # -1 shows all elements
+        show_binary: bool = False,
+        show_embedding: bool = False,
+        truncate_content: bool = True,
+        truncate_length: int = 100,
+        stream=None,
+    ) -> None:
+        """Human-readable document dump (reference DocSet.show,
+        docset.py:68-145, option-for-option): elements collapsed to a
+        count or sliced to ``num_elements``; binary payloads shown as
+        ``<n bytes>`` unless ``show_binary``; embeddings as ``<n floats>``
+        unless ``show_embedding``; text truncated to ``truncate_length``
+        with a ``<k chars>`` marker."""
+        import pprint
+        import sys
+
+        stream = stream or sys.stdout
+
+        def _truncate(s):
+            if len(s) <= truncate_length:
+                return s
+            return s[:truncate_length] + f" <{len(s) - truncate_length} chars>"
+
+        def _fmt_embedding(emb):
+            return None if emb is None else f"<{len(emb)} floats>"
+
+        def _scrub_element(e: dict) -> dict:
+            e = dict(e)
+            if not show_binary and e.get("binary_representation") is not None:
+                e["binary_representation"] = f"<{len(e['binary_representation'])} bytes>".encode()
+            if truncate_content and e.get("text_representation") is not None:
+                e["text_representation"] = _truncate(e["text_representation"])
+            if not show_embedding and e.get("embedding") is not None:
+                e["embedding"] = _fmt_embedding(e["embedding"])
+            return e
+
+        for row in self.df.limit(limit).collect():
+            doc = row.asDict(recursive=True)
+            els = doc.get("elements")
+            if not show_elements:
+                doc["elements"] = f"<{len(els or [])} elements>"
+            elif els is not None:
+                if 0 <= num_elements < len(els):
+                    els = els[:num_elements]
+                doc["elements"] = [_scrub_element(e) for e in els]
+            if not show_binary and doc.get("binary_representation") is not None:
+                doc["binary_representation"] = f"<{len(doc['binary_representation'])} bytes>".encode()
+            if truncate_content and doc.get("text_representation") is not None:
+                doc["text_representation"] = _truncate(doc["text_representation"])
+            if not show_embedding and doc.get("embedding") is not None:
+                doc["embedding"] = _fmt_embedding(doc["embedding"])
+            pprint.pp(doc, stream=stream)
 
     def take_stream(self):
         """Row iterator streamed to the driver (reference: docset.py:261

@@ -63,3 +63,37 @@ def test_writer_db_protocol_hook(spark, tmp_path):
     for p in (tmp_path / "out").glob("*.jsonl"):
         written += [json.loads(line) for line in p.read_text().splitlines()]
     assert written == [{"doc_id": "d1", "text": "hello"}]
+
+
+def test_docset_show_reference_options(spark, capsys):
+    """DocSet.show option parity (reference docset.py:68-145): element
+    collapse/slice, <n bytes> binary masking, <n floats> embeddings,
+    <k chars> text truncation."""
+    import io
+
+    from sycamore_spark.data.schema import docs_from_rows
+    from sycamore_spark.docset import DocSet
+
+    ds = DocSet(docs_from_rows(spark, [{
+        "doc_id": "d1",
+        "text_representation": "x" * 150,
+        "binary_representation": b"\x00" * 32,
+        "embedding": [0.0] * 8,
+        "elements": [
+            {"text_representation": "e" * 150, "binary_representation": b"\x01" * 7},
+            {"text_representation": "second"},
+        ],
+    }]))
+    buf = io.StringIO()
+    ds.show(stream=buf)
+    out = buf.getvalue()
+    assert "<50 chars>" in out            # text truncated at 100 (pprint may wrap)
+    assert "<32 bytes>" in out and "<7 bytes>" in out
+    assert "<8 floats>" in out
+    buf2 = io.StringIO()
+    ds.show(show_elements=False, stream=buf2)
+    assert "<2 elements>" in buf2.getvalue()
+    buf3 = io.StringIO()
+    ds.show(num_elements=1, truncate_content=False, show_binary=True, stream=buf3)
+    o3 = buf3.getvalue()
+    assert "second" not in o3 and "x" * 150 in o3
