@@ -2027,6 +2027,73 @@ def q_bm25_pruned(spark, sf) -> DataFrame:
     )
 
 
+def q_pq_ann(spark, sf) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_train/
+    pq_encode/pq_topk — the compression half of IVF-PQ, the 100 TB
+    embedding-search layout: the corpus shrinks from 64 floats to 8 codes
+    per row, search is 8 integer table lookups per candidate): codebooks
+    and the query come from a SEEDED synthetic training matrix — the same
+    numpy construction on both sides, so the model is SF-independent (the
+    per-SF embeddings tables are not prefix-consistent; a data-trained
+    oracle would only hold at one SF) — while ENCODE + ADC run over the
+    real corpus at whatever SF the gate gets: one Arrow pass, exact
+    integer ADC top-10 with id tie-break. The oracle replays quantization,
+    per-subspace argmin (first-min) and the LUT sum in pure integer SQL."""
+    from sycamore_spark.operators.similarity import pq_encode, pq_topk
+
+    books, qvec = _pq_fixture()
+    emb = load_table(spark, sf, "embeddings")
+    enc = pq_encode(emb.filter(F.col("vec_id") > 0), books)
+    return pq_topk(qvec, enc, books, k=10)
+
+
+def _pq_fixture():
+    """Deterministic PQ model shared by the gate and its oracle: codebooks
+    trained (pq_train_arrays — the same core pq_train uses on collected
+    DataFrames) on a seeded random matrix; the query is its row 0."""
+    import numpy as _np
+
+    from sycamore_spark.operators.similarity import pq_train_arrays
+
+    X = _np.random.RandomState(11).rand(400, 64)
+    return pq_train_arrays(X, m=8, subk=16, seed=7), X[0].tolist()
+
+
+def _pq_ann_oracle_sql() -> str:
+    """Regenerate the gate's seeded PQ model (same ``_pq_fixture``,
+    SF-independent), then replay encode + ADC in pure integer SQL:
+    quantize, per-subspace argmin via list_position(list_min) (first-min,
+    same tie-break as numpy argmin), literal LUT lookups, bigint sum,
+    (dist, id) top-10."""
+    import numpy as _np
+
+    books, qvec = _pq_fixture()
+    q = _np.floor(_np.asarray(list(qvec), dtype=float) * 1024.0 + 0.5).astype(_np.int64)
+    sub = 8
+    code_exprs, score_terms = [], []
+    for s, b in enumerate(books):
+        cb = "[" + ", ".join(
+            "[" + ", ".join(str(int(v)) for v in c) + "]" for c in b
+        ) + "]"
+        dl = (
+            f"list_transform({cb}, c -> list_aggregate(list_transform(range(8), "
+            f"i -> (c[i + 1] - xq[{s * sub} + i + 1]) * (c[i + 1] - xq[{s * sub} + i + 1])), 'sum'))"
+        )
+        code_exprs.append(f"{dl} AS dl{s}")
+        B = _np.array(b, dtype=_np.int64)
+        lut = ((B - q[s * sub:(s + 1) * sub]) ** 2).sum(axis=1).tolist()
+        lut_sql = "[" + ", ".join(str(int(v)) for v in lut) + "]"
+        score_terms.append(f"{lut_sql}[list_position(dl{s}, list_min(dl{s}))]")
+    return (
+        "WITH xqt AS (SELECT vec_id, "
+        "list_transform(embedding, x -> floor(x::DOUBLE * 1024.0 + 0.5)::BIGINT) AS xq "
+        "FROM embeddings WHERE vec_id > 0), "
+        f"dls AS (SELECT vec_id, {', '.join(code_exprs)} FROM xqt) "
+        f"SELECT vec_id, ({' + '.join(score_terms)})::BIGINT AS adc_dist "
+        "FROM dls ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"
+    )
+
+
 def q_token_count(spark, sf) -> DataFrame:
     """Tokenizer family under the oracle (functions/tokenizers.py; reference
     functions/tokenizer.py:6-62): whitespace, character, and BPE-regex
@@ -4932,6 +4999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "formula_derive": q_formula_derive,
     "stepthrough_extract": q_stepthrough_extract,
     "bm25_pruned": q_bm25_pruned,
+    "pq_ann": q_pq_ann,
     # -- stalest driver greens --
     "standardize_state": q_standardize_state,
     "standardize_date": q_standardize_date,
@@ -5803,6 +5871,7 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS value_sum FROM events GROUP BY 1, 2"
         ),
         "bm25": _bm25_oracle_sql(),
+        "pq_ann": _pq_ann_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "
             "toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM d), "

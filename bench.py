@@ -134,6 +134,7 @@ HEADLINE = [
     "formula_derive",
     "stepthrough_extract",
     "bm25_pruned",
+    "pq_ann",
     "stream_cdc",
     # round-6 additions
     "bbox_rotation",

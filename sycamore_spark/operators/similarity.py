@@ -316,3 +316,115 @@ def mmr_rerank(
         .groupBy(query_col)
         .applyInPandas(_one, schema=out_schema)
     )
+
+
+# -- product quantization (IVF-PQ's compression half) -------------------------
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    subk: int = 16,
+    sample: int = 10_000,
+    seed: int = 7,
+    scale: float = 1024.0,
+) -> list:
+    """Train ``m`` per-subspace codebooks of ``subk`` centroids on a bounded
+    driver sample (the standard PQ construction: split d dims into m
+    subvectors, k-means each independently).
+
+    100 TB shape: training reads a LIMIT-bounded sample only; the model is
+    m*subk*(d/m) integers — kilobytes — shipped to executors as literals.
+    Vectors are quantized to integers (floor(x*scale+0.5)) BEFORE training
+    and centroids rounded to integers after, so encoding and ADC scoring
+    downstream are exact int64 arithmetic: order-independent, and an oracle
+    can replay them bit-for-bit."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=float)
+    return pq_train_arrays(X, m=m, subk=subk, seed=seed, scale=scale)
+
+
+def pq_train_arrays(
+    X, m: int = 8, subk: int = 16, seed: int = 7, scale: float = 1024.0
+) -> list:
+    """Codebook training on an in-memory matrix (the engine-independent
+    core of ``pq_train`` — an oracle replicates codebooks by feeding the
+    identical vectors through this same function)."""
+    X = np.asarray(X, dtype=float)
+    Xq = np.floor(X * scale + 0.5)
+    d = Xq.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for s in range(m):
+        C = _train_centroids(Xq[:, s * sub:(s + 1) * sub], subk, seed + s)
+        books.append(np.floor(C + 0.5).astype(np.int64).tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    scale: float = 1024.0,
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Attach each row's PQ codes (array<int>, one code per subspace):
+    argmin integer squared distance to the subspace codebook — first-min
+    tie-break, matching a SQL list_position(min) replay. One Arrow pass,
+    zero shuffle; the corpus shrinks from d floats to m bytes per row."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    B = [np.array(b, dtype=np.int64) for b in codebooks]
+    sub = B[0].shape[1]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _enc(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.floor(np.asarray(v, dtype=float) * scale + 0.5).astype(np.int64)
+            codes = []
+            for s, Bs in enumerate(B):
+                diff = Bs - x[s * sub:(s + 1) * sub]
+                codes.append(int((diff * diff).sum(axis=1).argmin()))
+            out.append(codes)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _enc(F.col(vec_col)))
+
+
+def pq_topk(
+    query_vec,
+    encoded: DataFrame,
+    codebooks: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    scale: float = 1024.0,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query's per-
+    subspace lookup table (int64 sqdist to each centroid) is computed
+    driver-side and inlined as literal arrays; each row's score is m
+    element_at lookups + an integer sum — native codegen, no UDF — and the
+    global top-k compiles to TakeOrderedAndProject (per-partition heads +
+    k-row driver merge). Deterministic ties by id."""
+    q = np.floor(np.asarray(list(query_vec), dtype=float) * scale + 0.5).astype(np.int64)
+    score = None
+    for s, b in enumerate(codebooks):
+        Bs = np.array(b, dtype=np.int64)
+        sub = Bs.shape[1]
+        diff = Bs - q[s * sub:(s + 1) * sub]
+        lut = (diff * diff).sum(axis=1).tolist()
+        term = F.element_at(
+            F.array(*[F.lit(int(v)) for v in lut]), F.col(codes_col)[s] + 1
+        )
+        score = term if score is None else score + term
+    return (
+        encoded.select(id_col, score.cast("bigint").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
