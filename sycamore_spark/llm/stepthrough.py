@@ -142,20 +142,31 @@ def take_first_trim(
             ev = [] if ev is None else ev
             nv = [] if nv is None else (nv if isinstance(nv, list) else [nv])
             merged = ev + [v for v in nv if v is not None]
-            # value-dedup + sort (reference dedup_rp_array, strategy.py:188-215)
-            fields[k] = sorted(set(merged), key=lambda v: str(v)) if all(
-                not isinstance(v, (list, dict)) for v in merged
-            ) else merged
+            # value-dedup + sort (reference dedup_rp_array, strategy.py:188-215):
+            # natural order when elements are mutually comparable (so [2, 10]
+            # stays numeric, not ["10", "2"]-style string order), str-key only
+            # as the mixed-type fallback
+            if all(not isinstance(v, (list, dict)) for v in merged):
+                uniq = list(set(merged))
+                try:
+                    fields[k] = sorted(uniq)
+                except TypeError:
+                    fields[k] = sorted(uniq, key=lambda v: str(v))
+            else:
+                fields[k] = merged
             still.append(np)  # arrays are never trimmed
         elif dt == DataType.BOOL:
             if ev is True:
-                pass  # already true: trimmed below
+                pass  # true at batch start: trimmed below
             elif nv is True:
                 fields[k] = True
             elif ev is None and nv is not None:
                 fields[k] = bool(nv)
-            if fields.get(k) is not True:
-                still.append(np)  # sticky: keep asking until flipped true
+            # trim only once true in existing_fields at the START of a merge
+            # (reference keeps a first-sighting true in the schema for one
+            # more batch, so per-document LLM call counts match)
+            if ev is not True:
+                still.append(np)
         else:
             if ev is not None:
                 pass  # take-first: existing valid value wins, stays trimmed

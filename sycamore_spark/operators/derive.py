@@ -166,9 +166,11 @@ def _group_fill(
             rate = conv.find_conversion_rate(fields[r], fields[n])
             if rate is None:
                 continue
-            # "missing" = not castable to double (consistent with ref_val/
-            # ref_name above; for double inputs identical to isNull)
-            cond = F.col(n).try_cast("double").isNull() & (F.col("_refn") == F.lit(r))
+            # "missing" = actually null, matching the reference (it only
+            # fills properties that are None and never overwrites an
+            # existing value — even a non-castable one like 'N/A', which
+            # simply becomes null through the output double cast)
+            cond = F.col(n).isNull() & (F.col("_refn") == F.lit(r))
             branches = F.when(cond, convert_expr(F.col("_refv"), rate, fac)).otherwise(branches)
             filled_src = F.when(cond, F.lit(r)).otherwise(filled_src)
         out = out.withColumn(n + "__new", branches).withColumn(n + "__src", filled_src)
@@ -184,9 +186,16 @@ def fill_missing_units(
     additional_digits: int = 1,
 ) -> DataFrame:
     """Reference ``fill_missing_units`` (derivation.py:146-157), columnar:
-    the first non-null field of the list anchors the row; null fields are
-    filled with the precision-aware ROUNDED conversion. Adds
-    ``{field}__src`` with the anchoring field name for filled cells."""
+    the first double-castable field of the list anchors the row; NULL
+    fields are filled with the precision-aware ROUNDED conversion —
+    existing non-null values are never overwritten, matching the
+    reference's fill-only-None rule. Adds ``{field}__src`` with the
+    anchoring field name for filled cells.
+
+    Deliberate columnar deviation: output columns are typed double, so a
+    non-null non-castable value (e.g. the string 'N/A') is preserved as a
+    *not-filled* cell but surfaces as null through the cast — the
+    reference, being schemaless, would keep the literal string."""
     conv = converter or UnitConverter()
 
     def convert(v, rate, fac):

@@ -411,7 +411,10 @@ def pq_topk(
     driver-side and inlined as literal arrays; each row's score is m
     element_at lookups + an integer sum — native codegen, no UDF — and the
     global top-k compiles to TakeOrderedAndProject (per-partition heads +
-    k-row driver merge). Deterministic ties by id."""
+    k-row driver merge). Deterministic ties by id. Rows without codes
+    (pq_encode emits null for null embeddings) are excluded up front —
+    Spark's ascending sort is NULLS FIRST, so an unfiltered null code
+    would otherwise displace real neighbors from the top-k."""
     q = np.floor(np.asarray(list(query_vec), dtype=float) * scale + 0.5).astype(np.int64)
     score = None
     for s, b in enumerate(codebooks):
@@ -424,7 +427,8 @@ def pq_topk(
         )
         score = term if score is None else score + term
     return (
-        encoded.select(id_col, score.cast("bigint").alias("adc_dist"))
-        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        encoded.filter(F.col(codes_col).isNotNull())
+        .select(id_col, score.cast("bigint").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )

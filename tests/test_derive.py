@@ -241,14 +241,15 @@ def test_group_fill_non_castable_strings(spark):
     """String columns with garbage values: the reference anchor must be the
     first CASTABLE field (code-review finding: a raw-isNotNull test named
     'N/A' as the anchor while the coalesce picked the next field's value —
-    wrong rate, wrong provenance)."""
+    wrong rate, wrong provenance). And per the reference's fill-only-None
+    rule, the non-null 'N/A' cell is NOT overwritten with a conversion —
+    it surfaces as null through the output double cast, unfilled."""
     conv = UnitConverter()
     df = spark.createDataFrame(
         [("N/A", "100", None)], "area_sf string, area_sm string, area_acre string"
     )
     out = dv.fill_missing_units(df, FIELDS).collect()[0]
-    # anchor is area_sm (first castable); sf and acre fill FROM it
-    assert out.area_sf == ref_convert(conv, 100.0, "SM", "SF")
-    assert out.area_sf__src == "area_sm"
+    # anchor is area_sm (first castable); only the truly-null acre fills
+    assert out.area_sf is None and out.area_sf__src is None
     assert out.area_acre == ref_convert(conv, 100.0, "SM", "acre")
     assert out.area_acre__src == "area_sm"

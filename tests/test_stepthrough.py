@@ -88,6 +88,10 @@ def test_take_first_trim_semantics():
     assert fields["alpha"] == "A1" and fields["beta"] == "B1"
     assert fields["tags"] == ["t1", "t2", "t3"]  # concat + dedup + sort
     assert fields["flag"] is True  # sticky flip false -> true
+    # a first-sighting true stays in the schema for one more batch
+    # (reference trims a bool only when already true at batch START)
+    assert [np.name for np in remaining] == ["tags", "flag"] and not done
+    fields, remaining, done = take_first_trim(remaining, fields, {})
     assert [np.name for np in remaining] == ["tags"] and not done
 
 
@@ -108,10 +112,12 @@ def test_extract_doc_trims_prompts_and_early_stops():
                       prompt_fn=spy_prompt)
     assert out == {"alpha": "A9", "beta": "B9", "flag": True,
                    "tags": ["t1", "t3", "t9"]}
-    # batch 2 no longer asks for alpha (trimmed); batch 3 only for the array
+    # batch 2 no longer asks for alpha (trimmed); batch 3 still asks for
+    # flag — it flipped true only DURING batch 2, and the reference trims
+    # a bool one batch after first sighting (call-count parity)
     assert prompts == [["alpha", "beta", "tags", "flag"],
                        ["beta", "tags", "flag"],
-                       ["tags"]]
+                       ["tags", "flag"]]
 
 
 def test_schema_partition_stitches_and_fills():
