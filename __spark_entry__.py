@@ -2094,6 +2094,99 @@ def _pq_ann_oracle_sql() -> str:
     )
 
 
+def q_ivf_pq_ann(spark, sf) -> DataFrame:
+    """Composed IVF-PQ ANN (operators/similarity.py ivf_pq_train/encode/
+    topk — THE 100 TB embedding-search layout: coarse cells cut the scan to
+    ~nprobe/ncells of the corpus via partition pruning, PQ shrinks each
+    survivor to m bytes scored by m integer table lookups): the model
+    (coarse centroids + ONE shared residual codebook, faiss IndexIVFPQ
+    style) comes from a SEEDED synthetic training matrix shaped like the
+    corpus — SF-independent, same reasoning as the pq_ann gate — while
+    ENCODE (cell assign + residual codes, one Arrow pass) and the probed
+    ADC top-10 run over the real corpus at whatever SF the gate gets.
+    Integer-exact end to end; the oracle replays cell assignment
+    (list_position(list_min) = first-min argmin), residual encoding, and
+    the per-cell LUT sums in pure integer SQL."""
+    from sycamore_spark.operators.similarity import ivf_pq_encode, ivf_pq_topk
+
+    cents, books, qvec = _ivf_pq_fixture()
+    emb = load_table(spark, sf, "embeddings")
+    enc = ivf_pq_encode(emb.filter(F.col("vec_id") > 0), cents, books)
+    return ivf_pq_topk(qvec, enc, cents, books, k=10, nprobe=3)
+
+
+def _ivf_pq_fixture():
+    """Deterministic IVF-PQ model shared by the gate and its oracle:
+    trained (ivf_pq_train_arrays — the same core ivf_pq_train uses on
+    collected DataFrames) on a seeded matrix spanning the corpus's actual
+    value range (~[-0.3, 0.3]) so the coarse cells split the real
+    embeddings meaningfully; the query is its row 0."""
+    import numpy as _np
+
+    from sycamore_spark.operators.similarity import ivf_pq_train_arrays
+
+    X = (_np.random.RandomState(13).rand(600, 64) - 0.5) * 0.6
+    cents, books = ivf_pq_train_arrays(X, ncells=8, m=8, subk=16, seed=7)
+    return cents, books, X[0].tolist()
+
+
+def _ivf_pq_ann_oracle_sql() -> str:
+    """Regenerate the gate's seeded IVF-PQ model (same ``_ivf_pq_fixture``,
+    SF-independent), then replay the whole search in pure integer SQL:
+    quantize, assign each row to its nearest coarse centroid via
+    list_position(list_min) (first-min, same tie-break as numpy argmin),
+    keep only the query's 3 probed cells, re-derive each row's residual
+    codes per subspace, and sum the per-cell literal LUTs; (dist, id)
+    top-10."""
+    import numpy as _np
+
+    cents, books, qvec = _ivf_pq_fixture()
+    C = _np.array(cents, dtype=_np.int64)
+    B = [_np.array(b, dtype=_np.int64) for b in books]
+    q = _np.floor(_np.asarray(list(qvec), dtype=float) * 1024.0 + 0.5).astype(_np.int64)
+    sub = 8
+    dc = ((C - q) ** 2).sum(axis=1)
+    probed = [int(c) for c in _np.argsort(dc, kind="stable")[:3]]
+    cc_sql = "[" + ", ".join(
+        "[" + ", ".join(str(int(v)) for v in row) + "]" for row in cents
+    ) + "]"
+    probed_sql = "[" + ", ".join(str(c) for c in probed) + "]"
+    dl_exprs, score_terms = [], []
+    for s, b in enumerate(books):
+        cb = "[" + ", ".join(
+            "[" + ", ".join(str(int(v)) for v in c) + "]" for c in b
+        ) + "]"
+        dl = (
+            f"list_transform({cb}, c -> list_aggregate(list_transform(range(8), "
+            f"i -> (c[i + 1] - r[{s * sub} + i + 1]) * (c[i + 1] - r[{s * sub} + i + 1])), 'sum'))"
+        )
+        dl_exprs.append(f"{dl} AS dl{s}")
+        # per-probed-cell LUT for this subspace, indexed by cpos then code
+        luts = []
+        for c in probed:
+            rq = q - C[c]
+            lut = ((B[s] - rq[s * sub:(s + 1) * sub]) ** 2).sum(axis=1).tolist()
+            luts.append("[" + ", ".join(str(int(v)) for v in lut) + "]")
+        nested = "[" + ", ".join(luts) + "]"
+        score_terms.append(f"{nested}[cpos][list_position(dl{s}, list_min(dl{s}))]")
+    return (
+        "WITH xqt AS (SELECT vec_id, "
+        "list_transform(embedding, x -> floor(x::DOUBLE * 1024.0 + 0.5)::BIGINT) AS xq "
+        "FROM embeddings WHERE vec_id > 0), "
+        f"celld AS (SELECT vec_id, xq, list_transform({cc_sql}, c -> "
+        "list_aggregate(list_transform(range(64), i -> "
+        "(c[i + 1] - xq[i + 1]) * (c[i + 1] - xq[i + 1])), 'sum')) AS dcell FROM xqt), "
+        "asg AS (SELECT vec_id, xq, list_position(dcell, list_min(dcell)) - 1 AS cell "
+        "FROM celld), "
+        f"flt AS (SELECT vec_id, list_position({probed_sql}, cell) AS cpos, "
+        f"list_transform(range(64), i -> xq[i + 1] - {cc_sql}[cell + 1][i + 1]) AS r "
+        f"FROM asg WHERE list_position({probed_sql}, cell) > 0), "
+        f"dls AS (SELECT vec_id, cpos, {', '.join(dl_exprs)} FROM flt) "
+        f"SELECT vec_id, ({' + '.join(score_terms)})::BIGINT AS adc_dist "
+        "FROM dls ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"
+    )
+
+
 def q_token_count(spark, sf) -> DataFrame:
     """Tokenizer family under the oracle (functions/tokenizers.py; reference
     functions/tokenizer.py:6-62): whitespace, character, and BPE-regex
@@ -5000,6 +5093,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stepthrough_extract": q_stepthrough_extract,
     "bm25_pruned": q_bm25_pruned,
     "pq_ann": q_pq_ann,
+    "ivf_pq_ann": q_ivf_pq_ann,
     # -- stalest driver greens --
     "standardize_state": q_standardize_state,
     "standardize_date": q_standardize_date,
@@ -5872,6 +5966,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25": _bm25_oracle_sql(),
         "pq_ann": _pq_ann_oracle_sql(),
+        "ivf_pq_ann": _ivf_pq_ann_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "
             "toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM d), "

@@ -161,11 +161,29 @@ HEADLINE = [
     "draw_boxes",
     "image_urls",
     "element_images",
+    # round-8 additions
+    "ivf_pq_ann",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M
 # true pairs of this template-heavy corpus (output-bound; PERF.md r6 records
 # its 12.3x warm 10x ratio vs the exact baseline's 41.8x)
+
+
+def calibration_probe(spark) -> float:
+    """Fixed-work CPU probe: a constant-size in-memory hash aggregation whose
+    runtime depends only on this machine's available CPU at this moment —
+    identical work every invocation, no data dependence. Timed before and
+    after the sweep, it lets a reader tell host drift (probe inflated the
+    same way as the queries) from a code regression (probe steady, queries
+    slower). Two rounds running (r5 lesson, r7 recurrence) the committed
+    record needed prose caveats about a wandering host; this makes the
+    record carry its own validity signal."""
+    t0 = time.perf_counter()
+    spark.range(0, 20_000_000, 1, 32).selectExpr(
+        "sum(id * 2654435761 % 1000003) AS s"
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -174,9 +192,24 @@ def main() -> None:
     queries = entry.queries()
     timings: dict[str, float] = {}
 
+    load_pre = [round(x, 2) for x in os.getloadavg()]
+    ncpu = os.cpu_count() or 32
+    # a settled machine: 1-min load under ~half the cores before we start
+    # (a draining load average from a just-finished pytest run inflates ALL
+    # queries ~1.2-2x uniformly and reads as a regression on untouched code)
+    load_settled = load_pre[0] < ncpu / 2
+    if not load_settled:
+        print(
+            f"WARNING: 1-min load average {load_pre[0]} >= {ncpu}/2 — host not "
+            f"settled; timings will be inflated. Record marked load_settled=false.",
+            file=sys.stderr,
+        )
+
     # Warm the JVM/codegen path once with a cheap query so the first measured
     # query doesn't absorb session startup.
     queries["groupby_count"](spark, SF_DIR).collect()
+    calibration_probe(spark)  # warm the probe's own codegen too
+    probe_pre = calibration_probe(spark)
 
     # Each query runs twice: the first run pays one-time whole-stage-codegen
     # JIT compilation (a constant, ~seconds, independent of data size); the
@@ -191,8 +224,19 @@ def main() -> None:
         fn(spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    probe_post = calibration_probe(spark)
+    load_post = [round(x, 2) for x in os.getloadavg()]
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    calibration = {
+        "probe_sec_pre": probe_pre,
+        "probe_sec_post": probe_post,
+        "loadavg_pre": load_pre,
+        "loadavg_post": load_post,
+        "ncpu": ncpu,
+        "load_settled": load_settled,
+    }
     result = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -200,6 +244,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cold_total_sec": round(sum(cold.values()), 3),
+        "calibration": calibration,
     }
     line = json.dumps(result)
     # Full record (all per-query timings) goes to a file: the driver's stdout
@@ -219,6 +264,7 @@ def main() -> None:
         "sf": result["sf"],
         "n_queries": len(timings),
         "cold_total_sec": result["cold_total_sec"],
+        "calibration": calibration,
         "queries": slowest,
         "full_record": "bench_out.json",
     }

@@ -432,3 +432,178 @@ def pq_topk(
         .orderBy(F.col("adc_dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# -- IVF-PQ (coarse cells + PQ-compressed residuals, the full 100 TB ANN) -----
+
+def ivf_pq_train_arrays(
+    X,
+    ncells: int = 8,
+    m: int = 8,
+    subk: int = 16,
+    seed: int = 7,
+    scale: float = 1024.0,
+) -> tuple[list, list]:
+    """Train the composed IVF-PQ model on an in-memory matrix: coarse
+    k-means centroids over the whole vector, then ONE shared product
+    quantizer over the residuals ``x - C[assign(x)]`` (faiss's
+    IndexIVFPQ layout — a single residual codebook shared by all cells,
+    not per-cell codebooks, so the model stays kilobytes at any ncells).
+
+    Everything is quantized to integers (floor(x*scale+0.5); centroids
+    and codebook entries rounded to integers after training) so cell
+    assignment, residual encoding, and ADC scoring downstream are exact
+    int64 arithmetic — order-independent and bit-replayable by a SQL
+    oracle. Returns (centroids, codebooks): ncells x d and m lists of
+    subk x (d/m) integer lists."""
+    X = np.asarray(X, dtype=float)
+    Xq = np.floor(X * scale + 0.5).astype(np.int64)
+    d = Xq.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    C = np.floor(_train_centroids(Xq.astype(float), ncells, seed) + 0.5).astype(np.int64)
+    dist = (Xq**2).sum(1)[:, None] - 2 * (Xq @ C.T) + (C**2).sum(1)
+    R = Xq - C[dist.argmin(axis=1)]
+    books = []
+    for s in range(m):
+        B = _train_centroids(R[:, s * sub:(s + 1) * sub].astype(float), subk, seed + 1 + s)
+        books.append(np.floor(B + 0.5).astype(np.int64).tolist())
+    return C.tolist(), books
+
+
+def ivf_pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    ncells: int = 8,
+    m: int = 8,
+    subk: int = 16,
+    sample: int = 10_000,
+    seed: int = 7,
+    scale: float = 1024.0,
+) -> tuple[list, list]:
+    """DataFrame front-end for ``ivf_pq_train_arrays``: training reads a
+    LIMIT-bounded driver sample only (the standard coarse-quantizer
+    construction — centroid quality needs a representative sample, not the
+    corpus); the model ships to executors as literals."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=float)
+    return ivf_pq_train_arrays(X, ncells=ncells, m=m, subk=subk, seed=seed, scale=scale)
+
+
+def ivf_pq_encode(
+    df: DataFrame,
+    centroids: list,
+    codebooks: list,
+    vec_col: str = "embedding",
+    scale: float = 1024.0,
+    cell_col: str = "cell_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Attach (cell_id, pq_codes) per row: nearest coarse centroid by
+    integer squared distance (first-min tie-break, matching both numpy
+    argmin and a SQL list_position(list_min) replay), then per-subspace
+    codes of the integer RESIDUAL against the shared codebooks. One Arrow
+    pass, zero shuffle; the corpus shrinks from d floats to a small int +
+    m bytes per row. At scale, write the encoded corpus bucketed/
+    partitioned BY cell_id so a probe reads only its cells' files
+    (partition pruning does the nprobe/ncells scan cut for free).
+
+    This is a ``mapInPandas`` stage, not a struct-returning pandas_udf, on
+    purpose: a downstream plan that both FILTERS on cell_id and PROJECTS
+    over pq_codes (exactly what ivf_pq_topk does) gets a pandas_udf
+    extracted TWICE — one ArrowEvalPython for the filter, another for the
+    projection — doubling the encode cost of every search (observed in the
+    gate's formatted plan). MapInPandas is a physical barrier whose output
+    columns are real columns, evaluated once."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    C = np.array(centroids, dtype=np.int64)
+    B = [np.array(b, dtype=np.int64) for b in codebooks]
+    m = len(B)
+    sub = B[0].shape[1]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(cell_col, IntegerType()), StructField(codes_col, ArrayType(IntegerType()))]
+    )
+
+    def run(it):
+        for pdf in it:
+            cells, codes_out = [], []
+            for v in pdf[vec_col]:
+                if v is None:
+                    cells.append(None)
+                    codes_out.append(None)
+                    continue
+                x = np.floor(np.asarray(v, dtype=float) * scale + 0.5).astype(np.int64)
+                diff = C - x
+                c = int((diff * diff).sum(axis=1).argmin())
+                r = x - C[c]
+                codes = []
+                for s in range(m):
+                    db = B[s] - r[s * sub:(s + 1) * sub]
+                    codes.append(int((db * db).sum(axis=1).argmin()))
+                cells.append(c)
+                codes_out.append(codes)
+            pdf = pdf.copy()
+            pdf[cell_col] = pd.array(cells, dtype="Int32")
+            pdf[codes_col] = pd.Series(codes_out, index=pdf.index, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def ivf_pq_topk(
+    query_vec,
+    encoded: DataFrame,
+    centroids: list,
+    codebooks: list,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    cell_col: str = "cell_id",
+    codes_col: str = "pq_codes",
+    scale: float = 1024.0,
+) -> DataFrame:
+    """ADC top-k restricted to the query's ``nprobe`` nearest cells — the
+    composed IVF-PQ search: cell routing and the per-cell lookup tables
+    (int64 sqdist of the query's PER-CELL residual to each shared-codebook
+    centroid) are computed driver-side from kilobyte literals; the scan
+    filters to probed cells (partition pruning when the corpus is laid out
+    by cell_id), each surviving row's score is m lookups — element_at over
+    a cell-selected literal array — plus an integer sum, all native
+    codegen; and the global top-k compiles to TakeOrderedAndProject.
+    Deterministic ties by id; rows with null codes are excluded (NULLS
+    FIRST would otherwise displace real neighbors)."""
+    C = np.array(centroids, dtype=np.int64)
+    B = [np.array(b, dtype=np.int64) for b in codebooks]
+    m = len(B)
+    sub = B[0].shape[1]
+    q = np.floor(np.asarray(list(query_vec), dtype=float) * scale + 0.5).astype(np.int64)
+    dc = ((C - q) ** 2).sum(axis=1)
+    probed = [int(c) for c in np.argsort(dc, kind="stable")[:nprobe]]
+    luts = {}  # cell -> per-subspace LUT over the query's residual IN that cell
+    for c in probed:
+        r = q - C[c]
+        luts[c] = [
+            ((B[s] - r[s * sub:(s + 1) * sub]) ** 2).sum(axis=1).tolist()
+            for s in range(m)
+        ]
+    score = None
+    for s in range(m):
+        lut_for_cell = None
+        for c in probed:
+            arr = F.array(*[F.lit(int(v)) for v in luts[c][s]])
+            lut_for_cell = (
+                F.when(F.col(cell_col) == c, arr)
+                if lut_for_cell is None
+                else lut_for_cell.when(F.col(cell_col) == c, arr)
+            )
+        term = F.element_at(lut_for_cell, F.col(codes_col)[s] + 1)
+        score = term if score is None else score + term
+    return (
+        encoded.filter(F.col(cell_col).isin(probed) & F.col(codes_col).isNotNull())
+        .select(id_col, score.cast("bigint").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc_nulls_last(), F.col(id_col).asc())
+        .limit(k)
+    )
