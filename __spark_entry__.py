@@ -3834,6 +3834,27 @@ def q_pack_shards(spark, sf) -> DataFrame:
     return out.select("doc_id", "n_tokens", "shard_id")
 
 
+def q_pack_shards_part(spark, sf) -> DataFrame:
+    """Training-shard packing in its SCALE form (operators/sampling.py
+    pack_shards with partition_cols — the r7 verdict's ask: the gated path
+    was only the global single-task window): documents packed into ~2000-
+    token shards PER LANGUAGE, each language's cumsum windowed
+    independently, so the shuffle keys on lang and no task sees more than
+    one language's rows. Shard ids are lang-prefixed; boundaries are a
+    pure function of each language's token-count prefix sums, replayed
+    exactly by the oracle's partitioned window."""
+    from sycamore_spark.operators.sampling import pack_shards
+
+    docs = _ds(spark, sf, "documents").to_df().select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    out = pack_shards(
+        docs, "n_tokens", budget=2000, order_col="doc_id", partition_cols=["lang"]
+    )
+    return out.select("doc_id", "lang", "n_tokens", "shard_id")
+
+
 
 # ---------------------------------------------------------------------------
 # Round-5 batch: CDC merge, graph cohesion, scaling, curriculum, product
@@ -5094,6 +5115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_pruned": q_bm25_pruned,
     "pq_ann": q_pq_ann,
     "ivf_pq_ann": q_ivf_pq_ann,
+    "pack_shards_part": q_pack_shards_part,
     # -- stalest driver greens --
     "standardize_state": q_standardize_state,
     "standardize_date": q_standardize_date,
@@ -6868,6 +6890,15 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
             "SELECT doc_id, n_tokens, "
             "CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT)::VARCHAR AS shard_id FROM c"
+        ),
+        "pack_shards_part": (
+            "WITH t AS (SELECT doc_id, lang, "
+            "len(string_split(trim(text), ' '))::BIGINT AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, lang, n_tokens, sum(n_tokens) OVER ("
+            "PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+            "SELECT doc_id, lang, n_tokens, "
+            "lang || '-' || CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT)::VARCHAR "
+            "AS shard_id FROM c"
         ),
         "map_batch": (
             "SELECT doc_id::BIGINT AS doc_id, upper(text) AS upper_text, "

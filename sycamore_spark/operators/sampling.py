@@ -168,6 +168,7 @@ def pack_shards(
     order_col: str,
     partition_cols: list[str] | None = None,
     out_col: str = "shard_id",
+    warn_above: int = 10_000_000,
 ) -> DataFrame:
     """Assign each row a training-shard id such that consecutive rows (in
     ``order_col`` order, within ``partition_cols``) accumulate to ~``budget``
@@ -176,9 +177,22 @@ def pack_shards(
 
     shard = floor((cumsum_inclusive - size) / budget): a row starts a new
     shard exactly when the PRECEDING rows already filled the current one.
-    One window (= one shuffle on the partition key; a global pack uses a
-    single ordering and is only for modest row counts — partition by
-    date/source at scale)."""
+    One window (= one shuffle on the partition key). A GLOBAL pack (no
+    ``partition_cols``) funnels every row through ONE task's sort — fine
+    for modest row counts, wrong at scale: when the input exceeds
+    ``warn_above`` rows a warning says to partition by date/source. The
+    probe is a LocalLimit-bounded count (stops scanning at warn_above+1
+    rows, never reads the full input), paid only on the global path."""
+    if not partition_cols and warn_above is not None:
+        if df.limit(warn_above + 1).count() > warn_above:
+            import warnings
+
+            warnings.warn(
+                f"pack_shards without partition_cols packs >{warn_above:,} rows "
+                f"through a single global window task; pass partition_cols "
+                f"(e.g. date/source) so each partition packs independently.",
+                stacklevel=2,
+            )
     parts = [F.col(c) for c in (partition_cols or [])]
     w = (
         Window.partitionBy(*parts).orderBy(F.col(order_col).asc())

@@ -352,3 +352,23 @@ def test_histogram_buckets_and_edges(spark):
     assert got[9] == 1   # 49.9
     assert got[19] == 3  # 99.9, 100.0 clamped, 250 clamped
     assert sum(got.values()) == 8
+
+
+def test_pack_shards_global_warns_above_threshold(spark):
+    """A global pack (no partition_cols) over more than warn_above rows is
+    a single-task window — the operator must say so (r7 verdict ask)."""
+    import warnings
+
+    df = _docs(spark, 50)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pack_shards(df, "n_tokens", budget=100, order_col="doc_id", warn_above=10)
+    assert any("partition_cols" in str(w.message) for w in caught)
+    # under the threshold, or partitioned, or probe disabled: silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pack_shards(df, "n_tokens", budget=100, order_col="doc_id", warn_above=100)
+        pack_shards(df, "n_tokens", budget=100, order_col="doc_id",
+                    partition_cols=["lang"], warn_above=10)
+        pack_shards(df, "n_tokens", budget=100, order_col="doc_id", warn_above=None)
+    assert not [w for w in caught if "partition_cols" in str(w.message)]
