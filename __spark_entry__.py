@@ -4854,7 +4854,9 @@ def q_snippets(spark, sf) -> DataFrame:
         [(1, "model training data"), (2, "query engine performance")],
         "query_id long, query string",
     )
-    top = bm25_scores_multi(docs, qs, id_col="doc_id", text_col="text", k=3)
+    # top is 6 rows but its lineage is the whole scoring pass; checkpoint
+    # once so the snippet prefilter and the final join share ONE bm25 run
+    top = bm25_scores_multi(docs, qs, id_col="doc_id", text_col="text", k=3).localCheckpoint()
     snip = best_snippets(docs, qs, window=10, pairs=top)
     return top.join(snip, ["query_id", "doc_id"]).select(
         "query_id", "doc_id", "bm25_micros", "snippet_start", "hits", "snippet"

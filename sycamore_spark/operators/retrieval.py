@@ -134,17 +134,21 @@ def bm25_scores_multi(
     ``bm25_scores`` broadcast contract — never the corpus vocabulary).
     The queries-to-postings join is a plain hash equi-join on the term.
     """
-    # ONE corpus pass: per-doc (term, tf) counted inside the split array
-    # (map_from... via aggregate would re-scan; explode once then one agg),
-    # with doc length derived from the same aggregation instead of a second
-    # corpus-wide explode. At corpus scale the explode is the dominant
-    # stage — computing dl from all_tf halves the corpus work.
+    # TWO corpus passes, each with a SMALL shuffle — measured and chosen
+    # over the r7 one-explode rewrite (tools/ab_bm25.py; PERF.md r8 table):
+    # the one-pass form aggregated (id, token) over the FULL corpus
+    # vocabulary before the query semi-join, so its hash-agg shuffle was
+    # corpus-sized; here the tf agg shuffles only query-matched tokens and
+    # the dl agg's map-side combine reduces to one row per doc. Locally the
+    # two-pass form ties at sf0.1 and wins ~15-20% at sf0.01 (2 and 100
+    # queries alike); at 100 TB shuffle bytes dominate rescans of a
+    # column-pruned text scan, so the small-shuffle form is the scale
+    # choice too. This reverts the r7 snippets/subtask_exec regression.
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
     )
-    all_tf = toks.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("_tf"))
-    dl = all_tf.groupBy("_id").agg(F.sum("_tf").alias("_dl"))
+    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("_n_docs"), F.avg("_dl").alias("_avgdl"))
 
     qterms = queries.select(
@@ -154,7 +158,11 @@ def bm25_scores_multi(
         ).alias("_tok"),
     )
     wanted = qterms.select("_tok").distinct()
-    tf = all_tf.join(wanted, "_tok", "left_semi")
+    tf = (
+        toks.join(wanted, "_tok", "left_semi")
+        .groupBy("_id", "_tok")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
     dfreq = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     if max_df is not None:
         dfreq = dfreq.filter(F.col("_df") <= max_df)
@@ -227,6 +235,24 @@ def best_snippets(
 
     toks_arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = df.select(F.col(id_col).alias("_id"), toks_arr.alias("_tk"))
+    want = None
+    if pairs is not None:
+        # pairs is results-sized by contract (retrieval top-k: ~k x
+        # n_queries rows) but its LINEAGE is a full retrieval pass;
+        # localCheckpoint materializes it once so the three consumers
+        # below (doc prefilter, per-pair semi-join, and typically the
+        # caller's final join) don't each recompute the scoring plan —
+        # branch-lineage recomputation, the round-6 dedup_cc lesson
+        pairs = pairs.localCheckpoint()
+        want = pairs.select(
+            F.col(query_id_col).alias("_qid"), F.col(id_col).alias("_id")
+        ).distinct()
+        # restrict BEFORE the positional explode: only pairs' docs can
+        # produce output, so the posexplode input drops from the whole
+        # corpus to ~k x n_queries docs — the snippet pass is then
+        # results-sized, not corpus-sized (this was the second full
+        # corpus pass in the retrieval+highlight composition)
+        base = base.join(want.select("_id").distinct(), "_id", "left_semi")
     postings = base.select(
         "_id", F.posexplode("_tk").alias("_pos", "_tok")
     )
@@ -237,10 +263,9 @@ def best_snippets(
         ).alias("_tok"),
     )
     matched = postings.join(qterms, "_tok").select("_qid", "_id", "_pos")
-    if pairs is not None:
-        want = pairs.select(
-            F.col(query_id_col).alias("_qid"), F.col(id_col).alias("_id")
-        ).distinct()
+    if want is not None:
+        # per-(query, doc) restriction — a doc may be top-k for only one
+        # of the queries that matched it
         matched = matched.join(want, ["_qid", "_id"], "left_semi")
     w_hits = (
         Window.partitionBy("_qid", "_id")
