@@ -5102,6 +5102,58 @@ def _bpe_encode_oracle(rounds: int) -> str:
 # the r3-green remainder.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "ivf_pq_ann": q_ivf_pq_ann,
+    "pack_shards_part": q_pack_shards_part,
+    # -- stalest driver greens --
+    "interval_join": q_interval_join,
+    "cube": q_cube,
+    "rerank": q_rerank,
+    "map_batch": q_map_batch,
+    "db_writer": q_db_writer,
+    "db_reader": q_db_reader,
+    "plan_exec": q_plan_exec,
+    "merge_schemas": q_merge_schemas,
+    "spread_properties": q_spread_properties,
+    "hash_sample": q_hash_sample,
+    "pack_shards": q_pack_shards,
+    "redact_pii": q_redact_pii,
+    "concat_shards": q_concat_shards,
+    "sketch_rolling": q_sketch_rolling,
+    "asof_join": q_asof_join,
+    "frame_sample": q_frame_sample,
+    "summarize_fold": q_summarize_fold,
+    "extract_properties": q_extract_properties,
+    "graph_nodes": q_graph_nodes,
+    "graph_edges": q_graph_edges,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "multimodal_meta": q_multimodal_meta,
+    "match_filter": q_match_filter,
+    "range_filter": q_range_filter,
+    "range_filter_date": q_range_filter_date,
+    "groupby_count": q_groupby_count,
+    "groupby_count_unique": q_groupby_count_unique,
+    "top_k": q_top_k,
+    "count_distinct": q_count_distinct,
+    "custom_agg": q_custom_agg,
+    "tpch_q18": q_tpch_q18,
+    "kmeans": q_kmeans,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
+    "sketch_distinct": q_sketch_distinct,
+    # -- fresher greens (rotate next round) --
     "eval_pipeline": q_eval_pipeline,
     "doc_etl_e2e": q_doc_etl_e2e,
     "select_pages": q_select_pages,
@@ -5116,9 +5168,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stepthrough_extract": q_stepthrough_extract,
     "bm25_pruned": q_bm25_pruned,
     "pq_ann": q_pq_ann,
-    "ivf_pq_ann": q_ivf_pq_ann,
-    "pack_shards_part": q_pack_shards_part,
-    # -- stalest driver greens --
     "standardize_state": q_standardize_state,
     "standardize_date": q_standardize_date,
     "augment_text": q_augment_text,
@@ -5155,19 +5204,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "sessionize": q_sessionize,
     "salted_join": q_salted_join,
-    "interval_join": q_interval_join,
-    "cube": q_cube,
-    "rerank": q_rerank,
-    "map_batch": q_map_batch,
-    "db_writer": q_db_writer,
-    "db_reader": q_db_reader,
-    "plan_exec": q_plan_exec,
-    "merge_schemas": q_merge_schemas,
-    "spread_properties": q_spread_properties,
-    # -- fresher greens (rotate next round) --
-    "hash_sample": q_hash_sample,
-    "pack_shards": q_pack_shards,
-    "redact_pii": q_redact_pii,
     "cdc_snapshot": q_cdc_snapshot,
     "scd2": q_scd2,
     "triangles": q_triangles,
@@ -5268,23 +5304,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup": q_rollup,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
-    "custom_agg": q_custom_agg,
-    "tpch_q18": q_tpch_q18,
-    "kmeans": q_kmeans,
-    "tpch_q7": q_tpch_q7,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q12": q_tpch_q12,
-    "tpch_q13": q_tpch_q13,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q21": q_tpch_q21,
-    "tpch_q22": q_tpch_q22,
-    "tpch_q2": q_tpch_q2,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q11": q_tpch_q11,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q20": q_tpch_q20,
-    "sketch_distinct": q_sketch_distinct,
     "sketch_quantile": q_sketch_quantile,
     "sketch_overlap": q_sketch_overlap,
     "cap_per_group": q_cap_per_group,
@@ -5318,25 +5337,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad": q_mad,
     "rolling_median": q_rolling_median,
     "fuzzy_join": q_fuzzy_join,
-    "concat_shards": q_concat_shards,
-    "sketch_rolling": q_sketch_rolling,
-    "asof_join": q_asof_join,
-    "frame_sample": q_frame_sample,
-    "summarize_fold": q_summarize_fold,
-    "extract_properties": q_extract_properties,
-    "graph_nodes": q_graph_nodes,
-    "graph_edges": q_graph_edges,
-    "dedup_embedding": q_dedup_embedding,
-    "ann_topk": q_ann_topk,
-    "ann_ivf": q_ann_ivf,
-    "multimodal_meta": q_multimodal_meta,
-    "match_filter": q_match_filter,
-    "range_filter": q_range_filter,
-    "range_filter_date": q_range_filter_date,
-    "groupby_count": q_groupby_count,
-    "groupby_count_unique": q_groupby_count_unique,
-    "top_k": q_top_k,
-    "count_distinct": q_count_distinct,
 }
 
 
