@@ -2187,6 +2187,97 @@ def _ivf_pq_ann_oracle_sql() -> str:
     )
 
 
+def q_ivf_pq_multi(spark, sf) -> DataFrame:
+    """Batch IVF-PQ search (operators/similarity.py ivf_pq_topk_multi —
+    the serving shape: a DataFrame of queries against one encoded corpus).
+    Three fixture queries (rows 0-2 of the seeded training matrix, ids
+    101-103) are routed driver-side; their per-cell LUTs ship back as a
+    small broadcast (query, cell, flat-LUT) table; scoring is element_at
+    into the LUT COLUMN (codegen, no literals, no Python) and the
+    per-query top-5 is one rank window over probed-cell rows only. The
+    oracle replays each query's probe + residual codes + LUT sums in pure
+    integer SQL, unioned."""
+    from sycamore_spark.operators.similarity import ivf_pq_encode, ivf_pq_topk_multi
+
+    cents, books, _ = _ivf_pq_fixture()
+    qdf = spark.createDataFrame(
+        [(101 + i, v) for i, v in enumerate(_ivf_pq_fixture_queries())],
+        "query_id bigint, embedding array<double>",
+    )
+    emb = load_table(spark, sf, "embeddings")
+    enc = ivf_pq_encode(emb.filter(F.col("vec_id") > 0), cents, books)
+    return ivf_pq_topk_multi(qdf, enc, cents, books, k=5, nprobe=3)
+
+
+def _ivf_pq_fixture_queries():
+    """Rows 0-2 of the fixture's seeded training matrix (SF-independent)."""
+    import numpy as _np
+
+    X = (_np.random.RandomState(13).rand(600, 64) - 0.5) * 0.6
+    return [X[i].tolist() for i in range(3)]
+
+
+def _ivf_pq_multi_oracle_sql() -> str:
+    """Replay of the batch IVF-PQ gate: one shared quantize/assign pass,
+    then per fixture query a probed-cell restriction, residual codes, and
+    per-(query, cell) literal LUT sums — each query's top-5 by
+    (dist, id) with row_number rank, unioned."""
+    import numpy as _np
+
+    cents, books, _ = _ivf_pq_fixture()
+    C = _np.array(cents, dtype=_np.int64)
+    B = [_np.array(b, dtype=_np.int64) for b in books]
+    sub = 8
+    cc_sql = "[" + ", ".join(
+        "[" + ", ".join(str(int(v)) for v in row) + "]" for row in cents
+    ) + "]"
+    blocks = []
+    for qi, qvec in enumerate(_ivf_pq_fixture_queries()):
+        qid = 101 + qi
+        q = _np.floor(_np.asarray(qvec, dtype=float) * 1024.0 + 0.5).astype(_np.int64)
+        dc = ((C - q) ** 2).sum(axis=1)
+        probed = [int(c) for c in _np.argsort(dc, kind="stable")[:3]]
+        probed_sql = "[" + ", ".join(str(c) for c in probed) + "]"
+        dl_exprs, score_terms = [], []
+        for s, b in enumerate(books):
+            cb = "[" + ", ".join(
+                "[" + ", ".join(str(int(v)) for v in c) + "]" for c in b
+            ) + "]"
+            dl = (
+                f"list_transform({cb}, c -> list_aggregate(list_transform(range(8), "
+                f"i -> (c[i + 1] - r[{s * sub} + i + 1]) * (c[i + 1] - r[{s * sub} + i + 1])), 'sum'))"
+            )
+            dl_exprs.append(f"{dl} AS dl{s}")
+            luts = []
+            for c in probed:
+                rq = q - C[c]
+                lut = ((B[s] - rq[s * sub:(s + 1) * sub]) ** 2).sum(axis=1).tolist()
+                luts.append("[" + ", ".join(str(int(v)) for v in lut) + "]")
+            nested = "[" + ", ".join(luts) + "]"
+            score_terms.append(f"{nested}[cpos][list_position(dl{s}, list_min(dl{s}))]")
+        blocks.append(
+            f"(SELECT query_id, vec_id, rank::INT AS rank, adc_dist FROM ("
+            f"SELECT {qid}::BIGINT AS query_id, vec_id, adc_dist, "
+            f"row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rank FROM ("
+            f"SELECT vec_id, ({' + '.join(score_terms)})::BIGINT AS adc_dist FROM ("
+            f"SELECT vec_id, cpos, {', '.join(dl_exprs)} FROM ("
+            f"SELECT vec_id, list_position({probed_sql}, cell) AS cpos, "
+            f"list_transform(range(64), i -> xq[i + 1] - {cc_sql}[cell + 1][i + 1]) AS r "
+            f"FROM asg WHERE list_position({probed_sql}, cell) > 0)))) WHERE rank <= 5)"
+        )
+    return (
+        "WITH xqt AS (SELECT vec_id, "
+        "list_transform(embedding, x -> floor(x::DOUBLE * 1024.0 + 0.5)::BIGINT) AS xq "
+        "FROM embeddings WHERE vec_id > 0), "
+        f"celld AS (SELECT vec_id, xq, list_transform({cc_sql}, c -> "
+        "list_aggregate(list_transform(range(64), i -> "
+        "(c[i + 1] - xq[i + 1]) * (c[i + 1] - xq[i + 1])), 'sum')) AS dcell FROM xqt), "
+        "asg AS (SELECT vec_id, xq, list_position(dcell, list_min(dcell)) - 1 AS cell "
+        "FROM celld) "
+        + " UNION ALL ".join(blocks)
+    )
+
+
 def q_token_count(spark, sf) -> DataFrame:
     """Tokenizer family under the oracle (functions/tokenizers.py; reference
     functions/tokenizer.py:6-62): whitespace, character, and BPE-regex
@@ -5103,6 +5194,7 @@ def _bpe_encode_oracle(rounds: int) -> str:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
     "ivf_pq_ann": q_ivf_pq_ann,
+    "ivf_pq_multi": q_ivf_pq_multi,
     "pack_shards_part": q_pack_shards_part,
     # -- stalest driver greens --
     "interval_join": q_interval_join,
@@ -5991,6 +6083,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25": _bm25_oracle_sql(),
         "pq_ann": _pq_ann_oracle_sql(),
         "ivf_pq_ann": _ivf_pq_ann_oracle_sql(),
+        "ivf_pq_multi": _ivf_pq_multi_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "
             "toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM d), "

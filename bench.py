@@ -163,6 +163,8 @@ HEADLINE = [
     "element_images",
     # round-8 additions
     "ivf_pq_ann",
+    "ivf_pq_multi",
+    "pack_shards_part",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

@@ -607,3 +607,80 @@ def ivf_pq_topk(
         .orderBy(F.col("adc_dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_pq_topk_multi(
+    queries: DataFrame,
+    encoded: DataFrame,
+    centroids: list,
+    codebooks: list,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell_id",
+    codes_col: str = "pq_codes",
+    scale: float = 1024.0,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Batch IVF-PQ search — the serving shape: a whole DataFrame of
+    queries against one encoded corpus. Per the ``brute_force_topk``
+    contract the query side is collected to the driver (bounded by
+    ``max_queries``); each query's probe routing and per-cell lookup
+    tables are computed there (kilobytes per query: m*subk int64 per
+    probed cell) and shipped back as a small (query, cell, flat-LUT)
+    table that BROADCAST-joins the encoded corpus on cell_id. Scoring is
+    m ``element_at`` lookups into the LUT *column* plus an integer sum —
+    native codegen, no per-row Python — and the per-query top-k is one
+    rank window over rows already restricted to probed cells
+    (~nprobe/ncells of the corpus per query).
+
+    Returns (query_id, id_col, rank, adc_dist); deterministic ties by id;
+    rows with null codes are excluded. Integer-exact, so a SQL oracle
+    replays it bit-for-bit."""
+    C = np.array(centroids, dtype=np.int64)
+    B = [np.array(b, dtype=np.int64) for b in codebooks]
+    m = len(B)
+    sub = B[0].shape[1]
+    q_rows = (
+        queries.select(F.col(query_id).alias("_qid"), V.as_double(F.col(query_vec)).alias("_qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivf_pq_topk_multi collects the query side to the driver; got "
+            f">{max_queries} query rows (max_queries={max_queries}). Chunk "
+            f"the query set."
+        )
+    probe_rows = []
+    for r in q_rows:
+        q = np.floor(np.asarray(r["_qv"], dtype=float) * scale + 0.5).astype(np.int64)
+        dc = ((C - q) ** 2).sum(axis=1)
+        for c in np.argsort(dc, kind="stable")[:nprobe]:
+            rq = q - C[int(c)]
+            lut = np.concatenate([
+                ((B[s] - rq[s * sub:(s + 1) * sub]) ** 2).sum(axis=1) for s in range(m)
+            ])
+            probe_rows.append((r["_qid"], int(c), [int(v) for v in lut]))
+    spark = encoded.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"_qid {queries.schema[query_id].dataType.simpleString()}, "
+                    f"{cell_col} int, _lut array<bigint>"
+    )
+    score = None
+    for s in range(m):
+        term = F.element_at(F.col("_lut"), F.lit(s * len(codebooks[s])) + F.col(codes_col)[s] + 1)
+        score = term if score is None else score + term
+    scored = (
+        encoded.filter(F.col(codes_col).isNotNull())
+        .join(F.broadcast(probes), cell_col)
+        .select("_qid", id_col, score.cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias(query_id), id_col, "rank", "adc_dist")
+    )

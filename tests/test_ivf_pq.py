@@ -126,3 +126,40 @@ def test_ivf_pq_null_embeddings_excluded(spark):
 def test_ivf_pq_dim_guard():
     with pytest.raises(ValueError):
         ivf_pq_train_arrays(clustered(d=16), m=5)
+
+
+def test_ivf_pq_multi_matches_single(vec_df, spark):
+    """Batch search returns exactly the per-query single-query results."""
+    from sycamore_spark.operators.similarity import ivf_pq_topk_multi
+
+    df, X = vec_df
+    cents, books = ivf_pq_train(df, ncells=6, m=4, subk=8, seed=5)
+    enc = ivf_pq_encode(df, cents, books).persist()
+    qids = (0, 77, 140)
+    qdf = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in qids],
+        "query_id bigint, embedding array<double>",
+    )
+    got = ivf_pq_topk_multi(qdf, enc, cents, books, k=5, nprobe=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.adc_dist))
+    for qi in qids:
+        single = ivf_pq_topk(X[qi], enc, cents, books, k=5, nprobe=2).collect()
+        want = [(j + 1, r.vec_id, r.adc_dist) for j, r in enumerate(single)]
+        assert sorted(by_q[qi]) == want, qi
+    enc.unpersist()
+
+
+def test_ivf_pq_multi_query_guard(vec_df, spark):
+    from sycamore_spark.operators.similarity import ivf_pq_topk_multi
+
+    df, X = vec_df
+    cents, books = ivf_pq_train(df, ncells=6, m=4, subk=8, seed=5)
+    enc = ivf_pq_encode(df, cents, books)
+    qdf = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(5)],
+        "query_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError):
+        ivf_pq_topk_multi(qdf, enc, cents, books, max_queries=3)
