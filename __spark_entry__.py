@@ -2209,6 +2209,78 @@ def q_ivf_pq_multi(spark, sf) -> DataFrame:
     return ivf_pq_topk_multi(qdf, enc, cents, books, k=5, nprobe=3)
 
 
+def q_ivf_pq_refine(spark, sf) -> DataFrame:
+    """IVF-PQ with exact re-ranking (operators/similarity.py
+    ivf_pq_refine_topk — faiss IndexRefineFlat pattern): ADC ranks a
+    4k-candidate pool inside the probed cells, the pool carries its
+    embeddings through TakeOrderedAndProject (no corpus rejoin), and the
+    exact integer L2 re-rank returns the true top-10. Both stages are
+    integer arithmetic; the oracle replays ADC pool selection AND the
+    exact re-rank bit-for-bit."""
+    from sycamore_spark.operators.similarity import ivf_pq_encode, ivf_pq_refine_topk
+
+    cents, books, qvec = _ivf_pq_fixture()
+    emb = load_table(spark, sf, "embeddings")
+    enc = ivf_pq_encode(emb.filter(F.col("vec_id") > 0), cents, books)
+    return ivf_pq_refine_topk(qvec, enc, cents, books, k=10, refine=4, nprobe=3)
+
+
+def _ivf_pq_refine_oracle_sql() -> str:
+    """Replay of the refine gate: the single-query ADC pipeline with xq
+    threaded through to a LIMIT 40 candidate pool, then the exact integer
+    L2 re-rank against the query literal, (exact, id) top-10."""
+    import numpy as _np
+
+    cents, books, qvec = _ivf_pq_fixture()
+    C = _np.array(cents, dtype=_np.int64)
+    B = [_np.array(b, dtype=_np.int64) for b in books]
+    q = _np.floor(_np.asarray(list(qvec), dtype=float) * 1024.0 + 0.5).astype(_np.int64)
+    sub = 8
+    dc = ((C - q) ** 2).sum(axis=1)
+    probed = [int(c) for c in _np.argsort(dc, kind="stable")[:3]]
+    cc_sql = "[" + ", ".join(
+        "[" + ", ".join(str(int(v)) for v in row) + "]" for row in cents
+    ) + "]"
+    probed_sql = "[" + ", ".join(str(c) for c in probed) + "]"
+    q_sql = "[" + ", ".join(str(int(v)) for v in q) + "]"
+    dl_exprs, score_terms = [], []
+    for s, b in enumerate(books):
+        cb = "[" + ", ".join(
+            "[" + ", ".join(str(int(v)) for v in c) + "]" for c in b
+        ) + "]"
+        dl = (
+            f"list_transform({cb}, c -> list_aggregate(list_transform(range(8), "
+            f"i -> (c[i + 1] - r[{s * sub} + i + 1]) * (c[i + 1] - r[{s * sub} + i + 1])), 'sum'))"
+        )
+        dl_exprs.append(f"{dl} AS dl{s}")
+        luts = []
+        for c in probed:
+            rq = q - C[c]
+            lut = ((B[s] - rq[s * sub:(s + 1) * sub]) ** 2).sum(axis=1).tolist()
+            luts.append("[" + ", ".join(str(int(v)) for v in lut) + "]")
+        nested = "[" + ", ".join(luts) + "]"
+        score_terms.append(f"{nested}[cpos][list_position(dl{s}, list_min(dl{s}))]")
+    return (
+        "WITH xqt AS (SELECT vec_id, "
+        "list_transform(embedding, x -> floor(x::DOUBLE * 1024.0 + 0.5)::BIGINT) AS xq "
+        "FROM embeddings WHERE vec_id > 0), "
+        f"celld AS (SELECT vec_id, xq, list_transform({cc_sql}, c -> "
+        "list_aggregate(list_transform(range(64), i -> "
+        "(c[i + 1] - xq[i + 1]) * (c[i + 1] - xq[i + 1])), 'sum')) AS dcell FROM xqt), "
+        "asg AS (SELECT vec_id, xq, list_position(dcell, list_min(dcell)) - 1 AS cell "
+        "FROM celld), "
+        f"flt AS (SELECT vec_id, xq, list_position({probed_sql}, cell) AS cpos, "
+        f"list_transform(range(64), i -> xq[i + 1] - {cc_sql}[cell + 1][i + 1]) AS r "
+        f"FROM asg WHERE list_position({probed_sql}, cell) > 0), "
+        f"dls AS (SELECT vec_id, xq, cpos, {', '.join(dl_exprs)} FROM flt), "
+        f"cand AS (SELECT vec_id, xq, ({' + '.join(score_terms)})::BIGINT AS adc_dist "
+        "FROM dls ORDER BY adc_dist ASC, vec_id ASC LIMIT 40) "
+        "SELECT vec_id, adc_dist, list_aggregate(list_transform(range(64), "
+        f"i -> (xq[i + 1] - {q_sql}[i + 1]) * (xq[i + 1] - {q_sql}[i + 1])), 'sum')::BIGINT "
+        "AS exact_dist FROM cand ORDER BY exact_dist ASC, vec_id ASC LIMIT 10"
+    )
+
+
 def _ivf_pq_fixture_queries():
     """Rows 0-2 of the fixture's seeded training matrix (SF-independent)."""
     import numpy as _np
@@ -5195,6 +5267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
     "ivf_pq_ann": q_ivf_pq_ann,
     "ivf_pq_multi": q_ivf_pq_multi,
+    "ivf_pq_refine": q_ivf_pq_refine,
     "pack_shards_part": q_pack_shards_part,
     # -- stalest driver greens --
     "interval_join": q_interval_join,
@@ -6084,6 +6157,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann": _pq_ann_oracle_sql(),
         "ivf_pq_ann": _ivf_pq_ann_oracle_sql(),
         "ivf_pq_multi": _ivf_pq_multi_oracle_sql(),
+        "ivf_pq_refine": _ivf_pq_refine_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "
             "toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM d), "

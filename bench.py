@@ -164,6 +164,7 @@ HEADLINE = [
     # round-8 additions
     "ivf_pq_ann",
     "ivf_pq_multi",
+    "ivf_pq_refine",
     "pack_shards_part",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs

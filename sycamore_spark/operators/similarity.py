@@ -684,3 +684,79 @@ def ivf_pq_topk_multi(
         .filter(F.col("rank") <= k)
         .select(F.col("_qid").alias(query_id), id_col, "rank", "adc_dist")
     )
+
+
+def ivf_pq_refine_topk(
+    query_vec,
+    encoded: DataFrame,
+    centroids: list,
+    codebooks: list,
+    k: int = 10,
+    refine: int = 4,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell_id",
+    codes_col: str = "pq_codes",
+    scale: float = 1024.0,
+) -> DataFrame:
+    """IVF-PQ with exact re-ranking (faiss's IndexRefineFlat pattern): ADC
+    ranks a candidate pool of ``refine * k`` rows inside the probed cells,
+    then the pool — and ONLY the pool — is re-scored with the exact
+    (quantized-integer) L2 distance and the true top-k returned. Buys back
+    most of PQ's quantization loss for the price of refine*k exact
+    distance evaluations.
+
+    Shape: the candidate TakeOrderedAndProject CARRIES the embedding
+    column, so refinement never rescans or rejoins the corpus; the exact
+    distance is a zip_with/aggregate over int64 — native codegen, no UDF —
+    on refine*k driver-merged rows. Integer-exact end to end, so a SQL
+    oracle replays both stages bit-for-bit. Returns (id, adc_dist,
+    exact_dist) ordered by (exact_dist, id)."""
+    C = np.array(centroids, dtype=np.int64)
+    B = [np.array(b, dtype=np.int64) for b in codebooks]
+    m = len(B)
+    sub = B[0].shape[1]
+    q = np.floor(np.asarray(list(query_vec), dtype=float) * scale + 0.5).astype(np.int64)
+    dc = ((C - q) ** 2).sum(axis=1)
+    probed = [int(c) for c in np.argsort(dc, kind="stable")[:nprobe]]
+    luts = {}
+    for c in probed:
+        r = q - C[c]
+        luts[c] = [
+            ((B[s] - r[s * sub:(s + 1) * sub]) ** 2).sum(axis=1).tolist()
+            for s in range(m)
+        ]
+    adc = None
+    for s in range(m):
+        lut_for_cell = None
+        for c in probed:
+            arr = F.array(*[F.lit(int(v)) for v in luts[c][s]])
+            lut_for_cell = (
+                F.when(F.col(cell_col) == c, arr)
+                if lut_for_cell is None
+                else lut_for_cell.when(F.col(cell_col) == c, arr)
+            )
+        term = F.element_at(lut_for_cell, F.col(codes_col)[s] + 1)
+        adc = term if adc is None else adc + term
+    cand = (
+        encoded.filter(F.col(cell_col).isin(probed) & F.col(codes_col).isNotNull())
+        .select(id_col, vec_col, adc.cast("bigint").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc_nulls_last(), F.col(id_col).asc())
+        .limit(refine * k)
+    )
+    qlit = F.array(*[F.lit(int(v)) for v in q])
+    xq = F.transform(
+        V.as_double(F.col(vec_col)),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"),
+    )
+    exact = F.aggregate(
+        F.zip_with(xq, qlit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.select(id_col, "adc_dist", exact.alias("exact_dist"))
+        .orderBy(F.col("exact_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -163,3 +163,50 @@ def test_ivf_pq_multi_query_guard(vec_df, spark):
     )
     with pytest.raises(ValueError):
         ivf_pq_topk_multi(qdf, enc, cents, books, max_queries=3)
+
+
+def test_ivf_pq_refine_improves_recall(vec_df, spark):
+    """Exact re-ranking of the ADC pool must match the numpy replica and
+    never lose recall vs plain ADC at the same probes."""
+    from sycamore_spark.operators.similarity import ivf_pq_refine_topk
+
+    df, X = vec_df
+    cents, books = ivf_pq_train(df, ncells=6, m=4, subk=8, seed=5)
+    enc = ivf_pq_encode(df, cents, books).persist()
+    k = 10
+    q = X[33]
+    got = ivf_pq_refine_topk(q, enc, cents, books, k=k, refine=4, nprobe=2).collect()
+    # numpy replica: ADC pool of refine*k inside probed cells, exact re-rank
+    qq = np.floor(np.asarray(q, dtype=float) * 1024.0 + 0.5).astype(np.int64)
+    C = np.array(cents, dtype=np.int64)
+    dc = ((C - qq) ** 2).sum(axis=1)
+    probed = set(int(c) for c in np.argsort(dc, kind="stable")[:2])
+    sub = 4
+    adc = {}
+    for i in range(len(X)):
+        cell, codes = ref_encode(X[i], cents, books)
+        if cell not in probed:
+            continue
+        r = qq - C[cell]
+        adc[i] = sum(
+            int(((np.array(books[j], dtype=np.int64) - r[j * sub:(j + 1) * sub]) ** 2)
+                .sum(axis=1)[codes[j]])
+            for j in range(len(books))
+        )
+    pool = sorted(adc, key=lambda i: (adc[i], i))[: 4 * k]
+    exact = {
+        i: int(((np.floor(np.asarray(X[i], dtype=float) * 1024.0 + 0.5).astype(np.int64) - qq) ** 2).sum())
+        for i in pool
+    }
+    want = sorted(exact, key=lambda i: (exact[i], i))[:k]
+    assert [r.vec_id for r in got] == want
+    assert [r.exact_dist for r in got] == [exact[i] for i in want]
+    # recall vs exact L2 over the probed cells: refined >= plain ADC
+    true_top = sorted(
+        ((int(((np.floor(np.asarray(X[i], dtype=float) * 1024.0 + 0.5).astype(np.int64) - qq) ** 2).sum()), i)
+         for i in adc), key=lambda t: t)[:k]
+    true_ids = {i for _, i in true_top}
+    plain_ids = set(sorted(adc, key=lambda i: (adc[i], i))[:k])
+    refined_ids = {r.vec_id for r in got}
+    assert len(refined_ids & true_ids) >= len(plain_ids & true_ids)
+    enc.unpersist()
