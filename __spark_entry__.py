@@ -2281,6 +2281,87 @@ def _ivf_pq_refine_oracle_sql() -> str:
     )
 
 
+def q_ann_recall(spark, sf) -> DataFrame:
+    """ANN quality harness (evaluation.py ann_recall_at_k): recall@5 of
+    the batch IVF-PQ path against the exact integer-L2 top-5, per fixture
+    query plus an overall total-hits/total-exact row. Composes the
+    vector-search suite with the evaluation package; everything is
+    integer arithmetic plus one exact integer ratio, so the oracle
+    replays approximate AND exact sides bit-for-bit."""
+    from sycamore_spark.evaluation import ann_recall_at_k
+    from sycamore_spark.operators.similarity import ivf_pq_encode, ivf_pq_topk_multi
+
+    cents, books, _ = _ivf_pq_fixture()
+    qvecs = _ivf_pq_fixture_queries()
+    qdf = spark.createDataFrame(
+        [(101 + i, v) for i, v in enumerate(qvecs)],
+        "query_id bigint, embedding array<double>",
+    )
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") > 0)
+    enc = ivf_pq_encode(emb, cents, books)
+    approx = ivf_pq_topk_multi(qdf, enc, cents, books, k=5, nprobe=3)
+    import numpy as _np
+
+    parts = []
+    for i, qv in enumerate(qvecs):
+        q = _np.floor(_np.asarray(qv, dtype=float) * 1024.0 + 0.5).astype(_np.int64)
+        qlit = F.array(*[F.lit(int(v)) for v in q])
+        xq = F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1024.0) + F.lit(0.5)).cast("bigint"),
+        )
+        dist = F.aggregate(
+            F.zip_with(xq, qlit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        parts.append(
+            emb.select(
+                F.lit(101 + i).cast("bigint").alias("query_id"),
+                "vec_id",
+                dist.alias("_d"),
+            ).orderBy(F.col("_d").asc(), F.col("vec_id").asc()).limit(5)
+        )
+    exact = parts[0]
+    for p in parts[1:]:
+        exact = exact.unionByName(p)
+    return ann_recall_at_k(approx, exact.select("query_id", "vec_id"))
+
+
+def _ann_recall_oracle_sql() -> str:
+    """Replay: the batch IVF-PQ oracle as the approximate side, per-query
+    exact integer-L2 top-5 blocks as the exact side, then the recall join
+    (per-query + the overall integer-ratio row)."""
+    import numpy as _np
+
+    exact_blocks = []
+    for i, qv in enumerate(_ivf_pq_fixture_queries()):
+        q = _np.floor(_np.asarray(qv, dtype=float) * 1024.0 + 0.5).astype(_np.int64)
+        q_sql = "[" + ", ".join(str(int(v)) for v in q) + "]"
+        exact_blocks.append(
+            f"(SELECT {101 + i}::BIGINT AS query_id, vec_id FROM ("
+            "SELECT vec_id, list_aggregate(list_transform(range(64), "
+            f"i -> (xq[i + 1] - {q_sql}[i + 1]) * (xq[i + 1] - {q_sql}[i + 1])), 'sum') AS d "
+            "FROM (SELECT vec_id, list_transform(embedding, "
+            "x -> floor(x::DOUBLE * 1024.0 + 0.5)::BIGINT) AS xq "
+            "FROM embeddings WHERE vec_id > 0)) ORDER BY d ASC, vec_id ASC LIMIT 5)"
+        )
+    multi = _ivf_pq_multi_oracle_sql()
+    return (
+        f"WITH approx AS (SELECT DISTINCT query_id, vec_id FROM ({multi}) a), "
+        f"exact AS (SELECT DISTINCT query_id, vec_id FROM ({' UNION ALL '.join(exact_blocks)}) e), "
+        "hits AS (SELECT query_id, count(*)::BIGINT AS n_hits FROM approx "
+        "JOIN exact USING (query_id, vec_id) GROUP BY 1), "
+        "base AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM exact GROUP BY 1), "
+        "per AS (SELECT b.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits, b.n_exact, "
+        "coalesce(h.n_hits, 0)::DOUBLE / b.n_exact::DOUBLE AS recall "
+        "FROM base b LEFT JOIN hits h USING (query_id)) "
+        "SELECT * FROM per UNION ALL "
+        "SELECT -1::BIGINT, sum(n_hits)::BIGINT, sum(n_exact)::BIGINT, "
+        "sum(n_hits)::DOUBLE / sum(n_exact)::DOUBLE FROM per"
+    )
+
+
 def _ivf_pq_fixture_queries():
     """Rows 0-2 of the fixture's seeded training matrix (SF-independent)."""
     import numpy as _np
@@ -5268,6 +5349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_ann": q_ivf_pq_ann,
     "ivf_pq_multi": q_ivf_pq_multi,
     "ivf_pq_refine": q_ivf_pq_refine,
+    "ann_recall": q_ann_recall,
     "pack_shards_part": q_pack_shards_part,
     # -- stalest driver greens --
     "interval_join": q_interval_join,
@@ -6158,6 +6240,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_ann": _ivf_pq_ann_oracle_sql(),
         "ivf_pq_multi": _ivf_pq_multi_oracle_sql(),
         "ivf_pq_refine": _ivf_pq_refine_oracle_sql(),
+        "ann_recall": _ann_recall_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "
             "toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM d), "

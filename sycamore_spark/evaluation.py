@@ -638,3 +638,51 @@ def huggingface_datapoints(spark, dataset, doc_extractor, limit: int = 10000):
     if not rows:
         raise ValueError("dataset produced no examples")
     return spark.createDataFrame(rows)
+
+
+def ann_recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    overall_id: int = -1,
+) -> DataFrame:
+    """ANN quality measurement: per-query recall of an approximate result
+    set against the exact one (|approx ∩ exact| / |exact|), plus one
+    overall row (``query_col`` = ``overall_id``) whose recall is
+    total-hits / total-exact — an integer ratio, NOT a mean of per-query
+    doubles, so engines agree bit-for-bit regardless of summation order.
+
+    Beyond-reference evaluation-package extension (the reference's
+    evaluation/ measures retrieval against labeled docs,
+    evaluation/pipeline.py:15; ANN-vs-exact recall is the same harness
+    applied to the vector path). Inputs are (query, id) result tables —
+    rank columns are ignored, so any of brute_force_topk / ivf_topk /
+    pq_topk / ivf_pq_* outputs plug in directly.
+
+    Shape: two hash aggs on the (small, top-k-sized) result tables and
+    one one-row union — question-scale, corpus-free."""
+    a = approx.select(F.col(query_col).alias("_q"), F.col(id_col).alias("_i")).distinct()
+    e = exact.select(F.col(query_col).alias("_q"), F.col(id_col).alias("_i")).distinct()
+    hits = a.join(e, ["_q", "_i"]).groupBy("_q").agg(F.count(F.lit(1)).alias("n_hits"))
+    base = e.groupBy("_q").agg(F.count(F.lit(1)).alias("n_exact"))
+    per = (
+        base.join(hits, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+        )
+        .withColumn(
+            "recall", F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+        )
+    )
+    overall = per.agg(
+        F.sum("n_hits").alias("n_hits"), F.sum("n_exact").alias("n_exact")
+    ).select(
+        F.lit(overall_id).cast(per.schema[query_col].dataType).alias(query_col),
+        F.col("n_hits").cast("bigint"),
+        F.col("n_exact").cast("bigint"),
+        (F.col("n_hits").cast("double") / F.col("n_exact").cast("double")).alias("recall"),
+    )
+    return per.unionByName(overall)

@@ -210,3 +210,22 @@ def test_ivf_pq_refine_improves_recall(vec_df, spark):
     refined_ids = {r.vec_id for r in got}
     assert len(refined_ids & true_ids) >= len(plain_ids & true_ids)
     enc.unpersist()
+
+
+def test_ann_recall_at_k(spark):
+    """Per-query recall + integer-ratio overall row; zero-hit queries get
+    recall 0.0, not a dropped row."""
+    from sycamore_spark.evaluation import ann_recall_at_k
+
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 99)], "query_id bigint, vec_id bigint"
+    )
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id bigint, vec_id bigint",
+    )
+    rows = {r.query_id: r for r in ann_recall_at_k(approx, exact).collect()}
+    assert rows[1].n_hits == 2 and rows[1].recall == 1.0
+    assert rows[2].n_hits == 1 and rows[2].recall == 0.5
+    assert rows[3].n_hits == 0 and rows[3].recall == 0.0
+    assert rows[-1].n_hits == 3 and rows[-1].n_exact == 5 and rows[-1].recall == 0.6
