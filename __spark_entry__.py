@@ -2362,6 +2362,61 @@ def _ann_recall_oracle_sql() -> str:
     )
 
 
+def q_sq_ann(spark, sf) -> DataFrame:
+    """Scalar-quantization ANN (operators/similarity.py sq_train/encode/
+    topk — the zero-UDF compression path: d floats -> d small ints with
+    the ENTIRE encode + symmetric-distance scoring in native HOF codegen,
+    no Python workers anywhere, contrasting pq's Arrow encode): model from
+    the SF-independent seeded fixture; encode + code-space top-10 over the
+    real corpus. Codes are integers, so the oracle replays quantization
+    and distances bit-for-bit (the shared (x - vmin)/step + 0.5 double
+    arithmetic is literal-for-literal identical on both sides)."""
+    from sycamore_spark.operators.similarity import sq_encode, sq_topk
+
+    vmin, step, qvec = _sq_fixture()
+    emb = load_table(spark, sf, "embeddings")
+    enc = sq_encode(emb.filter(F.col("vec_id") > 0), vmin, step)
+    return sq_topk(qvec, enc, vmin, step, k=10)
+
+
+def _sq_fixture():
+    """Deterministic SQ8 model shared by the gate and its oracle: per-dim
+    (vmin, step) trained on the same seeded corpus-range matrix the IVF-PQ
+    fixture uses; the query is its row 0."""
+    import numpy as _np
+
+    from sycamore_spark.operators.similarity import sq_train_arrays
+
+    X = (_np.random.RandomState(13).rand(600, 64) - 0.5) * 0.6
+    vmin, step = sq_train_arrays(X)
+    return vmin, step, X[0].tolist()
+
+
+def _sq_ann_oracle_sql() -> str:
+    """Replay the SQ8 gate: per-dim literal (vmin, step) arrays, the same
+    clamp(floor((x - vmin)/step + 0.5)) encode, the query's codes inlined,
+    integer squared code distance, (dist, id) top-10."""
+    import numpy as _np
+
+    vmin, step, qvec = _sq_fixture()
+    q = _np.asarray(qvec, dtype=_np.float64)
+    qcodes = _np.clip(
+        _np.floor((q - _np.asarray(vmin)) / _np.asarray(step) + 0.5), 0, 255
+    ).astype(_np.int64)
+    vmin_sql = "[" + ", ".join(repr(float(v)) for v in vmin) + "]"
+    step_sql = "[" + ", ".join(repr(float(v)) for v in step) + "]"
+    qc_sql = "[" + ", ".join(str(int(v)) for v in qcodes) + "]"
+    return (
+        "WITH codes AS (SELECT vec_id, list_transform(range(64), i -> "
+        f"least(greatest(floor((embedding[i + 1]::DOUBLE - {vmin_sql}[i + 1]) / "
+        f"{step_sql}[i + 1] + 0.5)::BIGINT, 0), 255)) AS c "
+        "FROM embeddings WHERE vec_id > 0) "
+        "SELECT vec_id, list_aggregate(list_transform(range(64), i -> "
+        f"(c[i + 1] - {qc_sql}[i + 1]) * (c[i + 1] - {qc_sql}[i + 1])), 'sum')::BIGINT "
+        "AS sq_dist FROM codes ORDER BY sq_dist ASC, vec_id ASC LIMIT 10"
+    )
+
+
 def _ivf_pq_fixture_queries():
     """Rows 0-2 of the fixture's seeded training matrix (SF-independent)."""
     import numpy as _np
@@ -5350,6 +5405,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_multi": q_ivf_pq_multi,
     "ivf_pq_refine": q_ivf_pq_refine,
     "ann_recall": q_ann_recall,
+    "sq_ann": q_sq_ann,
     "pack_shards_part": q_pack_shards_part,
     # -- stalest driver greens --
     "interval_join": q_interval_join,
@@ -6241,6 +6297,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_multi": _ivf_pq_multi_oracle_sql(),
         "ivf_pq_refine": _ivf_pq_refine_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),
+        "sq_ann": _sq_ann_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "
             "toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM d), "

@@ -165,6 +165,7 @@ HEADLINE = [
     "ivf_pq_ann",
     "ivf_pq_multi",
     "ivf_pq_refine",
+    "sq_ann",
     "pack_shards_part",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs

@@ -760,3 +760,80 @@ def ivf_pq_refine_topk(
         .orderBy(F.col("exact_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# -- scalar quantization (SQ8): the zero-UDF compression path -----------------
+
+def sq_train_arrays(X, bits: int = 8) -> tuple[list, list]:
+    """Per-dimension scalar-quantizer training on an in-memory matrix:
+    returns (vmin, step) double lists where step = (max - min) / (2^bits - 1)
+    (1.0 for constant dimensions so encoding maps them to code 0). The
+    model is 2*d doubles — bytes — and both sides of an oracle regenerate
+    it from the same sample, so the double arithmetic replays exactly."""
+    X = np.asarray(X, dtype=np.float64)
+    vmin = X.min(axis=0)
+    span = X.max(axis=0) - vmin
+    levels = (1 << bits) - 1
+    step = np.where(span > 0, span / levels, 1.0)
+    return [float(v) for v in vmin], [float(v) for v in step]
+
+
+def sq_train(corpus: DataFrame, vec_col: str = "embedding", bits: int = 8,
+             sample: int = 100_000) -> tuple[list, list]:
+    """DataFrame front-end for ``sq_train_arrays`` (LIMIT-bounded driver
+    sample, the coarse-model training contract shared with pq/ivf_pq)."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    return sq_train_arrays(X, bits=bits)
+
+
+def _sq_code_expr(vec, vmin: list, step: list, levels: int):
+    """clamp(floor((x - vmin_i) / step_i + 0.5), 0, levels) per dimension —
+    one transform HOF over literal parameter arrays, pure codegen."""
+    vmin_arr = F.array(*[F.lit(float(v)) for v in vmin])
+    step_arr = F.array(*[F.lit(float(v)) for v in step])
+    idx = F.transform(vec, lambda x, i: F.least(
+        F.greatest(
+            F.floor((x - F.element_at(vmin_arr, i + 1)) / F.element_at(step_arr, i + 1) + F.lit(0.5)),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(levels).cast("bigint"),
+    ).cast("bigint"))
+    return idx
+
+
+def sq_encode(df: DataFrame, vmin: list, step: list, vec_col: str = "embedding",
+              bits: int = 8, out_col: str = "sq_codes") -> DataFrame:
+    """Attach per-row SQ codes (array<bigint>, one per dimension): the
+    corpus shrinks from d floats to d small ints, and — unlike pq_encode's
+    Arrow pass — the WHOLE encode is native transform-HOF codegen: no
+    Python workers anywhere in the compression path."""
+    levels = (1 << bits) - 1
+    return df.withColumn(out_col, _sq_code_expr(V.as_double(F.col(vec_col)), vmin, step, levels))
+
+
+def sq_topk(query_vec, encoded: DataFrame, vmin: list, step: list, k: int = 10,
+            bits: int = 8, id_col: str = "vec_id", codes_col: str = "sq_codes") -> DataFrame:
+    """Symmetric SQ distance top-k: the query is quantized driver-side with
+    the same (vmin, step) model; each row's score is the integer squared
+    distance between code vectors — one zip_with/aggregate in codegen —
+    and the global top-k compiles to TakeOrderedAndProject. Integer-exact
+    given the codes, so an oracle replays it bit-for-bit. Deterministic
+    ties by id; null-codes rows excluded."""
+    levels = (1 << bits) - 1
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qcodes = np.clip(
+        np.floor((q - np.asarray(vmin)) / np.asarray(step) + 0.5), 0, levels
+    ).astype(np.int64)
+    qlit = F.array(*[F.lit(int(v)) for v in qcodes])
+    dist = F.aggregate(
+        F.zip_with(F.col(codes_col), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        encoded.filter(F.col(codes_col).isNotNull())
+        .select(id_col, dist.cast("bigint").alias("sq_dist"))
+        .orderBy(F.col("sq_dist").asc_nulls_last(), F.col(id_col).asc())
+        .limit(k)
+    )

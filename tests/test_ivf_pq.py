@@ -229,3 +229,48 @@ def test_ann_recall_at_k(spark):
     assert rows[2].n_hits == 1 and rows[2].recall == 0.5
     assert rows[3].n_hits == 0 and rows[3].recall == 0.0
     assert rows[-1].n_hits == 3 and rows[-1].n_exact == 5 and rows[-1].recall == 0.6
+
+
+def test_sq_encode_and_topk_match_replica(vec_df, spark):
+    """SQ8 codes and symmetric distances vs a per-row numpy replica."""
+    from sycamore_spark.operators.similarity import sq_encode, sq_topk, sq_train
+
+    df, X = vec_df
+    vmin, step = sq_train(df)
+    enc = sq_encode(df, vmin, step)
+    got = {r.vec_id: list(r.sq_codes) for r in enc.collect()}
+
+    def ref_codes(x):
+        # the corpus stores float32; Spark casts float->double, so the
+        # replica must quantize the float32-rounded value too
+        xd = np.asarray(x, dtype=np.float32).astype(np.float64)
+        return np.clip(
+            np.floor((xd - np.asarray(vmin)) / np.asarray(step) + 0.5), 0, 255
+        ).astype(np.int64)
+
+    for i in range(len(X)):
+        assert got[i] == list(ref_codes(X[i])), i
+    q = X[12]
+    top = sq_topk(q, enc, vmin, step, k=5).collect()
+    qc = np.clip(
+        np.floor((np.asarray(q, dtype=np.float64) - np.asarray(vmin)) / np.asarray(step) + 0.5),
+        0, 255,
+    ).astype(np.int64)
+    scores = {i: int(((ref_codes(X[i]) - qc) ** 2).sum()) for i in range(len(X))}
+    want = sorted(scores, key=lambda i: (scores[i], i))[:5]
+    assert [r.vec_id for r in top] == want
+    assert [r.sq_dist for r in top] == [scores[i] for i in want]
+
+
+def test_sq_constant_dimension(spark):
+    """A constant dimension has span 0 -> step 1.0 and code 0 everywhere."""
+    from sycamore_spark.operators.similarity import sq_encode, sq_train_arrays
+
+    X = np.hstack([np.ones((10, 1)) * 3.5, np.random.RandomState(4).rand(10, 3)])
+    vmin, step = sq_train_arrays(X)
+    assert step[0] == 1.0
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(10)], "vec_id bigint, embedding array<double>"
+    )
+    codes = sq_encode(df, vmin, step).collect()
+    assert all(r.sq_codes[0] == 0 for r in codes)
