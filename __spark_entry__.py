@@ -2417,6 +2417,45 @@ def _sq_ann_oracle_sql() -> str:
     )
 
 
+def q_ivf_pq_store(spark, sf) -> DataFrame:
+    """The IVF-PQ PHYSICAL layout (the piece that makes the 100 TB scan
+    cut real, not just a filter): the encoded corpus is WRITTEN
+    partitionBy(cell_id) — each coarse cell its own directory — and the
+    probe re-reads it with a cell_id filter, so Spark's partition pruning
+    lists only nprobe of ncells directories; the ADC top-10 then runs on
+    the pruned scan. Values are identical to the in-memory ivf_pq_ann
+    gate (same fixture model, same oracle) — what this gate adds is the
+    store/prune roundtrip: codes survive parquet, cell_id survives as a
+    partition column, and pruning is asserted on the plan (PartitionFilters
+    must name cell_id, else this raises)."""
+    import shutil
+    import tempfile
+
+    from sycamore_spark.operators.similarity import ivf_pq_encode, ivf_pq_topk
+
+    cents, books, qvec = _ivf_pq_fixture()
+    emb = load_table(spark, sf, "embeddings")
+    enc = ivf_pq_encode(emb.filter(F.col("vec_id") > 0), cents, books)
+    root = tempfile.mkdtemp(prefix="ivfpq-store-gate-")
+    try:
+        enc.select("vec_id", "pq_codes", "cell_id").write.mode("overwrite").partitionBy(
+            "cell_id"
+        ).parquet(root)
+        stored = spark.read.parquet(root)
+        out = ivf_pq_topk(qvec, stored, cents, books, k=10, nprobe=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters: [" not in plan or "cell_id" not in plan.split(
+            "PartitionFilters", 1
+        )[1][:200]:
+            raise AssertionError(
+                "probe scan is not partition-pruned on cell_id:\n" + plan[:2000]
+            )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _ivf_pq_fixture_queries():
     """Rows 0-2 of the fixture's seeded training matrix (SF-independent)."""
     import numpy as _np
@@ -5406,6 +5445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_refine": q_ivf_pq_refine,
     "ann_recall": q_ann_recall,
     "sq_ann": q_sq_ann,
+    "ivf_pq_store": q_ivf_pq_store,
     "pack_shards_part": q_pack_shards_part,
     # -- stalest driver greens --
     "interval_join": q_interval_join,
@@ -6298,6 +6338,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_refine": _ivf_pq_refine_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),
         "sq_ann": _sq_ann_oracle_sql(),
+        "ivf_pq_store": _ivf_pq_ann_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "
             "toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM d), "
