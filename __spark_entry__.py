@@ -2456,6 +2456,94 @@ def q_ivf_pq_store(spark, sf) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_rrf_hybrid(spark, sf) -> DataFrame:
+    """Hybrid-retrieval rank fusion (operators/retrieval.py rrf_fuse —
+    reciprocal-rank fusion, the combiner the reference reaches only
+    through OpenSearch hybrid query DSL): the batch IVF-PQ top-5 (ADC
+    ranks) fused with the exact integer-L2 top-5 per fixture query,
+    score = sum of floor(1e6/(60+rank)+0.5) integer micros — an exact
+    bigint sum, ties by id. The oracle replays both rankings AND the
+    fusion bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    from sycamore_spark.operators.retrieval import rrf_fuse
+    from sycamore_spark.operators.similarity import ivf_pq_encode, ivf_pq_topk_multi
+
+    cents, books, _ = _ivf_pq_fixture()
+    qvecs = _ivf_pq_fixture_queries()
+    qdf = spark.createDataFrame(
+        [(101 + i, v) for i, v in enumerate(qvecs)],
+        "query_id bigint, embedding array<double>",
+    )
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") > 0)
+    enc = ivf_pq_encode(emb, cents, books)
+    approx = ivf_pq_topk_multi(qdf, enc, cents, books, k=5, nprobe=3)
+    import numpy as _np
+
+    parts = []
+    for i, qv in enumerate(qvecs):
+        q = _np.floor(_np.asarray(qv, dtype=float) * 1024.0 + 0.5).astype(_np.int64)
+        qlit = F.array(*[F.lit(int(v)) for v in q])
+        xq = F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1024.0) + F.lit(0.5)).cast("bigint"),
+        )
+        dist = F.aggregate(
+            F.zip_with(xq, qlit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        parts.append(
+            emb.select(
+                F.lit(101 + i).cast("bigint").alias("query_id"),
+                "vec_id",
+                dist.alias("_d"),
+            ).orderBy(F.col("_d").asc(), F.col("vec_id").asc()).limit(5)
+        )
+    exact = parts[0]
+    for p in parts[1:]:
+        exact = exact.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+    exact_ranked = exact.withColumn("rank", F.row_number().over(w)).select(
+        "query_id", "vec_id", "rank"
+    )
+    return rrf_fuse([approx.select("query_id", "vec_id", "rank"), exact_ranked])
+
+
+def _rrf_hybrid_oracle_sql() -> str:
+    """Replay: the batch IVF-PQ oracle (ADC ranks) unioned with per-query
+    exact integer-L2 top-5 rank blocks, each rank mapped to
+    floor(1e6/(60+rank)+0.5) micros, summed per (query, doc), re-ranked
+    (micros desc, id asc)."""
+    import numpy as _np
+
+    exact_blocks = []
+    for i, qv in enumerate(_ivf_pq_fixture_queries()):
+        q = _np.floor(_np.asarray(qv, dtype=float) * 1024.0 + 0.5).astype(_np.int64)
+        q_sql = "[" + ", ".join(str(int(v)) for v in q) + "]"
+        exact_blocks.append(
+            f"(SELECT query_id, vec_id, row_number() OVER (ORDER BY d ASC, vec_id ASC) AS rank "
+            f"FROM (SELECT {101 + i}::BIGINT AS query_id, vec_id, "
+            "list_aggregate(list_transform(range(64), "
+            f"i -> (xq[i + 1] - {q_sql}[i + 1]) * (xq[i + 1] - {q_sql}[i + 1])), 'sum') AS d "
+            "FROM (SELECT vec_id, list_transform(embedding, "
+            "x -> floor(x::DOUBLE * 1024.0 + 0.5)::BIGINT) AS xq "
+            "FROM embeddings WHERE vec_id > 0) ORDER BY d ASC, vec_id ASC LIMIT 5))"
+        )
+    multi = _ivf_pq_multi_oracle_sql()
+    return (
+        f"WITH approx AS (SELECT query_id, vec_id, rank FROM ({multi}) a), "
+        f"exact AS ({' UNION ALL '.join(exact_blocks)}), "
+        "u AS (SELECT query_id, vec_id, "
+        "floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT AS c FROM approx "
+        "UNION ALL SELECT query_id, vec_id, "
+        "floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT AS c FROM exact) "
+        "SELECT query_id, vec_id, rrf_micros, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY rrf_micros DESC, vec_id ASC)::INT AS rank "
+        "FROM (SELECT query_id, vec_id, sum(c)::BIGINT AS rrf_micros FROM u GROUP BY 1, 2)"
+    )
+
+
 def _ivf_pq_fixture_queries():
     """Rows 0-2 of the fixture's seeded training matrix (SF-independent)."""
     import numpy as _np
@@ -5446,6 +5534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall": q_ann_recall,
     "sq_ann": q_sq_ann,
     "ivf_pq_store": q_ivf_pq_store,
+    "rrf_hybrid": q_rrf_hybrid,
     "pack_shards_part": q_pack_shards_part,
     # -- stalest driver greens --
     "interval_join": q_interval_join,
@@ -6339,6 +6428,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _ann_recall_oracle_sql(),
         "sq_ann": _sq_ann_oracle_sql(),
         "ivf_pq_store": _ivf_pq_ann_oracle_sql(),
+        "rrf_hybrid": _rrf_hybrid_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "
             "toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM d), "

@@ -465,3 +465,50 @@ def build_inverted_index(
         F.col("_id").alias(id_col),
         F.col("tf").cast("long").alias("tf"),
     )
+
+
+def rrf_fuse(
+    results: list,
+    k0: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked result tables — the standard
+    hybrid-retrieval combiner (Cormack et al. 2009; the reference reaches
+    hybrid lexical+vector ranking only through OpenSearch's query DSL,
+    reader.py os_client_args paths — here it is an engine operator over
+    any (query, id, rank) tables, e.g. bm25_scores_multi + ivf_pq_topk_multi).
+
+    score(d) = sum over systems of 1/(k0 + rank_i(d)), kept EXACT as
+    integer micros (floor(1e6/(k0+rank) + 0.5) per system, then an
+    associative bigint sum) so engines agree bit-for-bit. Ties break by id.
+
+    Shape: a union of top-k-sized tables, one hash agg on (query, id),
+    and an optional per-query rank window — result-scale, corpus-free."""
+    if not results:
+        raise ValueError("rrf_fuse needs at least one result table")
+    parts = [
+        r.select(
+            F.col(query_col).alias("_q"),
+            F.col(id_col).alias("_i"),
+            F.floor(F.lit(1_000_000.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double")) + F.lit(0.5))
+            .cast("bigint")
+            .alias("_c"),
+        )
+        for r in results
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("_q", "_i").agg(F.sum("_c").alias("rrf_micros"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_q").orderBy(F.col("rrf_micros").desc(), F.col("_i").asc())
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
+    return out.select(
+        F.col("_q").alias(query_col), F.col("_i").alias(id_col), "rrf_micros", "rank"
+    )

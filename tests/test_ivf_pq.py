@@ -274,3 +274,26 @@ def test_sq_constant_dimension(spark):
     )
     codes = sq_encode(df, vmin, step).collect()
     assert all(r.sq_codes[0] == 0 for r in codes)
+
+
+def test_rrf_fuse(spark):
+    """Integer-micro RRF: doc in both systems outranks single-system docs;
+    exact micros; deterministic id ties."""
+    from sycamore_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id bigint, vec_id bigint, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 2), (1, 12, 1)], "query_id bigint, vec_id bigint, rank int"
+    )
+    rows = {r.vec_id: r for r in rrf_fuse([a, b], k0=60).collect()}
+    m = lambda rk: int(1_000_000.0 / (60.0 + rk) + 0.5)
+    assert rows[10].rrf_micros == m(1) + m(2) and rows[10].rank == 1
+    assert rows[12].rrf_micros == m(1) and rows[11].rrf_micros == m(2)
+    # 12 (micros m(1)=16393) beats 11 (m(2)=16129)
+    assert rows[12].rank == 2 and rows[11].rank == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
