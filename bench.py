@@ -165,7 +165,10 @@ HEADLINE = [
     "ivf_pq_ann",
     "ivf_pq_multi",
     "ivf_pq_refine",
+    "ivf_pq_store",
     "sq_ann",
+    "ann_recall",
+    "rrf_hybrid",
     "pack_shards_part",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
