@@ -2544,6 +2544,50 @@ def _rrf_hybrid_oracle_sql() -> str:
     )
 
 
+def q_stream_ann_ingest(spark, sf) -> DataFrame:
+    """Streaming ANN ingest — the continuous-indexing shape: the
+    embeddings table replayed as an availableNow file stream through the
+    SAME ivf_pq_encode operator the batch path uses (stateless
+    mapInPandas runs unchanged under Structured Streaming), appended
+    exactly-once (checkpointed parquet sink) into the cell-partitioned
+    store, then probed. Values must equal the batch in-memory gate — the
+    oracle IS the ivf_pq_ann oracle — proving the stream ingest writes
+    the identical index a batch rebuild would."""
+    import shutil
+    import tempfile
+
+    from sycamore_spark.operators.similarity import ivf_pq_encode, ivf_pq_topk
+
+    cents, books, qvec = _ivf_pq_fixture()
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") > 0).select(
+        "vec_id", "embedding"
+    )
+    src = tempfile.mkdtemp(prefix="streamann-src-")
+    store = tempfile.mkdtemp(prefix="streamann-store-")
+    ckpt = tempfile.mkdtemp(prefix="streamann-ckpt-")
+    try:
+        emb.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(emb.schema).parquet(src)
+        enc = ivf_pq_encode(stream, cents, books).select("vec_id", "pq_codes", "cell_id")
+        q = (
+            enc.writeStream.format("parquet")
+            .option("path", store)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .partitionBy("cell_id")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        stored = spark.read.parquet(store)
+        out = ivf_pq_topk(qvec, stored, cents, books, k=10, nprobe=3)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for d in (src, store, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _ivf_pq_fixture_queries():
     """Rows 0-2 of the fixture's seeded training matrix (SF-independent)."""
     import numpy as _np
@@ -5535,6 +5579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq_ann": q_sq_ann,
     "ivf_pq_store": q_ivf_pq_store,
     "rrf_hybrid": q_rrf_hybrid,
+    "stream_ann_ingest": q_stream_ann_ingest,
     "pack_shards_part": q_pack_shards_part,
     # -- stalest driver greens --
     "interval_join": q_interval_join,
@@ -6429,6 +6474,7 @@ def oracle_sql() -> dict[str, str]:
         "sq_ann": _sq_ann_oracle_sql(),
         "ivf_pq_store": _ivf_pq_ann_oracle_sql(),
         "rrf_hybrid": _rrf_hybrid_oracle_sql(),
+        "stream_ann_ingest": _ivf_pq_ann_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "
             "toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM d), "
