@@ -169,6 +169,7 @@ HEADLINE = [
     "sq_ann",
     "ann_recall",
     "rrf_hybrid",
+    "stream_ann_ingest",
     "pack_shards_part",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
