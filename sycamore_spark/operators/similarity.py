@@ -654,6 +654,15 @@ def ivf_pq_topk_multi(
             f">{max_queries} query rows (max_queries={max_queries}). Chunk "
             f"the query set."
         )
+    seen_qids = set()
+    for r in q_rows:
+        if r["_qid"] in seen_qids:
+            # a duplicate qid would emit duplicate (query, cell, LUT) probe
+            # rows, the join would score every corpus row twice, and the
+            # rank window would fill the top-k with repeated ids — fail
+            # loudly instead of silently corrupting the result
+            raise ValueError(f"duplicate query id {r['_qid']!r} in the query set")
+        seen_qids.add(r["_qid"])
     probe_rows = []
     for r in q_rows:
         q = np.floor(np.asarray(r["_qv"], dtype=float) * scale + 0.5).astype(np.int64)

@@ -297,3 +297,17 @@ def test_rrf_fuse(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_ivf_pq_multi_duplicate_qid_rejected(vec_df, spark):
+    from sycamore_spark.operators.similarity import ivf_pq_topk_multi
+
+    df, X = vec_df
+    cents, books = ivf_pq_train(df, ncells=6, m=4, subk=8, seed=5)
+    enc = ivf_pq_encode(df, cents, books)
+    qdf = spark.createDataFrame(
+        [(7, X[0].tolist()), (7, X[1].tolist())],
+        "query_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="duplicate query id"):
+        ivf_pq_topk_multi(qdf, enc, cents, books)
