@@ -59,8 +59,6 @@ def brute_force_topk(
     6dp-rounding mismatches)."""
     import pickle
 
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     out_type = StructType([
