@@ -5572,6 +5572,58 @@ def _bpe_encode_oracle(rounds: int) -> str:
 # the r3-green remainder.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    # -- stalest driver greens --
+    "tpch_q22": q_tpch_q22,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
+    "sketch_distinct": q_sketch_distinct,
+    "sketch_quantile": q_sketch_quantile,
+    "sketch_overlap": q_sketch_overlap,
+    "cap_per_group": q_cap_per_group,
+    "corpus_shuffle": q_corpus_shuffle,
+    "pagerank": q_pagerank,
+    "rank_normalize": q_rank_normalize,
+    "bloom_join": q_bloom_join,
+    "zorder": q_zorder,
+    "json_variant": q_json_variant,
+    "incremental_stats": q_incremental_stats,
+    "stream_stats": q_stream_stats,
+    "nb_classify": q_nb_classify,
+    "clip_outliers": q_clip_outliers,
+    "truncate": q_truncate,
+    "top_per_group": q_top_per_group,
+    "histogram": q_histogram,
+    "webdataset": q_webdataset,
+    "resample": q_resample,
+    "divergence": q_divergence,
+    "quantile_bucket": q_quantile_bucket,
+    "pattern_counts": q_pattern_counts,
+    "validate": q_validate,
+    "funnel": q_funnel,
+    "cohort": q_cohort,
+    "interval_union": q_interval_union,
+    "asof_forward": q_asof_forward,
+    "cusum": q_cusum,
+    "transitions": q_transitions,
+    "paths": q_paths,
+    "zscore": q_zscore,
+    "mad": q_mad,
+    "rolling_median": q_rolling_median,
+    "fuzzy_join": q_fuzzy_join,
+    "script_ratios": q_script_ratios,
+    "dedup_cc": q_dedup_cc,
+    "semantic_dedup": q_semantic_dedup,
+    "incremental_dedup": q_incremental_dedup,
+    "window_analytics": q_window_analytics,
+    "pivot": q_pivot,
+    "unpivot": q_unpivot,
+    "key_skew": q_key_skew,
+    "weighted_sample": q_weighted_sample,
+    "split_groups": q_split_groups,
+    # -- fresher greens (rotate next round) --
     "ivf_pq_ann": q_ivf_pq_ann,
     "ivf_pq_multi": q_ivf_pq_multi,
     "ivf_pq_refine": q_ivf_pq_refine,
@@ -5581,7 +5633,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rrf_hybrid": q_rrf_hybrid,
     "stream_ann_ingest": q_stream_ann_ingest,
     "pack_shards_part": q_pack_shards_part,
-    # -- stalest driver greens --
     "interval_join": q_interval_join,
     "cube": q_cube,
     "rerank": q_rerank,
@@ -5623,14 +5674,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
     "tpch_q21": q_tpch_q21,
-    "tpch_q22": q_tpch_q22,
-    "tpch_q2": q_tpch_q2,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q11": q_tpch_q11,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q20": q_tpch_q20,
-    "sketch_distinct": q_sketch_distinct,
-    # -- fresher greens (rotate next round) --
     "eval_pipeline": q_eval_pipeline,
     "doc_etl_e2e": q_doc_etl_e2e,
     "select_pages": q_select_pages,
@@ -5731,16 +5774,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
     "tpch_q19": q_tpch_q19,
-    "script_ratios": q_script_ratios,
-    "dedup_cc": q_dedup_cc,
-    "semantic_dedup": q_semantic_dedup,
-    "incremental_dedup": q_incremental_dedup,
-    "window_analytics": q_window_analytics,
-    "pivot": q_pivot,
-    "unpivot": q_unpivot,
-    "key_skew": q_key_skew,
-    "weighted_sample": q_weighted_sample,
-    "split_groups": q_split_groups,
     "tfidf": q_tfidf,
     "stream_join": q_stream_join,
     "corpus_diff": q_corpus_diff,
@@ -5781,39 +5814,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup": q_rollup,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
-    "sketch_quantile": q_sketch_quantile,
-    "sketch_overlap": q_sketch_overlap,
-    "cap_per_group": q_cap_per_group,
-    "corpus_shuffle": q_corpus_shuffle,
-    "pagerank": q_pagerank,
-    "rank_normalize": q_rank_normalize,
-    "bloom_join": q_bloom_join,
-    "zorder": q_zorder,
-    "json_variant": q_json_variant,
-    "incremental_stats": q_incremental_stats,
-    "stream_stats": q_stream_stats,
-    "nb_classify": q_nb_classify,
-    "clip_outliers": q_clip_outliers,
-    "truncate": q_truncate,
-    "top_per_group": q_top_per_group,
-    "histogram": q_histogram,
-    "webdataset": q_webdataset,
-    "resample": q_resample,
-    "divergence": q_divergence,
-    "quantile_bucket": q_quantile_bucket,
-    "pattern_counts": q_pattern_counts,
-    "validate": q_validate,
-    "funnel": q_funnel,
-    "cohort": q_cohort,
-    "interval_union": q_interval_union,
-    "asof_forward": q_asof_forward,
-    "cusum": q_cusum,
-    "transitions": q_transitions,
-    "paths": q_paths,
-    "zscore": q_zscore,
-    "mad": q_mad,
-    "rolling_median": q_rolling_median,
-    "fuzzy_join": q_fuzzy_join,
 }
 
 
