@@ -646,6 +646,7 @@ def ann_recall_at_k(
     query_col: str = "query_id",
     id_col: str = "vec_id",
     overall_id: int = -1,
+    strict: bool = True,
 ) -> DataFrame:
     """ANN quality measurement: per-query recall of an approximate result
     set against the exact one (|approx ∩ exact| / |exact|), plus one
@@ -660,10 +661,39 @@ def ann_recall_at_k(
     rank columns are ignored, so any of brute_force_topk / ivf_topk /
     pq_topk / ivf_pq_* outputs plug in directly.
 
+    Recall's denominator comes from ``exact``: a query id that appears
+    ONLY in ``approx`` has no ground truth and would otherwise vanish from
+    the output silently — under ``strict`` (default) that raises, as does
+    an ``overall_id`` colliding with a real query id (which would corrupt
+    the per-query/overall distinction). The strict validation runs two
+    LIMIT-1-bounded jobs over the top-k-sized result tables
+    (question-scale by contract — pass ``strict=False`` only when the
+    inputs are expensive unmaterialized lineage AND known disjoint-safe).
+
     Shape: two hash aggs on the (small, top-k-sized) result tables and
     one one-row union — question-scale, corpus-free."""
     a = approx.select(F.col(query_col).alias("_q"), F.col(id_col).alias("_i")).distinct()
     e = exact.select(F.col(query_col).alias("_q"), F.col(id_col).alias("_i")).distinct()
+    if strict:
+        orphan = (
+            a.select("_q").join(e.select("_q").distinct(), "_q", "left_anti").limit(1).collect()
+        )
+        if orphan:
+            raise ValueError(
+                f"ann_recall_at_k: {query_col}={orphan[0]._q!r} appears in approx "
+                f"but not in exact — it has no ground truth and would be dropped; "
+                f"align the query sets or pass strict=False to drop deliberately"
+            )
+        clash = (
+            a.select("_q").union(e.select("_q"))
+            .where(F.col("_q") == F.lit(overall_id)).limit(1).collect()
+        )
+        if clash:
+            raise ValueError(
+                f"ann_recall_at_k: overall_id={overall_id!r} occurs as a real "
+                f"{query_col} in the inputs — the overall row would collide; "
+                f"pass a distinct overall_id"
+            )
     hits = a.join(e, ["_q", "_i"]).groupBy("_q").agg(F.count(F.lit(1)).alias("n_hits"))
     base = e.groupBy("_q").agg(F.count(F.lit(1)).alias("n_exact"))
     per = (

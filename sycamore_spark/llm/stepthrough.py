@@ -156,16 +156,23 @@ def take_first_trim(
                 fields[k] = merged
             still.append(np)  # arrays are never trimmed
         elif dt == DataType.BOOL:
-            if ev is True:
-                pass  # true at batch start: trimmed below
-            elif nv is True:
-                fields[k] = True
-            elif ev is None and nv is not None:
+            # Reference strategy.py:111-135: a bool trims only in a merge
+            # where the key APPEARS in the new extraction — either already
+            # true (keep, trim now) or a false->true flip (take new, trim
+            # now). A true whose key is absent from this batch stays in the
+            # schema (the reference keeps asking), and a first-sighting
+            # value is taken but never trims on its own batch.
+            present = k in new
+            trim = False
+            if ev is not None and present:
+                if ev is True:
+                    trim = True
+                elif ev is False and nv is True:
+                    fields[k] = True
+                    trim = True
+            elif ev is None and present and nv is not None:
                 fields[k] = bool(nv)
-            # trim only once true in existing_fields at the START of a merge
-            # (reference keeps a first-sighting true in the schema for one
-            # more batch, so per-document LLM call counts match)
-            if ev is not True:
+            if not trim:
                 still.append(np)
         else:
             if ev is not None:

@@ -161,6 +161,23 @@ def mixture_plan(df: DataFrame, stratum: str, target: dict[str, float]) -> DataF
     )
 
 
+def _estimated_rows(df: DataFrame) -> int | None:
+    """Row-count estimate from Catalyst plan statistics — NO Spark job.
+
+    Uses the optimized plan's CBO rowCount when available, else
+    sizeInBytes at an assumed 64 bytes/row (training-corpus rows are
+    text-heavy, so this usually UNDER-estimates rows and the warning
+    stays conservative). Returns None when statistics are unreachable."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        return int(str(stats.sizeInBytes())) // 64
+    except Exception:
+        return None
+
+
 def pack_shards(
     df: DataFrame,
     size_col: str,
@@ -179,18 +196,23 @@ def pack_shards(
     shard exactly when the PRECEDING rows already filled the current one.
     One window (= one shuffle on the partition key). A GLOBAL pack (no
     ``partition_cols``) funnels every row through ONE task's sort — fine
-    for modest row counts, wrong at scale: when the input exceeds
-    ``warn_above`` rows a warning says to partition by date/source. The
-    probe is a LocalLimit-bounded count (stops scanning at warn_above+1
-    rows, never reads the full input), paid only on the global path."""
+    for modest row counts, wrong at scale: when the optimizer ESTIMATES
+    the input above ``warn_above`` rows a warning says to partition by
+    date/source. The probe reads Catalyst plan statistics only (rowCount
+    when CBO has one, else sizeInBytes / 64-byte rows) — it runs NO Spark
+    job and never re-executes upstream lineage, so it is safe on
+    expensive inputs; the trade is that it is an estimate and can miss or
+    over-fire on unusual row widths. Pass ``warn_above=None`` to skip."""
     if not partition_cols and warn_above is not None:
-        if df.limit(warn_above + 1).count() > warn_above:
+        est_rows = _estimated_rows(df)
+        if est_rows is not None and est_rows > warn_above:
             import warnings
 
             warnings.warn(
-                f"pack_shards without partition_cols packs >{warn_above:,} rows "
-                f"through a single global window task; pass partition_cols "
-                f"(e.g. date/source) so each partition packs independently.",
+                f"pack_shards without partition_cols packs an estimated "
+                f"{est_rows:,} rows (> {warn_above:,}) through a single global "
+                f"window task; pass partition_cols (e.g. date/source) so each "
+                f"partition packs independently.",
                 stacklevel=2,
             )
     parts = [F.col(c) for c in (partition_cols or [])]

