@@ -2544,6 +2544,83 @@ def _rrf_hybrid_oracle_sql() -> str:
     )
 
 
+_HYBRID_QUERIES = [(101, "vector scan merge"), (102, "stream window join"),
+                   (103, "hash key filter")]
+
+
+def q_hybrid_search(spark, sf) -> DataFrame:
+    """TRUE hybrid retrieval — lexical + vector, the composition the
+    reference reaches only through OpenSearch's hybrid query DSL
+    (query/strategy.py:73-155 exists precisely because vector recall
+    fails keyword/analytic questions): batch BM25 top-5 per question
+    over the documents corpus (bm25_scores_multi — ONE posting
+    aggregation serves every query) fused with the batch IVF-PQ ADC
+    top-5 per query over the id-aligned embeddings corpus
+    (ivf_pq_topk_multi — broadcast per-query LUTs, one rank window) by
+    reciprocal-rank fusion (rrf_fuse — integer micros, exact bigint
+    sum). doc_id == vec_id per TESTDATA, so fusion is one (query, id)
+    hash agg over two top-k-sized tables — result-scale, corpus-free.
+    The oracle replays both rankings AND the fusion bit-for-bit."""
+    from sycamore_spark.operators.retrieval import bm25_scores_multi, rrf_fuse
+    from sycamore_spark.operators.similarity import ivf_pq_encode, ivf_pq_topk_multi
+
+    docs = load_table(spark, sf, "documents")
+    lex_q = spark.createDataFrame(_HYBRID_QUERIES, "query_id bigint, query string")
+    lex = bm25_scores_multi(docs, lex_q, id_col="doc_id", text_col="text",
+                            k=5, keep_rank=True)
+    cents, books, _ = _ivf_pq_fixture()
+    vec_q = spark.createDataFrame(
+        [(101 + i, v) for i, v in enumerate(_ivf_pq_fixture_queries())],
+        "query_id bigint, embedding array<double>",
+    )
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") > 0)
+    enc = ivf_pq_encode(emb, cents, books)
+    vec = ivf_pq_topk_multi(vec_q, enc, cents, books, k=5, nprobe=3)
+    return rrf_fuse([
+        lex.select("query_id", F.col("doc_id").alias("vec_id"), "rank"),
+        vec.select("query_id", "vec_id", "rank"),
+    ])
+
+
+def _hybrid_search_oracle_sql() -> str:
+    """Replay: the batch-BM25 top-5 rank blocks (same integer-micro
+    arithmetic as the bm25/bm25_pruned oracles, no pruning) unioned with
+    the batch IVF-PQ oracle's ranks, each rank mapped to
+    floor(1e6/(60+rank)+0.5) micros, summed per (query, doc), re-ranked
+    (micros desc, id asc)."""
+    q_rows = " UNION ALL ".join(
+        f"SELECT {qid}::BIGINT AS qid, unnest({text.split()!r}) AS tok"
+        for qid, text in _HYBRID_QUERIES
+    )
+    multi = _ivf_pq_multi_oracle_sql()
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), "
+        "all_tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT doc_id, sum(tf) AS dl FROM all_tf GROUP BY 1), "
+        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+        f"qterms AS ({q_rows}), "
+        "tf AS (SELECT * FROM all_tf WHERE tok IN (SELECT DISTINCT tok FROM qterms)), "
+        "dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), "
+        "contrib AS (SELECT qid, tf.doc_id, "
+        "floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) "
+        "* ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1000000.0 + 0.5)::BIGINT AS c "
+        "FROM qterms JOIN tf USING (tok) JOIN dfq USING (tok) "
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats), "
+        "scored AS (SELECT qid, doc_id, sum(c)::BIGINT AS bm25_micros FROM contrib GROUP BY 1, 2), "
+        "lex AS (SELECT qid AS query_id, doc_id AS vec_id, rnk AS rank FROM "
+        "(SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY bm25_micros DESC, doc_id ASC) AS rnk "
+        "FROM scored) WHERE rnk <= 5), "
+        f"vec AS (SELECT query_id, vec_id, rank FROM ({multi}) a), "
+        "u AS (SELECT query_id, vec_id, "
+        "floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT AS c FROM lex "
+        "UNION ALL SELECT query_id, vec_id, "
+        "floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT AS c FROM vec) "
+        "SELECT query_id, vec_id, rrf_micros, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY rrf_micros DESC, vec_id ASC)::INT AS rank "
+        "FROM (SELECT query_id, vec_id, sum(c)::BIGINT AS rrf_micros FROM u GROUP BY 1, 2)"
+    )
+
+
 def q_stream_ann_ingest(spark, sf) -> DataFrame:
     """Streaming ANN ingest — the continuous-indexing shape: the
     embeddings table replayed as an availableNow file stream through the
@@ -5572,6 +5649,7 @@ def _bpe_encode_oracle(rounds: int) -> str:
 # the r3-green remainder.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "hybrid_search": q_hybrid_search,
     # -- stalest driver greens --
     "tpch_q22": q_tpch_q22,
     "tpch_q2": q_tpch_q2,
@@ -6474,6 +6552,7 @@ def oracle_sql() -> dict[str, str]:
         "sq_ann": _sq_ann_oracle_sql(),
         "ivf_pq_store": _ivf_pq_ann_oracle_sql(),
         "rrf_hybrid": _rrf_hybrid_oracle_sql(),
+        "hybrid_search": _hybrid_search_oracle_sql(),
         "stream_ann_ingest": _ivf_pq_ann_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "

@@ -171,6 +171,8 @@ HEADLINE = [
     "rrf_hybrid",
     "stream_ann_ingest",
     "pack_shards_part",
+    # round-9 additions
+    "hybrid_search",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M
