@@ -2456,6 +2456,74 @@ def q_ivf_pq_store(spark, sf) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_ann_store_compact(spark, sf) -> DataFrame:
+    """ANN store MAINTENANCE (writer.py compact_partitioned_table +
+    operators/similarity.py check_cell_balance): streaming ingest appends
+    one small file per micro-batch per cell (stream_ann_ingest), so the
+    cell-partitioned store accumulates exactly the small-files debt the
+    materialize/compaction story exists for (reference materialize.py:277
+    — the clean_root/rewrite half of MRR). This gate writes the encoded
+    corpus FRAGMENTED (8 files per cell directory, simulating 8
+    micro-batches), compacts it partition-PRESERVINGLY, and asserts the
+    three things that make compaction safe hygiene rather than a rebuild:
+    (a) per-cell file count drops to 1, (b) the probe on the compacted
+    store still shows PartitionFilters on cell_id (pruning survived), and
+    (c) the ADC top-10 is value-identical — the oracle IS the ivf_pq_ann
+    oracle. Cell-occupancy skew is profiled on the same pass
+    (check_cell_balance: one hash agg, warns past 4x max/mean)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from sycamore_spark.operators.similarity import (
+        check_cell_balance, ivf_pq_encode, ivf_pq_topk,
+    )
+    from sycamore_spark.writer import compact_partitioned_table
+
+    cents, books, qvec = _ivf_pq_fixture()
+    emb = load_table(spark, sf, "embeddings")
+    enc = ivf_pq_encode(emb.filter(F.col("vec_id") > 0), cents, books)
+    frag = tempfile.mkdtemp(prefix="annstore-frag-")
+    tidy = tempfile.mkdtemp(prefix="annstore-tidy-")
+    try:
+        # 8 hash partitions per cell directory = 8 "micro-batch" files/cell
+        enc.select("vec_id", "pq_codes", "cell_id").repartition(8).write.mode(
+            "overwrite"
+        ).partitionBy("cell_id").parquet(frag)
+
+        def files_per_cell(root):
+            out = {}
+            for d in _glob.glob(f"{root}/cell_id=*"):
+                out[d.rsplit("=", 1)[1]] = len(_glob.glob(f"{d}/*.parquet"))
+            return out
+
+        pre = files_per_cell(frag)
+        if not pre or max(pre.values()) < 2:
+            raise AssertionError(f"fragmentation setup failed: {pre}")
+        compact_partitioned_table(spark, frag, tidy, "cell_id")
+        post = files_per_cell(tidy)
+        if sorted(post) != sorted(pre) or set(post.values()) != {1}:
+            raise AssertionError(
+                f"compaction broke the layout: pre={pre} post={post}"
+            )
+        stored = spark.read.parquet(tidy)
+        check_cell_balance(stored)  # one hash agg; warns past 4x max/mean
+        out = ivf_pq_topk(qvec, stored, cents, books, k=10, nprobe=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters: [" not in plan or "cell_id" not in plan.split(
+            "PartitionFilters", 1
+        )[1][:200]:
+            raise AssertionError(
+                "compacted-store probe is not partition-pruned on cell_id:\n"
+                + plan[:2000]
+            )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for d in (frag, tidy):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def q_rrf_hybrid(spark, sf) -> DataFrame:
     """Hybrid-retrieval rank fusion (operators/retrieval.py rrf_fuse —
     reciprocal-rank fusion, the combiner the reference reaches only
@@ -5650,6 +5718,7 @@ def _bpe_encode_oracle(rounds: int) -> str:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
     "hybrid_search": q_hybrid_search,
+    "ann_store_compact": q_ann_store_compact,
     # -- stalest driver greens --
     "tpch_q22": q_tpch_q22,
     "tpch_q2": q_tpch_q2,
@@ -6553,6 +6622,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_store": _ivf_pq_ann_oracle_sql(),
         "rrf_hybrid": _rrf_hybrid_oracle_sql(),
         "hybrid_search": _hybrid_search_oracle_sql(),
+        "ann_store_compact": _ivf_pq_ann_oracle_sql(),
         "stream_ann_ingest": _ivf_pq_ann_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "

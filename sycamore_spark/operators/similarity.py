@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sycamore_spark.functions import vectors as V
+from sycamore_spark.operators.profiling import key_skew_profile
 
 
 def brute_force_topk(
@@ -447,6 +448,39 @@ def pq_topk(
 
 
 # -- IVF-PQ (coarse cells + PQ-compressed residuals, the full 100 TB ANN) -----
+#
+# Operational note (cell skew): a hub cell — a skewed corpus whose mass
+# concentrates in one coarse centroid — makes nprobe scans uneven: every
+# query probing that cell pays the hub's scan, and the store's biggest
+# partition bounds task time. ``check_cell_balance`` composes the key_skew
+# profiler over cell_id and WARNS past a max/mean ratio (default 4x) —
+# the fix at scale is retraining with more cells, hash-sampled training
+# data (see ``*_train`` samplers), or splitting the hub cell.
+
+
+def check_cell_balance(
+    encoded: DataFrame, cell_col: str = "cell_id", warn_ratio: float = 4.0
+) -> float:
+    """Profile the encoded corpus's cell-occupancy skew and warn when the
+    fullest cell holds more than ``warn_ratio`` times the mean cell's rows
+    (the ``pack_shards`` warning pattern applied to the ANN store).
+
+    Returns the max-cell/mean-cell ratio. Cost: ONE hash agg on cell_id
+    (map-side combined) + a one-row collect — safe at any corpus size."""
+    top = key_skew_profile(encoded, cell_col, top_n=1).collect()
+    ratio = float(top[0]["skew_ratio"]) if top else 0.0
+    if ratio > warn_ratio:
+        import warnings
+
+        warnings.warn(
+            f"IVF store cell skew: fullest {cell_col}={top[0]['key']} holds "
+            f"{ratio:.1f}x the mean cell's rows (> {warn_ratio}x) — nprobe "
+            f"scans hitting it are unbalanced; retrain with more cells, "
+            f"hash-sampled training data, or split the hub cell.",
+            stacklevel=2,
+        )
+    return ratio
+
 
 def ivf_pq_train_arrays(
     X,

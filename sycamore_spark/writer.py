@@ -129,6 +129,47 @@ def compact_table(
     return n
 
 
+def compact_partitioned_table(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    partition_col: str,
+    files_per_partition: int = 1,
+    salt_col: str | None = None,
+) -> None:
+    """Partition-PRESERVING small-files compaction — the ANN-store
+    maintenance job ``compact_table`` cannot do (a flat repartition+write
+    would destroy the partitionBy directory layout and with it the
+    partition pruning the store exists for). Streaming ingest appends one
+    small file per micro-batch per partition value (e.g. per IVF cell,
+    streaming/ann ingest); this rewrites the store so each partition
+    directory holds ``files_per_partition`` files and the layout — and
+    therefore ``PartitionFilters`` pruning on ``partition_col`` — is
+    unchanged.
+
+    Shape: ONE hash shuffle on the partition column (every row of a value
+    lands in one task, so the writer emits exactly one file per value),
+    then a partitionBy write. With ``files_per_partition > 1`` (partitions
+    bigger than one task should handle) rows are additionally spread by
+    ``pmod(hash(salt_col), files_per_partition)`` — deterministic, no
+    rand(). At 100 TB this is per-partition work: partitions ≫ tasks just
+    means each task writes several partitions' files."""
+    df = spark.read.parquet(src_dir)
+    if files_per_partition <= 1:
+        out = df.repartition(F.col(partition_col))
+    else:
+        if salt_col is None:
+            raise ValueError(
+                "files_per_partition > 1 needs salt_col (a stable row key) "
+                "to spread each partition's rows deterministically"
+            )
+        out = df.repartition(
+            F.col(partition_col),
+            F.pmod(F.hash(F.col(salt_col)), F.lit(files_per_partition)),
+        )
+    out.write.mode("overwrite").partitionBy(partition_col).parquet(dst_dir)
+
+
 def write_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
     """Iceberg sink (reference: writer.py:821). Requires the iceberg-spark
     runtime jar + catalog config on the session; raises a clear error when

@@ -259,6 +259,33 @@ def test_ivf_pq_topk_multi_ragged_codebooks(vec_df, spark):
     enc.unpersist()
 
 
+def test_check_cell_balance_warns_on_hub_cell(spark):
+    """A hub cell (skewed corpus mass in one coarse centroid) makes
+    nprobe scans uneven — the profiler must say so (r8 verdict ask #6),
+    and stay silent on a balanced store."""
+    import warnings
+
+    from sycamore_spark.operators.similarity import check_cell_balance
+
+    # 4 cells, one holding 85% of rows: max/mean = 0.85*4 = 3.4
+    skewed = spark.range(1000).selectExpr(
+        "id AS vec_id", "CAST(CASE WHEN id < 850 THEN 0 ELSE id % 3 + 1 END AS INT) AS cell_id"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ratio = check_cell_balance(skewed, warn_ratio=3.0)
+    assert 3.3 < ratio < 3.5
+    assert any("cell skew" in str(w.message) for w in caught)
+    balanced = spark.range(1000).selectExpr(
+        "id AS vec_id", "CAST(id % 4 AS INT) AS cell_id"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ratio = check_cell_balance(balanced, warn_ratio=3.0)
+    assert ratio == 1.0
+    assert not [w for w in caught if "cell skew" in str(w.message)]
+
+
 def test_pq_mixed_subvector_dims_raise(vec_df):
     """Codebooks with MIXED subvector dims would slice residuals at the
     wrong spans — every encode/search path fails loudly instead."""

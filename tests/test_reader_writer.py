@@ -142,6 +142,51 @@ def test_compact_table(spark, tmp_path):
     assert spark.read.parquet(dst).count() == 10000
 
 
+def test_compact_partitioned_table_preserves_layout(spark, tmp_path):
+    """ANN-store maintenance: compaction must keep the partitionBy
+    directory layout (and with it partition pruning) while collapsing
+    each value's micro-batch files to one."""
+    import glob
+
+    from sycamore_spark.writer import compact_partitioned_table
+
+    src = str(tmp_path / "pfrag")
+    dst = str(tmp_path / "ptidy")
+    df = spark.range(4000).selectExpr("id", "CAST(id % 5 AS INT) AS cell_id")
+    df.repartition(8).write.partitionBy("cell_id").parquet(src)
+    pre = {d: len(glob.glob(f"{d}/*.parquet")) for d in glob.glob(f"{src}/cell_id=*")}
+    assert len(pre) == 5 and max(pre.values()) > 1
+    compact_partitioned_table(spark, src, dst, "cell_id")
+    post = {d.rsplit("=", 1)[1]: len(glob.glob(f"{d}/*.parquet"))
+            for d in glob.glob(f"{dst}/cell_id=*")}
+    assert sorted(post) == ["0", "1", "2", "3", "4"] and set(post.values()) == {1}
+    got = spark.read.parquet(dst)
+    assert got.count() == 4000
+    assert sorted(r.id for r in got.filter("cell_id = 3").collect()) == \
+        sorted(i for i in range(4000) if i % 5 == 3)
+
+
+def test_compact_partitioned_table_multi_file_salt(spark, tmp_path):
+    import glob
+
+    import pytest
+
+    from sycamore_spark.writer import compact_partitioned_table
+
+    src = str(tmp_path / "pfrag2")
+    dst = str(tmp_path / "ptidy2")
+    spark.range(4000).selectExpr("id", "CAST(id % 3 AS INT) AS cell_id") \
+        .repartition(8).write.partitionBy("cell_id").parquet(src)
+    with pytest.raises(ValueError, match="salt_col"):
+        compact_partitioned_table(spark, src, dst, "cell_id", files_per_partition=2)
+    compact_partitioned_table(
+        spark, src, dst, "cell_id", files_per_partition=2, salt_col="id"
+    )
+    post = {d: len(glob.glob(f"{d}/*.parquet")) for d in glob.glob(f"{dst}/cell_id=*")}
+    assert len(post) == 3 and all(1 <= n <= 2 for n in post.values())
+    assert spark.read.parquet(dst).count() == 4000
+
+
 def test_compact_table_range_clustered(spark, tmp_path):
     from sycamore_spark.writer import compact_table
 
