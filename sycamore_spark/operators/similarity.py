@@ -183,6 +183,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     train_sample: int = 100_000,
+    train_sample_by: str | None = None,
 ) -> DataFrame:
     """IVF-style ANN: cluster corpus into cells, probe nearest cells only.
 
@@ -201,7 +202,13 @@ def ivf_topk(
     # deterministic and takes milliseconds; the full corpus is then assigned
     # in ONE vectorized Arrow pass (argmin of -2XC^T + ||c||^2).
     corpus_v = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    sample = corpus_v.select(V.as_double(F.col("_cv")).alias("v")).limit(train_sample).collect()
+    if train_sample_by is None:
+        tr = corpus_v.select(V.as_double(F.col("_cv")).alias("v"))
+    else:
+        tr = corpus.select(
+            V.as_double(F.col(vec_col)).alias("v"), F.col(train_sample_by)
+        )
+    sample = _training_rows(tr, "v", train_sample, train_sample_by)
     if not sample:
         return brute_force_topk(queries, corpus, k, query_id, corpus_id, vec_col, vec_col)
     X = np.array([r["v"] for r in sample])
@@ -320,6 +327,30 @@ def mmr_rerank(
 # -- product quantization (IVF-PQ's compression half) -------------------------
 
 
+def _training_rows(corpus: DataFrame, vec_col: str, n: int, sample_by: str | None):
+    """Bounded driver-side training sample shared by the pq/ivf_pq/sq
+    trainers (the faiss contract: coarse models train on a sample).
+
+    Default (``sample_by=None``): ``LIMIT n`` — stops the scan at the
+    first files, cheapest, but a PREFIX: on a corpus sorted by
+    source/date the sample sees one slice and the codebooks skew (r8
+    verdict #4). Pass ``sample_by=<stable key column>`` to draw a
+    deterministic pseudo-random sample spread across the WHOLE corpus
+    instead: ORDER BY xxhash64(key) LIMIT n compiles to
+    TakeOrderedAndProject — per-partition top-n + a driver merge of n
+    rows, one full scan, NO shuffle, partitioning-independent and
+    reproducible (no fraction estimation, exactly n rows)."""
+    if sample_by is None:
+        return corpus.select(vec_col).limit(n).collect()
+    return (
+        corpus.select(F.col(vec_col), F.col(sample_by).alias("_k"))
+        .orderBy(F.xxhash64(F.col("_k")).asc(), F.col("_k").asc())
+        .limit(n)
+        .select(vec_col)
+        .collect()
+    )
+
+
 def _uniform_subdim(B) -> int:
     """Subvector dimension shared by every PQ codebook. Every encode/search
     path slices the (residual) vector as rq[s*sub:(s+1)*sub]; a codebook
@@ -341,18 +372,22 @@ def pq_train(
     sample: int = 10_000,
     seed: int = 7,
     scale: float = 1024.0,
+    sample_by: str | None = None,
 ) -> list:
     """Train ``m`` per-subspace codebooks of ``subk`` centroids on a bounded
     driver sample (the standard PQ construction: split d dims into m
     subvectors, k-means each independently).
 
-    100 TB shape: training reads a LIMIT-bounded sample only; the model is
+    100 TB shape: training reads a bounded sample only; the model is
     m*subk*(d/m) integers — kilobytes — shipped to executors as literals.
-    Vectors are quantized to integers (floor(x*scale+0.5)) BEFORE training
-    and centroids rounded to integers after, so encoding and ADC scoring
-    downstream are exact int64 arithmetic: order-independent, and an oracle
-    can replay them bit-for-bit."""
-    rows = corpus.select(vec_col).limit(sample).collect()
+    Default sampling is a prefix LIMIT (cheapest); pass ``sample_by`` for
+    a corpus-spread hash sample on source-sorted corpora (see
+    ``_training_rows``). Vectors are quantized to integers
+    (floor(x*scale+0.5)) BEFORE training and centroids rounded to integers
+    after, so encoding and ADC scoring downstream are exact int64
+    arithmetic: order-independent, and an oracle can replay them
+    bit-for-bit."""
+    rows = _training_rows(corpus, vec_col, sample, sample_by)
     X = np.array([list(r[0]) for r in rows], dtype=float)
     return pq_train_arrays(X, m=m, subk=subk, seed=seed, scale=scale)
 
@@ -527,12 +562,17 @@ def ivf_pq_train(
     sample: int = 10_000,
     seed: int = 7,
     scale: float = 1024.0,
+    sample_by: str | None = None,
 ) -> tuple[list, list]:
     """DataFrame front-end for ``ivf_pq_train_arrays``: training reads a
-    LIMIT-bounded driver sample only (the standard coarse-quantizer
+    bounded driver sample only (the standard coarse-quantizer
     construction — centroid quality needs a representative sample, not the
-    corpus); the model ships to executors as literals."""
-    rows = corpus.select(vec_col).limit(sample).collect()
+    corpus); the model ships to executors as literals. Default sampling is
+    a prefix LIMIT; pass ``sample_by`` for a corpus-spread hash sample on
+    source-sorted corpora (see ``_training_rows`` — prefix training on a
+    sorted corpus skews the coarse cells, tests/test_ivf_pq.py proves the
+    recall gap)."""
+    rows = _training_rows(corpus, vec_col, sample, sample_by)
     X = np.array([list(r[0]) for r in rows], dtype=float)
     return ivf_pq_train_arrays(X, ncells=ncells, m=m, subk=subk, seed=seed, scale=scale)
 
@@ -840,10 +880,11 @@ def sq_train_arrays(X, bits: int = 8) -> tuple[list, list]:
 
 
 def sq_train(corpus: DataFrame, vec_col: str = "embedding", bits: int = 8,
-             sample: int = 100_000) -> tuple[list, list]:
-    """DataFrame front-end for ``sq_train_arrays`` (LIMIT-bounded driver
-    sample, the coarse-model training contract shared with pq/ivf_pq)."""
-    rows = corpus.select(vec_col).limit(sample).collect()
+             sample: int = 100_000, sample_by: str | None = None) -> tuple[list, list]:
+    """DataFrame front-end for ``sq_train_arrays`` (bounded driver sample,
+    the coarse-model training contract shared with pq/ivf_pq; default
+    prefix LIMIT, ``sample_by`` = corpus-spread hash sample)."""
+    rows = _training_rows(corpus, vec_col, sample, sample_by)
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     return sq_train_arrays(X, bits=bits)
 

@@ -259,6 +259,50 @@ def test_ivf_pq_topk_multi_ragged_codebooks(vec_df, spark):
     enc.unpersist()
 
 
+def test_hash_sampled_training_beats_prefix_on_sorted_corpus(spark):
+    """r8 verdict #4: LIMIT(n) training reads the FIRST parquet files; on a
+    corpus sorted by source, prefix-trained codebooks only ever see the
+    first sources' clusters and recall collapses for the rest. The
+    sample_by option (ORDER BY xxhash64(key) LIMIT n ->
+    TakeOrderedAndProject, corpus-spread, deterministic) must recover it."""
+    from sycamore_spark.operators.similarity import ivf_pq_topk_multi
+
+    X = clustered(seed=3, ncl=6, per=40, d=16, noise=0.02)  # sorted by cluster
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id bigint, embedding array<float>",
+    ).coalesce(1)  # one file/partition => limit() really is a prefix
+    qids = (170, 185, 200, 215, 230)  # queries from the LAST two clusters
+    queries = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in qids],
+        "query_id bigint, embedding array<float>",
+    )
+    exact = brute_force_topk(
+        queries, df, k=10, metric="l2", query_id="query_id"
+    ).collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(sample_by):
+        cents, books = ivf_pq_train(
+            df, ncells=6, m=16, subk=16, seed=5, sample=120, sample_by=sample_by
+        )
+        enc = ivf_pq_encode(df, cents, books)
+        got = {}
+        for r in ivf_pq_topk_multi(queries, enc, cents, books, k=10, nprobe=2).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = sum(len(got.get(q, set()) & want[q]) for q in want)
+        return hits / sum(len(v) for v in want.values())
+
+    r_prefix = recall(None)
+    r_hash = recall("vec_id")
+    # prefix sample = clusters 0-2 only: residual codebooks never see the
+    # query region's geometry (measured: prefix 0.44, hash 0.94)
+    assert r_hash >= r_prefix + 0.3, f"prefix={r_prefix:.2f} hash={r_hash:.2f}"
+    assert r_hash >= 0.85
+
+
 def test_check_cell_balance_warns_on_hub_cell(spark):
     """A hub cell (skewed corpus mass in one coarse centroid) makes
     nprobe scans uneven — the profiler must say so (r8 verdict ask #6),
