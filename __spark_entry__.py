@@ -2130,14 +2130,15 @@ def _ivf_pq_fixture():
     return cents, books, X[0].tolist()
 
 
-def _ivf_pq_ann_oracle_sql() -> str:
+def _ivf_pq_ann_oracle_sql(extra_where: str = "") -> str:
     """Regenerate the gate's seeded IVF-PQ model (same ``_ivf_pq_fixture``,
     SF-independent), then replay the whole search in pure integer SQL:
     quantize, assign each row to its nearest coarse centroid via
     list_position(list_min) (first-min, same tie-break as numpy argmin),
     keep only the query's 3 probed cells, re-derive each row's residual
     codes per subspace, and sum the per-cell literal LUTs; (dist, id)
-    top-10."""
+    top-10. ``extra_where`` appends a metadata predicate to the corpus
+    CTE (the ann_filtered gate's filtered-search replay)."""
     import numpy as _np
 
     cents, books, qvec = _ivf_pq_fixture()
@@ -2172,7 +2173,7 @@ def _ivf_pq_ann_oracle_sql() -> str:
     return (
         "WITH xqt AS (SELECT vec_id, "
         "list_transform(embedding, x -> floor(x::DOUBLE * 1024.0 + 0.5)::BIGINT) AS xq "
-        "FROM embeddings WHERE vec_id > 0), "
+        f"FROM embeddings WHERE vec_id > 0{extra_where}), "
         f"celld AS (SELECT vec_id, xq, list_transform({cc_sql}, c -> "
         "list_aggregate(list_transform(range(64), i -> "
         "(c[i + 1] - xq[i + 1]) * (c[i + 1] - xq[i + 1])), 'sum')) AS dcell FROM xqt), "
@@ -2449,6 +2450,53 @@ def q_ivf_pq_store(spark, sf) -> DataFrame:
         )[1][:200]:
             raise AssertionError(
                 "probe scan is not partition-pruned on cell_id:\n" + plan[:2000]
+            )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_ann_filtered(spark, sf) -> DataFrame:
+    """FILTERED vector search (similarity.py ivf_pq_topk prefilter= — the
+    metadata-restricted kNN the reference exposes as QueryVectorDatabase's
+    ``filter``, query/operators/query_database.py, pushed into the
+    OpenSearch DSL): the ADC top-10 over only rows with label % 3 == 1,
+    served from the cell-partitioned store so BOTH pruning layers are real
+    and asserted on the executed plan — PartitionFilters names cell_id
+    (nprobe directory cut) and PushedFilters reaches the label column
+    (parquet row-group predicate). Pre-filter-then-rank, never
+    rank-then-drop: the top-k is exact over qualifying rows, including
+    neighbors ranked below the unfiltered top-k. The oracle replays
+    encode + LUT scoring with the same WHERE."""
+    import shutil
+    import tempfile
+
+    from sycamore_spark.operators.similarity import ivf_pq_encode, ivf_pq_topk
+
+    cents, books, qvec = _ivf_pq_fixture()
+    emb = load_table(spark, sf, "embeddings")
+    enc = ivf_pq_encode(emb.filter(F.col("vec_id") > 0), cents, books)
+    root = tempfile.mkdtemp(prefix="annfilter-store-")
+    try:
+        enc.select("vec_id", "label", "pq_codes", "cell_id").write.mode(
+            "overwrite"
+        ).partitionBy("cell_id").parquet(root)
+        stored = spark.read.parquet(root)
+        out = ivf_pq_topk(
+            qvec, stored, cents, books, k=10, nprobe=3,
+            prefilter=F.col("label") % 3 == 1,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        part = plan.split("PartitionFilters", 1)
+        if len(part) < 2 or "cell_id" not in part[1][:200]:
+            raise AssertionError(
+                "filtered probe lost cell_id partition pruning:\n" + plan[:2000]
+            )
+        pushed = plan.split("PushedFilters", 1)
+        if len(pushed) < 2 or "label" not in pushed[1][:200]:
+            raise AssertionError(
+                "label predicate did not push into the store scan:\n" + plan[:2000]
             )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
@@ -5719,6 +5767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
     "hybrid_search": q_hybrid_search,
     "ann_store_compact": q_ann_store_compact,
+    "ann_filtered": q_ann_filtered,
     # -- stalest driver greens --
     "tpch_q22": q_tpch_q22,
     "tpch_q2": q_tpch_q2,
@@ -6623,6 +6672,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_hybrid": _rrf_hybrid_oracle_sql(),
         "hybrid_search": _hybrid_search_oracle_sql(),
         "ann_store_compact": _ivf_pq_ann_oracle_sql(),
+        "ann_filtered": _ivf_pq_ann_oracle_sql(" AND label % 3 = 1"),
         "stream_ann_ingest": _ivf_pq_ann_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "

@@ -174,6 +174,7 @@ HEADLINE = [
     # round-9 additions
     "hybrid_search",
     "ann_store_compact",
+    "ann_filtered",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

@@ -650,6 +650,7 @@ def ivf_pq_topk(
     cell_col: str = "cell_id",
     codes_col: str = "pq_codes",
     scale: float = 1024.0,
+    prefilter=None,
 ) -> DataFrame:
     """ADC top-k restricted to the query's ``nprobe`` nearest cells — the
     composed IVF-PQ search: cell routing and the per-cell lookup tables
@@ -660,7 +661,17 @@ def ivf_pq_topk(
     a cell-selected literal array — plus an integer sum, all native
     codegen; and the global top-k compiles to TakeOrderedAndProject.
     Deterministic ties by id; rows with null codes are excluded (NULLS
-    FIRST would otherwise displace real neighbors)."""
+    FIRST would otherwise displace real neighbors).
+
+    ``prefilter`` (optional Column) is FILTERED vector search — the
+    metadata-restricted kNN the reference exposes as QueryVectorDatabase's
+    ``filter`` (query/operators/query_database.py, pushed into the
+    OpenSearch DSL; faiss's IDSelector analogue). It is conjoined with the
+    cell/null predicate BEFORE scoring, so Catalyst pushes it into the
+    same scan — a plain parquet predicate, never a post-rank drop: the
+    top-k is exact over the rows that satisfy the predicate (post-filter
+    rank-then-drop would return fewer than k and miss qualifying
+    neighbors ranked below the unfiltered top-k)."""
     C = np.array(centroids, dtype=np.int64)
     B = [np.array(b, dtype=np.int64) for b in codebooks]
     m = len(B)
@@ -688,7 +699,10 @@ def ivf_pq_topk(
         term = F.element_at(lut_for_cell, F.col(codes_col)[s] + 1)
         score = term if score is None else score + term
     return (
-        encoded.filter(F.col(cell_col).isin(probed) & F.col(codes_col).isNotNull())
+        encoded.filter(
+            F.col(cell_col).isin(probed) & F.col(codes_col).isNotNull()
+            & (prefilter if prefilter is not None else F.lit(True))
+        )
         .select(id_col, score.cast("bigint").alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
@@ -709,6 +723,7 @@ def ivf_pq_topk_multi(
     codes_col: str = "pq_codes",
     scale: float = 1024.0,
     max_queries: int = 100_000,
+    prefilter=None,
 ) -> DataFrame:
     """Batch IVF-PQ search — the serving shape: a whole DataFrame of
     queries against one encoded corpus. Per the ``brute_force_topk``
@@ -724,7 +739,10 @@ def ivf_pq_topk_multi(
 
     Returns (query_id, id_col, rank, adc_dist); deterministic ties by id;
     rows with null codes are excluded. Integer-exact, so a SQL oracle
-    replays it bit-for-bit."""
+    replays it bit-for-bit. ``prefilter`` (optional Column over the
+    encoded corpus) is filtered vector search, same contract as
+    ``ivf_pq_topk``: conjoined before scoring so it pushes into the scan
+    and the per-query top-k is exact over qualifying rows."""
     C = np.array(centroids, dtype=np.int64)
     B = [np.array(b, dtype=np.int64) for b in codebooks]
     m = len(B)
@@ -775,7 +793,10 @@ def ivf_pq_topk_multi(
         term = F.element_at(F.col("_lut"), F.lit(offsets[s]) + F.col(codes_col)[s] + 1)
         score = term if score is None else score + term
     scored = (
-        encoded.filter(F.col(codes_col).isNotNull())
+        encoded.filter(
+            F.col(codes_col).isNotNull()
+            & (prefilter if prefilter is not None else F.lit(True))
+        )
         .join(F.broadcast(probes), cell_col)
         .select("_qid", id_col, score.cast("bigint").alias("adc_dist"))
     )

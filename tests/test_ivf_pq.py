@@ -303,6 +303,44 @@ def test_hash_sampled_training_beats_prefix_on_sorted_corpus(spark):
     assert r_hash >= 0.85
 
 
+def test_ivf_pq_prefilter_is_filter_then_rank(vec_df, spark):
+    """Filtered vector search must rank over QUALIFYING rows (faiss
+    IDSelector semantics), not drop non-qualifying rows from an
+    unfiltered top-k — the latter returns < k rows and misses qualifying
+    neighbors ranked below the unfiltered cut."""
+    from pyspark.sql import functions as SF
+
+    from sycamore_spark.operators.similarity import ivf_pq_topk_multi
+
+    df, X = vec_df
+    cents, books = ivf_pq_train(df, ncells=6, m=4, subk=16, seed=5)
+    enc = ivf_pq_encode(
+        df.withColumn("label", (SF.col("vec_id") % 4).cast("int")), cents, books
+    ).persist()
+    q = X[7]
+    k = 8
+    filt = ivf_pq_topk(q, enc, cents, books, k=k, nprobe=3,
+                       prefilter=SF.col("label") == 2).collect()
+    # every hit qualifies, and we get a full k (plenty of label-2 rows)
+    assert len(filt) == k and all(r.vec_id % 4 == 2 for r in filt)
+    # replica: ADC over the probed cells restricted to label==2
+    wide = {r.vec_id: r.adc_dist
+            for r in ivf_pq_topk(q, enc, cents, books, k=1000, nprobe=3).collect()}
+    want = sorted((d, i) for i, d in wide.items() if i % 4 == 2)[:k]
+    assert [(r.adc_dist, r.vec_id) for r in filt] == want
+    # post-filtering the unfiltered top-k would have returned FEWER rows
+    post = [i for _, i in sorted((d, i) for i, d in wide.items())[:k] if i % 4 == 2]
+    assert len(post) < k
+    # batch path honors the same prefilter
+    queries = spark.createDataFrame(
+        [(1, X[7].tolist())], "query_id bigint, embedding array<float>"
+    )
+    multi = ivf_pq_topk_multi(queries, enc, cents, books, k=k, nprobe=6,
+                              prefilter=SF.col("label") == 2).collect()
+    assert all(r.vec_id % 4 == 2 for r in multi) and len(multi) == k
+    enc.unpersist()
+
+
 def test_check_cell_balance_warns_on_hub_cell(spark):
     """A hub cell (skewed corpus mass in one coarse centroid) makes
     nprobe scans uneven — the profiler must say so (r8 verdict ask #6),
