@@ -2504,6 +2504,58 @@ def q_ann_filtered(spark, sf) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_ann_drift(spark, sf) -> DataFrame:
+    """ANN re-train monitor (operators/profiling.py categorical_divergence
+    over cell_id): codebooks trained on yesterday's distribution route
+    today's vectors into the wrong cells long before recall visibly
+    collapses — the operational signal is the CELL-OCCUPANCY drift between
+    the serving store and a new ingest batch. Here the corpus splits into
+    store (label < 8) and batch (label >= 8) slices, each encoded once by
+    the shared fixture model (one Arrow pass per slice — the slices
+    partition the corpus, so total encode work is one corpus pass), then
+    add-1-smoothed cell histograms and both KLs in integer nanos
+    (corpus_divergence's exactness contract on a categorical column). One
+    conditional-count hash agg + a one-row reduce — kilobytes at any
+    corpus size. The oracle replays cell assignment and the smoothed KL
+    arithmetic bit-for-bit."""
+    from sycamore_spark.operators.profiling import categorical_divergence
+    from sycamore_spark.operators.similarity import ivf_pq_encode
+
+    cents, books, _ = _ivf_pq_fixture()
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") > 0)
+    store = ivf_pq_encode(emb.filter(F.col("label") < 8), cents, books)
+    batch = ivf_pq_encode(emb.filter(F.col("label") >= 8), cents, books)
+    return categorical_divergence(store, batch, "cell_id")
+
+
+def _ann_drift_oracle_sql() -> str:
+    """Replay: fixture cell assignment (list_position(list_min) first-min
+    argmin) with the label split, conditional cell counts, and the
+    divergence oracle's smoothed-KL nano arithmetic."""
+    cents, _, _ = _ivf_pq_fixture()
+    cc_sql = "[" + ", ".join(
+        "[" + ", ".join(str(int(v)) for v in row) + "]" for row in cents
+    ) + "]"
+    return (
+        "WITH xqt AS (SELECT vec_id, label, "
+        "list_transform(embedding, x -> floor(x::DOUBLE * 1024.0 + 0.5)::BIGINT) AS xq "
+        "FROM embeddings WHERE vec_id > 0), "
+        f"celld AS (SELECT label, list_transform({cc_sql}, c -> "
+        "list_aggregate(list_transform(range(64), i -> "
+        "(c[i + 1] - xq[i + 1]) * (c[i + 1] - xq[i + 1])), 'sum')) AS dcell FROM xqt), "
+        "asg AS (SELECT label, list_position(dcell, list_min(dcell)) - 1 AS cell FROM celld), "
+        "c AS (SELECT cell, sum(CASE WHEN label < 8 THEN 1 ELSE 0 END)::BIGINT AS ca, "
+        "sum(CASE WHEN label >= 8 THEN 1 ELSE 0 END)::BIGINT AS cb FROM asg GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb, "
+        "count(*)::BIGINT AS v FROM c), "
+        "p AS (SELECT (ca + 1.0) / CAST(na + v AS DOUBLE) AS pa, "
+        "(cb + 1.0) / CAST(nb + v AS DOUBLE) AS pb, na, nb, v FROM c, tot) "
+        "SELECT CAST(sum(floor(pa * ln(pa / pb) * 1e9 + 0.5)) AS BIGINT) AS kl_ab_nanos, "
+        "CAST(sum(floor(pb * ln(pb / pa) * 1e9 + 0.5)) AS BIGINT) AS kl_ba_nanos, "
+        "first(na) AS n_a, first(nb) AS n_b, first(v) AS n_keys FROM p"
+    )
+
+
 def q_ann_store_compact(spark, sf) -> DataFrame:
     """ANN store MAINTENANCE (writer.py compact_partitioned_table +
     operators/similarity.py check_cell_balance): streaming ingest appends
@@ -5768,6 +5820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_search": q_hybrid_search,
     "ann_store_compact": q_ann_store_compact,
     "ann_filtered": q_ann_filtered,
+    "ann_drift": q_ann_drift,
     # -- stalest driver greens --
     "tpch_q22": q_tpch_q22,
     "tpch_q2": q_tpch_q2,
@@ -6673,6 +6726,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": _hybrid_search_oracle_sql(),
         "ann_store_compact": _ivf_pq_ann_oracle_sql(),
         "ann_filtered": _ivf_pq_ann_oracle_sql(" AND label % 3 = 1"),
+        "ann_drift": _ann_drift_oracle_sql(),
         "stream_ann_ingest": _ivf_pq_ann_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "

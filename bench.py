@@ -175,6 +175,7 @@ HEADLINE = [
     "hybrid_search",
     "ann_store_compact",
     "ann_filtered",
+    "ann_drift",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

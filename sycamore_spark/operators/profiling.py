@@ -144,6 +144,43 @@ def corpus_divergence(
     )
 
 
+def categorical_divergence(
+    df_a: DataFrame, df_b: DataFrame, key_col: str
+) -> DataFrame:
+    """``corpus_divergence``'s exactness contract applied to an already-
+    categorical column (no tokenization): add-1-smoothed distributions of
+    ``key_col`` over the JOINT key set and both KL divergences as integer
+    nanos. The ANN re-train monitor composes this over cell_id (store vs
+    new ingest batch — codebooks trained on yesterday's distribution
+    route today's vectors into the wrong cells long before recall
+    visibly collapses); it is equally the label/source/shard drift check.
+
+    Plan: one conditional-count hash agg over the union (map-side
+    combined, one row per key) + a one-row totals broadcast + a one-row
+    reduce — kilobyte-scale regardless of input size."""
+    tagged = df_a.select(F.col(key_col).alias("_k"), F.lit(1).alias("_a")).unionByName(
+        df_b.select(F.col(key_col).alias("_k"), F.lit(0).alias("_a"))
+    )
+    counts = tagged.groupBy("_k").agg(
+        F.sum("_a").alias("_ca"),
+        F.sum(F.lit(1) - F.col("_a")).alias("_cb"),
+    )
+    totals = counts.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"), F.count(F.lit(1)).alias("_v")
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    pa = (F.col("_ca") + F.lit(1.0)) / (F.col("_na") + F.col("_v")).cast("double")
+    pb = (F.col("_cb") + F.lit(1.0)) / (F.col("_nb") + F.col("_v")).cast("double")
+    nanos = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("long")  # noqa: E731
+    return j.agg(
+        F.sum(nanos(pa * F.log(pa / pb))).alias("kl_ab_nanos"),
+        F.sum(nanos(pb * F.log(pb / pa))).alias("kl_ba_nanos"),
+        F.first("_na").cast("bigint").alias("n_a"),
+        F.first("_nb").cast("bigint").alias("n_b"),
+        F.first("_v").cast("bigint").alias("n_keys"),
+    )
+
+
 def validate_expectations(
     df: DataFrame, rules: dict[str, "str | F.Column"]
 ) -> DataFrame:

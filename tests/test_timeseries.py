@@ -60,6 +60,32 @@ def test_corpus_divergence_properties(spark):
     assert (diff.kl_ab_nanos, diff.kl_ba_nanos) == (again.kl_ab_nanos, again.kl_ba_nanos)
 
 
+def test_categorical_divergence_properties(spark):
+    from sycamore_spark.operators.profiling import categorical_divergence
+
+    mk = lambda cells: spark.createDataFrame(  # noqa: E731
+        [(i, c) for i, c in enumerate(cells)], "vec_id long, cell_id int"
+    )
+    same = categorical_divergence(mk([0, 1, 2, 3] * 10), mk([0, 1, 2, 3] * 10),
+                                  "cell_id").collect()[0]
+    # identical cell histograms -> KL ~ 0; counts/keys reported
+    assert abs(same.kl_ab_nanos) < 10 and abs(same.kl_ba_nanos) < 10
+    assert same.n_a == 40 and same.n_b == 40 and same.n_keys == 4
+    drift = categorical_divergence(mk([0, 1, 2, 3] * 10), mk([3] * 40),
+                                   "cell_id").collect()[0]
+    assert drift.kl_ab_nanos > 100_000_000  # hub-cell batch: large drift
+    # symmetric swap exchanges the two KLs exactly (integer nanos)
+    swapped = categorical_divergence(mk([3] * 40), mk([0, 1, 2, 3] * 10),
+                                     "cell_id").collect()[0]
+    assert (swapped.kl_ab_nanos, swapped.kl_ba_nanos) == (
+        drift.kl_ba_nanos, drift.kl_ab_nanos)
+    # partitioning-independent (bigint sums)
+    again = categorical_divergence(mk([0, 1, 2, 3] * 10).repartition(7),
+                                   mk([3] * 40), "cell_id").collect()[0]
+    assert (drift.kl_ab_nanos, drift.kl_ba_nanos) == (
+        again.kl_ab_nanos, again.kl_ba_nanos)
+
+
 def test_validate_expectations(spark):
     from sycamore_spark.operators.profiling import validate_expectations
 
