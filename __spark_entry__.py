@@ -2789,6 +2789,62 @@ def _hybrid_search_oracle_sql() -> str:
     )
 
 
+def q_rag_hybrid_e2e(spark, sf) -> DataFrame:
+    """The full hybrid RAG serving pipeline under ONE oracle — what a
+    retrieval server actually runs end-to-end: lexical BM25 + IVF-PQ
+    vector retrieval fused by reciprocal-rank fusion (the hybrid_search
+    stages) -> per-query top-5 of the FUSED ranking -> join the document
+    store -> token-budget cutoff in fused-rank order -> ordered context
+    concatenation fingerprint (the rag_context tail). Every stage is
+    individually gated elsewhere; this row proves the COMPOSITION.
+
+    Scale shape: fused is top-k-sized (result-scale), the document join
+    is k rows per query against the store, and context assembly is one
+    window + one hash agg over those rows — the corpus appears only in
+    the already-bounded retrieval stages."""
+    fused = q_hybrid_search(spark, sf).filter(F.col("rank") <= 5)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    j = fused.join(docs, fused.vec_id == docs.doc_id)
+    toks = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    w = (
+        Window.partitionBy("query_id").orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = j.withColumn("_nt", toks).withColumn("_cum", F.sum("_nt").over(w))
+    kept = staged.filter(F.col("_cum") <= 200)
+    ordered = F.array_sort(F.collect_list(F.struct("rank", "text")))
+    return (
+        kept.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.md5(
+                F.array_join(F.transform(ordered, lambda s: s["text"]), "\n\n")
+            ).alias("context_md5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _rag_hybrid_e2e_oracle_sql() -> str:
+    """Replay: the hybrid_search oracle's fused top-5 joined to documents,
+    then the rag_context oracle's budget/concat tail."""
+    hybrid = _hybrid_search_oracle_sql()
+    return (
+        f"WITH fused AS (SELECT query_id, vec_id, rank FROM ({hybrid}) h WHERE rank <= 5), "
+        "j AS (SELECT query_id, rank, text, "
+        "len(string_split(trim(text), ' '))::BIGINT AS nt "
+        "FROM fused JOIN documents ON vec_id = doc_id), "
+        "c AS (SELECT *, sum(nt) OVER (PARTITION BY query_id ORDER BY rank "
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM j), "
+        "kept AS (SELECT * FROM c WHERE cum <= 200) "
+        "SELECT query_id, count(*)::BIGINT AS n_docs, "
+        "CAST(sum(nt) AS BIGINT) AS n_tokens, "
+        "md5(string_agg(text, '\n\n' ORDER BY rank)) AS context_md5 "
+        "FROM kept GROUP BY 1 ORDER BY 1"
+    )
+
+
 def q_stream_ann_ingest(spark, sf) -> DataFrame:
     """Streaming ANN ingest — the continuous-indexing shape: the
     embeddings table replayed as an availableNow file stream through the
@@ -5821,6 +5877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_store_compact": q_ann_store_compact,
     "ann_filtered": q_ann_filtered,
     "ann_drift": q_ann_drift,
+    "rag_hybrid_e2e": q_rag_hybrid_e2e,
     # -- stalest driver greens --
     "tpch_q22": q_tpch_q22,
     "tpch_q2": q_tpch_q2,
@@ -6727,6 +6784,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_store_compact": _ivf_pq_ann_oracle_sql(),
         "ann_filtered": _ivf_pq_ann_oracle_sql(" AND label % 3 = 1"),
         "ann_drift": _ann_drift_oracle_sql(),
+        "rag_hybrid_e2e": _rag_hybrid_e2e_oracle_sql(),
         "stream_ann_ingest": _ivf_pq_ann_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "

@@ -176,6 +176,7 @@ HEADLINE = [
     "ann_store_compact",
     "ann_filtered",
     "ann_drift",
+    "rag_hybrid_e2e",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M
