@@ -4591,6 +4591,29 @@ def q_concat_shards(spark, sf) -> DataFrame:
     )
 
 
+def q_sequence_pack(spark, sf) -> DataFrame:
+    """GPT-style token-level sequence packing (operators/sampling.py
+    sequence_pack): per-language token streams in doc_id order cut every
+    512 tokens, documents SPLITTING across sequence boundaries — the
+    pretraining batch layout pack_shards (doc-granular bins) deliberately
+    is not. One cumulative-offset window per language + a
+    boundary-crossing-bounded explode; the oracle replays offsets, cuts,
+    and slice spans exactly (integer arithmetic end to end)."""
+    from sycamore_spark.operators.sampling import sequence_pack
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang",
+        F.when(F.trim(F.col("text")) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long").alias("n_tokens"),
+    )
+    out = sequence_pack(
+        docs, "n_tokens", seq_len=512, order_col="doc_id", partition_cols=["lang"]
+    )
+    return out.select("seq_id", "doc_id", "lang", "n_tokens",
+                      "tok_start", "tok_end", "seq_off")
+
+
 def q_pack_shards(spark, sf) -> DataFrame:
     """Training-shard packing: documents greedily packed into ~2000-token
     shards in doc_id order (one window cumsum; at scale, partition by
@@ -5878,6 +5901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_filtered": q_ann_filtered,
     "ann_drift": q_ann_drift,
     "rag_hybrid_e2e": q_rag_hybrid_e2e,
+    "sequence_pack": q_sequence_pack,
     # -- stalest driver greens --
     "tpch_q22": q_tpch_q22,
     "tpch_q2": q_tpch_q2,
@@ -7687,6 +7711,19 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
             "SELECT doc_id, n_tokens, "
             "CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT)::VARCHAR AS shard_id FROM c"
+        ),
+        "sequence_pack": (
+            "WITH t AS (SELECT doc_id, lang, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split(trim(text), ' ')) END::BIGINT AS n_tokens FROM documents), "
+            "t2 AS (SELECT * FROM t WHERE n_tokens > 0), "
+            "c AS (SELECT *, CAST(sum(n_tokens) OVER ("
+            "PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ce FROM t2), "
+            "c2 AS (SELECT *, ce - n_tokens AS cs FROM c), "
+            "e AS (SELECT *, unnest(generate_series(cs // 512, (ce - 1) // 512)) AS s FROM c2) "
+            "SELECT lang || '-' || s::VARCHAR AS seq_id, doc_id, lang, n_tokens, "
+            "(greatest(cs, s * 512) - cs)::BIGINT AS tok_start, "
+            "(least(ce, (s + 1) * 512) - cs)::BIGINT AS tok_end, "
+            "(greatest(cs, s * 512) - s * 512)::BIGINT AS seq_off FROM e"
         ),
         "pack_shards_part": (
             "WITH t AS (SELECT doc_id, lang, "

@@ -177,6 +177,7 @@ HEADLINE = [
     "ann_filtered",
     "ann_drift",
     "rag_hybrid_e2e",
+    "sequence_pack",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

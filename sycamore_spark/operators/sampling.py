@@ -304,6 +304,64 @@ def concat_shards(
     )
 
 
+def sequence_pack(
+    df: DataFrame,
+    size_col: str,
+    seq_len: int,
+    order_col: str,
+    partition_cols: list[str] | None = None,
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """Token-level sequence packing — the GPT-pretraining layout
+    ``pack_shards`` deliberately is not: documents are concatenated in
+    ``order_col`` order into ONE token stream (within ``partition_cols``)
+    and cut every ``seq_len`` tokens, so a document SPLITS across the
+    sequence boundary and every sequence is exactly full (no padding
+    waste except the stream tail). Returns one row per (sequence,
+    document-slice): ``seq_col``, the original columns, and
+
+    - ``tok_start``/``tok_end`` — the [start, end) token span of the doc
+      consumed by this sequence (slice the doc's tokens with these), and
+    - ``seq_off`` — where the slice lands inside the sequence.
+
+    Zero-token docs contribute nothing and are dropped (the canonical
+    packing contract). Shape: ONE window (cumulative token offsets — the
+    pack_shards shuffle contract: global order = single-task sort, so
+    partition by date/source at scale) + a per-row explode bounded by
+    each doc's own boundary-crossing count, so output rows ~
+    n_docs + total_tokens/seq_len — linear, no corpus-sized join."""
+    parts = [F.col(c) for c in (partition_cols or [])]
+    w = (
+        Window.partitionBy(*parts).orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    size = F.col(size_col).cast("long")
+    cum_end = F.sum(size).over(w)
+    df2 = (
+        df.filter(size > 0)
+        .withColumn("_ce", cum_end)
+        .withColumn("_cs", F.col("_ce") - size)
+    )
+    first_seq = F.floor(F.col("_cs") / F.lit(seq_len))
+    last_seq = F.floor((F.col("_ce") - 1) / F.lit(seq_len))
+    out = df2.withColumn("_s", F.explode(F.sequence(first_seq, last_seq)))
+    g_start = F.greatest(F.col("_cs"), F.col("_s") * seq_len)
+    g_end = F.least(F.col("_ce"), (F.col("_s") + 1) * seq_len)
+    if parts:
+        seq_id = F.concat_ws(
+            "-", *[c.cast("string") for c in parts], F.col("_s").cast("string")
+        )
+    else:
+        seq_id = F.col("_s").cast("string")
+    return (
+        out.withColumn(seq_col, seq_id)
+        .withColumn("tok_start", (g_start - F.col("_cs")).cast("long"))
+        .withColumn("tok_end", (g_end - F.col("_cs")).cast("long"))
+        .withColumn("seq_off", (g_start - F.col("_s") * seq_len).cast("long"))
+        .drop("_cs", "_ce", "_s")
+    )
+
+
 def top_per_group(
     df: DataFrame,
     group_col: str,
