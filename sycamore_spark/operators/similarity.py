@@ -792,9 +792,16 @@ def ivf_pq_topk_multi(
     for s in range(m):
         term = F.element_at(F.col("_lut"), F.lit(offsets[s]) + F.col(codes_col)[s] + 1)
         score = term if score is None else score + term
+    # The probed-cell UNION is known driver-side, so prune STATICALLY
+    # before the join: on a partitionBy(cell_id) store this is partition
+    # pruning at file-listing time (the broadcast join alone would list
+    # every cell and rely on the post-scan join to drop rows — at 100 TB
+    # that is the whole store scanned for a handful of probed cells).
+    probed_cells = sorted({int(c) for _, c, _ in probe_rows})
     scored = (
         encoded.filter(
-            F.col(codes_col).isNotNull()
+            (F.col(cell_col).isin(probed_cells) if probed_cells else F.lit(False))
+            & F.col(codes_col).isNotNull()
             & (prefilter if prefilter is not None else F.lit(True))
         )
         .join(F.broadcast(probes), cell_col)
