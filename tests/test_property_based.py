@@ -217,8 +217,15 @@ def test_formula_solve_roundtrip(a, b, t, op):
         lhs = {"+": sa + sb, "-": sa - sb, "*": sa * sb,
                "/": sa / sb if sb != 0 else None}[op]
         # overflow / tiny-divisor cases produce inf on BOTH sides (the
-        # operator replays IEEE); the closure property only holds finitely
-        if lhs is not None and math.isfinite(lhs):
+        # operator replays IEEE); the closure property only holds finitely.
+        # SUBNORMAL intermediates are likewise excluded: solving a = t*b
+        # with b = 5e-324 quantizes to a neighboring denormal and a/b then
+        # misses t by O(1) — both engines compute the identical IEEE
+        # result (parity holds), the mathematical roundtrip just doesn't.
+        subnormal = any(
+            x != 0.0 and abs(x) < 2.2250738585072014e-308 for x in (sa, sb, st_)
+        )
+        if lhs is not None and math.isfinite(lhs) and not subnormal:
             assert abs(lhs - st_) <= 1e-6 * max(1.0, abs(st_))
     if known != 2:
         assert (sa, sb, st_) == (a, b, t)
