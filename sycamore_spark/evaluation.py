@@ -663,42 +663,61 @@ def ann_recall_at_k(
 
     Recall's denominator comes from ``exact``: a query id that appears
     ONLY in ``approx`` has no ground truth and would otherwise vanish from
-    the output silently — under ``strict`` (default) that raises, as does
-    an ``overall_id`` colliding with a real query id (which would corrupt
-    the per-query/overall distinction). The strict validation runs two
-    LIMIT-1-bounded jobs over the top-k-sized result tables
-    (question-scale by contract — pass ``strict=False`` only when the
-    inputs are expensive unmaterialized lineage AND known disjoint-safe).
+    the output silently — under ``strict`` (default) that raises at
+    execution time, as does an ``overall_id`` colliding with a real query
+    id (which would corrupt the per-query/overall distinction). The
+    validation is built INTO the returned plan (``assert_true`` over a
+    full-outer query-id join, forced by an always-true filter), so it
+    costs ZERO extra jobs and never re-executes the inputs' lineage —
+    violations surface as a SparkRuntimeException naming the query id
+    when the result is computed. ``strict=False`` keeps the documented
+    silent-drop behavior.
 
     Shape: two hash aggs on the (small, top-k-sized) result tables and
     one one-row union — question-scale, corpus-free."""
     a = approx.select(F.col(query_col).alias("_q"), F.col(id_col).alias("_i")).distinct()
     e = exact.select(F.col(query_col).alias("_q"), F.col(id_col).alias("_i")).distinct()
+    # ONE full-outer row join + ONE hash agg: each input's lineage executes
+    # exactly once (the hits/base two-branch form re-ran `exact` twice, and
+    # a strict-mode third branch re-ran `approx` — on lazy ANN inputs each
+    # branch re-executes the whole search; bench ann_recall measured it)
+    m = a.withColumn("_ina", F.lit(1)).join(
+        e.withColumn("_ine", F.lit(1)), ["_q", "_i"], "full"
+    )
+    per = m.groupBy("_q").agg(
+        F.sum(
+            F.when(F.col("_ina").isNotNull() & F.col("_ine").isNotNull(), 1).otherwise(0)
+        ).alias("n_hits"),
+        F.sum("_ine").alias("n_exact"),
+    )
     if strict:
-        orphan = (
-            a.select("_q").join(e.select("_q").distinct(), "_q", "left_anti").limit(1).collect()
+        no_orphan = F.assert_true(
+            F.col("n_exact").isNotNull(),
+            F.concat(
+                F.lit(f"ann_recall_at_k: {query_col}="),
+                F.col("_q").cast("string"),
+                F.lit(
+                    " appears in approx but not in exact - it has no ground "
+                    "truth; align the query sets or pass strict=False to drop "
+                    "deliberately"
+                ),
+            ),
         )
-        if orphan:
-            raise ValueError(
-                f"ann_recall_at_k: {query_col}={orphan[0]._q!r} appears in approx "
-                f"but not in exact — it has no ground truth and would be dropped; "
-                f"align the query sets or pass strict=False to drop deliberately"
-            )
-        clash = (
-            a.select("_q").union(e.select("_q"))
-            .where(F.col("_q") == F.lit(overall_id)).limit(1).collect()
-        )
-        if clash:
-            raise ValueError(
+        no_clash = F.assert_true(
+            F.col("_q") != F.lit(overall_id),
+            F.lit(
                 f"ann_recall_at_k: overall_id={overall_id!r} occurs as a real "
-                f"{query_col} in the inputs — the overall row would collide; "
+                f"{query_col} in the inputs - the overall row would collide; "
                 f"pass a distinct overall_id"
-            )
-    hits = a.join(e, ["_q", "_i"]).groupBy("_q").agg(F.count(F.lit(1)).alias("n_hits"))
-    base = e.groupBy("_q").agg(F.count(F.lit(1)).alias("n_exact"))
+            ),
+        )
+        # assert_true returns NULL on success; the filter forces evaluation
+        # (a bare projected-and-dropped column would be pruned by Catalyst)
+        per = per.filter(no_orphan.isNull() & no_clash.isNull())
+    else:
+        per = per.filter(F.col("n_exact").isNotNull())  # documented silent drop
     per = (
-        base.join(hits, "_q", "left")
-        .select(
+        per.select(
             F.col("_q").alias(query_col),
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
             F.col("n_exact").cast("bigint").alias("n_exact"),
