@@ -106,6 +106,11 @@ class PlanExecutor:
         from sycamore_spark.operators.similarity import brute_force_topk
 
         corpus = load_table(self.spark, self.sf_dir, n.table)
+        if n.filter_expr:
+            # reference opensearch_filter (query_database.py:104): filtered
+            # kNN — restrict BEFORE ranking so top-k is exact over
+            # qualifying rows (a pushdown-able parquet predicate)
+            corpus = corpus.filter(n.filter_expr)
         q = self.spark.createDataFrame([(0, n.query_vector)], "vec_id int, embedding array<float>")
         hits = brute_force_topk(q, corpus, k=n.k)
         return corpus.join(

@@ -47,12 +47,17 @@ class QueryDatabase(Node):
 class QueryVectorDatabase(Node):
     """kNN retrieval over the embeddings table (reference:
     query_database.py QueryVectorDatabase → OpenSearch kNN; here brute-force
-    or IVF cosine top-k in-engine)."""
+    or IVF cosine top-k in-engine). ``filter_expr`` is the reference's
+    ``opensearch_filter`` (query_database.py:104) as a SQL predicate:
+    filtered vector search, applied to the corpus BEFORE ranking
+    (pre-filter-then-rank — the top-k is exact over qualifying rows, same
+    contract as operators/similarity prefilter=)."""
 
     node_type: Literal["QueryVectorDatabase"] = "QueryVectorDatabase"
     table: str = "embeddings"
     query_vector: Optional[list[float]] = None
     k: int = 10
+    filter_expr: Optional[str] = None
 
 
 class DataLoader(Node):

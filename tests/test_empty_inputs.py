@@ -211,3 +211,33 @@ def test_round6_operators_empty(spark):
     f0 = expand_formulas(q0, {"T": {"formulas": ["A = B"], "instructions": "i"}})
     assert f0.count() == 0
     assert attach_subtasks(f0, {"B": "find b. "}, filters_col="filters").count() == 0
+
+
+def test_round9_operators_empty(spark):
+    from sycamore_spark.operators.profiling import categorical_divergence
+    from sycamore_spark.operators.retrieval import rrf_fuse
+    from sycamore_spark.operators.sampling import sequence_pack
+    from sycamore_spark.operators.similarity import check_cell_balance, ivf_pq_topk_multi
+
+    docs = _empty(spark, "doc_id long, n_tokens long")
+    assert sequence_pack(docs, "n_tokens", seq_len=8, order_col="doc_id").count() == 0
+    # all-zero-token input: every row drops, no explode errors
+    zeros = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, n_tokens long")
+    assert sequence_pack(zeros, "n_tokens", seq_len=8, order_col="doc_id").count() == 0
+
+    cells = _empty(spark, "vec_id long, cell_id int")
+    assert check_cell_balance(cells) == 0.0  # no warning, no crash
+    row = categorical_divergence(cells, cells, "cell_id").collect()[0]
+    # empty-vs-empty: one row of nulls (corpus_divergence's empty contract)
+    assert row.n_keys is None and row.kl_ab_nanos is None
+
+    ranked = _empty(spark, "query_id long, vec_id long, rank int")
+    assert rrf_fuse([ranked, ranked]).count() == 0
+
+    # empty QUERY side through batch IVF-PQ: no probes -> empty result
+    enc = _empty(spark, "vec_id long, cell_id int, pq_codes array<int>")
+    q0 = _empty(spark, "query_id long, embedding array<double>")
+    books = [[[0, 0], [1, 1]], [[0, 0], [1, 1]]]
+    cents = [[0, 0, 0, 0]]
+    out = ivf_pq_topk_multi(q0, enc, cents, books, k=3)
+    assert out.count() == 0

@@ -119,6 +119,29 @@ def test_remove_vector_search_for_analytics():
     assert out.nodes[count.inputs[0]].node_type == "LlmFilter"
 
 
+def test_query_vector_database_filter_expr(spark):
+    """Plan-level filtered vector search (reference opensearch_filter,
+    query_database.py:104): the predicate restricts the corpus BEFORE
+    ranking, so every hit qualifies and top-k fills from qualifying rows
+    ranked below the unfiltered cut."""
+    from sycamore_spark.plans.executor import PlanExecutor
+
+    qv = [0.1] * 64
+    plan = L.LogicalPlan(query="", result_node=0, nodes={
+        0: L.QueryVectorDatabase(node_id=0, query_vector=qv, k=5,
+                                 filter_expr="label % 2 = 1"),
+    })
+    out = PlanExecutor(spark, SF).execute(plan)
+    rows = out.collect()
+    assert len(rows) == 5 and all(r.label % 2 == 1 for r in rows)
+    # unfiltered top-5 differs (some even-label neighbors rank higher)
+    plain = L.LogicalPlan(query="", result_node=0, nodes={
+        0: L.QueryVectorDatabase(node_id=0, query_vector=qv, k=5),
+    })
+    plain_ids = {r.vec_id for r in PlanExecutor(spark, SF).execute(plain).collect()}
+    assert plain_ids != {r.vec_id for r in rows}
+
+
 def test_only_retrieval_strips_tail():
     plan = L.LogicalPlan(query="", result_node=2, nodes={
         0: L.QueryDatabase(node_id=0),
