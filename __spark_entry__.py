@@ -2504,6 +2504,95 @@ def q_ann_filtered(spark, sf) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_ivf_pq_refine_multi(spark, sf) -> DataFrame:
+    """Batch exact re-ranking (similarity.py ivf_pq_refine_multi —
+    IndexRefineFlat in the serving shape): each fixture query ADC-ranks a
+    refine*k pool inside its probed cells, then ONLY the pool is
+    re-scored with exact integer L2 against that query's vector (carried
+    in the broadcast probe table alongside the flat LUT). Two rank
+    windows over the same query-id partitioning = one shuffle. The
+    oracle replays pool cut and re-rank bit-for-bit."""
+    from sycamore_spark.operators.similarity import ivf_pq_encode, ivf_pq_refine_multi
+
+    cents, books, _ = _ivf_pq_fixture()
+    qdf = spark.createDataFrame(
+        [(101 + i, v) for i, v in enumerate(_ivf_pq_fixture_queries())],
+        "query_id bigint, embedding array<double>",
+    )
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") > 0)
+    enc = ivf_pq_encode(emb, cents, books)
+    return ivf_pq_refine_multi(qdf, enc, cents, books, k=5, refine=3, nprobe=3)
+
+
+def _ivf_pq_refine_multi_oracle_sql(k: int = 5, refine: int = 3) -> str:
+    """Replay of the batch refine gate: the shared quantize/assign CTEs,
+    then per fixture query an ADC pool rank (<= refine*k) and an exact
+    integer-L2 re-rank (<= k), unioned."""
+    import numpy as _np
+
+    cents, books, _ = _ivf_pq_fixture()
+    C = _np.array(cents, dtype=_np.int64)
+    B = [_np.array(b, dtype=_np.int64) for b in books]
+    sub = 8
+    cc_sql = "[" + ", ".join(
+        "[" + ", ".join(str(int(v)) for v in row) + "]" for row in cents
+    ) + "]"
+    blocks = []
+    for qi, qvec in enumerate(_ivf_pq_fixture_queries()):
+        qid = 101 + qi
+        q = _np.floor(_np.asarray(qvec, dtype=float) * 1024.0 + 0.5).astype(_np.int64)
+        q_sql = "[" + ", ".join(str(int(v)) for v in q) + "]"
+        dc = ((C - q) ** 2).sum(axis=1)
+        probed = [int(c) for c in _np.argsort(dc, kind="stable")[:3]]
+        probed_sql = "[" + ", ".join(str(c) for c in probed) + "]"
+        dl_exprs, score_terms = [], []
+        for s, b in enumerate(books):
+            cb = "[" + ", ".join(
+                "[" + ", ".join(str(int(v)) for v in c) + "]" for c in b
+            ) + "]"
+            dl = (
+                f"list_transform({cb}, c -> list_aggregate(list_transform(range(8), "
+                f"i -> (c[i + 1] - r[{s * sub} + i + 1]) * (c[i + 1] - r[{s * sub} + i + 1])), 'sum'))"
+            )
+            dl_exprs.append(f"{dl} AS dl{s}")
+            luts = []
+            for c in probed:
+                rq = q - C[c]
+                lut = ((B[s] - rq[s * sub:(s + 1) * sub]) ** 2).sum(axis=1).tolist()
+                luts.append("[" + ", ".join(str(int(v)) for v in lut) + "]")
+            nested = "[" + ", ".join(luts) + "]"
+            score_terms.append(f"{nested}[cpos][list_position(dl{s}, list_min(dl{s}))]")
+        exact = (
+            f"list_aggregate(list_transform(range(64), i -> "
+            f"(xq[i + 1] - {q_sql}[i + 1]) * (xq[i + 1] - {q_sql}[i + 1])), 'sum')"
+        )
+        blocks.append(
+            f"(SELECT query_id, vec_id, rank::INT AS rank, adc_dist, exact_dist FROM ("
+            f"SELECT query_id, vec_id, adc_dist, exact_dist, "
+            f"row_number() OVER (ORDER BY exact_dist ASC, vec_id ASC) AS rank FROM ("
+            f"SELECT {qid}::BIGINT AS query_id, vec_id, adc_dist, exact_dist, "
+            f"row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS prank FROM ("
+            f"SELECT vec_id, ({' + '.join(score_terms)})::BIGINT AS adc_dist, "
+            f"{exact}::BIGINT AS exact_dist FROM ("
+            f"SELECT vec_id, xq, cpos, {', '.join(dl_exprs)} FROM ("
+            f"SELECT vec_id, xq, list_position({probed_sql}, cell) AS cpos, "
+            f"list_transform(range(64), i -> xq[i + 1] - {cc_sql}[cell + 1][i + 1]) AS r "
+            f"FROM asg WHERE list_position({probed_sql}, cell) > 0)))) "
+            f"WHERE prank <= {refine * k}) WHERE rank <= {k})"
+        )
+    return (
+        "WITH xqt AS (SELECT vec_id, "
+        "list_transform(embedding, x -> floor(x::DOUBLE * 1024.0 + 0.5)::BIGINT) AS xq "
+        "FROM embeddings WHERE vec_id > 0), "
+        f"celld AS (SELECT vec_id, xq, list_transform({cc_sql}, c -> "
+        "list_aggregate(list_transform(range(64), i -> "
+        "(c[i + 1] - xq[i + 1]) * (c[i + 1] - xq[i + 1])), 'sum')) AS dcell FROM xqt), "
+        "asg AS (SELECT vec_id, xq, list_position(dcell, list_min(dcell)) - 1 AS cell "
+        "FROM celld) "
+        + " UNION ALL ".join(blocks)
+    )
+
+
 def q_ann_drift(spark, sf) -> DataFrame:
     """ANN re-train monitor (operators/profiling.py categorical_divergence
     over cell_id): codebooks trained on yesterday's distribution route
@@ -5902,6 +5991,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_drift": q_ann_drift,
     "rag_hybrid_e2e": q_rag_hybrid_e2e,
     "sequence_pack": q_sequence_pack,
+    "ivf_pq_refine_multi": q_ivf_pq_refine_multi,
     # -- stalest driver greens --
     "tpch_q22": q_tpch_q22,
     "tpch_q2": q_tpch_q2,
@@ -6809,6 +6899,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_filtered": _ivf_pq_ann_oracle_sql(" AND label % 3 = 1"),
         "ann_drift": _ann_drift_oracle_sql(),
         "rag_hybrid_e2e": _rag_hybrid_e2e_oracle_sql(),
+        "ivf_pq_refine_multi": _ivf_pq_refine_multi_oracle_sql(),
         "stream_ann_ingest": _ivf_pq_ann_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "

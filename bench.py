@@ -178,6 +178,7 @@ HEADLINE = [
     "ann_drift",
     "rag_hybrid_e2e",
     "sequence_pack",
+    "ivf_pq_refine_multi",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

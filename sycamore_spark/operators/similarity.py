@@ -891,6 +891,116 @@ def ivf_pq_refine_topk(
     )
 
 
+def ivf_pq_refine_multi(
+    queries: DataFrame,
+    encoded: DataFrame,
+    centroids: list,
+    codebooks: list,
+    k: int = 10,
+    refine: int = 4,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell_id",
+    codes_col: str = "pq_codes",
+    scale: float = 1024.0,
+    max_queries: int = 100_000,
+    prefilter=None,
+) -> DataFrame:
+    """Batch IVF-PQ with exact re-ranking — ``ivf_pq_refine_topk``'s
+    IndexRefineFlat pattern in the ``ivf_pq_topk_multi`` serving shape: a
+    whole DataFrame of queries, each ADC-ranking a ``refine * k``
+    candidate pool inside its probed cells, then ONLY the pool re-scored
+    with the exact quantized-integer L2 against that query's vector.
+
+    Shape: the broadcast probe table carries each query's flat LUT AND
+    its quantized vector (kilobytes/query), the probed-cell union prunes
+    the store statically, the pool cut and the exact re-rank are TWO rank
+    windows over the SAME query-id partitioning (one shuffle — Catalyst
+    reuses the exchange), and the exact distance is zip_with/aggregate
+    int64 codegen on refine*k rows per query. Integer-exact end to end.
+
+    Returns (query_id, id_col, rank, adc_dist, exact_dist); ties by id;
+    ``prefilter`` as in ``ivf_pq_topk_multi``."""
+    C = np.array(centroids, dtype=np.int64)
+    B = [np.array(b, dtype=np.int64) for b in codebooks]
+    m = len(B)
+    sub = _uniform_subdim(B)
+    q_rows = (
+        queries.select(F.col(query_id).alias("_qid"), V.as_double(F.col(query_vec)).alias("_qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivf_pq_refine_multi collects the query side to the driver; got "
+            f">{max_queries} query rows (max_queries={max_queries}). Chunk "
+            f"the query set."
+        )
+    seen = set()
+    for r in q_rows:
+        if r["_qid"] in seen:
+            raise ValueError(f"duplicate query id {r['_qid']!r} in the query set")
+        seen.add(r["_qid"])
+    probe_rows = []
+    for r in q_rows:
+        q = np.floor(np.asarray(r["_qv"], dtype=float) * scale + 0.5).astype(np.int64)
+        dc = ((C - q) ** 2).sum(axis=1)
+        for c in np.argsort(dc, kind="stable")[:nprobe]:
+            rq = q - C[int(c)]
+            lut = np.concatenate([
+                ((B[s] - rq[s * sub:(s + 1) * sub]) ** 2).sum(axis=1) for s in range(m)
+            ])
+            probe_rows.append(
+                (r["_qid"], int(c), [int(v) for v in lut], [int(v) for v in q])
+            )
+    spark = encoded.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"_qid {queries.schema[query_id].dataType.simpleString()}, "
+                    f"{cell_col} int, _lut array<bigint>, _qq array<bigint>"
+    )
+    offsets = [0]
+    for b in B:
+        offsets.append(offsets[-1] + b.shape[0])
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.col("_lut"), F.lit(offsets[s]) + F.col(codes_col)[s] + 1)
+        adc = term if adc is None else adc + term
+    probed_cells = sorted({int(c) for _, c, _, _ in probe_rows})
+    scored = (
+        encoded.filter(
+            (F.col(cell_col).isin(probed_cells) if probed_cells else F.lit(False))
+            & F.col(codes_col).isNotNull()
+            & (prefilter if prefilter is not None else F.lit(True))
+        )
+        .join(F.broadcast(probes), cell_col)
+        .select("_qid", id_col, F.col(vec_col).alias("_v"), "_qq",
+                adc.cast("bigint").alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("_qid").orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+    pool = scored.withColumn("_r", F.row_number().over(w_adc)).filter(
+        F.col("_r") <= refine * k
+    )
+    xq = F.transform(
+        V.as_double(F.col("_v")),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"),
+    )
+    exact = F.aggregate(
+        F.zip_with(xq, F.col("_qq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w_ex = Window.partitionBy("_qid").orderBy(F.col("exact_dist").asc(), F.col(id_col).asc())
+    return (
+        pool.select("_qid", id_col, "adc_dist", exact.alias("exact_dist"))
+        .withColumn("rank", F.row_number().over(w_ex))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias(query_id), id_col, "rank", "adc_dist", "exact_dist")
+    )
+
+
 # -- scalar quantization (SQ8): the zero-UDF compression path -----------------
 
 def sq_train_arrays(X, bits: int = 8) -> tuple[list, list]:
