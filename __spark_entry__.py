@@ -2130,7 +2130,7 @@ def _ivf_pq_fixture():
     return cents, books, X[0].tolist()
 
 
-def _ivf_pq_ann_oracle_sql(extra_where: str = "") -> str:
+def _ivf_pq_ann_oracle_sql(extra_where: str = "", source_sql: str | None = None) -> str:
     """Regenerate the gate's seeded IVF-PQ model (same ``_ivf_pq_fixture``,
     SF-independent), then replay the whole search in pure integer SQL:
     quantize, assign each row to its nearest coarse centroid via
@@ -2138,7 +2138,9 @@ def _ivf_pq_ann_oracle_sql(extra_where: str = "") -> str:
     keep only the query's 3 probed cells, re-derive each row's residual
     codes per subspace, and sum the per-cell literal LUTs; (dist, id)
     top-10. ``extra_where`` appends a metadata predicate to the corpus
-    CTE (the ann_filtered gate's filtered-search replay)."""
+    CTE (the ann_filtered gate's filtered-search replay); ``source_sql``
+    replaces the corpus with an arbitrary (vec_id, embedding) SELECT
+    (the ann_store_upsert gate's merged-corpus replay)."""
     import numpy as _np
 
     cents, books, qvec = _ivf_pq_fixture()
@@ -2173,8 +2175,12 @@ def _ivf_pq_ann_oracle_sql(extra_where: str = "") -> str:
     return (
         "WITH xqt AS (SELECT vec_id, "
         "list_transform(embedding, x -> floor(x::DOUBLE * 1024.0 + 0.5)::BIGINT) AS xq "
-        f"FROM embeddings WHERE vec_id > 0{extra_where}), "
-        f"celld AS (SELECT vec_id, xq, list_transform({cc_sql}, c -> "
+        + (
+            f"FROM ({source_sql}) src), "
+            if source_sql is not None
+            else f"FROM embeddings WHERE vec_id > 0{extra_where}), "
+        )
+        + f"celld AS (SELECT vec_id, xq, list_transform({cc_sql}, c -> "
         "list_aggregate(list_transform(range(64), i -> "
         "(c[i + 1] - xq[i + 1]) * (c[i + 1] - xq[i + 1])), 'sum')) AS dcell FROM xqt), "
         "asg AS (SELECT vec_id, xq, list_position(dcell, list_min(dcell)) - 1 AS cell "
@@ -2591,6 +2597,75 @@ def _ivf_pq_refine_multi_oracle_sql(k: int = 5, refine: int = 3) -> str:
         "FROM celld) "
         + " UNION ALL ".join(blocks)
     )
+
+
+_ANN_UPSERT_SOURCE_SQL = (
+    "SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings "
+    "WHERE vec_id > 0 AND vec_id % 13 <> 1 AND NOT (vec_id % 7 = 3) "
+    "UNION ALL SELECT vec_id, list_transform(embedding, x -> x::DOUBLE * 0.5) AS embedding "
+    "FROM embeddings WHERE vec_id > 0 AND vec_id % 13 <> 1 AND vec_id % 7 = 3 "
+    "UNION ALL SELECT vec_id + 100000 AS vec_id, "
+    "list_transform(embedding, x -> -(x::DOUBLE)) AS embedding "
+    "FROM embeddings WHERE vec_id > 0 AND vec_id % 17 = 2"
+)
+
+
+def q_ann_store_upsert(spark, sf) -> DataFrame:
+    """ANN store UPSERT/DELETE maintenance (similarity.py
+    ann_store_apply_changes — faiss remove_ids/add in the lakehouse
+    layout): a CDC batch of deletes (vec_id % 13 = 1), re-embeds
+    (vec_id % 7 = 3, vector halved — rows MOVE cells), and inserts
+    (negated vectors under new ids) applied to the cell-partitioned
+    store, rebuilding ONLY the touched cells via dynamic partition
+    overwrite (emptied cell dirs removed explicitly). The probe over the
+    mutated store must equal a batch rebuild of the merged corpus — the
+    oracle IS the ivf_pq_ann oracle over the merged-source CTE. The
+    probe's PartitionFilters pruning is asserted after the mutation."""
+    import shutil
+    import tempfile
+
+    from sycamore_spark.operators.similarity import (
+        ann_store_apply_changes, ivf_pq_encode, ivf_pq_topk,
+    )
+
+    cents, books, qvec = _ivf_pq_fixture()
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") > 0)
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    root = tempfile.mkdtemp(prefix="annupsert-store-")
+    try:
+        ivf_pq_encode(base, cents, books).select(
+            "vec_id", "pq_codes", "cell_id"
+        ).write.mode("overwrite").partitionBy("cell_id").parquet(root)
+        half = F.transform(F.col("embedding"), lambda x: x * F.lit(0.5))
+        neg = F.transform(F.col("embedding"), lambda x: -x)
+        changes = (
+            base.filter(F.col("vec_id") % 13 == 1)
+            .select("vec_id", F.lit(None).cast("array<double>").alias("embedding"),
+                    F.lit("D").alias("op"))
+            .unionByName(
+                base.filter((F.col("vec_id") % 7 == 3) & (F.col("vec_id") % 13 != 1))
+                .select("vec_id", half.alias("embedding"), F.lit("U").alias("op"))
+            )
+            .unionByName(
+                base.filter(F.col("vec_id") % 17 == 2)
+                .select((F.col("vec_id") + 100000).alias("vec_id"),
+                        neg.alias("embedding"), F.lit("I").alias("op"))
+            )
+        )
+        ann_store_apply_changes(spark, root, changes, cents, books)
+        stored = spark.read.parquet(root)
+        out = ivf_pq_topk(qvec, stored, cents, books, k=10, nprobe=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters: [" not in plan or "cell_id" not in plan.split(
+            "PartitionFilters", 1
+        )[1][:200]:
+            raise AssertionError(
+                "post-upsert probe is not partition-pruned on cell_id:\n" + plan[:2000]
+            )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_ann_drift(spark, sf) -> DataFrame:
@@ -5992,6 +6067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rag_hybrid_e2e": q_rag_hybrid_e2e,
     "sequence_pack": q_sequence_pack,
     "ivf_pq_refine_multi": q_ivf_pq_refine_multi,
+    "ann_store_upsert": q_ann_store_upsert,
     # -- stalest driver greens --
     "tpch_q22": q_tpch_q22,
     "tpch_q2": q_tpch_q2,
@@ -6900,6 +6976,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_drift": _ann_drift_oracle_sql(),
         "rag_hybrid_e2e": _rag_hybrid_e2e_oracle_sql(),
         "ivf_pq_refine_multi": _ivf_pq_refine_multi_oracle_sql(),
+        "ann_store_upsert": _ivf_pq_ann_oracle_sql(source_sql=_ANN_UPSERT_SOURCE_SQL),
         "stream_ann_ingest": _ivf_pq_ann_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "

@@ -179,6 +179,7 @@ HEADLINE = [
     "rag_hybrid_e2e",
     "sequence_pack",
     "ivf_pq_refine_multi",
+    "ann_store_upsert",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

@@ -1001,6 +1001,82 @@ def ivf_pq_refine_multi(
     )
 
 
+def ann_store_apply_changes(
+    spark,
+    store_dir: str,
+    changes: DataFrame,
+    centroids: list,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell_id",
+    codes_col: str = "pq_codes",
+    op_col: str = "op",
+    delete_op: str = "D",
+    scale: float = 1024.0,
+) -> int:
+    """Upsert/delete a vector delta into the cell-partitioned ANN store —
+    faiss ``remove_ids``/``add`` in the lakehouse layout. The delta is a
+    batch of (id, vector, op) rows: non-delete ops are (re-)encoded with
+    the store's model (an updated vector may land in a DIFFERENT cell —
+    the row moves directories), delete ops drop the id. Only the touched
+    cells are rebuilt: the old cells holding any delta id (one
+    column-pruned semi-join scan of the store) plus the new cells of the
+    encoded upserts; their rows are rewritten as (old minus delta ids)
+    union (encoded upserts) via dynamic partition overwrite, and a cell
+    whose last row was deleted has its directory removed explicitly
+    (dynamic overwrite cannot write an empty partition — without this the
+    stale files would survive). Returns the touched-cell count.
+
+    Scale contract: the delta id set is broadcast (batch-sized, the CDC
+    contract — streaming/cdc.py maintain_snapshot_stream is the same
+    shape over generic buckets); work and rewrite volume are ∝ touched
+    cells, never the store. Store rows outside ``(id, codes, cell)`` plus
+    whatever extra columns the delta carries must agree by name for the
+    union. The merged rows are localCheckpointed before the overwrite
+    (the write replaces the very files the plan reads)."""
+    store = spark.read.parquet(store_dir)
+    delta_ids = changes.select(F.col(id_col)).distinct()
+    ups = changes.filter(F.col(op_col) != delete_op).drop(op_col)
+    enc = ivf_pq_encode(
+        ups, centroids, codebooks, vec_col=vec_col, scale=scale,
+        cell_col=cell_col, codes_col=codes_col,
+    ).drop(vec_col)
+    old_cells = (
+        store.join(F.broadcast(delta_ids), id_col, "left_semi")
+        .select(cell_col).distinct()
+    )
+    new_cells = enc.select(cell_col).distinct()
+    touched = sorted(
+        r[0] for r in old_cells.unionByName(new_cells).distinct().collect()
+    )
+    if not touched:
+        return 0
+    keep = (
+        store.filter(F.col(cell_col).isin(touched))
+        .join(F.broadcast(delta_ids), id_col, "left_anti")
+    )
+    merged = keep.unionByName(
+        enc.filter(F.col(cell_col).isin(touched)).select(*keep.columns)
+    ).localCheckpoint(eager=True)
+    survivors = {r[0] for r in merged.select(cell_col).distinct().collect()}
+    (
+        merged.repartition(len(touched), F.col(cell_col))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(cell_col)
+        .parquet(store_dir)
+    )
+    emptied = [c for c in touched if c not in survivors]
+    if emptied:
+        from sycamore_spark.materialize import _hadoop_fs
+
+        for c in emptied:
+            fs, p = _hadoop_fs(spark, f"{store_dir.rstrip('/')}/{cell_col}={c}")
+            fs.delete(p, True)
+    return len(touched)
+
+
 # -- scalar quantization (SQ8): the zero-UDF compression path -----------------
 
 def sq_train_arrays(X, bits: int = 8) -> tuple[list, list]:

@@ -408,6 +408,53 @@ def test_ivf_pq_refine_multi_matches_single(vec_df, spark):
     enc.unpersist()
 
 
+def test_ann_store_apply_changes(spark, tmp_path):
+    """Upsert/delete into the cell-partitioned store: an update MOVES its
+    row to the new cell, a delete that empties a cell removes the
+    directory, an insert lands in its cell, and an untouched cell's files
+    are not rewritten."""
+    import glob
+    import os
+
+    from sycamore_spark.operators.similarity import (
+        ann_store_apply_changes, ivf_pq_encode,
+    )
+
+    cents = [[0, 0], [1000, 1000], [2000, 2000], [3000, 3000]]
+    books = [[[0], [500]], [[0], [500]]]
+    rows = [(1, [0.0, 0.0]), (2, [0.97, 0.97]), (3, [0.98, 0.99]),
+            (4, [1.95, 1.95]), (6, [2.93, 2.93])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    root = str(tmp_path / "store")
+    ivf_pq_encode(df, cents, books).select("vec_id", "pq_codes", "cell_id") \
+        .write.partitionBy("cell_id").parquet(root)
+    mtime_before = {f: os.path.getmtime(f) for f in glob.glob(f"{root}/cell_id=3/*.parquet")}
+    changes = spark.createDataFrame(
+        [(1, None, "D"),                    # empties cell 0 -> dir removed
+         (2, [1.96, 1.94], "U"),            # moves cell 1 -> cell 2
+         (5, [0.96, 0.99], "I")],           # new row into cell 1
+        "vec_id bigint, embedding array<double>, op string",
+    )
+    n = ann_store_apply_changes(spark, root, changes, cents, books)
+    assert n == 3  # cells 0 (delete), 1 (old+insert), 2 (move target)
+    got = {(r.vec_id, r.cell_id) for r in spark.read.parquet(root).collect()}
+    assert got == {(3, 1), (5, 1), (2, 2), (4, 2), (6, 3)}
+    assert not glob.glob(f"{root}/cell_id=0")  # emptied dir removed
+    after = {f: os.path.getmtime(f) for f in glob.glob(f"{root}/cell_id=3/*.parquet")}
+    assert after == mtime_before  # untouched cell not rewritten
+    # moved/inserted rows carry the codes a fresh encode would give
+    want = {
+        (r.vec_id, tuple(r.pq_codes)) for r in ivf_pq_encode(
+            spark.createDataFrame(
+                [(2, [1.96, 1.94]), (5, [0.96, 0.99])],
+                "vec_id bigint, embedding array<double>",
+            ), cents, books).collect()
+    }
+    stored = {(r.vec_id, tuple(r.pq_codes))
+              for r in spark.read.parquet(root).filter("vec_id in (2, 5)").collect()}
+    assert stored == want
+
+
 def test_check_cell_balance_warns_on_hub_cell(spark):
     """A hub cell (skewed corpus mass in one coarse centroid) makes
     nprobe scans uneven — the profiler must say so (r8 verdict ask #6),
