@@ -2668,6 +2668,63 @@ def q_ann_store_upsert(spark, sf) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_ann_upsert(spark, sf) -> DataFrame:
+    """Streaming ANN store maintenance (streaming/ann.py
+    maintain_ann_store_stream): the SAME delete/re-embed/insert delta as
+    the batch ann_store_upsert gate, delivered as THREE micro-batches
+    (maxFilesPerTrigger=1 over three files, one op group each — disjoint
+    ids, so batch boundaries must not matter), folded into the
+    cell-partitioned store through the same ann_store_apply_changes
+    operator with _hwm replay protection. The probe must equal the batch
+    path's — the oracle IS the batch gate's merged-corpus oracle, proving
+    stream-fold ≡ one-shot apply ≡ batch rebuild."""
+    import shutil
+    import tempfile
+
+    from sycamore_spark.operators.similarity import ivf_pq_encode, ivf_pq_topk
+    from sycamore_spark.streaming.ann import maintain_ann_store_stream
+
+    cents, books, qvec = _ivf_pq_fixture()
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") > 0)
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    root = tempfile.mkdtemp(prefix="streamupsert-store-")
+    src = tempfile.mkdtemp(prefix="streamupsert-src-")
+    ckpt = tempfile.mkdtemp(prefix="streamupsert-ckpt-")
+    try:
+        ivf_pq_encode(base, cents, books).select(
+            "vec_id", "pq_codes", "cell_id"
+        ).write.mode("overwrite").partitionBy("cell_id").parquet(root)
+        half = F.transform(F.col("embedding"), lambda x: x * F.lit(0.5))
+        neg = F.transform(F.col("embedding"), lambda x: -x)
+        groups = [
+            base.filter(F.col("vec_id") % 13 == 1).select(
+                "vec_id", F.lit(None).cast("array<double>").alias("embedding"),
+                F.lit("D").alias("op")),
+            base.filter((F.col("vec_id") % 7 == 3) & (F.col("vec_id") % 13 != 1))
+            .select("vec_id", half.alias("embedding"), F.lit("U").alias("op")),
+            base.filter(F.col("vec_id") % 17 == 2).select(
+                (F.col("vec_id") + 100000).alias("vec_id"),
+                neg.alias("embedding"), F.lit("I").alias("op")),
+        ]
+        for g in groups:  # three files -> three micro-batches
+            g.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(groups[0].schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = maintain_ann_store_stream(
+            stream, root, ckpt, cents, books, available_now=True
+        )
+        q.awaitTermination(300)
+        stored = spark.read.parquet(root)
+        out = ivf_pq_topk(qvec, stored, cents, books, k=10, nprobe=3)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for d in (root, src, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def q_ann_drift(spark, sf) -> DataFrame:
     """ANN re-train monitor (operators/profiling.py categorical_divergence
     over cell_id): codebooks trained on yesterday's distribution route
@@ -6068,6 +6125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": q_sequence_pack,
     "ivf_pq_refine_multi": q_ivf_pq_refine_multi,
     "ann_store_upsert": q_ann_store_upsert,
+    "stream_ann_upsert": q_stream_ann_upsert,
     # -- stalest driver greens --
     "tpch_q22": q_tpch_q22,
     "tpch_q2": q_tpch_q2,
@@ -6977,6 +7035,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_hybrid_e2e": _rag_hybrid_e2e_oracle_sql(),
         "ivf_pq_refine_multi": _ivf_pq_refine_multi_oracle_sql(),
         "ann_store_upsert": _ivf_pq_ann_oracle_sql(source_sql=_ANN_UPSERT_SOURCE_SQL),
+        "stream_ann_upsert": _ivf_pq_ann_oracle_sql(source_sql=_ANN_UPSERT_SOURCE_SQL),
         "stream_ann_ingest": _ivf_pq_ann_oracle_sql(),
         "bm25_pruned": (
             "WITH d AS (SELECT doc_id, text || ' r' || (doc_id % 211)::VARCHAR AS text FROM documents), "

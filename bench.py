@@ -180,6 +180,7 @@ HEADLINE = [
     "sequence_pack",
     "ivf_pq_refine_multi",
     "ann_store_upsert",
+    "stream_ann_upsert",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M
