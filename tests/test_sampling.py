@@ -404,6 +404,40 @@ def test_sequence_pack_partitioned_independent_streams(spark):
     assert seqs[("de-1", 2)] == (8, 9, 0)
 
 
+def test_sequence_pack_invariants_randomized(spark):
+    """Seeded-random size lists x seq_len: every doc's slices tile exactly
+    [0, size), every sequence except the stream tail is exactly full, and
+    slice bounds stay inside [0, seq_len)."""
+    import random
+
+    from sycamore_spark.operators.sampling import sequence_pack
+
+    rng = random.Random(42)
+    for L in (1, 7, 16):
+        sizes = [rng.randint(0, 25) for _ in range(40)]
+        df = spark.createDataFrame(
+            list(enumerate(sizes)), "doc_id long, n_tokens long"
+        )
+        rows = sequence_pack(df, "n_tokens", seq_len=L, order_col="doc_id").collect()
+        per_seq, per_doc = {}, {}
+        for r in rows:
+            assert 0 <= r.seq_off < L and 0 < r.tok_end - r.tok_start <= L
+            per_seq[int(r.seq_id)] = per_seq.get(int(r.seq_id), 0) + (r.tok_end - r.tok_start)
+            per_doc.setdefault(r.doc_id, []).append((r.tok_start, r.tok_end))
+        assert set(per_doc) == {i for i, s in enumerate(sizes) if s > 0}
+        for d, sl in per_doc.items():
+            sl.sort()
+            assert sl[0][0] == 0 and sl[-1][1] == sizes[d]
+            assert all(a[1] == b[0] for a, b in zip(sl, sl[1:]))
+        total = sum(sizes)
+        nseq = (total + L - 1) // L
+        assert set(per_seq) == set(range(nseq))
+        for s in range(nseq - 1):
+            assert per_seq[s] == L
+        if total:
+            assert per_seq[nseq - 1] == total - (nseq - 1) * L
+
+
 def test_pack_shards_global_warns_above_threshold(spark):
     """A global pack (no partition_cols) estimated above warn_above rows is
     a single-task window — the operator must say so (r7 verdict ask). The
