@@ -474,6 +474,7 @@ def rrf_fuse(
     id_col: str = "vec_id",
     rank_col: str = "rank",
     k: int | None = None,
+    weights: list[int] | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion of N ranked result tables — the standard
     hybrid-retrieval combiner (Cormack et al. 2009; the reference reaches
@@ -481,23 +482,38 @@ def rrf_fuse(
     reader.py os_client_args paths — here it is an engine operator over
     any (query, id, rank) tables, e.g. bm25_scores_multi + ivf_pq_topk_multi).
 
-    score(d) = sum over systems of 1/(k0 + rank_i(d)), kept EXACT as
-    integer micros (floor(1e6/(k0+rank) + 0.5) per system, then an
-    associative bigint sum) so engines agree bit-for-bit. Ties break by id.
+    score(d) = sum over systems of w_i/(k0 + rank_i(d)), kept EXACT as
+    integer micros (floor(1e6/(k0+rank) + 0.5) per system, times the
+    system's INTEGER weight, then an associative bigint sum) so engines
+    agree bit-for-bit. Ties break by id. ``weights`` (optional, one int
+    per result table, default all 1) is the practical weighted-RRF knob
+    — express fractional weights as integers at your chosen resolution
+    (0.7/0.3 -> [7, 3]); only ratios matter to the ranking, and integer
+    weights keep the score oracle-replayable.
 
     Shape: a union of top-k-sized tables, one hash agg on (query, id),
     and an optional per-query rank window — result-scale, corpus-free."""
     if not results:
         raise ValueError("rrf_fuse needs at least one result table")
+    if weights is None:
+        weights = [1] * len(results)
+    if len(weights) != len(results) or any(
+        not isinstance(w, int) or w <= 0 for w in weights
+    ):
+        raise ValueError(
+            f"weights must be one positive int per result table "
+            f"(got {weights!r} for {len(results)} tables)"
+        )
     parts = [
         r.select(
             F.col(query_col).alias("_q"),
             F.col(id_col).alias("_i"),
-            F.floor(F.lit(1_000_000.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double")) + F.lit(0.5))
-            .cast("bigint")
-            .alias("_c"),
+            (
+                F.floor(F.lit(1_000_000.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double")) + F.lit(0.5))
+                .cast("bigint") * F.lit(int(w))
+            ).alias("_c"),
         )
-        for r in results
+        for r, w in zip(results, weights)
     ]
     u = parts[0]
     for p in parts[1:]:

@@ -591,6 +591,18 @@ def test_rrf_fuse(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse([])
+    # weighted RRF: integer weights, default = all-1 behavior
+    w = {r.vec_id: r for r in rrf_fuse([a, b], k0=60, weights=[7, 3]).collect()}
+    assert w[10].rrf_micros == 7 * m(1) + 3 * m(2)
+    assert w[11].rrf_micros == 7 * m(2) and w[12].rrf_micros == 3 * m(1)
+    # a heavy lexical weight flips 11 (system-a rank 2) above 12
+    assert w[11].rank == 2 and w[12].rank == 3
+    assert {r.vec_id: r.rrf_micros for r in rrf_fuse([a, b], weights=[1, 1]).collect()} \
+        == {v: r.rrf_micros for v, r in rows.items()}
+    with _pytest.raises(ValueError, match="weights"):
+        rrf_fuse([a, b], weights=[1])
+    with _pytest.raises(ValueError, match="weights"):
+        rrf_fuse([a, b], weights=[1, 0])
 
 
 def test_ivf_pq_multi_duplicate_qid_rejected(vec_df, spark):
