@@ -403,6 +403,17 @@ class DocSet:
             self.df, size_col, budget, order_col, partition_cols=partition_cols
         ))
 
+    def sequence_pack(self, size_col: str, seq_len: int, order_col: str = "doc_id",
+                      partition_cols: list[str] | None = None) -> "DocSet":
+        """GPT-style token-level sequence packing: docs split across
+        fixed-length sequence boundaries (operators/sampling.py
+        sequence_pack; pack_shards is the doc-granular sibling)."""
+        from sycamore_spark.operators.sampling import sequence_pack
+
+        return self._wrap(sequence_pack(
+            self.df, size_col, seq_len, order_col, partition_cols=partition_cols
+        ))
+
     def concat_shards(self, text_col: str = "text_representation",
                       order_col: str = "doc_id", separator: str = "\n\n") -> "DocSet":
         """One training example per packed shard: texts joined in order with

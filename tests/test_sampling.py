@@ -133,6 +133,8 @@ def test_fluent_docset_surface(spark):
     assert ds.stratified_sample({"en": 1.0}, "lang").count() == 50
     packed = ds.pack_shards("n_tokens", budget=20)
     assert "shard_id" in packed.to_df().columns
+    seqs = ds.sequence_pack("n_tokens", seq_len=16)
+    assert {"seq_id", "tok_start", "tok_end", "seq_off"} <= set(seqs.to_df().columns)
     blobs = packed.concat_shards()
     assert {"shard_id", "n_docs", "shard_text"} <= set(blobs.to_df().columns)
     assert ds.redact_pii().count() == 100
