@@ -704,7 +704,9 @@ def ann_recall_at_k(
             ),
         )
         no_clash = F.assert_true(
-            F.col("_q") != F.lit(overall_id),
+            # null-safe: a NULL query id is a degenerate group, not a
+            # collision (plain != would yield NULL and false-trigger)
+            ~F.col("_q").eqNullSafe(F.lit(overall_id)),
             F.lit(
                 f"ann_recall_at_k: overall_id={overall_id!r} occurs as a real "
                 f"{query_col} in the inputs - the overall row would collide; "

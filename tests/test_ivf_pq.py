@@ -523,6 +523,12 @@ def test_ann_recall_at_k_strict_validations(spark):
     al = spark.createDataFrame([(1, 10), (2, 20)], "query_id bigint, vec_id bigint")
     assert sorted(map(tuple, ann_recall_at_k(al, al).collect())) == \
         sorted(map(tuple, ann_recall_at_k(al, al, strict=False).collect()))
+    # a NULL query id is a degenerate group, not an overall_id collision
+    withnull = spark.createDataFrame(
+        [(None, 5), (2, 20)], "query_id bigint, vec_id bigint"
+    )
+    got = {r.query_id for r in ann_recall_at_k(withnull, withnull).collect()}
+    assert got == {None, 2, -1}
 
 
 def test_sq_encode_and_topk_match_replica(vec_df, spark):
