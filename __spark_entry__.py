@@ -6117,6 +6117,58 @@ def _bpe_encode_oracle(rounds: int) -> str:
 # the r3-green remainder.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    # -- stalest driver greens --
+    "dedup_cc": q_dedup_cc,
+    "semantic_dedup": q_semantic_dedup,
+    "incremental_dedup": q_incremental_dedup,
+    "window_analytics": q_window_analytics,
+    "pivot": q_pivot,
+    "unpivot": q_unpivot,
+    "key_skew": q_key_skew,
+    "weighted_sample": q_weighted_sample,
+    "split_groups": q_split_groups,
+    "tfidf": q_tfidf,
+    "stream_join": q_stream_join,
+    "corpus_diff": q_corpus_diff,
+    "stream_incdedup": q_stream_incdedup,
+    "retrieval_metrics": q_retrieval_metrics,
+    "compact": q_compact,
+    "bucketed_join": q_bucketed_join,
+    "attribution": q_attribution,
+    "mixture_plan": q_mixture_plan,
+    "ewma": q_ewma,
+    "xycut": q_xycut,
+    "lm_score": q_lm_score,
+    "data_card": q_data_card,
+    "pipeline_e2e": q_pipeline_e2e,
+    "rag_context": q_rag_context,
+    "embed": q_embed,
+    "reduce_summary": q_reduce_summary,
+    "llm_query": q_llm_query,
+    "duckdb_roundtrip": q_duckdb_roundtrip,
+    "binary_scan": q_binary_scan,
+    "table_props": q_table_props,
+    "summarize_images": q_summarize_images,
+    "query_dataflow": q_query_dataflow,
+    "stream_window": q_stream_window,
+    "token_count": q_token_count,
+    "bm25": q_bm25,
+    "sort_limit": q_sort_limit,
+    "field_in": q_field_in,
+    "unroll": q_unroll,
+    "union": q_union,
+    "set_ops": q_set_ops,
+    "term_frequency": q_term_frequency,
+    "groupby_collect": q_groupby_collect,
+    "window_rank": q_window_rank,
+    "time_bucket": q_time_bucket,
+    "json_extract": q_json_extract,
+    "agg_stats": q_agg_stats,
+    "rollup": q_rollup,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "cdc_snapshot": q_cdc_snapshot,
+    # -- fresher greens (rotate next round) --
     "hybrid_search": q_hybrid_search,
     "ann_store_compact": q_ann_store_compact,
     "ann_filtered": q_ann_filtered,
@@ -6126,7 +6178,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_refine_multi": q_ivf_pq_refine_multi,
     "ann_store_upsert": q_ann_store_upsert,
     "stream_ann_upsert": q_stream_ann_upsert,
-    # -- stalest driver greens --
     "tpch_q22": q_tpch_q22,
     "tpch_q2": q_tpch_q2,
     "tpch_q9": q_tpch_q9,
@@ -6168,16 +6219,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_median": q_rolling_median,
     "fuzzy_join": q_fuzzy_join,
     "script_ratios": q_script_ratios,
-    "dedup_cc": q_dedup_cc,
-    "semantic_dedup": q_semantic_dedup,
-    "incremental_dedup": q_incremental_dedup,
-    "window_analytics": q_window_analytics,
-    "pivot": q_pivot,
-    "unpivot": q_unpivot,
-    "key_skew": q_key_skew,
-    "weighted_sample": q_weighted_sample,
-    "split_groups": q_split_groups,
-    # -- fresher greens (rotate next round) --
     "ivf_pq_ann": q_ivf_pq_ann,
     "ivf_pq_multi": q_ivf_pq_multi,
     "ivf_pq_refine": q_ivf_pq_refine,
@@ -6278,7 +6319,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "sessionize": q_sessionize,
     "salted_join": q_salted_join,
-    "cdc_snapshot": q_cdc_snapshot,
     "scd2": q_scd2,
     "triangles": q_triangles,
     "robust_scale": q_robust_scale,
@@ -6328,46 +6368,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
     "tpch_q19": q_tpch_q19,
-    "tfidf": q_tfidf,
-    "stream_join": q_stream_join,
-    "corpus_diff": q_corpus_diff,
-    "stream_incdedup": q_stream_incdedup,
-    "retrieval_metrics": q_retrieval_metrics,
-    "compact": q_compact,
-    "bucketed_join": q_bucketed_join,
-    "attribution": q_attribution,
-    "mixture_plan": q_mixture_plan,
-    "ewma": q_ewma,
-    "xycut": q_xycut,
-    "lm_score": q_lm_score,
-    "data_card": q_data_card,
-    "pipeline_e2e": q_pipeline_e2e,
-    "rag_context": q_rag_context,
-    "embed": q_embed,
-    "reduce_summary": q_reduce_summary,
-    "llm_query": q_llm_query,
-    "duckdb_roundtrip": q_duckdb_roundtrip,
-    "binary_scan": q_binary_scan,
-    "table_props": q_table_props,
-    "summarize_images": q_summarize_images,
-    "query_dataflow": q_query_dataflow,
-    "stream_window": q_stream_window,
-    "token_count": q_token_count,
-    "bm25": q_bm25,
-    "sort_limit": q_sort_limit,
-    "field_in": q_field_in,
-    "unroll": q_unroll,
-    "union": q_union,
-    "set_ops": q_set_ops,
-    "term_frequency": q_term_frequency,
-    "groupby_collect": q_groupby_collect,
-    "window_rank": q_window_rank,
-    "time_bucket": q_time_bucket,
-    "json_extract": q_json_extract,
-    "agg_stats": q_agg_stats,
-    "rollup": q_rollup,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
 }
 
 
