@@ -161,21 +161,83 @@ def mixture_plan(df: DataFrame, stratum: str, target: dict[str, float]) -> DataF
     )
 
 
+def _schema_bytes_per_row(schema) -> int:
+    """Text-realistic bytes/row from the schema, for dividing plan
+    sizeInBytes into a row estimate. Fixed-width types use their width;
+    variable-width types use corpus-realistic sizes (string 512, binary
+    1024) rather than Catalyst's tiny defaults (string=20), because on a
+    training corpus a small divisor turns KB-sized rows into a 10-50x
+    row-count OVER-estimate and the global-window warning fires on
+    nearly everything. Floored at 64."""
+    from pyspark.sql import types as T
+
+    def sz(dt) -> int:
+        if isinstance(dt, T.StringType):
+            return 512
+        if isinstance(dt, T.BinaryType):
+            return 1024
+        if isinstance(dt, T.StructType):
+            return sum(sz(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return 16 * sz(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return 16 * (sz(dt.keyType) + sz(dt.valueType))
+        if isinstance(dt, (T.BooleanType, T.ByteType)):
+            return 1
+        if isinstance(dt, (T.ShortType,)):
+            return 2
+        if isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
+            return 4
+        return 8  # long / double / timestamp / decimal-ish
+
+    return max(64, sum(sz(f.dataType) for f in schema.fields))
+
+
+# spark.sql.defaultSizeInBytes defaults to Long.MaxValue; leaf relations
+# with no real statistics report it (or products of it) as sizeInBytes.
+# Anything this large is "unknown", not "huge".
+_UNKNOWN_SIZE_SENTINEL = 1 << 62
+
+
 def _estimated_rows(df: DataFrame) -> int | None:
     """Row-count estimate from Catalyst plan statistics — NO Spark job.
 
     Uses the optimized plan's CBO rowCount when available, else
-    sizeInBytes at an assumed 64 bytes/row (training-corpus rows are
-    text-heavy, so this usually UNDER-estimates rows and the warning
-    stays conservative). Returns None when statistics are unreachable."""
+    sizeInBytes divided by a schema-derived text-realistic bytes/row
+    (see _schema_bytes_per_row — a flat small divisor OVER-estimates
+    rows on text-heavy corpora and the warning over-fires). Returns
+    None when statistics are unreachable or sizeInBytes is the
+    defaultSizeInBytes unknown-stats sentinel."""
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         rc = stats.rowCount()
         if rc.isDefined():
             return int(str(rc.get()))
-        return int(str(stats.sizeInBytes())) // 64
+        size = int(str(stats.sizeInBytes()))
+        if size >= _UNKNOWN_SIZE_SENTINEL:
+            return None
+        return size // _schema_bytes_per_row(df.schema)
     except Exception:
         return None
+
+
+def _warn_global_window(df: DataFrame, op: str, warn_above: int | None) -> None:
+    """Warn when a no-partition_cols (single-task global window) call is
+    estimated above ``warn_above`` rows. Plan-stats only — no Spark job,
+    never re-executes upstream lineage (safe on expensive inputs)."""
+    if warn_above is None:
+        return
+    est_rows = _estimated_rows(df)
+    if est_rows is not None and est_rows > warn_above:
+        import warnings
+
+        warnings.warn(
+            f"{op} without partition_cols runs an estimated {est_rows:,} rows "
+            f"(> {warn_above:,}) through a single global window task; pass "
+            f"partition_cols (e.g. date/source) so each partition packs "
+            f"independently.",
+            stacklevel=3,
+        )
 
 
 def pack_shards(
@@ -199,22 +261,13 @@ def pack_shards(
     for modest row counts, wrong at scale: when the optimizer ESTIMATES
     the input above ``warn_above`` rows a warning says to partition by
     date/source. The probe reads Catalyst plan statistics only (rowCount
-    when CBO has one, else sizeInBytes / 64-byte rows) — it runs NO Spark
-    job and never re-executes upstream lineage, so it is safe on
-    expensive inputs; the trade is that it is an estimate and can miss or
-    over-fire on unusual row widths. Pass ``warn_above=None`` to skip."""
-    if not partition_cols and warn_above is not None:
-        est_rows = _estimated_rows(df)
-        if est_rows is not None and est_rows > warn_above:
-            import warnings
-
-            warnings.warn(
-                f"pack_shards without partition_cols packs an estimated "
-                f"{est_rows:,} rows (> {warn_above:,}) through a single global "
-                f"window task; pass partition_cols (e.g. date/source) so each "
-                f"partition packs independently.",
-                stacklevel=2,
-            )
+    when CBO has one, else sizeInBytes over a schema-derived bytes/row)
+    — it runs NO Spark job and never re-executes upstream lineage, so it
+    is safe on expensive inputs; the trade is that it is an estimate and
+    can miss or over-fire on unusual row widths. Pass ``warn_above=None``
+    to skip."""
+    if not partition_cols:
+        _warn_global_window(df, "pack_shards", warn_above)
     parts = [F.col(c) for c in (partition_cols or [])]
     w = (
         Window.partitionBy(*parts).orderBy(F.col(order_col).asc())
@@ -311,6 +364,7 @@ def sequence_pack(
     order_col: str,
     partition_cols: list[str] | None = None,
     seq_col: str = "seq_id",
+    warn_above: int | None = 10_000_000,
 ) -> DataFrame:
     """Token-level sequence packing — the GPT-pretraining layout
     ``pack_shards`` deliberately is not: documents are concatenated in
@@ -327,9 +381,13 @@ def sequence_pack(
     Zero-token docs contribute nothing and are dropped (the canonical
     packing contract). Shape: ONE window (cumulative token offsets — the
     pack_shards shuffle contract: global order = single-task sort, so
-    partition by date/source at scale) + a per-row explode bounded by
-    each doc's own boundary-crossing count, so output rows ~
+    partition by date/source at scale; like pack_shards, a global call
+    estimated above ``warn_above`` rows warns via the plan-stats probe,
+    no Spark job) + a per-row explode bounded by each doc's own
+    boundary-crossing count, so output rows ~
     n_docs + total_tokens/seq_len — linear, no corpus-sized join."""
+    if not partition_cols:
+        _warn_global_window(df, "sequence_pack", warn_above)
     parts = [F.col(c) for c in (partition_cols or [])]
     w = (
         Window.partitionBy(*parts).orderBy(F.col(order_col).asc())

@@ -444,21 +444,96 @@ def test_pack_shards_global_warns_above_threshold(spark):
     """A global pack (no partition_cols) estimated above warn_above rows is
     a single-task window — the operator must say so (r7 verdict ask). The
     probe reads Catalyst plan statistics only (r8 ADVICE: the old
-    limit().count() probe ran an eager job over the input's lineage);
-    this 50-row frame's sizeInBytes/64 estimate is ~17, between the two
-    thresholds used below."""
+    limit().count() probe ran an eager job over the input's lineage) and
+    divides sizeInBytes by a schema-derived TEXT-REALISTIC bytes/row
+    (r9 verdict: the old flat /64 over-estimated rows ~30x on KB-text
+    corpora and the warning fired on nearly everything). This 50-row
+    frame (Range->Project, no CBO rowCount) has sizeInBytes ~1100 and a
+    528-byte schema estimate (one string col) -> est ~2 rows."""
     import warnings
 
     df = _docs(spark, 50)
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        pack_shards(df, "n_tokens", budget=100, order_col="doc_id", warn_above=10)
+        pack_shards(df, "n_tokens", budget=100, order_col="doc_id", warn_above=1)
     assert any("partition_cols" in str(w.message) for w in caught)
     # under the threshold, or partitioned, or probe disabled: silent
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         pack_shards(df, "n_tokens", budget=100, order_col="doc_id", warn_above=100)
         pack_shards(df, "n_tokens", budget=100, order_col="doc_id",
-                    partition_cols=["lang"], warn_above=10)
+                    partition_cols=["lang"], warn_above=1)
         pack_shards(df, "n_tokens", budget=100, order_col="doc_id", warn_above=None)
     assert not [w for w in caught if "partition_cols" in str(w.message)]
+
+
+def test_sequence_pack_global_warns_above_threshold(spark):
+    """sequence_pack's global path is the same single-task window hazard
+    pack_shards warns about (r9 verdict: the hazard was documented only in
+    prose); same plan-stats probe, same silence when partitioned."""
+    import warnings
+
+    from sycamore_spark.operators.sampling import sequence_pack
+
+    df = _docs(spark, 50)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sequence_pack(df, "n_tokens", seq_len=64, order_col="doc_id", warn_above=1)
+    assert any("sequence_pack" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sequence_pack(df, "n_tokens", seq_len=64, order_col="doc_id", warn_above=100)
+        sequence_pack(df, "n_tokens", seq_len=64, order_col="doc_id",
+                      partition_cols=["lang"], warn_above=1)
+        sequence_pack(df, "n_tokens", seq_len=64, order_col="doc_id", warn_above=None)
+    assert not [w for w in caught if "partition_cols" in str(w.message)]
+
+
+def test_estimated_rows_text_realistic_and_sentinel(spark):
+    """The row probe must not over-fire on text corpora (r9 verdict: the
+    flat /64 divisor estimated 13.6M rows for a KB-text sf0.01 input) and
+    must treat defaultSizeInBytes-sentinel stats as unknown, not huge
+    (r9 ADVICE)."""
+    from sycamore_spark.operators.sampling import (
+        _UNKNOWN_SIZE_SENTINEL,
+        _estimated_rows,
+        _schema_bytes_per_row,
+    )
+
+    # schema divisor: strings are corpus-realistic, fixed widths exact
+    df = _docs(spark, 10)
+    assert _schema_bytes_per_row(df.schema) == 8 + 512 + 8
+    arr = spark.range(1).selectExpr("CAST(NULL AS ARRAY<FLOAT>) AS emb")
+    assert _schema_bytes_per_row(arr.schema) == max(64, 16 * 4)
+
+    # the real probe on a real frame: small, nowhere near millions
+    est = _estimated_rows(df)
+    assert est is not None and est < 100
+
+    # sentinel-sized stats (stats default to Long.MaxValue on unknown
+    # leaves) must return None instead of a quintillion-row estimate
+    class _Stats:
+        def rowCount(self):
+            class _RC:
+                def isDefined(self):
+                    return False
+            return _RC()
+
+        def sizeInBytes(self):
+            return _UNKNOWN_SIZE_SENTINEL
+
+    class _FakeDF:
+        schema = df.schema
+
+        class _jdf:  # noqa: N801 - mimics the py4j attribute
+            @staticmethod
+            def queryExecution():
+                class _QE:
+                    def optimizedPlan(self):
+                        class _P:
+                            def stats(self):
+                                return _Stats()
+                        return _P()
+                return _QE()
+
+    assert _estimated_rows(_FakeDF()) is None
