@@ -2604,7 +2604,7 @@ _ANN_UPSERT_SOURCE_SQL = (
     "WHERE vec_id > 0 AND vec_id % 13 <> 1 AND NOT (vec_id % 7 = 3) "
     "UNION ALL SELECT vec_id, list_transform(embedding, x -> x::DOUBLE * 0.5) AS embedding "
     "FROM embeddings WHERE vec_id > 0 AND vec_id % 13 <> 1 AND vec_id % 7 = 3 "
-    "UNION ALL SELECT vec_id + 100000 AS vec_id, "
+    "UNION ALL SELECT -vec_id AS vec_id, "
     "list_transform(embedding, x -> -(x::DOUBLE)) AS embedding "
     "FROM embeddings WHERE vec_id > 0 AND vec_id % 17 = 2"
 )
@@ -2615,7 +2615,9 @@ def q_ann_store_upsert(spark, sf) -> DataFrame:
     ann_store_apply_changes — faiss remove_ids/add in the lakehouse
     layout): a CDC batch of deletes (vec_id % 13 = 1), re-embeds
     (vec_id % 7 = 3, vector halved — rows MOVE cells), and inserts
-    (negated vectors under new ids) applied to the cell-partitioned
+    (negated vectors under NEGATED ids — corpus-size-independent, so
+    minted ids can never collide with real vec_ids at any sf) applied
+    to the cell-partitioned
     store, rebuilding ONLY the touched cells via dynamic partition
     overwrite (emptied cell dirs removed explicitly). The probe over the
     mutated store must equal a batch rebuild of the merged corpus — the
@@ -2648,7 +2650,7 @@ def q_ann_store_upsert(spark, sf) -> DataFrame:
             )
             .unionByName(
                 base.filter(F.col("vec_id") % 17 == 2)
-                .select((F.col("vec_id") + 100000).alias("vec_id"),
+                .select((-F.col("vec_id")).alias("vec_id"),
                         neg.alias("embedding"), F.lit("I").alias("op"))
             )
         )
@@ -2703,7 +2705,7 @@ def q_stream_ann_upsert(spark, sf) -> DataFrame:
             base.filter((F.col("vec_id") % 7 == 3) & (F.col("vec_id") % 13 != 1))
             .select("vec_id", half.alias("embedding"), F.lit("U").alias("op")),
             base.filter(F.col("vec_id") % 17 == 2).select(
-                (F.col("vec_id") + 100000).alias("vec_id"),
+                (-F.col("vec_id")).alias("vec_id"),
                 neg.alias("embedding"), F.lit("I").alias("op")),
         ]
         for g in groups:  # three files -> three micro-batches

@@ -498,7 +498,7 @@ def rrf_fuse(
     if weights is None:
         weights = [1] * len(results)
     if len(weights) != len(results) or any(
-        not isinstance(w, int) or w <= 0 for w in weights
+        not isinstance(w, int) or isinstance(w, bool) or w <= 0 for w in weights
     ):
         raise ValueError(
             f"weights must be one positive int per result table "

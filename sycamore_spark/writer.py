@@ -153,7 +153,20 @@ def compact_partitioned_table(
     bigger than one task should handle) rows are additionally spread by
     ``pmod(hash(salt_col), files_per_partition)`` — deterministic, no
     rand(). At 100 TB this is per-partition work: partitions ≫ tasks just
-    means each task writes several partitions' files."""
+    means each task writes several partitions' files.
+
+    ``src_dir`` and ``dst_dir`` must differ: mode('overwrite') truncates
+    the destination BEFORE the lazy read of the source executes, so an
+    in-place call would destroy the store — rejected loudly."""
+    import os
+
+    if os.path.realpath(src_dir) == os.path.realpath(dst_dir):
+        raise ValueError(
+            f"compact_partitioned_table cannot compact in place "
+            f"({src_dir!r}): overwrite truncates dst before the lazy src "
+            f"read runs. Write to a sibling dir and swap, or use "
+            f"ann_store_apply_changes' localCheckpoint discipline."
+        )
     df = spark.read.parquet(src_dir)
     if files_per_partition <= 1:
         out = df.repartition(F.col(partition_col))

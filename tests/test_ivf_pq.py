@@ -329,6 +329,35 @@ def test_hash_sampled_training_beats_prefix_on_sorted_corpus(spark):
     assert r_hash >= 0.85
 
 
+def test_prefix_training_on_larger_corpus_warns(spark):
+    """r9 verdict #3: the builder's own test above proves prefix sampling
+    can halve recall, yet sample_by=None stayed a silent default. A user
+    must not silently train skewed codebooks: when the corpus is estimated
+    (plan stats, no job) to exceed the sample size, _training_rows warns
+    to pass sample_by. Spread samples and big-enough prefixes stay silent.
+    (createDataFrame frames carry the unknown-stats sentinel and correctly
+    stay silent; a Range-based frame has real plan stats.)"""
+    import warnings
+
+    from sycamore_spark.operators.similarity import _training_rows
+
+    df = spark.range(240).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 16), i -> CAST(i AS FLOAT) / 16) AS embedding",
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows = _training_rows(df, "embedding", 10, None)
+    assert len(rows) == 10
+    assert any("sample_by" in str(w.message) for w in caught)
+    # hash-spread sampling, or a prefix covering the whole corpus: silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _training_rows(df, "embedding", 10, "vec_id")
+        _training_rows(df, "embedding", 100_000, None)
+    assert not [w for w in caught if "sample_by" in str(w.message)]
+
+
 def test_ivf_pq_prefilter_is_filter_then_rank(vec_df, spark):
     """Filtered vector search must rank over QUALIFYING rows (faiss
     IDSelector semantics), not drop non-qualifying rows from an
@@ -453,6 +482,35 @@ def test_ann_store_apply_changes(spark, tmp_path):
     stored = {(r.vec_id, tuple(r.pq_codes))
               for r in spark.read.parquet(root).filter("vec_id in (2, 5)").collect()}
     assert stored == want
+
+
+def test_ann_store_apply_changes_rejects_duplicate_ids(spark, tmp_path):
+    """r9 ADVICE: a delta carrying the same id twice (e.g. two U rows)
+    anti-joins the old row once but would union BOTH encoded rows,
+    silently duplicating vectors in the store — reject loudly, store
+    untouched (multi-event feeds collapse to a last-writer row first)."""
+    import pytest
+
+    from sycamore_spark.operators.similarity import (
+        ann_store_apply_changes, ivf_pq_encode,
+    )
+
+    cents = [[0, 0], [1000, 1000]]
+    books = [[[0], [500]], [[0], [500]]]
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.97, 0.97])],
+        "vec_id bigint, embedding array<double>",
+    )
+    root = str(tmp_path / "dupstore")
+    ivf_pq_encode(df, cents, books).select("vec_id", "pq_codes", "cell_id") \
+        .write.partitionBy("cell_id").parquet(root)
+    changes = spark.createDataFrame(
+        [(2, [0.1, 0.1], "U"), (2, [0.9, 0.9], "U")],
+        "vec_id bigint, embedding array<double>, op string",
+    )
+    with pytest.raises(ValueError, match="duplicate vec_id"):
+        ann_store_apply_changes(spark, root, changes, cents, books)
+    assert spark.read.parquet(root).count() == 2  # store intact
 
 
 def test_check_cell_balance_warns_on_hub_cell(spark):
@@ -609,6 +667,11 @@ def test_rrf_fuse(spark):
         rrf_fuse([a, b], weights=[1])
     with _pytest.raises(ValueError, match="weights"):
         rrf_fuse([a, b], weights=[1, 0])
+    # bools are ints in Python — [True, False] must not half-pass (r9 ADVICE)
+    with _pytest.raises(ValueError, match="weights"):
+        rrf_fuse([a, b], weights=[True, False])
+    with _pytest.raises(ValueError, match="weights"):
+        rrf_fuse([a, b], weights=[True, True])
 
 
 def test_ivf_pq_multi_duplicate_qid_rejected(vec_df, spark):

@@ -166,6 +166,29 @@ def test_compact_partitioned_table_preserves_layout(spark, tmp_path):
         sorted(i for i in range(4000) if i % 5 == 3)
 
 
+def test_compact_partitioned_table_rejects_in_place(spark, tmp_path):
+    """r9 ADVICE: mode('overwrite') truncates dst BEFORE the lazy src read
+    executes, so an in-place compaction (a natural maintenance-job
+    mistake) would destroy the store — reject loudly, data untouched.
+    Path aliasing (trailing slash, ../) must not sneak past the guard."""
+    import pytest
+
+    from sycamore_spark.writer import compact_partitioned_table
+
+    src = str(tmp_path / "pinplace")
+    spark.range(100).selectExpr("id", "CAST(id % 3 AS INT) AS cell_id") \
+        .write.partitionBy("cell_id").parquet(src)
+    with pytest.raises(ValueError, match="in place"):
+        compact_partitioned_table(spark, src, src, "cell_id")
+    with pytest.raises(ValueError, match="in place"):
+        compact_partitioned_table(spark, src, src + "/", "cell_id")
+    with pytest.raises(ValueError, match="in place"):
+        compact_partitioned_table(
+            spark, src, str(tmp_path / "x" / ".." / "pinplace"), "cell_id"
+        )
+    assert spark.read.parquet(src).count() == 100  # store intact
+
+
 def test_compact_partitioned_table_multi_file_salt(spark, tmp_path):
     import glob
 
