@@ -2952,7 +2952,17 @@ def q_hybrid_search(spark, sf) -> DataFrame:
     sum). doc_id == vec_id per TESTDATA, so fusion is one (query, id)
     hash agg over two top-k-sized tables — result-scale, corpus-free.
     The oracle replays both rankings AND the fusion bit-for-bit."""
-    from sycamore_spark.operators.retrieval import bm25_scores_multi, rrf_fuse
+    from sycamore_spark.operators.retrieval import rrf_fuse
+
+    lex, vec = _hybrid_rankings(spark, sf)
+    return rrf_fuse([lex, vec])
+
+
+def _hybrid_rankings(spark, sf):
+    """The two ranked systems hybrid_search / rrf_weighted fuse: batch
+    BM25 top-5 per question (one posting agg serves every query) and
+    batch IVF-PQ ADC top-5 per query, both as (query_id, vec_id, rank)."""
+    from sycamore_spark.operators.retrieval import bm25_scores_multi
     from sycamore_spark.operators.similarity import ivf_pq_encode, ivf_pq_topk_multi
 
     docs = load_table(spark, sf, "documents")
@@ -2967,18 +2977,35 @@ def q_hybrid_search(spark, sf) -> DataFrame:
     emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") > 0)
     enc = ivf_pq_encode(emb, cents, books)
     vec = ivf_pq_topk_multi(vec_q, enc, cents, books, k=5, nprobe=3)
-    return rrf_fuse([
+    return (
         lex.select("query_id", F.col("doc_id").alias("vec_id"), "rank"),
         vec.select("query_id", "vec_id", "rank"),
-    ])
+    )
 
 
-def _hybrid_search_oracle_sql() -> str:
+def q_rrf_weighted(spark, sf) -> DataFrame:
+    """WEIGHTED reciprocal-rank fusion (retrieval.py rrf_fuse weights= —
+    the lexical-heavy tuning knob every hybrid deployment exposes; the
+    reference reaches it only as OpenSearch hybrid sub-query weights,
+    query/strategy.py): the same lexical + vector rankings as
+    hybrid_search fused at 7:3 — score = 7*1e6/(60+lex_rank) +
+    3*1e6/(60+vec_rank) as an exact bigint sum (integer weights times
+    integer micros, so the oracle replays the score and every weight-
+    flipped ordering bit-for-bit). Same result-scale shape as unweighted
+    RRF: the weights multiply literals, not rows."""
+    from sycamore_spark.operators.retrieval import rrf_fuse
+
+    lex, vec = _hybrid_rankings(spark, sf)
+    return rrf_fuse([lex, vec], weights=[7, 3])
+
+
+def _hybrid_search_oracle_sql(w_lex: int = 1, w_vec: int = 1) -> str:
     """Replay: the batch-BM25 top-5 rank blocks (same integer-micro
     arithmetic as the bm25/bm25_pruned oracles, no pruning) unioned with
     the batch IVF-PQ oracle's ranks, each rank mapped to
-    floor(1e6/(60+rank)+0.5) micros, summed per (query, doc), re-ranked
-    (micros desc, id asc)."""
+    floor(1e6/(60+rank)+0.5) micros times the system's INTEGER weight
+    (the rrf_weighted gate's 7:3 replay; 1:1 = plain RRF), summed per
+    (query, doc), re-ranked (micros desc, id asc)."""
     q_rows = " UNION ALL ".join(
         f"SELECT {qid}::BIGINT AS qid, unnest({text.split()!r}) AS tok"
         for qid, text in _HYBRID_QUERIES
@@ -3003,9 +3030,9 @@ def _hybrid_search_oracle_sql() -> str:
         "FROM scored) WHERE rnk <= 5), "
         f"vec AS (SELECT query_id, vec_id, rank FROM ({multi}) a), "
         "u AS (SELECT query_id, vec_id, "
-        "floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT AS c FROM lex "
+        f"floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT * {int(w_lex)} AS c FROM lex "
         "UNION ALL SELECT query_id, vec_id, "
-        "floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT AS c FROM vec) "
+        f"floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT * {int(w_vec)} AS c FROM vec) "
         "SELECT query_id, vec_id, rrf_micros, "
         "row_number() OVER (PARTITION BY query_id ORDER BY rrf_micros DESC, vec_id ASC)::INT AS rank "
         "FROM (SELECT query_id, vec_id, sum(c)::BIGINT AS rrf_micros FROM u GROUP BY 1, 2)"
@@ -6119,6 +6146,7 @@ def _bpe_encode_oracle(rounds: int) -> str:
 # the r3-green remainder.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "rrf_weighted": q_rrf_weighted,
     # -- stalest driver greens --
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
@@ -7031,6 +7059,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_store": _ivf_pq_ann_oracle_sql(),
         "rrf_hybrid": _rrf_hybrid_oracle_sql(),
         "hybrid_search": _hybrid_search_oracle_sql(),
+        "rrf_weighted": _hybrid_search_oracle_sql(w_lex=7, w_vec=3),
         "ann_store_compact": _ivf_pq_ann_oracle_sql(),
         "ann_filtered": _ivf_pq_ann_oracle_sql(" AND label % 3 = 1"),
         "ann_drift": _ann_drift_oracle_sql(),

@@ -181,6 +181,8 @@ HEADLINE = [
     "ivf_pq_refine_multi",
     "ann_store_upsert",
     "stream_ann_upsert",
+    # round-10 additions
+    "rrf_weighted",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M
