@@ -2130,7 +2130,25 @@ def _ivf_pq_fixture():
     return cents, books, X[0].tolist()
 
 
-def _ivf_pq_ann_oracle_sql(extra_where: str = "", source_sql: str | None = None) -> str:
+def _ivf_pq_fixture_v2():
+    """The RETRAINED model for the ann_reindex gate — a second seeded,
+    SF-independent fixture (different RNG stream and kmeans seed, same
+    geometry/range), standing in for ivf_pq_train(sample_by=) output so
+    gate and oracle regenerate the identical post-reindex model at any
+    scale factor (the operator's real retrain path is covered by
+    tests/test_ann_reindex.py and the sample_by recall test)."""
+    import numpy as _np
+
+    from sycamore_spark.operators.similarity import ivf_pq_train_arrays
+
+    X = (_np.random.RandomState(29).rand(600, 64) - 0.5) * 0.6
+    cents, books = ivf_pq_train_arrays(X, ncells=8, m=8, subk=16, seed=11)
+    return cents, books, X[0].tolist()
+
+
+def _ivf_pq_ann_oracle_sql(
+    extra_where: str = "", source_sql: str | None = None, model=None
+) -> str:
     """Regenerate the gate's seeded IVF-PQ model (same ``_ivf_pq_fixture``,
     SF-independent), then replay the whole search in pure integer SQL:
     quantize, assign each row to its nearest coarse centroid via
@@ -2140,10 +2158,12 @@ def _ivf_pq_ann_oracle_sql(extra_where: str = "", source_sql: str | None = None)
     top-10. ``extra_where`` appends a metadata predicate to the corpus
     CTE (the ann_filtered gate's filtered-search replay); ``source_sql``
     replaces the corpus with an arbitrary (vec_id, embedding) SELECT
-    (the ann_store_upsert gate's merged-corpus replay)."""
+    (the ann_store_upsert gate's merged-corpus replay); ``model``
+    substitutes a different (cents, books, qvec) fixture (the
+    ann_reindex gate's RETRAINED model replay)."""
     import numpy as _np
 
-    cents, books, qvec = _ivf_pq_fixture()
+    cents, books, qvec = model if model is not None else _ivf_pq_fixture()
     C = _np.array(cents, dtype=_np.int64)
     B = [_np.array(b, dtype=_np.int64) for b in books]
     q = _np.floor(_np.asarray(list(qvec), dtype=float) * 1024.0 + 0.5).astype(_np.int64)
@@ -2666,6 +2686,79 @@ def q_ann_store_upsert(spark, sf) -> DataFrame:
             )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_ann_reindex(spark, sf) -> DataFrame:
+    """Drift-triggered RETRAIN-AND-SWAP (similarity.py ann_reindex +
+    ann_store_publish/current_dir — the ANN lifecycle's last ops piece
+    after compact/upsert/drift; swap discipline = the reference's
+    materialize USE_STORED success-marker re-read, materialize.py:277,
+    applied to the serving index): the v=0 store holds the label<8 slice
+    encoded under the OLD fixture model; the label>=8 slice arrives as
+    the ingest batch and its cell-occupancy KL under the old model
+    (~22.7M nanos at sf0.01, ~10.2M at sf0.1) exceeds the 5M-nano
+    threshold, so the operator retrains (here the deterministic v2
+    fixture standing in for ivf_pq_train(sample_by=) — SF-independent so
+    the oracle regenerates it; the real retrain path is unit-tested),
+    re-encodes the FULL corpus, publishes it as v=1 (one file per cell
+    dir) and commits atomically via the _committed marker. The gate then
+    asserts: drift actually fired, v=0 is still present and readable (a
+    concurrent reader holding the old path is untouched until vacuum),
+    the resolved current dir is v=1, and the probe over the swapped
+    store is partition-pruned on cell_id. Returns the new-model probe
+    top-10 — the oracle is the IVF-PQ search replay under the RETRAINED
+    model's literals."""
+    import shutil
+    import tempfile
+
+    from sycamore_spark.operators.similarity import (
+        ann_reindex, ann_store_current_dir, ann_store_publish,
+        ann_store_versions, ivf_pq_encode, ivf_pq_topk,
+    )
+
+    cents, books, _ = _ivf_pq_fixture()
+    new_c, new_b, qvec2 = _ivf_pq_fixture_v2()
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") > 0)
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    root = tempfile.mkdtemp(prefix="annreindex-store-")
+    try:
+        ann_store_publish(
+            spark, root,
+            ivf_pq_encode(
+                corpus.join(emb.filter(F.col("label") < 8).select("vec_id"), "vec_id"),
+                cents, books,
+            ).select("vec_id", "pq_codes", "cell_id"),
+        )
+        batch = corpus.join(
+            emb.filter(F.col("label") >= 8).select("vec_id"), "vec_id"
+        )
+        out = ann_reindex(
+            spark, root, corpus, batch, cents, books,
+            kl_threshold_nanos=5_000_000, train_fn=lambda c: (new_c, new_b),
+        )
+        if not out["retrained"] or out["version"] != 1:
+            raise AssertionError(f"reindex did not fire/swap: {out}")
+        vs = ann_store_versions(spark, root)
+        if vs["committed"] != [0, 1]:
+            raise AssertionError(f"old version not retained for readers: {vs}")
+        cur = ann_store_current_dir(spark, root)
+        if not cur.endswith("/v=1"):
+            raise AssertionError(f"current dir did not swap: {cur}")
+        probe = ivf_pq_topk(qvec2, spark.read.parquet(cur), new_c, new_b,
+                            k=10, nprobe=3)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters: [" not in plan or "cell_id" not in plan.split(
+            "PartitionFilters", 1
+        )[1][:200]:
+            raise AssertionError(
+                "post-swap probe is not partition-pruned on cell_id:\n" + plan[:2000]
+            )
+        rows = probe.collect()
+        return spark.createDataFrame(rows, probe.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -6147,6 +6240,7 @@ def _bpe_encode_oracle(rounds: int) -> str:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
     "rrf_weighted": q_rrf_weighted,
+    "ann_reindex": q_ann_reindex,
     # -- stalest driver greens --
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
@@ -7060,6 +7154,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_hybrid": _rrf_hybrid_oracle_sql(),
         "hybrid_search": _hybrid_search_oracle_sql(),
         "rrf_weighted": _hybrid_search_oracle_sql(w_lex=7, w_vec=3),
+        "ann_reindex": _ivf_pq_ann_oracle_sql(model=_ivf_pq_fixture_v2()),
         "ann_store_compact": _ivf_pq_ann_oracle_sql(),
         "ann_filtered": _ivf_pq_ann_oracle_sql(" AND label % 3 = 1"),
         "ann_drift": _ann_drift_oracle_sql(),

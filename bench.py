@@ -183,6 +183,7 @@ HEADLINE = [
     "stream_ann_upsert",
     # round-10 additions
     "rrf_weighted",
+    "ann_reindex",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

@@ -1192,3 +1192,174 @@ def sq_topk(query_vec, encoded: DataFrame, vmin: list, step: list, k: int = 10,
         .orderBy(F.col("sq_dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# -- versioned store: retrain-and-swap (the ANN lifecycle's last ops piece) ----
+
+
+def ann_store_versions(spark, root: str) -> dict:
+    """List the versioned ANN store's version numbers under ``root``
+    (layout: ``root/v=<n>/cell_id=.../...parquet``), split into
+    ``committed`` (a ``_committed`` marker exists — readable) and
+    ``pending`` (written but never committed: a crashed publish, invisible
+    to readers and safe to vacuum)."""
+    from sycamore_spark.materialize import _fs_exists, _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, root)
+    committed, pending = [], []
+    if fs.exists(p):
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("v="):
+                try:
+                    n = int(name[2:])
+                except ValueError:
+                    continue
+                dst = committed if _fs_exists(
+                    spark, f"{root.rstrip('/')}/v={n}/_committed"
+                ) else pending
+                dst.append(n)
+    return {"committed": sorted(committed), "pending": sorted(pending)}
+
+
+def ann_store_current_dir(spark, root: str) -> str:
+    """Resolve the CURRENT store version's directory: the highest committed
+    version. The commit point is the single-file CREATE of the
+    ``_committed`` marker (atomic on local FS and HDFS), so a reader
+    resolves either the old version or the new one, never a partial store
+    — and a reader that resolved the old path keeps reading it untouched
+    (old versions are retained until ``ann_store_vacuum``). This is the
+    materialize USE_STORED swap discipline (reference
+    lib/sycamore/sycamore/materialize.py:277 — success-marker-gated
+    re-read) applied to the serving index; a mutable pointer FILE was
+    rejected because overwrite-create is not atomic against a concurrent
+    reader on a raw local FS."""
+    vs = ann_store_versions(spark, root)["committed"]
+    if not vs:
+        raise LookupError(f"no committed store version under {root!r}")
+    return f"{root.rstrip('/')}/v={vs[-1]}"
+
+
+def ann_store_publish(
+    spark, root: str, encoded: DataFrame, cell_col: str = "cell_id"
+) -> int:
+    """Write ``encoded`` as the store's NEXT version and atomically commit
+    it: parquet partitionBy(``cell_col``) into ``root/v=<n+1>`` (picked
+    above every existing version dir, committed or not, so a concurrent
+    half-written publish is never clobbered), one repartition on the cell
+    column so each cell directory is one file (the compact layout), then
+    the ``_committed`` marker — the atomic cutover. Returns the new
+    version number."""
+    from sycamore_spark.materialize import _fs_write_text
+
+    vs = ann_store_versions(spark, root)
+    nxt = max(vs["committed"] + vs["pending"], default=-1) + 1
+    vdir = f"{root.rstrip('/')}/v={nxt}"
+    (
+        encoded.repartition(F.col(cell_col))
+        .write.partitionBy(cell_col)
+        .parquet(vdir)
+    )
+    _fs_write_text(spark, f"{vdir}/_committed", "1")
+    return nxt
+
+
+def ann_store_vacuum(spark, root: str, keep: int = 1) -> list[int]:
+    """Delete superseded versions, keeping the newest ``keep`` committed
+    ones plus nothing pending (crashed publishes go too). Run it only
+    after in-flight readers of old versions have drained — the retention
+    window is the operator's concurrency contract, exactly a lakehouse
+    VACUUM. Returns the removed version numbers."""
+    from sycamore_spark.materialize import delete_path
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1 (the current version must survive)")
+    vs = ann_store_versions(spark, root)
+    drop = vs["committed"][:-keep] + vs["pending"]
+    for n in drop:
+        delete_path(spark, f"{root.rstrip('/')}/v={n}")
+    return sorted(drop)
+
+
+def ann_reindex(
+    spark,
+    root: str,
+    corpus: DataFrame,
+    batch: DataFrame,
+    centroids: list,
+    codebooks: list,
+    kl_threshold_nanos: int,
+    train_fn=None,
+    sample_by: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell_id",
+    codes_col: str = "pq_codes",
+    scale: float = 1024.0,
+    ncells: int = 8,
+    m: int = 8,
+    subk: int = 16,
+    seed: int = 7,
+    sample: int = 10_000,
+) -> dict:
+    """Drift-triggered RETRAIN-AND-SWAP — the last ANN-lifecycle ops piece
+    after compact (layout debt), upsert (content delta), and the drift
+    monitor (model debt): measure cell-occupancy drift between the CURRENT
+    store and ``batch`` encoded under the current model
+    (``categorical_divergence`` over ``cell_col`` — one conditional-count
+    hash agg + a one-row reduce, kilobytes at any corpus size); when
+    ``max(KL_ab, KL_ba)`` exceeds ``kl_threshold_nanos``, retrain
+    (``train_fn(corpus) -> (centroids, codebooks)``; default
+    ``ivf_pq_train`` with ``sample_by`` REQUIRED — a reindex triggered by
+    distribution drift must not prefix-sample the very corpus whose
+    distribution moved), re-encode ``corpus`` with the new model, publish
+    it as the next store version, and atomically commit. Old versions stay
+    readable for concurrent queries until ``ann_store_vacuum``.
+
+    Returns ``{"retrained", "kl_ab_nanos", "kl_ba_nanos", "version"}``
+    (``version`` = the new number, or the current one when under
+    threshold).
+
+    100 TB shape: drift is aggregate-only; the retrain reads a bounded
+    hash-spread sample; the re-encode is ONE Arrow pass over the corpus +
+    one hash shuffle on the cell column for the compact layout — the same
+    cost as the initial build, paid only when the monitor fires."""
+    from sycamore_spark.operators.profiling import categorical_divergence
+
+    cur_dir = ann_store_current_dir(spark, root)
+    cur_ver = int(cur_dir.rsplit("v=", 1)[1])
+    store = spark.read.parquet(cur_dir)
+    batch_enc = ivf_pq_encode(
+        batch, centroids, codebooks, vec_col=vec_col, scale=scale,
+        cell_col=cell_col, codes_col=codes_col,
+    )
+    kl = categorical_divergence(store, batch_enc, cell_col).collect()[0]
+    out = {
+        "retrained": False,
+        "kl_ab_nanos": int(kl["kl_ab_nanos"]),
+        "kl_ba_nanos": int(kl["kl_ba_nanos"]),
+        "version": cur_ver,
+    }
+    if max(out["kl_ab_nanos"], out["kl_ba_nanos"]) <= kl_threshold_nanos:
+        return out
+    if train_fn is None:
+        if sample_by is None:
+            raise ValueError(
+                "ann_reindex needs sample_by= (or an explicit train_fn): "
+                "retraining after distribution drift must sample the whole "
+                "corpus, not a prefix slice"
+            )
+        new_c, new_b = ivf_pq_train(
+            corpus, vec_col=vec_col, ncells=ncells, m=m, subk=subk,
+            sample=sample, seed=seed, scale=scale, sample_by=sample_by,
+        )
+    else:
+        new_c, new_b = train_fn(corpus)
+    enc = ivf_pq_encode(
+        corpus, new_c, new_b, vec_col=vec_col, scale=scale,
+        cell_col=cell_col, codes_col=codes_col,
+    ).select(id_col, codes_col, cell_col)
+    out["version"] = ann_store_publish(spark, root, enc, cell_col=cell_col)
+    out["retrained"] = True
+    out["centroids"], out["codebooks"] = new_c, new_b
+    return out
