@@ -2763,6 +2763,107 @@ def q_ann_reindex(spark, sf) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_EMBED_CDC_SOURCE_SQL = (
+    "WITH src AS ("
+    "SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 1 AND NOT (doc_id % 7 = 3) "
+    "UNION ALL SELECT doc_id, text || ' revised edition' AS text FROM documents "
+    "WHERE doc_id % 13 <> 1 AND doc_id % 7 = 3 "
+    "UNION ALL SELECT -doc_id AS doc_id, 'brand new entry ' || text AS text "
+    "FROM documents WHERE doc_id % 17 = 2), "
+    "tok AS (SELECT doc_id, "
+    "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM src), "
+    "bkt AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS pos FROM tok), "
+    "cnt AS (SELECT doc_id, pos, count(*)::DOUBLE AS c FROM bkt GROUP BY 1, 2), "
+    "grid AS (SELECT doc_id, i AS pos FROM src, unnest(generate_series(0, 63)) AS g(i)), "
+    "fill AS (SELECT g.doc_id, g.pos, coalesce(c, 0.0) AS c FROM grid g "
+    "LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.pos = cnt.pos), "
+    "vec AS (SELECT doc_id, list(c ORDER BY pos) AS cv FROM fill GROUP BY 1) "
+    "SELECT doc_id AS vec_id, list_transform(cv, "
+    "c -> (c / (CASE WHEN n > 0 THEN n ELSE 1.0 END))::FLOAT::DOUBLE) AS embedding "
+    "FROM (SELECT doc_id, cv, "
+    "sqrt(list_aggregate(list_transform(cv, c -> c * c), 'sum')) AS n FROM vec)"
+)
+
+
+def q_embed_cdc_e2e(spark, sf) -> DataFrame:
+    """Embedding-CDC end-to-end — the 'documents changed, index updated'
+    story a production RAG system runs, every stage individually gated
+    elsewhere, composed under ONE oracle: a document change feed (deletes
+    doc_id%13=1; edits doc_id%7=3, text appended — the re-embed trigger;
+    inserts doc_id%17=2 under negated ids) flows through the
+    deterministic hashing embedder (embed.py hashing_embedding_expr,
+    md5-bucketed dim-64 — the oracle-replicable stand-in for the gated
+    model embedders) into ann_store_apply_changes, which re-encodes the
+    upserts with the store's model and rewrites only the touched cells.
+    The probe over the mutated store must equal the IVF-PQ search over a
+    batch re-embed+rebuild of the merged document corpus — the oracle
+    replays embedding (bucket counts, l2 norm, float32 cast),
+    quantization, cell assignment, residual codes, and LUT sums
+    bit-for-bit. Pruning is asserted on the post-mutation probe.
+
+    100 TB shape: the embedder is one zero-shuffle fold per changed doc
+    (delta-sized, never the corpus), and maintenance work stays ∝ touched
+    cells — the CDC contract shared with ann_store_upsert."""
+    import shutil
+    import tempfile
+
+    from sycamore_spark.operators.dedup import md5_hash60
+    from sycamore_spark.operators.embed import hashing_embedding_expr
+    from sycamore_spark.operators.similarity import (
+        ann_store_apply_changes, ivf_pq_encode, ivf_pq_topk,
+    )
+
+    cents, books, qvec = _ivf_pq_fixture()
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    emb_of = lambda c: hashing_embedding_expr(c, dim=64, hash_fn=md5_hash60)  # noqa: E731
+    base = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        emb_of(F.col("text")).cast("array<double>").alias("embedding"),
+    )
+    root = tempfile.mkdtemp(prefix="embcdc-store-")
+    try:
+        ivf_pq_encode(base, cents, books).select(
+            "vec_id", "pq_codes", "cell_id"
+        ).write.mode("overwrite").partitionBy("cell_id").parquet(root)
+        dels = docs.filter(F.col("doc_id") % 13 == 1).select(
+            F.col("doc_id").alias("vec_id"),
+            F.lit(None).cast("array<double>").alias("embedding"),
+            F.lit("D").alias("op"),
+        )
+        edits = (
+            docs.filter((F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 13 != 1))
+            .select(
+                F.col("doc_id").alias("vec_id"),
+                emb_of(F.concat(F.col("text"), F.lit(" revised edition")))
+                .cast("array<double>").alias("embedding"),
+                F.lit("U").alias("op"),
+            )
+        )
+        inserts = docs.filter(F.col("doc_id") % 17 == 2).select(
+            (-F.col("doc_id")).alias("vec_id"),
+            emb_of(F.concat(F.lit("brand new entry "), F.col("text")))
+            .cast("array<double>").alias("embedding"),
+            F.lit("I").alias("op"),
+        )
+        ann_store_apply_changes(
+            spark, root, dels.unionByName(edits).unionByName(inserts),
+            cents, books,
+        )
+        out = ivf_pq_topk(qvec, spark.read.parquet(root), cents, books,
+                          k=10, nprobe=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters: [" not in plan or "cell_id" not in plan.split(
+            "PartitionFilters", 1
+        )[1][:200]:
+            raise AssertionError(
+                "post-CDC probe is not partition-pruned on cell_id:\n" + plan[:2000]
+            )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_stream_ann_upsert(spark, sf) -> DataFrame:
     """Streaming ANN store maintenance (streaming/ann.py
     maintain_ann_store_stream): the SAME delete/re-embed/insert delta as
@@ -6241,6 +6342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
     "rrf_weighted": q_rrf_weighted,
     "ann_reindex": q_ann_reindex,
+    "embed_cdc_e2e": q_embed_cdc_e2e,
     # -- stalest driver greens --
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
@@ -7155,6 +7257,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": _hybrid_search_oracle_sql(),
         "rrf_weighted": _hybrid_search_oracle_sql(w_lex=7, w_vec=3),
         "ann_reindex": _ivf_pq_ann_oracle_sql(model=_ivf_pq_fixture_v2()),
+        "embed_cdc_e2e": _ivf_pq_ann_oracle_sql(source_sql=_EMBED_CDC_SOURCE_SQL),
         "ann_store_compact": _ivf_pq_ann_oracle_sql(),
         "ann_filtered": _ivf_pq_ann_oracle_sql(" AND label % 3 = 1"),
         "ann_drift": _ann_drift_oracle_sql(),

@@ -184,6 +184,7 @@ HEADLINE = [
     # round-10 additions
     "rrf_weighted",
     "ann_reindex",
+    "embed_cdc_e2e",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M
