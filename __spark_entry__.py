@@ -2758,6 +2758,20 @@ def q_ann_reindex(spark, sf) -> DataFrame:
                 "post-swap probe is not partition-pruned on cell_id:\n" + plan[:2000]
             )
         rows = probe.collect()
+        # readers drained (probe materialized): vacuum the superseded
+        # version and prove the swapped store alone serves the same result
+        from sycamore_spark.operators.similarity import ann_store_vacuum
+
+        if ann_store_vacuum(spark, root, keep=1) != [0]:
+            raise AssertionError("vacuum did not drop exactly the old version")
+        if ann_store_versions(spark, root) != {"committed": [1], "pending": []}:
+            raise AssertionError("post-vacuum store state wrong")
+        re_rows = ivf_pq_topk(
+            qvec2, spark.read.parquet(ann_store_current_dir(spark, root)),
+            new_c, new_b, k=10, nprobe=3,
+        ).collect()
+        if sorted(map(tuple, re_rows)) != sorted(map(tuple, rows)):
+            raise AssertionError("post-vacuum probe diverged from pre-vacuum")
         return spark.createDataFrame(rows, probe.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
