@@ -1060,8 +1060,15 @@ def ann_store_apply_changes(
     U rows) would anti-join the old row once but union BOTH encoded rows,
     silently leaving duplicate vectors in the store — rejected loudly
     (one batch-sized agg; callers with multi-event feeds collapse to a
-    last-writer row first, as streaming/cdc.py does via seq_col)."""
+    last-writer row first, as streaming/cdc.py does via seq_col).
+
+    The delta is localCheckpointed on entry: this function references its
+    lineage ~6 times (dup validation, the broadcast id set on both joins,
+    encode, cell union), and a delta whose upstream is an expensive
+    re-embed (the embed-CDC path) would otherwise re-run that work per
+    reference. Batch-sized by contract, so materializing it is cheap."""
     store = spark.read.parquet(store_dir)
+    changes = changes.localCheckpoint(eager=True)
     dup = (
         changes.groupBy(F.col(id_col))
         .agg(F.count(F.lit(1)).alias("_n"))
