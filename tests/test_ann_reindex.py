@@ -132,6 +132,66 @@ def test_ann_reindex_retrains_and_swaps_on_drift(spark, tmp_path):
     assert ann_store_versions(spark, root)["committed"] == [0, 1]
 
 
+def test_versioned_store_random_op_sequences(spark, tmp_path):
+    """Seeded randomized state-machine check (the repo's property layer for
+    Spark-bound ops): any interleaving of publish / crashed-publish /
+    vacuum keeps the invariants — current = max committed, committed
+    versions hold exactly their published payload, version numbers never
+    reuse (crashed dirs still reserve their number), vacuum keeps the
+    newest `keep` committed and drops all pending."""
+    import random
+
+    from sycamore_spark.materialize import _fs_write_text
+
+    rng = random.Random(41)
+    enc_all = ivf_pq_encode(_corpus(spark), CENTS, BOOKS).select(
+        "vec_id", "pq_codes", "cell_id"
+    ).localCheckpoint(eager=True)
+    as_set = lambda df: {  # noqa: E731 - pq_codes is a list, make it hashable
+        (r.vec_id, tuple(r.pq_codes), r.cell_id) for r in df.collect()
+    }
+
+    for case in range(4):
+        root = str(tmp_path / f"rstore{case}")
+        committed: dict[int, set] = {}
+        pending: set[int] = set()
+        for step in range(rng.randint(3, 6)):
+            op = rng.choice(["publish", "crash", "vacuum"])
+            nxt = max(list(committed) + list(pending), default=-1) + 1
+            payload = enc_all.filter(F.col("vec_id") % 3 == nxt % 3)
+            if op == "publish":
+                got = ann_store_publish(spark, root, payload)
+                assert got == nxt
+                committed[nxt] = as_set(payload)
+            elif op == "crash":
+                payload.write.partitionBy("cell_id").parquet(f"{root}/v={nxt}")
+                pending.add(nxt)
+            else:
+                keep = rng.randint(1, 2)
+                if committed:
+                    dropped = ann_store_vacuum(spark, root, keep=keep)
+                    want = sorted(committed)[:-keep] + sorted(pending)
+                    assert dropped == sorted(want)
+                    for n in dropped:
+                        committed.pop(n, None)
+                    pending.clear()
+            vs = ann_store_versions(spark, root)
+            assert vs == {"committed": sorted(committed), "pending": sorted(pending)}
+            if committed:
+                cur = ann_store_current_dir(spark, root)
+                top = max(committed)
+                assert cur.endswith(f"/v={top}")
+                assert as_set(spark.read.parquet(cur)) == committed[top]
+            else:
+                with pytest.raises(LookupError):
+                    ann_store_current_dir(spark, root)
+        # stray non-version junk in root must not confuse the listing
+        _fs_write_text(spark, f"{root}/notes.txt", "x")
+        assert ann_store_versions(spark, root) == {
+            "committed": sorted(committed), "pending": sorted(pending)
+        }
+
+
 def test_ann_reindex_rejects_silent_prefix_training(spark, tmp_path):
     """A drift-triggered retrain must not prefix-sample the very corpus
     whose distribution moved: default training requires sample_by."""
