@@ -2777,13 +2777,20 @@ def q_ann_reindex(spark, sf) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-_EMBED_CDC_SOURCE_SQL = (
-    "WITH src AS ("
+# the merged document corpus after the CDC delta (deletes doc_id%13=1,
+# edits doc_id%7=3 with appended text, inserts doc_id%17=2 under negated
+# ids) — shared by the embed_cdc_e2e and index_cdc oracles
+_DOC_CDC_MERGED_SRC = (
     "SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 1 AND NOT (doc_id % 7 = 3) "
     "UNION ALL SELECT doc_id, text || ' revised edition' AS text FROM documents "
     "WHERE doc_id % 13 <> 1 AND doc_id % 7 = 3 "
     "UNION ALL SELECT -doc_id AS doc_id, 'brand new entry ' || text AS text "
-    "FROM documents WHERE doc_id % 17 = 2), "
+    "FROM documents WHERE doc_id % 17 = 2"
+)
+
+
+_EMBED_CDC_SOURCE_SQL = (
+    "WITH src AS (" + _DOC_CDC_MERGED_SRC + "), "
     "tok AS (SELECT doc_id, "
     "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM src), "
     "bkt AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS pos FROM tok), "
@@ -2876,6 +2883,98 @@ def q_embed_cdc_e2e(spark, sf) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def q_index_cdc(spark, sf) -> DataFrame:
+    """Maintained inverted index — the LEXICAL twin of embed_cdc_e2e
+    (retrieval.py bucketed_postings + index_apply_changes; the reference
+    delegates index maintenance to OpenSearch/Elasticsearch service-side,
+    connectors/opensearch/opensearch_writer.py): postings bucketed by
+    pmod(xxhash64(term), 16) so every posting of a term — and every
+    df/impact-rank recompute it can need — lives in ONE bucket directory.
+    The same document CDC delta as embed_cdc_e2e (deletes/edits/inserts)
+    folds in by rebuilding ONLY the touched buckets (buckets of new terms
+    + buckets holding old postings of delta ids), with df and rank
+    recomputed per term inside them. The probe reads the postings of the
+    hybrid-question terms with an explicit bucket filter —
+    PartitionFilters pruning asserted (the serving story: term -> bucket
+    -> file listing) — and must equal a FULL index rebuild over the
+    merged corpus, which the oracle computes from scratch. Bucket ids
+    never appear in the output (xxhash64 is engine-specific; the
+    CONTENT is engine-independent)."""
+    import shutil
+    import tempfile
+
+    from sycamore_spark.operators.retrieval import (
+        bucketed_postings, index_apply_changes,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="idxcdc-store-")
+    try:
+        bucketed_postings(docs, n_buckets=16).write.mode("overwrite") \
+            .partitionBy("bkt").parquet(root)
+        delta = (
+            docs.filter(F.col("doc_id") % 13 == 1).select(
+                "doc_id", F.lit(None).cast("string").alias("text"),
+                F.lit("D").alias("op"))
+            .unionByName(
+                docs.filter((F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 13 != 1))
+                .select("doc_id",
+                        F.concat(F.col("text"), F.lit(" revised edition")).alias("text"),
+                        F.lit("U").alias("op")))
+            .unionByName(
+                docs.filter(F.col("doc_id") % 17 == 2)
+                .select((-F.col("doc_id")).alias("doc_id"),
+                        F.concat(F.lit("brand new entry "), F.col("text")).alias("text"),
+                        F.lit("I").alias("op")))
+        )
+        index_apply_changes(spark, root, delta, n_buckets=16)
+        terms = sorted({t for _, q in _HYBRID_QUERIES for t in q.split()})
+        bkts = sorted({
+            r[0] for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(16)).cast("int").alias("b"))
+            .distinct().collect()
+        })
+        out = (
+            spark.read.parquet(root)
+            .filter(F.col("bkt").isin(bkts))      # prunes at file listing
+            .filter(F.col("term").isin(terms))
+            .select("term", "df", "rank", "doc_id", "tf")
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters: [" not in plan or "bkt" not in plan.split(
+            "PartitionFilters", 1
+        )[1][:200]:
+            raise AssertionError(
+                "term lookup is not partition-pruned on bkt:\n" + plan[:2000]
+            )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _index_cdc_oracle_sql() -> str:
+    """Replay: FULL inverted-index rebuild over the merged document corpus
+    (tokenize, tf per (term, doc), df per term, impact rank tf desc /
+    id asc), restricted to the hybrid-question terms after the windows —
+    the maintained store's touched-bucket fold must be indistinguishable
+    from this rebuild."""
+    terms = sorted({t for _, q in _HYBRID_QUERIES for t in q.split()})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH src AS (" + _DOC_CDC_MERGED_SRC + "), "
+        "tok AS (SELECT doc_id, "
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term FROM src), "
+        "tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok "
+        "WHERE term <> '' GROUP BY 1, 2), "
+        "d AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1), "
+        "r AS (SELECT term, doc_id, tf, row_number() OVER "
+        "(PARTITION BY term ORDER BY tf DESC, doc_id ASC)::BIGINT AS rank FROM tf) "
+        f"SELECT r.term, d.df, r.rank, r.doc_id, r.tf FROM r JOIN d USING (term) "
+        f"WHERE r.term IN ({in_list})"
+    )
 
 
 def q_stream_ann_upsert(spark, sf) -> DataFrame:
@@ -6357,6 +6456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rrf_weighted": q_rrf_weighted,
     "ann_reindex": q_ann_reindex,
     "embed_cdc_e2e": q_embed_cdc_e2e,
+    "index_cdc": q_index_cdc,
     # -- stalest driver greens --
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
@@ -7272,6 +7372,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_weighted": _hybrid_search_oracle_sql(w_lex=7, w_vec=3),
         "ann_reindex": _ivf_pq_ann_oracle_sql(model=_ivf_pq_fixture_v2()),
         "embed_cdc_e2e": _ivf_pq_ann_oracle_sql(source_sql=_EMBED_CDC_SOURCE_SQL),
+        "index_cdc": _index_cdc_oracle_sql(),
         "ann_store_compact": _ivf_pq_ann_oracle_sql(),
         "ann_filtered": _ivf_pq_ann_oracle_sql(" AND label % 3 = 1"),
         "ann_drift": _ann_drift_oracle_sql(),

@@ -528,3 +528,162 @@ def rrf_fuse(
     return out.select(
         F.col("_q").alias(query_col), F.col("_i").alias(id_col), "rrf_micros", "rank"
     )
+
+
+# -- maintained inverted index: the lexical twin of the ANN store CDC ---------
+
+
+def bucketed_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_col: str = "bkt",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The MAINTAINABLE inverted-index layout: one row per (term, doc)
+    posting with tf, df, and impact rank, bucketed by
+    ``pmod(xxhash64(term), n_buckets)`` so EVERY posting of a term —
+    and therefore every df/rank recompute the term can ever need —
+    lives in exactly one bucket directory. Write it
+    ``partitionBy(bucket_col)``: a term lookup prunes to one bucket at
+    file-listing time, and ``index_apply_changes`` rewrites only the
+    buckets a document delta touches.
+
+    Unlike ``build_inverted_index`` this keeps EVERY posting (no
+    min_df/top_docs): a maintained store cannot prune, because a pruned
+    posting could never be pulled back when a delete promotes it —
+    apply serving-side pruning (rank <= k) at query time instead.
+
+    Scale shape: one explode -> one map-side-combined (term, doc) hash
+    agg -> one per-term window (df + rank ride the same exchange)."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term", "_id").agg(F.count(F.lit(1)).alias("tf"))
+    w_term = Window.partitionBy("term")
+    w_rank = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("_id").asc())
+    return (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("_id").alias(id_col),
+            F.col("tf").cast("long").alias("tf"),
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias(bucket_col),
+        )
+    )
+
+
+def index_apply_changes(
+    spark,
+    index_dir: str,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_col: str = "op",
+    delete_op: str = "D",
+    bucket_col: str = "bkt",
+    n_buckets: int = 64,
+) -> int:
+    """Fold a DOCUMENT change batch (id, text, op) into the bucketed
+    inverted index — the lexical twin of ``ann_store_apply_changes``
+    (same CDC contract: each id at most once per delta, delta is
+    batch-sized): tokenize the changed docs (delta-sized explode), find
+    the touched buckets (buckets of every NEW term plus buckets holding
+    any OLD posting of a delta id — one column-pruned semi-join scan),
+    then rebuild ONLY those buckets: (old postings minus delta ids) ∪
+    new postings, with df and impact rank recomputed per term — complete
+    and correct within the bucket because a term's postings never span
+    buckets. Dynamic partition overwrite; emptied bucket dirs removed.
+    Returns the touched-bucket count.
+
+    Scale contract: work ∝ touched buckets (a bucket holds ~vocab/N
+    terms' postings), never the index; df/rank recompute rides one
+    window exchange over touched-bucket rows only. n_buckets must match
+    the build — it is the store's physical contract, like the ANN
+    store's cell count."""
+    from pyspark.sql.window import Window
+
+    from sycamore_spark.materialize import _hadoop_fs
+
+    changes = changes.localCheckpoint(eager=True)
+    dup = (
+        changes.groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"delta carries duplicate {id_col} values {[r[0] for r in dup]}: "
+            f"collapse each id to one final row before applying"
+        )
+    store = spark.read.parquet(index_dir)
+    delta_ids = changes.select(F.col(id_col)).distinct()
+    new_posts = (
+        changes.filter(F.col(op_col) != delete_op)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            bucket_col,
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
+    )
+    old_buckets = (
+        store.join(F.broadcast(delta_ids), id_col, "left_semi")
+        .select(bucket_col).distinct()
+    )
+    new_buckets = new_posts.select(bucket_col).distinct()
+    touched = sorted(
+        r[0] for r in old_buckets.unionByName(new_buckets).distinct().collect()
+    )
+    if not touched:
+        return 0
+    keep = (
+        store.filter(F.col(bucket_col).isin(touched))
+        .join(F.broadcast(delta_ids), id_col, "left_anti")
+        .select("term", F.col(id_col).alias("_id"), "tf", bucket_col)
+    )
+    merged = keep.unionByName(
+        new_posts.filter(F.col(bucket_col).isin(touched))
+    )
+    w_term = Window.partitionBy("term")
+    w_rank = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("_id").asc())
+    rebuilt = (
+        merged.withColumn("df", F.count(F.lit(1)).over(w_term))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("_id").alias(id_col),
+            F.col("tf").cast("long").alias("tf"),
+            bucket_col,
+        )
+        .localCheckpoint(eager=True)  # the write replaces files the plan reads
+    )
+    survivors = {r[0] for r in rebuilt.select(bucket_col).distinct().collect()}
+    (
+        rebuilt.repartition(len(touched), F.col(bucket_col))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bucket_col)
+        .parquet(index_dir)
+    )
+    for b in (b for b in touched if b not in survivors):
+        fs, p = _hadoop_fs(spark, f"{index_dir.rstrip('/')}/{bucket_col}={b}")
+        fs.delete(p, True)
+    return len(touched)

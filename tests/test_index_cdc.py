@@ -1,0 +1,123 @@
+"""Maintained inverted index (retrieval.py bucketed_postings +
+index_apply_changes) — the lexical twin of the ANN store CDC: postings
+bucketed by term hash so a term's df/rank recompute never leaves its
+bucket; a document delta rewrites only the touched buckets."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sycamore_spark.operators.retrieval import (
+    bucketed_postings,
+    index_apply_changes,
+)
+
+NB = 8
+
+
+def _docs(spark):
+    rows = [
+        (1, "alpha beta beta"),
+        (2, "alpha gamma"),
+        (3, "delta delta delta"),
+        (4, "beta gamma delta"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _rebuild(spark, df):
+    return {
+        (r.term, r.df, r.rank, r.doc_id, r.tf)
+        for r in bucketed_postings(df, n_buckets=NB)
+        .select("term", "df", "rank", "doc_id", "tf").collect()
+    }
+
+
+def test_index_apply_changes_equals_rebuild(spark, tmp_path):
+    """delete + edit + insert folded into the bucketed store must be
+    indistinguishable from a full rebuild of the merged corpus — df and
+    impact rank included (a delete PROMOTES lower-ranked postings, an
+    edit can demote its own doc)."""
+    root = str(tmp_path / "idx")
+    docs = _docs(spark)
+    bucketed_postings(docs, n_buckets=NB).write.partitionBy("bkt").parquet(root)
+    delta = spark.createDataFrame(
+        [
+            (1, None, "D"),                      # alpha df drops, beta rank shifts
+            (3, "delta epsilon", "U"),           # tf(delta) 3 -> 1, new term epsilon
+            (5, "beta beta beta zeta", "I"),     # new top-ranked beta posting
+        ],
+        "doc_id bigint, text string, op string",
+    )
+    n = index_apply_changes(spark, root, delta, n_buckets=NB)
+    assert n >= 1
+    got = {
+        (r.term, r.df, r.rank, r.doc_id, r.tf)
+        for r in spark.read.parquet(root)
+        .select("term", "df", "rank", "doc_id", "tf").collect()
+    }
+    merged = spark.createDataFrame(
+        [(2, "alpha gamma"), (3, "delta epsilon"), (4, "beta gamma delta"),
+         (5, "beta beta beta zeta")],
+        "doc_id bigint, text string",
+    )
+    assert got == _rebuild(spark, merged)
+    # the fold promoted doc 5 to beta's rank 1 and recomputed df = 2 for alpha
+    by = {(r.term, r.doc_id): (r.df, r.rank) for r in spark.read.parquet(root).collect()}
+    assert by[("beta", 5)][1] == 1 and by[("alpha", 2)][0] == 1
+
+
+def test_index_apply_changes_touches_only_needed_buckets(spark, tmp_path):
+    """A delta touching term X must not rewrite buckets holding only
+    other terms — the files' mtimes prove it."""
+    root = str(tmp_path / "idx2")
+    docs = _docs(spark)
+    bucketed_postings(docs, n_buckets=NB).write.partitionBy("bkt").parquet(root)
+    tb = {
+        r.term: r.b for r in spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",), ("delta",)], "term string"
+        ).select("term", F.pmod(F.xxhash64("term"), F.lit(NB)).cast("int").alias("b"))
+        .collect()
+    }
+    # pick a term whose bucket holds no other corpus term
+    lone = next(t for t in tb if list(tb.values()).count(tb[t]) == 1)
+    others = {b for t, b in tb.items() if t != lone}
+    pre = {
+        f: os.path.getmtime(f)
+        for b in others - {tb[lone]}
+        for f in glob.glob(f"{root}/bkt={b}/*.parquet")
+    }
+    # doc 6 contains ONLY the lone term -> only its bucket rewrites
+    delta = spark.createDataFrame(
+        [(6, f"{lone} {lone}", "I")], "doc_id bigint, text string, op string"
+    )
+    assert index_apply_changes(spark, root, delta, n_buckets=NB) == 1
+    post = {
+        f: os.path.getmtime(f)
+        for b in others - {tb[lone]}
+        for f in glob.glob(f"{root}/bkt={b}/*.parquet")
+    }
+    assert post == pre
+    got = {(r.doc_id, r.tf, r.rank) for r in
+           spark.read.parquet(root).filter(F.col("term") == lone).collect()}
+    assert (6, 2, 1) in got
+
+
+def test_index_apply_changes_empty_and_dup_guards(spark, tmp_path):
+    root = str(tmp_path / "idx3")
+    docs = spark.createDataFrame([(9, "omega")], "doc_id bigint, text string")
+    bucketed_postings(docs, n_buckets=NB).write.partitionBy("bkt").parquet(root)
+    # deleting the only doc of a bucket removes its directory
+    delta = spark.createDataFrame(
+        [(9, None, "D")], "doc_id bigint, text string, op string"
+    )
+    assert index_apply_changes(spark, root, delta, n_buckets=NB) == 1
+    assert not glob.glob(f"{root}/bkt=*")
+    # duplicate ids rejected loudly (same contract as the ANN store)
+    dup = spark.createDataFrame(
+        [(1, "a", "U"), (1, "b", "U")], "doc_id bigint, text string, op string"
+    )
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        index_apply_changes(spark, root, dup, n_buckets=NB)
