@@ -2115,6 +2115,29 @@ def q_ivf_pq_ann(spark, sf) -> DataFrame:
     return ivf_pq_topk(qvec, enc, cents, books, k=10, nprobe=3)
 
 
+def q_ann_range(spark, sf) -> DataFrame:
+    """RADIUS vector search (similarity.py ivf_pq_range_search — faiss
+    range_search in the lakehouse layout; the all-neighbors-within-d
+    primitive near-duplicate sweeps and recall-bounded filters need,
+    which top-k cannot express): same fixture model, encode, and probed
+    cells as ivf_pq_ann, but the cut is adc_dist <= 2,800,000 in the
+    quantized int64 space — a plain pushable filter instead of a rank
+    window or TakeOrdered, so the plan is strictly lighter than top-k
+    (scan pruned to probed cells -> codegen LUT sum -> filter). Output
+    ordered (dist, id) for the hash compare; the oracle replays the
+    identical threshold on the identical integer distances."""
+    from sycamore_spark.operators.similarity import (
+        ivf_pq_encode, ivf_pq_range_search,
+    )
+
+    cents, books, qvec = _ivf_pq_fixture()
+    emb = load_table(spark, sf, "embeddings")
+    enc = ivf_pq_encode(emb.filter(F.col("vec_id") > 0), cents, books)
+    return ivf_pq_range_search(
+        qvec, enc, cents, books, radius=2_800_000, nprobe=3
+    ).orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+
+
 def _ivf_pq_fixture():
     """Deterministic IVF-PQ model shared by the gate and its oracle:
     trained (ivf_pq_train_arrays — the same core ivf_pq_train uses on
@@ -2147,7 +2170,8 @@ def _ivf_pq_fixture_v2():
 
 
 def _ivf_pq_ann_oracle_sql(
-    extra_where: str = "", source_sql: str | None = None, model=None
+    extra_where: str = "", source_sql: str | None = None, model=None,
+    radius: int | None = None,
 ) -> str:
     """Regenerate the gate's seeded IVF-PQ model (same ``_ivf_pq_fixture``,
     SF-independent), then replay the whole search in pure integer SQL:
@@ -2160,7 +2184,9 @@ def _ivf_pq_ann_oracle_sql(
     replaces the corpus with an arbitrary (vec_id, embedding) SELECT
     (the ann_store_upsert gate's merged-corpus replay); ``model``
     substitutes a different (cents, books, qvec) fixture (the
-    ann_reindex gate's RETRAINED model replay)."""
+    ann_reindex gate's RETRAINED model replay); ``radius`` switches the
+    top-10 cut to a distance threshold (the ann_range gate's
+    range-search replay — all rows with adc_dist <= radius)."""
     import numpy as _np
 
     cents, books, qvec = model if model is not None else _ivf_pq_fixture()
@@ -2209,8 +2235,13 @@ def _ivf_pq_ann_oracle_sql(
         f"list_transform(range(64), i -> xq[i + 1] - {cc_sql}[cell + 1][i + 1]) AS r "
         f"FROM asg WHERE list_position({probed_sql}, cell) > 0), "
         f"dls AS (SELECT vec_id, cpos, {', '.join(dl_exprs)} FROM flt) "
-        f"SELECT vec_id, ({' + '.join(score_terms)})::BIGINT AS adc_dist "
-        "FROM dls ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"
+        f"SELECT vec_id, adc_dist FROM (SELECT vec_id, "
+        f"({' + '.join(score_terms)})::BIGINT AS adc_dist FROM dls) "
+        + (
+            f"WHERE adc_dist <= {int(radius)} ORDER BY adc_dist ASC, vec_id ASC"
+            if radius is not None
+            else "ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"
+        )
     )
 
 
@@ -6457,6 +6488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_reindex": q_ann_reindex,
     "embed_cdc_e2e": q_embed_cdc_e2e,
     "index_cdc": q_index_cdc,
+    "ann_range": q_ann_range,
     # -- stalest driver greens --
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
@@ -7373,6 +7405,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_reindex": _ivf_pq_ann_oracle_sql(model=_ivf_pq_fixture_v2()),
         "embed_cdc_e2e": _ivf_pq_ann_oracle_sql(source_sql=_EMBED_CDC_SOURCE_SQL),
         "index_cdc": _index_cdc_oracle_sql(),
+        "ann_range": _ivf_pq_ann_oracle_sql(radius=2_800_000),
         "ann_store_compact": _ivf_pq_ann_oracle_sql(),
         "ann_filtered": _ivf_pq_ann_oracle_sql(" AND label % 3 = 1"),
         "ann_drift": _ann_drift_oracle_sql(),

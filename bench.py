@@ -186,6 +186,7 @@ HEADLINE = [
     "ann_reindex",
     "embed_cdc_e2e",
     "index_cdc",
+    "ann_range",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

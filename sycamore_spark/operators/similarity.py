@@ -692,6 +692,30 @@ def ivf_pq_topk(
     top-k is exact over the rows that satisfy the predicate (post-filter
     rank-then-drop would return fewer than k and miss qualifying
     neighbors ranked below the unfiltered top-k)."""
+    probed, score = _adc_probe(
+        query_vec, centroids, codebooks, nprobe, cell_col, codes_col, scale
+    )
+    return (
+        encoded.filter(
+            F.col(cell_col).isin(probed) & F.col(codes_col).isNotNull()
+            & (prefilter if prefilter is not None else F.lit(True))
+        )
+        .select(id_col, score.cast("bigint").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc_nulls_last(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _adc_probe(
+    query_vec, centroids: list, codebooks: list, nprobe: int,
+    cell_col: str, codes_col: str, scale: float,
+):
+    """Driver-side cell routing + the codegen ADC score expression shared
+    by ``ivf_pq_topk`` and ``ivf_pq_range_search``: quantize the query,
+    pick its ``nprobe`` nearest coarse cells, build the per-cell
+    per-subspace residual LUTs as kilobyte literals, and return
+    (probed_cells, score_column) where the score is m element_at lookups
+    + an integer sum — whole-stage codegen, no Python at scan time."""
     C = np.array(centroids, dtype=np.int64)
     B = [np.array(b, dtype=np.int64) for b in codebooks]
     m = len(B)
@@ -718,14 +742,47 @@ def ivf_pq_topk(
             )
         term = F.element_at(lut_for_cell, F.col(codes_col)[s] + 1)
         score = term if score is None else score + term
+    return probed, score
+
+
+def ivf_pq_range_search(
+    query_vec,
+    encoded: DataFrame,
+    centroids: list,
+    codebooks: list,
+    radius: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    cell_col: str = "cell_id",
+    codes_col: str = "pq_codes",
+    scale: float = 1024.0,
+    prefilter=None,
+) -> DataFrame:
+    """RADIUS search — faiss ``range_search`` in the lakehouse layout:
+    every row within ADC distance <= ``radius`` of the query (in the
+    int64 quantized space ``adc_dist`` lives in), restricted to the
+    ``nprobe`` probed cells. The all-neighbors-within-a-threshold
+    primitive top-k cannot express — near-duplicate sweeps ('everything
+    within d of this doc') and recall-bounded filters run on this, not
+    on an arbitrary k.
+
+    Shape: strictly LIGHTER than top-k — the scan prunes to probed cells
+    (PartitionFilters on a cell-partitioned store), the score is the
+    same codegen LUT sum, and the radius cut is a plain filter: no rank
+    window, no TakeOrdered, result rows stream straight out. The
+    returned frame is UNORDERED (order it if presenting); same
+    ``prefilter`` contract as ``ivf_pq_topk`` (conjoined before scoring,
+    pushed into the scan)."""
+    probed, score = _adc_probe(
+        query_vec, centroids, codebooks, nprobe, cell_col, codes_col, scale
+    )
     return (
         encoded.filter(
             F.col(cell_col).isin(probed) & F.col(codes_col).isNotNull()
             & (prefilter if prefilter is not None else F.lit(True))
         )
         .select(id_col, score.cast("bigint").alias("adc_dist"))
-        .orderBy(F.col("adc_dist").asc_nulls_last(), F.col(id_col).asc())
-        .limit(k)
+        .filter(F.col("adc_dist") <= int(radius))
     )
 
 

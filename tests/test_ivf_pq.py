@@ -674,6 +674,39 @@ def test_rrf_fuse(spark):
         rrf_fuse([a, b], weights=[True, True])
 
 
+def test_ivf_pq_range_search_matches_threshold_on_topk(vec_df, spark):
+    """Radius search must return EXACTLY the probed-cell rows whose ADC
+    distance is <= radius — i.e. the threshold cut of an exhaustive
+    (k = corpus) top-k over the same probed cells — and compose with
+    prefilter the same way top-k does."""
+    from pyspark.sql import functions as SF
+
+    from sycamore_spark.operators.similarity import ivf_pq_range_search
+
+    df, X = vec_df
+    cents, books = ivf_pq_train(df, ncells=6, m=4, subk=8, seed=5)
+    enc = ivf_pq_encode(df, cents, books)
+    q = X[7].tolist()
+    full = ivf_pq_topk(q, enc, cents, books, k=10**6, nprobe=3).collect()
+    radius = sorted(r.adc_dist for r in full)[len(full) // 3]
+    want = {(r.vec_id, r.adc_dist) for r in full if r.adc_dist <= radius}
+    got = {
+        (r.vec_id, r.adc_dist)
+        for r in ivf_pq_range_search(q, enc, cents, books, radius, nprobe=3).collect()
+    }
+    assert got == want and 0 < len(got) < len(full)
+    # prefilter composes: threshold over QUALIFYING rows only
+    filt = SF.col("vec_id") % 2 == 0
+    got_f = {
+        r.vec_id for r in ivf_pq_range_search(
+            q, enc, cents, books, radius, nprobe=3, prefilter=filt
+        ).collect()
+    }
+    assert got_f == {v for v, _ in want if v % 2 == 0}
+    # a radius below the minimum distance returns empty, not an error
+    assert ivf_pq_range_search(q, enc, cents, books, radius=0, nprobe=3).count() == 0
+
+
 def test_ivf_pq_multi_duplicate_qid_rejected(vec_df, spark):
     from sycamore_spark.operators.similarity import ivf_pq_topk_multi
 
