@@ -2986,6 +2986,64 @@ def q_index_cdc(spark, sf) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_index_cdc(spark, sf) -> DataFrame:
+    """Streaming inverted-index maintenance (streaming/index.py
+    maintain_index_stream): the SAME document delta as the index_cdc
+    gate, delivered as THREE micro-batches (maxFilesPerTrigger=1, one op
+    group per file — disjoint ids, so batch boundaries must not matter),
+    folded through the same index_apply_changes operator with _hwm
+    replay protection. The probe must equal the batch path's — the
+    oracle IS the index_cdc full-rebuild oracle, proving stream-fold ≡
+    one-shot apply ≡ rebuild for the lexical store exactly as
+    stream_ann_upsert proves it for the vector store."""
+    import shutil
+    import tempfile
+
+    from sycamore_spark.operators.retrieval import bucketed_postings
+    from sycamore_spark.streaming.index import maintain_index_stream
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="sidxcdc-store-")
+    src = tempfile.mkdtemp(prefix="sidxcdc-src-")
+    ckpt = tempfile.mkdtemp(prefix="sidxcdc-ckpt-")
+    try:
+        bucketed_postings(docs, n_buckets=16).write.mode("overwrite") \
+            .partitionBy("bkt").parquet(root)
+        groups = [
+            docs.filter(F.col("doc_id") % 13 == 1).select(
+                "doc_id", F.lit(None).cast("string").alias("text"),
+                F.lit("D").alias("op")),
+            docs.filter((F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 13 != 1))
+            .select("doc_id",
+                    F.concat(F.col("text"), F.lit(" revised edition")).alias("text"),
+                    F.lit("U").alias("op")),
+            docs.filter(F.col("doc_id") % 17 == 2)
+            .select((-F.col("doc_id")).alias("doc_id"),
+                    F.concat(F.lit("brand new entry "), F.col("text")).alias("text"),
+                    F.lit("I").alias("op")),
+        ]
+        for g in groups:  # three files -> three micro-batches
+            g.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(groups[0].schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = maintain_index_stream(stream, root, ckpt, n_buckets=16,
+                                  available_now=True)
+        q.awaitTermination(300)
+        terms = sorted({t for _, qq in _HYBRID_QUERIES for t in qq.split()})
+        out = (
+            spark.read.parquet(root)
+            .filter(F.col("term").isin(terms))
+            .select("term", "df", "rank", "doc_id", "tf")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for d in (root, src, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _index_cdc_oracle_sql() -> str:
     """Replay: FULL inverted-index rebuild over the merged document corpus
     (tokenize, tf per (term, doc), df per term, impact rank tf desc /
@@ -6489,6 +6547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_cdc_e2e": q_embed_cdc_e2e,
     "index_cdc": q_index_cdc,
     "ann_range": q_ann_range,
+    "stream_index_cdc": q_stream_index_cdc,
     # -- stalest driver greens --
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
@@ -7406,6 +7465,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_cdc_e2e": _ivf_pq_ann_oracle_sql(source_sql=_EMBED_CDC_SOURCE_SQL),
         "index_cdc": _index_cdc_oracle_sql(),
         "ann_range": _ivf_pq_ann_oracle_sql(radius=2_800_000),
+        "stream_index_cdc": _index_cdc_oracle_sql(),
         "ann_store_compact": _ivf_pq_ann_oracle_sql(),
         "ann_filtered": _ivf_pq_ann_oracle_sql(" AND label % 3 = 1"),
         "ann_drift": _ann_drift_oracle_sql(),

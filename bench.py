@@ -187,6 +187,7 @@ HEADLINE = [
     "embed_cdc_e2e",
     "index_cdc",
     "ann_range",
+    "stream_index_cdc",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

@@ -105,6 +105,31 @@ def test_index_apply_changes_touches_only_needed_buckets(spark, tmp_path):
     assert (6, 2, 1) in got
 
 
+def test_index_apply_changes_is_content_idempotent(spark, tmp_path):
+    """Re-applying the SAME batch (the crash-between-state-and-hwm replay
+    window of streaming/index.py) must converge to the identical store:
+    the fold deletes the postings it already wrote and re-derives them."""
+    root = str(tmp_path / "idx4")
+    bucketed_postings(_docs(spark), n_buckets=NB).write.partitionBy("bkt").parquet(root)
+    delta = spark.createDataFrame(
+        [(1, None, "D"), (5, "beta zeta", "I")],
+        "doc_id bigint, text string, op string",
+    )
+    index_apply_changes(spark, root, delta, n_buckets=NB)
+    once = {
+        (r.term, r.df, r.rank, r.doc_id, r.tf)
+        for r in spark.read.parquet(root)
+        .select("term", "df", "rank", "doc_id", "tf").collect()
+    }
+    index_apply_changes(spark, root, delta, n_buckets=NB)
+    twice = {
+        (r.term, r.df, r.rank, r.doc_id, r.tf)
+        for r in spark.read.parquet(root)
+        .select("term", "df", "rank", "doc_id", "tf").collect()
+    }
+    assert once == twice
+
+
 def test_index_apply_changes_empty_and_dup_guards(spark, tmp_path):
     root = str(tmp_path / "idx3")
     docs = spark.createDataFrame([(9, "omega")], "doc_id bigint, text string")
