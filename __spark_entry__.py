@@ -3044,6 +3044,99 @@ def q_stream_index_cdc(spark, sf) -> DataFrame:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def q_bm25_serve(spark, sf) -> DataFrame:
+    """Serve exact BM25 FROM the maintained store pair (retrieval.py
+    bm25_from_index over bucketed_postings + doc_norms, both folded with
+    the SAME document CDC delta as index_cdc via index_apply_changes +
+    norms_apply_changes) — the full production lexical story under one
+    oracle: documents change -> both stores maintained touched-bucket-
+    only -> queries answered from the stores with NO corpus text touched
+    at query time. The postings scan's bucket pruning (PartitionFilters
+    on bkt — term -> bucket -> file listing) is asserted on the executed
+    plan. The oracle recomputes BM25 from scratch over the merged corpus
+    with the bm25_scores arithmetic (integer micros before the
+    associative sum), so maintained-store serving must agree
+    bit-for-bit with from-raw-text scoring."""
+    import shutil
+    import tempfile
+
+    from sycamore_spark.operators.retrieval import (
+        bm25_from_index, bucketed_postings, doc_norms,
+        index_apply_changes, norms_apply_changes,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="bm25srv-idx-")
+    nrm = tempfile.mkdtemp(prefix="bm25srv-nrm-")
+    try:
+        bucketed_postings(docs, n_buckets=16).write.mode("overwrite") \
+            .partitionBy("bkt").parquet(idx)
+        doc_norms(docs, n_buckets=16).write.mode("overwrite") \
+            .partitionBy("nbkt").parquet(nrm)
+        delta = (
+            docs.filter(F.col("doc_id") % 13 == 1).select(
+                "doc_id", F.lit(None).cast("string").alias("text"),
+                F.lit("D").alias("op"))
+            .unionByName(
+                docs.filter((F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 13 != 1))
+                .select("doc_id",
+                        F.concat(F.col("text"), F.lit(" revised edition")).alias("text"),
+                        F.lit("U").alias("op")))
+            .unionByName(
+                docs.filter(F.col("doc_id") % 17 == 2)
+                .select((-F.col("doc_id")).alias("doc_id"),
+                        F.concat(F.lit("brand new entry "), F.col("text")).alias("text"),
+                        F.lit("I").alias("op")))
+        )
+        index_apply_changes(spark, idx, delta, n_buckets=16)
+        norms_apply_changes(spark, nrm, delta, n_buckets=16)
+        qdf = spark.createDataFrame(_HYBRID_QUERIES, "query_id bigint, query string")
+        out = bm25_from_index(spark, idx, nrm, qdf, n_buckets=16, k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters: [" not in plan or "bkt" not in plan.split(
+            "PartitionFilters", 1
+        )[1][:200]:
+            raise AssertionError(
+                "served postings scan is not bucket-pruned:\n" + plan[:2000]
+            )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(nrm, ignore_errors=True)
+
+
+def _bm25_serve_oracle_sql() -> str:
+    """Replay: from-scratch BM25 over the merged document corpus (the
+    bm25/hybrid oracles' integer-micro arithmetic), top-5 per question —
+    the maintained-store serving path must be indistinguishable from
+    raw-text scoring."""
+    q_rows = " UNION ALL ".join(
+        f"SELECT {qid}::BIGINT AS qid, unnest({text.split()!r}) AS tok"
+        for qid, text in _HYBRID_QUERIES
+    )
+    return (
+        "WITH src AS (" + _DOC_CDC_MERGED_SRC + "), "
+        "toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM src), "
+        "all_tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2), "
+        "dl AS (SELECT doc_id, sum(tf) AS dl FROM all_tf GROUP BY 1), "
+        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+        f"qterms AS ({q_rows}), "
+        "tf AS (SELECT * FROM all_tf WHERE tok IN (SELECT DISTINCT tok FROM qterms)), "
+        "dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), "
+        "contrib AS (SELECT qid, tf.doc_id, "
+        "floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) "
+        "* ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1000000.0 + 0.5)::BIGINT AS c "
+        "FROM qterms JOIN tf USING (tok) JOIN dfq USING (tok) "
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats), "
+        "scored AS (SELECT qid, doc_id, sum(c)::BIGINT AS bm25_micros FROM contrib GROUP BY 1, 2) "
+        "SELECT query_id, doc_id, bm25_micros, rank FROM "
+        "(SELECT qid AS query_id, doc_id, bm25_micros, row_number() OVER "
+        "(PARTITION BY qid ORDER BY bm25_micros DESC, doc_id ASC)::INT AS rank "
+        "FROM scored) WHERE rank <= 5"
+    )
+
+
 def _index_cdc_oracle_sql() -> str:
     """Replay: FULL inverted-index rebuild over the merged document corpus
     (tokenize, tf per (term, doc), df per term, impact rank tf desc /
@@ -6548,6 +6641,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_cdc": q_index_cdc,
     "ann_range": q_ann_range,
     "stream_index_cdc": q_stream_index_cdc,
+    "bm25_serve": q_bm25_serve,
     # -- stalest driver greens --
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
@@ -7466,6 +7560,7 @@ def oracle_sql() -> dict[str, str]:
         "index_cdc": _index_cdc_oracle_sql(),
         "ann_range": _ivf_pq_ann_oracle_sql(radius=2_800_000),
         "stream_index_cdc": _index_cdc_oracle_sql(),
+        "bm25_serve": _bm25_serve_oracle_sql(),
         "ann_store_compact": _ivf_pq_ann_oracle_sql(),
         "ann_filtered": _ivf_pq_ann_oracle_sql(" AND label % 3 = 1"),
         "ann_drift": _ann_drift_oracle_sql(),

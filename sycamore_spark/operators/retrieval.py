@@ -687,3 +687,194 @@ def index_apply_changes(
         fs, p = _hadoop_fs(spark, f"{index_dir.rstrip('/')}/{bucket_col}={b}")
         fs.delete(p, True)
     return len(touched)
+
+
+def doc_norms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_col: str = "nbkt",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The norms companion table of the maintained index — Lucene's norms
+    file as a lakehouse table: one row per document with its token count
+    (``dl``), bucketed by ``pmod(xxhash64(id), n_buckets)`` so a document
+    delta rewrites only its ids' buckets. BM25 needs dl for every MATCHED
+    doc and (n_docs, avgdl) globally; deriving dl from the postings would
+    scan every term bucket a doc touches — the separate narrow table is
+    the standard design. Docs with no tokens carry no row (they can never
+    match and must not count in n_docs/avgdl — the bm25_scores
+    convention)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_t"),
+    ).filter(F.col("_t") != "")
+    return (
+        toks.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("dl").cast("long").alias("dl"),
+            F.pmod(F.xxhash64("_id"), F.lit(n_buckets)).cast("int").alias(bucket_col),
+        )
+    )
+
+
+def norms_apply_changes(
+    spark,
+    norms_dir: str,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_col: str = "op",
+    delete_op: str = "D",
+    bucket_col: str = "nbkt",
+    n_buckets: int = 64,
+) -> int:
+    """Fold a document change batch into the norms table: per-doc rows are
+    independent (no cross-doc windows, unlike postings), so the touched
+    buckets are exactly the delta ids' buckets — (old rows minus delta
+    ids) ∪ new norms, dynamic partition overwrite, emptied dirs removed.
+    Same delta contract as ``index_apply_changes`` (each id once,
+    batch-sized); run both folds on the same delta to keep the store
+    pair consistent."""
+    from sycamore_spark.materialize import _hadoop_fs
+
+    changes = changes.localCheckpoint(eager=True)
+    dup = (
+        changes.groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"delta carries duplicate {id_col} values {[r[0] for r in dup]}: "
+            f"collapse each id to one final row before applying"
+        )
+    store = spark.read.parquet(norms_dir)
+    new_norms = doc_norms(
+        changes.filter(F.col(op_col) != delete_op),
+        id_col=id_col, text_col=text_col,
+        bucket_col=bucket_col, n_buckets=n_buckets,
+    )
+    touched = sorted(
+        r[0] for r in changes.select(
+            F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast("int").alias("_b")
+        ).distinct().collect()
+    )
+    if not touched:
+        return 0
+    delta_ids = changes.select(F.col(id_col)).distinct()
+    keep = (
+        store.filter(F.col(bucket_col).isin(touched))
+        .join(F.broadcast(delta_ids), id_col, "left_anti")
+    )
+    merged = keep.unionByName(new_norms).localCheckpoint(eager=True)
+    survivors = {r[0] for r in merged.select(bucket_col).distinct().collect()}
+    (
+        merged.repartition(len(touched), F.col(bucket_col))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bucket_col)
+        .parquet(norms_dir)
+    )
+    for b in (b for b in touched if b not in survivors):
+        fs, p = _hadoop_fs(spark, f"{norms_dir.rstrip('/')}/{bucket_col}={b}")
+        fs.delete(p, True)
+    return len(touched)
+
+
+def bm25_from_index(
+    spark,
+    index_dir: str,
+    norms_dir: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    id_col: str = "doc_id",
+    bucket_col: str = "bkt",
+    n_buckets: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int | None = None,
+) -> DataFrame:
+    """Serve exact BM25 FROM the maintained store pair — what
+    ``bm25_scores_multi`` computes from raw text, answered instead from
+    the bucketed postings (tf, df pre-aggregated) + norms (dl, corpus
+    stats), the production lexical-serving shape: query terms resolve to
+    their buckets DRIVER-SIDE, so the postings scan prunes to those
+    bucket directories at file-listing time (assert PartitionFilters —
+    the index exists precisely for this); matched postings join norms
+    for dl and a one-row (n_docs, avgdl) broadcast; per-term integer
+    micros then the associative bigint sum — the identical arithmetic to
+    ``bm25_scores_multi``, so the two paths agree bit-for-bit.
+
+    Scale shape: NO corpus text is touched at query time. Cost = the
+    probed bucket files + one norms join bounded by matched docs + one
+    narrow norms aggregate for the stats row (Lucene reads its norms
+    file the same way; maintain a stats sidecar additively if even that
+    scan matters). Returns (query_id, id_col, bm25_micros), top-``k``
+    per query when ``k`` is given (rank window: micros desc, id asc)."""
+    qterms = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(query_text_col))), r"\s+"))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    term_rows = qterms.select("term").distinct().collect()
+    terms = sorted(r[0] for r in term_rows)
+    if not terms:
+        raise ValueError("queries contain no terms")
+    bkts = sorted({
+        r[0] for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("_b"))
+        .distinct().collect()
+    })
+    posts = (
+        spark.read.parquet(index_dir)
+        .filter(F.col(bucket_col).isin(bkts))     # prunes at file listing
+        .filter(F.col("term").isin(terms))
+        .select("term", F.col(id_col).alias("_id"), "tf", "df")
+    )
+    norms = spark.read.parquet(norms_dir).select(
+        F.col(id_col).alias("_id"), "dl"
+    )
+    stats = norms.agg(
+        F.count(F.lit(1)).alias("_n_docs"), F.avg("dl").alias("_avgdl")
+    )
+    scored = (
+        qterms.join(posts, "term")
+        .join(norms, "_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+    )
+    contrib = F.floor(idf * tf_norm * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    out = (
+        scored.withColumn("_c", contrib)
+        .groupBy("_qid", "_id")
+        .agg(F.sum("_c").alias("bm25_micros"))
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            "bm25_micros",
+        )
+    )
+    if k is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("bm25_micros").desc(), F.col(id_col).asc()
+        )
+        out = out.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    return out

@@ -130,6 +130,53 @@ def test_index_apply_changes_is_content_idempotent(spark, tmp_path):
     assert once == twice
 
 
+def test_bm25_from_index_equals_raw_text_scoring(spark, tmp_path):
+    """Serving from the maintained store pair must agree BIT-FOR-BIT with
+    bm25_scores_multi over the raw text (identical integer-micro
+    arithmetic; postings carry tf/df, norms carry dl/corpus stats)."""
+    from sycamore_spark.operators.retrieval import (
+        bm25_from_index, bm25_scores_multi, doc_norms,
+    )
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "sidx")
+    nrm = str(tmp_path / "snrm")
+    bucketed_postings(docs, n_buckets=NB).write.partitionBy("bkt").parquet(idx)
+    doc_norms(docs, n_buckets=NB).write.partitionBy("nbkt").parquet(nrm)
+    qdf = spark.createDataFrame(
+        [(1, "beta delta"), (2, "alpha missingterm")], "query_id bigint, query string"
+    )
+    want = {
+        (r.query_id, r.doc_id, r.bm25_micros)
+        for r in bm25_scores_multi(docs, qdf).collect()
+    }
+    got = {
+        (r.query_id, r.doc_id, r.bm25_micros)
+        for r in bm25_from_index(spark, idx, nrm, qdf, n_buckets=NB).collect()
+    }
+    assert got == want and got
+
+
+def test_norms_apply_changes_equals_rebuild(spark, tmp_path):
+    from sycamore_spark.operators.retrieval import doc_norms, norms_apply_changes
+
+    nrm = str(tmp_path / "nrm2")
+    doc_norms(_docs(spark), n_buckets=NB).write.partitionBy("nbkt").parquet(nrm)
+    delta = spark.createDataFrame(
+        [(1, None, "D"), (3, "delta epsilon", "U"), (5, "beta beta", "I")],
+        "doc_id bigint, text string, op string",
+    )
+    assert norms_apply_changes(spark, nrm, delta, n_buckets=NB) >= 1
+    got = {(r.doc_id, r.dl) for r in spark.read.parquet(nrm).collect()}
+    merged = spark.createDataFrame(
+        [(2, "alpha gamma"), (3, "delta epsilon"), (4, "beta gamma delta"),
+         (5, "beta beta")],
+        "doc_id bigint, text string",
+    )
+    want = {(r.doc_id, r.dl) for r in doc_norms(merged, n_buckets=NB).collect()}
+    assert got == want
+
+
 def test_index_apply_changes_empty_and_dup_guards(spark, tmp_path):
     root = str(tmp_path / "idx3")
     docs = spark.createDataFrame([(9, "omega")], "doc_id bigint, text string")
