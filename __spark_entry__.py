@@ -3137,6 +3137,173 @@ def _bm25_serve_oracle_sql() -> str:
     )
 
 
+def _hash_embed_py(text: str, dim: int = 64) -> list:
+    """Driver-side replica of embed.py's md5-bucketed hashing embedding
+    (bucket = int(md5(token)[:15 hex], 16) % dim over lower(trim(text))
+    whitespace tokens; l2-normalized; float32-rounded) — query-side
+    embedding for the hybrid_serve gate AND its oracle, computed ONCE in
+    Python so both sides carry the identical vector literals (the
+    corpus-side Spark/DuckDB parity of the same embedder is proven by
+    the embed gate)."""
+    import hashlib
+
+    import numpy as _np
+
+    v = _np.zeros(dim, dtype=_np.float64)
+    for t in text.lower().strip().split():
+        v[int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim] += 1.0
+    n = float(_np.sqrt((v * v).sum()))
+    v = v / (n if n > 0 else 1.0)
+    return [float(x) for x in v.astype(_np.float32)]
+
+
+def q_hybrid_serve(spark, sf) -> DataFrame:
+    """The CAPSTONE serving composition — text-in/results-out hybrid
+    retrieval answered ENTIRELY from maintained stores: one document CDC
+    delta (the index_cdc/embed_cdc family) folds into all three stores
+    (bucketed postings + norms via index/norms_apply_changes; the
+    cell-partitioned ANN store over hashing embeddings via
+    ann_store_apply_changes), then each question is served as (a) BM25
+    top-5 from the postings+norms pair (bm25_from_index — bucket pruning
+    ASSERTED) and (b) its hashing-embedded vector's IVF-PQ top-5 from
+    the ANN store read off disk (ivf_pq_topk_multi — cell pruning
+    ASSERTED), fused by reciprocal-rank fusion. No corpus text or
+    vector is touched at query time. The oracle recomputes BOTH
+    rankings from scratch over the merged corpus (raw-text BM25 + the
+    IVF-PQ replay over re-embedded docs with the SAME Python-computed
+    query vectors) and the fusion arithmetic bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from sycamore_spark.operators.dedup import md5_hash60
+    from sycamore_spark.operators.embed import hashing_embedding_expr
+    from sycamore_spark.operators.retrieval import (
+        bm25_from_index, bucketed_postings, doc_norms,
+        index_apply_changes, norms_apply_changes, rrf_fuse,
+    )
+    from sycamore_spark.operators.similarity import (
+        ann_store_apply_changes, ivf_pq_encode, ivf_pq_topk_multi,
+    )
+
+    cents, books, _ = _ivf_pq_fixture()
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    emb_of = lambda c: hashing_embedding_expr(c, dim=64, hash_fn=md5_hash60)  # noqa: E731
+    idx = tempfile.mkdtemp(prefix="hsrv-idx-")
+    nrm = tempfile.mkdtemp(prefix="hsrv-nrm-")
+    ann = tempfile.mkdtemp(prefix="hsrv-ann-")
+    try:
+        bucketed_postings(docs, n_buckets=16).write.mode("overwrite") \
+            .partitionBy("bkt").parquet(idx)
+        doc_norms(docs, n_buckets=16).write.mode("overwrite") \
+            .partitionBy("nbkt").parquet(nrm)
+        base = docs.select(
+            F.col("doc_id").alias("vec_id"),
+            emb_of(F.col("text")).cast("array<double>").alias("embedding"),
+        )
+        ivf_pq_encode(base, cents, books).select(
+            "vec_id", "pq_codes", "cell_id"
+        ).write.mode("overwrite").partitionBy("cell_id").parquet(ann)
+
+        text_delta = (
+            docs.filter(F.col("doc_id") % 13 == 1).select(
+                "doc_id", F.lit(None).cast("string").alias("text"),
+                F.lit("D").alias("op"))
+            .unionByName(
+                docs.filter((F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 13 != 1))
+                .select("doc_id",
+                        F.concat(F.col("text"), F.lit(" revised edition")).alias("text"),
+                        F.lit("U").alias("op")))
+            .unionByName(
+                docs.filter(F.col("doc_id") % 17 == 2)
+                .select((-F.col("doc_id")).alias("doc_id"),
+                        F.concat(F.lit("brand new entry "), F.col("text")).alias("text"),
+                        F.lit("I").alias("op")))
+        ).localCheckpoint(eager=True)
+        index_apply_changes(spark, idx, text_delta, n_buckets=16)
+        norms_apply_changes(spark, nrm, text_delta, n_buckets=16)
+        vec_delta = text_delta.select(
+            F.col("doc_id").alias("vec_id"),
+            F.when(F.col("op") != "D", emb_of(F.col("text")))
+            .cast("array<double>").alias("embedding"),
+            "op",
+        )
+        ann_store_apply_changes(spark, ann, vec_delta, cents, books)
+
+        qdf = spark.createDataFrame(_HYBRID_QUERIES, "query_id bigint, query string")
+        lex = bm25_from_index(spark, idx, nrm, qdf, n_buckets=16, k=5)
+        lex_plan = lex._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters: [" not in lex_plan or "bkt" not in lex_plan.split(
+            "PartitionFilters", 1
+        )[1][:200]:
+            raise AssertionError("lexical serving not bucket-pruned:\n" + lex_plan[:2000])
+
+        vec_q = spark.createDataFrame(
+            [(qid, _hash_embed_py(text)) for qid, text in _HYBRID_QUERIES],
+            "query_id bigint, embedding array<double>",
+        )
+        store = spark.read.parquet(ann)
+        vec = ivf_pq_topk_multi(vec_q, store, cents, books, k=5, nprobe=3)
+        vec_plan = vec._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters: [" not in vec_plan or "cell_id" not in vec_plan.split(
+            "PartitionFilters", 1
+        )[1][:200]:
+            raise AssertionError("vector serving not cell-pruned:\n" + vec_plan[:2000])
+
+        fused = rrf_fuse([
+            lex.select("query_id", F.col("doc_id").alias("vec_id"), "rank"),
+            vec.select("query_id", "vec_id", "rank"),
+        ])
+        rows = fused.collect()
+        return spark.createDataFrame(rows, fused.schema)
+    finally:
+        for d in (idx, nrm, ann):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _hybrid_serve_oracle_sql() -> str:
+    """Replay: raw-text BM25 top-5 over the merged corpus (the bm25_serve
+    oracle's CTEs) unioned with the IVF-PQ multi replay over the merged
+    corpus's re-embedded vectors (the embed_cdc source CTE) using the
+    SAME Python-computed query vectors, fused with the RRF micro
+    arithmetic — serving from maintained stores must be
+    indistinguishable from recomputing everything from scratch."""
+    q_rows = " UNION ALL ".join(
+        f"SELECT {qid}::BIGINT AS qid, unnest({text.split()!r}) AS tok"
+        for qid, text in _HYBRID_QUERIES
+    )
+    multi = _ivf_pq_multi_oracle_sql(
+        source_sql=_EMBED_CDC_SOURCE_SQL,
+        qvecs=[(qid, _hash_embed_py(text)) for qid, text in _HYBRID_QUERIES],
+    )
+    return (
+        "WITH src AS (" + _DOC_CDC_MERGED_SRC + "), "
+        "toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM src), "
+        "all_tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2), "
+        "dl AS (SELECT doc_id, sum(tf) AS dl FROM all_tf GROUP BY 1), "
+        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+        f"qterms AS ({q_rows}), "
+        "tf AS (SELECT * FROM all_tf WHERE tok IN (SELECT DISTINCT tok FROM qterms)), "
+        "dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), "
+        "contrib AS (SELECT qid, tf.doc_id, "
+        "floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) "
+        "* ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1000000.0 + 0.5)::BIGINT AS c "
+        "FROM qterms JOIN tf USING (tok) JOIN dfq USING (tok) "
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats), "
+        "scored AS (SELECT qid, doc_id, sum(c)::BIGINT AS bm25_micros FROM contrib GROUP BY 1, 2), "
+        "lex AS (SELECT qid AS query_id, doc_id AS vec_id, rnk AS rank FROM "
+        "(SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY bm25_micros DESC, doc_id ASC) AS rnk "
+        "FROM scored) WHERE rnk <= 5), "
+        f"vec AS (SELECT query_id, vec_id, rank FROM ({multi}) a), "
+        "u AS (SELECT query_id, vec_id, "
+        "floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT AS c FROM lex "
+        "UNION ALL SELECT query_id, vec_id, "
+        "floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT AS c FROM vec) "
+        "SELECT query_id, vec_id, rrf_micros, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY rrf_micros DESC, vec_id ASC)::INT AS rank "
+        "FROM (SELECT query_id, vec_id, sum(c)::BIGINT AS rrf_micros FROM u GROUP BY 1, 2)"
+    )
+
+
 def _index_cdc_oracle_sql() -> str:
     """Replay: FULL inverted-index rebuild over the merged document corpus
     (tokenize, tf per (term, doc), df per term, impact rank tf desc /
@@ -3636,11 +3803,16 @@ def _ivf_pq_fixture_queries():
     return [X[i].tolist() for i in range(3)]
 
 
-def _ivf_pq_multi_oracle_sql() -> str:
+def _ivf_pq_multi_oracle_sql(
+    source_sql: str | None = None, qvecs: list | None = None
+) -> str:
     """Replay of the batch IVF-PQ gate: one shared quantize/assign pass,
     then per fixture query a probed-cell restriction, residual codes, and
     per-(query, cell) literal LUT sums — each query's top-5 by
-    (dist, id) with row_number rank, unioned."""
+    (dist, id) with row_number rank, unioned. ``source_sql`` replaces the
+    corpus with an arbitrary (vec_id, embedding) SELECT and ``qvecs``
+    replaces the fixture queries with [(query_id, vector), ...] (the
+    hybrid_serve gate's maintained-store replay)."""
     import numpy as _np
 
     cents, books, _ = _ivf_pq_fixture()
@@ -3650,9 +3822,12 @@ def _ivf_pq_multi_oracle_sql() -> str:
     cc_sql = "[" + ", ".join(
         "[" + ", ".join(str(int(v)) for v in row) + "]" for row in cents
     ) + "]"
+    pairs = (
+        qvecs if qvecs is not None
+        else [(101 + i, v) for i, v in enumerate(_ivf_pq_fixture_queries())]
+    )
     blocks = []
-    for qi, qvec in enumerate(_ivf_pq_fixture_queries()):
-        qid = 101 + qi
+    for qid, qvec in pairs:
         q = _np.floor(_np.asarray(qvec, dtype=float) * 1024.0 + 0.5).astype(_np.int64)
         dc = ((C - q) ** 2).sum(axis=1)
         probed = [int(c) for c in _np.argsort(dc, kind="stable")[:3]]
@@ -3687,8 +3862,12 @@ def _ivf_pq_multi_oracle_sql() -> str:
     return (
         "WITH xqt AS (SELECT vec_id, "
         "list_transform(embedding, x -> floor(x::DOUBLE * 1024.0 + 0.5)::BIGINT) AS xq "
-        "FROM embeddings WHERE vec_id > 0), "
-        f"celld AS (SELECT vec_id, xq, list_transform({cc_sql}, c -> "
+        + (
+            f"FROM ({source_sql}) msrc), "
+            if source_sql is not None
+            else "FROM embeddings WHERE vec_id > 0), "
+        )
+        + f"celld AS (SELECT vec_id, xq, list_transform({cc_sql}, c -> "
         "list_aggregate(list_transform(range(64), i -> "
         "(c[i + 1] - xq[i + 1]) * (c[i + 1] - xq[i + 1])), 'sum')) AS dcell FROM xqt), "
         "asg AS (SELECT vec_id, xq, list_position(dcell, list_min(dcell)) - 1 AS cell "
@@ -6642,6 +6821,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_range": q_ann_range,
     "stream_index_cdc": q_stream_index_cdc,
     "bm25_serve": q_bm25_serve,
+    "hybrid_serve": q_hybrid_serve,
     # -- stalest driver greens --
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
@@ -7561,6 +7741,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_range": _ivf_pq_ann_oracle_sql(radius=2_800_000),
         "stream_index_cdc": _index_cdc_oracle_sql(),
         "bm25_serve": _bm25_serve_oracle_sql(),
+        "hybrid_serve": _hybrid_serve_oracle_sql(),
         "ann_store_compact": _ivf_pq_ann_oracle_sql(),
         "ann_filtered": _ivf_pq_ann_oracle_sql(" AND label % 3 = 1"),
         "ann_drift": _ann_drift_oracle_sql(),
