@@ -2995,20 +2995,25 @@ def q_stream_index_cdc(spark, sf) -> DataFrame:
     replay protection. The probe must equal the batch path's — the
     oracle IS the index_cdc full-rebuild oracle, proving stream-fold ≡
     one-shot apply ≡ rebuild for the lexical store exactly as
-    stream_ann_upsert proves it for the vector store."""
+    stream_ann_upsert proves it for the vector store. The stream also
+    folds the norms companion table per batch (norms_dir=), asserted
+    in-gate equal to a from-scratch doc_norms of the merged corpus."""
     import shutil
     import tempfile
 
-    from sycamore_spark.operators.retrieval import bucketed_postings
+    from sycamore_spark.operators.retrieval import bucketed_postings, doc_norms
     from sycamore_spark.streaming.index import maintain_index_stream
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="sidxcdc-store-")
+    nrm = tempfile.mkdtemp(prefix="sidxcdc-nrm-")
     src = tempfile.mkdtemp(prefix="sidxcdc-src-")
     ckpt = tempfile.mkdtemp(prefix="sidxcdc-ckpt-")
     try:
         bucketed_postings(docs, n_buckets=16).write.mode("overwrite") \
             .partitionBy("bkt").parquet(root)
+        doc_norms(docs, n_buckets=16).write.mode("overwrite") \
+            .partitionBy("nbkt").parquet(nrm)
         groups = [
             docs.filter(F.col("doc_id") % 13 == 1).select(
                 "doc_id", F.lit(None).cast("string").alias("text"),
@@ -3029,8 +3034,29 @@ def q_stream_index_cdc(spark, sf) -> DataFrame:
             .option("maxFilesPerTrigger", 1).parquet(src)
         )
         q = maintain_index_stream(stream, root, ckpt, n_buckets=16,
+                                  norms_dir=nrm, norms_buckets=16,
                                   available_now=True)
         q.awaitTermination(300)
+        # the per-batch norms fold must equal a from-scratch rebuild of
+        # the merged corpus (postings equality is the driver oracle below)
+        merged = (
+            docs.filter((F.col("doc_id") % 13 != 1) & (F.col("doc_id") % 7 != 3))
+            .unionByName(
+                docs.filter((F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 13 != 1))
+                .select("doc_id", F.concat(F.col("text"), F.lit(" revised edition")).alias("text")))
+            .unionByName(
+                docs.filter(F.col("doc_id") % 17 == 2)
+                .select((-F.col("doc_id")).alias("doc_id"),
+                        F.concat(F.lit("brand new entry "), F.col("text")).alias("text")))
+        )
+        got_norms = {(r.doc_id, r.dl) for r in spark.read.parquet(nrm).collect()}
+        want_norms = {(r.doc_id, r.dl)
+                      for r in doc_norms(merged, n_buckets=16).collect()}
+        if got_norms != want_norms:
+            raise AssertionError(
+                f"streamed norms diverged from rebuild: "
+                f"{len(got_norms ^ want_norms)} differing rows"
+            )
         terms = sorted({t for _, qq in _HYBRID_QUERIES for t in qq.split()})
         out = (
             spark.read.parquet(root)
@@ -3040,7 +3066,7 @@ def q_stream_index_cdc(spark, sf) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
-        for d in (root, src, ckpt):
+        for d in (root, nrm, src, ckpt):
             shutil.rmtree(d, ignore_errors=True)
 
 

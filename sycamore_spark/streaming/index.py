@@ -38,15 +38,23 @@ def maintain_index_stream(
     op_col: str = "op",
     delete_op: str = "D",
     n_buckets: int = 64,
+    norms_dir: str | None = None,
+    norms_buckets: int = 64,
     available_now: bool = False,
 ):
     """Fold a streaming document change feed into the bucketed inverted
     index. ``changes`` is a streaming DataFrame of (id, text, op) rows;
     the index at ``index_dir`` must already exist (build it with
     ``bucketed_postings(...).write.partitionBy(bucket_col)``).
-    ``n_buckets`` must match the build. Returns the started
-    StreamingQuery."""
-    from sycamore_spark.operators.retrieval import index_apply_changes
+    ``n_buckets`` must match the build. Pass ``norms_dir`` to also fold
+    each batch into the norms companion table (``norms_apply_changes``)
+    so ``bm25_from_index`` serving stays consistent — both folds run
+    inside the same guarded batch, and the fold pair is content-
+    idempotent, so the crash window between them converges on replay.
+    Returns the started StreamingQuery."""
+    from sycamore_spark.operators.retrieval import (
+        index_apply_changes, norms_apply_changes,
+    )
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -57,6 +65,11 @@ def maintain_index_stream(
             spark, index_dir, batch_df, id_col=id_col, text_col=text_col,
             op_col=op_col, delete_op=delete_op, n_buckets=n_buckets,
         )
+        if norms_dir is not None:
+            norms_apply_changes(
+                spark, norms_dir, batch_df, id_col=id_col, text_col=text_col,
+                op_col=op_col, delete_op=delete_op, n_buckets=norms_buckets,
+            )
         _fs_write_text(
             spark, index_dir.rstrip("/") + "/_hwm", f"{checkpoint_dir}\n{batch_id}"
         )
