@@ -3330,6 +3330,94 @@ def _hybrid_serve_oracle_sql() -> str:
     )
 
 
+def q_index_rebucket(spark, sf) -> DataFrame:
+    """Atomic RE-BUCKETING of the versioned lexical store (retrieval.py
+    rebucket_postings over the similarity.py versioned-store machinery —
+    proving that machinery is generic over any partitioned payload): the
+    postings build at 4 term-hash buckets publishes as v=0; vocabulary
+    growth motivates 16 buckets, so the store re-buckets into v=1 with
+    the single-marker atomic swap (old layout stays readable for
+    concurrent queries until vacuum). The gate asserts: the swap
+    happened, v=0 is intact, the probe on the NEW layout is
+    partition-pruned at 16-bucket granularity, and — the content
+    contract — the probed postings are IDENTICAL to a from-scratch
+    index build, which the oracle recomputes (re-bucketing may move
+    every file yet must not change one row)."""
+    import shutil
+    import tempfile
+
+    from sycamore_spark.operators.retrieval import (
+        bucketed_postings, rebucket_postings,
+    )
+    from sycamore_spark.operators.similarity import (
+        ann_store_current_dir, ann_store_publish, ann_store_versions,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="rebkt-store-")
+    try:
+        v0 = ann_store_publish(
+            spark, root,
+            bucketed_postings(docs, n_buckets=4).select(
+                "term", "df", "rank", "doc_id", "tf", "bkt"
+            ),
+            cell_col="bkt",
+        )
+        if v0 != 0:
+            raise AssertionError(f"first publish not v=0: {v0}")
+        v1 = rebucket_postings(spark, root, n_buckets=16)
+        if v1 != 1:
+            raise AssertionError(f"rebucket did not publish v=1: {v1}")
+        vs = ann_store_versions(spark, root)
+        if vs["committed"] != [0, 1]:
+            raise AssertionError(f"old layout not retained: {vs}")
+        cur = ann_store_current_dir(spark, root)
+        if not cur.endswith("/v=1"):
+            raise AssertionError(f"current did not swap: {cur}")
+        terms = sorted({t for _, qq in _HYBRID_QUERIES for t in qq.split()})
+        bkts = sorted({
+            r[0] for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(16)).cast("int").alias("b"))
+            .distinct().collect()
+        })
+        out = (
+            spark.read.parquet(cur)
+            .filter(F.col("bkt").isin(bkts))
+            .filter(F.col("term").isin(terms))
+            .select("term", "df", "rank", "doc_id", "tf")
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters: [" not in plan or "bkt" not in plan.split(
+            "PartitionFilters", 1
+        )[1][:200]:
+            raise AssertionError(
+                "re-bucketed lookup is not partition-pruned:\n" + plan[:2000]
+            )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _index_rebucket_oracle_sql() -> str:
+    """Replay: from-scratch inverted-index build over the RAW documents
+    (no delta — re-bucketing must not change one posting row), restricted
+    to the hybrid-question terms."""
+    terms = sorted({t for _, q in _HYBRID_QUERIES for t in q.split()})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term FROM documents), "
+        "tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok "
+        "WHERE term <> '' GROUP BY 1, 2), "
+        "d AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1), "
+        "r AS (SELECT term, doc_id, tf, row_number() OVER "
+        "(PARTITION BY term ORDER BY tf DESC, doc_id ASC)::BIGINT AS rank FROM tf) "
+        f"SELECT r.term, d.df, r.rank, r.doc_id, r.tf FROM r JOIN d USING (term) "
+        f"WHERE r.term IN ({in_list})"
+    )
+
+
 def _index_cdc_oracle_sql() -> str:
     """Replay: FULL inverted-index rebuild over the merged document corpus
     (tokenize, tf per (term, doc), df per term, impact rank tf desc /
@@ -6848,6 +6936,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_index_cdc": q_stream_index_cdc,
     "bm25_serve": q_bm25_serve,
     "hybrid_serve": q_hybrid_serve,
+    "index_rebucket": q_index_rebucket,
     # -- stalest driver greens --
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
@@ -7768,6 +7857,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_index_cdc": _index_cdc_oracle_sql(),
         "bm25_serve": _bm25_serve_oracle_sql(),
         "hybrid_serve": _hybrid_serve_oracle_sql(),
+        "index_rebucket": _index_rebucket_oracle_sql(),
         "ann_store_compact": _ivf_pq_ann_oracle_sql(),
         "ann_filtered": _ivf_pq_ann_oracle_sql(" AND label % 3 = 1"),
         "ann_drift": _ann_drift_oracle_sql(),

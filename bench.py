@@ -190,6 +190,7 @@ HEADLINE = [
     "stream_index_cdc",
     "bm25_serve",
     "hybrid_serve",
+    "index_rebucket",
 ]
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M

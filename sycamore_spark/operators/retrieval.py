@@ -878,3 +878,33 @@ def bm25_from_index(
             F.col("rank") <= k
         )
     return out
+
+
+def rebucket_postings(
+    spark, root: str, n_buckets: int, bucket_col: str = "bkt"
+) -> int:
+    """Re-bucket the VERSIONED postings store — the lexical analogue of
+    the ANN retrain-and-swap: when vocabulary growth skews the term-hash
+    buckets (or the bucket count must grow with the corpus), read the
+    CURRENT version, recompute ``pmod(xxhash64(term), n_buckets)``, and
+    publish the result as the next version via the same
+    ``ann_store_publish`` machinery (the versioned layout is generic
+    over any partition column) — the swap is the atomic _committed
+    marker, concurrent readers keep the old layout until
+    ``ann_store_vacuum``. Posting CONTENT (term, df, rank, doc_id, tf)
+    is untouched: only physical placement changes, so a term lookup on
+    the new layout returns identical rows through a different (possibly
+    narrower) file listing.
+
+    Shape: one column-recompute scan + the publish's ONE hash shuffle on
+    the new bucket column — the same cost as a compaction pass."""
+    from sycamore_spark.operators.similarity import (
+        ann_store_current_dir, ann_store_publish,
+    )
+
+    cur = spark.read.parquet(ann_store_current_dir(spark, root))
+    out = cur.drop(bucket_col).withColumn(
+        bucket_col,
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+    )
+    return ann_store_publish(spark, root, out, cell_col=bucket_col)
