@@ -177,6 +177,48 @@ def test_norms_apply_changes_equals_rebuild(spark, tmp_path):
     assert got == want
 
 
+def test_rebucket_postings_preserves_content_and_old_layout(spark, tmp_path):
+    """Re-bucketing the versioned store must change file PLACEMENT only:
+    identical posting rows at the new granularity, old layout intact for
+    concurrent readers, single-marker atomic swap."""
+    from sycamore_spark.operators.retrieval import rebucket_postings
+    from sycamore_spark.operators.similarity import (
+        ann_store_current_dir, ann_store_publish, ann_store_versions,
+    )
+
+    root = str(tmp_path / "rebkt")
+    docs = _docs(spark)
+    posts = bucketed_postings(docs, n_buckets=2)
+    assert ann_store_publish(spark, root, posts, cell_col="bkt") == 0
+    before = {(r.term, r.df, r.rank, r.doc_id, r.tf) for r in
+              spark.read.parquet(ann_store_current_dir(spark, root))
+              .select("term", "df", "rank", "doc_id", "tf").collect()}
+    assert rebucket_postings(spark, root, n_buckets=16) == 1
+    cur = ann_store_current_dir(spark, root)
+    assert cur.endswith("/v=1")
+    after = {(r.term, r.df, r.rank, r.doc_id, r.tf) for r in
+             spark.read.parquet(cur)
+             .select("term", "df", "rank", "doc_id", "tf").collect()}
+    assert after == before
+    assert ann_store_versions(spark, root)["committed"] == [0, 1]
+    # new placement really is at the new granularity
+    bkts = {r.bkt for r in spark.read.parquet(cur).select("bkt").distinct().collect()}
+    assert bkts - {0, 1}  # some bucket beyond the old 2-bucket space
+
+
+def test_bm25_from_index_rejects_empty_queries(spark, tmp_path):
+    from sycamore_spark.operators.retrieval import bm25_from_index, doc_norms
+
+    idx = str(tmp_path / "eidx")
+    nrm = str(tmp_path / "enrm")
+    docs = _docs(spark)
+    bucketed_postings(docs, n_buckets=NB).write.partitionBy("bkt").parquet(idx)
+    doc_norms(docs, n_buckets=NB).write.partitionBy("nbkt").parquet(nrm)
+    empty_q = spark.createDataFrame([(1, "   ")], "query_id bigint, query string")
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_from_index(spark, idx, nrm, empty_q, n_buckets=NB)
+
+
 def test_index_apply_changes_empty_and_dup_guards(spark, tmp_path):
     root = str(tmp_path / "idx3")
     docs = spark.createDataFrame([(9, "omega")], "doc_id bigint, text string")
