@@ -5332,6 +5332,22 @@ def q_stratified_sample(spark, sf) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_dsir_weights(spark, sf) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023 — operators/
+    sampling.py dsir_select): hashed word uni+bigram features (md5 mod
+    4096 buckets), add-1 smoothed target ('de' docs) vs raw bucket
+    distributions, per-doc importance weight = bigint dot product of doc
+    bucket counts with integer-micro log-ratios, top-25 by weight. The
+    reference has no data-selection operator; this is the beyond-reference
+    training-pipeline suite. One corpus explode + one (id,bucket) agg; the
+    B-row ratio table broadcasts."""
+    from sycamore_spark.operators.sampling import dsir_select
+
+    docs = _ds(spark, sf, "documents").to_df()
+    target = docs.filter(F.col("lang") == "de")
+    return dsir_select(docs, target, 25)
+
+
 def q_cap_per_group(spark, sf) -> DataFrame:
     """Per-source document cap (operators/sampling.py cap_per_group): at
     most 15 docs per source, chosen content-addressedly (md5-rank inside
@@ -7058,6 +7074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_schemas": q_merge_schemas,
     "spread_properties": q_spread_properties,
     "hash_sample": q_hash_sample,
+    "dsir_weights": q_dsir_weights,
     "pack_shards": q_pack_shards,
     "redact_pii": q_redact_pii,
     "concat_shards": q_concat_shards,
@@ -8619,6 +8636,34 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": (
             "SELECT doc_id, lang FROM documents "
             "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 250000"
+        ),
+        "dsir_weights": (
+            "WITH toks AS (SELECT doc_id, lang, "
+            "regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), "
+            "feats AS ("
+            "SELECT doc_id, lang, ws[i] AS f FROM toks, "
+            "unnest(generate_series(1, len(ws))) AS t(i) "
+            "UNION ALL "
+            "SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] FROM toks, "
+            "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+            "fb AS (SELECT doc_id, lang, "
+            "('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket "
+            "FROM feats WHERE f <> ''), "
+            "tb AS (SELECT bucket, count(*) AS ct FROM fb WHERE lang = 'de' GROUP BY 1), "
+            "rb AS (SELECT bucket, count(*) AS cr FROM fb GROUP BY 1), "
+            "nt AS (SELECT count(*) AS nt FROM fb WHERE lang = 'de'), "
+            "nr AS (SELECT count(*) AS nr FROM fb), "
+            "ratio AS (SELECT rb.bucket, CAST(floor(ln("
+            "((coalesce(ct, 0) + 1.0) * (nr + 4096.0)) / "
+            "((cr + 1.0) * (nt + 4096.0))) * 1000000.0 + 0.5) AS BIGINT) AS lr "
+            "FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN nt CROSS JOIN nr), "
+            "dc AS (SELECT doc_id, bucket, count(*) AS c FROM fb GROUP BY 1, 2), "
+            "w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features, "
+            "CAST(sum(c * lr) AS BIGINT) AS weight_micros "
+            "FROM dc JOIN ratio USING (bucket) GROUP BY 1) "
+            "SELECT doc_id, n_features, weight_micros, "
+            "weight_micros::DOUBLE / 1000000.0 / n_features AS avg_weight "
+            "FROM w ORDER BY weight_micros DESC, doc_id ASC LIMIT 25"
         ),
         "zorder": (
             "WITH t AS (SELECT doc_id, (doc_id * 2654435761) % 256 AS a, "

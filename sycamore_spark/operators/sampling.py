@@ -554,3 +554,154 @@ def curriculum_order(
         small * n + (pos - small) * r0 + tier
     )
     return tagged.withColumn(out_col, rank.cast("int")).drop("_pid", "_off", "_N")
+
+
+def _hashed_ngram_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """Explode each document into hashed n-gram feature buckets — the DSIR
+    feature space (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling"): word unigrams (+ bigrams) hashed into
+    ``n_buckets`` cells. Returns (``_id``, ``bucket``) with one row per
+    n-gram OCCURRENCE (counts preserved, as the paper's bag-of-hashed-
+    ngrams requires).
+
+    md5-prefix hashing (not xxhash64) so the oracle replays exactly:
+    DuckDB ``('0x' || substr(md5(f), 1, 15))::BIGINT % n_buckets``.
+    Zero-shuffle narrow explode; codegen end-to-end.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_ws"),
+    )
+    uni = F.col("_ws")
+    feats = uni
+    if use_bigrams:
+        bi = F.when(
+            F.size("_ws") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ws") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("_ws"), i), F.element_at(F.col("_ws"), i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(uni, bi)
+    ex = toks.select("_id", F.explode(feats).alias("_f")).filter(F.col("_f") != "")
+    h60 = F.conv(F.substring(F.md5(F.col("_f")), 1, 15), 16, 10).cast("long")
+    return ex.select("_id", F.pmod(h60, F.lit(n_buckets)).alias("bucket"))
+
+
+def dsir_importance(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023): score every raw
+    document by how target-like its hashed n-gram distribution is,
+
+        w(d) = sum over n-gram occurrences g in d of
+               ln( p_target(bucket(g)) / p_raw(bucket(g)) )
+
+    with add-1 smoothed bucket probabilities ``p(b) = (c_b + 1) / (N + B)``.
+    Documents resembling the target domain score high; off-domain docs
+    score low. Selecting the top-k by weight (or hash-resampling with the
+    weight as keep-probability) is the paper's data-selection step.
+
+    Cross-engine bit-replay: the per-bucket log-ratio is ONE ``ln`` of an
+    exactly-representable rational, quantized to integer micros; the
+    per-doc weight is then a pure bigint dot product ``sum(count_b *
+    lr_micros_b)`` — associative, partitioning-independent, and replayable
+    in DuckDB (the lm_score pattern).
+
+    Returns (id, n_features, weight_micros, avg_weight) for raw documents
+    with at least one feature.
+
+    100 TB shape: ONE explode + ONE (id, bucket) hash agg over the raw
+    corpus (the only corpus-scale shuffle); the target corpus is the
+    small domain exemplar set; the ratio table is at most ``n_buckets``
+    rows — broadcast to the doc-side join. No collect, no window; the
+    model IS a B-row DataFrame.
+
+    Reference scope note: the reference has no data-selection operator;
+    this follows the public DSIR paper directly (beyond-reference scale
+    suite, like dedup/minhash).
+    """
+    raw_f = _hashed_ngram_features(raw_df, id_col, text_col, n_buckets, use_bigrams)
+    tgt_f = _hashed_ngram_features(target_df, id_col, text_col, n_buckets, use_bigrams)
+
+    # Two corpus passes, the paper's own shape (fit distributions, then
+    # score). Pass 1 is a plain bucket histogram: map-side combine folds
+    # every task to <= n_buckets rows, so its shuffle is trivial at any
+    # corpus size. Pass 2 is the one corpus-scale shuffle — the (id,
+    # bucket) agg feeding the broadcast ratio join. The totals derive
+    # from the B-row histograms (their exchanges are reused, never a
+    # third corpus pass).
+    doc_counts = raw_f.groupBy("_id", "bucket").agg(F.count(F.lit(1)).alias("_c"))
+    tb = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct"))
+    rb = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cr"))
+    nt = tb.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_nt"))
+    nr = rb.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("_nr"))
+
+    b = F.lit(float(n_buckets))
+    # ln of one exactly-representable rational: (ct+1)(Nr+B) / (cr+1)(Nt+B).
+    # Integer products stay exact in doubles far beyond oracle scale
+    # (<2^53); a single ln call matches across JVM/libm, and quantizing to
+    # micros before the sum removes all float-order sensitivity.
+    lr = F.log(
+        ((F.col("_ct") + F.lit(1.0)) * (F.col("_nr").cast("double") + b))
+        / ((F.col("_cr") + F.lit(1.0)) * (F.col("_nt").cast("double") + b))
+    )
+    ratio = (
+        rb.join(tb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("_ct"), F.lit(0)).alias("_ct"),
+            F.coalesce(F.col("_cr"), F.lit(0)).alias("_cr"),
+        )
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            F.floor(lr * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("_lr_micros"),
+        )
+    )
+    return (
+        doc_counts.join(F.broadcast(ratio), "bucket")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.sum("_c").alias("n_features"),
+            F.sum(F.col("_c") * F.col("_lr_micros")).alias("weight_micros"),
+        )
+        .withColumn(
+            "avg_weight",
+            F.col("weight_micros").cast("double")
+            / F.lit(1_000_000.0)
+            / F.col("n_features"),
+        )
+    )
+
+
+def dsir_select(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic DSIR selection: the top-``k`` raw documents by
+    importance weight (ties broken by id — stable on every run and any
+    partitioning). The paper's Gumbel-top-k adds sampling noise for
+    diversity; the deterministic variant is the reproducible form a
+    curation pipeline can re-run bit-identically. TakeOrderedAndProject:
+    per-partition top-k, k rows to the driver-side merge."""
+    w = dsir_importance(raw_df, target_df, id_col, text_col, n_buckets)
+    return w.orderBy(F.col("weight_micros").desc(), F.col(id_col).asc()).limit(k)

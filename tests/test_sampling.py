@@ -537,3 +537,66 @@ def test_estimated_rows_text_realistic_and_sentinel(spark):
                 return _QE()
 
     assert _estimated_rows(_FakeDF()) is None
+
+
+def _dsir_corpus(spark):
+    """Raw corpus of 30 docs: 10 'legal' docs sharing a distinctive
+    vocabulary, 10 'web' docs, 10 mixed. Target exemplars: 5 more legal
+    docs (disjoint ids)."""
+    legal = "whereas the party hereto shall indemnify the aforesaid covenant"
+    web = "click here to subscribe now and win amazing free prizes today"
+    rows = (
+        [(i, legal + f" clause {i}") for i in range(10)]
+        + [(i, web + f" offer {i}") for i in range(10, 20)]
+        + [(i, legal.split()[i % 5] + " " + web + f" x {i}") for i in range(20, 30)]
+    )
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(100 + i, legal + f" section {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    return raw, tgt
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from sycamore_spark.operators.sampling import dsir_importance, dsir_select
+
+    raw, tgt = _dsir_corpus(spark)
+    w = {r.doc_id: r.avg_weight for r in dsir_importance(raw, tgt).collect()}
+    assert len(w) == 30
+    legal_avg = sum(w[i] for i in range(10)) / 10
+    web_avg = sum(w[i] for i in range(10, 20)) / 10
+    mixed_avg = sum(w[i] for i in range(20, 30)) / 10
+    # target-like docs score strictly above off-domain; mixed in between
+    assert legal_avg > mixed_avg > web_avg
+    top = [r.doc_id for r in dsir_select(raw, tgt, 10).collect()]
+    assert set(top) == set(range(10))
+
+
+def test_dsir_weights_partitioning_independent(spark):
+    from sycamore_spark.operators.sampling import dsir_importance
+
+    raw, tgt = _dsir_corpus(spark)
+    a = sorted(
+        (r.doc_id, r.n_features, r.weight_micros)
+        for r in dsir_importance(raw, tgt).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.n_features, r.weight_micros)
+        for r in dsir_importance(raw.repartition(7), tgt.coalesce(1)).collect()
+    )
+    assert a == b
+
+
+def test_dsir_feature_counts_preserve_occurrences(spark):
+    """n_features = unigrams + bigrams per doc (occurrences, not distinct):
+    a 5-word doc contributes 5 + 4 = 9 features."""
+    from sycamore_spark.operators.sampling import dsir_importance
+
+    raw = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a a a a a"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    got = {r.doc_id: r.n_features for r in dsir_importance(raw, tgt).collect()}
+    assert got == {1: 9, 2: 9, 3: 1}
