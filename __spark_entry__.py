@@ -695,6 +695,49 @@ def q_dedup_cc(spark, sf) -> DataFrame:
     return out.select("doc_id", "component", "is_canonical")
 
 
+def q_soft_dedup(spark, sf) -> DataFrame:
+    """Soft deduplication (operators/dedup.py soft_dedup): near-dup
+    clusters (exact jaccard >= 0.95 -> connected components) keep each
+    member with probability 1/|cluster| via the content-addressed md5
+    test — one EXPECTED copy per cluster instead of hard keep-min-id,
+    preserving intra-cluster diversity across the corpus. weight_micros
+    doubles as a loss weight for train-on-everything pipelines."""
+    docs = _ds(spark, sf, "documents").to_df()
+    pairs = dedup.jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.95)
+    return dedup.soft_dedup(docs, pairs, "doc_id").select(
+        "doc_id", "component", "cluster_size", "weight_micros", "kept"
+    )
+
+
+def q_split_leakage(spark, sf) -> DataFrame:
+    """Train/test leakage audit (operators/dedup.py split_leakage): count
+    near-dup pairs (jaccard >= 0.95) crossing the split boundary under a
+    naive id-hash 80/20 split vs a group-aware split keyed on the
+    duplicate-cluster component (group_aware_split) — the audit shows the
+    naive split leaks and certifies the cluster-keyed split at zero
+    crossing pairs (zero-leak rows simply don't appear)."""
+    from sycamore_spark.functions.partitioning import lineage_cut
+    from sycamore_spark.operators.sampling import group_aware_split
+
+    docs = _ds(spark, sf, "documents").to_df()
+    pairs = lineage_cut(
+        dedup.jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.95)
+    )
+    splits = {"train": 0.8, "test": 0.2}
+    naive = group_aware_split(docs, "doc_id", splits)
+    labeled = dedup.canonical_docs(docs, pairs, "doc_id")
+    safe = group_aware_split(labeled, "component", splits)
+    leak_n = dedup.split_leakage(naive, pairs, "split").withColumn(
+        "method", F.lit("naive")
+    )
+    leak_s = dedup.split_leakage(safe, pairs, "split").withColumn(
+        "method", F.lit("group_aware")
+    )
+    return leak_n.unionByName(leak_s).select(
+        "method", "split_a", "split_b", "leaked_pairs"
+    )
+
+
 def q_dedup_minhash(spark, sf) -> DataFrame:
     """MinHash+LSH candidates verified with exact jaccard — with 32 bands x 2
     rows at t=0.8 the per-pair miss probability is ~5e-15, so the output
@@ -6955,6 +6998,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_rebucket": q_index_rebucket,
     # -- stalest driver greens --
     "dedup_cc": q_dedup_cc,
+    "soft_dedup": q_soft_dedup,
+    "split_leakage": q_split_leakage,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
     "window_analytics": q_window_analytics,
@@ -8550,6 +8595,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, coalesce(c.component, doc_id) AS component, "
             "doc_id = coalesce(c.component, doc_id) AS is_canonical "
             "FROM documents LEFT JOIN comp c ON doc_id = c.node"
+        ),
+        "soft_dedup": (
+            "WITH RECURSIVE tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i FROM tok a "
+            "JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT id_a, id_b FROM inter JOIN sz sa ON sa.doc_id = id_a "
+            "JOIN sz sb ON sb.doc_id = id_b WHERE i / (sa.n + sb.n - i) >= 0.95), "
+            "e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs), "
+            "reach(s, d) AS (SELECT s, d FROM e UNION "
+            "SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s WHERE e2.d <> r.s), "
+            "comp AS (SELECT s AS node, least(s, min(d)) AS component FROM reach GROUP BY s), "
+            "lab AS (SELECT doc_id, coalesce(c.component, doc_id) AS component "
+            "FROM documents LEFT JOIN comp c ON doc_id = c.node), "
+            "sized AS (SELECT doc_id, component, "
+            "count(*) OVER (PARTITION BY component) AS cluster_size FROM lab) "
+            "SELECT doc_id, component, cluster_size::BIGINT AS cluster_size, "
+            "(1000000 // cluster_size)::BIGINT AS weight_micros, "
+            "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 "
+            "< (1000000 // cluster_size) AS kept FROM sized"
+        ),
+        "split_leakage": (
+            "WITH RECURSIVE tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i FROM tok a "
+            "JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT id_a, id_b FROM inter JOIN sz sa ON sa.doc_id = id_a "
+            "JOIN sz sb ON sb.doc_id = id_b WHERE i / (sa.n + sb.n - i) >= 0.95), "
+            "e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs), "
+            "reach(s, d) AS (SELECT s, d FROM e UNION "
+            "SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s WHERE e2.d <> r.s), "
+            "comp AS (SELECT s AS node, least(s, min(d)) AS component FROM reach GROUP BY s), "
+            "lab AS (SELECT doc_id, coalesce(c.component, doc_id) AS component "
+            "FROM documents LEFT JOIN comp c ON doc_id = c.node), "
+            "nsp AS (SELECT doc_id, CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT "
+            "% 1000000 < 800000 THEN 'train' ELSE 'test' END AS split FROM documents), "
+            "ssp AS (SELECT doc_id, CASE WHEN ('0x' || substr(md5(component::VARCHAR), 1, 15))::BIGINT "
+            "% 1000000 < 800000 THEN 'train' ELSE 'test' END AS split FROM lab), "
+            "nl AS (SELECT least(a.split, b.split) AS split_a, greatest(a.split, b.split) AS split_b, "
+            "count(*)::BIGINT AS leaked_pairs FROM pairs p JOIN nsp a ON a.doc_id = p.id_a "
+            "JOIN nsp b ON b.doc_id = p.id_b WHERE a.split <> b.split GROUP BY 1, 2), "
+            "sl AS (SELECT least(a.split, b.split) AS split_a, greatest(a.split, b.split) AS split_b, "
+            "count(*)::BIGINT AS leaked_pairs FROM pairs p JOIN ssp a ON a.doc_id = p.id_a "
+            "JOIN ssp b ON b.doc_id = p.id_b WHERE a.split <> b.split GROUP BY 1, 2) "
+            "SELECT 'naive' AS method, split_a, split_b, leaked_pairs FROM nl "
+            "UNION ALL SELECT 'group_aware', split_a, split_b, leaked_pairs FROM sl"
         ),
         "dedup_minhash": (
             f"WITH sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents), "

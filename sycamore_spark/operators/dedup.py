@@ -1107,3 +1107,82 @@ def containment_lsh_pairs(
     ).persist()
     hset.count()  # materialize before the dual (id_a, id_b) join branches
     return _verify_containment(cand, hset, t)
+
+
+def soft_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    mod: int = 1_000_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Soft deduplication: instead of dropping every non-canonical near-dup
+    (which deletes all intra-cluster diversity), keep each document with
+    probability ``1 / |cluster|`` so every duplicate cluster contributes
+    ONE EXPECTED surviving copy — the down-weighting strategy behind
+    SlimPajama-DC-style "soft" dedup and the sampling form of
+    dedup-then-upsample. Which copy survives varies BY CONTENT, not by
+    run: the keep test is the content-addressed md5 hash (``hash(id) mod
+    M < M // size``), so the surviving set is identical on every run and
+    any partitioning, and a DuckDB oracle replays it exactly.
+
+    Returns every input row plus ``component``, ``cluster_size``,
+    ``weight_micros`` (= ``M // size``, the integer keep threshold) and
+    ``kept``. Filter ``kept`` for the sampled corpus; use
+    ``weight_micros`` as a loss weight to train on everything instead.
+
+    Scale shape: components run over the PAIR set only; the corpus takes
+    one broadcast-able join to the (node, component) map plus one window
+    count keyed by component — clusters are tiny, so no skew. Contrast
+    with ``canonical_docs`` (hard dedup, keep = min id): same inputs,
+    same determinism, different retention policy.
+    """
+    from pyspark.sql.window import Window
+
+    from sycamore_spark.operators.sampling import _hash_bucket
+
+    labeled = canonical_docs(df, pairs, id_col, checkpoint_dir=checkpoint_dir)
+    w = Window.partitionBy("component")
+    size = F.count(F.lit(1)).over(w)
+    thresh = F.floor(F.lit(mod) / size).cast("long")
+    return (
+        labeled.drop("is_canonical")
+        .withColumn("cluster_size", size.cast("long"))
+        .withColumn("weight_micros", thresh)
+        .withColumn("kept", _hash_bucket(F.col(id_col)) < F.col("weight_micros"))
+    )
+
+
+def split_leakage(
+    df: DataFrame,
+    pairs: DataFrame,
+    split_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/test leakage audit: how many near-duplicate pairs CROSS a
+    split boundary (a training doc whose near-dup sits in the eval set
+    inflates eval scores — the contamination failure group_aware_split
+    exists to prevent). Returns one row per ordered split pair
+    (``split_a`` < ``split_b``) with the crossing-pair count. An empty /
+    all-zero result certifies the split is near-dup-leak-free at the
+    pair generator's threshold.
+
+    Scale shape: the (id, split) projection joins the pair table twice on
+    its two endpoints — pair-table-scale work, corpus never shuffles; the
+    final agg is at most |splits|^2 rows.
+    """
+    s = df.select(F.col(id_col).alias("_n"), F.col(split_col).alias("_s"))
+    a = s.withColumnRenamed("_n", "id_a").withColumnRenamed("_s", "split_a")
+    b = s.withColumnRenamed("_n", "id_b").withColumnRenamed("_s", "split_b")
+    crossing = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.least("split_a", "split_b").alias("split_a"),
+            F.greatest("split_a", "split_b").alias("split_b"),
+        )
+    )
+    return crossing.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("leaked_pairs")
+    )

@@ -259,3 +259,58 @@ def test_prefix_filter_equals_bruteforce(spark):
         got = {(r.id_a, r.id_b) for r in
                dedup.jaccard_similar_pairs(df, "doc_id", "text", threshold=t).collect()}
         assert got == brute(t), f"mismatch at threshold {t}"
+
+
+def test_soft_dedup_expected_one_copy_per_cluster(spark):
+    """weight = 1e6 // size; singletons are ALWAYS kept (threshold == M);
+    kept set is content-addressed — identical under repartitioning."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(12)], "doc_id long, text string"
+    )
+    # cluster {0..5} (clique via a star on 0), cluster {6,7}; 8-11 singletons
+    pairs = spark.createDataFrame(
+        [(0, j) for j in range(1, 6)] + [(6, 7)], "id_a long, id_b long"
+    )
+    out = dedup.soft_dedup(docs, pairs, "doc_id").collect()
+    by_id = {r.doc_id: r for r in out}
+    assert all(by_id[i].cluster_size == 6 for i in range(6))
+    assert all(by_id[i].weight_micros == 1_000_000 // 6 for i in range(6))
+    assert by_id[6].cluster_size == 2 and by_id[6].weight_micros == 500_000
+    for i in range(8, 12):
+        assert by_id[i].cluster_size == 1 and by_id[i].kept  # singleton: always kept
+    again = dedup.soft_dedup(docs.repartition(7), pairs.coalesce(1), "doc_id").collect()
+    assert sorted((r.doc_id, r.kept) for r in again) == sorted(
+        (r.doc_id, r.kept) for r in out
+    )
+
+
+def test_split_leakage_counts_crossing_pairs_only(spark):
+    docs = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "test"), (4, "valid")],
+        "doc_id long, split string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r.split_a, r.split_b): r.leaked_pairs
+        for r in dedup.split_leakage(docs, pairs, "split").collect()
+    }
+    # (1,2) is intra-train; (1,3),(2,3) cross train/test; (3,4) cross test/valid
+    assert got == {("test", "train"): 2, ("test", "valid"): 1}
+
+
+def test_group_aware_split_has_zero_leakage(spark):
+    """The composition the split_leakage gate certifies: splitting on the
+    duplicate-cluster component leaves no crossing near-dup pairs."""
+    from sycamore_spark.operators.sampling import group_aware_split
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(40)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 4)], "id_a long, id_b long"
+    )
+    labeled = dedup.canonical_docs(docs, pairs, "doc_id")
+    safe = group_aware_split(labeled, "component", {"train": 0.5, "test": 0.5})
+    assert dedup.split_leakage(safe, pairs, "split").count() == 0
