@@ -4538,6 +4538,37 @@ def _kmeans_oracle_sql() -> str:
     )
 
 
+def q_cluster_cap(spark, sf) -> DataFrame:
+    """Cluster-balanced curation sampling (SemDeDup/DataComp-style
+    'balance the semantic cells'): nearest-centroid assignment over the
+    embeddings (q_kmeans's fixed integer-exact centroids) capped at 30
+    vectors per cell via the content-addressed md5 rank — stops one dense
+    topic from dominating a training mix while keeping the surviving set
+    identical on every run. One narrow assignment pass + one window
+    shuffle on the cell id."""
+    from sycamore_spark.operators.clustering import assign_clusters
+    from sycamore_spark.operators.sampling import cap_per_group
+
+    emb = _ds(spark, sf, "embeddings").to_df()
+    out = assign_clusters(
+        emb, _kmeans_centroids(), vec_col="embedding", quantize_scale=_KMEANS_SCALE
+    )
+    return cap_per_group(out, "cluster", "vec_id", 30, keep_rank=True).select(
+        "vec_id", "cluster", F.col("_rk").cast("bigint").alias("rk")
+    )
+
+
+def _cluster_cap_oracle_sql() -> str:
+    """DuckDB replay of q_cluster_cap: the kmeans assignment oracle nested
+    as a CTE + the same md5-rank window and cap."""
+    return (
+        f"WITH asg AS ({_kmeans_oracle_sql()}), "
+        "r AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster "
+        "ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC) AS rk FROM asg) "
+        "SELECT vec_id, cluster, rk::BIGINT AS rk FROM r WHERE rk <= 30"
+    )
+
+
 def q_bucketed_join(spark, sf) -> DataFrame:
     """Bucketed co-located join under the gate (writer.write_bucketed):
     both fact tables persisted bucketed on the join key, then joined and
@@ -7144,6 +7175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "custom_agg": q_custom_agg,
     "tpch_q18": q_tpch_q18,
     "kmeans": q_kmeans,
+    "cluster_cap": q_cluster_cap,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q12": q_tpch_q12,
@@ -7553,6 +7585,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "element_images": _element_images_oracle_sql(),
         "kmeans": _kmeans_oracle_sql(),
+        "cluster_cap": _cluster_cap_oracle_sql(),
         "compact": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "bucketed_join": (
             "SELECT o_orderpriority AS priority, "
