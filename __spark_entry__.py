@@ -5046,6 +5046,20 @@ def q_mixture_plan(spark, sf) -> DataFrame:
     return mixture_plan(docs, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25})
 
 
+def q_mixture_tokens(spark, sf) -> DataFrame:
+    """TOKEN-denominated mixture planning (mixture_plan weight_col=): LM
+    training recipes target token shares, not document shares — the same
+    binding-stratum math over sum(n_chars) instead of count(*). cnt and
+    expected_rows are in weight units; the keep fractions feed
+    stratified_hash_sample unchanged."""
+    from sycamore_spark.operators.sampling import mixture_plan
+
+    docs = load_table(spark, sf, "documents")
+    return mixture_plan(
+        docs, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}, weight_col="n_chars"
+    )
+
+
 def q_attribution(spark, sf) -> DataFrame:
     """Property attribution under the gate (llm/extract.py
     attribute_values; reference property_extraction/attribution.py): docs
@@ -7048,6 +7062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_join": q_bucketed_join,
     "attribution": q_attribution,
     "mixture_plan": q_mixture_plan,
+    "mixture_tokens": q_mixture_tokens,
     "ewma": q_ewma,
     "xycut": q_xycut,
     "lm_score": q_lm_score,
@@ -7715,6 +7730,21 @@ def oracle_sql() -> dict[str, str]:
             "list_reduce(list(value ORDER BY event_id), "
             "(acc, x) -> acc * CAST(0.9 AS DOUBLE) + CAST(0.1 AS DOUBLE) * x) AS ewma "
             "FROM events GROUP BY 1"
+        ),
+        "mixture_tokens": (
+            "WITH counts AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS cnt, "
+            "CAST(CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 "
+            "WHEN lang = 'fr' THEN 0.25 ELSE NULL END AS DOUBLE) AS target_share "
+            "FROM documents GROUP BY 1), "
+            "totals AS (SELECT sum(cnt) AS total, "
+            "min(CASE WHEN target_share > 0 THEN cnt::DOUBLE / target_share END) AS binding "
+            "FROM counts) "
+            "SELECT stratum, cnt, cnt::DOUBLE / total AS share, "
+            "coalesce(target_share, 0.0) AS target_share, "
+            "CASE WHEN target_share > 0 THEN binding * target_share / cnt::DOUBLE ELSE 0.0 END AS keep_fraction, "
+            "CAST(floor(CASE WHEN target_share > 0 THEN binding * target_share / cnt::DOUBLE ELSE 0.0 END "
+            "* cnt::DOUBLE + 0.5) AS BIGINT) AS expected_rows "
+            "FROM counts, totals ORDER BY stratum"
         ),
         "mixture_plan": (
             "WITH counts AS (SELECT lang AS stratum, count(*)::BIGINT AS cnt, "

@@ -113,7 +113,12 @@ def group_aware_split(
     return df.withColumn(split_col, expr)
 
 
-def mixture_plan(df: DataFrame, stratum: str, target: dict[str, float]) -> DataFrame:
+def mixture_plan(
+    df: DataFrame,
+    stratum: str,
+    target: dict[str, float],
+    weight_col: str | None = None,
+) -> DataFrame:
     """Compute the downsampling plan that achieves a TARGET mixture (e.g.
     {'web': 0.6, 'books': 0.2, 'code': 0.2}) from the corpus's actual
     per-stratum counts, keeping as much data as possible: the stratum with
@@ -128,13 +133,21 @@ def mixture_plan(df: DataFrame, stratum: str, target: dict[str, float]) -> DataF
 
     Returns per stratum: count, share, target_share, keep_fraction,
     expected_rows (= floor(keep * count + 0.5)).
+
+    ``weight_col``: mixtures for LM training are TOKEN-denominated, not
+    document-denominated — pass a per-row integer size column (token or
+    char count) and the plan balances summed weight instead of row count
+    (``cnt``/``expected_rows`` are then in weight units). Row-hash
+    sampling still applies the plan: keep_fraction of a stratum's rows ~=
+    keep_fraction of its tokens when lengths are iid within the stratum.
     """
     tgt = F.lit(None).cast("double")
     for name, frac in reversed(list(target.items())):
         tgt = F.when(F.col("stratum") == name, F.lit(float(frac))).otherwise(tgt)
+    size = F.sum(weight_col) if weight_col else F.count(F.lit(1))
     counts = (
         df.groupBy(F.col(stratum).alias("stratum"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(size.alias("cnt"))
         .withColumn("target_share", tgt)
     )
     totals = counts.agg(

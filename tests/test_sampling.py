@@ -600,3 +600,27 @@ def test_dsir_feature_counts_preserve_occurrences(spark):
     tgt = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
     got = {r.doc_id: r.n_features for r in dsir_importance(raw, tgt).collect()}
     assert got == {1: 9, 2: 9, 3: 1}
+
+
+def test_mixture_plan_token_weighted(spark):
+    """weight_col switches the plan to token-denominated: a stratum with
+    few huge docs binds differently than by row count."""
+    from sycamore_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        # en: 10 docs x 100 tokens = 1000; de: 100 docs x 2 tokens = 200
+        [(i, "en", 100) for i in range(10)]
+        + [(100 + i, "de", 2) for i in range(100)],
+        "doc_id long, lang string, n_tok long",
+    )
+    by_rows = {r.stratum: r for r in mixture_plan(df, "lang", {"en": 0.5, "de": 0.5}).collect()}
+    by_toks = {
+        r.stratum: r
+        for r in mixture_plan(df, "lang", {"en": 0.5, "de": 0.5}, weight_col="n_tok").collect()
+    }
+    # by rows: en is scarce (10 vs 100) -> en keeps all, de downsamples
+    assert by_rows["en"].keep_fraction == 1.0 and by_rows["de"].keep_fraction < 1.0
+    # by tokens: de is scarce (200 vs 1000) -> de keeps all, en downsamples
+    assert by_toks["de"].keep_fraction == 1.0 and by_toks["en"].keep_fraction < 1.0
+    assert by_toks["en"].cnt == 1000 and by_toks["de"].cnt == 200
+    assert by_toks["en"].expected_rows == 200  # token units
