@@ -695,6 +695,20 @@ def q_dedup_cc(spark, sf) -> DataFrame:
     return out.select("doc_id", "component", "is_canonical")
 
 
+def q_contamination_spans(spark, sf) -> DataFrame:
+    """Exact cross-corpus span decontamination (operators/dedup.py
+    contamination_spans — the GPT-3/Llama-2 procedure, beyond the
+    doc-level ngram_contamination score): training docs (doc_id >= 20)
+    vs the probe/eval set (doc_id < 20); any training 4-gram appearing in
+    a probe marks its positions, merged to maximal [start, end) token
+    spans to cut. Corpus side is one linear explode + broadcast semi-join
+    on the benchmark-sized probe gram set."""
+    docs = _ds(spark, sf, "documents").to_df()
+    probes = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    return dedup.contamination_spans(corpus, probes, "doc_id", "text", min_len=4)
+
+
 def q_soft_dedup(spark, sf) -> DataFrame:
     """Soft deduplication (operators/dedup.py soft_dedup): near-dup
     clusters (exact jaccard >= 0.95 -> connected components) keep each
@@ -7044,6 +7058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- stalest driver greens --
     "dedup_cc": q_dedup_cc,
     "soft_dedup": q_soft_dedup,
+    "contamination_spans": q_contamination_spans,
     "split_leakage": q_split_leakage,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -8658,6 +8673,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, coalesce(c.component, doc_id) AS component, "
             "doc_id = coalesce(c.component, doc_id) AS is_canonical "
             "FROM documents LEFT JOIN comp c ON doc_id = c.node"
+        ),
+        "contamination_spans": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents), "
+            "ix AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 2)) AS i FROM t WHERE len(tk) >= 4), "
+            "g AS (SELECT doc_id, (i - 1)::BIGINT AS pos, "
+            "md5(array_to_string(tk[i:i+3], chr(31))) AS gh FROM ix), "
+            "pg AS (SELECT DISTINCT gh FROM g WHERE doc_id < 20), "
+            "mk AS (SELECT doc_id, pos FROM g WHERE doc_id >= 20 AND gh IN (SELECT gh FROM pg)), "
+            "w1 AS (SELECT *, max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM mk), "
+            "w2 AS (SELECT *, sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM w1) "
+            "SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 4)::BIGINT AS span_end, "
+            "count(*)::BIGINT AS n_hit_grams FROM w2 GROUP BY doc_id, isl"
         ),
         "soft_dedup": (
             "WITH RECURSIVE tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "

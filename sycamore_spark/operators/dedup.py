@@ -769,6 +769,30 @@ def incremental_dedup(
     return definite_new.unionByName(verified_new)
 
 
+def _position_grams(df: DataFrame, id_col: str, text_col: str, L: int) -> DataFrame:
+    """(_id, _pos, _gh) for every token position's L-gram: one native
+    transform over the token array exploded to one row per position —
+    linear in corpus tokens, zero shuffle, md5 keys replay cross-engine."""
+    toks = T.tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+    gram = lambda i: F.md5(F.array_join(F.slice(F.col("_t"), i + 1, L), "\x1f"))  # noqa: E731
+    return (
+        base.filter(F.col("_n") >= L)
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n") - L),
+                    lambda i: F.struct(i.alias("pos"), gram(i).alias("gh")),
+                )
+            ).alias("_g"),
+        )
+        .select("_id", F.col("_g.pos").alias("_pos"), F.col("_g.gh").alias("_gh"))
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -800,24 +824,7 @@ def duplicate_spans(
     from pyspark.sql.window import Window
 
     L = int(min_len)
-    toks = T.tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).withColumn(
-        "_n", F.size("_t")
-    )
-    gram = lambda i: F.md5(F.array_join(F.slice(F.col("_t"), i + 1, L), "\x1f"))  # noqa: E731
-    pos_grams = (
-        base.filter(F.col("_n") >= L)
-        .select(
-            "_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("_n") - L),
-                    lambda i: F.struct(i.alias("pos"), gram(i).alias("gh")),
-                )
-            ).alias("_g"),
-        )
-        .select("_id", F.col("_g.pos").alias("_pos"), F.col("_g.gh").alias("_gh"))
-    )
+    pos_grams = _position_grams(df, id_col, text_col, L)
     # canonical key packs (doc, pos) into one bigint so min() is the
     # lexicographic first occurrence (pos < 2^20 per doc by contract)
     ck = F.col("_id").cast("long") * F.lit(1 << 20).cast("long") + F.col("_pos")
@@ -848,6 +855,56 @@ def duplicate_spans(
     return spans.select(
         F.col("_id").alias(id_col), "span_start", "span_end", "n_dup_grams",
         F.col("has_canonical").cast("bigint").alias("has_canonical"),
+    )
+
+
+def contamination_spans(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """Exact cross-corpus span decontamination (the GPT-3 appendix-C /
+    Llama-2 procedure): a training-corpus token position is CONTAMINATED
+    iff its ``min_len``-gram appears anywhere in the probe corpus (the
+    eval benchmarks); overlapping contaminated positions merge into the
+    maximal spans to cut from the training text. Stronger than
+    ``ngram_contamination`` (set-overlap scoring per doc): this returns
+    the exact [span_start, span_end) token intervals, so the pipeline can
+    surgically remove the leaked text instead of dropping or merely
+    flagging whole documents.
+
+    Returns (id_col, span_start, span_end [token indices, end exclusive],
+    n_hit_grams) — one row per maximal contaminated span.
+
+    Scale shape: the corpus side is ONE linear explode (no shuffle); the
+    probe gram set is benchmark-sized, so the membership test is a
+    broadcast LEFT SEMI join; the interval merge is the per-doc island
+    window. The 100 TB corpus never shuffles on the gram key.
+    """
+    from pyspark.sql.window import Window
+
+    L = int(min_len)
+    corpus = _position_grams(df, id_col, text_col, L)
+    probe_grams = _position_grams(probes, id_col, text_col, L).select("_gh").distinct()
+    marked = corpus.join(F.broadcast(probe_grams), "_gh", "left_semi")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    prev_end = F.max(F.col("_pos") + F.lit(L)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island = F.when(
+        prev_end.isNull() | (F.col("_pos") > prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        marked.withColumn("_isl", F.sum(island).over(w))
+        .groupBy("_id", "_isl")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + F.lit(L)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_hit_grams"),
+        )
+        .select(F.col("_id").alias(id_col), "span_start", "span_end", "n_hit_grams")
     )
 
 

@@ -314,3 +314,51 @@ def test_group_aware_split_has_zero_leakage(spark):
     labeled = dedup.canonical_docs(docs, pairs, "doc_id")
     safe = group_aware_split(labeled, "component", {"train": 0.5, "test": 0.5})
     assert dedup.split_leakage(safe, pairs, "split").count() == 0
+
+
+def test_contamination_spans_exact_boundaries(spark):
+    """A planted probe phrase inside a training doc yields exactly its
+    [start, end) token span; clean docs produce no rows; two hits closer
+    than L merge into one maximal span."""
+    probes = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # tokens 2..8: "alpha beta gamma delta epsilon zeta" at [2, 8)
+            (1, "x y alpha beta gamma delta epsilon zeta w v"),
+            (2, "totally clean document with no overlap at all"),
+            # the phrase twice, separated by one token -> L=4 grams don't
+            # bridge the gap, but islands within each copy merge
+            (3, "alpha beta gamma delta q alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.contamination_spans(corpus, probes, min_len=4).collect()
+    spans = {}
+    for r in out:
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end, r.n_hit_grams))
+    assert spans[1] == [(2, 8, 3)]  # 3 overlapping 4-grams merged to [2,8)
+    assert 2 not in spans
+    assert sorted(spans[3]) == [(0, 4, 1), (5, 9, 1)]
+
+
+def test_contamination_spans_partitioning_independent(spark):
+    probes = spark.createDataFrame(
+        [(9, "one two three four five")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"pad{i} one two three four five tail{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, dedup.contamination_spans(corpus, probes, min_len=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup.contamination_spans(
+                corpus.repartition(5), probes.coalesce(1), min_len=4
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 20 and all(r[1:] == (1, 6, 2) for r in a)
