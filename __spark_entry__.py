@@ -709,6 +709,22 @@ def q_contamination_spans(spark, sf) -> DataFrame:
     return dedup.contamination_spans(corpus, probes, "doc_id", "text", min_len=4)
 
 
+def q_decontaminate(spark, sf) -> DataFrame:
+    """Full decontamination pass (contamination_spans ->
+    remove_token_spans): locate every training-corpus token span whose
+    4-grams leak from the probe/eval set, then surgically cut the spans
+    and rejoin — per doc the cleaned text plus before/after token counts.
+    Clean docs pass through intact; the corpus never shuffles on the
+    gram key (broadcast probe set + per-doc span lists)."""
+    docs = _ds(spark, sf, "documents").to_df()
+    probes = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    spans = dedup.contamination_spans(corpus, probes, "doc_id", "text", min_len=4)
+    return dedup.remove_token_spans(corpus, spans, "doc_id", "text").select(
+        "doc_id", "n_tokens_before", "n_tokens_after", "clean_text"
+    )
+
+
 def q_soft_dedup(spark, sf) -> DataFrame:
     """Soft deduplication (operators/dedup.py soft_dedup): near-dup
     clusters (exact jaccard >= 0.95 -> connected components) keep each
@@ -7059,6 +7075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cc": q_dedup_cc,
     "soft_dedup": q_soft_dedup,
     "contamination_spans": q_contamination_spans,
+    "decontaminate": q_decontaminate,
     "split_leakage": q_split_leakage,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -8673,6 +8690,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, coalesce(c.component, doc_id) AS component, "
             "doc_id = coalesce(c.component, doc_id) AS is_canonical "
             "FROM documents LEFT JOIN comp c ON doc_id = c.node"
+        ),
+        "decontaminate": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents), "
+            "ix AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 2)) AS i FROM t WHERE len(tk) >= 4), "
+            "g AS (SELECT doc_id, (i - 1)::BIGINT AS pos, "
+            "md5(array_to_string(tk[i:i+3], chr(31))) AS gh FROM ix), "
+            "pg AS (SELECT DISTINCT gh FROM g WHERE doc_id < 20), "
+            "mk AS (SELECT doc_id, pos FROM g WHERE doc_id >= 20 AND gh IN (SELECT gh FROM pg)), "
+            "w1 AS (SELECT *, max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM mk), "
+            "w2 AS (SELECT *, sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM w1), "
+            "spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e FROM w2 GROUP BY doc_id, isl), "
+            "tk2 AS (SELECT doc_id, tk FROM t WHERE doc_id >= 20), "
+            "p AS (SELECT doc_id, i, tk[i] AS tok FROM tk2, unnest(range(1, len(tk) + 1)) AS u(i)), "
+            "keep AS (SELECT p.doc_id, p.i, p.tok FROM p WHERE NOT EXISTS "
+            "(SELECT 1 FROM spans s WHERE s.doc_id = p.doc_id AND p.i - 1 >= s.s AND p.i - 1 < s.e)), "
+            "agg AS (SELECT doc_id, count(*)::BIGINT AS n_after, "
+            "string_agg(tok, ' ' ORDER BY i) AS clean FROM keep GROUP BY 1) "
+            "SELECT tk2.doc_id, len(tk2.tk)::BIGINT AS n_tokens_before, "
+            "coalesce(a.n_after, 0)::BIGINT AS n_tokens_after, "
+            "coalesce(a.clean, '') AS clean_text "
+            "FROM tk2 LEFT JOIN agg a ON tk2.doc_id = a.doc_id"
         ),
         "contamination_spans": (
             "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents), "

@@ -908,6 +908,55 @@ def contamination_spans(
     )
 
 
+def remove_token_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Apply a span table (``contamination_spans`` / ``duplicate_spans``
+    output) to the corpus: cut every [span_start, span_end) token
+    interval from each document and rejoin the survivors — the surgical
+    removal step of decontamination / Lee-et-al span dedup, instead of
+    dropping whole documents. Rows without spans pass through intact.
+
+    Token positions follow the same ``T.tokens`` contract the span
+    generators used (trim + lower + whitespace split), so ``out_col`` is
+    the whitespace-normalized lowercased text minus the cut spans.
+    Returns the input plus (n_tokens_before, n_tokens_after, out_col).
+
+    Scale shape: spans collapse to one tiny per-doc list (spans per doc
+    are few by construction — they're maximal), ONE join back onto the
+    corpus, then a native index-aware array filter — no explode of the
+    corpus tokens, no Python.
+    """
+    sp = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("long").alias("s"),
+                F.col("span_end").cast("long").alias("e"),
+            )
+        ).alias("_spans")
+    )
+    joined = df.join(sp, df[id_col] == sp["_sid"], "left").drop("_sid")
+    toks = T.tokens(F.col(text_col))
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    spans_col = F.coalesce(F.col("_spans"), empty)
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            spans_col, lambda s: (i >= s["s"]) & (i < s["e"])
+        ),
+    )
+    return (
+        joined.withColumn("n_tokens_before", F.size(toks).cast("long"))
+        .withColumn(out_col, F.array_join(kept, " "))
+        .withColumn("n_tokens_after", F.size(kept).cast("long"))
+        .drop("_spans")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

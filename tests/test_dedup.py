@@ -362,3 +362,38 @@ def test_contamination_spans_partitioning_independent(spark):
         )
     )
     assert a == b and len(a) == 20 and all(r[1:] == (1, 6, 2) for r in a)
+
+
+def test_remove_token_spans_cuts_exactly(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "keep all of me")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 5, 3), (1, 6, 7, 1)], "doc_id long, span_start long, span_end long, n_hit_grams long"
+    )
+    out = {r.doc_id: r for r in dedup.remove_token_spans(docs, spans).collect()}
+    assert out[1].clean_text == "a b f h"  # cut [2,5) and [6,7)
+    assert out[1].n_tokens_before == 8 and out[1].n_tokens_after == 4
+    assert out[2].clean_text == "keep all of me"
+    assert out[2].n_tokens_after == 4
+
+
+def test_decontaminate_roundtrip_removes_probe_phrase(spark):
+    """contamination_spans -> remove_token_spans leaves NO probe 4-gram in
+    the cleaned corpus."""
+    probes = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "intro alpha beta gamma delta epsilon outro words here")],
+        "doc_id long, text string",
+    )
+    spans = dedup.contamination_spans(corpus, probes, min_len=4)
+    cleaned = dedup.remove_token_spans(corpus, spans)
+    row = cleaned.collect()[0]
+    assert row.clean_text == "intro outro words here"
+    re_spans = dedup.contamination_spans(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")), probes, min_len=4
+    )
+    assert re_spans.count() == 0
