@@ -709,6 +709,18 @@ def q_contamination_spans(spark, sf) -> DataFrame:
     return dedup.contamination_spans(corpus, probes, "doc_id", "text", min_len=4)
 
 
+def q_winnow(spark, sf) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm —
+    operators/dedup.py winnowing_fingerprints): per-window minimum 4-gram
+    hash (rightmost on ties) at w=4, guaranteeing any shared >= 7-token
+    run between documents shares a fingerprint at ~2/(w+1) density. One
+    linear explode + one window shuffle; the min's tie rule rides a
+    single ASCII string key so DuckDB replays it bit-for-bit."""
+    return dedup.winnowing_fingerprints(
+        _ds(spark, sf, "documents").to_df(), "doc_id", "text", k=4, w=4
+    )
+
+
 def q_decontaminate(spark, sf) -> DataFrame:
     """Full decontamination pass (contamination_spans ->
     remove_token_spans): locate every training-corpus token span whose
@@ -7076,6 +7088,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "soft_dedup": q_soft_dedup,
     "contamination_spans": q_contamination_spans,
     "decontaminate": q_decontaminate,
+    "winnow": q_winnow,
     "split_leakage": q_split_leakage,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -8690,6 +8703,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, coalesce(c.component, doc_id) AS component, "
             "doc_id = coalesce(c.component, doc_id) AS is_canonical "
             "FROM documents LEFT JOIN comp c ON doc_id = c.node"
+        ),
+        "winnow": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents), "
+            "ix AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 2)) AS i FROM t WHERE len(tk) >= 4), "
+            "g AS (SELECT doc_id, (i - 1)::BIGINT AS pos, "
+            "md5(array_to_string(tk[i:i+3], chr(31))) AS gh FROM ix), "
+            "m AS (SELECT doc_id, count(*) AS m FROM g GROUP BY 1), "
+            "kx AS (SELECT doc_id, pos, gh || lpad((999999 - pos)::VARCHAR, 6, '0') AS key FROM g), "
+            "sel AS (SELECT doc_id, pos, min(key) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey FROM kx) "
+            "SELECT DISTINCT s.doc_id, (999999 - substr(skey, 33, 6)::BIGINT) AS pos, "
+            "substr(skey, 1, 32) AS gh FROM sel s JOIN m USING (doc_id) WHERE s.pos <= m.m - 4"
         ),
         "decontaminate": (
             "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents), "

@@ -957,6 +957,58 @@ def remove_token_spans(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS local-similarity algorithm): hash every token ``k``-gram,
+    slide a window of ``w`` consecutive gram hashes, and select each
+    window's MINIMUM hash (rightmost position on ties — robust
+    winnowing). The selected (position, hash) set is the document's
+    fingerprint sketch with the paper's guarantee: any shared token run
+    of length >= ``w + k - 1`` between two documents shares at least one
+    fingerprint, at expected density 2/(w+1) — local similarity
+    detection (plagiarism, boilerplate, quote mining) that whole-doc
+    hashing (``fingerprints``) and set-similarity (minhash) both miss.
+
+    Returns distinct (id_col, pos, gh) — join on ``gh`` across documents
+    for candidate local-overlap pairs.
+
+    Cross-engine-exact tie rule: the window min runs over the single
+    string key ``gh || lpad(999999 - pos)`` — ASCII comparison gives
+    min-hash-then-rightmost-position in ONE min(), bit-replayable in any
+    engine. One linear explode + one window shuffle on the doc id.
+    """
+    from pyspark.sql.window import Window
+
+    pg = _position_grams(df, id_col, text_col, int(k))
+    # full windows only: gram count m = n-k+1, window starts 0 .. m-w
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    key = F.concat(
+        F.col("_gh"),
+        F.lpad((F.lit(999_999) - F.col("_pos")).cast("string"), 6, "0"),
+    )
+    sel = F.min(key).over(
+        Window.partitionBy("_id").orderBy("_pos").rowsBetween(0, int(w) - 1)
+    )
+    picked = (
+        pg.withColumn("_m", cnt)
+        .withColumn("_key", sel)
+        .filter(F.col("_pos") <= F.col("_m") - F.lit(int(w)))
+        .select(
+            "_id",
+            (F.lit(999_999) - F.substring("_key", 33, 6).cast("long")).alias("pos"),
+            F.substring("_key", 1, 32).alias("gh"),
+        )
+        .distinct()
+    )
+    return picked.select(F.col("_id").alias(id_col), "pos", "gh")
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -397,3 +397,51 @@ def test_decontaminate_roundtrip_removes_probe_phrase(spark):
         cleaned.select("doc_id", F.col("clean_text").alias("text")), probes, min_len=4
     )
     assert re_spans.count() == 0
+
+
+def _brute_winnow(tokens, k, w):
+    import hashlib
+
+    grams = [
+        hashlib.md5("\x1f".join(tokens[i : i + k]).encode()).hexdigest()
+        for i in range(len(tokens) - k + 1)
+    ]
+    sel = set()
+    for s in range(0, len(grams) - w + 1):
+        win = grams[s : s + w]
+        mn = min(win)
+        pos = max(i for i, g in enumerate(win) if g == mn) + s
+        sel.add((pos, mn))
+    return sel
+
+
+def test_winnowing_matches_bruteforce(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "a a a a a a a a a a",  # all-equal grams stress the rightmost tie rule
+        "one two three four five six seven eight",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = dedup.winnowing_fingerprints(docs, k=4, w=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, set()).add((r.pos, r.gh))
+    for i, txt in enumerate(texts):
+        assert got.get(i, set()) == _brute_winnow(txt.lower().split(), 4, 4), i
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """Any shared token run >= w + k - 1 = 7 shares a fingerprint hash."""
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    docs = spark.createDataFrame(
+        [(1, f"intro words {shared} tail one"), (2, f"{shared} completely different end")],
+        "doc_id long, text string",
+    )
+    out = dedup.winnowing_fingerprints(docs, k=4, w=4).collect()
+    h1 = {r.gh for r in out if r.doc_id == 1}
+    h2 = {r.gh for r in out if r.doc_id == 2}
+    assert h1 & h2
+    again = dedup.winnowing_fingerprints(
+        docs.repartition(3), k=4, w=4
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
