@@ -721,6 +721,15 @@ def q_winnow(spark, sf) -> DataFrame:
     )
 
 
+def q_winnow_pairs(spark, sf) -> DataFrame:
+    """MOSS candidate pairs (winnowing_overlap_pairs): documents sharing
+    >= 2 distinct winnowing fingerprints — local-overlap detection whose
+    join runs over the ~2/(w+1)-density sketch, never the corpus."""
+    return dedup.winnowing_overlap_pairs(
+        _ds(spark, sf, "documents").to_df(), "doc_id", "text", k=4, w=4, min_shared=2
+    )
+
+
 def q_decontaminate(spark, sf) -> DataFrame:
     """Full decontamination pass (contamination_spans ->
     remove_token_spans): locate every training-corpus token span whose
@@ -7089,6 +7098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_spans": q_contamination_spans,
     "decontaminate": q_decontaminate,
     "winnow": q_winnow,
+    "winnow_pairs": q_winnow_pairs,
     "split_leakage": q_split_leakage,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -8703,6 +8713,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, coalesce(c.component, doc_id) AS component, "
             "doc_id = coalesce(c.component, doc_id) AS is_canonical "
             "FROM documents LEFT JOIN comp c ON doc_id = c.node"
+        ),
+        "winnow_pairs": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents), "
+            "ix AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 2)) AS i FROM t WHERE len(tk) >= 4), "
+            "g AS (SELECT doc_id, (i - 1)::BIGINT AS pos, "
+            "md5(array_to_string(tk[i:i+3], chr(31))) AS gh FROM ix), "
+            "m AS (SELECT doc_id, count(*) AS m FROM g GROUP BY 1), "
+            "kx AS (SELECT doc_id, pos, gh || lpad((999999 - pos)::VARCHAR, 6, '0') AS key FROM g), "
+            "sel AS (SELECT doc_id, pos, min(key) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey FROM kx), "
+            "f AS (SELECT DISTINCT s.doc_id, substr(skey, 1, 32) AS gh FROM sel s "
+            "JOIN m USING (doc_id) WHERE s.pos <= m.m - 4) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_fps "
+            "FROM f a JOIN f b ON a.gh = b.gh AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING count(*) >= 2"
         ),
         "winnow": (
             "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents), "

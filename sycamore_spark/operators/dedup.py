@@ -1009,6 +1009,42 @@ def winnowing_fingerprints(
     return picked.select(F.col("_id").alias(id_col), "pos", "gh")
 
 
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """MOSS's candidate generator on top of ``winnowing_fingerprints``:
+    document pairs sharing >= ``min_shared`` distinct fingerprint hashes
+    — local-overlap candidates (plagiarism, quoted passages, shared
+    boilerplate) that set-similarity misses when the overlap is a small
+    fraction of either document. Returns (id_a, id_b, shared_fps),
+    id_a < id_b.
+
+    Scale shape: the self-join runs over the SKETCH (density ~2/(w+1) of
+    corpus grams), never the corpus; at 100 TB, prune promiscuous
+    boilerplate hashes by document frequency first (the posting-list
+    discipline) so no single hash fans out quadratically.
+    """
+    fp = (
+        winnowing_fingerprints(df, id_col, text_col, k, w)
+        .select(F.col(id_col).alias("_fid"), "gh")
+        .distinct()
+    )
+    a = fp.select(F.col("_fid").alias("id_a"), "gh")
+    b = fp.select(F.col("_fid").alias("id_b"), "gh")
+    return (
+        a.join(b, "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= int(min_shared))
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -445,3 +445,19 @@ def test_winnowing_guarantee_shared_run(spark):
         docs.repartition(3), k=4, w=4
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_winnowing_overlap_pairs_finds_local_overlap(spark):
+    """A 7-token passage shared between two otherwise-different docs is
+    found; unrelated docs produce no pair."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unrelated preamble here {shared} and some tail"),
+            (2, f"{shared} followed by totally different material"),
+            (3, "nothing in common with anybody else at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.winnowing_overlap_pairs(docs, min_shared=1).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
