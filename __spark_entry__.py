@@ -5445,6 +5445,17 @@ def q_contamination(spark, sf) -> DataFrame:
     return textstats.ngram_contamination(docs, probes, n=3)
 
 
+def q_zipf_fit(spark, sf) -> DataFrame:
+    """Corpus-health triple per language (operators/textstats.py
+    zipf_stats): vocabulary size, hapax ratio, and the least-squares Zipf
+    slope of ln(freq) vs ln(rank) over the top-1000 terms — integer-milli
+    quantization makes every regression sum an exact bigint, so the
+    slope replays bit-for-bit in DuckDB. One corpus shuffle total."""
+    return textstats.zipf_stats(
+        _ds(spark, sf, "documents").to_df(), "lang", top_n=1000
+    )
+
+
 def q_fingerprint(spark, sf) -> DataFrame:
     return textstats.fingerprints(_ds(spark, sf, "documents").to_df())
 
@@ -7297,6 +7308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality": q_quality,
     "fingerprint": q_fingerprint,
+    "zipf_fit": q_zipf_fit,
     "repetition": q_repetition,
     "contamination": q_contamination,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -9897,6 +9909,23 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN event_id % 4 = 0 THEN "
             "(CASE WHEN qty_b <> 0 THEN rate_a / qty_b END) ELSE total_t END AS total_t "
             "FROM d"
+        ),
+        "zipf_fit": (
+            "WITH toks AS (SELECT lang AS stratum, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok "
+            "FROM documents), "
+            "tf AS (SELECT stratum, tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY 1, 2), "
+            "vocab AS (SELECT stratum, count(*)::BIGINT AS vocab_size, "
+            "sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax FROM tf GROUP BY 1), "
+            "rk AS (SELECT stratum, cnt, row_number() OVER (PARTITION BY stratum "
+            "ORDER BY cnt DESC, tok ASC) AS r FROM tf), "
+            "top AS (SELECT stratum, CAST(floor(ln(r::DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS x, "
+            "CAST(floor(ln(cnt::DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS y FROM rk WHERE r <= 1000), "
+            "reg AS (SELECT stratum, count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS sx, "
+            "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, "
+            "CAST(sum(x * x) AS BIGINT) AS sxx FROM top GROUP BY 1) "
+            "SELECT v.stratum, v.vocab_size, v.hapax::DOUBLE / v.vocab_size AS hapax_ratio, "
+            "(n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS zipf_slope "
+            "FROM vocab v JOIN reg r ON v.stratum = r.stratum"
         ),
         "fingerprint": (
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint FROM documents"

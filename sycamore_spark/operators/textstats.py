@@ -618,3 +618,76 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi_micros").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(top_k)
+
+
+def zipf_stats(
+    df: DataFrame,
+    stratum: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Corpus-health statistics per stratum: vocabulary size, hapax ratio
+    (types occurring once — high on noisy/OCR corpora, low on
+    boilerplate-heavy ones), and the fitted Zipf slope — the least-squares
+    slope of ln(frequency) against ln(rank) over the ``top_n`` most
+    frequent terms (natural text sits near -1; spam/templated corpora
+    deviate sharply). The triple every dataset card reports.
+
+    Cross-engine bit-replay: ln(rank) and ln(count) quantize to integer
+    MILLIS, so all regression sums (Sx, Sy, Sxy, Sxx) are exact bigints
+    (top_n=1000 keeps n*Sxy well under 2^63) and the slope is one double
+    division of exact integers. Rank ties break on the term string, so
+    the top-n cut is deterministic in any engine.
+
+    Scale shape: one (stratum, term) hash agg over the corpus (map-side
+    combined), one per-stratum count agg for vocab/hapax, a per-stratum
+    rank window over the already-aggregated term table, and a final
+    stratum-row agg. The corpus shuffles once.
+    """
+    from pyspark.sql.window import Window
+
+    from sycamore_spark.functions import text as T
+
+    toks = df.select(
+        F.col(stratum).alias("stratum"),
+        F.explode(T.tokens(F.col(text_col))).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    tf = toks.groupBy("stratum", "_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    vocab = tf.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("_cnt") == 1).cast("long")).alias("_hapax"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("stratum").orderBy(F.col("_cnt").desc(), F.col("_tok").asc())
+    )
+    millis = lambda c: F.floor(F.log(c) * F.lit(1000.0) + F.lit(0.5)).cast("long")  # noqa: E731
+    top = (
+        tf.withColumn("_rk", rk)
+        .filter(F.col("_rk") <= int(top_n))
+        .select(
+            "stratum",
+            millis(F.col("_rk").cast("double")).alias("_x"),
+            millis(F.col("_cnt").cast("double")).alias("_y"),
+        )
+    )
+    reg = top.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    slope = (
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+        / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    )
+    return (
+        vocab.join(reg, "stratum")
+        .select(
+            "stratum",
+            "vocab_size",
+            (F.col("_hapax").cast("double") / F.col("vocab_size")).alias("hapax_ratio"),
+            slope.alias("zipf_slope"),
+        )
+    )

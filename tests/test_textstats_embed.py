@@ -332,3 +332,24 @@ def test_script_ratios(spark):
     assert got[3].digit_frac == 0.8 and got[3].space_frac == 0.2
     assert got[4].latin_frac == 0.0 and got[4].n_chars == 0
     assert got[5].n_chars is None  # null text propagates
+
+
+def test_zipf_stats_slope_and_hapax(spark):
+    """A perfect Zipf corpus (freq ~ C/rank) fits slope ~= -1; hapax ratio
+    counts singleton types exactly."""
+    from sycamore_spark.operators import textstats
+
+    rows = []
+    # 20 types with freq = 240 // rank (Zipfian); 10 singleton types
+    for r in range(1, 21):
+        rows += [(f"w{r:02d}",)] * (240 // r)
+    rows += [(f"rare{i}",) for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, "en", " ".join(w for (w,) in rows))], "doc_id long, lang string, text string"
+    )
+    out = textstats.zipf_stats(docs, "lang", top_n=20).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.vocab_size == 30
+    assert abs(r.hapax_ratio - 10 / 30) < 1e-12
+    assert -1.12 < r.zipf_slope < -0.88
