@@ -360,13 +360,58 @@ class DocSet:
 
         return self._wrap(corpus_diff(old.df, self.df, id_col, fp_col))
 
-    def mixture_plan(self, stratum: str, target: dict) -> "DocSet":
+    def mixture_plan(self, stratum: str, target: dict,
+                     weight_col: str | None = None) -> "DocSet":
         """Downsampling plan achieving a target mixture — feed the result's
-        keep fractions into stratified_sample (operators/sampling.py
-        mixture_plan)."""
+        keep fractions into stratified_sample; pass weight_col for a
+        token-denominated plan (operators/sampling.py mixture_plan)."""
         from sycamore_spark.operators.sampling import mixture_plan
 
-        return self._wrap(mixture_plan(self.df, stratum, target))
+        return self._wrap(mixture_plan(self.df, stratum, target, weight_col=weight_col))
+
+    def dsir_select(self, target: "DocSet", k: int, id_col: str = "doc_id",
+                    text_col: str = "text", n_buckets: int = 4096) -> "DocSet":
+        """Top-k most target-like documents by DSIR importance weight
+        (Xie et al. 2023; operators/sampling.py dsir_select)."""
+        from sycamore_spark.operators.sampling import dsir_select
+
+        return self._wrap(dsir_select(
+            self.df, target.df, k, id_col=id_col, text_col=text_col,
+            n_buckets=n_buckets,
+        ))
+
+    def soft_dedup(self, pairs: "DocSet | None" = None, pairs_df=None,
+                   id_col: str = "doc_id") -> "DocSet":
+        """Keep each near-dup cluster member with probability 1/|cluster|
+        (one expected copy per cluster, content-addressed —
+        operators/dedup.py soft_dedup)."""
+        from sycamore_spark.operators.dedup import soft_dedup
+
+        p = pairs.df if pairs is not None else pairs_df
+        return self._wrap(soft_dedup(self.df, p, id_col))
+
+    def decontaminate(self, probes: "DocSet", id_col: str = "doc_id",
+                      text_col: str = "text", min_len: int = 8) -> "DocSet":
+        """Cut every token span whose min_len-grams leak from the probe/
+        eval corpus (operators/dedup.py contamination_spans +
+        remove_token_spans)."""
+        from sycamore_spark.operators.dedup import (
+            contamination_spans,
+            remove_token_spans,
+        )
+
+        spans = contamination_spans(self.df, probes.df, id_col, text_col, min_len)
+        return self._wrap(remove_token_spans(self.df, spans, id_col, text_col))
+
+    def winnow_pairs(self, id_col: str = "doc_id", text_col: str = "text",
+                     k: int = 4, w: int = 4, min_shared: int = 2) -> "DocSet":
+        """Local-overlap candidate pairs from winnowing fingerprints
+        (MOSS; operators/dedup.py winnowing_overlap_pairs)."""
+        from sycamore_spark.operators.dedup import winnowing_overlap_pairs
+
+        return self._wrap(winnowing_overlap_pairs(
+            self.df, id_col, text_col, k=k, w=w, min_shared=min_shared
+        ))
 
     def ewma(self, key_col: str, order_col: str, value_col: str,
              alpha: float = 0.1) -> "DocSet":

@@ -216,3 +216,41 @@ def test_fluent_round4_delegates(spark):
         "doc_id int, embedding array<double>"))
     sd = emb.semantic_dedup([[1.0, 0.0], [0.0, 1.0]], threshold=0.99).to_df()
     assert {(r.doc_id, r.keep) for r in sd.collect()} == {(1, True), (2, False), (3, True)}
+
+
+def test_docset_fluent_curation_wrappers(spark):
+    """Round-10 fluent additions: dsir_select / soft_dedup / decontaminate /
+    winnow_pairs wrap their operators with DocSet in/out."""
+    import sycamore_spark as ss
+
+    docs = ss.DocSet(
+        spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "alpha beta gamma delta epsilon zeta eta iota"),
+                (3, "totally different words in this one here now"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    target = ss.DocSet(
+        spark.createDataFrame(
+            [(9, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+    )
+    top = docs.dsir_select(target, 2).to_df().collect()
+    assert {r.doc_id for r in top} <= {1, 2} and len(top) == 2
+
+    pairs = ss.DocSet(
+        spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    )
+    sd = {r.doc_id: r for r in docs.soft_dedup(pairs).to_df().collect()}
+    assert sd[1].cluster_size == 2 and sd[3].cluster_size == 1
+
+    clean = {r.doc_id: r for r in docs.decontaminate(target, min_len=4).to_df().collect()}
+    assert clean[3].n_tokens_after == clean[3].n_tokens_before
+    assert clean[1].n_tokens_after < clean[1].n_tokens_before
+
+    wp = docs.winnow_pairs(min_shared=1).to_df().collect()
+    assert {(r.id_a, r.id_b) for r in wp} == {(1, 2)}
