@@ -5445,6 +5445,18 @@ def q_contamination(spark, sf) -> DataFrame:
     return textstats.ngram_contamination(docs, probes, n=3)
 
 
+def q_paragraph_filter(spark, sf) -> DataFrame:
+    """CCNet-style paragraph-level LM filtering (operators/textstats.py
+    paragraph_lm_filter): 10-token segments scored by the corpus-trained
+    bigram LM; segments below the corpus 25th-percentile average
+    log-prob are cut and the survivors rejoined per doc. Integer-micro
+    LM scores + the exact-percentile threshold replay bit-for-bit in
+    DuckDB."""
+    return textstats.paragraph_lm_filter(
+        _ds(spark, sf, "documents").to_df(), window=10, keep_quantile=0.25
+    )
+
+
 def q_zipf_fit(spark, sf) -> DataFrame:
     """Corpus-health triple per language (operators/textstats.py
     zipf_stats): vocabulary size, hapax ratio, and the least-squares Zipf
@@ -7309,6 +7321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality": q_quality,
     "fingerprint": q_fingerprint,
     "zipf_fit": q_zipf_fit,
+    "paragraph_filter": q_paragraph_filter,
     "repetition": q_repetition,
     "contamination": q_contamination,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -9909,6 +9922,31 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN event_id % 4 = 0 THEN "
             "(CASE WHEN qty_b <> 0 THEN rate_a / qty_b END) ELSE total_t END AS total_t "
             "FROM d"
+        ),
+        "paragraph_filter": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents), "
+            "wins AS (SELECT doc_id, i::BIGINT AS widx, "
+            "array_to_string(tk[(i * 10 + 1):(i * 10 + 10)], ' ') AS wtext, "
+            "doc_id * 1048576 + i AS wid FROM t, "
+            "unnest(generate_series(0, CAST(ceil(len(tk) / 10.0) AS INT) - 1)) AS u(i)), "
+            "toks AS (SELECT wid, regexp_split_to_array(lower(trim(wtext)), '\\s+') AS ws FROM wins), "
+            "bg AS (SELECT wid, ws[j] AS w1, ws[j + 1] AS w2 FROM toks, "
+            "unnest(generate_series(1, len(ws) - 1)) AS tt(j) WHERE len(ws) >= 2), "
+            "bc AS (SELECT w1, w2, count(*) AS cbig FROM bg GROUP BY 1, 2), "
+            "cc AS (SELECT w1, count(*) AS cctx FROM bg GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT w) AS v FROM "
+            "(SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)), "
+            "s AS (SELECT wid, CAST(floor(ln((cbig + 1.0) / (cctx + v)) * 1000000.0 + 0.5) AS BIGINT) AS m "
+            "FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v), "
+            "sc AS (SELECT wid, sum(m)::DOUBLE / 1000000.0 / count(*) AS avg_logprob FROM s GROUP BY 1), "
+            "thr AS (SELECT quantile_cont(avg_logprob, 0.25) AS thr FROM sc), "
+            "tagged AS (SELECT w.doc_id, w.widx, w.wtext, "
+            "(sc.avg_logprob IS NULL OR sc.avg_logprob >= thr) AS keep "
+            "FROM wins w LEFT JOIN sc ON w.wid = sc.wid CROSS JOIN thr) "
+            "SELECT doc_id, count(*)::BIGINT AS n_windows, "
+            "sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept, "
+            "coalesce(string_agg(CASE WHEN keep THEN wtext END, ' ' ORDER BY widx), '') AS clean_text "
+            "FROM tagged GROUP BY doc_id"
         ),
         "zipf_fit": (
             "WITH toks AS (SELECT lang AS stratum, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok "

@@ -691,3 +691,90 @@ def zipf_stats(
             slope.alias("zipf_slope"),
         )
     )
+
+
+def paragraph_lm_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+    keep_quantile: float = 0.25,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """CCNet-style PARAGRAPH-level quality filtering: instead of dropping
+    whole documents on a bad perplexity score, each document is split
+    into fixed ``window``-token segments, every segment is scored by the
+    corpus-trained bigram LM (``ngram_lm_score``), and segments whose
+    average log-probability falls below the corpus ``keep_quantile`` are
+    cut — the boilerplate/gibberish stripping pass of the CCNet pipeline
+    (Wenzek et al. 2020), at segment granularity because noise is local.
+
+    Segments too short to score (fewer than 2 tokens — no bigram) are
+    kept: they carry no fluency evidence. Returns the input ids plus
+    (n_windows, n_kept, out_col) where ``out_col`` is the kept segments
+    rejoined in order (whitespace-normalized lowercase, the ``T.tokens``
+    contract).
+
+    Scale shape: the segment explode is linear; the LM fit is the
+    ngram_lm_score corpus aggs; the threshold is ONE exact-percentile
+    scalar broadcast back (at 100 TB switch to approx_percentile); the
+    reassembly is one per-doc agg. Segment ids pack (doc, idx) into one
+    bigint (idx < 2^20 by contract, like dup_spans positions).
+    """
+    from sycamore_spark.functions import text as T
+
+    P = int(window)
+    toks = T.tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+    nwin = F.ceil(F.col("_n") / F.lit(P)).cast("int")
+    wins = base.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nwin - 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("widx"),
+                    F.array_join(F.slice(F.col("_t"), i * P + 1, P), " ").alias("wtext"),
+                ),
+            )
+        ).alias("_w"),
+    ).select(
+        "_id",
+        F.col("_w.widx").alias("_widx"),
+        F.col("_w.wtext").alias("_wtext"),
+        (F.col("_id").cast("long") * F.lit(1 << 20).cast("long") + F.col("_w.widx")).alias("_wid"),
+    )
+    scored = ngram_lm_score(wins, id_col="_wid", text_col="_wtext").select(
+        "_wid", "avg_logprob"
+    )
+    thresh = scored.agg(
+        F.percentile(F.col("avg_logprob"), F.lit(float(keep_quantile))).alias("_thr")
+    )
+    tagged = (
+        wins.join(scored, "_wid", "left")
+        .crossJoin(F.broadcast(thresh))
+        .withColumn(
+            "_keep",
+            F.col("avg_logprob").isNull() | (F.col("avg_logprob") >= F.col("_thr")),
+        )
+    )
+    return (
+        tagged.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_widx", "_wtext"))
+                        )
+                    ),
+                    lambda s: s["_wtext"],
+                ),
+                " ",
+            ).alias(out_col),
+        )
+    )

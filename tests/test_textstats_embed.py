@@ -353,3 +353,34 @@ def test_zipf_stats_slope_and_hapax(spark):
     assert r.vocab_size == 30
     assert abs(r.hapax_ratio - 10 / 30) < 1e-12
     assert -1.12 < r.zipf_slope < -0.88
+
+
+def test_paragraph_lm_filter_cuts_gibberish_window(spark):
+    """A doc whose middle 10-token window is shuffled gibberish loses
+    exactly that window; fluent docs pass intact."""
+    from sycamore_spark.operators import textstats
+
+    fluent = "the cat sat on the mat and then the cat"
+    gib = "zq xv qq vx zz qv xz vq zx xq"
+    docs = spark.createDataFrame(
+        [(i, f"{fluent} {gib} {fluent}") for i in range(3)]
+        + [(10 + i, f"{fluent} {fluent} {fluent}") for i in range(9)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.paragraph_lm_filter(docs, window=10).collect()}
+    for i in range(3):
+        assert out[i].n_windows == 3 and out[i].n_kept == 2
+        assert out[i].clean_text == f"{fluent} {fluent}"
+    for i in range(10, 19):
+        assert out[i].n_kept == out[i].n_windows == 3
+
+
+def test_paragraph_lm_filter_short_windows_kept(spark):
+    from sycamore_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in textstats.paragraph_lm_filter(docs, window=10).collect()}
+    assert out[1].n_kept == 1 and out[1].clean_text == "solo"
+    assert out[2].n_windows == 1
