@@ -746,6 +746,13 @@ def paragraph_lm_filter(
         F.col("_w.wtext").alias("_wtext"),
         (F.col("_id").cast("long") * F.lit(1 << 20).cast("long") + F.col("_w.widx")).alias("_wid"),
     )
+    # the window table feeds the LM fit (which references it several times),
+    # the scoring join, and the reassembly — cut the lineage once so the
+    # corpus explode doesn't re-execute per branch (the containment_lsh /
+    # CDC-delta discipline)
+    from sycamore_spark.functions.partitioning import lineage_cut
+
+    wins = lineage_cut(wins)
     scored = ngram_lm_score(wins, id_col="_wid", text_col="_wtext").select(
         "_wid", "avg_logprob"
     )
