@@ -191,7 +191,21 @@ HEADLINE = [
     "bm25_serve",
     "hybrid_serve",
     "index_rebucket",
+    # round-10 session-3 additions: data-selection / decontamination /
+    # fingerprinting / corpus-stats suite
+    "dsir_weights",
+    "cluster_cap",
+    "mixture_tokens",
+    "contamination_spans",
+    "decontaminate",
+    "winnow",
+    "winnow_pairs",
+    "zipf_fit",
+    "paragraph_filter",
 ]
+# soft_dedup / split_leakage excluded: they consume the correctness-tier
+# exact jaccard pair table (like dedup_cc/dedup_profile); their scale path
+# is the same pairs from minhash LSH, already benched via dedup_minhash
 # dedup_profile excluded: composes the correctness-tier exact jaccard pairs
 # containment_lsh excluded: like containment, its sf0.1 output is the 2.2M
 # true pairs of this template-heavy corpus (output-bound; PERF.md r6 records
