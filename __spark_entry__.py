@@ -8745,7 +8745,7 @@ def oracle_sql() -> dict[str, str]:
             "g AS (SELECT doc_id, (i - 1)::BIGINT AS pos, "
             "md5(array_to_string(tk[i:i+3], chr(31))) AS gh FROM ix), "
             "m AS (SELECT doc_id, count(*) AS m FROM g GROUP BY 1), "
-            "kx AS (SELECT doc_id, pos, gh || lpad((999999 - pos)::VARCHAR, 6, '0') AS key FROM g), "
+            "kx AS (SELECT doc_id, pos, gh || lpad((999999999 - pos)::VARCHAR, 9, '0') AS key FROM g), "
             "sel AS (SELECT doc_id, pos, min(key) OVER (PARTITION BY doc_id ORDER BY pos "
             "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey FROM kx), "
             "f AS (SELECT DISTINCT s.doc_id, substr(skey, 1, 32) AS gh FROM sel s "
@@ -8760,10 +8760,10 @@ def oracle_sql() -> dict[str, str]:
             "g AS (SELECT doc_id, (i - 1)::BIGINT AS pos, "
             "md5(array_to_string(tk[i:i+3], chr(31))) AS gh FROM ix), "
             "m AS (SELECT doc_id, count(*) AS m FROM g GROUP BY 1), "
-            "kx AS (SELECT doc_id, pos, gh || lpad((999999 - pos)::VARCHAR, 6, '0') AS key FROM g), "
+            "kx AS (SELECT doc_id, pos, gh || lpad((999999999 - pos)::VARCHAR, 9, '0') AS key FROM g), "
             "sel AS (SELECT doc_id, pos, min(key) OVER (PARTITION BY doc_id ORDER BY pos "
             "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey FROM kx) "
-            "SELECT DISTINCT s.doc_id, (999999 - substr(skey, 33, 6)::BIGINT) AS pos, "
+            "SELECT DISTINCT s.doc_id, (999999999 - substr(skey, 33, 9)::BIGINT) AS pos, "
             "substr(skey, 1, 32) AS gh FROM sel s JOIN m USING (doc_id) WHERE s.pos <= m.m - 4"
         ),
         "decontaminate": (

@@ -979,9 +979,11 @@ def winnowing_fingerprints(
     for candidate local-overlap pairs.
 
     Cross-engine-exact tie rule: the window min runs over the single
-    string key ``gh || lpad(999999 - pos)`` — ASCII comparison gives
+    string key ``gh || lpad(999999999 - pos, 9)`` — ASCII comparison gives
     min-hash-then-rightmost-position in ONE min(), bit-replayable in any
-    engine. One linear explode + one window shuffle on the doc id.
+    engine (positions < 1e9 per document by contract, same class as
+    dup_spans' packed-key bound). One linear explode + one window shuffle
+    on the doc id.
     """
     from pyspark.sql.window import Window
 
@@ -990,7 +992,7 @@ def winnowing_fingerprints(
     cnt = F.count(F.lit(1)).over(Window.partitionBy("_id"))
     key = F.concat(
         F.col("_gh"),
-        F.lpad((F.lit(999_999) - F.col("_pos")).cast("string"), 6, "0"),
+        F.lpad((F.lit(999_999_999) - F.col("_pos")).cast("string"), 9, "0"),
     )
     sel = F.min(key).over(
         Window.partitionBy("_id").orderBy("_pos").rowsBetween(0, int(w) - 1)
@@ -1001,7 +1003,7 @@ def winnowing_fingerprints(
         .filter(F.col("_pos") <= F.col("_m") - F.lit(int(w)))
         .select(
             "_id",
-            (F.lit(999_999) - F.substring("_key", 33, 6).cast("long")).alias("pos"),
+            (F.lit(999_999_999) - F.substring("_key", 33, 9).cast("long")).alias("pos"),
             F.substring("_key", 1, 32).alias("gh"),
         )
         .distinct()
