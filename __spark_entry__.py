@@ -7115,14 +7115,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_serve": q_bm25_serve,
     "hybrid_serve": q_hybrid_serve,
     "index_rebucket": q_index_rebucket,
-    # -- stalest driver greens --
-    "dedup_cc": q_dedup_cc,
     "soft_dedup": q_soft_dedup,
     "contamination_spans": q_contamination_spans,
     "decontaminate": q_decontaminate,
     "winnow": q_winnow,
     "winnow_pairs": q_winnow_pairs,
     "split_leakage": q_split_leakage,
+    "mixture_tokens": q_mixture_tokens,
+    "dsir_weights": q_dsir_weights,
+    "cluster_cap": q_cluster_cap,
+    "zipf_fit": q_zipf_fit,
+    "paragraph_filter": q_paragraph_filter,
+    # -- stalest driver greens --
+    "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
     "window_analytics": q_window_analytics,
@@ -7140,7 +7145,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_join": q_bucketed_join,
     "attribution": q_attribution,
     "mixture_plan": q_mixture_plan,
-    "mixture_tokens": q_mixture_tokens,
     "ewma": q_ewma,
     "xycut": q_xycut,
     "lm_score": q_lm_score,
@@ -7153,6 +7157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duckdb_roundtrip": q_duckdb_roundtrip,
     "binary_scan": q_binary_scan,
     "table_props": q_table_props,
+    # -- fresher greens (rotate next round) --
     "summarize_images": q_summarize_images,
     "query_dataflow": q_query_dataflow,
     "stream_window": q_stream_window,
@@ -7173,7 +7178,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "cdc_snapshot": q_cdc_snapshot,
-    # -- fresher greens (rotate next round) --
     "hybrid_search": q_hybrid_search,
     "ann_store_compact": q_ann_store_compact,
     "ann_filtered": q_ann_filtered,
@@ -7243,7 +7247,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_schemas": q_merge_schemas,
     "spread_properties": q_spread_properties,
     "hash_sample": q_hash_sample,
-    "dsir_weights": q_dsir_weights,
     "pack_shards": q_pack_shards,
     "redact_pii": q_redact_pii,
     "concat_shards": q_concat_shards,
@@ -7268,7 +7271,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "custom_agg": q_custom_agg,
     "tpch_q18": q_tpch_q18,
     "kmeans": q_kmeans,
-    "cluster_cap": q_cluster_cap,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q12": q_tpch_q12,
@@ -7320,8 +7322,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality": q_quality,
     "fingerprint": q_fingerprint,
-    "zipf_fit": q_zipf_fit,
-    "paragraph_filter": q_paragraph_filter,
     "repetition": q_repetition,
     "contamination": q_contamination,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
