@@ -241,3 +241,47 @@ def test_round9_operators_empty(spark):
     cents = [[0, 0, 0, 0]]
     out = ivf_pq_topk_multi(q0, enc, cents, books, k=3)
     assert out.count() == 0
+
+
+def test_round10_session3_operators_empty(spark):
+    from sycamore_spark.operators import textstats
+    from sycamore_spark.operators.dedup import (
+        contamination_spans,
+        remove_token_spans,
+        soft_dedup,
+        split_leakage,
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+    from sycamore_spark.operators.sampling import dsir_importance, dsir_select
+
+    docs = _empty(spark, "doc_id long, text string")
+    probe = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    pairs = _empty(spark, "id_a long, id_b long")
+    spans = _empty(spark, "doc_id long, span_start long, span_end long, n_hit_grams long")
+
+    # empty corpus everywhere
+    assert dsir_importance(docs, probe).count() == 0
+    assert dsir_select(docs, probe, 5).count() == 0
+    assert contamination_spans(docs, probe, min_len=4).count() == 0
+    assert remove_token_spans(docs, spans).count() == 0
+    assert winnowing_fingerprints(docs).count() == 0
+    assert winnowing_overlap_pairs(docs).count() == 0
+    assert soft_dedup(docs, pairs, "doc_id").count() == 0
+    assert textstats.zipf_stats(_empty(spark, "doc_id long, lang string, text string"), "lang").count() == 0
+    assert textstats.paragraph_lm_filter(docs).count() == 0
+
+    # empty probe / empty pairs against a real corpus
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id long, text string"
+    )
+    assert contamination_spans(corpus, docs, min_len=4).count() == 0
+    cleaned = remove_token_spans(corpus, spans).collect()[0]
+    assert cleaned.n_tokens_after == cleaned.n_tokens_before == 6
+    sd = soft_dedup(corpus, pairs, "doc_id").collect()[0]
+    assert sd.cluster_size == 1 and sd.kept
+    split = corpus.withColumn("split", F.lit("train"))
+    assert split_leakage(split, pairs, "split").count() == 0
+    # empty target corpus: every raw weight is computable (target counts 0)
+    w = dsir_importance(corpus, docs).collect()
+    assert len(w) == 1 and w[0].n_features == 11
