@@ -524,6 +524,29 @@ def q_nb_classify(spark, sf) -> DataFrame:
     return nb_classify(docs, token_model, label_model, "doc_id", "text")
 
 
+def q_domain_classifier(spark, sf) -> DataFrame:
+    """The GPT-3/CCNet classifier-based quality-filtering recipe: train a
+    Naive-Bayes text classifier to separate the TARGET domain (here 'de'
+    docs, the curated exemplar set) from a deterministic 30% hash-sample
+    of the rest ('random web' negatives), then score EVERY corpus doc —
+    keep/weight by the predicted label downstream. Pure composition of
+    gated pieces (hash_sample + nb_train/nb_classify); training is
+    subset-sized, scoring is one pass; every log-prob is integer micros
+    so the whole recipe replays in SQL."""
+    from sycamore_spark.operators.classify import nb_classify, nb_train
+    from sycamore_spark.operators.sampling import hash_sample
+
+    docs = _ds(spark, sf, "documents").to_df()
+    target = docs.filter(F.col("lang") == "de").select(
+        F.lit("target").alias("lbl"), "doc_id", "text"
+    )
+    neg = hash_sample(docs.filter(F.col("lang") != "de"), "doc_id", 0.3).select(
+        F.lit("other").alias("lbl"), "doc_id", "text"
+    )
+    tm, lm = nb_train(target.unionByName(neg), "lbl", "text")
+    return nb_classify(docs, tm, lm, "doc_id", "text")
+
+
 def q_stream_stats(spark, sf) -> DataFrame:
     """Streaming stats maintenance (streaming/stats.py): the documents
     table replayed as an 8-file stream, 2 files per micro-batch, each
@@ -7206,6 +7229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_stats": q_incremental_stats,
     "stream_stats": q_stream_stats,
     "nb_classify": q_nb_classify,
+    "domain_classifier": q_domain_classifier,
     "clip_outliers": q_clip_outliers,
     "truncate": q_truncate,
     "top_per_group": q_top_per_group,
@@ -8310,6 +8334,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(CASE WHEN len(toks) <= 30 THEN text "
             "ELSE array_to_string(list_slice(toks, 1, 30), ' ') END) AS cut_md5, "
             "least(len(toks), 30)::BIGINT AS n_tokens_kept FROM t"
+        ),
+        "domain_classifier": (
+            "WITH train AS (SELECT 'target' AS lbl, doc_id, text FROM documents WHERE lang = 'de' "
+            "UNION ALL SELECT 'other', doc_id, text FROM documents WHERE lang <> 'de' "
+            "AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 300000), "
+            "ttoks AS (SELECT lbl, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM train), "
+            "t2 AS (SELECT * FROM ttoks WHERE length(tok) > 0), "
+            "pair AS (SELECT lbl, tok, count(*)::BIGINT AS clt FROM t2 GROUP BY 1, 2), "
+            "lt AS (SELECT lbl, count(*)::BIGINT AS cl FROM t2 GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM t2), "
+            "tm AS (SELECT lbl, tok, CAST(floor(ln((clt + 1.0) / CAST(cl + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp "
+            "FROM pair JOIN lt USING (lbl), v), "
+            "nd AS (SELECT lbl, count(*)::BIGINT AS ndl FROM train GROUP BY 1), "
+            "n AS (SELECT count(*)::BIGINT AS n FROM train), "
+            "lm AS (SELECT lt.lbl, "
+            "CAST(floor(ln(CAST(ndl AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT) AS prior, "
+            "CAST(floor(ln(1.0 / CAST(cl + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS dflt "
+            "FROM lt JOIN nd USING (lbl), v, n), "
+            "dtoks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), "
+            "d2 AS (SELECT * FROM dtoks WHERE length(tok) > 0), "
+            "tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM d2 GROUP BY 1, 2), "
+            "sc AS (SELECT doc_id, lm.lbl, CAST(prior + sum(tf * coalesce(lp, dflt)) AS BIGINT) AS score "
+            "FROM tf CROSS JOIN lm LEFT JOIN tm ON tm.lbl = lm.lbl AND tm.tok = tf.tok "
+            "GROUP BY 1, 2, prior), "
+            "r AS (SELECT doc_id, lbl, score, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY score DESC, lbl ASC) AS rn FROM sc) "
+            "SELECT doc_id, lbl AS label, score AS score_micros FROM r WHERE rn = 1"
         ),
         "nb_classify": (
             "WITH toks AS (SELECT doc_id, lang, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok "

@@ -33,6 +33,8 @@ ALLOW_BNL = {
     "nb_classify",      # label-model expansion: build side = one row per class
                         # (bounded, kilobytes) + vocab/total scalars; streamed
                         # O(n x |labels|) — the standard NB scoring shape
+    "domain_classifier",  # same NB scoring shape (2-row label model), composed
+                          # with hash-sampled training — see nb_classify
 }
 ALLOW_CARTESIAN = {"ann_ivf"}  # same tiny routing join
 
