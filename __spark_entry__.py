@@ -7149,6 +7149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_cap": q_cluster_cap,
     "zipf_fit": q_zipf_fit,
     "paragraph_filter": q_paragraph_filter,
+    "domain_classifier": q_domain_classifier,
     # -- stalest driver greens --
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
@@ -7179,8 +7180,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_query": q_llm_query,
     "duckdb_roundtrip": q_duckdb_roundtrip,
     "binary_scan": q_binary_scan,
-    "table_props": q_table_props,
     # -- fresher greens (rotate next round) --
+    "table_props": q_table_props,
     "summarize_images": q_summarize_images,
     "query_dataflow": q_query_dataflow,
     "stream_window": q_stream_window,
@@ -7229,7 +7230,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_stats": q_incremental_stats,
     "stream_stats": q_stream_stats,
     "nb_classify": q_nb_classify,
-    "domain_classifier": q_domain_classifier,
     "clip_outliers": q_clip_outliers,
     "truncate": q_truncate,
     "top_per_group": q_top_per_group,

@@ -202,6 +202,7 @@ HEADLINE = [
     "winnow_pairs",
     "zipf_fit",
     "paragraph_filter",
+    "domain_classifier",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

@@ -413,6 +413,24 @@ class DocSet:
             self.df, id_col, text_col, k=k, w=w, min_shared=min_shared
         ))
 
+    def zipf_stats(self, stratum: str, top_n: int = 1000) -> "DocSet":
+        """Per-stratum corpus health: vocab size, hapax ratio, Zipf slope
+        (operators/textstats.py zipf_stats)."""
+        from sycamore_spark.operators.textstats import zipf_stats
+
+        return self._wrap(zipf_stats(self.df, stratum, top_n=top_n))
+
+    def paragraph_filter(self, window: int = 10, keep_quantile: float = 0.25,
+                         id_col: str = "doc_id", text_col: str = "text") -> "DocSet":
+        """CCNet-style paragraph-level LM filtering: cut low-fluency
+        segments, keep the rest of each doc (operators/textstats.py
+        paragraph_lm_filter)."""
+        from sycamore_spark.operators.textstats import paragraph_lm_filter
+
+        return self._wrap(paragraph_lm_filter(
+            self.df, id_col, text_col, window=window, keep_quantile=keep_quantile
+        ))
+
     def ewma(self, key_col: str, order_col: str, value_col: str,
              alpha: float = 0.1) -> "DocSet":
         """Per-key EWMA drift signal (operators/monitor.py ewma_by_key)."""
