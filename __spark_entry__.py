@@ -769,6 +769,59 @@ def q_decontaminate(spark, sf) -> DataFrame:
     )
 
 
+def q_curation_e2e(spark, sf) -> DataFrame:
+    """The CURATION CAPSTONE — the modern LLM-pretraining data pipeline
+    end-to-end under ONE oracle: (1) exact span decontamination of the
+    training corpus (doc_id >= 20) against the probe/eval set (< 20) —
+    contamination_spans + remove_token_spans at 4-grams; (2) soft dedup
+    over the CLEANED text with winnowing local-overlap pairs as the
+    sketch-scale duplicate signal (>= 2 shared fingerprints -> connected
+    components -> keep each member at probability 1/|cluster|, content-
+    addressed); (3) a token-denominated mixture summary per language of
+    the surviving corpus (the 50/25/25 en/de/fr recipe). Output: one
+    data-card row per language — docs kept, tokens kept, mixture keep
+    fraction and expected token budget. Every stage is individually
+    gated; this gate proves they COMPOSE. Corpus-scale work: one explode
+    per stage + the sketch self-join; no quadratic pair generation
+    anywhere (unlike the jaccard-based soft_dedup gate, this composition
+    is bench-includable)."""
+    from sycamore_spark.operators.sampling import mixture_plan
+
+    docs = _ds(spark, sf, "documents").to_df()
+    probes = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+
+    spans = dedup.contamination_spans(corpus, probes, "doc_id", "text", min_len=4)
+    clean = dedup.remove_token_spans(corpus, spans, "doc_id", "text")
+
+    clean_docs = clean.select("doc_id", "lang", F.col("clean_text"), "n_tokens_after")
+    pairs = dedup.winnowing_overlap_pairs(
+        clean_docs, "doc_id", "clean_text", k=4, w=4, min_shared=2
+    )
+    kept = dedup.soft_dedup(clean_docs, pairs.select("id_a", "id_b"), "doc_id").filter(
+        F.col("kept")
+    )
+    return (
+        mixture_plan(
+            kept, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25},
+            weight_col="n_tokens_after",
+        )
+        .withColumnRenamed("cnt", "tokens_kept")
+        .withColumnRenamed("expected_rows", "expected_tokens")
+        .join(
+            kept.groupBy(F.col("lang").alias("stratum")).agg(
+                F.count(F.lit(1)).alias("docs_kept")
+            ),
+            "stratum",
+        )
+        .select(
+            "stratum", "docs_kept", "tokens_kept", "target_share",
+            "keep_fraction", "expected_tokens",
+        )
+        .orderBy("stratum")
+    )
+
+
 def q_soft_dedup(spark, sf) -> DataFrame:
     """Soft deduplication (operators/dedup.py soft_dedup): near-dup
     clusters (exact jaccard >= 0.95 -> connected components) keep each
@@ -7139,6 +7192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_serve": q_hybrid_serve,
     "index_rebucket": q_index_rebucket,
     "soft_dedup": q_soft_dedup,
+    "curation_e2e": q_curation_e2e,
     "contamination_spans": q_contamination_spans,
     "decontaminate": q_decontaminate,
     "winnow": q_winnow,
@@ -7179,8 +7233,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reduce_summary": q_reduce_summary,
     "llm_query": q_llm_query,
     "duckdb_roundtrip": q_duckdb_roundtrip,
-    "binary_scan": q_binary_scan,
     # -- fresher greens (rotate next round) --
+    "binary_scan": q_binary_scan,
     "table_props": q_table_props,
     "summarize_images": q_summarize_images,
     "query_dataflow": q_query_dataflow,
@@ -8853,6 +8907,56 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM w1) "
             "SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 4)::BIGINT AS span_end, "
             "count(*)::BIGINT AS n_hit_grams FROM w2 GROUP BY doc_id, isl"
+        ),
+        "curation_e2e": (
+            "WITH RECURSIVE t AS (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents), "
+            "ix AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 2)) AS i FROM t WHERE len(tk) >= 4), "
+            "g AS (SELECT doc_id, (i - 1)::BIGINT AS pos, md5(array_to_string(tk[i:i+3], chr(31))) AS gh FROM ix), "
+            "pg AS (SELECT DISTINCT gh FROM g WHERE doc_id < 20), "
+            "mk AS (SELECT doc_id, pos FROM g WHERE doc_id >= 20 AND gh IN (SELECT gh FROM pg)), "
+            "w1 AS (SELECT *, max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM mk), "
+            "w2 AS (SELECT *, sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM w1), "
+            "spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e FROM w2 GROUP BY doc_id, isl), "
+            "tk2 AS (SELECT doc_id, lang, tk FROM t WHERE doc_id >= 20), "
+            "p AS (SELECT doc_id, i, tk[i] AS tok FROM tk2, unnest(range(1, len(tk) + 1)) AS u(i)), "
+            "keep AS (SELECT p.doc_id, p.i, p.tok FROM p WHERE NOT EXISTS "
+            "(SELECT 1 FROM spans s WHERE s.doc_id = p.doc_id AND p.i - 1 >= s.s AND p.i - 1 < s.e)), "
+            "cleanagg AS (SELECT doc_id, count(*)::BIGINT AS n_after, "
+            "string_agg(tok, ' ' ORDER BY i) AS ctext FROM keep GROUP BY 1), "
+            "clean AS (SELECT tk2.doc_id, tk2.lang, coalesce(c.n_after, 0) AS n_tok, "
+            "coalesce(c.ctext, '') AS ctext FROM tk2 LEFT JOIN cleanagg c ON tk2.doc_id = c.doc_id), "
+            "ct AS (SELECT doc_id, regexp_split_to_array(lower(trim(ctext)), '\\s+') AS wtk FROM clean), "
+            "wix AS (SELECT doc_id, wtk, unnest(range(1, len(wtk) - 2)) AS i FROM ct WHERE len(wtk) >= 4), "
+            "wg AS (SELECT doc_id, (i - 1)::BIGINT AS pos, md5(array_to_string(wtk[i:i+3], chr(31))) AS gh FROM wix), "
+            "wm AS (SELECT doc_id, count(*) AS m FROM wg GROUP BY 1), "
+            "kx AS (SELECT doc_id, pos, gh || lpad((999999999 - pos)::VARCHAR, 9, '0') AS key FROM wg), "
+            "sel AS (SELECT doc_id, pos, min(key) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey FROM kx), "
+            "f AS (SELECT DISTINCT s.doc_id, substr(skey, 1, 32) AS gh FROM sel s "
+            "JOIN wm USING (doc_id) WHERE s.pos <= wm.m - 4), "
+            "wp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM f a "
+            "JOIN f b ON a.gh = b.gh AND a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "e AS (SELECT id_a AS s, id_b AS d FROM wp UNION SELECT id_b, id_a FROM wp), "
+            "reach(s, d) AS (SELECT s, d FROM e UNION "
+            "SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s WHERE e2.d <> r.s), "
+            "comp AS (SELECT s AS node, least(s, min(d)) AS component FROM reach GROUP BY s), "
+            "lab AS (SELECT clean.doc_id, clean.lang, clean.n_tok, "
+            "coalesce(c.component, clean.doc_id) AS component FROM clean LEFT JOIN comp c ON clean.doc_id = c.node), "
+            "sized AS (SELECT *, count(*) OVER (PARTITION BY component) AS csize FROM lab), "
+            "keptd AS (SELECT * FROM sized WHERE "
+            "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < (1000000 // csize)), "
+            "counts AS (SELECT lang AS stratum, sum(n_tok)::BIGINT AS tokens_kept, "
+            "count(*)::BIGINT AS docs_kept, "
+            "CAST(CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 "
+            "WHEN lang = 'fr' THEN 0.25 ELSE NULL END AS DOUBLE) AS target_share FROM keptd GROUP BY 1), "
+            "totals AS (SELECT min(CASE WHEN target_share > 0 THEN tokens_kept::DOUBLE / target_share END) AS binding FROM counts) "
+            "SELECT stratum, docs_kept, tokens_kept, coalesce(target_share, 0.0) AS target_share, "
+            "CASE WHEN target_share > 0 THEN binding * target_share / tokens_kept::DOUBLE ELSE 0.0 END AS keep_fraction, "
+            "CAST(floor(CASE WHEN target_share > 0 THEN binding * target_share / tokens_kept::DOUBLE ELSE 0.0 END "
+            "* tokens_kept::DOUBLE + 0.5) AS BIGINT) AS expected_tokens "
+            "FROM counts, totals ORDER BY stratum"
         ),
         "soft_dedup": (
             "WITH RECURSIVE tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "

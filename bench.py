@@ -203,6 +203,7 @@ HEADLINE = [
     "zipf_fit",
     "paragraph_filter",
     "domain_classifier",
+    "curation_e2e",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path
