@@ -180,3 +180,68 @@ def test_dsir_weight_is_exact_bigint_dot_product(spark):
         for r in dsir_importance(raw_df, tgt_df, n_buckets=B).collect()
     }
     assert got == expect
+
+
+def test_zipf_stats_partitioning_and_order_invariant(spark):
+    from sycamore_spark.operators.textstats import zipf_stats
+
+    rng = random.Random(13)
+    vocab = [f"z{i}" for i in range(60)]
+    rows = [
+        (d, "en" if d % 2 else "de", " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 40))))
+        for d in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = sorted(map(tuple, zipf_stats(docs, "lang", top_n=30).collect()))
+    shuffled = spark.createDataFrame(list(reversed(rows)), "doc_id long, lang string, text string")
+    b = sorted(map(tuple, zipf_stats(shuffled.repartition(7), "lang", top_n=30).collect()))
+    assert a == b
+
+
+def test_paragraph_filter_reassembly_arithmetic_randomized(spark):
+    """clean_text token count == n_kept windows' total token count; kept
+    windows appear in original order."""
+    from sycamore_spark.operators.textstats import paragraph_lm_filter
+
+    rng = random.Random(17)
+    vocab = [f"p{i}" for i in range(15)]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 47))))
+        for d in range(25)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    P = 7
+    out = {r.doc_id: r for r in paragraph_lm_filter(docs, window=P).collect()}
+    texts = dict(rows)
+    for d, r in out.items():
+        toks = texts[d].split()
+        wins = [toks[i : i + P] for i in range(0, len(toks), P)]
+        assert r.n_windows == len(wins)
+        clean = r.clean_text.split() if r.clean_text else []
+        # clean text is a concatenation of whole original windows, in order
+        assert 0 <= r.n_kept <= r.n_windows
+        assert len(clean) == sum(
+            len(w) for w in wins
+        ) - sum(len(w) for i, w in enumerate(wins) if not _window_kept(clean, wins, i))
+        # subsequence check: kept windows appear in original relative order
+        j = 0
+        for w in wins:
+            seg = clean[j : j + len(w)]
+            if seg == w:
+                j += len(w)
+        assert j == len(clean)
+
+
+def _window_kept(clean, wins, i):
+    """A window is kept iff its tokens appear at the position implied by the
+    kept-prefix scan; helper mirrors the subsequence walk."""
+    j = 0
+    for k, w in enumerate(wins):
+        seg = clean[j : j + len(w)]
+        if seg == w:
+            if k == i:
+                return True
+            j += len(w)
+        elif k == i:
+            return False
+    return False
