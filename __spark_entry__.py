@@ -5583,7 +5583,9 @@ def q_dsir_weights(spark, sf) -> DataFrame:
 
     docs = _ds(spark, sf, "documents").to_df()
     target = docs.filter(F.col("lang") == "de")
-    return dsir_select(docs, target, 25)
+    return dsir_select(docs, target, 25).select(
+        "doc_id", "n_features", "weight_micros", "avg_weight"
+    )
 
 
 def q_cap_per_group(spark, sf) -> DataFrame:

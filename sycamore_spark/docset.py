@@ -388,6 +388,11 @@ class DocSet:
         from sycamore_spark.operators.dedup import soft_dedup
 
         p = pairs.df if pairs is not None else pairs_df
+        if p is None:
+            raise ValueError(
+                "soft_dedup needs near-dup pairs: pass pairs= (a DocSet) or "
+                "pairs_df= (a DataFrame with id_a/id_b columns)"
+            )
         return self._wrap(soft_dedup(self.df, p, id_col))
 
     def decontaminate(self, probes: "DocSet", id_col: str = "doc_id",

@@ -967,8 +967,10 @@ def winnowing_fingerprints(
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
     — the MOSS local-similarity algorithm): hash every token ``k``-gram,
     slide a window of ``w`` consecutive gram hashes, and select each
-    window's MINIMUM hash (rightmost position on ties — robust
-    winnowing). The selected (position, hash) set is the document's
+    window's MINIMUM hash (rightmost position on ties — a deterministic
+    tie rule; the paper's "robust winnowing" variant instead prefers the
+    previous window's selection on ties, trading determinism of THIS
+    rule for lower density on runs of equal hashes). The selected (position, hash) set is the document's
     fingerprint sketch with the paper's guarantee: any shared token run
     of length >= ``w + k - 1`` between two documents shares at least one
     fingerprint, at expected density 2/(w+1) — local similarity
@@ -1309,7 +1311,6 @@ def soft_dedup(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    mod: int = 1_000_000,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Soft deduplication: instead of dropping every non-canonical near-dup
@@ -1319,11 +1320,13 @@ def soft_dedup(
     SlimPajama-DC-style "soft" dedup and the sampling form of
     dedup-then-upsample. Which copy survives varies BY CONTENT, not by
     run: the keep test is the content-addressed md5 hash (``hash(id) mod
-    M < M // size``), so the surviving set is identical on every run and
-    any partitioning, and a DuckDB oracle replays it exactly.
+    1e6 < 1e6 // size`` — the modulus is pinned to the hash resolution,
+    never a parameter: a differing modulus would silently skew every
+    keep probability), so the surviving set is identical on every run
+    and any partitioning, and a DuckDB oracle replays it exactly.
 
     Returns every input row plus ``component``, ``cluster_size``,
-    ``weight_micros`` (= ``M // size``, the integer keep threshold) and
+    ``weight_micros`` (= ``1e6 // size``, the integer keep threshold) and
     ``kept``. Filter ``kept`` for the sampled corpus; use
     ``weight_micros`` as a loss weight to train on everything instead.
 
@@ -1335,12 +1338,12 @@ def soft_dedup(
     """
     from pyspark.sql.window import Window
 
-    from sycamore_spark.operators.sampling import _hash_bucket
+    from sycamore_spark.operators.sampling import _MOD, _hash_bucket
 
     labeled = canonical_docs(df, pairs, id_col, checkpoint_dir=checkpoint_dir)
     w = Window.partitionBy("component")
     size = F.count(F.lit(1)).over(w)
-    thresh = F.floor(F.lit(mod) / size).cast("long")
+    thresh = F.floor(F.lit(_MOD) / size).cast("long")
     return (
         labeled.drop("is_canonical")
         .withColumn("cluster_size", size.cast("long"))

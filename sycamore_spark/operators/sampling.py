@@ -714,7 +714,11 @@ def dsir_select(
     importance weight (ties broken by id — stable on every run and any
     partitioning). The paper's Gumbel-top-k adds sampling noise for
     diversity; the deterministic variant is the reproducible form a
-    curation pipeline can re-run bit-identically. TakeOrderedAndProject:
-    per-partition top-k, k rows to the driver-side merge."""
+    curation pipeline can re-run bit-identically. Returns the SELECTED
+    DOCUMENTS (every raw column) plus (n_features, weight_micros,
+    avg_weight), so the result feeds straight into downstream text
+    stages. TakeOrderedAndProject for the top-k, then one k-row
+    broadcast join back onto the corpus."""
     w = dsir_importance(raw_df, target_df, id_col, text_col, n_buckets)
-    return w.orderBy(F.col("weight_micros").desc(), F.col(id_col).asc()).limit(k)
+    top = w.orderBy(F.col("weight_micros").desc(), F.col(id_col).asc()).limit(k)
+    return raw_df.join(F.broadcast(top), id_col)

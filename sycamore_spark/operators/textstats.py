@@ -623,7 +623,6 @@ def pmi_collocations(
 def zipf_stats(
     df: DataFrame,
     stratum: str,
-    id_col: str = "doc_id",
     text_col: str = "text",
     top_n: int = 1000,
 ) -> DataFrame:
@@ -718,8 +717,10 @@ def paragraph_lm_filter(
     Scale shape: the segment explode is linear; the LM fit is the
     ngram_lm_score corpus aggs; the threshold is ONE exact-percentile
     scalar broadcast back (at 100 TB switch to approx_percentile); the
-    reassembly is one per-doc agg. Segment ids pack (doc, idx) into one
-    bigint (idx < 2^20 by contract, like dup_spans positions).
+    reassembly is one per-doc agg. Segment ids are (doc, idx) packed into
+    one STRING key (id-type-agnostic — numeric, uuid, and string doc ids
+    all work; a numeric pack would NULL out on non-numeric ids and
+    silently disable the filter).
     """
     from sycamore_spark.functions import text as T
 
@@ -744,7 +745,7 @@ def paragraph_lm_filter(
         "_id",
         F.col("_w.widx").alias("_widx"),
         F.col("_w.wtext").alias("_wtext"),
-        (F.col("_id").cast("long") * F.lit(1 << 20).cast("long") + F.col("_w.widx")).alias("_wid"),
+        F.concat_ws("\x1f", F.col("_id").cast("string"), F.col("_w.widx").cast("string")).alias("_wid"),
     )
     # the window table feeds the LM fit (which references it several times),
     # the scoring join, and the reassembly — cut the lineage once so the
