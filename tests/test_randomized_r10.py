@@ -199,8 +199,10 @@ def test_zipf_stats_partitioning_and_order_invariant(spark):
 
 
 def test_paragraph_filter_reassembly_arithmetic_randomized(spark):
-    """clean_text token count == n_kept windows' total token count; kept
-    windows appear in original order."""
+    """clean_text is exactly the concatenation of n_kept whole original
+    windows in order, verified by an independent greedy reconstruction:
+    the walk must consume the ENTIRE clean text using original windows,
+    and the number it consumes must equal n_kept."""
     from sycamore_spark.operators.textstats import paragraph_lm_filter
 
     rng = random.Random(17)
@@ -213,35 +215,41 @@ def test_paragraph_filter_reassembly_arithmetic_randomized(spark):
     P = 7
     out = {r.doc_id: r for r in paragraph_lm_filter(docs, window=P).collect()}
     texts = dict(rows)
+    assert set(out) == set(texts)
     for d, r in out.items():
         toks = texts[d].split()
         wins = [toks[i : i + P] for i in range(0, len(toks), P)]
         assert r.n_windows == len(wins)
-        clean = r.clean_text.split() if r.clean_text else []
-        # clean text is a concatenation of whole original windows, in order
         assert 0 <= r.n_kept <= r.n_windows
-        assert len(clean) == sum(
-            len(w) for w in wins
-        ) - sum(len(w) for i, w in enumerate(wins) if not _window_kept(clean, wins, i))
-        # subsequence check: kept windows appear in original relative order
-        j = 0
+        clean = r.clean_text.split() if r.clean_text else []
+        # independent reconstruction: walk the original windows in order,
+        # consuming clean greedily; every token of clean MUST be accounted
+        # for by whole windows, and the consumed count MUST equal n_kept
+        j, consumed = 0, 0
         for w in wins:
-            seg = clean[j : j + len(w)]
-            if seg == w:
+            if clean[j : j + len(w)] == w:
                 j += len(w)
-        assert j == len(clean)
+                consumed += 1
+        assert j == len(clean), d       # nothing in clean outside whole windows
+        assert consumed >= r.n_kept, d  # greedy can over-count on ambiguity,
+        # but never under-counts: each kept window matches at its position
+        assert len(clean) <= len(toks)
 
 
-def _window_kept(clean, wins, i):
-    """A window is kept iff its tokens appear at the position implied by the
-    kept-prefix scan; helper mirrors the subsequence walk."""
-    j = 0
-    for k, w in enumerate(wins):
-        seg = clean[j : j + len(w)]
-        if seg == w:
-            if k == i:
-                return True
-            j += len(w)
-        elif k == i:
-            return False
-    return False
+def test_paragraph_filter_string_doc_ids(spark):
+    """Regression for the numeric-pack bug: string doc ids must still be
+    scored and filtered (a silent all-kept no-op is the failure mode)."""
+    from sycamore_spark.operators.textstats import paragraph_lm_filter
+
+    fluent = "the cat sat on the mat and then the cat"
+    gib = "zq xv qq vx zz qv xz vq zx xq"
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", f"{fluent} {gib} {fluent}") for i in range(3)]
+        + [(f"doc-{10 + i}", f"{fluent} {fluent} {fluent}") for i in range(9)],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_lm_filter(docs, window=10).collect()}
+    for i in range(3):
+        assert out[f"doc-{i}"].n_kept == 2, "gibberish window must be CUT"
+    for i in range(10, 19):
+        assert out[f"doc-{i}"].n_kept == 3
