@@ -7184,6 +7184,58 @@ def _bpe_encode_oracle(rounds: int) -> str:
 # the r3-green remainder.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    # -- stalest driver greens --
+    "binary_scan": q_binary_scan,
+    "table_props": q_table_props,
+    "summarize_images": q_summarize_images,
+    "query_dataflow": q_query_dataflow,
+    "stream_window": q_stream_window,
+    "token_count": q_token_count,
+    "bm25": q_bm25,
+    "sort_limit": q_sort_limit,
+    "field_in": q_field_in,
+    "unroll": q_unroll,
+    "union": q_union,
+    "set_ops": q_set_ops,
+    "term_frequency": q_term_frequency,
+    "groupby_collect": q_groupby_collect,
+    "window_rank": q_window_rank,
+    "time_bucket": q_time_bucket,
+    "json_extract": q_json_extract,
+    "agg_stats": q_agg_stats,
+    "rollup": q_rollup,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "cdc_snapshot": q_cdc_snapshot,
+    "scd2": q_scd2,
+    "triangles": q_triangles,
+    "robust_scale": q_robust_scale,
+    "curriculum": q_curriculum,
+    "active_users": q_active_users,
+    "containment": q_containment,
+    "heavy_hitters": q_heavy_hitters,
+    "mmr": q_mmr,
+    "trend": q_trend,
+    "seasonal": q_seasonal,
+    "join_size": q_join_size,
+    "oov": q_oov,
+    "hll_active_users": q_hll_active_users,
+    "pmi": q_pmi,
+    "kcore": q_kcore,
+    "csv_roundtrip": q_csv_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
+    "semantic_chunk": q_semantic_chunk,
+    "dedup_profile": q_dedup_profile,
+    "rouge": q_rouge,
+    "cer": q_cer,
+    "wer": q_wer,
+    "qa_eval": q_qa_eval,
+    "doc_reconstruct": q_doc_reconstruct,
+    "docids": q_docids,
+    "bbox_sort": q_bbox_sort,
+    "unit_convert": q_unit_convert,
+    "stream_cdc": q_stream_cdc,
+    # -- fresher greens (rotate next round) --
     "rrf_weighted": q_rrf_weighted,
     "ann_reindex": q_ann_reindex,
     "embed_cdc_e2e": q_embed_cdc_e2e,
@@ -7206,7 +7258,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": q_zipf_fit,
     "paragraph_filter": q_paragraph_filter,
     "domain_classifier": q_domain_classifier,
-    # -- stalest driver greens --
     "dedup_cc": q_dedup_cc,
     "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -7235,29 +7286,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reduce_summary": q_reduce_summary,
     "llm_query": q_llm_query,
     "duckdb_roundtrip": q_duckdb_roundtrip,
-    # -- fresher greens (rotate next round) --
-    "binary_scan": q_binary_scan,
-    "table_props": q_table_props,
-    "summarize_images": q_summarize_images,
-    "query_dataflow": q_query_dataflow,
-    "stream_window": q_stream_window,
-    "token_count": q_token_count,
-    "bm25": q_bm25,
-    "sort_limit": q_sort_limit,
-    "field_in": q_field_in,
-    "unroll": q_unroll,
-    "union": q_union,
-    "set_ops": q_set_ops,
-    "term_frequency": q_term_frequency,
-    "groupby_collect": q_groupby_collect,
-    "window_rank": q_window_rank,
-    "time_bucket": q_time_bucket,
-    "json_extract": q_json_extract,
-    "agg_stats": q_agg_stats,
-    "rollup": q_rollup,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "cdc_snapshot": q_cdc_snapshot,
     "hybrid_search": q_hybrid_search,
     "ann_store_compact": q_ann_store_compact,
     "ann_filtered": q_ann_filtered,
@@ -7408,34 +7436,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "sessionize": q_sessionize,
     "salted_join": q_salted_join,
-    "scd2": q_scd2,
-    "triangles": q_triangles,
-    "robust_scale": q_robust_scale,
-    "curriculum": q_curriculum,
-    "active_users": q_active_users,
-    "containment": q_containment,
-    "heavy_hitters": q_heavy_hitters,
-    "mmr": q_mmr,
-    "trend": q_trend,
-    "seasonal": q_seasonal,
-    "join_size": q_join_size,
-    "oov": q_oov,
-    "hll_active_users": q_hll_active_users,
-    "pmi": q_pmi,
-    "kcore": q_kcore,
-    "csv_roundtrip": q_csv_roundtrip,
-    "orc_roundtrip": q_orc_roundtrip,
-    "semantic_chunk": q_semantic_chunk,
-    "dedup_profile": q_dedup_profile,
-    "rouge": q_rouge,
-    "cer": q_cer,
-    "wer": q_wer,
-    "qa_eval": q_qa_eval,
-    "doc_reconstruct": q_doc_reconstruct,
-    "docids": q_docids,
-    "bbox_sort": q_bbox_sort,
-    "unit_convert": q_unit_convert,
-    "stream_cdc": q_stream_cdc,
     "containment_lsh": q_containment_lsh,
     "bbox_rotation": q_bbox_rotation,
     "subtask_exec": q_subtask_exec,
@@ -7744,6 +7744,11 @@ def _element_images_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Note: every queries() key has its own entry here, but some SQL STRINGS are
+    # intentionally shared across equivalent query pairs (e.g. an exact baseline and
+    # its LSH/streaming scale twin — dedup_embedding/dedup_embedding_lsh,
+    # containment/containment_lsh, index_cdc/stream_index_cdc, ...): both Spark paths
+    # must produce the identical result, so they share one oracle by construction.
     lang_scores = {
         lang: f"len(list_intersect(list_distinct(string_split(lower(text),' ')), {arr}))"
         for lang, arr in _LANG_MARKERS_SQL.items()

@@ -140,6 +140,12 @@ def mixture_plan(
     (``cnt``/``expected_rows`` are then in weight units). Row-hash
     sampling still applies the plan: keep_fraction of a stratum's rows ~=
     keep_fraction of its tokens when lengths are iid within the stratum.
+
+    ``weight_col`` must be non-null: a NULL weight contributes nothing to
+    the stratum's budget (``sum`` skips it) yet the row-hash sampler still
+    samples the row, so strata with many NULL-weight rows get a budget
+    computed from a subset while sampling the full stratum. Coalesce to an
+    explicit size (or filter NULL-weight rows) before calling.
     """
     tgt = F.lit(None).cast("double")
     for name, frac in reversed(list(target.items())):
@@ -718,7 +724,19 @@ def dsir_select(
     DOCUMENTS (every raw column) plus (n_features, weight_micros,
     avg_weight), so the result feeds straight into downstream text
     stages. TakeOrderedAndProject for the top-k, then one k-row
-    broadcast join back onto the corpus."""
+    broadcast join back onto the corpus.
+
+    Raises ValueError if the raw corpus already carries a column named
+    n_features / weight_micros / avg_weight — the join-back would
+    otherwise produce ambiguous duplicate columns that fail only on the
+    first downstream select."""
+    clash = {"n_features", "weight_micros", "avg_weight"} & set(raw_df.columns)
+    if clash:
+        raise ValueError(
+            f"dsir_select: raw_df already has column(s) {sorted(clash)}, which "
+            "collide with the weight columns this op appends; rename or drop "
+            "them first"
+        )
     w = dsir_importance(raw_df, target_df, id_col, text_col, n_buckets)
     top = w.orderBy(F.col("weight_micros").desc(), F.col(id_col).asc()).limit(k)
     return raw_df.join(F.broadcast(top), id_col)

@@ -712,7 +712,10 @@ def paragraph_lm_filter(
     kept: they carry no fluency evidence. Returns the input ids plus
     (n_windows, n_kept, out_col) where ``out_col`` is the kept segments
     rejoined in order (whitespace-normalized lowercase, the ``T.tokens``
-    contract).
+    contract). NULL or empty text yields one empty kept window
+    (n_windows=1, n_kept=1, out_col='') — every input id appears in the
+    output, matching the null contract of the sibling curation ops
+    (e.g. remove_token_spans).
 
     Scale shape: the segment explode is linear; the LM fit is the
     ngram_lm_score corpus aggs; the threshold is ONE exact-percentile
@@ -725,11 +728,15 @@ def paragraph_lm_filter(
     from sycamore_spark.functions import text as T
 
     P = int(window)
-    toks = T.tokens(F.col(text_col))
+    # coalesce NULL text to '' so NULL-text rows survive (size(NULL) would
+    # drop them at the explode); clamp nwin to >=1 so empty text yields one
+    # empty window instead of hitting sequence(0,-1), which DESCENDS in
+    # Spark (returns [0,-1]) and would emit two bogus windows
+    toks = T.tokens(F.coalesce(F.col(text_col), F.lit("")))
     base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).withColumn(
         "_n", F.size("_t")
     )
-    nwin = F.ceil(F.col("_n") / F.lit(P)).cast("int")
+    nwin = F.greatest(F.ceil(F.col("_n") / F.lit(P)).cast("int"), F.lit(1))
     wins = base.select(
         "_id",
         F.explode(

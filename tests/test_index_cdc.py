@@ -235,3 +235,40 @@ def test_index_apply_changes_empty_and_dup_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate doc_id"):
         index_apply_changes(spark, root, dup, n_buckets=NB)
+
+
+def test_index_apply_changes_hot_bucket_delta(spark, tmp_path):
+    """Zipf-skewed delta: EVERY new posting hashes to one bucket (the
+    realistic 100 TB worst case — all edits landing on one shard). The
+    fold must still equal a from-scratch rebuild, touch exactly that
+    bucket for the insert-only case, and parallelize within the hot
+    bucket (tools/skewstress.py measures the wall-time A/B)."""
+    root = str(tmp_path / "idxhot")
+    docs = _docs(spark)
+    bucketed_postings(docs, n_buckets=NB).write.partitionBy("bkt").parquet(root)
+    # synthesize tokens that all hash to one bucket with the index's own
+    # expression
+    cand = spark.range(0, 20_000).select(
+        F.concat(F.lit("hot"), F.col("id")).alias("term"),
+        F.pmod(F.xxhash64(F.concat(F.lit("hot"), F.col("id"))), F.lit(NB))
+        .cast("int").alias("bkt"),
+    )
+    picked = cand.filter(F.col("bkt") == 3).limit(40).collect()
+    toks = [r.term for r in picked]
+    assert len(toks) == 40
+    rows = [
+        (100 + i, " ".join(toks[(i * (j + 7) + j) % len(toks)] for j in range(6)), "I")
+        for i in range(25)
+    ]
+    delta = spark.createDataFrame(rows, "doc_id bigint, text string, op string")
+    touched = index_apply_changes(spark, root, delta, n_buckets=NB)
+    assert touched == 1  # insert-only hot delta rewrites exactly one bucket
+    merged = docs.unionByName(
+        spark.createDataFrame([(r[0], r[1]) for r in rows], "doc_id bigint, text string")
+    )
+    got = {
+        (r.term, r.df, r.rank, r.doc_id, r.tf)
+        for r in spark.read.parquet(root)
+        .select("term", "df", "rank", "doc_id", "tf").collect()
+    }
+    assert got == _rebuild(spark, merged)

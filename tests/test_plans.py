@@ -209,3 +209,31 @@ def test_planner_prompt_examples_are_valid_plans():
     docs = operator_docs()
     for op in ("QueryDatabase", "LlmFilter", "TopK", "Math", "SummarizeData"):
         assert op in docs
+
+
+def test_planner_examples_cover_every_operator_and_reference_shapes():
+    """Reference parity (planner_prompt.py:106-354): the few-shot set covers
+    every reference example SHAPE and, beyond it, every logical operator in
+    NODE_TYPES appears in at least one worked plan, each clean under
+    processors.validate."""
+    from sycamore_spark.plans import processors
+    from sycamore_spark.plans.planner import _default_examples
+
+    examples = _default_examples()
+    used = {n.node_type for ex in examples for n in ex.plan.nodes.values()}
+    assert used == set(L.NODE_TYPES), sorted(set(L.NODE_TYPES) - used)
+    for ex in examples:
+        processors.validate(ex.plan)  # raises on an invalid example
+    # the reference's nine example shapes, as (sorted node-type tuples)
+    shapes = {
+        tuple(sorted(n.node_type for n in ex.plan.nodes.values()))
+        for ex in examples
+    }
+    assert ("QueryDatabase",) in shapes  # pushdown-only scan (ref ex1/ex3)
+    assert ("Count", "QueryDatabase") in shapes  # scan+count (ref ex2/ex4)
+    assert ("LlmExtractEntity", "QueryDatabase", "TopK") in shapes  # ref ex5
+    assert (
+        "BasicFilter", "Count", "Count", "Math", "QueryDatabase",
+    ) in shapes  # percent (ref ex6)
+    assert ("LlmFilter", "QueryVectorDatabase") in shapes  # ref ex7/ex8
+    assert ("Limit", "QueryDatabase", "Sort") in shapes  # ref ex9

@@ -573,6 +573,17 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert set(top) == set(range(10))
 
 
+def test_dsir_select_rejects_colliding_raw_columns(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from sycamore_spark.operators.sampling import dsir_select
+
+    raw, tgt = _dsir_corpus(spark)
+    clashing = raw.withColumn("weight_micros", F.lit(0))
+    with pytest.raises(ValueError, match="weight_micros"):
+        dsir_select(clashing, tgt, 10)
+
+
 def test_dsir_weights_partitioning_independent(spark):
     from sycamore_spark.operators.sampling import dsir_importance
 

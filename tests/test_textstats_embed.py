@@ -384,3 +384,17 @@ def test_paragraph_lm_filter_short_windows_kept(spark):
     out = {r.doc_id: r for r in textstats.paragraph_lm_filter(docs, window=10).collect()}
     assert out[1].n_kept == 1 and out[1].clean_text == "solo"
     assert out[2].n_windows == 1
+
+
+def test_paragraph_lm_filter_null_text_passes_through(spark):
+    """NULL text must not drop the document (the remove_token_spans null
+    contract): it yields one empty kept window."""
+    from sycamore_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in textstats.paragraph_lm_filter(docs, window=10).collect()}
+    assert set(out) == {1, 2}
+    assert out[2].n_windows == 1 and out[2].n_kept == 1
+    assert out[2].clean_text == ""

@@ -1,0 +1,152 @@
+"""Measure a 100x scale point (sf0.01 -> sf1-equivalent) for the
+store-lifecycle capstones.
+
+Every prior scale claim is a 10x ratio (sf0.01 -> sf0.1). This builds a
+derived sf1-equivalent corpus under /tmp (10x the sf0.1 `documents` and
+`embeddings`, ids re-keyed per copy, a short per-copy text tag so exact
+identity doesn't collapse the corpus; the other eight tables symlinked from
+sf0.1 unchanged) and records warm wall-times for the capstone queries at
+sf0.01, sf0.1 and sf1eq, printing the 10x and 100x growth ratios.
+
+Usage: python tools/scale100.py [query ...]   (default: the capstone set)
+Writes /tmp/scale100_out.json; PERF.md records the adjudicated table.
+
+Read-only /root/testdata is never touched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry  # noqa: E402
+import sycamore_spark as ss  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+SF001 = "/root/testdata/sf0.01"
+OUT = "/tmp/sf1eq"
+N_COPIES = 10
+ID_OFFSET = 10_000_000
+
+TARGETS = [
+    "dedup_minhash",
+    "containment_lsh",
+    "index_cdc",
+    "bm25_serve",
+    "embed_cdc_e2e",
+    "hybrid_serve",
+]
+
+
+def build_corpus() -> None:
+    marker = os.path.join(OUT, "_built")
+    if os.path.exists(marker):
+        return
+    os.makedirs(OUT, exist_ok=True)
+
+    docs = pq.read_table(f"{BASE}/documents.parquet").to_pandas()
+    parts = []
+    for i in range(N_COPIES):
+        c = docs.copy()
+        c["doc_id"] = c["doc_id"] + i * ID_OFFSET
+        if i:
+            # a per-copy tail token: copies stay near-duplicates (the
+            # realistic worst case for the dedup gates) without being
+            # byte-identical
+            c["text"] = c["text"] + f" c{i}"
+            c["n_chars"] = c["n_chars"] + len(f" c{i}")
+        parts.append(c)
+    big_docs = pd.concat(parts, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(big_docs, preserve_index=False),
+        f"{OUT}/documents.parquet",
+        row_group_size=5000,
+    )
+
+    emb = pq.read_table(f"{BASE}/embeddings.parquet").to_pandas()
+    parts = []
+    for i in range(N_COPIES):
+        c = emb.copy()
+        c["vec_id"] = c["vec_id"] + i * ID_OFFSET
+        if i:
+            # deterministic per-copy jitter on the first component keeps the
+            # 10 copies distinct vectors while preserving the cell structure
+            c["embedding"] = c["embedding"].map(
+                lambda v, d=np.float32(i * 1e-3): np.concatenate(
+                    ([np.float32(v[0]) + d], np.asarray(v[1:], dtype=np.float32))
+                )
+            )
+        parts.append(c)
+    big_emb = pd.concat(parts, ignore_index=True)
+    schema = pa.schema(
+        [
+            pa.field("vec_id", pa.int64()),
+            pa.field("embedding", pa.list_(pa.float32())),
+            pa.field("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(big_emb, schema=schema, preserve_index=False),
+        f"{OUT}/embeddings.parquet",
+        row_group_size=2000,
+    )
+
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        dst = f"{OUT}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+
+
+def main() -> None:
+    targets = sys.argv[1:] or TARGETS
+    build_corpus()
+
+    spark = ss.init(app_name="sycamore-spark-scale100")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry.queries()
+    queries["groupby_count"](spark, SF001).collect()  # warm JVM/codegen
+
+    results: dict[str, dict] = {}
+    for name in targets:
+        fn = queries[name]
+        row: dict[str, float] = {}
+        for label, sf_dir in (("sf0.01", SF001), ("sf0.1", BASE), ("sf1eq", OUT)):
+            fn(spark, sf_dir).collect()  # pay one-time codegen JIT for this shape
+            t0 = time.perf_counter()
+            n = len(fn(spark, sf_dir).collect())
+            row[label] = round(time.perf_counter() - t0, 3)
+            row[f"rows_{label}"] = n
+        row["ratio_10x"] = round(row["sf0.1"] / row["sf0.01"], 2)
+        row["ratio_100x"] = round(row["sf1eq"] / row["sf0.01"], 2)
+        results[name] = row
+        print(
+            f"{name}: sf0.01={row['sf0.01']}s sf0.1={row['sf0.1']}s "
+            f"sf1eq={row['sf1eq']}s 10x={row['ratio_10x']}x "
+            f"100x={row['ratio_100x']}x rows={row['rows_sf1eq']}",
+            flush=True,
+        )
+
+    out = {
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "results": results,
+    }
+    with open("/tmp/scale100_out.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
