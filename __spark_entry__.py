@@ -836,6 +836,25 @@ def q_soft_dedup(spark, sf) -> DataFrame:
     )
 
 
+def q_paragraph_dedup_e2e(spark, sf) -> DataFrame:
+    """Paragraph-granularity approximate span dedup (operators/dedup.py
+    paragraph_dedup): Lee-2021 span dedup relaxed to 20-token paragraph
+    windows matched by MinHash+LSH (32 bands x 2 rows at t=0.8 — per-pair
+    miss ~5e-15, so the exact window-Jaccard pair query is the oracle,
+    the dedup_minhash recall argument at window granularity); every
+    window that near-duplicates a smaller-keyed window is excised via
+    remove_token_spans. Composes the individually-gated segmentation,
+    LSH, and span-removal stages under one oracle."""
+    docs = _ds(spark, sf, "documents").to_df().select("doc_id", "text")
+    return dedup.paragraph_dedup(
+        docs, "doc_id", "text", window=20, threshold=0.8,
+        num_perm=64, bands=32, shingle_k=3,
+    ).select(
+        "doc_id", "n_windows", "n_removed",
+        "n_tokens_before", "n_tokens_after", "clean_text",
+    )
+
+
 def q_split_leakage(spark, sf) -> DataFrame:
     """Train/test leakage audit (operators/dedup.py split_leakage): count
     near-dup pairs (jaccard >= 0.95) crossing the split boundary under a
@@ -7184,6 +7203,7 @@ def _bpe_encode_oracle(rounds: int) -> str:
 # the r3-green remainder.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "paragraph_dedup_e2e": q_paragraph_dedup_e2e,
     # -- stalest driver greens --
     "binary_scan": q_binary_scan,
     "table_props": q_table_props,
@@ -9546,6 +9566,32 @@ def oracle_sql() -> dict[str, str]:
             "scores AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS bm25_micros FROM contrib GROUP BY 1, 2), "
             "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25_micros DESC, doc_id ASC) AS r FROM scores) "
             "SELECT query_id, doc_id, bm25_micros FROM rk WHERE r <= 3"
+        ),
+        "paragraph_dedup_e2e": (
+            # exact window-Jaccard pairs ARE the oracle: at 32 bands x 2
+            # rows, t=0.8 the LSH per-pair miss probability is ~5e-15
+            # (the dedup_minhash recall argument, at window granularity)
+            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS tk FROM documents), "
+            "wins AS (SELECT doc_id, CAST(i AS BIGINT) AS widx, tk[i*20+1 : i*20+20] AS wt "
+            "FROM toks, UNNEST(range(CAST(ceil(greatest(len(tk), 1) / 20.0) AS BIGINT))) AS u(i)), "
+            "keyed AS (SELECT doc_id::VARCHAR || chr(31) || widx::VARCHAR AS wid, doc_id, widx, wt FROM wins), "
+            "sh AS (SELECT wid, list_distinct(list_transform(range(1, len(wt) - 1), j -> wt[j] || '_' || wt[j+1] || '_' || wt[j+2])) AS s "
+            "FROM keyed WHERE len(wt) >= 3), "
+            "tok2 AS (SELECT wid, unnest(s) AS g FROM sh), "
+            "sz AS (SELECT wid, count(*) AS n FROM tok2 GROUP BY 1), "
+            "inter AS (SELECT a.wid AS wa, b.wid AS wb, count(*) AS i FROM tok2 a "
+            "JOIN tok2 b ON a.g = b.g AND a.wid < b.wid GROUP BY 1, 2), "
+            "removed AS (SELECT DISTINCT wb AS wid FROM inter "
+            "JOIN sz sa ON sa.wid = wa JOIN sz sb ON sb.wid = wb "
+            "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8), "
+            "tagged AS (SELECT k.doc_id, k.widx, k.wt, (r.wid IS NOT NULL) AS cut "
+            "FROM keyed k LEFT JOIN removed r ON k.wid = r.wid) "
+            "SELECT doc_id, count(*)::BIGINT AS n_windows, "
+            "coalesce(sum(CASE WHEN cut THEN 1 END), 0)::BIGINT AS n_removed, "
+            "sum(len(wt))::BIGINT AS n_tokens_before, "
+            "coalesce(sum(CASE WHEN NOT cut THEN len(wt) END), 0)::BIGINT AS n_tokens_after, "
+            "coalesce(array_to_string(flatten(list(wt ORDER BY widx) FILTER (NOT cut)), ' '), '') AS clean_text "
+            "FROM tagged GROUP BY doc_id"
         ),
         "dup_spans": (
             "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents), "

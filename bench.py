@@ -204,6 +204,8 @@ HEADLINE = [
     "paragraph_filter",
     "domain_classifier",
     "curation_e2e",
+    # round-11 additions
+    "paragraph_dedup_e2e",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path
@@ -296,7 +298,12 @@ def main() -> None:
     # nulling the parsed record (BENCH_r05/r06). The LAST stdout line is a
     # compact summary that always fits the capture window: same metric/value/
     # unit/sf, "queries" trimmed to the 5 slowest, plus n_queries + a pointer.
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    # SPARK_GRAFT_BENCH_OUT overrides the record path so multi-run noise
+    # studies don't overwrite each other's full per-query records
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
+    )
     with open(out_path, "w") as f:
         f.write(line + "\n")
     print(f"bench result written to {out_path}", file=sys.stderr)

@@ -418,6 +418,21 @@ class DocSet:
             self.df, id_col, text_col, k=k, w=w, min_shared=min_shared
         ))
 
+    def paragraph_dedup(self, id_col: str = "doc_id", text_col: str = "text",
+                        window: int = 20, threshold: float = 0.8,
+                        num_perm: int = 64, bands: int = 32,
+                        shingle_k: int = 3) -> "DocSet":
+        """Cut near-duplicate paragraph windows (MinHash-LSH over
+        window-token segments feeding remove_token_spans — Lee-2021 span
+        dedup relaxed to approximate matching; operators/dedup.py
+        paragraph_dedup)."""
+        from sycamore_spark.operators.dedup import paragraph_dedup
+
+        return self._wrap(paragraph_dedup(
+            self.df, id_col, text_col, window=window, threshold=threshold,
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        ))
+
     def zipf_stats(self, stratum: str, top_n: int = 1000) -> "DocSet":
         """Per-stratum corpus health: vocab size, hapax ratio, Zipf slope
         (operators/textstats.py zipf_stats)."""

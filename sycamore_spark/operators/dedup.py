@@ -1385,3 +1385,124 @@ def split_leakage(
     return crossing.groupBy("split_a", "split_b").agg(
         F.count(F.lit(1)).alias("leaked_pairs")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Paragraph-granularity approximate span dedup: the suffix-array span
+    dedup idea (Lee et al. 2021 "Deduplicating Training Data Makes
+    Language Models Better") relaxed to fixed ``window``-token paragraph
+    segments matched by MinHash+LSH instead of exact suffix runs —
+    near-duplicate PASSAGES are cut from documents while the documents
+    themselves survive (cf. ``duplicate_spans``, which needs exact gram
+    equality; this catches lightly-edited boilerplate too).
+
+    Pipeline (a composition of existing, individually-gated stages):
+    segment every document into ``window``-token windows (the
+    ``paragraph_lm_filter`` segmentation: NULL/empty text yields one
+    empty kept window, so every input id survives); run
+    ``minhash_lsh_pairs`` over the window table (windows shorter than
+    ``shingle_k`` tokens carry no shingle signal and pass through
+    untouched); greedily remove every window that near-duplicates a
+    SMALLER-keyed window (removed = the larger end of any verified pair —
+    the keep-first-occurrence rule of exact_dedup, on the packed
+    "id\\x1fwidx" string key in byte order, id-type-agnostic and
+    replayable in SQL without connected components); convert removed
+    windows to token spans and excise them with ``remove_token_spans``.
+
+    Returns the input rows plus (n_windows, n_removed, n_tokens_before,
+    n_tokens_after, ``out_col``).
+
+    Scale shape: one linear segment explode, the banded-LSH bucket join
+    over windows (never the corpus cross product), exact-Jaccard
+    verification bounded by the candidate set, then one pair-scale span
+    table joined back onto the corpus — the same 100 TB story as
+    ``dedup_minhash`` plus a narrow reassembly join. The span table is
+    localCheckpointed: it is referenced twice (the excision join and the
+    per-doc removed-count) and its lineage contains the whole LSH
+    pipeline.
+    """
+    from sycamore_spark.functions.partitioning import lineage_cut
+
+    P = int(window)
+    toks = T.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(F.col(id_col).alias("_did"), toks.alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+    nwin = F.greatest(F.ceil(F.col("_n") / F.lit(P)).cast("int"), F.lit(1))
+    wins = base.select(
+        "_did",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nwin - 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("widx"),
+                    F.array_join(F.slice(F.col("_t"), i * P + 1, P), " ").alias("wtext"),
+                    F.least(
+                        F.lit(P).cast("long"), F.col("_n").cast("long") - i * P
+                    ).alias("wlen"),
+                ),
+            )
+        ).alias("_w"),
+    ).select(
+        "_did",
+        F.col("_w.widx").alias("_widx"),
+        F.col("_w.wtext").alias("_wtext"),
+        F.col("_w.wlen").alias("_wlen"),
+        F.concat_ws(
+            "\x1f", F.col("_did").cast("string"), F.col("_w.widx").cast("string")
+        ).alias("_wid"),
+    )
+    # the window table feeds the LSH pipeline (which references it several
+    # times), the span join, and the per-doc stats — cut the lineage once
+    wins = lineage_cut(wins)
+    eligible = wins.filter(F.col("_wlen") >= int(shingle_k)).select("_wid", "_wtext")
+    pairs = minhash_lsh_pairs(
+        eligible, "_wid", "_wtext", threshold=threshold,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+    )
+    removed = pairs.select(F.col("id_b").alias("_wid")).distinct()
+    spans = (
+        wins.join(removed, "_wid", "left_semi")
+        .select(
+            F.col("_did").alias(id_col),
+            F.col("_widx"),
+            (F.col("_widx") * P).cast("long").alias("span_start"),
+            (F.col("_widx") * P + P).cast("long").alias("span_end"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = wins.groupBy(F.col("_did").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows")
+    )
+    rem_stats = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed")
+    )
+    out = remove_token_spans(
+        df, spans.drop("_widx"), id_col=id_col, text_col=text_col, out_col=out_col
+    )
+    return (
+        out.join(stats, id_col, "left")
+        .join(rem_stats, id_col, "left")
+        .withColumn("n_removed", F.coalesce(F.col("n_removed"), F.lit(0)).cast("long"))
+        # remove_token_spans passes NULL text through as NULL; this op's
+        # contract is one empty kept window (0 tokens, '' out) instead
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn(
+            "n_tokens_before",
+            F.coalesce(F.col("n_tokens_before"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "n_tokens_after",
+            F.coalesce(F.col("n_tokens_after"), F.lit(0)).cast("long"),
+        )
+    )

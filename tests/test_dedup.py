@@ -461,3 +461,68 @@ def test_winnowing_overlap_pairs_finds_local_overlap(spark):
     )
     pairs = dedup.winnowing_overlap_pairs(docs, min_shared=1).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_paragraph_dedup_cuts_later_near_dup_windows(spark):
+    """A repeated 5-token paragraph: the smallest-keyed occurrence stays,
+    every later occurrence is excised; sub-shingle tail windows and
+    NULL-text docs pass through intact."""
+    from sycamore_spark.operators.dedup import paragraph_dedup
+
+    para = "alpha beta gamma delta epsilon"
+    uniq1 = "one two three four five"
+    uniq2 = "six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{para} {uniq1}"),   # window 0 = para (first occurrence, kept)
+            (2, f"{uniq2} {para}"),   # window 1 = para -> cut
+            (3, "tail tok"),          # 2 tokens < shingle_k: ineligible, kept
+            (4, None),                # NULL text: one empty kept window
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in paragraph_dedup(docs, window=5, threshold=0.8).collect()
+    }
+    assert out[1].n_removed == 0 and out[1].clean_text == f"{para} {uniq1}"
+    assert out[1].n_windows == 2
+    assert out[2].n_removed == 1 and out[2].clean_text == uniq2
+    assert out[2].n_tokens_before == 10 and out[2].n_tokens_after == 5
+    assert out[3].n_removed == 0 and out[3].clean_text == "tail tok"
+    assert out[4].n_removed == 0 and out[4].n_windows == 1
+    assert out[4].clean_text == ""
+
+
+def test_paragraph_dedup_near_duplicate_not_identical(spark):
+    """Lightly-edited boilerplate: one changed token out of 10 alters only
+    the final 3-shingle (jaccard 7/9 ~ 0.78), so the edited copy is cut at
+    t=0.5 — the beyond-exact-match case suffix-array dedup misses; a copy
+    with every other token edited shares no shingle and survives."""
+    from sycamore_spark.operators.dedup import paragraph_dedup
+
+    w = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    near = "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"      # last token edited
+    far = "w1 zz w3 yy w5 xx w7 vv w9 uu"        # every other token edited
+    docs = spark.createDataFrame(
+        [(1, w), (2, near), (3, far)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in paragraph_dedup(docs, window=10, threshold=0.5).collect()
+    }
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 1 and out[2].clean_text == ""
+    assert out[3].n_removed == 0 and out[3].clean_text == far
+
+
+def test_paragraph_dedup_docset_method(spark):
+    from sycamore_spark.docset import DocSet
+
+    para = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(1, f"{para} one two three four five"), (2, f"six seven eight nine ten {para}")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in DocSet(docs).paragraph_dedup(window=5).take_all()}
+    assert out[2].n_removed == 1 and out[1].n_removed == 0

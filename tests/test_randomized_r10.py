@@ -253,3 +253,58 @@ def test_paragraph_filter_string_doc_ids(spark):
         assert out[f"doc-{i}"].n_kept == 2, "gibberish window must be CUT"
     for i in range(10, 19):
         assert out[f"doc-{i}"].n_kept == 3
+
+
+def test_paragraph_dedup_invariants_randomized(spark):
+    """Randomized corpus with planted shared paragraphs: (a) token
+    accounting — n_tokens_after + 20*full_removed_windows (+ tail sizes)
+    == n_tokens_before; (b) clean_text is the original token sequence
+    minus whole removed windows (subsequence by window walk); (c) the
+    union corpus with NO shared paragraphs removes nothing."""
+    from sycamore_spark.operators.dedup import paragraph_dedup
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(40)]
+    shared = " ".join(rng.choice(vocab) for _ in range(6))  # one full window
+    rows = []
+    for d in range(30):
+        own = " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 40)))
+        # plant the shared paragraph at a window boundary in half the docs
+        rows.append((d, f"{shared} {own}" if d % 2 == 0 else own))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    P = 6
+    out = {r.doc_id: r for r in paragraph_dedup(docs, window=P, threshold=0.9).collect()}
+    texts = dict(rows)
+    assert set(out) == set(texts)
+    n_cut_total = 0
+    for d, r in out.items():
+        toks = texts[d].split()
+        wins = [toks[i : i + P] for i in range(0, len(toks), P)]
+        assert r.n_windows == len(wins)
+        assert r.n_tokens_before == len(toks)
+        clean = r.clean_text.split() if r.clean_text else []
+        assert r.n_tokens_after == len(clean)
+        # the clean text must be reconstructible by dropping exactly
+        # n_removed whole windows from the original window sequence
+        kept_concat = []
+        dropped = 0
+        j = 0
+        for w in wins:
+            if clean[j : j + len(w)] == w:
+                kept_concat.extend(w)
+                j += len(w)
+            else:
+                dropped += 1
+        assert j == len(clean), d
+        assert dropped == r.n_removed, d
+        n_cut_total += r.n_removed
+    # the planted window dedups: at least 13 of the 15 planted copies cut
+    # (the smallest-keyed occurrence survives; randomness may align one
+    # more window)
+    assert n_cut_total >= 13
+    docs1 = {r.doc_id: r for r in paragraph_dedup(
+        spark.createDataFrame([(d, t) for d, t in rows if d % 2 == 1],
+                              "doc_id long, text string"),
+        window=P, threshold=0.9).collect()}
+    # rng-vocab own-text windows are essentially never >=90% jaccard dups
+    assert sum(r.n_removed for r in docs1.values()) == 0

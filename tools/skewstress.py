@@ -107,16 +107,80 @@ def main() -> None:
         print(f"index fold {label}: {sec}s touched={touched}", flush=True)
 
     ratio = round(results["hot"]["sec"] / results["uniform"]["sec"], 2)
+    ann_section(spark, results)
     out = {
         "n_buckets": N_BUCKETS,
         "delta_rows": DELTA_ROWS,
         "results": results,
         "hot_over_uniform": ratio,
+        "ann_hot_over_uniform": results.pop("ann_hot_over_uniform"),
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     with open("/tmp/skewstress_out.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
+
+
+
+
+def ann_section(spark, results: dict) -> None:
+    """Hot-CELL A/B for ann_store_apply_changes: uniform delta (existing
+    vectors re-keyed -> cells spread as the corpus spreads) vs hot delta
+    (every vector jittered around ONE coarse centroid -> one touched
+    cell)."""
+    import numpy as np
+    from tools.scale100 import OUT
+
+    from sycamore_spark.operators.similarity import (
+        ann_store_apply_changes, ivf_pq_encode, ivf_pq_train,
+    )
+
+    emb = spark.read.parquet(f"{OUT}/embeddings.parquet")
+    cents, books = ivf_pq_train(emb, ncells=16, sample_by="vec_id")
+
+    def build_store(path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+        ivf_pq_encode(emb, cents, books).drop("embedding").write.mode(
+            "overwrite"
+        ).partitionBy("cell_id").parquet(path)
+
+    uni_delta = (
+        emb.orderBy("vec_id").limit(DELTA_ROWS)
+        .select(
+            (F.col("vec_id") + 900_000_000).alias("vec_id"),
+            "embedding", "label", F.lit("U").alias("op"),
+        )
+    )
+    c0 = np.array(cents[0], dtype=float) / 1024.0
+    rng = np.random.RandomState(11)
+    hot_rows = [
+        (
+            910_000_000 + i,
+            (c0 + rng.normal(0, 1e-4, len(c0))).astype(float).tolist(),
+            int(0),
+            "U",
+        )
+        for i in range(DELTA_ROWS)
+    ]
+    hot_delta = spark.createDataFrame(
+        hot_rows, "vec_id long, embedding array<float>, label int, op string"
+    )
+
+    for label, delta in (("uniform", uni_delta), ("hot", hot_delta)):
+        store = f"/tmp/skewstress-ann-{label}"
+        build_store(store)
+        d = delta.localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        touched = ann_store_apply_changes(spark, store, d, cents, books)
+        sec = round(time.perf_counter() - t0, 3)
+        nrows = spark.read.parquet(store).count()
+        results[f"ann_{label}"] = {
+            "sec": sec, "touched_cells": touched, "store_rows": nrows,
+        }
+        print(f"ann fold {label}: {sec}s touched={touched}", flush=True)
+    results["ann_hot_over_uniform"] = round(
+        results["ann_hot"]["sec"] / results["ann_uniform"]["sec"], 2
+    )
 
 
 if __name__ == "__main__":
