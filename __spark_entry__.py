@@ -4715,6 +4715,52 @@ def _cluster_cap_oracle_sql() -> str:
     )
 
 
+def q_d4_select(spark, sf) -> DataFrame:
+    """D4-style prototype pruning (operators/clustering.py
+    prototypicality_filter; Tirumala et al. 2023): drop the 25% most
+    prototypical vectors per k-means cluster (closest to centroid =
+    most redundant after SemDeDup), keeping the diverse tails. The
+    integer-exact quantized distance + id tie-break makes the per-cluster
+    ranking and keep set bit-replayable in SQL (the kmeans-oracle
+    argmin/least identity extended with the per-row |q|^2 term that
+    within-cluster ranking needs)."""
+    from sycamore_spark.operators.clustering import prototypicality_filter
+
+    emb = _ds(spark, sf, "embeddings").to_df()
+    return prototypicality_filter(
+        emb, _kmeans_centroids(), drop_frac=0.25,
+        vec_col="embedding", id_col="vec_id", quantize_scale=_KMEANS_SCALE,
+    ).select("vec_id", "cluster", "dist_q", "proto_rank", "cluster_n", "kept")
+
+
+def _d4_oracle_sql() -> str:
+    """DuckDB replay of q_d4_select: the kmeans quantized distances plus
+    the per-row |q|^2 (constant for argmin, NOT for within-cluster
+    ranking), the same (dist, id) window rank, and the same
+    floor(0.25*n) keep rule."""
+    s = _KMEANS_SCALE
+    cints = [[int(np.floor(c * s + 0.5)) for c in row] for row in _kmeans_centroids()]
+    dists = []
+    for i, row in enumerate(cints):
+        lst = ", ".join(f"{v}.0" for v in row)
+        n2 = sum(v * v for v in row)
+        dists.append(f"-2 * list_dot_product(qe, [{lst}]) + {n2}.0 AS d{i}")
+    case = ("CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0 "
+            "WHEN d1 <= d2 AND d1 <= d3 THEN 1 WHEN d2 <= d3 THEN 2 ELSE 3 END")
+    return (
+        f"WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        f"x -> floor(x * {s} + 0.5)) AS qe FROM embeddings), "
+        f"d AS (SELECT vec_id, qe, {', '.join(dists)} FROM q), "
+        f"a AS (SELECT vec_id, CAST({case} AS BIGINT) AS cluster, "
+        "CAST(list_dot_product(qe, qe) + least(d0, d1, d2, d3) AS BIGINT) AS dist_q FROM d), "
+        "r AS (SELECT vec_id, cluster, dist_q, "
+        "row_number() OVER (PARTITION BY cluster ORDER BY dist_q ASC, vec_id ASC) AS proto_rank, "
+        "count(*) OVER (PARTITION BY cluster) AS cluster_n FROM a) "
+        "SELECT vec_id, cluster, dist_q, proto_rank::BIGINT AS proto_rank, "
+        "cluster_n::BIGINT AS cluster_n, proto_rank > floor(0.25 * cluster_n) AS kept FROM r"
+    )
+
+
 def q_bucketed_join(spark, sf) -> DataFrame:
     """Bucketed co-located join under the gate (writer.write_bucketed):
     both fact tables persisted bucketed on the join key, then joined and
@@ -7204,6 +7250,7 @@ def _bpe_encode_oracle(rounds: int) -> str:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
     "paragraph_dedup_e2e": q_paragraph_dedup_e2e,
+    "d4_select": q_d4_select,
     # -- stalest driver greens --
     "binary_scan": q_binary_scan,
     "table_props": q_table_props,
@@ -7785,6 +7832,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "element_images": _element_images_oracle_sql(),
         "kmeans": _kmeans_oracle_sql(),
+        "d4_select": _d4_oracle_sql(),
         "cluster_cap": _cluster_cap_oracle_sql(),
         "compact": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "bucketed_join": (

@@ -206,6 +206,7 @@ HEADLINE = [
     "curation_e2e",
     # round-11 additions
     "paragraph_dedup_e2e",
+    "d4_select",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

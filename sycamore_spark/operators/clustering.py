@@ -144,3 +144,85 @@ def assign_clusters(df: DataFrame, centroids, vec_col: str = "embedding",
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
     return df.withColumn(out_col, _closest(V.as_double(F.col(vec_col))))
+
+
+def prototypicality_filter(
+    df: DataFrame,
+    centroids,
+    drop_frac: float = 0.25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    quantize_scale: float = 1024.0,
+) -> DataFrame:
+    """D4-style prototype pruning (Tirumala et al. 2023, "D4: Improving
+    LLM Pretraining via Document De-Duplication and Diversification"):
+    after SemDeDup removes near-duplicates, the points CLOSEST to their
+    cluster centroid — the most "prototypical", most redundant with the
+    cluster's center of mass — are dropped, keeping each cluster's
+    diverse tail. Composes with ``semantic_dedup`` (run it first) and
+    ``cap_per_group`` (hard cap vs fractional prune).
+
+    Per cluster: ``n_drop = floor(drop_frac * cluster_n)`` rows with the
+    smallest centroid distance are marked ``kept = false`` (distance
+    ties broken by id, so the surviving set is identical on every run
+    and partitioning). Returns the input plus (cluster, dist_q,
+    proto_rank, cluster_n, kept) — filter ``kept`` for the pruned
+    corpus, or feed ``proto_rank / cluster_n`` downstream as a
+    redundancy score.
+
+    Integer-exact cross-engine contract: vectors and centroids are
+    quantized with ``floor(x*s + 0.5)`` (the assign_clusters /
+    tests/test_rounding_seam.py pattern), so ``dist_q = |q|^2 - 2 q.c +
+    |c|^2`` is an exact integer in float64 and the per-cluster ranking
+    replays bit-identically in SQL (the same argmin-vs-least identity
+    the kmeans oracle uses: under first-wins ties the assigned
+    centroid's distance still equals the least distance).
+
+    Scale shape: one Arrow assignment pass (mapInPandas — real output
+    columns, evaluated once even when a downstream plan both filters and
+    projects; the ivf_pq_encode discipline), then ONE window exchange on
+    the cluster id. Cluster counts are corpus-scale balanced by
+    construction (k-means cells), so the window has no pathological key.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    C = np.asarray(centroids, dtype=np.float64)
+    s = float(quantize_scale)
+    Cq = np.floor(C * s + 0.5)
+    c_norm2 = (Cq**2).sum(axis=1)
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(cluster_col, LongType()), StructField("dist_q", LongType())]
+    )
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                pdf[cluster_col] = pd.Series([], dtype="int64")
+                pdf["dist_q"] = pd.Series([], dtype="int64")
+                yield pdf
+                continue
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mq = np.floor(m * s + 0.5)
+            d = -2.0 * (mq @ Cq.T) + c_norm2
+            cl = d.argmin(axis=1)
+            dist = (mq**2).sum(axis=1) + d[np.arange(len(cl)), cl]
+            pdf = pdf.copy()
+            pdf[cluster_col] = cl.astype(np.int64)
+            pdf["dist_q"] = dist.astype(np.int64)
+            yield pdf
+
+    assigned = df.mapInPandas(run, out_schema)
+    w = Window.partitionBy(cluster_col)
+    w_rank = w.orderBy(F.col("dist_q").asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("proto_rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("cluster_n", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn(
+            "kept",
+            F.col("proto_rank") > F.floor(F.lit(float(drop_frac)) * F.col("cluster_n")),
+        )
+    )

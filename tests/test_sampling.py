@@ -635,3 +635,48 @@ def test_mixture_plan_token_weighted(spark):
     assert by_toks["de"].keep_fraction == 1.0 and by_toks["en"].keep_fraction < 1.0
     assert by_toks["en"].cnt == 1000 and by_toks["de"].cnt == 200
     assert by_toks["en"].expected_rows == 200  # token units
+
+
+def test_prototypicality_filter_d4(spark):
+    """D4 prototype pruning: per cluster, exactly floor(drop_frac*n) of
+    the closest-to-centroid points are dropped; ties break by id; every
+    input row appears with its rank."""
+    from sycamore_spark.operators.clustering import prototypicality_filter
+
+    # two obvious clusters around (0,0) and (10,10); distances staggered
+    rows = [
+        (1, [0.1, 0.0]), (2, [0.2, 0.0]), (3, [0.3, 0.0]), (4, [0.4, 0.0]),
+        (10, [10.1, 10.0]), (11, [10.2, 10.0]), (12, [10.3, 10.0]),
+        (13, [10.4, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in prototypicality_filter(
+            df, [[0.0, 0.0], [10.0, 10.0]], drop_frac=0.5,
+            quantize_scale=1024.0,
+        ).collect()
+    }
+    assert len(out) == 8
+    # cluster 0: ids 1-4 by distance; floor(0.5*4)=2 dropped (1 and 2)
+    assert not out[1].kept and not out[2].kept
+    assert out[3].kept and out[4].kept
+    assert [out[i].proto_rank for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    # cluster 1 symmetric
+    assert not out[10].kept and not out[11].kept
+    assert out[12].kept and out[13].kept
+    assert all(out[i].cluster_n == 4 for i in (1, 10))
+
+
+def test_prototypicality_filter_tie_break_and_zero_drop(spark):
+    from sycamore_spark.operators.clustering import prototypicality_filter
+
+    # identical vectors: rank order must follow id (deterministic ties)
+    df = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (3, [1.0, 0.0]), (9, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in prototypicality_filter(
+        df, [[1.0, 0.0]], drop_frac=0.0).collect()}
+    assert [out[i].proto_rank for i in (3, 5, 9)] == [1, 2, 3]
+    assert all(r.kept for r in out.values())  # drop_frac=0 keeps everything
