@@ -5518,6 +5518,70 @@ def _semantic_dedup_oracle_sql() -> str:
     )
 
 
+def q_d4_e2e(spark, sf) -> DataFrame:
+    """The FULL D4 pipeline (Tirumala et al. 2023): SemDeDup removes
+    near-duplicate vectors within each semantic cell, then
+    prototypicality pruning drops the 25% most-prototypical survivors
+    per cell — dedup THEN diversify, the paper's actual recipe, composed
+    from the two individually-gated stages (q_semantic_dedup +
+    prototypicality_filter) under one oracle. Same 32 fixed quantized
+    centroids for both stages, so the cell assignment is computed once
+    per engine and agrees bit-for-bit."""
+    from sycamore_spark.operators.clustering import prototypicality_filter
+
+    emb = _ds(spark, sf, "embeddings").to_df()
+    sd = dedup.semantic_dedup(
+        emb, "vec_id", "embedding", _kmeans_centroids(k=_SEMDEDUP_K),
+        threshold=0.45, quantize_scale=_KMEANS_SCALE,
+    )
+    survivors = emb.join(
+        sd.filter(F.col("keep")).select("vec_id"), "vec_id", "left_semi"
+    )
+    return prototypicality_filter(
+        survivors, _kmeans_centroids(k=_SEMDEDUP_K), drop_frac=0.25,
+        vec_col="embedding", id_col="vec_id", quantize_scale=_KMEANS_SCALE,
+    ).select("vec_id", "cluster", "dist_q", "proto_rank", "cluster_n", "kept")
+
+
+def _d4_e2e_oracle_sql() -> str:
+    """DuckDB replay of q_d4_e2e: the semantic_dedup oracle's assignment +
+    within-cell cosine drop set, then the d4 ranking (dist_q = |q|^2 +
+    least-distance, (dist, id) window rank, floor(0.25*n) keep) over the
+    SemDeDup survivors."""
+    s = _KMEANS_SCALE
+    k = _SEMDEDUP_K
+    cints = [[int(np.floor(c * s + 0.5)) for c in row]
+             for row in _kmeans_centroids(k=k)]
+    dists = []
+    for i, row in enumerate(cints):
+        lst = ", ".join(f"{v}.0" for v in row)
+        n2 = sum(v * v for v in row)
+        dists.append(f"-2 * list_dot_product(qe, [{lst}]) + {n2}.0 AS d{i}")
+    mn = "least(" + ", ".join(f"d{i}" for i in range(k)) + ")"
+    case = ("CASE " + " ".join(f"WHEN d{i} = _mn THEN {i}" for i in range(k - 1))
+            + f" ELSE {k - 1} END")
+    ip = "list_inner_product({x}.qe, {y}.qe)"
+    cos = (f"{ip.format(x='a', y='b')} / "
+           f"(sqrt({ip.format(x='a', y='a')}) * sqrt({ip.format(x='b', y='b')}))")
+    return (
+        f"WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        f"x -> floor(x * {s} + 0.5)) AS qe FROM embeddings), "
+        f"d AS (SELECT vec_id, qe, {', '.join(dists)} FROM q), "
+        f"m AS (SELECT {mn} AS _mn, * FROM d), "
+        f"asg AS (SELECT vec_id, qe, CAST({case} AS BIGINT) AS cluster, "
+        "CAST(list_dot_product(qe, qe) + _mn AS BIGINT) AS dist_q FROM m), "
+        f"drops AS (SELECT DISTINCT b.vec_id AS dv FROM asg a JOIN asg b "
+        f"ON a.cluster = b.cluster AND a.vec_id < b.vec_id WHERE {cos} >= 0.45), "
+        "surv AS (SELECT vec_id, cluster, dist_q FROM asg "
+        "WHERE vec_id NOT IN (SELECT dv FROM drops)), "
+        "r AS (SELECT vec_id, cluster, dist_q, "
+        "row_number() OVER (PARTITION BY cluster ORDER BY dist_q ASC, vec_id ASC) AS proto_rank, "
+        "count(*) OVER (PARTITION BY cluster) AS cluster_n FROM surv) "
+        "SELECT vec_id, cluster, dist_q, proto_rank::BIGINT AS proto_rank, "
+        "cluster_n::BIGINT AS cluster_n, proto_rank > floor(0.25 * cluster_n) AS kept FROM r"
+    )
+
+
 def q_incremental_dedup(spark, sf) -> DataFrame:
     """Incremental new-batch-vs-corpus dedup through the distributed Bloom
     prefilter + exact verify join. The new batch is constructed
@@ -7251,6 +7315,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
     "paragraph_dedup_e2e": q_paragraph_dedup_e2e,
     "d4_select": q_d4_select,
+    "d4_e2e": q_d4_e2e,
     # -- stalest driver greens --
     "binary_scan": q_binary_scan,
     "table_props": q_table_props,
@@ -7833,6 +7898,7 @@ def oracle_sql() -> dict[str, str]:
         "element_images": _element_images_oracle_sql(),
         "kmeans": _kmeans_oracle_sql(),
         "d4_select": _d4_oracle_sql(),
+        "d4_e2e": _d4_e2e_oracle_sql(),
         "cluster_cap": _cluster_cap_oracle_sql(),
         "compact": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "bucketed_join": (

@@ -207,6 +207,7 @@ HEADLINE = [
     # round-11 additions
     "paragraph_dedup_e2e",
     "d4_select",
+    "d4_e2e",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path
