@@ -7313,10 +7313,61 @@ def _bpe_encode_oracle(rounds: int) -> str:
 # the r3-green remainder.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    # -- stalest driver greens --
+    "bbox_sort": q_bbox_sort,
+    "unit_convert": q_unit_convert,
+    "stream_cdc": q_stream_cdc,
+    "containment_lsh": q_containment_lsh,
+    "bbox_rotation": q_bbox_rotation,
+    "subtask_exec": q_subtask_exec,
+    "dup_spans": q_dup_spans,
+    "url_canon": q_url_canon,
+    "crawl_prep": q_crawl_prep,
+    "predicate_dsl": q_predicate_dsl,
+    "temp_mixture": q_temp_mixture,
+    "snippets": q_snippets,
+    "phrase_search": q_phrase_search,
+    "html_tables": q_html_tables,
+    "inverted_index": q_inverted_index,
+    "pdf_convert": q_pdf_convert,
+    "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q19": q_tpch_q19,
+    "eval_pipeline": q_eval_pipeline,
+    "doc_etl_e2e": q_doc_etl_e2e,
+    "select_pages": q_select_pages,
+    "pdf_split": q_pdf_split,
+    "promote_title": q_promote_title,
+    "crop_regions": q_crop_regions,
+    "draw_boxes": q_draw_boxes,
+    "image_urls": q_image_urls,
+    "element_images": q_element_images,
+    "unit_derive": q_unit_derive,
+    "formula_derive": q_formula_derive,
+    "stepthrough_extract": q_stepthrough_extract,
+    "bm25_pruned": q_bm25_pruned,
+    "pq_ann": q_pq_ann,
+    "standardize_state": q_standardize_state,
+    "standardize_date": q_standardize_date,
+    "augment_text": q_augment_text,
+    "chunk_overlap": q_chunk_overlap,
+    "io_roundtrip": q_io_roundtrip,
+    "assign_props": q_assign_props,
+    "layout_merge": q_layout_merge,
+    "doc_explode": q_doc_explode,
+    "doc_unexplode": q_doc_unexplode,
+    "doc_merge": q_doc_merge,
+    "doc_merge_table": q_doc_merge_table,
+    "table_ted": q_table_ted,
+    # -- fresher greens (rotate next round) --
     "paragraph_dedup_e2e": q_paragraph_dedup_e2e,
     "d4_select": q_d4_select,
     "d4_e2e": q_d4_e2e,
-    # -- stalest driver greens --
     "binary_scan": q_binary_scan,
     "table_props": q_table_props,
     "summarize_images": q_summarize_images,
@@ -7364,10 +7415,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa_eval": q_qa_eval,
     "doc_reconstruct": q_doc_reconstruct,
     "docids": q_docids,
-    "bbox_sort": q_bbox_sort,
-    "unit_convert": q_unit_convert,
-    "stream_cdc": q_stream_cdc,
-    # -- fresher greens (rotate next round) --
     "rrf_weighted": q_rrf_weighted,
     "ann_reindex": q_ann_reindex,
     "embed_cdc_e2e": q_embed_cdc_e2e,
@@ -7518,32 +7565,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
     "tpch_q21": q_tpch_q21,
-    "eval_pipeline": q_eval_pipeline,
-    "doc_etl_e2e": q_doc_etl_e2e,
-    "select_pages": q_select_pages,
-    "pdf_split": q_pdf_split,
-    "promote_title": q_promote_title,
-    "crop_regions": q_crop_regions,
-    "draw_boxes": q_draw_boxes,
-    "image_urls": q_image_urls,
-    "element_images": q_element_images,
-    "unit_derive": q_unit_derive,
-    "formula_derive": q_formula_derive,
-    "stepthrough_extract": q_stepthrough_extract,
-    "bm25_pruned": q_bm25_pruned,
-    "pq_ann": q_pq_ann,
-    "standardize_state": q_standardize_state,
-    "standardize_date": q_standardize_date,
-    "augment_text": q_augment_text,
-    "chunk_overlap": q_chunk_overlap,
-    "io_roundtrip": q_io_roundtrip,
-    "assign_props": q_assign_props,
-    "layout_merge": q_layout_merge,
-    "doc_explode": q_doc_explode,
-    "doc_unexplode": q_doc_unexplode,
-    "doc_merge": q_doc_merge,
-    "doc_merge_table": q_doc_merge_table,
-    "table_ted": q_table_ted,
     "doc_markdown": q_doc_markdown,
     "doc_sections": q_doc_sections,
     "llm_filter": q_llm_filter,
@@ -7568,27 +7589,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "sessionize": q_sessionize,
     "salted_join": q_salted_join,
-    "containment_lsh": q_containment_lsh,
-    "bbox_rotation": q_bbox_rotation,
-    "subtask_exec": q_subtask_exec,
-    "dup_spans": q_dup_spans,
-    "url_canon": q_url_canon,
-    "crawl_prep": q_crawl_prep,
-    "predicate_dsl": q_predicate_dsl,
-    "temp_mixture": q_temp_mixture,
-    "snippets": q_snippets,
-    "phrase_search": q_phrase_search,
-    "html_tables": q_html_tables,
-    "inverted_index": q_inverted_index,
-    "pdf_convert": q_pdf_convert,
-    "bpe_merges": q_bpe_merges,
-    "bpe_encode": q_bpe_encode,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q4": q_tpch_q4,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q19": q_tpch_q19,
 }
 
 
