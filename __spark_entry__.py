@@ -5504,8 +5504,14 @@ def _semantic_dedup_oracle_sql() -> str:
     case = ("CASE " + " ".join(f"WHEN d{i} = _mn THEN {i}" for i in range(k - 1))
             + f" ELSE {k - 1} END")
     ip = "list_inner_product({x}.qe, {y}.qe)"
-    cos = (f"{ip.format(x='a', y='b')} / "
-           f"(sqrt({ip.format(x='a', y='a')}) * sqrt({ip.format(x='b', y='b')}))")
+    # zero-norm guard: an all-zero quantized vector would make the raw
+    # ratio NaN in DuckDB (NaN sorts above 0.45, dropping the partner)
+    # while the Spark path nan_to_nums the cosine to -2.0 and keeps it —
+    # treat zero norms as not-similar on both engines
+    cos = (f"(CASE WHEN {ip.format(x='a', y='a')} = 0 "
+           f"OR {ip.format(x='b', y='b')} = 0 THEN -2.0 "
+           f"ELSE {ip.format(x='a', y='b')} / "
+           f"(sqrt({ip.format(x='a', y='a')}) * sqrt({ip.format(x='b', y='b')})) END)")
     return (
         f"WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
         f"x -> floor(x * {s} + 0.5)) AS qe FROM embeddings), "
@@ -5561,8 +5567,14 @@ def _d4_e2e_oracle_sql() -> str:
     case = ("CASE " + " ".join(f"WHEN d{i} = _mn THEN {i}" for i in range(k - 1))
             + f" ELSE {k - 1} END")
     ip = "list_inner_product({x}.qe, {y}.qe)"
-    cos = (f"{ip.format(x='a', y='b')} / "
-           f"(sqrt({ip.format(x='a', y='a')}) * sqrt({ip.format(x='b', y='b')}))")
+    # zero-norm guard: an all-zero quantized vector would make the raw
+    # ratio NaN in DuckDB (NaN sorts above 0.45, dropping the partner)
+    # while the Spark path nan_to_nums the cosine to -2.0 and keeps it —
+    # treat zero norms as not-similar on both engines
+    cos = (f"(CASE WHEN {ip.format(x='a', y='a')} = 0 "
+           f"OR {ip.format(x='b', y='b')} = 0 THEN -2.0 "
+           f"ELSE {ip.format(x='a', y='b')} / "
+           f"(sqrt({ip.format(x='a', y='a')}) * sqrt({ip.format(x='b', y='b')})) END)")
     return (
         f"WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
         f"x -> floor(x * {s} + 0.5)) AS qe FROM embeddings), "
@@ -9702,7 +9714,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM keyed k LEFT JOIN removed r ON k.wid = r.wid) "
             "SELECT doc_id, count(*)::BIGINT AS n_windows, "
             "coalesce(sum(CASE WHEN cut THEN 1 END), 0)::BIGINT AS n_removed, "
-            "sum(len(wt))::BIGINT AS n_tokens_before, "
+            "coalesce(sum(len(wt)), 0)::BIGINT AS n_tokens_before, "
             "coalesce(sum(CASE WHEN NOT cut THEN len(wt) END), 0)::BIGINT AS n_tokens_after, "
             "coalesce(array_to_string(flatten(list(wt ORDER BY widx) FILTER (NOT cut)), ' '), '') AS clean_text "
             "FROM tagged GROUP BY doc_id"

@@ -188,6 +188,17 @@ def prototypicality_filter(
     from pyspark.sql.types import LongType, StructField, StructType
     from pyspark.sql.window import Window
 
+    clash = {cluster_col, "dist_q", "proto_rank", "cluster_n", "kept"} & set(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"prototypicality_filter: input already has column(s) "
+            f"{sorted(clash)}, which collide with the columns this op "
+            "appends — a duplicate field name in the mapInPandas output "
+            "schema fails (or silently misbinds) only downstream; rename or "
+            "drop them first"
+        )
     C = np.asarray(centroids, dtype=np.float64)
     s = float(quantize_scale)
     Cq = np.floor(C * s + 0.5)

@@ -1434,7 +1434,12 @@ def paragraph_dedup(
     from sycamore_spark.functions.partitioning import lineage_cut
 
     P = int(window)
-    toks = T.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    # split('') yields [''] — filter empty tokens so empty/whitespace-only/
+    # NULL text counts 0 tokens, matching the oracle's list_filter(t != '')
+    # (empty tokens can only arise from empty input: T.tokens trims first)
+    toks = F.filter(
+        T.tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != F.lit("")
+    )
     base = df.select(F.col(id_col).alias("_did"), toks.alias("_t")).withColumn(
         "_n", F.size("_t")
     )
@@ -1494,15 +1499,26 @@ def paragraph_dedup(
         out.join(stats, id_col, "left")
         .join(rem_stats, id_col, "left")
         .withColumn("n_removed", F.coalesce(F.col("n_removed"), F.lit(0)).cast("long"))
-        # remove_token_spans passes NULL text through as NULL; this op's
-        # contract is one empty kept window (0 tokens, '' out) instead
+        # remove_token_spans passes NULL text through as NULL and counts ''
+        # as one empty token (the decontaminate-family contract); this op's
+        # contract is one empty kept window with ZERO tokens instead, so
+        # empty/whitespace-only/NULL text overrides both counts to 0
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
         .withColumn(
+            "_empty_in",
+            F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
+        )
+        .withColumn(
             "n_tokens_before",
-            F.coalesce(F.col("n_tokens_before"), F.lit(0)).cast("long"),
+            F.when(F.col("_empty_in"), F.lit(0))
+            .otherwise(F.coalesce(F.col("n_tokens_before"), F.lit(0)))
+            .cast("long"),
         )
         .withColumn(
             "n_tokens_after",
-            F.coalesce(F.col("n_tokens_after"), F.lit(0)).cast("long"),
+            F.when(F.col("_empty_in"), F.lit(0))
+            .otherwise(F.coalesce(F.col("n_tokens_after"), F.lit(0)))
+            .cast("long"),
         )
+        .drop("_empty_in")
     )

@@ -526,3 +526,109 @@ def test_paragraph_dedup_docset_method(spark):
     )
     out = {r.doc_id: r for r in DocSet(docs).paragraph_dedup(window=5).take_all()}
     assert out[2].n_removed == 1 and out[1].n_removed == 0
+
+
+def test_paragraph_dedup_empty_and_null_text_zero_tokens(spark):
+    """Empty / whitespace-only / NULL text must report ZERO tokens (not the
+    split('')-artifact phantom token) on BOTH engines — the r11 ADVICE
+    divergence: Spark's T.tokens('') yields [''] while the DuckDB oracle's
+    list_filter(t != '') yields []. All three degenerate rows get one empty
+    kept window, 0 tokens before/after, '' out, and the DuckDB replay of the
+    gate SQL (coalesced n_tokens_before) agrees row-for-row."""
+    import duckdb
+
+    from sycamore_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon one two three four five"),
+        (2, ""),
+        (3, "   "),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(docs, window=20).collect()}
+    for did in (2, 3, 4):
+        r = out[did]
+        assert r.n_windows == 1 and r.n_removed == 0, (did, r)
+        assert r.n_tokens_before == 0 and r.n_tokens_after == 0, (did, r)
+        assert r.clean_text == "", (did, r)
+    assert out[1].n_tokens_before == 10 and out[1].n_tokens_after == 10
+
+    import __spark_entry__ as entry
+
+    sql = entry.oracle_sql()["paragraph_dedup_e2e"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {'NULL' if t is None else repr(t)})" for i, t in rows
+        )
+        + ") AS v(doc_id, text)"
+    )
+    oracle = {
+        row[0]: row
+        for row in con.execute(sql + " ORDER BY doc_id").fetchall()
+    }
+    for did, r in out.items():
+        o = oracle[did]
+        assert (
+            o[1], o[2], o[3], o[4], o[5]
+        ) == (
+            r.n_windows, r.n_removed, r.n_tokens_before,
+            r.n_tokens_after, r.clean_text,
+        ), (did, o, r)
+
+
+def test_prototypicality_filter_rejects_colliding_columns(spark):
+    """Input columns that collide with the appended (cluster, dist_q,
+    proto_rank, cluster_n, kept) columns raise up front instead of putting
+    duplicate field names in the mapInPandas output schema (r11 ADVICE;
+    mirrors the dsir_select guard)."""
+    import pytest
+
+    from sycamore_spark.operators.clustering import prototypicality_filter
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7)], "vec_id long, embedding array<double>, dist_q long"
+    )
+    with pytest.raises(ValueError, match="dist_q"):
+        prototypicality_filter(df, [[1.0, 0.0], [0.0, 1.0]])
+
+
+def test_semantic_dedup_oracle_zero_norm_guard():
+    """An all-zero quantized vector (|x| < 1/(2*scale) per component) must
+    NOT be treated as similar-to-everything by the DuckDB oracle: the raw
+    cosine is NaN (NaN > 0.45 in DuckDB ordering), the Spark path
+    nan_to_nums it to -2.0 and keeps the row. Both the semantic_dedup and
+    d4_e2e oracle SQL now CASE-guard zero norms; replay them on a corpus
+    containing a zero vector and check nobody gets dropped for it."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    # vec 1 and 2 are near-identical (true dup pair); vec 3 quantizes to the
+    # zero vector (every |component| < 0.5/scale) and must stay kept on both
+    # oracles. Dimension matches the gate's 64-dim centroid model.
+    dim = 64
+    v1 = [1.0] + [0.0] * (dim - 1)
+    v2 = [0.999, 0.001] + [0.0] * (dim - 2)
+    v3 = [0.0001] * dim
+    lit = lambda v: "[" + ", ".join(str(x) for x in v) + "]::DOUBLE[]"
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        f"(1, {lit(v1)}), (2, {lit(v2)}), (3, {lit(v3)})"
+        ") AS v(vec_id, embedding)"
+    )
+    sem = dict(
+        con.execute(
+            "SELECT vec_id, keep FROM (" + entry.oracle_sql()["semantic_dedup"] + ")"
+        ).fetchall()
+    )
+    assert sem[3] is True and sem[1] is True and sem[2] is False, sem
+    d4 = dict(
+        con.execute(
+            "SELECT vec_id, kept FROM (" + entry.oracle_sql()["d4_e2e"] + ")"
+        ).fetchall()
+    )
+    assert 3 in d4, d4
