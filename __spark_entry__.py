@@ -7323,8 +7323,107 @@ def _bpe_encode_oracle(rounds: int) -> str:
 # queries whose last driver row is r2 (so every declared query gets a fresh
 # row within r4/r5), then the queries whose code changed this round, then
 # the r3-green remainder.
+
+
+def q_store_sync(spark, sf) -> DataFrame:
+    """Store reconciliation plan (storesync.store_sync — the reference's
+    OpenSearch materialize-dir <-> index sync, connectors/opensearch/
+    sync.py:1-643, as two hash aggs + one full-outer join). The
+    source/metadata/destination listings are synthesized deterministically
+    from the documents table so every classification arm is exercised:
+    doc_id%10 -> 1 no metadata record, 2 stale record mtime, 5 duplicate
+    records (all missing_md_info), 3 absent destination group
+    (missing_os_record), 4 extra destination piece and 6 missing group
+    doc_mtime (both mismatch_key -> pieces purged), the rest
+    correctly_loaded; doc_id%20==13 adds destination-only groups
+    (only_in_os purges)."""
+    from sycamore_spark.operators.storesync import store_sync, sync_key
+
+    base = (
+        _ds(spark, sf, "documents")
+        .to_df()
+        .select(
+            F.col("doc_id").cast("long").alias("i"),
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("sid"),
+            (F.col("doc_id") % 7 + 100).cast("long").alias("mt"),
+            (F.col("doc_id") % 3).cast("int").alias("nsp"),
+            (F.col("doc_id") % 10).cast("int").alias("cs"),
+        )
+    )
+    splits = F.when(
+        F.col("nsp") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("nsp") - 1),
+            lambda j: F.concat(
+                F.lit("s"), F.col("i").cast("string"), F.lit("_"), j.cast("string")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = base.withColumn("parts", F.concat(F.array(F.col("sid")), splits))
+
+    source = base.select(F.col("sid").alias("doc_id"), F.col("mt").alias("mtime"))
+    md_mt = F.when(F.col("cs") == 2, F.col("mt") - 1).otherwise(F.col("mt"))
+    md = (
+        base.filter(F.col("cs") != 1)
+        .select(
+            F.col("sid").alias("doc_id"),
+            md_mt.alias("mtime"),
+            sync_key(md_mt, F.col("parts")).alias("sync_key"),
+        )
+        .unionByName(
+            base.filter(F.col("cs") == 5).select(
+                F.col("sid").alias("doc_id"),
+                F.col("mt").alias("mtime"),
+                sync_key(F.col("mt"), F.array(F.col("sid"))).alias("sync_key"),
+            )
+        )
+    )
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    present = base.filter(F.col("cs") != 3)
+    dest = (
+        present.select(
+            F.col("sid").alias("doc_id"),
+            null_s.alias("parent_id"),
+            F.when(F.col("cs") == 6, null_l).otherwise(F.col("mt")).alias("doc_mtime"),
+        )
+        .unionByName(
+            present.select(
+                F.explode(splits).alias("doc_id"),
+                F.col("sid").alias("parent_id"),
+                null_l.alias("doc_mtime"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("cs") == 4).select(
+                F.concat(F.lit("e"), F.col("i").cast("string")).alias("doc_id"),
+                F.col("sid").alias("parent_id"),
+                null_l.alias("doc_mtime"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("i") % 20 == 13).select(
+                F.concat(F.lit("x"), F.col("i").cast("string")).alias("doc_id"),
+                null_s.alias("parent_id"),
+                F.lit(50).cast("long").alias("doc_mtime"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("i") % 20 == 13).select(
+                F.concat(F.lit("xs"), F.col("i").cast("string")).alias("doc_id"),
+                F.concat(F.lit("x"), F.col("i").cast("string")).alias("parent_id"),
+                null_l.alias("doc_mtime"),
+            )
+        )
+    )
+    return store_sync(source, dest, md).select(
+        "sync_id", "kind", "status", "action", "stale_md"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "store_sync": q_store_sync,
     # -- stalest driver greens --
     "bbox_sort": q_bbox_sort,
     "unit_convert": q_unit_convert,
@@ -7899,6 +7998,46 @@ def oracle_sql() -> dict[str, str]:
     }
     lang_max = f"greatest({lang_scores['en']}, {lang_scores['de']}, {lang_scores['fr']}, {lang_scores['es']})"
     return {
+        "store_sync": (
+            "WITH base AS (SELECT doc_id AS i, 'd' || doc_id::VARCHAR AS sid, "
+            "(doc_id % 7 + 100)::BIGINT AS mt, (doc_id % 3)::INT AS nsp, (doc_id % 10)::INT AS cs, "
+            "['d' || doc_id::VARCHAR] || list_transform(range(doc_id % 3), "
+            "j -> 's' || doc_id::VARCHAR || '_' || j::VARCHAR) AS parts FROM documents), "
+            "src AS (SELECT sid, mt FROM base), "
+            "md AS (SELECT sid, CASE WHEN cs = 2 THEN mt - 1 ELSE mt END AS mmt, "
+            "sha256((CASE WHEN cs = 2 THEN mt - 1 ELSE mt END)::VARCHAR || chr(31) "
+            "|| array_to_string(list_sort(parts), chr(31))) AS mkey FROM base WHERE cs <> 1 "
+            "UNION ALL SELECT sid, mt, sha256(mt::VARCHAR || chr(31) || sid) FROM base WHERE cs = 5), "
+            "mda AS (SELECT sid AS aid, count(*) AS n_md, max(mmt) AS md_mt, max(mkey) AS md_key "
+            "FROM md GROUP BY 1), "
+            "dest AS (SELECT sid AS pid, sid AS did, "
+            "CASE WHEN cs = 6 THEN NULL ELSE mt END AS dmt FROM base WHERE cs <> 3 "
+            "UNION ALL SELECT sid, unnest(list_transform(range(nsp), "
+            "j -> 's' || i::VARCHAR || '_' || j::VARCHAR)), NULL FROM base WHERE cs <> 3 AND nsp > 0 "
+            "UNION ALL SELECT sid, 'e' || i::VARCHAR, NULL FROM base WHERE cs = 4 "
+            "UNION ALL SELECT 'x' || i::VARCHAR, 'x' || i::VARCHAR, 50 FROM base WHERE i % 20 = 13 "
+            "UNION ALL SELECT 'x' || i::VARCHAR, 'xs' || i::VARCHAR, NULL FROM base WHERE i % 20 = 13), "
+            "grp AS (SELECT pid, list(did) AS gparts, count(dmt) AS n_mt, max(dmt) AS mt_max "
+            "FROM dest GROUP BY 1), "
+            "gk AS (SELECT pid, sha256((CASE WHEN n_mt = 1 THEN mt_max ELSE -1 END)::VARCHAR "
+            "|| chr(31) || array_to_string(list_sort(gparts), chr(31))) AS dest_key FROM grp), "
+            "j AS (SELECT s.sid, s.mt, s.n_md, s.md_mt, s.md_key, g.pid, g.dest_key "
+            "FROM (SELECT s0.sid, s0.mt, a.n_md, a.md_mt, a.md_key "
+            "FROM src s0 LEFT JOIN mda a ON s0.sid = a.aid) s "
+            "FULL OUTER JOIN gk g ON s.sid = g.pid), "
+            "cls AS (SELECT *, CASE "
+            "WHEN NOT coalesce(n_md = 1 AND md_mt = mt, FALSE) THEN 'missing_md_info' "
+            "WHEN pid IS NULL THEN 'missing_os_record' "
+            "WHEN md_key = dest_key THEN 'correctly_loaded' "
+            "ELSE 'mismatch_key' END AS status FROM j) "
+            "SELECT sid AS sync_id, 'doc' AS kind, status, "
+            "CASE WHEN status = 'correctly_loaded' THEN 'none' ELSE 'load' END AS action, "
+            "coalesce(n_md = 1 AND md_mt <> mt, FALSE) AS stale_md FROM cls WHERE sid IS NOT NULL "
+            "UNION ALL SELECT d.did, 'piece', "
+            "CASE WHEN c.sid IS NULL THEN 'only_in_os' ELSE 'mismatch_key' END, "
+            "'delete', FALSE FROM dest d JOIN cls c ON d.pid = c.pid "
+            "WHERE c.sid IS NULL OR c.status = 'mismatch_key'"
+        ),
         "crop_regions": _crop_regions_oracle_sql(),
         "draw_boxes": _draw_boxes_oracle_sql(),
         "image_urls": (
