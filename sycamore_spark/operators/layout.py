@@ -49,13 +49,32 @@ def zorder_key(cols: list[Column | str], bits: int = 8) -> Column:
 
 
 def quantile_bucket(df: DataFrame, col: str, bits: int = 8) -> Column:
-    """Equi-depth bucket id (0 .. 2^bits - 1) for ``col`` via ntile — rank
-    space, not value space, so skewed columns spread evenly across the
-    Z-curve. One window sort; at corpus scale compute approximate split
-    points once (approx_percentile / KLL) and bucket by range instead."""
-    from pyspark.sql.window import Window
+    """Equi-depth bucket id (0 .. 2^bits - 1) for ``col`` — rank space, not
+    value space, so skewed columns spread evenly across the Z-curve.
 
-    return F.ntile(1 << bits).over(Window.orderBy(F.col(col))) - F.lit(1)
+    Scale shape: ONE exact-percentile aggregate computes the 2^bits - 1
+    split points (driver-bounded: the split list, never the data), and the
+    returned column is a sum of threshold comparisons — no global window
+    anywhere, so this is safe to call on a corpus-scale input (an earlier
+    ntile formulation funneled every row through a single window task).
+    Ties at a split point go to the higher bucket; heavy ties can leave
+    lower buckets short (rank semantics can't split equal values). Runs
+    one Spark job at call time to collect the splits. The join-based twin
+    that keeps splits as a DataFrame (groupable, reusable on other tables)
+    is ``textstats.bucket_by_quantiles``; at 100 TB either works — swap
+    the exact percentile for a KLL sketch if one pass matters."""
+    n = 1 << bits
+    qs = [i / n for i in range(1, n)]
+    row = df.agg(
+        *[F.percentile(F.col(col), F.lit(q)).alias(f"q{i}") for i, q in enumerate(qs)]
+    ).first()
+    if row[0] is None:  # empty (or all-NULL) input: single bucket 0
+        return F.lit(0).cast("long")
+    v = F.col(col).cast("double")
+    return sum(
+        (F.when(v >= F.lit(float(row[i])), 1).otherwise(0) for i in range(len(qs))),
+        F.lit(0),
+    ).cast("long")
 
 
 def cluster_by_zorder(

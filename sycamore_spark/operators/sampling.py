@@ -144,18 +144,43 @@ def mixture_plan(
     ``weight_col`` must be non-null: a NULL weight contributes nothing to
     the stratum's budget (``sum`` skips it) yet the row-hash sampler still
     samples the row, so strata with many NULL-weight rows get a budget
-    computed from a subset while sampling the full stratum. Coalesce to an
-    explicit size (or filter NULL-weight rows) before calling.
+    computed from a subset while sampling the full stratum. ENFORCED
+    in-plan: any NULL weight fails the job with a descriptive error
+    (an ``assert_true`` folded into the same aggregate — no extra pass;
+    the round-9 validation pattern). Coalesce to an explicit size (or
+    filter NULL-weight rows) before calling.
     """
     tgt = F.lit(None).cast("double")
     for name, frac in reversed(list(target.items())):
         tgt = F.when(F.col("stratum") == name, F.lit(float(frac))).otherwise(tgt)
-    size = F.sum(weight_col) if weight_col else F.count(F.lit(1))
-    counts = (
-        df.groupBy(F.col(stratum).alias("stratum"))
-        .agg(size.alias("cnt"))
-        .withColumn("target_share", tgt)
-    )
+    if weight_col:
+        counts = df.groupBy(F.col(stratum).alias("stratum")).agg(
+            F.sum(weight_col).alias("cnt"),
+            F.sum(
+                F.when(F.col(weight_col).isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("_n_null_w"),
+        )
+        guard = F.assert_true(
+            F.col("_n_null_w") == 0,
+            F.concat(
+                F.lit(
+                    f"mixture_plan: weight_col '{weight_col}' has "
+                ),
+                F.col("_n_null_w").cast("string"),
+                F.lit(" NULL row(s) in stratum '"),
+                F.col("stratum").cast("string"),
+                F.lit(
+                    "'; NULL weights skew the budget/population mismatch — "
+                    "coalesce to an explicit size or filter them first"
+                ),
+            ),
+        )
+        counts = counts.filter(guard.isNull()).drop("_n_null_w")
+    else:
+        counts = df.groupBy(F.col(stratum).alias("stratum")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    counts = counts.withColumn("target_share", tgt)
     totals = counts.agg(
         F.sum("cnt").alias("_total"),
         F.min(

@@ -680,3 +680,30 @@ def test_prototypicality_filter_tie_break_and_zero_drop(spark):
         df, [[1.0, 0.0]], drop_frac=0.0).collect()}
     assert [out[i].proto_rank for i in (3, 5, 9)] == [1, 2, 3]
     assert all(r.kept for r in out.values())  # drop_frac=0 keeps everything
+
+
+def test_mixture_plan_null_weight_fails_in_plan(spark):
+    """The weight_col non-null contract is ENFORCED, not just documented
+    (r11 verdict ask): a NULL weight would compute the stratum budget from
+    a subset while the row-hash sampler samples the full stratum, so the
+    plan job fails with a descriptive error instead of silently skewing."""
+    import pytest
+
+    from sycamore_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [("web", 10), ("web", None), ("code", 5)],
+        "src string, toks long",
+    )
+    plan = mixture_plan(df, "src", {"web": 0.5, "code": 0.5}, weight_col="toks")
+    with pytest.raises(Exception, match="NULL row"):
+        plan.collect()
+    # non-null weights: unchanged semantics
+    ok = mixture_plan(
+        df.filter(F.col("toks").isNotNull()),
+        "src",
+        {"web": 0.5, "code": 0.5},
+        weight_col="toks",
+    )
+    rows = {r.stratum: r for r in ok.collect()}
+    assert rows["web"].cnt == 10 and rows["code"].cnt == 5
