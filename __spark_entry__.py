@@ -7325,6 +7325,28 @@ def _bpe_encode_oracle(rounds: int) -> str:
 # the r3-green remainder.
 
 
+def q_bin_pack(spark, sf) -> DataFrame:
+    """Document-preserving SFT packing (sampling.bin_pack): whole documents
+    first-fit-decreasing-packed into 256-token bins in (tokens desc,
+    doc_id) order, FFD running within 512-doc chunks of that order —
+    deterministic, so the DuckDB oracle replays the exact fold with a
+    recursive CTE and the per-bin occupancy hash-matches."""
+    from sycamore_spark.functions import text as T
+    from sycamore_spark.operators.sampling import bin_pack
+
+    docs = (
+        _ds(spark, sf, "documents")
+        .to_df()
+        .select(
+            "doc_id",
+            F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+    )
+    return bin_pack(docs, "n_tok", 256, "doc_id", chunk_size=512).select(
+        "doc_id", "n_tok", "bin_id", "bin_fill", "bin_count"
+    )
+
+
 def q_store_sync(spark, sf) -> DataFrame:
     """Store reconciliation plan (storesync.store_sync — the reference's
     OpenSearch materialize-dir <-> index sync, connectors/opensearch/
@@ -7424,6 +7446,7 @@ def q_store_sync(spark, sf) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
     "store_sync": q_store_sync,
+    "bin_pack": q_bin_pack,
     # -- stalest driver greens --
     "bbox_sort": q_bbox_sort,
     "unit_convert": q_unit_convert,
@@ -8037,6 +8060,31 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c.sid IS NULL THEN 'only_in_os' ELSE 'mismatch_key' END, "
             "'delete', FALSE FROM dest d JOIN cls c ON d.pid = c.pid "
             "WHERE c.sid IS NULL OR c.status = 'mismatch_key'"
+        ),
+        "bin_pack": (
+            "WITH RECURSIVE "
+            "t AS (SELECT doc_id AS id, len(regexp_split_to_array(lower(trim(text)), '\\s+'))::BIGINT AS sz FROM documents), "
+            "items AS (SELECT id, sz, row_number() OVER (ORDER BY sz DESC, id ASC) AS rk FROM t), "
+            "ck AS (SELECT id, sz, ((rk - 1) // 512)::BIGINT AS chunk, ((rk - 1) % 512 + 1)::BIGINT AS r FROM items), "
+            "st AS (SELECT chunk, 0::BIGINT AS r, []::BIGINT[] AS fills, []::BIGINT[] AS asg "
+            "FROM (SELECT DISTINCT chunk FROM ck) "
+            "UNION ALL SELECT st.chunk, st.r + 1, "
+            "CASE WHEN c.id IS NULL THEN st.fills "
+            "WHEN nullif(list_position(list_transform(st.fills, f -> f + c.sz <= 256), true), 0) IS NOT NULL "
+            "THEN list_transform(st.fills, (f, i) -> f + CASE WHEN i = nullif(list_position(list_transform(st.fills, f -> f + c.sz <= 256), true), 0) THEN c.sz ELSE 0 END) "
+            "ELSE list_append(st.fills, c.sz) END, "
+            "CASE WHEN c.id IS NULL THEN st.asg "
+            "ELSE list_append(st.asg, coalesce(nullif(list_position(list_transform(st.fills, f -> f + c.sz <= 256), true), 0)::BIGINT, len(st.fills) + 1)) END "
+            "FROM st LEFT JOIN ck c ON c.chunk = st.chunk AND c.r = st.r + 1 "
+            "WHERE st.r < 512), "
+            "fin AS (SELECT chunk, fills, asg FROM st WHERE r = 512), "
+            "asgt AS (SELECT chunk, unnest(asg)::BIGINT AS b, generate_subscripts(asg, 1)::BIGINT AS r, fills FROM fin), "
+            "cnts AS (SELECT chunk, b, count(*)::BIGINT AS cnt FROM asgt GROUP BY 1, 2) "
+            "SELECT c.id AS doc_id, c.sz AS n_tok, "
+            "a.chunk::VARCHAR || '_' || a.b::VARCHAR AS bin_id, "
+            "a.fills[a.b]::BIGINT AS bin_fill, n.cnt AS bin_count "
+            "FROM asgt a JOIN ck c ON c.chunk = a.chunk AND c.r = a.r "
+            "JOIN cnts n ON n.chunk = a.chunk AND n.b = a.b"
         ),
         "crop_regions": _crop_regions_oracle_sql(),
         "draw_boxes": _draw_boxes_oracle_sql(),

@@ -464,6 +464,113 @@ def sequence_pack(
     )
 
 
+def bin_pack(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    id_col: str,
+    partition_cols: list[str] | None = None,
+    chunk_size: int = 512,
+    bin_col: str = "bin_id",
+    warn_above: int | None = 10_000_000,
+) -> DataFrame:
+    """Document-preserving bin packing — the SFT-packing counterpart of
+    ``sequence_pack``: documents are NEVER split across a boundary;
+    instead whole documents are packed into bins of at most ``budget``
+    tokens by first-fit-decreasing (sort by size desc, place each doc in
+    the lowest-indexed bin it fits, else open a new bin — the classic
+    11/9·OPT+6/9 guarantee), so each bin concatenates complete examples
+    and only the residual is padding. A document larger than ``budget``
+    gets a bin of its own (its fill exceeds the budget; filter or
+    truncate upstream if that's not wanted).
+
+    Deterministic and cross-engine replayable: the global order is
+    (size desc, ``id_col`` asc); FFD runs within consecutive
+    ``chunk_size``-document chunks of that order (chunked FFD — the
+    standard scalable relaxation; chunk boundaries only cost packing
+    quality, never correctness, and ``chunk_size`` >= corpus size is
+    exact FFD). Returns the input plus ``bin_col`` (globally unique
+    string), ``bin_fill`` (total packed tokens of the bin) and
+    ``bin_count`` (documents in the bin).
+
+    Shape: ONE rank window in (size desc, id) order (the pack_shards
+    contract: a global call is single-task in the window — pass
+    ``partition_cols`` (date/source) at corpus scale; estimated-large
+    global calls warn via the plan-stats probe, no Spark job) + one
+    grouped Arrow stage that runs the O(chunk·bins) fold per chunk and
+    emits the bin stats in the same pass — no second window, no join.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    if not partition_cols:
+        _warn_global_window(df, "bin_pack", warn_above)
+    clash = {bin_col, "bin_fill", "bin_count", "_chunk"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bin_pack: input already has column(s) {sorted(clash)}, which "
+            "collide with the columns this op appends; rename or drop them"
+        )
+    parts = [F.col(c) for c in (partition_cols or [])]
+    w = Window.partitionBy(*parts).orderBy(
+        F.col(size_col).cast("long").desc(), F.col(id_col).asc()
+    )
+    tagged = df.withColumn(
+        "_chunk",
+        ((F.row_number().over(w) - 1) / F.lit(int(chunk_size)))
+        .cast("long"),
+    )
+    out_schema = StructType(
+        list(tagged.schema.fields)
+        + [
+            StructField(bin_col, StringType()),
+            StructField("bin_fill", LongType()),
+            StructField("bin_count", LongType()),
+        ]
+    )
+    budget_l = int(budget)
+    prefix_cols = list(partition_cols or [])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [size_col, id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        sizes = pdf[size_col].astype("int64").to_list()
+        fills: list[int] = []
+        assign: list[int] = []
+        for sz in sizes:
+            pos = next(
+                (k for k, f in enumerate(fills) if f + sz <= budget_l), None
+            )
+            if pos is None:
+                fills.append(sz)
+                assign.append(len(fills))
+            else:
+                fills[pos] += sz
+                assign.append(pos + 1)
+        counts = [0] * len(fills)
+        for b in assign:
+            counts[b - 1] += 1
+        prefix = "_".join(
+            [str(pdf[c].iloc[0]) for c in prefix_cols]
+            + [str(int(pdf["_chunk"].iloc[0]))]
+        )
+        pdf[bin_col] = [f"{prefix}_{b}" for b in assign]
+        pdf["bin_fill"] = pd.Series(
+            [fills[b - 1] for b in assign], dtype="int64"
+        )
+        pdf["bin_count"] = pd.Series(
+            [counts[b - 1] for b in assign], dtype="int64"
+        )
+        return pdf
+
+    packed = tagged.groupBy(*parts, F.col("_chunk")).applyInPandas(
+        pack, out_schema
+    )
+    return packed.drop("_chunk")
+
+
 def top_per_group(
     df: DataFrame,
     group_col: str,

@@ -707,3 +707,82 @@ def test_mixture_plan_null_weight_fails_in_plan(spark):
     )
     rows = {r.stratum: r for r in ok.collect()}
     assert rows["web"].cnt == 10 and rows["code"].cnt == 5
+
+
+def _ffd_ref(items, budget, chunk):
+    """Driver-side chunked first-fit-decreasing reference."""
+    order = sorted(items, key=lambda t: (-t[1], t[0]))
+    out = {}
+    for c0 in range(0, len(order), chunk):
+        fills, members = [], []
+        for i, sz in order[c0 : c0 + chunk]:
+            pos = next((k for k, f in enumerate(fills) if f + sz <= budget), None)
+            if pos is None:
+                fills.append(sz)
+                members.append([i])
+            else:
+                fills[pos] += sz
+                members[pos].append(i)
+        for b, (f, m) in enumerate(zip(fills, members)):
+            for i in m:
+                out[i] = (f"{c0 // chunk}_{b + 1}", f, len(m))
+    return out
+
+
+def test_bin_pack_matches_ffd_reference(spark):
+    from sycamore_spark.operators.sampling import bin_pack
+
+    items = [(i, (i * 37) % 120 + 5) for i in range(40)]
+    ref = _ffd_ref(items, budget=128, chunk=16)
+    df = spark.createDataFrame(items, "id long, sz long").repartition(7)
+    got = {
+        r.id: (r.bin_id, r.bin_fill, r.bin_count)
+        for r in bin_pack(df, "sz", 128, "id", chunk_size=16).collect()
+    }
+    assert got == ref
+    # no bin overflows (single-doc oversize bins exempt by contract)
+    for _, (bid, fill, cnt) in got.items():
+        assert fill <= 128 or cnt == 1
+
+
+def test_bin_pack_oversize_doc_gets_own_bin(spark):
+    from sycamore_spark.operators.sampling import bin_pack
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 50), (3, 60)], "id long, sz long"
+    )
+    rows = {r.id: r for r in bin_pack(df, "sz", 128, "id").collect()}
+    assert rows[1].bin_count == 1 and rows[1].bin_fill == 300
+    assert rows[2].bin_id == rows[3].bin_id  # 50+60 pack together
+    assert rows[2].bin_fill == 110
+
+
+def test_bin_pack_deterministic_and_guarded(spark):
+    import pytest
+
+    from sycamore_spark.operators.sampling import bin_pack
+
+    items = [(i, (i * 13) % 90 + 1) for i in range(50)]
+    df = spark.createDataFrame(items, "id long, sz long")
+    a = {r.id: r.bin_id for r in bin_pack(df, "sz", 100, "id").collect()}
+    b = {
+        r.id: r.bin_id
+        for r in bin_pack(df.repartition(13), "sz", 100, "id").collect()
+    }
+    assert a == b  # partitioning-invariant
+    with pytest.raises(ValueError, match="bin_fill"):
+        bin_pack(df.withColumn("bin_fill", F.lit(1)), "sz", 100, "id")
+
+
+def test_bin_pack_partition_cols_pack_independently(spark):
+    from sycamore_spark.operators.sampling import bin_pack
+
+    df = spark.createDataFrame(
+        [("a", 1, 80), ("a", 2, 40), ("b", 3, 80), ("b", 4, 40)],
+        "src string, id long, sz long",
+    )
+    rows = bin_pack(df, "sz", 128, "id", partition_cols=["src"]).collect()
+    bins = {r.id: r.bin_id for r in rows}
+    # same structure per group, namespaced by the partition value
+    assert bins[1] == bins[2] and bins[3] == bins[4] and bins[1] != bins[3]
+    assert bins[1].startswith("a_") and bins[3].startswith("b_")
