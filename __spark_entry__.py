@@ -7347,6 +7347,54 @@ def q_bin_pack(spark, sf) -> DataFrame:
     )
 
 
+def q_edu_select(spark, sf) -> DataFrame:
+    """FineWeb-Edu-style classifier distillation, composed end-to-end from
+    individually-gated seams: a deterministic 25% hash-sampled seed is
+    LLM-annotated for educational value (llm_map over the ScoringMockLLM
+    seam — capped keyword count, the llm_filter scorer), the annotations
+    distill into a self-trained Naive-Bayes classifier (nb_train), the
+    FULL corpus is scored (nb_classify, integer-micro log-probs), and the
+    threshold selection rolls up into a per-source mixture report. The
+    expensive LLM touches only the seed; the corpus pass is one NB scoring
+    join — the published recipe's cost shape."""
+    from sycamore_spark.llm.map import llm_map
+    from sycamore_spark.operators.classify import nb_classify, nb_train
+    from sycamore_spark.operators.sampling import hash_sample
+
+    docs = _ds(spark, sf, "documents").to_df()
+    seed = hash_sample(docs.select("doc_id", "text"), "doc_id", 0.25)
+    annotated = llm_map(
+        seed,
+        "Rate the educational value from 0 to 5.\nDocument: {{ doc.text }}",
+        "edu_raw",
+        lambda: ScoringMockLLM("data"),
+    ).withColumn(
+        "lbl",
+        F.when(F.col("edu_raw").cast("int") >= 2, F.lit("edu")).otherwise(
+            F.lit("other")
+        ),
+    )
+    tm, lm = nb_train(annotated, "lbl", "text")
+    pred = nb_classify(docs, tm, lm, "doc_id", "text").select(
+        F.col("doc_id").alias("_pid"), F.col("label").alias("_plbl")
+    )
+    joined = docs.join(pred, docs["doc_id"] == pred["_pid"], "left")
+    is_edu = (F.col("_plbl") == "edu").cast("long")
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(is_edu).cast("long").alias("n_edu"),
+        F.sum(is_edu * F.col("doc_id").cast("long")).alias("sum_kept_doc_id"),
+    )
+    share = F.col("n_edu").cast("double") / F.col("n_docs").cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_edu",
+        "sum_kept_doc_id",
+        (F.floor(share * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("edu_share"),
+    )
+
+
 def q_store_sync(spark, sf) -> DataFrame:
     """Store reconciliation plan (storesync.store_sync — the reference's
     OpenSearch materialize-dir <-> index sync, connectors/opensearch/
@@ -7447,6 +7495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
     "store_sync": q_store_sync,
     "bin_pack": q_bin_pack,
+    "edu_select": q_edu_select,
     # -- stalest driver greens --
     "bbox_sort": q_bbox_sort,
     "unit_convert": q_unit_convert,
@@ -8085,6 +8134,41 @@ def oracle_sql() -> dict[str, str]:
             "a.fills[a.b]::BIGINT AS bin_fill, n.cnt AS bin_count "
             "FROM asgt a JOIN ck c ON c.chunk = a.chunk AND c.r = a.r "
             "JOIN cnts n ON n.chunk = a.chunk AND n.b = a.b"
+        ),
+        "edu_select": (
+            "WITH seed AS (SELECT doc_id, text FROM documents "
+            "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 250000), "
+            "lab AS (SELECT doc_id, text, CASE WHEN least(5, "
+            "(length(lower(text)) - length(replace(lower(text), 'data', ''))) / 4) >= 2 "
+            "THEN 'edu' ELSE 'other' END AS lbl FROM seed), "
+            "ttoks AS (SELECT lbl, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM lab), "
+            "t2 AS (SELECT * FROM ttoks WHERE length(tok) > 0), "
+            "pair AS (SELECT lbl, tok, count(*)::BIGINT AS clt FROM t2 GROUP BY 1, 2), "
+            "lt AS (SELECT lbl, count(*)::BIGINT AS cl FROM t2 GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM t2), "
+            "tm AS (SELECT lbl, tok, CAST(floor(ln((clt + 1.0) / CAST(cl + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp "
+            "FROM pair JOIN lt USING (lbl), v), "
+            "nd AS (SELECT lbl, count(*)::BIGINT AS ndl FROM lab GROUP BY 1), "
+            "n AS (SELECT count(*)::BIGINT AS n FROM lab), "
+            "lm AS (SELECT lt.lbl, "
+            "CAST(floor(ln(CAST(ndl AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT) AS prior, "
+            "CAST(floor(ln(1.0 / CAST(cl + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS dflt "
+            "FROM lt JOIN nd USING (lbl), v, n), "
+            "dtoks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), "
+            "d2 AS (SELECT * FROM dtoks WHERE length(tok) > 0), "
+            "tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM d2 GROUP BY 1, 2), "
+            "sc AS (SELECT doc_id, lm.lbl, CAST(prior + sum(tf * coalesce(lp, dflt)) AS BIGINT) AS score "
+            "FROM tf CROSS JOIN lm LEFT JOIN tm ON tm.lbl = lm.lbl AND tm.tok = tf.tok "
+            "GROUP BY 1, 2, prior), "
+            "r AS (SELECT doc_id, lbl, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY score DESC, lbl ASC) AS rn FROM sc), "
+            "pred AS (SELECT doc_id, lbl FROM r WHERE rn = 1), "
+            "a AS (SELECT d.source, count(*)::BIGINT AS n_docs, "
+            "coalesce(sum(CASE WHEN p.lbl = 'edu' THEN 1 ELSE 0 END), 0)::BIGINT AS n_edu, "
+            "coalesce(sum(CASE WHEN p.lbl = 'edu' THEN d.doc_id ELSE 0 END), 0)::BIGINT AS sum_kept_doc_id "
+            "FROM documents d LEFT JOIN pred p USING (doc_id) GROUP BY 1) "
+            "SELECT source, n_docs, n_edu, sum_kept_doc_id, "
+            "floor(n_edu::DOUBLE / n_docs::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS edu_share FROM a"
         ),
         "crop_regions": _crop_regions_oracle_sql(),
         "draw_boxes": _draw_boxes_oracle_sql(),

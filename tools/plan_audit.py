@@ -35,6 +35,8 @@ ALLOW_BNL = {
                         # O(n x |labels|) — the standard NB scoring shape
     "domain_classifier",  # same NB scoring shape (2-row label model), composed
                           # with hash-sampled training — see nb_classify
+    "edu_select",  # same NB scoring shape (2-row label model), composed with
+                   # the llm_map-annotated seed (FineWeb-Edu distillation)
 }
 ALLOW_CARTESIAN = {"ann_ivf"}  # same tiny routing join
 
