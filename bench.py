@@ -208,6 +208,10 @@ HEADLINE = [
     "paragraph_dedup_e2e",
     "d4_select",
     "d4_e2e",
+    # round-12 additions
+    "store_sync",
+    "bin_pack",
+    "edu_select",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

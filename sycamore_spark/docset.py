@@ -408,6 +408,33 @@ class DocSet:
         spans = contamination_spans(self.df, probes.df, id_col, text_col, min_len)
         return self._wrap(remove_token_spans(self.df, spans, id_col, text_col))
 
+    def store_sync(self, dest: "DocSet", source_md: "DocSet | None" = None,
+                   id_col: str = "doc_id", mtime_col: str = "mtime",
+                   key_col: str = "sync_key") -> "DocSet":
+        """Reload/purge plan reconciling a destination store's piece
+        listing with this source snapshot (operators/storesync.py
+        store_sync — the reference's OpenSearch materialize-dir/index sync
+        algorithm, reference connectors/opensearch/sync.py)."""
+        from sycamore_spark.operators.storesync import store_sync
+
+        return self._wrap(store_sync(
+            self.df, dest.df, source_md.df if source_md is not None else None,
+            id_col=id_col, mtime_col=mtime_col, key_col=key_col,
+        ))
+
+    def bin_pack(self, size_col: str, budget: int, id_col: str = "doc_id",
+                 partition_cols: "list[str] | None" = None,
+                 chunk_size: int = 512) -> "DocSet":
+        """Pack whole documents into fixed token budgets by deterministic
+        first-fit-decreasing — the document-preserving SFT packing layout
+        (operators/sampling.py bin_pack)."""
+        from sycamore_spark.operators.sampling import bin_pack
+
+        return self._wrap(bin_pack(
+            self.df, size_col, budget, id_col,
+            partition_cols=partition_cols, chunk_size=chunk_size,
+        ))
+
     def winnow_pairs(self, id_col: str = "doc_id", text_col: str = "text",
                      k: int = 4, w: int = 4, min_shared: int = 2) -> "DocSet":
         """Local-overlap candidate pairs from winnowing fingerprints

@@ -144,3 +144,18 @@ def test_sync_stats_rollup(spark):
     assert stats[("doc", "missing_os_record")] == (1, 0)
     assert stats[("piece", "only_in_os")] == (2, 0)
     assert stats[("piece", "mismatch_key")] == (4, 0)
+
+
+def test_docset_methods_store_sync_and_bin_pack(spark):
+    from sycamore_spark.docset import DocSet
+
+    src, md, dest = _frames(spark)
+    plan = DocSet(src).store_sync(DocSet(dest), DocSet(md)).to_df()
+    assert plan.filter(plan.kind == "doc").count() == 7
+
+    docs = spark.createDataFrame(
+        [(1, 80), (2, 40), (3, 90)], "doc_id long, sz long"
+    )
+    out = DocSet(docs).bin_pack("sz", 128).to_df()
+    # FFD order 90,80,40: 90 alone (80 doesn't fit), then 80+40 share a bin
+    assert {r.doc_id: r.bin_count for r in out.collect()} == {1: 2, 2: 2, 3: 1}
