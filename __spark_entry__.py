@@ -7395,6 +7395,36 @@ def q_edu_select(spark, sf) -> DataFrame:
     )
 
 
+def q_calibrate(spark, sf) -> DataFrame:
+    """Isotonic score calibration (operators/calibrate.py — Zadrozny &
+    Elkan 2002 / PAV): the edu_select seed's LLM annotations calibrate the
+    cheap n_chars signal into a monotone quality probability, then the
+    step function applies to the FULL corpus via one as-of join. Exact
+    rational PAVA in bigint, so the DuckDB oracle replays the identical
+    fold as a recursive CTE."""
+    from sycamore_spark.llm.map import llm_map
+    from sycamore_spark.operators.calibrate import isotonic_apply, isotonic_fit
+    from sycamore_spark.operators.sampling import hash_sample
+
+    docs = _ds(spark, sf, "documents").to_df()
+    seed = hash_sample(docs.select("doc_id", "text", "n_chars"), "doc_id", 0.25)
+    annotated = llm_map(
+        seed,
+        "Rate the educational value from 0 to 5.\nDocument: {{ doc.text }}",
+        "edu_raw",
+        lambda: ScoringMockLLM("data"),
+    ).withColumn(
+        "lbl", (F.col("edu_raw").cast("int") >= 2).cast("long")
+    )
+    model = isotonic_fit(annotated, "n_chars", "lbl")
+    out = isotonic_apply(
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("score")),
+        model,
+        "score",
+    )
+    return out.select("doc_id", "score", "calibrated_micros")
+
+
 def q_store_sync(spark, sf) -> DataFrame:
     """Store reconciliation plan (storesync.store_sync — the reference's
     OpenSearch materialize-dir <-> index sync, connectors/opensearch/
@@ -7496,6 +7526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "store_sync": q_store_sync,
     "bin_pack": q_bin_pack,
     "edu_select": q_edu_select,
+    "calibrate": q_calibrate,
     # -- stalest driver greens --
     "bbox_sort": q_bbox_sort,
     "unit_convert": q_unit_convert,
@@ -8169,6 +8200,43 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN pred p USING (doc_id) GROUP BY 1) "
             "SELECT source, n_docs, n_edu, sum_kept_doc_id, "
             "floor(n_edu::DOUBLE / n_docs::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS edu_share FROM a"
+        ),
+        "calibrate": (
+            "WITH RECURSIVE "
+            "seed AS MATERIALIZED (SELECT doc_id, text, n_chars FROM documents "
+            "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 250000), "
+            "lab AS MATERIALIZED (SELECT n_chars, CASE WHEN least(5, "
+            "(length(lower(text)) - length(replace(lower(text), 'data', ''))) / 4) >= 2 "
+            "THEN 1 ELSE 0 END AS lbl FROM seed), "
+            "b AS MATERIALIZED (SELECT row_number() OVER (ORDER BY n_chars) AS r, n_chars AS score, "
+            "sum(lbl)::BIGINT AS num, count(*)::BIGINT AS den FROM lab GROUP BY n_chars), "
+            "nb AS MATERIALIZED (SELECT count(*)::BIGINT AS b FROM b), "
+            "st AS (SELECT 0::BIGINT AS step, 0::BIGINT AS pos, "
+            "[]::STRUCT(num BIGINT, den BIGINT)[] AS stk "
+            "UNION ALL SELECT step + 1, "
+            "CASE WHEN len(stk) >= 2 AND stk[-2].num * stk[-1].den > stk[-1].num * stk[-2].den THEN pos WHEN pos < (SELECT b FROM nb) THEN pos + 1 ELSE pos END, "
+            "CASE WHEN len(stk) >= 2 AND stk[-2].num * stk[-1].den > stk[-1].num * stk[-2].den "
+            "THEN list_append(stk[1:-3], {'num': stk[-2].num + stk[-1].num, 'den': stk[-2].den + stk[-1].den}) "
+            "WHEN pos < (SELECT b FROM nb) "
+            "THEN list_append(stk, (SELECT {'num': num, 'den': den} FROM b WHERE r = pos + 1)) "
+            "ELSE stk END "
+            "FROM st WHERE step < 2 * (SELECT b FROM nb)), "
+            "fin AS (SELECT stk FROM st WHERE step = 2 * (SELECT b FROM nb)), "
+            "pooled AS (SELECT unnest(stk) AS p, generate_subscripts(stk, 1) AS pi FROM fin), "
+            "pcum AS (SELECT pi, p.num AS num, p.den AS den, "
+            "sum(p.den) OVER (ORDER BY pi) AS cend FROM pooled), "
+            "ocum AS (SELECT r, score, den, sum(den) OVER (ORDER BY r) AS oend FROM b), "
+            "asn AS (SELECT o.r, o.score, min(p.pi) AS pi FROM ocum o "
+            "JOIN pcum p ON p.cend >= o.oend GROUP BY 1, 2), "
+            "model AS MATERIALIZED (SELECT a.score, "
+            "((2 * p.num * 1000000 + p.den) // (2 * p.den))::BIGINT AS fit "
+            "FROM asn a JOIN pcum p USING (pi)), "
+            "mn AS (SELECT min(score) AS mn_score FROM model), "
+            "fallback AS (SELECT m.fit AS first_fit FROM model m, mn WHERE m.score = mn.mn_score) "
+            "SELECT d.doc_id, d.n_chars::BIGINT AS score, "
+            "coalesce((SELECT m.fit FROM model m WHERE m.score <= d.n_chars "
+            "ORDER BY m.score DESC LIMIT 1), (SELECT first_fit FROM fallback)) AS calibrated_micros "
+            "FROM documents d"
         ),
         "crop_regions": _crop_regions_oracle_sql(),
         "draw_boxes": _draw_boxes_oracle_sql(),

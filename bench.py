@@ -212,6 +212,7 @@ HEADLINE = [
     "store_sync",
     "bin_pack",
     "edu_select",
+    "calibrate",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path
