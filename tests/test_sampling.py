@@ -786,3 +786,32 @@ def test_bin_pack_partition_cols_pack_independently(spark):
     # same structure per group, namespaced by the partition value
     assert bins[1] == bins[2] and bins[3] == bins[4] and bins[1] != bins[3]
     assert bins[1].startswith("a_") and bins[3].startswith("b_")
+
+
+def test_bin_pack_ffd_occupancy_property(spark):
+    """Within a chunk, first-fit guarantees at most ONE bin at or below
+    half occupancy (two half-empty bins would have been merged by
+    first-fit) — the packing-efficiency property that makes FFD the SFT
+    packing recipe. Oversize single-doc bins are exempt by contract."""
+    from sycamore_spark.operators.sampling import bin_pack
+
+    items = [(i, (i * 131) % 100 + 1) for i in range(300)]
+    df = spark.createDataFrame(items, "id long, sz long")
+    rows = bin_pack(df, "sz", 128, "id", chunk_size=100).collect()
+    by_chunk = {}
+    for r in rows:
+        chunk = r.bin_id.rsplit("_", 1)[0]
+        by_chunk.setdefault(chunk, {})[r.bin_id] = (r.bin_fill, r.bin_count)
+    for chunk, bins in by_chunk.items():
+        light = [
+            b for b, (fill, cnt) in bins.items() if fill * 2 <= 128 and cnt >= 1
+        ]
+        assert len(light) <= 1, (chunk, light)
+    # conservation: every bin's fill equals the sum of its members' sizes
+    total = sum(sz for _, sz in items)
+    per_bin = {}
+    for r in rows:
+        per_bin.setdefault(r.bin_id, [0, r.bin_fill])
+        per_bin[r.bin_id][0] += r.sz
+    assert all(s == f for s, f in per_bin.values())
+    assert sum(s for s, _ in per_bin.values()) == total

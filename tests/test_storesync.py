@@ -159,3 +159,64 @@ def test_docset_methods_store_sync_and_bin_pack(spark):
     out = DocSet(docs).bin_pack("sz", 128).to_df()
     # FFD order 90,80,40: 90 alone (80 doesn't fit), then 80+40 share a bin
     assert {r.doc_id: r.bin_count for r in out.collect()} == {1: 2, 2: 2, 3: 1}
+
+
+def test_store_sync_randomized_against_reference(spark):
+    """Randomized reconciliation vs a driver-side replay of the reference
+    algorithm (connectors/opensearch/sync.py classification rules), over
+    random add/update/delete/split perturbations."""
+    import random
+
+    rnd = random.Random(20260816)
+    src_rows, md_rows, dest_rows = [], [], []
+    expect_docs = {}
+    expect_del = {}
+    for i in range(200):
+        did = f"d{i}"
+        mt = rnd.randint(1, 5)
+        src_rows.append((did, mt))
+        parts = [did] + [f"s{i}_{j}" for j in range(rnd.randint(0, 3))]
+        case = rnd.choice(
+            ["ok", "no_md", "stale", "dup_md", "no_dest", "split_change"]
+        )
+        if case != "no_md":
+            md_mt = mt - 1 if case == "stale" else mt
+            md_rows.append((did, md_mt, _key(md_mt, parts)))
+            if case == "dup_md":
+                md_rows.append((did, mt, _key(mt, [did])))
+        dest_parts = parts if case != "split_change" else parts + [f"x{i}"]
+        if case != "no_dest":
+            dest_rows.append((dest_parts[0], None, mt))
+            for p in dest_parts[1:]:
+                dest_rows.append((p, did, None))
+        if case in ("no_md", "dup_md"):
+            expect_docs[did] = "missing_md_info"
+        elif case == "stale":
+            expect_docs[did] = "missing_md_info"
+        elif case == "no_dest":
+            expect_docs[did] = "missing_os_record"
+        elif case == "split_change":
+            expect_docs[did] = "mismatch_key"
+            for p in dest_parts:
+                expect_del[p] = "mismatch_key"
+        else:
+            expect_docs[did] = "correctly_loaded"
+    for i in range(20):  # dest-only groups
+        dest_rows.append((f"z{i}", None, 9))
+        expect_del[f"z{i}"] = "only_in_os"
+
+    src = spark.createDataFrame(src_rows, "doc_id string, mtime long")
+    md = spark.createDataFrame(md_rows, "doc_id string, mtime long, sync_key string")
+    dest = spark.createDataFrame(
+        dest_rows, "doc_id string, parent_id string, doc_mtime long"
+    )
+    plan = store_sync(src, dest, md)
+    got_docs = {
+        r.sync_id: r.status for r in plan.filter(F.col("kind") == "doc").collect()
+    }
+    got_del = {
+        r.sync_id: r.status
+        for r in plan.filter(F.col("kind") == "piece").collect()
+    }
+    assert got_docs == expect_docs
+    assert got_del == expect_del
