@@ -7425,6 +7425,68 @@ def q_calibrate(spark, sf) -> DataFrame:
     return out.select("doc_id", "score", "calibrated_micros")
 
 
+def q_store_roundtrip(spark, sf) -> DataFrame:
+    """The full produce->list->reconcile loop (storesync.assign_piece_ids +
+    load_keys + store_sync — reference sync.py split_doc + sync): docs
+    split into content-hash-id pieces at "load time", the recorded keys
+    reconcile against a "today" re-split in which doc_id%10==4 docs had a
+    piece's content edited (new splitdoc id -> parent mismatch_key, pieces
+    purged) and doc_id%10==3 docs were dropped from the store
+    (missing_os_record); everything else round-trips correctly_loaded."""
+    from sycamore_spark.operators.storesync import (
+        assign_piece_ids,
+        load_keys,
+        store_sync,
+    )
+
+    base = (
+        _ds(spark, sf, "documents")
+        .to_df()
+        .select(
+            F.col("doc_id").cast("long").alias("i"),
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("sid"),
+            F.lower(F.col("text")).alias("ltext"),
+            (F.col("doc_id") % 7 + 100).cast("long").alias("mt"),
+            (F.col("doc_id") % 3).cast("int").alias("nsp"),
+            (F.col("doc_id") % 10).cast("int").alias("cs"),
+        )
+    )
+    pieces = base.select(
+        "sid", "mt", "cs",
+        F.explode(F.sequence(F.lit(0), F.col("nsp"))).alias("pos"),
+        "ltext",
+    ).select(
+        F.col("sid").alias("parent_id"),
+        "pos",
+        F.when(F.col("pos") == 0, F.lit("")).otherwise(
+            F.substring(F.col("ltext"), F.col("pos") * 7 + 1, 7)
+        ).alias("payload"),
+        "mt", "cs",
+    )
+    loaded = assign_piece_ids(pieces)
+    md = load_keys(loaded.withColumnRenamed("mt", "mtime"))
+    source = base.select(F.col("sid").alias("doc_id"), F.col("mt").alias("mtime"))
+    today = pieces.withColumn(
+        "payload",
+        F.when(
+            (F.col("cs") == 4) & (F.col("pos") == 1),
+            F.concat(F.col("payload"), F.lit("!")),
+        ).otherwise(F.col("payload")),
+    )
+    dest = (
+        assign_piece_ids(today)
+        .filter(F.col("cs") != 3)
+        .select(
+            "doc_id",
+            F.when(F.col("pos") > 0, F.col("parent_id")).alias("parent_id"),
+            F.when(F.col("pos") == 0, F.col("mt")).alias("doc_mtime"),
+        )
+    )
+    return store_sync(source, dest, md).select(
+        "sync_id", "kind", "status", "action", "stale_md"
+    )
+
+
 def q_store_sync(spark, sf) -> DataFrame:
     """Store reconciliation plan (storesync.store_sync — the reference's
     OpenSearch materialize-dir <-> index sync, connectors/opensearch/
@@ -7527,6 +7589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bin_pack": q_bin_pack,
     "edu_select": q_edu_select,
     "calibrate": q_calibrate,
+    "store_roundtrip": q_store_roundtrip,
     # -- stalest driver greens --
     "bbox_sort": q_bbox_sort,
     "unit_convert": q_unit_convert,
@@ -8237,6 +8300,42 @@ def oracle_sql() -> dict[str, str]:
             "coalesce((SELECT m.fit FROM model m WHERE m.score <= d.n_chars "
             "ORDER BY m.score DESC LIMIT 1), (SELECT first_fit FROM fallback)) AS calibrated_micros "
             "FROM documents d"
+        ),
+        "store_roundtrip": (
+            "WITH base AS (SELECT doc_id AS i, 'd' || doc_id::VARCHAR AS sid, lower(text) AS ltext, "
+            "(doc_id % 7 + 100)::BIGINT AS mt, (doc_id % 3)::INT AS nsp, (doc_id % 10)::INT AS cs FROM documents), "
+            "pieces AS (SELECT sid, mt, cs, CAST(p AS BIGINT) AS pos, "
+            "CASE WHEN p = 0 THEN '' ELSE substr(ltext, CAST(p * 7 + 1 AS BIGINT), 7) END AS payload "
+            "FROM base, UNNEST(range(0, nsp + 1)) AS u(p)), "
+            "loaded AS (SELECT *, CASE WHEN pos = 0 THEN sid "
+            "ELSE 'splitdoc-' || sha256(sid || '/' || pos::VARCHAR || '/' || payload) END AS did FROM pieces), "
+            "md AS (SELECT sid AS mid, max(mt) AS md_mt, "
+            "sha256(max(mt)::VARCHAR || chr(31) || array_to_string(list_sort(list(did)), chr(31))) AS md_key "
+            "FROM loaded GROUP BY 1), "
+            "today AS (SELECT sid, mt, cs, pos, "
+            "CASE WHEN cs = 4 AND pos = 1 THEN payload || '!' ELSE payload END AS payload "
+            "FROM pieces), "
+            "dest AS (SELECT sid AS pid, CASE WHEN pos = 0 THEN sid "
+            "ELSE 'splitdoc-' || sha256(sid || '/' || pos::VARCHAR || '/' || payload) END AS did, "
+            "CASE WHEN pos = 0 THEN mt ELSE NULL END AS dmt FROM today WHERE cs <> 3), "
+            "grp AS (SELECT pid, list(did) AS gparts, count(dmt) AS n_mt, max(dmt) AS mt_max FROM dest GROUP BY 1), "
+            "gk AS (SELECT pid, sha256((CASE WHEN n_mt = 1 THEN mt_max ELSE -1 END)::VARCHAR "
+            "|| chr(31) || array_to_string(list_sort(gparts), chr(31))) AS dest_key FROM grp), "
+            "j AS (SELECT s.sid, s.mt, s.md_mt, s.md_key, g.pid, g.dest_key "
+            "FROM (SELECT b.sid, b.mt, m.md_mt, m.md_key FROM base b LEFT JOIN md m ON b.sid = m.mid) s "
+            "FULL OUTER JOIN gk g ON s.sid = g.pid), "
+            "cls AS (SELECT *, CASE "
+            "WHEN NOT coalesce(md_mt = mt, FALSE) THEN 'missing_md_info' "
+            "WHEN pid IS NULL THEN 'missing_os_record' "
+            "WHEN md_key = dest_key THEN 'correctly_loaded' "
+            "ELSE 'mismatch_key' END AS status FROM j) "
+            "SELECT sid AS sync_id, 'doc' AS kind, status, "
+            "CASE WHEN status = 'correctly_loaded' THEN 'none' ELSE 'load' END AS action, "
+            "FALSE AS stale_md FROM cls WHERE sid IS NOT NULL "
+            "UNION ALL SELECT d.did, 'piece', "
+            "CASE WHEN c.sid IS NULL THEN 'only_in_os' ELSE 'mismatch_key' END, "
+            "'delete', FALSE FROM dest d JOIN cls c ON d.pid = c.pid "
+            "WHERE c.sid IS NULL OR c.status = 'mismatch_key'"
         ),
         "crop_regions": _crop_regions_oracle_sql(),
         "draw_boxes": _draw_boxes_oracle_sql(),

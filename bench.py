@@ -213,6 +213,7 @@ HEADLINE = [
     "bin_pack",
     "edu_select",
     "calibrate",
+    "store_roundtrip",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

@@ -190,6 +190,69 @@ def store_sync(
     return docs.unionByName(piece_rows)
 
 
+def assign_piece_ids(
+    pieces: DataFrame,
+    parent_col: str = "parent_id",
+    pos_col: str = "pos",
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The LOAD-side id assignment that makes ``store_sync`` work
+    (reference ``ProcessBatch.split_doc``, sync.py:468-518): after a
+    splitter explodes a document into pieces, the piece at position 0
+    keeps the parent's id (the "original" document, parent_id NULL in the
+    destination) and every later piece gets a CONTENT-HASH id —
+    SHA-256 over ``parent/pos/payload`` — so identical content at the
+    same position hashes to the same id across reloads (an unchanged
+    reload is a no-op upsert) while any content or position change mints
+    a new id (and thereby changes the parent's sorted-hash key, which is
+    exactly what triggers the reconciler). Position is in the hash so
+    duplicate payloads at different positions stay distinct
+    (reference sync.py:41-42).
+
+    Input: one row per piece — (``parent_col``, ``pos_col`` 0-based,
+    ``payload_col`` already serialized to a deterministic string).
+    Returns the input plus ``id_col``. Pure narrow projection.
+    """
+    hashed = F.sha2(
+        F.concat_ws(
+            "/",
+            F.col(parent_col).cast("string"),
+            F.col(pos_col).cast("string"),
+            F.col(payload_col),
+        ),
+        256,
+    )
+    return pieces.withColumn(
+        id_col,
+        F.when(F.col(pos_col) == 0, F.col(parent_col).cast("string")).otherwise(
+            F.concat(F.lit("splitdoc-"), hashed)
+        ),
+    )
+
+
+def load_keys(
+    pieces: DataFrame,
+    parent_col: str = "parent_id",
+    id_col: str = "doc_id",
+    mtime_col: str = "mtime",
+) -> DataFrame:
+    """The sync-metadata records a completed load writes (reference
+    ``split_doc``'s ``psw['key']`` + ``handle_index_success``'s marker
+    file, sync.py:517,594): per parent, the ``sync_key`` over its mtime
+    and the SORTED piece ids — the table ``store_sync`` takes as
+    ``source_md``. One hash agg."""
+    return pieces.groupBy(
+        F.col(parent_col).cast("string").alias("doc_id")
+    ).agg(
+        F.max(F.col(mtime_col).cast("long")).alias("mtime"),
+        sync_key(
+            F.max(F.col(mtime_col).cast("long")),
+            F.collect_list(F.col(id_col).cast("string")),
+        ).alias("sync_key"),
+    )
+
+
 def sync_stats(plan: DataFrame) -> DataFrame:
     """Roll a ``store_sync`` plan up to the reference's ``SyncStats``
     counters (sync.py:631-642): one row per (kind, status) with the unit

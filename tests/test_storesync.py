@@ -220,3 +220,64 @@ def test_store_sync_randomized_against_reference(spark):
     }
     assert got_docs == expect_docs
     assert got_del == expect_del
+
+
+def test_assign_piece_ids_and_load_keys_roundtrip(spark):
+    """Produce -> list -> reconcile closes the loop: content-hash piece ids
+    + load_keys md records make store_sync report correctly_loaded for
+    unchanged docs; changing one piece's PAYLOAD (or position) mints a new
+    splitdoc id and flips its parent to mismatch_key."""
+    from sycamore_spark.operators.storesync import (
+        assign_piece_ids,
+        load_keys,
+        store_sync,
+    )
+
+    pieces = spark.createDataFrame(
+        [
+            ("d1", 0, ""), ("d1", 1, "alpha"), ("d1", 2, "beta"),
+            ("d2", 0, ""), ("d2", 1, "alpha"),  # same payload as d1/1: distinct id (parent in hash)
+            ("d3", 0, ""), ("d3", 1, "x"), ("d3", 2, "x"),  # dup payload, distinct pos -> distinct ids
+        ],
+        "parent_id string, pos long, payload string",
+    )
+    assigned = assign_piece_ids(pieces)
+    ids = {(r.parent_id, r.pos): r.doc_id for r in assigned.collect()}
+    assert ids[("d1", 0)] == "d1"
+    assert ids[("d1", 1)].startswith("splitdoc-")
+    assert ids[("d1", 1)] != ids[("d2", 1)]  # parent in the hash
+    assert ids[("d3", 1)] != ids[("d3", 2)]  # position in the hash
+    assert len(set(ids.values())) == len(ids)
+
+    with_mt = assigned.withColumn("mtime", F.lit(10).cast("long"))
+    md = load_keys(with_mt)
+    src = spark.createDataFrame(
+        [("d1", 10), ("d2", 10), ("d3", 10)], "doc_id string, mtime long"
+    )
+    dest = assigned.select(
+        "doc_id",
+        F.when(F.col("pos") > 0, F.col("parent_id")).alias("parent_id"),
+        F.when(F.col("pos") == 0, F.lit(10).cast("long")).alias("doc_mtime"),
+    )
+    plan = store_sync(src, dest, md)
+    docs = {r.sync_id: r.status for r in plan.filter(F.col("kind") == "doc").collect()}
+    assert docs == {"d1": "correctly_loaded", "d2": "correctly_loaded",
+                    "d3": "correctly_loaded"}
+
+    # now d1's piece 1 content changed since the load: re-split today
+    changed = pieces.withColumn(
+        "payload",
+        F.when((F.col("parent_id") == "d1") & (F.col("pos") == 1),
+               F.lit("alpha-EDITED")).otherwise(F.col("payload")),
+    )
+    dest2 = assign_piece_ids(changed).select(
+        "doc_id",
+        F.when(F.col("pos") > 0, F.col("parent_id")).alias("parent_id"),
+        F.when(F.col("pos") == 0, F.lit(10).cast("long")).alias("doc_mtime"),
+    )
+    plan2 = store_sync(src, dest2, md)
+    docs2 = {r.sync_id: r.status for r in plan2.filter(F.col("kind") == "doc").collect()}
+    assert docs2 == {"d1": "mismatch_key", "d2": "correctly_loaded",
+                     "d3": "correctly_loaded"}
+    purged = {r.sync_id for r in plan2.filter(F.col("kind") == "piece").collect()}
+    assert "d1" in purged and len(purged) == 3  # d1's current 3 pieces
