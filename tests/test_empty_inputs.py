@@ -285,3 +285,43 @@ def test_round10_session3_operators_empty(spark):
     # empty target corpus: every raw weight is computable (target counts 0)
     w = dsir_importance(corpus, docs).collect()
     assert len(w) == 1 and w[0].n_features == 11
+
+
+def test_round12_ops_on_empty_inputs(spark):
+    from sycamore_spark.operators.calibrate import isotonic_apply, isotonic_fit
+    from sycamore_spark.operators.sampling import bin_pack
+    from sycamore_spark.operators.storesync import (
+        assign_piece_ids,
+        load_keys,
+        store_sync,
+        sync_stats,
+    )
+
+    esrc = _empty(spark, "doc_id string, mtime long")
+    edest = _empty(spark, "doc_id string, parent_id string, doc_mtime long")
+    emd = _empty(spark, "doc_id string, mtime long, sync_key string")
+    assert store_sync(esrc, edest, emd).count() == 0
+    assert sync_stats(store_sync(esrc, edest, emd)).count() == 0
+    # empty source, live dest: every dest group purges
+    dest = spark.createDataFrame(
+        [("x1", None, 5)], "doc_id string, parent_id string, doc_mtime long"
+    )
+    plan = store_sync(esrc, dest, emd).collect()
+    assert len(plan) == 1 and plan[0].status == "only_in_os"
+
+    epieces = _empty(spark, "parent_id string, pos long, payload string")
+    assert assign_piece_ids(epieces).count() == 0
+    assert load_keys(
+        assign_piece_ids(epieces).withColumn("mtime", F.lit(1).cast("long"))
+    ).count() == 0
+
+    edocs = _empty(spark, "id long, sz long")
+    assert bin_pack(edocs, "sz", 128, "id").count() == 0
+
+    ecal = _empty(spark, "score long, label long")
+    model = isotonic_fit(ecal, "score", "label")
+    assert model.count() == 0
+    # empty model applied to live scores: calibrated is NULL (no steps)
+    live = spark.createDataFrame([(1, 10)], "id long, score long")
+    out = isotonic_apply(live, model, "score").collect()
+    assert len(out) == 1 and out[0].calibrated_micros is None
