@@ -7487,6 +7487,48 @@ def q_store_roundtrip(spark, sf) -> DataFrame:
     )
 
 
+def q_ccnet_e2e(spark, sf) -> DataFrame:
+    """The full CCNet pipeline (Wenzek et al. 2020), composed end-to-end
+    from individually-gated stages: paragraph-level boilerplate dedup
+    (remove_repeated_lines over a synthesized 3-line doc shape — the
+    line_dedup gate's construction), marker-heuristic language ID on the
+    CLEANED text, self-trained bigram-LM perplexity scoring (the KenLM
+    role), and per-language exact-percentile TERTILES — CCNet's
+    head/middle/tail quality buckets. Every log-prob is integer micros and
+    the tertile thresholds are exact percentiles, so the whole composition
+    replays in SQL."""
+    from sycamore_spark.operators.textstats import (
+        bucket_by_quantiles,
+        language_id,
+        ngram_lm_score,
+        remove_repeated_lines,
+    )
+
+    docs = _ds(spark, sf, "documents").to_df().select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nShared boilerplate footer line CCNET\nUnique line for doc "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    from sycamore_spark.functions.partitioning import lineage_cut
+
+    # the cleaned corpus feeds language ID + four branches of the bigram
+    # model — cut its lineage once so the explode/agg/rebuild pipeline
+    # doesn't re-execute per branch
+    cleaned = lineage_cut(remove_repeated_lines(docs, max_docs=2, min_len=10))
+    lid = language_id(cleaned)
+    lm = ngram_lm_score(cleaned)
+    j = lid.join(lm, "doc_id")
+    out = bucket_by_quantiles(
+        j, "avg_logprob", 3, group_cols=["lang_pred"], out_col="tertile"
+    )
+    return out.select(
+        "doc_id", "lang_pred", "n_bigrams", "logprob_micros", "tertile"
+    )
+
+
 def q_store_sync(spark, sf) -> DataFrame:
     """Store reconciliation plan (storesync.store_sync — the reference's
     OpenSearch materialize-dir <-> index sync, connectors/opensearch/
@@ -7590,6 +7632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edu_select": q_edu_select,
     "calibrate": q_calibrate,
     "store_roundtrip": q_store_roundtrip,
+    "ccnet_e2e": q_ccnet_e2e,
     # -- stalest driver greens --
     "bbox_sort": q_bbox_sort,
     "unit_convert": q_unit_convert,
@@ -8336,6 +8379,35 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c.sid IS NULL THEN 'only_in_os' ELSE 'mismatch_key' END, "
             "'delete', FALSE FROM dest d JOIN cls c ON d.pid = c.pid "
             "WHERE c.sid IS NULL OR c.status = 'mismatch_key'"
+        ),
+        "ccnet_e2e": (
+            "WITH syn AS (SELECT doc_id, text || chr(10) || 'Shared boilerplate footer line CCNET' || "
+            "chr(10) || 'Unique line for doc ' || doc_id::VARCHAR AS text FROM documents), "
+            "l AS (SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) AS pos, "
+            "unnest(string_split(text, chr(10))) AS line FROM syn), "
+            "bad AS (SELECT trim(line) AS nline FROM l WHERE length(trim(line)) >= 10 "
+            "GROUP BY 1 HAVING count(DISTINCT doc_id) > 2), "
+            "k AS (SELECT doc_id, pos, line FROM l WHERE trim(line) NOT IN (SELECT nline FROM bad)), "
+            "cleaned AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM k GROUP BY 1), "
+            "dtt AS (SELECT doc_id, list_distinct(string_split(replace(lower(trim(text)), chr(10), ' '), ' ')) AS dt FROM cleaned), "
+            "lid AS (SELECT doc_id, CASE WHEN greatest(len(list_intersect(dt, ['the', 'a', 'and', 'of', 'is'])), len(list_intersect(dt, ['der', 'die', 'das', 'und', 'ist'])), len(list_intersect(dt, ['le', 'la', 'les', 'et', 'est'])), len(list_intersect(dt, ['el', 'la', 'los', 'y', 'es']))) <= 0 THEN 'und' "
+            "WHEN len(list_intersect(dt, ['the', 'a', 'and', 'of', 'is'])) = greatest(len(list_intersect(dt, ['the', 'a', 'and', 'of', 'is'])), len(list_intersect(dt, ['der', 'die', 'das', 'und', 'ist'])), len(list_intersect(dt, ['le', 'la', 'les', 'et', 'est'])), len(list_intersect(dt, ['el', 'la', 'los', 'y', 'es']))) THEN 'en' WHEN len(list_intersect(dt, ['der', 'die', 'das', 'und', 'ist'])) = greatest(len(list_intersect(dt, ['the', 'a', 'and', 'of', 'is'])), len(list_intersect(dt, ['der', 'die', 'das', 'und', 'ist'])), len(list_intersect(dt, ['le', 'la', 'les', 'et', 'est'])), len(list_intersect(dt, ['el', 'la', 'los', 'y', 'es']))) THEN 'de' "
+            "WHEN len(list_intersect(dt, ['le', 'la', 'les', 'et', 'est'])) = greatest(len(list_intersect(dt, ['the', 'a', 'and', 'of', 'is'])), len(list_intersect(dt, ['der', 'die', 'das', 'und', 'ist'])), len(list_intersect(dt, ['le', 'la', 'les', 'et', 'est'])), len(list_intersect(dt, ['el', 'la', 'los', 'y', 'es']))) THEN 'fr' ELSE 'es' END AS lang_pred FROM dtt), "
+            "toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM cleaned), "
+            "bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM toks, "
+            "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+            "bc AS (SELECT w1, w2, count(*) AS cbig FROM bg GROUP BY 1, 2), "
+            "cc AS (SELECT w1, count(*) AS cctx FROM bg GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT w) AS v FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)), "
+            "s AS (SELECT doc_id, CAST(floor(ln((cbig + 1.0) / (cctx + v)) * 1000000.0 + 0.5) AS BIGINT) AS m "
+            "FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v), "
+            "lm AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, CAST(sum(m) AS BIGINT) AS logprob_micros, "
+            "sum(m)::DOUBLE / 1000000.0 / count(*) AS avg FROM s GROUP BY 1), "
+            "j AS (SELECT lid.doc_id, lang_pred, n_bigrams, logprob_micros, avg FROM lid JOIN lm USING (doc_id)), "
+            "thr AS (SELECT lang_pred, quantile_cont(avg, 1.0/3) AS q0, quantile_cont(avg, 2.0/3) AS q1 FROM j GROUP BY 1) "
+            "SELECT j.doc_id, j.lang_pred, n_bigrams, logprob_micros, "
+            "((CASE WHEN avg >= q0 THEN 1 ELSE 0 END) + (CASE WHEN avg >= q1 THEN 1 ELSE 0 END))::BIGINT AS tertile "
+            "FROM j JOIN thr USING (lang_pred)"
         ),
         "crop_regions": _crop_regions_oracle_sql(),
         "draw_boxes": _draw_boxes_oracle_sql(),

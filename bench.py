@@ -214,6 +214,7 @@ HEADLINE = [
     "edu_select",
     "calibrate",
     "store_roundtrip",
+    "ccnet_e2e",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path
