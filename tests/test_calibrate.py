@@ -64,3 +64,53 @@ def test_isotonic_fit_single_score(spark):
     df = spark.createDataFrame([(7, 1), (7, 0)], "score long, label long")
     model = isotonic_fit(df, "score", "label").collect()
     assert len(model) == 1 and model[0].fitted_micros == 500000
+
+
+def test_isotonic_pava_properties_randomized():
+    """PAVA invariants on random blocks (pure-Python twin of the executor
+    fold — same integer arithmetic): fitted values are non-decreasing, the
+    weighted total is preserved exactly in rational arithmetic, and each
+    fitted value lies within the label range."""
+    import random
+
+    from fractions import Fraction
+
+    rnd = random.Random(99)
+    for _ in range(200):
+        nblk = rnd.randint(1, 40)
+        blocks = []
+        for _ in range(nblk):
+            den = rnd.randint(1, 9)
+            blocks.append((rnd.randint(0, den), den))
+        stack = []
+        for num, den in blocks:
+            stack.append([num, den])
+            while (
+                len(stack) >= 2
+                and stack[-2][0] * stack[-1][1] > stack[-1][0] * stack[-2][1]
+            ):
+                a = stack.pop()
+                stack[-1][0] += a[0]
+                stack[-1][1] += a[1]
+        means = [Fraction(n, d) for n, d in stack]
+        assert means == sorted(means)  # monotone
+        assert sum(n for n, _ in stack) == sum(n for n, _ in blocks)
+        assert sum(d for _, d in stack) == sum(d for _, d in blocks)
+        assert all(0 <= m <= 1 for m in means)
+
+
+def test_isotonic_fit_weighted_total_preserved(spark):
+    """The Spark fit preserves sum(label) == sum(fitted * n) exactly in
+    rationals (checked at micro precision: |diff| <= 0.5 micro per distinct
+    score from the half-up rounding)."""
+    import random
+
+    rnd = random.Random(3)
+    rows = [(rnd.randint(0, 30), rnd.randint(0, 1)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "score long, label long")
+    model = isotonic_fit(df, "score", "label").collect()
+    total_label = sum(l for _, l in rows)
+    total_fit = sum(r.fitted_micros * r.n for r in model) / 1_000_000.0
+    # each row's fitted is its block mean rounded to micros: the summed
+    # error is bounded by half a micro per weighted row
+    assert abs(total_fit - total_label) <= 0.5e-6 * sum(r.n for r in model)
