@@ -58,3 +58,58 @@ def lineage_cut(df: DataFrame, checkpoint_dir: str | None = None, eager: bool = 
         sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row_number over a STRICT total order without the
+    single-task global window: range-partition on the order columns, count
+    rows per partition (a numPartitions-row aggregate), broadcast the
+    cumulative offsets back, and run a PER-PARTITION row_number window —
+    every stage is parallel, so a corpus-scale global rank costs one range
+    shuffle plus a tiny broadcast instead of funneling the corpus through
+    one window task.
+
+    ``order_cols`` are Column expressions (include .desc()/.asc() as
+    needed) and MUST define a strict total order (break ties with a
+    unique id): the rank of a row is then the count of rows strictly
+    before it, which does not depend on where the range partitioner
+    happens to place its boundaries — the output is partitioning-
+    independent and deterministic even though the sampled boundaries are
+    not.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "_dr_pid", F.spark_partition_id()
+    )
+    offsets = (
+        ranged.groupBy("_dr_pid")
+        .agg(F.count(F.lit(1)).alias("_dr_n"))
+        .withColumn(
+            "_dr_off",
+            F.coalesce(
+                F.sum("_dr_n").over(
+                    Window.orderBy("_dr_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_dr_n")
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_dr_pid").orderBy(*order_cols)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_dr_pid")
+        .withColumn(rank_col, (F.col("_dr_off") + local).cast("long"))
+        .drop("_dr_pid", "_dr_off")
+    )

@@ -493,19 +493,18 @@ def bin_pack(
     string), ``bin_fill`` (total packed tokens of the bin) and
     ``bin_count`` (documents in the bin).
 
-    Shape: ONE rank window in (size desc, id) order (the pack_shards
-    contract: a global call is single-task in the window — pass
-    ``partition_cols`` (date/source) at corpus scale; estimated-large
-    global calls warn via the plan-stats probe, no Spark job) + one
-    grouped Arrow stage that runs the O(chunk·bins) fold per chunk and
-    emits the bin stats in the same pass — no second window, no join.
+    Shape: ONE rank pass in (size desc, id) order — per-partition windows
+    when ``partition_cols`` is given, else a fully parallel two-pass
+    distributed rank (range shuffle + numPartitions-row offset broadcast,
+    ``functions.partitioning.distributed_rank`` — NO single-task global
+    window even on a global call) + one grouped Arrow stage that runs the
+    O(chunk·bins) fold per chunk and emits the bin stats in the same pass
+    — no second window, no join.
     """
     import pandas as pd
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    if not partition_cols:
-        _warn_global_window(df, "bin_pack", warn_above)
     clash = {bin_col, "bin_fill", "bin_count", "_chunk"} & set(df.columns)
     if clash:
         raise ValueError(
@@ -513,14 +512,19 @@ def bin_pack(
             "collide with the columns this op appends; rename or drop them"
         )
     parts = [F.col(c) for c in (partition_cols or [])]
-    w = Window.partitionBy(*parts).orderBy(
-        F.col(size_col).cast("long").desc(), F.col(id_col).asc()
-    )
-    tagged = df.withColumn(
-        "_chunk",
-        ((F.row_number().over(w) - 1) / F.lit(int(chunk_size)))
-        .cast("long"),
-    )
+    order = [F.col(size_col).cast("long").desc(), F.col(id_col).asc()]
+    if partition_cols:
+        w = Window.partitionBy(*parts).orderBy(*order)
+        tagged = df.withColumn(
+            "_chunk",
+            ((F.row_number().over(w) - 1) / F.lit(int(chunk_size))).cast("long"),
+        )
+    else:
+        from sycamore_spark.functions.partitioning import distributed_rank
+
+        tagged = distributed_rank(df, order, rank_col="_dr_rank").withColumn(
+            "_chunk", ((F.col("_dr_rank") - 1) / F.lit(int(chunk_size))).cast("long")
+        ).drop("_dr_rank")
     out_schema = StructType(
         list(tagged.schema.fields)
         + [

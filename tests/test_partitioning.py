@@ -18,3 +18,27 @@ def test_fan_out_noop_on_wide_input(spark):
 def test_fan_out_explicit_target(spark):
     df = spark.range(100).coalesce(1)
     assert fan_out(df, min_partitions=7).rdd.getNumPartitions() == 7
+
+
+def test_distributed_rank_matches_global_row_number(spark):
+    """The two-pass range-partitioned rank equals the single-task global
+    row_number on a strict total order, independent of input partitioning."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sycamore_spark.functions.partitioning import distributed_rank
+
+    df = spark.range(0, 997).select(
+        F.col("id"), ((F.col("id") * 131) % 97).alias("v")
+    )
+    order = [F.col("v").desc(), F.col("id").asc()]
+    expect = {
+        r.id: r.rk
+        for r in df.withColumn("rk", F.row_number().over(Window.orderBy(*order))).collect()
+    }
+    for parts in (1, 7, 64):
+        got = {
+            r.id: r._rank
+            for r in distributed_rank(df.repartition(parts), order).collect()
+        }
+        assert got == expect
