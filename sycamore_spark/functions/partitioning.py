@@ -113,3 +113,54 @@ def distributed_rank(
         .withColumn(rank_col, (F.col("_dr_off") + local).cast("long"))
         .drop("_dr_pid", "_dr_off")
     )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "_cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global inclusive prefix sum of ``value_col`` over a STRICT total
+    order, without the single-task global window — the two-pass
+    ``distributed_rank`` shape with sums instead of counts: range-partition
+    on the order columns, sum each partition (numPartitions rows),
+    broadcast the cumulative offsets back, add a per-partition running
+    sum. Every stage is parallel; the result is partitioning-independent
+    when the order is strict (ties make any running sum implementation
+    order-dependent — same contract as the window it replaces)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    v = F.col(value_col).cast("long")
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "_dc_pid", F.spark_partition_id()
+    )
+    offsets = (
+        ranged.groupBy("_dc_pid")
+        .agg(F.sum(v).alias("_dc_s"))
+        .withColumn(
+            "_dc_off",
+            F.coalesce(
+                F.sum("_dc_s").over(
+                    Window.orderBy("_dc_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_dc_s")
+    )
+    local = F.sum(v).over(
+        Window.partitionBy("_dc_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_dc_pid")
+        .withColumn(out_col, (F.col("_dc_off") + local).cast("long"))
+        .drop("_dc_pid", "_dc_off")
+    )

@@ -300,30 +300,33 @@ def pack_shards(
 
     shard = floor((cumsum_inclusive - size) / budget): a row starts a new
     shard exactly when the PRECEDING rows already filled the current one.
-    One window (= one shuffle on the partition key). A GLOBAL pack (no
-    ``partition_cols``) funnels every row through ONE task's sort — fine
-    for modest row counts, wrong at scale: when the optimizer ESTIMATES
-    the input above ``warn_above`` rows a warning says to partition by
-    date/source. The probe reads Catalyst plan statistics only (rowCount
-    when CBO has one, else sizeInBytes over a schema-derived bytes/row)
-    — it runs NO Spark job and never re-executes upstream lineage, so it
-    is safe on expensive inputs; the trade is that it is an estimate and
-    can miss or over-fire on unusual row widths. Pass ``warn_above=None``
-    to skip."""
-    if not partition_cols:
-        _warn_global_window(df, "pack_shards", warn_above)
-    parts = [F.col(c) for c in (partition_cols or [])]
-    w = (
-        Window.partitionBy(*parts).orderBy(F.col(order_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    One window (= one shuffle on the partition key) with
+    ``partition_cols``; a GLOBAL pack (no ``partition_cols``) uses the
+    fully parallel two-pass distributed prefix sum
+    (``functions.partitioning.distributed_cumsum`` — range shuffle +
+    numPartitions-row offset broadcast, no single-task stage), so global
+    packing is corpus-safe. ``order_col`` must be unique for a
+    deterministic pack — the same contract a running-sum window has.
+    ``warn_above`` is retained for API compatibility and unused."""
+    size = F.col(size_col).cast("long")
+    if partition_cols:
+        parts = [F.col(c) for c in partition_cols]
+        w = (
+            Window.partitionBy(*parts).orderBy(F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        shard = F.floor((F.sum(size).over(w) - size) / F.lit(budget))
+        out = F.concat_ws(
+            "-", *[c.cast("string") for c in parts], shard.cast("string")
+        )
+        return df.withColumn(out_col, out)
+    from sycamore_spark.functions.partitioning import distributed_cumsum
+
+    cummed = distributed_cumsum(
+        df, [F.col(order_col).asc()], size_col, out_col="_ps_cum"
     )
-    cum = F.sum(F.col(size_col).cast("long")).over(w)
-    shard = F.floor((cum - F.col(size_col).cast("long")) / F.lit(budget))
-    if parts:
-        out = F.concat_ws("-", *[c.cast("string") for c in parts], shard.cast("string"))
-    else:
-        out = shard.cast("string")
-    return df.withColumn(out_col, out)
+    shard = F.floor((F.col("_ps_cum") - size) / F.lit(budget))
+    return cummed.withColumn(out_col, shard.cast("string")).drop("_ps_cum")
 
 
 def cap_per_group(
@@ -423,27 +426,32 @@ def sequence_pack(
     - ``seq_off`` — where the slice lands inside the sequence.
 
     Zero-token docs contribute nothing and are dropped (the canonical
-    packing contract). Shape: ONE window (cumulative token offsets — the
-    pack_shards shuffle contract: global order = single-task sort, so
-    partition by date/source at scale; like pack_shards, a global call
-    estimated above ``warn_above`` rows warns via the plan-stats probe,
-    no Spark job) + a per-row explode bounded by each doc's own
-    boundary-crossing count, so output rows ~
-    n_docs + total_tokens/seq_len — linear, no corpus-sized join."""
-    if not partition_cols:
-        _warn_global_window(df, "sequence_pack", warn_above)
+    packing contract). Shape: ONE cumulative-offset pass — a window per
+    partition key with ``partition_cols``, else the fully parallel
+    two-pass distributed prefix sum (no single-task stage on global
+    calls; ``order_col`` must be unique, the same contract a running-sum
+    window has; ``warn_above`` retained for API compatibility, unused) —
+    + a per-row explode bounded by each doc's own boundary-crossing
+    count, so output rows ~ n_docs + total_tokens/seq_len — linear, no
+    corpus-sized join."""
     parts = [F.col(c) for c in (partition_cols or [])]
-    w = (
-        Window.partitionBy(*parts).orderBy(F.col(order_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     size = F.col(size_col).cast("long")
-    cum_end = F.sum(size).over(w)
-    df2 = (
-        df.filter(size > 0)
-        .withColumn("_ce", cum_end)
-        .withColumn("_cs", F.col("_ce") - size)
-    )
+    if partition_cols:
+        w = (
+            Window.partitionBy(*parts).orderBy(F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        df2 = (
+            df.filter(size > 0)
+            .withColumn("_ce", F.sum(size).over(w))
+            .withColumn("_cs", F.col("_ce") - size)
+        )
+    else:
+        from sycamore_spark.functions.partitioning import distributed_cumsum
+
+        df2 = distributed_cumsum(
+            df.filter(size > 0), [F.col(order_col).asc()], size_col, out_col="_ce"
+        ).withColumn("_cs", F.col("_ce") - size)
     first_seq = F.floor(F.col("_cs") / F.lit(seq_len))
     last_seq = F.floor((F.col("_ce") - 1) / F.lit(seq_len))
     out = df2.withColumn("_s", F.explode(F.sequence(first_seq, last_seq)))

@@ -42,3 +42,26 @@ def test_distributed_rank_matches_global_row_number(spark):
             for r in distributed_rank(df.repartition(parts), order).collect()
         }
         assert got == expect
+
+
+def test_distributed_cumsum_matches_global_window(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sycamore_spark.functions.partitioning import distributed_cumsum
+
+    df = spark.range(0, 500).select(
+        F.col("id"), ((F.col("id") * 7) % 23 + 1).alias("v")
+    )
+    w = Window.orderBy(F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expect = {r.id: r.c for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+    for parts in (1, 9, 64):
+        got = {
+            r.id: r._cumsum
+            for r in distributed_cumsum(
+                df.repartition(parts), [F.col("id").asc()], "v"
+            ).collect()
+        }
+        assert got == expect

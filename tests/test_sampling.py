@@ -440,53 +440,53 @@ def test_sequence_pack_invariants_randomized(spark):
             assert per_seq[nseq - 1] == total - (nseq - 1) * L
 
 
-def test_pack_shards_global_warns_above_threshold(spark):
-    """A global pack (no partition_cols) estimated above warn_above rows is
-    a single-task window — the operator must say so (r7 verdict ask). The
-    probe reads Catalyst plan statistics only (r8 ADVICE: the old
-    limit().count() probe ran an eager job over the input's lineage) and
-    divides sizeInBytes by a schema-derived TEXT-REALISTIC bytes/row
-    (r9 verdict: the old flat /64 over-estimated rows ~30x on KB-text
-    corpora and the warning fired on nearly everything). This 50-row
-    frame (Range->Project, no CBO rowCount) has sizeInBytes ~1100 and a
-    528-byte schema estimate (one string col) -> est ~2 rows."""
+def test_pack_global_paths_are_parallel_and_silent(spark):
+    """Global pack_shards / sequence_pack calls no longer warn (r7/r9-era
+    contract) because they no longer funnel through a single-task window:
+    the global branch runs the two-pass distributed prefix sum
+    (functions/partitioning.distributed_cumsum). The results must equal
+    the windowed formulation exactly (strict order: unique doc_id)."""
     import warnings
 
-    df = _docs(spark, 50)
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        pack_shards(df, "n_tokens", budget=100, order_col="doc_id", warn_above=1)
-    assert any("partition_cols" in str(w.message) for w in caught)
-    # under the threshold, or partitioned, or probe disabled: silent
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        pack_shards(df, "n_tokens", budget=100, order_col="doc_id", warn_above=100)
-        pack_shards(df, "n_tokens", budget=100, order_col="doc_id",
-                    partition_cols=["lang"], warn_above=1)
-        pack_shards(df, "n_tokens", budget=100, order_col="doc_id", warn_above=None)
-    assert not [w for w in caught if "partition_cols" in str(w.message)]
-
-
-def test_sequence_pack_global_warns_above_threshold(spark):
-    """sequence_pack's global path is the same single-task window hazard
-    pack_shards warns about (r9 verdict: the hazard was documented only in
-    prose); same plan-stats probe, same silence when partitioned."""
-    import warnings
+    from pyspark.sql.window import Window
 
     from sycamore_spark.operators.sampling import sequence_pack
 
     df = _docs(spark, 50)
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        sequence_pack(df, "n_tokens", seq_len=64, order_col="doc_id", warn_above=1)
-    assert any("sequence_pack" in str(w.message) for w in caught)
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        sequence_pack(df, "n_tokens", seq_len=64, order_col="doc_id", warn_above=100)
-        sequence_pack(df, "n_tokens", seq_len=64, order_col="doc_id",
-                      partition_cols=["lang"], warn_above=1)
-        sequence_pack(df, "n_tokens", seq_len=64, order_col="doc_id", warn_above=None)
+        got_ps = {
+            r.doc_id: r.shard_id
+            for r in pack_shards(
+                df, "n_tokens", budget=100, order_col="doc_id", warn_above=1
+            ).collect()
+        }
+        got_sp = {
+            (r.doc_id, r.seq_id): (r.tok_start, r.tok_end, r.seq_off)
+            for r in sequence_pack(
+                df, "n_tokens", seq_len=64, order_col="doc_id", warn_above=1
+            ).collect()
+        }
     assert not [w for w in caught if "partition_cols" in str(w.message)]
+
+    # windowed reference: single-task cumsum over the same strict order
+    w = Window.orderBy(F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    size = F.col("n_tokens").cast("long")
+    ref = df.withColumn("_ce", F.sum(size).over(w))
+    ref_ps = {
+        r.doc_id: str((r._ce - r.n_tokens) // 100) for r in ref.collect()
+    }
+    assert got_ps == ref_ps
+    ref_rows = ref.filter(size > 0).withColumn("_cs", F.col("_ce") - size).collect()
+    ref_sp = {}
+    for r in ref_rows:
+        s0, s1 = r._cs // 64, (r._ce - 1) // 64
+        for s in range(int(s0), int(s1) + 1):
+            gs, ge = max(r._cs, s * 64), min(r._ce, (s + 1) * 64)
+            ref_sp[(r.doc_id, str(s))] = (gs - r._cs, ge - r._cs, gs - s * 64)
+    assert got_sp == ref_sp
 
 
 def test_estimated_rows_text_realistic_and_sentinel(spark):
