@@ -815,3 +815,19 @@ def test_bin_pack_ffd_occupancy_property(spark):
         per_bin[r.bin_id][0] += r.sz
     assert all(s == f for s, f in per_bin.values())
     assert sum(s for s, _ in per_bin.values()) == total
+
+
+def test_bin_pack_degenerate_sizes(spark):
+    """All-equal sizes: deterministic by id, bins hold exactly
+    budget // size docs (except the tail). All-oversize: every doc gets a
+    singleton bin."""
+    from sycamore_spark.operators.sampling import bin_pack
+
+    eq = spark.createDataFrame([(i, 40) for i in range(10)], "id long, sz long")
+    rows = bin_pack(eq, "sz", 128, "id").collect()
+    fills = sorted(r.bin_fill for r in {r.bin_id: r for r in rows}.values())
+    assert fills == [40, 120, 120, 120]  # 3+3+3+1 docs
+    big = spark.createDataFrame([(i, 200) for i in range(5)], "id long, sz long")
+    rows = bin_pack(big, "sz", 128, "id").collect()
+    assert all(r.bin_count == 1 and r.bin_fill == 200 for r in rows)
+    assert len({r.bin_id for r in rows}) == 5
