@@ -7627,13 +7627,64 @@ def q_store_sync(spark, sf) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    # -- stalest driver greens --
+    "layout_merge": q_layout_merge,
+    "doc_explode": q_doc_explode,
+    "doc_unexplode": q_doc_unexplode,
+    "doc_merge": q_doc_merge,
+    "doc_merge_table": q_doc_merge_table,
+    "table_ted": q_table_ted,
+    "doc_markdown": q_doc_markdown,
+    "doc_sections": q_doc_sections,
+    "llm_filter": q_llm_filter,
+    "llm_extract": q_llm_extract,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dup_windows": q_dup_windows,
+    "line_dedup": q_line_dedup,
+    "quantile_stats": q_quantile_stats,
+    "quantile_filter": q_quantile_filter,
+    "stratified_sample": q_stratified_sample,
+    "wire_roundtrip": q_wire_roundtrip,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "repetition": q_repetition,
+    "contamination": q_contamination,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "stream_dedup": q_stream_dedup,
+    "sessionize": q_sessionize,
+    "salted_join": q_salted_join,
+    "ivf_pq_ann": q_ivf_pq_ann,
+    "ivf_pq_multi": q_ivf_pq_multi,
+    "ivf_pq_refine": q_ivf_pq_refine,
+    "ann_recall": q_ann_recall,
+    "sq_ann": q_sq_ann,
+    "ivf_pq_store": q_ivf_pq_store,
+    "rrf_hybrid": q_rrf_hybrid,
+    "stream_ann_ingest": q_stream_ann_ingest,
+    "pack_shards_part": q_pack_shards_part,
+    "interval_join": q_interval_join,
+    "cube": q_cube,
+    "rerank": q_rerank,
+    "map_batch": q_map_batch,
+    "db_writer": q_db_writer,
+    "db_reader": q_db_reader,
+    "plan_exec": q_plan_exec,
+    "merge_schemas": q_merge_schemas,
+    "spread_properties": q_spread_properties,
+    "hash_sample": q_hash_sample,
+    "pack_shards": q_pack_shards,
+    # -- fresher greens (rotate next round) --
     "store_sync": q_store_sync,
     "bin_pack": q_bin_pack,
     "edu_select": q_edu_select,
     "calibrate": q_calibrate,
     "store_roundtrip": q_store_roundtrip,
     "ccnet_e2e": q_ccnet_e2e,
-    # -- stalest driver greens --
     "bbox_sort": q_bbox_sort,
     "unit_convert": q_unit_convert,
     "stream_cdc": q_stream_cdc,
@@ -7678,13 +7729,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_overlap": q_chunk_overlap,
     "io_roundtrip": q_io_roundtrip,
     "assign_props": q_assign_props,
-    "layout_merge": q_layout_merge,
-    "doc_explode": q_doc_explode,
-    "doc_unexplode": q_doc_unexplode,
-    "doc_merge": q_doc_merge,
-    "doc_merge_table": q_doc_merge_table,
-    "table_ted": q_table_ted,
-    # -- fresher greens (rotate next round) --
     "paragraph_dedup_e2e": q_paragraph_dedup_e2e,
     "d4_select": q_d4_select,
     "d4_e2e": q_d4_e2e,
@@ -7835,26 +7879,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_median": q_rolling_median,
     "fuzzy_join": q_fuzzy_join,
     "script_ratios": q_script_ratios,
-    "ivf_pq_ann": q_ivf_pq_ann,
-    "ivf_pq_multi": q_ivf_pq_multi,
-    "ivf_pq_refine": q_ivf_pq_refine,
-    "ann_recall": q_ann_recall,
-    "sq_ann": q_sq_ann,
-    "ivf_pq_store": q_ivf_pq_store,
-    "rrf_hybrid": q_rrf_hybrid,
-    "stream_ann_ingest": q_stream_ann_ingest,
-    "pack_shards_part": q_pack_shards_part,
-    "interval_join": q_interval_join,
-    "cube": q_cube,
-    "rerank": q_rerank,
-    "map_batch": q_map_batch,
-    "db_writer": q_db_writer,
-    "db_reader": q_db_reader,
-    "plan_exec": q_plan_exec,
-    "merge_schemas": q_merge_schemas,
-    "spread_properties": q_spread_properties,
-    "hash_sample": q_hash_sample,
-    "pack_shards": q_pack_shards,
     "redact_pii": q_redact_pii,
     "concat_shards": q_concat_shards,
     "sketch_rolling": q_sketch_rolling,
@@ -7885,30 +7909,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
     "tpch_q21": q_tpch_q21,
-    "doc_markdown": q_doc_markdown,
-    "doc_sections": q_doc_sections,
-    "llm_filter": q_llm_filter,
-    "llm_extract": q_llm_extract,
-    "dedup_exact": q_dedup_exact,
-    "dedup_jaccard": q_dedup_jaccard,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "dup_windows": q_dup_windows,
-    "line_dedup": q_line_dedup,
-    "quantile_stats": q_quantile_stats,
-    "quantile_filter": q_quantile_filter,
-    "stratified_sample": q_stratified_sample,
-    "wire_roundtrip": q_wire_roundtrip,
-    "text_stats": q_text_stats,
-    "lang_id": q_lang_id,
-    "quality": q_quality,
-    "fingerprint": q_fingerprint,
-    "repetition": q_repetition,
-    "contamination": q_contamination,
-    "dedup_embedding_lsh": q_dedup_embedding_lsh,
-    "stream_dedup": q_stream_dedup,
-    "sessionize": q_sessionize,
-    "salted_join": q_salted_join,
 }
 
 
