@@ -8267,7 +8267,7 @@ def oracle_sql() -> dict[str, str]:
             "asgt AS (SELECT chunk, unnest(asg)::BIGINT AS b, generate_subscripts(asg, 1)::BIGINT AS r, fills FROM fin), "
             "cnts AS (SELECT chunk, b, count(*)::BIGINT AS cnt FROM asgt GROUP BY 1, 2) "
             "SELECT c.id AS doc_id, c.sz AS n_tok, "
-            "a.chunk::VARCHAR || '_' || a.b::VARCHAR AS bin_id, "
+            "a.chunk::VARCHAR || chr(31) || a.b::VARCHAR AS bin_id, "
             "a.fills[a.b]::BIGINT AS bin_fill, n.cnt AS bin_count "
             "FROM asgt a JOIN ck c ON c.chunk = a.chunk AND c.r = a.r "
             "JOIN cnts n ON n.chunk = a.chunk AND n.b = a.b"
@@ -9937,7 +9937,7 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ce FROM t2), "
             "c2 AS (SELECT *, ce - n_tokens AS cs FROM c), "
             "e AS (SELECT *, unnest(generate_series(cs // 512, (ce - 1) // 512)) AS s FROM c2) "
-            "SELECT lang || '-' || s::VARCHAR AS seq_id, doc_id, lang, n_tokens, "
+            "SELECT lang || chr(31) || s::VARCHAR AS seq_id, doc_id, lang, n_tokens, "
             "(greatest(cs, s * 512) - cs)::BIGINT AS tok_start, "
             "(least(ce, (s + 1) * 512) - cs)::BIGINT AS tok_end, "
             "(greatest(cs, s * 512) - s * 512)::BIGINT AS seq_off FROM e"
@@ -9948,7 +9948,7 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT doc_id, lang, n_tokens, sum(n_tokens) OVER ("
             "PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
             "SELECT doc_id, lang, n_tokens, "
-            "lang || '-' || CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT)::VARCHAR "
+            "lang || chr(31) || CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT)::VARCHAR "
             "AS shard_id FROM c"
         ),
         "map_batch": (

@@ -81,13 +81,25 @@ def distributed_rank(
     happens to place its boundaries — the output is partitioning-
     independent and deterministic even though the sampled boundaries are
     not.
+
+    ``ranged`` feeds TWO consumers (the offsets aggregate and the join),
+    which must observe the SAME partition-id assignment. Relying on
+    Spark's exchange reuse for that is fragile — with
+    ``spark.sql.exchange.reuse=false`` or a plan recompilation, each
+    Exchange would re-sample range boundaries with a different seed and
+    the branches could disagree. The lazy ``lineage_cut`` pins both
+    branches to ONE RDD (one RangePartitioner instance, one fixed set of
+    boundaries) regardless of exchange-reuse settings.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order_cols).withColumn(
-        "_dr_pid", F.spark_partition_id()
+    ranged = lineage_cut(
+        df.repartitionByRange(n, *order_cols).withColumn(
+            "_dr_pid", F.spark_partition_id()
+        ),
+        eager=False,
     )
     offsets = (
         ranged.groupBy("_dr_pid")
@@ -129,14 +141,21 @@ def distributed_cumsum(
     broadcast the cumulative offsets back, add a per-partition running
     sum. Every stage is parallel; the result is partitioning-independent
     when the order is strict (ties make any running sum implementation
-    order-dependent — same contract as the window it replaces)."""
+    order-dependent — same contract as the window it replaces).
+
+    As in ``distributed_rank``, the ranged frame is lazily
+    lineage-cut so its two consumers share one RangePartitioner (one set
+    of sampled boundaries) even when exchange reuse is off."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     v = F.col(value_col).cast("long")
-    ranged = df.repartitionByRange(n, *order_cols).withColumn(
-        "_dc_pid", F.spark_partition_id()
+    ranged = lineage_cut(
+        df.repartitionByRange(n, *order_cols).withColumn(
+            "_dc_pid", F.spark_partition_id()
+        ),
+        eager=False,
     )
     offsets = (
         ranged.groupBy("_dc_pid")

@@ -25,8 +25,11 @@ Scale: calibration sets are seed-sized by contract (the LLM-labeled
 sample, not the corpus) — the fit aggregates to one block per DISTINCT
 score and folds those on a single task (warned via the plan-stats probe
 when the input is estimated corpus-sized, the ``pack_shards`` pattern).
-APPLYING the fit to a 100 TB corpus is the cheap side: the model is a
-broadcast-sized step table and ``isotonic_apply`` is one as-of join.
+APPLYING the fit to a 100 TB corpus is the cheap side: the model is
+driver-bounded by construction, so ``isotonic_apply`` collects it once
+and compiles the step lookup into a balanced binary decision-tree
+expression — O(log steps) comparisons per row inside whole-stage
+codegen, ZERO shuffle and zero join on the corpus side.
 """
 
 from __future__ import annotations
@@ -110,45 +113,76 @@ def isotonic_fit(
     return blocks.repartition(1).mapInPandas(pava, out_schema)
 
 
+def _step_lookup_tree(score: F.Column, steps: list, values: list) -> F.Column:
+    """Compile a left-continuous step lookup into a balanced binary
+    decision tree of comparisons: result = values[max i: steps[i] <= x],
+    clamping x < steps[0] to values[0]. Expression size O(n), evaluation
+    O(log n) comparisons per row — fully inside whole-stage codegen, no
+    join, no shuffle (the treatment that fixed the packing family's
+    single-task windows, VERDICT r12 item 1)."""
+
+    def build(lo: int, hi: int) -> F.Column:
+        if lo == hi:
+            return F.lit(values[lo])
+        mid = (lo + hi + 1) // 2
+        return F.when(score < F.lit(steps[mid]), build(lo, mid - 1)).otherwise(
+            build(mid, hi)
+        )
+
+    return build(0, len(steps) - 1)
+
+
 def isotonic_apply(
     df: DataFrame,
     model: DataFrame,
     score_col: str,
     out_col: str = "calibrated_micros",
+    max_steps: int = 1_000_000,
 ) -> DataFrame:
     """Apply a fitted calibration model to (possibly unseen) scores: each
     row gets the fitted value of the greatest model score <= its score
     (the step function's left-continuous extension); scores below the
     smallest model score clamp to the first step (sklearn's
-    ``out_of_bounds='clip'``). One as-of join against the broadcast-sized
-    model — corpus-safe."""
-    from sycamore_spark.operators.joins import asof_join
+    ``out_of_bounds='clip'``); NULL scores propagate NULL (not a
+    masqueraded clamp).
 
-    mdl = model.select(
-        F.lit(1).alias("_k"),
-        F.col("score").alias("_mscore"),
-        F.col("fitted_micros"),
+    EAGER on the model side: the model is driver-bounded by construction
+    (one row per distinct seed score, and after compressing runs of equal
+    fitted values one row per PAVA block), so this collects it once,
+    compresses it, and compiles the lookup into a balanced binary
+    decision-tree expression — O(log steps) comparisons per corpus row
+    inside whole-stage codegen, ZERO shuffle and zero join. The previous
+    formulation (constant-key as-of join) funneled the whole corpus
+    through one window task; this is the broadcast-literal fix named in
+    VERDICT r12. ``max_steps`` guards the driver against a
+    corpus-sized model being passed by mistake."""
+    rows = (
+        model.where(F.col("score").isNotNull())
+        .select("score", "fitted_micros")
+        .collect()
     )
-    left = df.withColumn("_k", F.lit(1))
-    joined = asof_join(
-        left,
-        mdl,
-        on="_k",
-        left_ts=score_col,
-        right_ts="_mscore",
-        right_cols=["fitted_micros"],
-        direction="backward",
-    )
-    # keyless aggregate (not orderBy().limit(1)) so the one-row clamp
-    # broadcast is the recognized scalar-subquery BNL shape
-    first_fit = model.agg(
-        F.min_by("fitted_micros", "score").alias("_first_fit")
-    )
-    return (
-        joined.crossJoin(F.broadcast(first_fit))
-        .withColumn(
-            out_col,
-            F.coalesce(F.col("fitted_micros_right"), F.col("_first_fit")),
+    if not rows:
+        raise ValueError("isotonic_apply: model has no non-NULL-score steps")
+    if len(rows) > max_steps:
+        raise ValueError(
+            f"isotonic_apply: model has {len(rows)} steps > max_steps="
+            f"{max_steps} — a calibration model should be seed-sized by "
+            "contract; raise max_steps only if the driver can hold it"
         )
-        .drop("_k", "fitted_micros_right", "_first_fit")
+    rows.sort(key=lambda r: r["score"])
+    steps: list = []
+    values: list = []
+    for r in rows:
+        # runs of equal fitted values collapse to their first step: the
+        # greatest-step-<=x lookup lands on the same fitted either way
+        if not values or r["fitted_micros"] != values[-1]:
+            steps.append(r["score"])
+            values.append(r["fitted_micros"])
+    score = F.col(score_col)
+    # leaves are Python ints — force the model's LongType uniformly so
+    # branch unification never downgrades to int32 on small fitted values
+    lookup = _step_lookup_tree(score, steps, values).cast("long")
+    return df.withColumn(
+        out_col,
+        F.when(score.isNull(), F.lit(None).cast("long")).otherwise(lookup),
     )

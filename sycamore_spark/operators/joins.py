@@ -27,6 +27,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _warn_literal_keys(df: DataFrame, keys: list[str], op: str) -> None:
+    """Warn when a join/window key column is defined as a bare literal in
+    the frame's optimized plan — a constant key hashes every row to ONE
+    partition, so the downstream per-key window is a single task at any
+    scale. Plan-text probe only: analysis, no Spark job."""
+    import re
+    import warnings
+
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return
+    lit_re = r"(?:-?\d+(?:\.\d+)?|true|false|null|\"[^\"]*\")"
+    for k in keys:
+        if re.search(rf"(?<![\w.#]){lit_re} AS {re.escape(k)}#\d+", plan):
+            warnings.warn(
+                f"{op}: key column {k!r} is a literal — every row hashes to "
+                f"one partition and the per-key window becomes a single task "
+                f"processing the entire input. Use a real key, or for a "
+                f"global lookup against a driver-bounded side compile it to "
+                f"a literal expression (calibrate._step_lookup_tree).",
+                stacklevel=3,
+            )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -52,12 +77,24 @@ def asof_join(
     if not; with duplicates the row sorting last (by the right frame's
     column order) wins deterministically only if a tiebreak column
     orders them.
+
+    CARDINALITY CONTRACT: the ``on`` keys must partition the data with
+    corpus-appropriate cardinality — the per-key window is a single task,
+    so a constant (or near-constant) key funnels BOTH sides through one
+    task no matter how partitioned the plan looks (the r12
+    ``isotonic_apply`` defect: ``on=lit(1)`` → ``Exchange
+    hashpartitioning(_k, 200)`` with every row in one partition). A key
+    column defined as a bare literal raises a warning here; for a
+    global (keyless) as-of against a driver-bounded right side, compile
+    the lookup to a literal expression instead (see
+    ``calibrate._step_lookup_tree``).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     if direction == "nearest" and strict:
         raise ValueError("strict is not defined for direction='nearest'")
     keys = [on] if isinstance(on, str) else list(on)
+    _warn_literal_keys(left, keys, "asof_join")
     right_cols = right_cols or [c for c in right.columns if c not in keys + [right_ts]]
 
     l_tag = left.select(

@@ -33,6 +33,14 @@ from pyspark.sql.window import Window
 
 _MOD = 1_000_000  # sampling resolution: fraction quantized to 1e-6
 
+# Separator for composite shard/sequence/bin ids. A printable separator
+# ('-'/'_') aliases distinct groups when a partition VALUE contains it
+# ("a-b" + shard 0 vs "a" + shard "b-0"); chr(31) (ASCII unit separator)
+# cannot appear in the numeric components and is vanishingly unlikely in
+# partition values — the same injective-encoding choice storesync makes
+# for its sync keys (ADVICE r12).
+PACK_SEP = "\x1f"
+
 
 def _hash_bucket(key: Column) -> Column:
     """Uniform bucket in [0, 1e6) from the md5 of the key's string form —
@@ -307,7 +315,10 @@ def pack_shards(
     numPartitions-row offset broadcast, no single-task stage), so global
     packing is corpus-safe. ``order_col`` must be unique for a
     deterministic pack — the same contract a running-sum window has.
-    ``warn_above`` is retained for API compatibility and unused."""
+    ``warn_above`` is retained for API compatibility and unused since
+    the distributed-cumsum rewrite. Partitioned shard ids join the
+    partition values and shard index with ``PACK_SEP`` = chr(31)
+    (injective — printable separators can alias distinct groups)."""
     size = F.col(size_col).cast("long")
     if partition_cols:
         parts = [F.col(c) for c in partition_cols]
@@ -317,7 +328,7 @@ def pack_shards(
         )
         shard = F.floor((F.sum(size).over(w) - size) / F.lit(budget))
         out = F.concat_ws(
-            "-", *[c.cast("string") for c in parts], shard.cast("string")
+            PACK_SEP, *[c.cast("string") for c in parts], shard.cast("string")
         )
         return df.withColumn(out_col, out)
     from sycamore_spark.functions.partitioning import distributed_cumsum
@@ -430,7 +441,9 @@ def sequence_pack(
     partition key with ``partition_cols``, else the fully parallel
     two-pass distributed prefix sum (no single-task stage on global
     calls; ``order_col`` must be unique, the same contract a running-sum
-    window has; ``warn_above`` retained for API compatibility, unused) —
+    window has; ``warn_above`` retained for API compatibility, unused
+    since the distributed-cumsum rewrite; partitioned ``seq_id`` joins
+    partition values and the sequence index with ``PACK_SEP`` = chr(31)) —
     + a per-row explode bounded by each doc's own boundary-crossing
     count, so output rows ~ n_docs + total_tokens/seq_len — linear, no
     corpus-sized join."""
@@ -459,7 +472,7 @@ def sequence_pack(
     g_end = F.least(F.col("_ce"), (F.col("_s") + 1) * seq_len)
     if parts:
         seq_id = F.concat_ws(
-            "-", *[c.cast("string") for c in parts], F.col("_s").cast("string")
+            PACK_SEP, *[c.cast("string") for c in parts], F.col("_s").cast("string")
         )
     else:
         seq_id = F.col("_s").cast("string")
@@ -498,8 +511,13 @@ def bin_pack(
     standard scalable relaxation; chunk boundaries only cost packing
     quality, never correctness, and ``chunk_size`` >= corpus size is
     exact FFD). Returns the input plus ``bin_col`` (globally unique
-    string), ``bin_fill`` (total packed tokens of the bin) and
-    ``bin_count`` (documents in the bin).
+    string — partition values, chunk, and bin index joined with
+    ``PACK_SEP`` = chr(31), so partition values containing printable
+    separators cannot alias two physical bins), ``bin_fill`` (total
+    packed tokens of the bin) and ``bin_count`` (documents in the bin).
+    ``warn_above`` is retained for API compatibility and unused since
+    the distributed-rank rewrite (same note on ``pack_shards`` /
+    ``sequence_pack``).
 
     Shape: ONE rank pass in (size desc, id) order — per-partition windows
     when ``partition_cols`` is given, else a fully parallel two-pass
@@ -564,11 +582,11 @@ def bin_pack(
         counts = [0] * len(fills)
         for b in assign:
             counts[b - 1] += 1
-        prefix = "_".join(
+        prefix = PACK_SEP.join(
             [str(pdf[c].iloc[0]) for c in prefix_cols]
             + [str(int(pdf["_chunk"].iloc[0]))]
         )
-        pdf[bin_col] = [f"{prefix}_{b}" for b in assign]
+        pdf[bin_col] = [f"{prefix}{PACK_SEP}{b}" for b in assign]
         pdf["bin_fill"] = pd.Series(
             [fills[b - 1] for b in assign], dtype="int64"
         )

@@ -60,6 +60,66 @@ def test_isotonic_apply_step_function_and_clip(spark):
     assert out == {1: 0, 2: 0, 3: 0, 4: 1000000, 5: 1000000}
 
 
+def test_isotonic_apply_null_score_propagates(spark):
+    """NULL scores stay NULL — not silently clamped to the first step."""
+    train = spark.createDataFrame([(10, 0), (20, 1)], "score long, label long")
+    model = isotonic_fit(train, "score", "label")
+    new = spark.createDataFrame([(1, None), (2, 15)], "id long, score long")
+    out = {r.id: r.calibrated_micros for r in isotonic_apply(new, model, "score").collect()}
+    assert out == {1: None, 2: 0}
+
+
+def test_isotonic_apply_no_shuffle_no_join(spark):
+    """The apply side compiles to a pure projection: the executed plan has
+    NO Exchange and NO join on the corpus subtree (VERDICT r12 item 1 —
+    the old constant-key as-of join funneled the corpus through one
+    window task)."""
+    train = spark.createDataFrame(
+        [(i, i % 2) for i in range(50)], "score long, label long"
+    )
+    model = isotonic_fit(train, "score", "label")
+    corpus = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 60).alias("score")
+    )
+    out = isotonic_apply(corpus, model, "score")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan and "Window" not in plan
+    assert out.count() == 1000
+
+
+def test_isotonic_apply_compresses_equal_fit_runs(spark):
+    """Scores pooled into one PAVA block share a fitted value; the compiled
+    tree keeps only the first step of each run yet yields identical
+    lookups at and between every original step."""
+    # scores 1..4 all pool (violations), then 10 stands alone
+    train = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 0), (10, 1)], "score long, label long"
+    )
+    model = isotonic_fit(train, "score", "label")
+    fits = {r.score: r.fitted_micros for r in model.collect()}
+    assert len(set(fits.values())) < len(fits)  # runs exist
+    probe = spark.createDataFrame(
+        [(s,) for s in [0, 1, 2, 3, 4, 5, 9, 10, 11]], "score long"
+    )
+    out = {r.score: r.calibrated_micros for r in isotonic_apply(probe, model, "score").collect()}
+    for s, got in out.items():
+        want = fits[max((k for k in fits if k <= s), default=min(fits))]
+        assert got == want, (s, got, want)
+
+
+def test_isotonic_apply_guards(spark):
+    train = spark.createDataFrame([(10, 0), (20, 1)], "score long, label long")
+    model = isotonic_fit(train, "score", "label")
+    probe = spark.createDataFrame([(1,)], "score long")
+    import pytest
+
+    with pytest.raises(ValueError, match="max_steps"):
+        isotonic_apply(probe, model, "score", max_steps=1)
+    empty = model.where(F.lit(False))
+    with pytest.raises(ValueError, match="no non-NULL"):
+        isotonic_apply(probe, empty, "score")
+
+
 def test_isotonic_fit_single_score(spark):
     df = spark.createDataFrame([(7, 1), (7, 0)], "score long, label long")
     model = isotonic_fit(df, "score", "label").collect()

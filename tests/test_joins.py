@@ -195,3 +195,29 @@ def test_rolling_quantile_window(spark):
     assert out[1] == 1.0      # window [1]
     assert out[2] == 1.5      # [1,2] interpolated
     assert out[7] == 6.0      # [5,6,7]
+
+
+def test_asof_join_warns_on_literal_key(spark):
+    """A constant `on` key funnels the corpus through one window task —
+    asof_join now warns at call time (VERDICT r12 item 5)."""
+    import warnings
+
+    from sycamore_spark.operators.joins import asof_join
+
+    left = spark.range(10).select(
+        F.lit(1).alias("_k"), F.col("id").alias("ts"), F.col("id").alias("v")
+    )
+    right = spark.createDataFrame([(1, 5, 99)], "_k long, ts long, fit long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        asof_join(left, right, on="_k", left_ts="ts", right_ts="ts")
+    assert any("single task" in str(x.message) for x in w)
+    # a real key does not warn
+    left2 = spark.range(10).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("ts")
+    )
+    right2 = spark.createDataFrame([(0, 5, 1)], "k long, ts long, fit long")
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        asof_join(left2, right2, on="k", left_ts="ts", right_ts="ts")
+    assert not any("single task" in str(x.message) for x in w2)

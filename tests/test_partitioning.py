@@ -65,3 +65,35 @@ def test_distributed_cumsum_matches_global_window(spark):
             ).collect()
         }
         assert got == expect
+
+
+def test_distributed_rank_consistent_with_exchange_reuse_off(spark):
+    """The ranged frame feeds two consumers; with exchange reuse disabled
+    each branch would otherwise re-sample range boundaries independently
+    and ranks could silently disagree. The lazy lineage cut pins both to
+    one RDD (ADVICE r12)."""
+    from pyspark.sql import functions as F
+
+    from sycamore_spark.functions.partitioning import (
+        distributed_cumsum,
+        distributed_rank,
+    )
+
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        df = spark.range(5000).select(
+            F.col("id"), (F.col("id") * 37 % 5000).alias("k")
+        ).repartition(13)
+        ranks = distributed_rank(df, [F.col("k").asc(), F.col("id").asc()])
+        got = {r.k: r._rank for r in ranks.collect()}
+        assert sorted(got.values()) == list(range(1, 5001))
+        # strict order on k (a permutation) -> rank == k+1
+        assert all(got[k] == k + 1 for k in list(got)[:100])
+        sums = distributed_cumsum(
+            df.withColumn("v", F.lit(2)), [F.col("k").asc(), F.col("id").asc()], "v"
+        )
+        s = {r.k: r._cumsum for r in sums.collect()}
+        assert all(s[k] == 2 * (k + 1) for k in list(s)[:100])
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)

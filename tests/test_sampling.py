@@ -82,9 +82,10 @@ def test_pack_shards_partitioned(spark):
         df, "n_tokens", budget=100, order_col="doc_id", partition_cols=["lang"]
     ).collect()
     # shard ids are namespaced by partition value and packing restarts per key
-    langs = {r.shard_id.split("-")[0] for r in out}
+    from sycamore_spark.operators.sampling import PACK_SEP
+    langs = {r.shard_id.split(PACK_SEP)[0] for r in out}
     assert langs == {"en", "de", "fr"}
-    firsts = {r.shard_id for r in out if r.shard_id.endswith("-0")}
+    firsts = {r.shard_id for r in out if r.shard_id.endswith(PACK_SEP + "0")}
     assert len(firsts) == 3
 
 
@@ -399,11 +400,12 @@ def test_sequence_pack_partitioned_independent_streams(spark):
         df, "n_tokens", seq_len=8, order_col="doc_id", partition_cols=["lang"]
     ).collect()
     seqs = {(r.seq_id, r.doc_id): (r.tok_start, r.tok_end, r.seq_off) for r in rows}
-    assert seqs[("en-0", 0)] == (0, 5, 0)
-    assert seqs[("en-0", 1)] == (0, 3, 5)
-    assert seqs[("en-1", 1)] == (3, 5, 0)
-    assert seqs[("de-0", 2)] == (0, 8, 0)
-    assert seqs[("de-1", 2)] == (8, 9, 0)
+    from sycamore_spark.operators.sampling import PACK_SEP
+    assert seqs[(f"en{PACK_SEP}0", 0)] == (0, 5, 0)
+    assert seqs[(f"en{PACK_SEP}0", 1)] == (0, 3, 5)
+    assert seqs[(f"en{PACK_SEP}1", 1)] == (3, 5, 0)
+    assert seqs[(f"de{PACK_SEP}0", 2)] == (0, 8, 0)
+    assert seqs[(f"de{PACK_SEP}1", 2)] == (8, 9, 0)
 
 
 def test_sequence_pack_invariants_randomized(spark):
@@ -725,7 +727,7 @@ def _ffd_ref(items, budget, chunk):
                 members[pos].append(i)
         for b, (f, m) in enumerate(zip(fills, members)):
             for i in m:
-                out[i] = (f"{c0 // chunk}_{b + 1}", f, len(m))
+                out[i] = (f"{c0 // chunk}\x1f{b + 1}", f, len(m))
     return out
 
 
@@ -785,7 +787,7 @@ def test_bin_pack_partition_cols_pack_independently(spark):
     bins = {r.id: r.bin_id for r in rows}
     # same structure per group, namespaced by the partition value
     assert bins[1] == bins[2] and bins[3] == bins[4] and bins[1] != bins[3]
-    assert bins[1].startswith("a_") and bins[3].startswith("b_")
+    assert bins[1].startswith("a\x1f") and bins[3].startswith("b\x1f")
 
 
 def test_bin_pack_ffd_occupancy_property(spark):
@@ -800,7 +802,7 @@ def test_bin_pack_ffd_occupancy_property(spark):
     rows = bin_pack(df, "sz", 128, "id", chunk_size=100).collect()
     by_chunk = {}
     for r in rows:
-        chunk = r.bin_id.rsplit("_", 1)[0]
+        chunk = r.bin_id.rsplit("\x1f", 1)[0]
         by_chunk.setdefault(chunk, {})[r.bin_id] = (r.bin_fill, r.bin_count)
     for chunk, bins in by_chunk.items():
         light = [
@@ -831,3 +833,32 @@ def test_bin_pack_degenerate_sizes(spark):
     rows = bin_pack(big, "sz", 128, "id").collect()
     assert all(r.bin_count == 1 and r.bin_fill == 200 for r in rows)
     assert len({r.bin_id for r in rows}) == 5
+
+
+def test_pack_ids_injective_with_separator_in_partition_values(spark):
+    """Partition values containing '-'/'_' must not alias distinct
+    (partition, index) groups (ADVICE r12: chr(31) separator)."""
+    from sycamore_spark.operators.sampling import (
+        PACK_SEP,
+        bin_pack,
+        pack_shards,
+        sequence_pack,
+    )
+
+    # "a-b" shard 0 vs "a" shard "b-0"-style collisions under '-' joining
+    df = spark.createDataFrame(
+        [(1, "a_0", 5), (2, "a", 5)], "doc_id long, src string, n_tokens long"
+    )
+    out = pack_shards(
+        df, "n_tokens", budget=100, order_col="doc_id", partition_cols=["src"]
+    ).collect()
+    assert len({r.shard_id for r in out}) == 2
+    assert all(PACK_SEP in r.shard_id for r in out)
+    seq = sequence_pack(
+        df, "n_tokens", seq_len=8, order_col="doc_id", partition_cols=["src"]
+    ).collect()
+    assert len({r.seq_id for r in seq}) == 2
+    bins = bin_pack(
+        df, "n_tokens", 100, "doc_id", partition_cols=["src"]
+    ).collect()
+    assert len({r.bin_id for r in bins}) == 2

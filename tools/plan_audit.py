@@ -7,6 +7,12 @@ matter at 100 TB:
 - BatchEvalPython (row-at-a-time Python UDF — everything should be Arrow)
 - shuffle count (Exchange nodes) — the scale currency
 - whether parquet scans carry PushedFilters when the query filters
+- CONSTANT-KEY partitioning: an Exchange hashpartitioning or a Window
+  partition spec whose key is a literal (or a column defined as a bare
+  literal upstream) — the whole input funnels through ONE task while the
+  plan still "looks partitioned" (the r12 isotonic_apply escape:
+  ``asof_join(on=lit(1))`` sailed through 280/0 because the Window *was*
+  partitioned, just by a constant)
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 Prints one line per query + a summary; exits 1 if a NEW red flag appears
@@ -39,6 +45,73 @@ ALLOW_BNL = {
                    # the llm_map-annotated seed (FineWeb-Edu distillation)
 }
 ALLOW_CARTESIAN = {"ann_ivf"}  # same tiny routing join
+# Queries allowed a literal-keyed hashpartitioning/Window — currently none;
+# a seed-sized single-task fold (isotonic_fit's repartition(1)) renders as
+# SinglePartition, not a constant hash key, so it does not trip this.
+ALLOW_CONST_KEY: set[str] = set()
+
+
+def _balanced_args(plan: str, start: int) -> str:
+    """Return the argument text of the call whose '(' is at ``start``,
+    respecting nested parentheses."""
+    depth = 0
+    for i in range(start, len(plan)):
+        if plan[i] == "(":
+            depth += 1
+        elif plan[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return plan[start + 1 : i]
+    return plan[start + 1 :]
+
+
+_LIT = r"(?:-?\d+(?:\.\d+)?[LD]?|true|false|null)"
+
+
+def constant_key_partitionings(plan: str) -> list[str]:
+    """Find hashpartitioning / Window partition specs keyed by a literal —
+    directly (``hashpartitioning(1, 200)``) or through a column some
+    upstream Project defines as a bare literal (``1 AS _k#10`` then
+    ``hashpartitioning(_k#10, 200)``). Either way every row hashes to one
+    partition: a single-task stage disguised as a partitioned one."""
+    lit_cols = {
+        m.group(1)
+        for m in re.finditer(rf"(?<![\w.#]){_LIT} AS (\w+#\d+)", plan)
+    }
+    hits = []
+    for m in re.finditer(r"\b(hashpartitioning|windowspecdefinition)\(", plan):
+        kind = m.group(1)
+        args = _balanced_args(plan, m.end() - 1)
+        # split on top-level commas only
+        parts, depth, cur = [], 0, []
+        for ch in args:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur).strip())
+        if kind == "hashpartitioning":
+            keys = parts[:-1]  # last arg is numPartitions
+        else:
+            # windowspecdefinition(partCols..., orderSpecs..., frame):
+            # partition keys are the leading args before any ordering spec
+            keys = []
+            for p in parts:
+                if re.search(r"\b(ASC|DESC)\b", p) or p.startswith(
+                    "specifiedwindowframe"
+                ):
+                    break
+                keys.append(p)
+        # a composite key with one real column still distributes — the
+        # single-task funnel needs EVERY partition key constant
+        if keys and all(re.fullmatch(_LIT, k) or k in lit_cols for k in keys):
+            hits.append(f"{kind}({', '.join(keys)})")
+    return hits
 
 
 def audit(name: str, df) -> dict:
@@ -50,6 +123,9 @@ def audit(name: str, df) -> dict:
         df.explain("formatted")
     plan = buf.getvalue()
     flags = []
+    const_keys = constant_key_partitionings(plan)
+    if const_keys and name not in ALLOW_CONST_KEY:
+        flags.append("CONST_KEY")
     if "CartesianProduct" in plan and name not in ALLOW_CARTESIAN:
         flags.append("CARTESIAN")
     # count by unique operator id — AQE renders the tree twice but the
@@ -73,6 +149,7 @@ def audit(name: str, df) -> dict:
     pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
     return {
         "flags": flags,
+        "const_keys": const_keys,
         "exchanges": n_exchange,
         "arrow_stages": n_arrow,
         "parquet_scans": n_scan,
