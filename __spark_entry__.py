@@ -7425,6 +7425,67 @@ def q_calibrate(spark, sf) -> DataFrame:
     return out.select("doc_id", "score", "calibrated_micros")
 
 
+def q_unimax(spark, sf) -> DataFrame:
+    """UniMax language-sampling allocation (operators/sampling.py
+    unimax_plan — Chung et al. 2023 Algorithm 1): per-language token
+    budgets as uniform as the per-language epoch cap (0.5 epochs here)
+    allows. One corpus aggregate (rows = #languages) + an exact bigint
+    fold over the ascending-capacity order; the oracle replays the fold
+    as a recursive CTE over the ranked language table."""
+    from sycamore_spark.operators.sampling import unimax_plan
+
+    docs = load_table(spark, sf, "documents").select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    return unimax_plan(docs, "lang", "n_tok", budget=10_000, max_epochs=0.5)
+
+
+def q_gopher_quality(spark, sf) -> DataFrame:
+    """The full Gopher/MassiveText quality-filter composition
+    (operators/textstats.py gopher_filter — Rae et al. 2021 Table A1):
+    word-count band, mean-word-length band, symbol ratio, bullet/ellipsis
+    line fractions, alphabetic-word fraction, stopword prose check,
+    duplicate-line fraction, and the bigram repetition rules, one boolean
+    per rule plus the conjunction. All ratio rules compare in scaled-
+    integer space so the DuckDB replay is exact; the bigram fractions
+    reuse the already-hash-matched ``repetition`` machinery."""
+    from sycamore_spark.operators import textstats
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return textstats.gopher_filter(docs, min_words=20)
+
+
+def q_calibrate_binned(spark, sf) -> DataFrame:
+    """Corpus-scale DIRECT calibration without the seed contract
+    (operators/calibrate.py isotonic_fit_binned — the binned-isotonic
+    recipe): scores quantize into 64 fixed-width buckets, so the exact
+    PAVA fold input is bounded by construction (<=64 blocks at ANY corpus
+    size); labels come from a replayable hash rule whose hit probability
+    rises with n_chars, so the fit is a real monotone curve. Two
+    map-side-combining corpus aggregates + the compiled step-tree apply —
+    no window, no join, no seed. The oracle rebuilds the identical
+    edges in IEEE double arithmetic and replays the PAVA fold as a
+    recursive CTE (the ``calibrate`` oracle's machinery over binned
+    blocks)."""
+    from sycamore_spark.operators.calibrate import isotonic_apply, isotonic_fit_binned
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("score")
+    )
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(1000),
+    )
+    labeled = docs.withColumn(
+        "lbl", (h < F.least(F.col("score").cast("long"), F.lit(900))).cast("long")
+    )
+    model = isotonic_fit_binned(labeled, "score", "lbl", bins=64)
+    out = isotonic_apply(docs, model, "score")
+    return out.select("doc_id", "score", "calibrated_micros")
+
+
 def q_store_roundtrip(spark, sf) -> DataFrame:
     """The full produce->list->reconcile loop (storesync.assign_piece_ids +
     load_keys + store_sync — reference sync.py split_doc + sync): docs
@@ -7627,6 +7688,9 @@ def q_store_sync(spark, sf) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "calibrate_binned": q_calibrate_binned,
+    "gopher_quality": q_gopher_quality,
+    "unimax": q_unimax,
     # -- stalest driver greens --
     "layout_merge": q_layout_merge,
     "doc_explode": q_doc_explode,
@@ -8340,6 +8404,104 @@ def oracle_sql() -> dict[str, str]:
             "mn AS (SELECT min(score) AS mn_score FROM model), "
             "fallback AS (SELECT m.fit AS first_fit FROM model m, mn WHERE m.score = mn.mn_score) "
             "SELECT d.doc_id, d.n_chars::BIGINT AS score, "
+            "coalesce((SELECT m.fit FROM model m WHERE m.score <= d.n_chars "
+            "ORDER BY m.score DESC LIMIT 1), (SELECT first_fit FROM fallback)) AS calibrated_micros "
+            "FROM documents d"
+        ),
+        "unimax": (
+            "WITH RECURSIVE "
+            "t AS MATERIALIZED (SELECT lang AS grp, "
+            "sum(len(string_split(trim(text), ' ')))::BIGINT AS n_units "
+            "FROM documents WHERE lang IS NOT NULL GROUP BY lang), "
+            "c AS MATERIALIZED (SELECT grp, n_units, (n_units * 500000) // 1000000 AS cap, "
+            "row_number() OVER (ORDER BY (n_units * 500000) // 1000000, grp) AS r FROM t), "
+            "n AS (SELECT count(*)::BIGINT AS L FROM c), "
+            "st AS (SELECT 0::BIGINT AS r, 10000::BIGINT AS rem "
+            "UNION ALL SELECT st.r + 1, "
+            "st.rem - least(c.cap, st.rem // ((SELECT L FROM n) - st.r)) "
+            "FROM st JOIN c ON c.r = st.r + 1 WHERE st.r < (SELECT L FROM n)), "
+            "q AS (SELECT c.grp, c.n_units, c.cap, "
+            "least(c.cap, st.rem // ((SELECT L FROM n) - st.r)) AS quota "
+            "FROM st JOIN c ON c.r = st.r + 1) "
+            "SELECT grp AS \"group\", n_units, cap, quota, "
+            "(quota * 1000000) // n_units AS epochs_micros FROM q"
+        ),
+        "gopher_quality": (
+            "WITH t AS (SELECT doc_id, text, string_split(trim(lower(text)), ' ') AS toks, "
+            "string_split(text, chr(10)) AS lines FROM documents), "
+            "s AS (SELECT doc_id, toks, len(toks)::BIGINT AS nw, "
+            "list_aggregate(list_transform(toks, x -> length(x)), 'sum')::BIGINT AS tc, "
+            "(length(text) - length(replace(text, '#', '')) "
+            "+ (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS nsym, "
+            "len(lines)::BIGINT AS nl, "
+            "len(list_filter(lines, l -> substr(ltrim(l), 1, 1) = '-' OR substr(ltrim(l), 1, 1) = '*' OR substr(ltrim(l), 1, 1) = '•'))::BIGINT AS bul, "
+            "len(list_filter(lines, l -> ends_with(rtrim(l), '...')))::BIGINT AS ell, "
+            "len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS alph, "
+            "len(list_intersect(list_distinct(toks), "
+            "['the','be','to','of','and','that','have','with']))::BIGINT AS sh, "
+            "(len(lines) - len(list_distinct(lines)))::BIGINT AS dl FROM t), "
+            "bgl AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN [] ELSE "
+            "list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) END AS bg FROM t), "
+            "tops AS (SELECT doc_id, max(cnt) AS top FROM ("
+            "SELECT doc_id, count(*) AS cnt FROM (SELECT doc_id, unnest(bg) AS g FROM bgl) "
+            "GROUP BY doc_id, g) GROUP BY doc_id), "
+            "r AS (SELECT bgl.doc_id, "
+            "round(CASE WHEN len(bg) = 0 THEN 0.0 ELSE (len(bg) - len(list_distinct(bg))) / len(bg) END, 6) AS dupf, "
+            "round(CASE WHEN len(bg) = 0 THEN 0.0 ELSE coalesce(tops.top, 0) / len(bg) END, 6) AS topf "
+            "FROM bgl LEFT JOIN tops ON bgl.doc_id = tops.doc_id), "
+            "rules AS (SELECT s.doc_id, s.nw AS n_words, "
+            "(s.nw BETWEEN 20 AND 100000) AS ok_word_count, "
+            "(s.tc * 1000000 >= 3000000 * s.nw AND s.tc * 1000000 <= 10000000 * s.nw) AS ok_mean_word_len, "
+            "(s.nsym * 1000000 <= 100000 * s.nw) AS ok_symbol_ratio, "
+            "(s.bul * 1000000 <= 900000 * s.nl) AS ok_bullet_lines, "
+            "(s.ell * 1000000 <= 300000 * s.nl) AS ok_ellipsis_lines, "
+            "(s.alph * 1000000 >= 800000 * s.nw) AS ok_alpha_words, "
+            "(s.sh >= 2) AS ok_stopwords, "
+            "(s.dl * 1000000 <= 300000 * s.nl) AS ok_dup_lines, "
+            "(r.dupf <= 0.2) AS ok_dup_bigrams, (r.topf <= 0.2) AS ok_top_bigram "
+            "FROM s JOIN r ON s.doc_id = r.doc_id) "
+            "SELECT *, (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio "
+            "AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words "
+            "AND ok_stopwords AND ok_dup_lines AND ok_dup_bigrams AND ok_top_bigram) "
+            "AS gopher_keep FROM rules"
+        ),
+        "calibrate_binned": (
+            "WITH RECURSIVE "
+            "s0 AS (SELECT doc_id, n_chars::DOUBLE AS score FROM documents), "
+            "lab AS MATERIALIZED (SELECT score, CASE WHEN "
+            "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 "
+            "< least(CAST(score AS BIGINT), 900) THEN 1 ELSE 0 END AS lbl FROM s0), "
+            "mnmx AS MATERIALIZED (SELECT min(score) AS mn, max(score) AS mx FROM lab), "
+            "wv AS MATERIALIZED (SELECT mn, CASE WHEN mx = mn THEN 1.0 "
+            "ELSE (mx - mn) / 64.0 END AS w FROM mnmx), "
+            "ed AS MATERIALIZED (SELECT v.mn + CAST(least(floor((l.score - v.mn) / v.w), 63.0) AS DOUBLE) * v.w AS edge, "
+            "l.lbl FROM lab l, wv v), "
+            "b AS MATERIALIZED (SELECT row_number() OVER (ORDER BY edge) AS r, edge AS score, "
+            "sum(lbl)::BIGINT AS num, count(*)::BIGINT AS den FROM ed GROUP BY edge), "
+            "nb AS MATERIALIZED (SELECT count(*)::BIGINT AS b FROM b), "
+            "st AS (SELECT 0::BIGINT AS step, 0::BIGINT AS pos, "
+            "[]::STRUCT(num BIGINT, den BIGINT)[] AS stk "
+            "UNION ALL SELECT step + 1, "
+            "CASE WHEN len(stk) >= 2 AND stk[-2].num * stk[-1].den > stk[-1].num * stk[-2].den THEN pos WHEN pos < (SELECT b FROM nb) THEN pos + 1 ELSE pos END, "
+            "CASE WHEN len(stk) >= 2 AND stk[-2].num * stk[-1].den > stk[-1].num * stk[-2].den "
+            "THEN list_append(stk[1:-3], {'num': stk[-2].num + stk[-1].num, 'den': stk[-2].den + stk[-1].den}) "
+            "WHEN pos < (SELECT b FROM nb) "
+            "THEN list_append(stk, (SELECT {'num': num, 'den': den} FROM b WHERE r = pos + 1)) "
+            "ELSE stk END "
+            "FROM st WHERE step < 2 * (SELECT b FROM nb)), "
+            "fin AS (SELECT stk FROM st WHERE step = 2 * (SELECT b FROM nb)), "
+            "pooled AS (SELECT unnest(stk) AS p, generate_subscripts(stk, 1) AS pi FROM fin), "
+            "pcum AS (SELECT pi, p.num AS num, p.den AS den, "
+            "sum(p.den) OVER (ORDER BY pi) AS cend FROM pooled), "
+            "ocum AS (SELECT r, score, den, sum(den) OVER (ORDER BY r) AS oend FROM b), "
+            "asn AS (SELECT o.r, o.score, min(p.pi) AS pi FROM ocum o "
+            "JOIN pcum p ON p.cend >= o.oend GROUP BY 1, 2), "
+            "model AS MATERIALIZED (SELECT a.score, "
+            "((2 * p.num * 1000000 + p.den) // (2 * p.den))::BIGINT AS fit "
+            "FROM asn a JOIN pcum p USING (pi)), "
+            "mn2 AS (SELECT min(score) AS mn_score FROM model), "
+            "fallback AS (SELECT m.fit AS first_fit FROM model m, mn2 WHERE m.score = mn2.mn_score) "
+            "SELECT d.doc_id, d.n_chars::DOUBLE AS score, "
             "coalesce((SELECT m.fit FROM model m WHERE m.score <= d.n_chars "
             "ORDER BY m.score DESC LIMIT 1), (SELECT first_fit FROM fallback)) AS calibrated_micros "
             "FROM documents d"

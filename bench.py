@@ -215,6 +215,10 @@ HEADLINE = [
     "calibrate",
     "store_roundtrip",
     "ccnet_e2e",
+    # round-13 additions
+    "calibrate_binned",
+    "gopher_quality",
+    "unimax",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

@@ -435,6 +435,29 @@ class DocSet:
             partition_cols=partition_cols, chunk_size=chunk_size,
         ))
 
+    def gopher_filter(self, id_col: str = "doc_id",
+                      text_col: str = "text_representation",
+                      **thresholds) -> "DocSet":
+        """Per-rule booleans + keep flag of the full Gopher/MassiveText
+        quality-filter composition (operators/textstats.py
+        gopher_filter; Rae et al. 2021 Table A1)."""
+        from sycamore_spark.operators.textstats import gopher_filter
+
+        return self._wrap(gopher_filter(
+            self.df, id_col=id_col, text_col=text_col, **thresholds
+        ))
+
+    def unimax_plan(self, group_col: str, size_col: str, budget: int,
+                    max_epochs: float = 1.0) -> "DocSet":
+        """UniMax per-language budget allocation (operators/sampling.py
+        unimax_plan; Chung et al. 2023) — feed epochs_micros / 1e6 into
+        ``stratified_sample`` to materialize the mixture."""
+        from sycamore_spark.operators.sampling import unimax_plan
+
+        return self._wrap(unimax_plan(
+            self.df, group_col, size_col, budget, max_epochs=max_epochs
+        ))
+
     def winnow_pairs(self, id_col: str = "doc_id", text_col: str = "text",
                      k: int = 4, w: int = 4, min_shared: int = 2) -> "DocSet":
         """Local-overlap candidate pairs from winnowing fingerprints

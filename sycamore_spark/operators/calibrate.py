@@ -113,6 +113,59 @@ def isotonic_fit(
     return blocks.repartition(1).mapInPandas(pava, out_schema)
 
 
+def isotonic_fit_binned(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 1024,
+) -> DataFrame:
+    """Corpus-scale isotonic fit WITHOUT the seed-size contract: quantize
+    scores into ``bins`` fixed-width buckets first, then run the exact
+    PAVA fold over the bucket aggregates — the fold input is bounded by
+    ``bins`` BY CONSTRUCTION, so the single-task fold stage is safe no
+    matter how large ``df`` is (the standard binned-isotonic recipe;
+    sklearn users get the same effect by subsampling, this keeps every
+    label).
+
+    Two corpus passes: one min/max aggregate (2 scalars, collected), one
+    groupBy on the bucket id (≤ ``bins`` rows out) — both map-side
+    combining hash aggregates, no window, no join. The returned model has
+    ``score`` = each non-empty bucket's LOWER EDGE (mn + i*w in IEEE
+    double — replayable cross-engine since both sides run the identical
+    op sequence), so ``isotonic_apply`` works unchanged: a raw score in
+    bucket i looks up the greatest edge <= score = bucket i's edge.
+    NULL scores are excluded from the fit (and propagate NULL in apply).
+    A constant-score input (mn == mx) degenerates to one bucket."""
+    stats = (
+        df.where(F.col(score_col).isNotNull())
+        .agg(
+            F.min(F.col(score_col).cast("double")).alias("mn"),
+            F.max(F.col(score_col).cast("double")).alias("mx"),
+        )
+        .first()
+    )
+    if stats["mn"] is None:
+        raise ValueError("isotonic_fit_binned: no non-NULL scores")
+    mn, mx = float(stats["mn"]), float(stats["mx"])
+    if mx == mn:
+        w = 1.0
+    else:
+        w = (mx - mn) / bins
+    s = F.col(score_col).cast("double")
+    bucket = F.least(
+        F.floor((s - F.lit(mn)) / F.lit(w)).cast("long"), F.lit(bins - 1)
+    )
+    binned = (
+        df.where(F.col(score_col).isNotNull())
+        .select(
+            (F.lit(mn) + bucket.cast("double") * F.lit(w)).alias("_edge"),
+            F.col(label_col).alias("_lbl"),
+        )
+    )
+    # the inner fit's plan-stats warning is moot: distinct scores <= bins
+    return isotonic_fit(binned, "_edge", "_lbl", warn_above=None)
+
+
 def _step_lookup_tree(score: F.Column, steps: list, values: list) -> F.Column:
     """Compile a left-continuous step lookup into a balanced binary
     decision tree of comparisons: result = values[max i: steps[i] <= x],

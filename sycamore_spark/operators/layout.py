@@ -58,11 +58,25 @@ def quantile_bucket(df: DataFrame, col: str, bits: int = 8) -> Column:
     anywhere, so this is safe to call on a corpus-scale input (an earlier
     ntile formulation funneled every row through a single window task).
     Ties at a split point go to the higher bucket; heavy ties can leave
-    lower buckets short (rank semantics can't split equal values). Runs
-    one Spark job at call time to collect the splits. The join-based twin
-    that keeps splits as a DataFrame (groupable, reusable on other tables)
-    is ``textstats.bucket_by_quantiles``; at 100 TB either works — swap
-    the exact percentile for a KLL sketch if one pass matters."""
+    lower buckets short (rank semantics can't split equal values).
+
+    EAGER, unlike a plain Column factory: it runs one Spark job at call
+    time to collect the splits — callers composing plans lazily must
+    call this only when the input is ready to execute. The returned
+    column is a 2^bits - 1 term sum of comparisons, so expression size
+    (and plan-compile time) grows with ``bits``: the default 8 (255
+    terms) is cheap, but well beyond ~12 bits the expression tree
+    itself becomes the cost — above that, delegate to the join-based
+    twin ``textstats.bucket_by_quantiles``, which keeps splits as a
+    DataFrame (lazy, groupable, reusable on other tables). At 100 TB
+    either works — swap the exact percentile for a KLL sketch if one
+    pass matters."""
+    if bits > 12:
+        raise ValueError(
+            f"quantile_bucket: bits={bits} compiles a {(1 << bits) - 1}-term "
+            "comparison expression — use textstats.bucket_by_quantiles "
+            "(join-based, lazy) above 12 bits"
+        )
     n = 1 << bits
     qs = [i / n for i in range(1, n)]
     row = df.agg(

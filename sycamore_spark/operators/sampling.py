@@ -340,6 +340,66 @@ def pack_shards(
     return cummed.withColumn(out_col, shard.cast("string")).drop("_ps_cum")
 
 
+def unimax_plan(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    budget: int,
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """UniMax sampling allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", Algorithm 1): distribute a total token ``budget`` across
+    groups (languages) as UNIFORMLY as possible subject to a per-group cap
+    of ``max_epochs`` passes over its data — small languages get their
+    full cap, the leftover spreads evenly over larger ones (the fairer
+    alternative to temperature sampling, cf. ``temperature_mixture``).
+
+    Exact integer fold: groups ascend by (cap, group); each takes
+    ``min(cap_i, remaining_budget // remaining_groups)`` with
+    ``cap_i = n_units_i * round(max_epochs * 1e6) // 1e6`` — every step
+    is bigint, so a DuckDB oracle replays it bit-for-bit. Returns one row
+    per group: (group, n_units, cap, quota, epochs_micros) where
+    ``epochs_micros = quota * 1e6 // n_units`` is the per-group sampling
+    rate (feed it to ``stratified_hash_sample`` scaled down by 1e6 to
+    materialize the mixture).
+
+    Scale shape: ONE map-side-combined corpus aggregate (one row per
+    group); the sequential allocation is inherently ordered but runs over
+    the GROUP list (metadata-scale by construction — #languages, not
+    corpus rows), driver-side, like ``mixture_plan``'s weight table.
+    NULL groups are excluded (no language id -> not in the mixture)."""
+    epochs_micros = int(round(max_epochs * _MOD))
+    sizes = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).cast("string").alias("group"))
+        .agg(F.sum(F.col(size_col).cast("long")).alias("n_units"))
+        .collect()
+    )
+    # caps in Python bigints (exact at any corpus size; a double detour
+    # would round above 2^53 tokens), ascending (cap, group) — the strict
+    # order the fold's determinism contract needs
+    rows = sorted(
+        ((str(r["group"]), int(r["n_units"])) for r in sizes),
+        key=lambda t: (t[1] * epochs_micros // _MOD, t[0]),
+    )
+    out = []
+    rem = int(budget)
+    n_left = len(rows)
+    for group, n_units in rows:
+        cap = n_units * epochs_micros // _MOD
+        share = rem // n_left
+        quota = min(cap, share)
+        rem -= quota
+        n_left -= 1
+        out.append(
+            (group, n_units, cap, quota, (quota * _MOD) // n_units if n_units else 0)
+        )
+    return df.sparkSession.createDataFrame(
+        out, "group string, n_units long, cap long, quota long, epochs_micros long"
+    )
+
+
 def cap_per_group(
     df: DataFrame, group_col: str, key: str, n: int, keep_rank: bool = False
 ) -> DataFrame:

@@ -45,6 +45,119 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return df.select(F.col(id_col), T.fingerprint(F.col(text_col)).alias("fingerprint"))
 
 
+# Gopher's prose-detection stopword list (Rae et al. 2021, MassiveText
+# quality filtering, Table A1) — distinct from functions/text.EN_STOPWORDS
+# (the ratio feature's broader list).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_MICRO = 1_000_000
+
+
+def gopher_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_start_frac: float = 0.9,
+    max_ellipsis_end_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_dup_bigram_frac: float = 0.2,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """The full Gopher/MassiveText quality-filter composition (Rae et al.
+    2021, Table A1): every per-document rule as a boolean column plus the
+    conjunction ``gopher_keep`` — word-count band, mean-word-length band,
+    symbol-to-word ratio ('#' and '...'), bullet-start / ellipsis-end
+    line fractions, alphabetic-word fraction, >=2 distinct Gopher
+    stopwords (prose detection), duplicate-line fraction, and the
+    duplicate/top-bigram repetition signals from ``repetition_stats``.
+
+    Cross-engine exactness: every ratio rule compares in SCALED-INTEGER
+    space (``count * 1e6  <=>  threshold_micros * denominator``) so no
+    float division can diverge between engines; the two bigram fractions
+    come from ``repetition_stats``'s round(x, 6) doubles, which already
+    hash-match the DuckDB oracle. Thresholds quantize to micros.
+
+    Scale shape: one narrow projection for the eight surface rules (array
+    expressions, codegen) + the bigram explode/groupBy from
+    ``repetition_stats`` joined back on ``id_col`` — two shuffles total
+    (the bigram agg and the id join), both map-side combined; no Python,
+    no window, no corpus cross-product."""
+    c = F.col(text_col)
+    toks = T.tokens(c)
+    n_words = F.size(toks)
+    total_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    n_symbols = (
+        F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+        + (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("long")
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+        )
+    )
+    ellipsis = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+
+    def _mic(x: float) -> F.Column:
+        # threshold in micros as a LONG literal: every comparison below is
+        # long*long vs long*long — no int32 overflow, no float division
+        return F.lit(int(round(x * _MICRO))).cast("long")
+
+    m = F.lit(_MICRO).cast("long")
+    nw = n_words.cast("long")
+    nl = n_lines.cast("long")
+    surface = df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        (n_words.between(min_words, max_words)).alias("ok_word_count"),
+        (
+            (total_chars * m >= _mic(min_mean_word_len) * nw)
+            & (total_chars * m <= _mic(max_mean_word_len) * nw)
+        ).alias("ok_mean_word_len"),
+        (n_symbols * m <= _mic(max_symbol_ratio) * nw).alias("ok_symbol_ratio"),
+        (bullet.cast("long") * m <= _mic(max_bullet_start_frac) * nl).alias(
+            "ok_bullet_lines"
+        ),
+        (ellipsis.cast("long") * m <= _mic(max_ellipsis_end_frac) * nl).alias(
+            "ok_ellipsis_lines"
+        ),
+        (alpha_words.cast("long") * m >= _mic(min_alpha_word_frac) * nw).alias(
+            "ok_alpha_words"
+        ),
+        (stop_hits >= F.lit(min_stop_hits)).alias("ok_stopwords"),
+        (dup_lines.cast("long") * m <= _mic(max_dup_line_frac) * nl).alias(
+            "ok_dup_lines"
+        ),
+    )
+    rep = repetition_stats(df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col),
+        (F.col("dup_bigram_frac") <= F.lit(max_dup_bigram_frac)).alias("ok_dup_bigrams"),
+        (F.col("top_bigram_frac") <= F.lit(max_top_bigram_frac)).alias("ok_top_bigram"),
+    )
+    out = surface.join(rep, id_col)
+    rule_cols = [x for x in out.columns if x.startswith("ok_")]
+    keep_col = F.col(rule_cols[0])
+    for rc in rule_cols[1:]:
+        keep_col = keep_col & F.col(rc)
+    return out.withColumn("gopher_keep", keep_col)
+
+
 def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals (training-data quality rules beyond
     the reference's surface): fraction of tokens inside duplicate bigrams

@@ -174,3 +174,62 @@ def test_isotonic_fit_weighted_total_preserved(spark):
     # each row's fitted is its block mean rounded to micros: the summed
     # error is bounded by half a micro per weighted row
     assert abs(total_fit - total_label) <= 0.5e-6 * sum(r.n for r in model)
+
+
+def test_isotonic_fit_binned_matches_python_reference(spark):
+    from sycamore_spark.operators.calibrate import isotonic_fit_binned
+
+    import random
+
+    rnd = random.Random(11)
+    rows = [(rnd.uniform(0, 100), 1 if rnd.random() < 0.01 * i else 0)
+            for i, _ in enumerate(range(500))]
+    # reference: same binning + same exact-rational PAVA driver-side
+    bins = 16
+    mn = min(s for s, _ in rows)
+    mx = max(s for s, _ in rows)
+    w = (mx - mn) / bins
+    agg = {}
+    for s, l in rows:
+        b = min(int((s - mn) // w), bins - 1)
+        edge = mn + b * w
+        n, p = agg.get(edge, (0, 0))
+        agg[edge] = (n + 1, p + l)
+    blocks = [(p, n) for e, (n, p) in sorted(agg.items())]
+    want = dict(zip(sorted(agg), _pava_ref(blocks)))
+    df = spark.createDataFrame(rows, "score double, label long").repartition(7)
+    model = {r.score: r.fitted_micros
+             for r in isotonic_fit_binned(df, "score", "label", bins=bins).collect()}
+    assert model == want
+    assert len(model) <= bins
+    fits = [model[k] for k in sorted(model)]
+    assert fits == sorted(fits)
+
+
+def test_isotonic_fit_binned_apply_composes(spark):
+    from sycamore_spark.operators.calibrate import isotonic_apply, isotonic_fit_binned
+
+    rows = [(float(i), 1 if i > 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, label long")
+    model = isotonic_fit_binned(df, "score", "label", bins=8)
+    out = {r.score: r.calibrated_micros
+           for r in isotonic_apply(df, model, "score").collect()}
+    # step function: low scores ~0, high scores ~1e6, monotone overall
+    assert out[0.0] == 0 and out[99.0] == 1_000_000
+    vals = [out[k] for k in sorted(out)]
+    assert vals == sorted(vals)
+
+
+def test_isotonic_fit_binned_constant_and_null_scores(spark):
+    from sycamore_spark.operators.calibrate import isotonic_fit_binned
+
+    df = spark.createDataFrame(
+        [(5.0, 1), (5.0, 0), (None, 1)], "score double, label long"
+    )
+    model = isotonic_fit_binned(df, "score", "label", bins=32).collect()
+    assert len(model) == 1 and model[0].fitted_micros == 500000
+    import pytest
+
+    allnull = spark.createDataFrame([(None, 1)], "score double, label long")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        isotonic_fit_binned(allnull, "score", "label")

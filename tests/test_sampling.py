@@ -862,3 +862,46 @@ def test_pack_ids_injective_with_separator_in_partition_values(spark):
         df, "n_tokens", 100, "doc_id", partition_cols=["src"]
     ).collect()
     assert len({r.bin_id for r in bins}) == 2
+
+
+def test_unimax_allocation_properties(spark):
+    """UniMax (Chung et al. 2023): small languages get their full epoch
+    cap; the leftover budget spreads evenly (±1 from integer floors)
+    across the uncapped large ones; nothing exceeds its cap or the
+    budget."""
+    from sycamore_spark.operators.sampling import unimax_plan
+
+    rows = (
+        [("tiny", 100)] * 1 + [("small", 500)] * 1
+        + [("big1", 100_000)] * 1 + [("big2", 120_000)] * 1
+    )
+    df = spark.createDataFrame(rows, "lang string, n_tok long")
+    plan = {r.group: r for r in unimax_plan(df, "lang", "n_tok", budget=10_000, max_epochs=1.0).collect()}
+    assert plan["tiny"].quota == 100 and plan["small"].quota == 500
+    assert plan["big1"].cap == 100_000 and plan["big1"].quota < plan["big1"].cap
+    assert abs(plan["big1"].quota - plan["big2"].quota) <= 1
+    assert sum(p.quota for p in plan.values()) <= 10_000
+    assert all(p.quota <= p.cap for p in plan.values())
+    # epoch caps bind: epochs_micros <= 1e6 * max_epochs
+    assert all(p.epochs_micros <= 1_000_000 for p in plan.values())
+
+
+def test_unimax_budget_exceeds_caps(spark):
+    from sycamore_spark.operators.sampling import unimax_plan
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 200)], "lang string, n_tok long"
+    )
+    plan = {r.group: r for r in unimax_plan(df, "lang", "n_tok", budget=10_000, max_epochs=2.0).collect()}
+    assert plan["a"].quota == 200 and plan["b"].quota == 400  # both fully capped
+    assert plan["a"].epochs_micros == 2_000_000
+
+
+def test_unimax_null_groups_excluded(spark):
+    from sycamore_spark.operators.sampling import unimax_plan
+
+    df = spark.createDataFrame(
+        [("a", 100), (None, 999)], "lang string, n_tok long"
+    )
+    plan = unimax_plan(df, "lang", "n_tok", budget=50).collect()
+    assert [r.group for r in plan] == ["a"]

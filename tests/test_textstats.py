@@ -1,0 +1,43 @@
+
+
+def test_gopher_filter_rules(spark):
+    """Gopher/MassiveText quality-filter composition: each rule trips on a
+    doc crafted to violate exactly it; a clean prose doc passes all."""
+    from sycamore_spark.operators.textstats import gopher_filter
+
+    # unique filler words -> every bigram distinct; stopword phrase once
+    prose = "the be to of and that have with " + " ".join(
+        f"word{i} item{i} thing{i}" for i in range(20)
+    )
+    docs = [
+        (0, prose),                                     # clean: keep
+        (1, "short text"),                              # too few words
+        (2, " ".join(["antidisestablishmentarianism"] * 60)),  # mean word len high + no stopwords
+        (3, prose + " " + "#" * 0 + " ".join(["#"] * 30)),     # symbol ratio
+        (4, "\n".join(["- bullet line of the and to be"] * 20)),  # bullets
+        (5, "\n".join([("we have that to be of " + str(i) + "...") for i in range(20)])),  # ellipsis ends
+        (6, prose + " " + " ".join(["123456"] * 40)),   # alpha-word frac low
+        (7, " ".join([f"w{i} x{i} y{i}" for i in range(40)])),  # no gopher stopwords
+        (8, "\n".join(["the same line to be of and that have with more words here"] * 20)),  # dup lines+bigrams
+        (9, " ".join(["the be to of"] * 40)),           # top/dup-bigram repetition
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_filter(df, min_words=20).collect()}
+    assert out[0].gopher_keep
+    assert not out[1].ok_word_count and not out[1].gopher_keep
+    assert not out[2].ok_mean_word_len and not out[2].gopher_keep
+    assert not out[3].ok_symbol_ratio and not out[3].gopher_keep
+    assert not out[4].ok_bullet_lines and not out[4].gopher_keep
+    assert not out[5].ok_ellipsis_lines and not out[5].gopher_keep
+    assert not out[6].ok_alpha_words and not out[6].gopher_keep
+    assert not out[7].ok_stopwords and not out[7].gopher_keep
+    assert not out[8].ok_dup_lines and not out[8].gopher_keep
+    assert not out[9].ok_top_bigram and not out[9].gopher_keep
+
+
+def test_gopher_filter_empty_and_single_word(spark):
+    from sycamore_spark.operators.textstats import gopher_filter
+
+    df = spark.createDataFrame([(1, ""), (2, "word")], "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_filter(df).collect()}
+    assert not out[1].gopher_keep and not out[2].gopher_keep
