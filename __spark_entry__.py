@@ -7406,8 +7406,13 @@ def q_calibrate(spark, sf) -> DataFrame:
     from sycamore_spark.operators.calibrate import isotonic_apply, isotonic_fit
     from sycamore_spark.operators.sampling import hash_sample
 
+    from sycamore_spark.functions.partitioning import fan_out
+
     docs = _ds(spark, sf, "documents").to_df()
-    seed = hash_sample(docs.select("doc_id", "text", "n_chars"), "doc_id", 0.25)
+    # fan_out before the Python LLM stage: a single-file extract scans as
+    # 1-2 partitions and serializes the seed annotation on 2 cores (the
+    # dominant cost at the 100x point once the apply side is zero-shuffle)
+    seed = fan_out(hash_sample(docs.select("doc_id", "text", "n_chars"), "doc_id", 0.25))
     annotated = llm_map(
         seed,
         "Rate the educational value from 0 to 5.\nDocument: {{ doc.text }}",
