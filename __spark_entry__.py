@@ -7430,6 +7430,38 @@ def q_calibrate(spark, sf) -> DataFrame:
     return out.select("doc_id", "score", "calibrated_micros")
 
 
+def q_c4_clean(spark, sf) -> DataFrame:
+    """C4 cleaning recipe (operators/textstats.py c4_clean — Raffel 2020
+    §2.2). The synthetic corpus has no line/punctuation structure, so the
+    gate first builds a deterministic page per doc — tokens cut into
+    8-word lines, '.' appended when (doc_id+i)%3!=0, ' javascript'
+    injected when (doc_id+i)%7==0, '{ code }' / 'lorem ipsum' page markers
+    on doc_id%13/%17 — with the identical integer/string ops on both
+    engines, then applies the line rules (terminal punct + >=5 words + no
+    badword) and page rules (>=3 sentences, no markers)."""
+    from sycamore_spark.operators.textstats import c4_clean
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), " ")
+    nl = F.floor((F.size(toks) + F.lit(7)) / F.lit(8)).cast("int")
+    did = F.col("doc_id")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), nl - F.lit(1)),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * F.lit(8) + F.lit(1), F.lit(8)), " "),
+            F.when((did + i) % 7 == 0, F.lit(" javascript")).otherwise(F.lit("")),
+            F.when((did + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    page = F.concat(
+        F.array_join(lines_arr, "\n"),
+        F.when(did % 13 == 0, F.lit("\n{ code }")).otherwise(F.lit("")),
+        F.when(did % 17 == 0, F.lit("\nlorem ipsum")).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    return c4_clean(pages)
+
+
 def q_unimax(spark, sf) -> DataFrame:
     """UniMax language-sampling allocation (operators/sampling.py
     unimax_plan — Chung et al. 2023 Algorithm 1): per-language token
@@ -7696,6 +7728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibrate_binned": q_calibrate_binned,
     "gopher_quality": q_gopher_quality,
     "unimax": q_unimax,
+    "c4_clean": q_c4_clean,
     # -- stalest driver greens --
     "layout_merge": q_layout_merge,
     "doc_explode": q_doc_explode,
@@ -8412,6 +8445,28 @@ def oracle_sql() -> dict[str, str]:
             "coalesce((SELECT m.fit FROM model m WHERE m.score <= d.n_chars "
             "ORDER BY m.score DESC LIMIT 1), (SELECT first_fit FROM fallback)) AS calibrated_micros "
             "FROM documents d"
+        ),
+        "c4_clean": (
+            "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents), "
+            "L AS (SELECT doc_id, list_transform(range((len(toks) + 7) // 8), "
+            "i -> array_to_string(toks[i*8+1 : i*8+8], ' ') "
+            "|| CASE WHEN (doc_id + i) % 7 = 0 THEN ' javascript' ELSE '' END "
+            "|| CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END) AS lns FROM t), "
+            "P AS (SELECT doc_id, array_to_string(lns, chr(10)) "
+            "|| CASE WHEN doc_id % 13 = 0 THEN chr(10) || '{ code }' ELSE '' END "
+            "|| CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum' ELSE '' END AS page FROM L), "
+            "K AS (SELECT doc_id, page, list_filter(string_split(page, chr(10)), "
+            "l -> (right(rtrim(l), 1) = '.' OR right(rtrim(l), 1) = '!' "
+            "OR right(rtrim(l), 1) = '?' OR right(rtrim(l), 1) = '\"') "
+            "AND len(string_split(l, ' ')) >= 5 "
+            "AND NOT contains(lower(l), 'javascript')) AS kept FROM P), "
+            "C AS (SELECT doc_id, page, kept, "
+            "coalesce(array_to_string(kept, chr(10)), '') AS c4_text FROM K), "
+            "S AS (SELECT doc_id, page, kept, c4_text, "
+            "(length(c4_text) - length(replace(replace(replace(c4_text, '.', ''), '!', ''), '?', '')))::BIGINT AS n_sentences FROM C) "
+            "SELECT doc_id, c4_text, len(kept)::BIGINT AS n_lines_kept, n_sentences, "
+            "(n_sentences >= 3 AND NOT contains(lower(page), '{') "
+            "AND NOT contains(lower(page), 'lorem ipsum')) AS c4_keep FROM S"
         ),
         "unimax": (
             "WITH RECURSIVE "

@@ -219,6 +219,7 @@ HEADLINE = [
     "calibrate_binned",
     "gopher_quality",
     "unimax",
+    "c4_clean",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

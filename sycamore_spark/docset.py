@@ -447,6 +447,14 @@ class DocSet:
             self.df, id_col=id_col, text_col=text_col, **thresholds
         ))
 
+    def c4_clean(self, id_col: str = "doc_id",
+                 text_col: str = "text_representation", **kwargs) -> "DocSet":
+        """C4 line/page cleaning (operators/textstats.py c4_clean;
+        Raffel et al. 2020 §2.2)."""
+        from sycamore_spark.operators.textstats import c4_clean
+
+        return self._wrap(c4_clean(self.df, id_col=id_col, text_col=text_col, **kwargs))
+
     def unimax_plan(self, group_col: str, size_col: str, budget: int,
                     max_epochs: float = 1.0) -> "DocSet":
         """UniMax per-language budget allocation (operators/sampling.py

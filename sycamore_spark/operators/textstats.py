@@ -45,6 +45,67 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return df.select(F.col(id_col), T.fingerprint(F.col(text_col)).alias("fingerprint"))
 
 
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    line_badwords: tuple = ("javascript",),
+    page_markers: tuple = ("{", "lorem ipsum"),
+) -> DataFrame:
+    """The C4 cleaning recipe (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning...", §2.2): LINE rules — keep only lines that end in
+    terminal punctuation (. ! ? "), have >= ``min_words_per_line`` words,
+    and contain none of ``line_badwords`` (case-insensitive); PAGE rules —
+    drop the page when the cleaned text has fewer than ``min_sentences``
+    sentences or the ORIGINAL page contains any of ``page_markers``
+    (C4 drops curly-brace pages as code and 'lorem ipsum' as boilerplate).
+
+    Returns (id, c4_text = surviving lines joined by newline, n_lines_kept,
+    n_sentences, c4_keep). Sentence count = terminal-punctuation marks
+    ('.', '!', '?') in the cleaned text — C4's own cheap proxy.
+
+    Cross-engine exactness: the line predicate is right(rtrim(line), 1)
+    membership + a single-space word split + lower() contains — each
+    replays verbatim in DuckDB; sentence counting is nested plain
+    ``replace`` (no regex flag divergence). Scale shape: one narrow
+    codegen projection, zero shuffle — the array HOFs run per line of one
+    document, never across documents."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+
+    def line_ok(l):
+        ok = F.right(F.rtrim(l), F.lit(1)).isin(".", "!", "?", '"')
+        ok = ok & (F.size(F.split(l, " ")) >= F.lit(min_words_per_line))
+        for bw in line_badwords:
+            ok = ok & ~F.contains(F.lower(l), F.lit(bw.lower()))
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    c4_text = F.array_join(kept, "\n")
+    n_sent = (
+        F.length(c4_text)
+        - F.length(
+            F.replace(
+                F.replace(F.replace(c4_text, F.lit("."), F.lit("")), F.lit("!"), F.lit("")),
+                F.lit("?"),
+                F.lit(""),
+            )
+        )
+    ).cast("long")
+    keep = n_sent >= F.lit(min_sentences)
+    for mk in page_markers:
+        keep = keep & ~F.contains(F.lower(c), F.lit(mk.lower()))
+    return df.select(
+        F.col(id_col),
+        c4_text.alias("c4_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        keep.alias("c4_keep"),
+    )
+
+
 # Gopher's prose-detection stopword list (Rae et al. 2021, MassiveText
 # quality filtering, Table A1) — distinct from functions/text.EN_STOPWORDS
 # (the ratio feature's broader list).

@@ -41,3 +41,45 @@ def test_gopher_filter_empty_and_single_word(spark):
     df = spark.createDataFrame([(1, ""), (2, "word")], "doc_id long, text string")
     out = {r.doc_id: r for r in gopher_filter(df).collect()}
     assert not out[1].gopher_keep and not out[2].gopher_keep
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    """C4 (Raffel 2020 §2.2): line keep = terminal punct + >=5 words + no
+    badword; page keep = >=3 sentences and no '{' / 'lorem ipsum'."""
+    from sycamore_spark.operators.textstats import c4_clean
+
+    good = "\n".join([
+        "this line has five good words.",
+        "another proper sentence lives right here!",
+        "does this one also count as kept?",
+        "short line.",                       # <5 words -> dropped
+        "no terminal punctuation on this line",  # dropped
+        "the javascript menu requires scripts enabled.",  # badword -> dropped
+    ])
+    docs = [
+        (0, good),                                    # keep: 3 lines survive
+        (1, good + "\nsee the { code block here."),   # '{' -> page dropped
+        (2, good.replace("words.", "words") ),        # still 2 sentences? no: line1 dropped -> 2 sentences -> dropped
+        (3, "Lorem Ipsum dolor sit amet consectetur adipiscing elit."),  # marker (case-insensitive)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_clean(df).collect()}
+    assert out[0].c4_keep and out[0].n_lines_kept == 3 and out[0].n_sentences == 3
+    assert not out[1].c4_keep          # page marker
+    assert out[2].n_sentences == 2 and not out[2].c4_keep
+    assert not out[3].c4_keep          # lorem ipsum, case-insensitive
+    assert "javascript" not in out[0].c4_text
+    assert "short line." not in out[0].c4_text
+
+
+def test_c4_clean_quote_terminal_and_empty(spark):
+    from sycamore_spark.operators.textstats import c4_clean
+
+    df = spark.createDataFrame(
+        [(1, 'he said "this is a fine quote."\nshe replied with many words too!\nthird sentence goes right here now.'),
+         (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_clean(df).collect()}
+    assert out[1].c4_keep and out[1].n_lines_kept == 3
+    assert not out[2].c4_keep and out[2].n_lines_kept == 0
