@@ -7430,6 +7430,98 @@ def q_calibrate(spark, sf) -> DataFrame:
     return out.select("doc_id", "score", "calibrated_micros")
 
 
+def q_gopher_repetition(spark, sf) -> DataFrame:
+    """The full Gopher repetition suite (operators/textstats.py
+    gopher_repetition — Rae 2021 Table A1 char-fraction semantics): dup
+    line/paragraph count+char fractions, top-{2,3,4}-gram char fractions,
+    and duplicated-{5..10}-gram SPAN COVERAGE (interval-union sweep).
+    All relational — one shared ordered window for token offsets + lead
+    grams, map-side-combined counts, island-sweep windows — so the DuckDB
+    oracle replays the identical plan with the identical windows."""
+    from sycamore_spark.operators.textstats import gopher_repetition
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return gopher_repetition(docs)
+
+
+def _gopher_rep_oracle() -> str:
+    gram_branches = []
+    for n in range(2, 11):
+        gt = " || ' ' || ".join(["tk"] + [f"t{k}" for k in range(1, n)])
+        gram_branches.append(
+            f"SELECT doc_id, {n} AS n, st AS gs, e{n-1} AS ge, {gt} AS gt "
+            f"FROM led WHERE t{n-1} IS NOT NULL"
+        )
+    grams = " UNION ALL ".join(gram_branches)
+    leads = ", ".join(
+        [f"lead(tk, {k}) OVER w AS t{k}" for k in range(1, 10)]
+        + [f"lead(st + tlen, {k}) OVER w AS e{k}" for k in range(1, 10)]
+    )
+    top_cols = ", ".join(
+        f"round(coalesce(t{n}.topchars, 0) / greatest(tot.total, 1), 6) AS top{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    top_joins = " ".join(
+        f"LEFT JOIN top1 t{n} ON t{n}.doc_id = tot.doc_id AND t{n}.n = {n}"
+        for n in (2, 3, 4)
+    )
+    dup_cols = ", ".join(
+        f"round(coalesce(c{n}.dupchars, 0) / greatest(tot.total, 1), 6) AS dup{n}gram_char_frac"
+        for n in range(5, 11)
+    )
+    dup_joins = " ".join(
+        f"LEFT JOIN cov c{n} ON c{n}.doc_id = tot.doc_id AND c{n}.n = {n}"
+        for n in range(5, 11)
+    )
+
+    def seg(sep: str, pfx: str) -> str:
+        return (
+            f"{pfx}seg AS (SELECT doc_id, length(text) AS txtlen, "
+            f"unnest(string_split(text, {sep})) AS sg FROM documents), "
+            f"{pfx}per AS (SELECT doc_id, txtlen, sg, count(*) AS c FROM {pfx}seg GROUP BY 1, 2, 3), "
+            f"{pfx}st AS (SELECT doc_id, "
+            f"round((sum(c) - count(*)) / greatest(sum(c), 1), 6) AS dup_{pfx}_frac, "
+            f"round(sum((c - 1) * length(sg)) / greatest(max(txtlen), 1), 6) AS dup_{pfx}_char_frac "
+            f"FROM {pfx}per GROUP BY doc_id)"
+        )
+
+    return (
+        "WITH tok0 AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents), "
+        "tok AS (SELECT doc_id, unnest(toks) AS tk, generate_subscripts(toks, 1) AS pos FROM tok0), "
+        "tk3 AS (SELECT doc_id, pos, tk, length(tk) AS tlen, "
+        "coalesce(sum(length(tk) + 1) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS st FROM tok), "
+        "tot AS (SELECT doc_id, (sum(tlen) + count(*) - 1)::BIGINT AS total FROM tk3 GROUP BY doc_id), "
+        f"led AS (SELECT doc_id, pos, tk, tlen, st, {leads} FROM tk3 "
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), "
+        f"grams AS ({grams}), "
+        "cnt AS (SELECT doc_id, n, gt, count(*) AS c, max(length(gt)) AS glen "
+        "FROM grams GROUP BY 1, 2, 3), "
+        "topr AS (SELECT doc_id, n, (c * glen)::BIGINT AS topchars, "
+        "row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, glen DESC, gt DESC) AS rn "
+        "FROM cnt WHERE n <= 4), "
+        "top1 AS (SELECT doc_id, n, topchars FROM topr WHERE rn = 1), "
+        "dups AS (SELECT g.doc_id, g.n, g.gs, g.ge FROM grams g "
+        "JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.n = g.n AND cnt.gt = g.gt "
+        "WHERE cnt.c > 1 AND g.n >= 5), "
+        "swept AS (SELECT doc_id, n, gs, ge, max(ge) OVER (PARTITION BY doc_id, n "
+        "ORDER BY gs, ge ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM dups), "
+        "cov AS (SELECT doc_id, n, sum(greatest(ge - greatest(gs, coalesce(pm, -1)), 0))::BIGINT "
+        "AS dupchars FROM swept GROUP BY 1, 2), "
+        f"{seg('chr(10)', 'line')}, "
+        f"{seg('chr(10) || chr(10)', 'para')} "
+        "SELECT tot.doc_id, "
+        "coalesce(linest.dup_line_frac, 0) AS dup_line_frac, "
+        "coalesce(linest.dup_line_char_frac, 0) AS dup_line_char_frac, "
+        "coalesce(parast.dup_para_frac, 0) AS dup_para_frac, "
+        "coalesce(parast.dup_para_char_frac, 0) AS dup_para_char_frac, "
+        f"{top_cols}, {dup_cols} "
+        f"FROM tot {top_joins} {dup_joins} "
+        "LEFT JOIN linest ON linest.doc_id = tot.doc_id "
+        "LEFT JOIN parast ON parast.doc_id = tot.doc_id"
+    )
+
+
 def q_c4_clean(spark, sf) -> DataFrame:
     """C4 cleaning recipe (operators/textstats.py c4_clean — Raffel 2020
     §2.2). The synthetic corpus has no line/punctuation structure, so the
@@ -7729,6 +7821,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "unimax": q_unimax,
     "c4_clean": q_c4_clean,
+    "gopher_repetition": q_gopher_repetition,
     # -- stalest driver greens --
     "layout_merge": q_layout_merge,
     "doc_explode": q_doc_explode,
@@ -8446,6 +8539,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY m.score DESC LIMIT 1), (SELECT first_fit FROM fallback)) AS calibrated_micros "
             "FROM documents d"
         ),
+        "gopher_repetition": _gopher_rep_oracle(),
         "c4_clean": (
             "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents), "
             "L AS (SELECT doc_id, list_transform(range((len(toks) + 7) // 8), "

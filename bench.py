@@ -220,6 +220,7 @@ HEADLINE = [
     "gopher_quality",
     "unimax",
     "c4_clean",
+    "gopher_repetition",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

@@ -447,6 +447,14 @@ class DocSet:
             self.df, id_col=id_col, text_col=text_col, **thresholds
         ))
 
+    def gopher_repetition(self, id_col: str = "doc_id",
+                          text_col: str = "text_representation") -> "DocSet":
+        """Full Gopher repetition suite — char-fraction semantics
+        (operators/textstats.py gopher_repetition; Rae 2021 Table A1)."""
+        from sycamore_spark.operators.textstats import gopher_repetition
+
+        return self._wrap(gopher_repetition(self.df, id_col=id_col, text_col=text_col))
+
     def c4_clean(self, id_col: str = "doc_id",
                  text_col: str = "text_representation", **kwargs) -> "DocSet":
         """C4 line/page cleaning (operators/textstats.py c4_clean;

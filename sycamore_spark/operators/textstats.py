@@ -268,6 +268,200 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def gopher_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The FULL Gopher repetition suite (Rae et al. 2021, Table A1) with
+    the paper's CHARACTER-fraction semantics, which ``repetition_stats``'s
+    count fractions approximate:
+
+    - ``dup_line_frac`` / ``dup_para_frac`` — duplicate lines/paragraphs
+      as a fraction of lines/paragraphs (paragraph = blank-line split);
+    - ``dup_line_char_frac`` / ``dup_para_char_frac`` — characters in the
+      all-but-first occurrences of duplicated lines/paragraphs over the
+      text length;
+    - ``top{2,3,4}gram_char_frac`` — characters of all occurrences of the
+      MOST FREQUENT word n-gram over the token-stream length (ties break
+      by (count, gram char length, gram) descending — deterministic and
+      engine-agnostic);
+    - ``dup{5..10}gram_char_frac`` — characters COVERED by any word
+      n-gram occurring more than once, overlapping spans counted once
+      (interval-union sweep), over the token-stream length.
+
+    Scale shape — everything is corpus-linear relational algebra, no
+    per-doc Python: one posexplode + ONE ordered window per doc builds
+    token char offsets and all lead-chained grams for n=2..10 in a single
+    exchange; gram counts are a map-side-combined groupBy on (id, n,
+    gram-hash); span coverage is the classic island sweep (one window per
+    (id, n) ordered by span start); line/paragraph stats are one explode
+    + two hash aggs. Every fraction is round(x, 6) of a BIGINT/BIGINT
+    division — IEEE-identical in DuckDB, so the whole suite replays
+    bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    c = F.col(text_col)
+    did = F.col(id_col)
+
+    # ---- per-doc base: token stream with char offsets -------------------
+    toks = T.tokens(c)  # lower + trim + \s+ split
+    base = df.select(did.alias("_id"), c.alias("_txt"), toks.alias("_toks"))
+    tok = base.select(
+        "_id", F.posexplode("_toks").alias("_pos", "_tok")
+    ).withColumn("_tlen", F.length("_tok"))
+    w = Window.partitionBy("_id").orderBy("_pos")
+    # char offset of token i in the single-space-joined stream
+    tok = tok.withColumn(
+        "_start",
+        F.coalesce(
+            F.sum(F.col("_tlen") + F.lit(1)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    totals = tok.groupBy("_id").agg(
+        (F.sum("_tlen") + F.count(F.lit(1)) - F.lit(1)).cast("long").alias("_total")
+    )
+
+    # ---- grams n=2..10 off ONE shared window (lead chains) --------------
+    lead_tok = [F.col("_tok")] + [F.lead("_tok", k).over(w) for k in range(1, 10)]
+    lead_end = [
+        (F.lead("_start", k).over(w) + F.lead("_tlen", k).over(w)).alias(f"_e{k}")
+        for k in range(1, 10)
+    ]
+    from sycamore_spark.functions.partitioning import lineage_cut
+
+    g = tok.select("_id", "_pos", "_start", "_tlen", *lead_end,
+                   *[lt.alias(f"_t{k}") for k, lt in enumerate(lead_tok)])
+    # ALL grams in one pass: one struct per n (NULL when the doc is too
+    # short) exploded from a single array — a 9-branch union would
+    # re-execute the scan + explode + ordered window once PER branch
+    # (plan audit showed 42 parquet scans / 46 exchanges on that shape).
+    # The gram's char length IS its span length (tokens + n-1 spaces), so
+    # the gram STRING never ships through the count shuffle (24M x ~80B
+    # at the sf1eq corpus).
+    gram_structs = []
+    for n in range(2, 11):
+        parts = [F.col(f"_t{k}") for k in range(n)]
+        gram_structs.append(
+            F.when(
+                F.col(f"_t{n-1}").isNotNull(),
+                F.struct(
+                    F.lit(n).alias("_n"),
+                    F.col("_start").alias("_gs"),
+                    F.col(f"_e{n-1}").cast("long").alias("_ge"),
+                    F.xxhash64(*parts).alias("_gh"),
+                    (F.col(f"_e{n-1}") - F.col("_start")).cast("long").alias("_glen"),
+                ),
+            )
+        )
+    grams = (
+        g.select("_id", F.explode(F.array(*gram_structs)).alias("_g"))
+        .where(F.col("_g").isNotNull())
+        .select("_id", "_g.*")
+    )
+    # One count WINDOW instead of a groupBy + join-back: every gram
+    # occurrence carries its group count in the same shuffle that a
+    # groupBy would have cost, and the duplicated-span set is then a pure
+    # filter — the corpus-gram-scale probe join disappears. The lazy cut
+    # materializes the scan/explode/window pipeline once for the two
+    # consumers (top aggregation, span sweep).
+    wcnt = Window.partitionBy("_id", "_n", "_gh")
+    counted = lineage_cut(
+        grams.withColumn("_cnt", F.count(F.lit(1)).over(wcnt)), eager=False
+    )
+
+    # ---- top n-gram char fraction (n = 2, 3, 4) --------------------------
+    top = (
+        counted.where(F.col("_n") <= 4)
+        .groupBy("_id", "_n")
+        .agg(
+            F.max(
+                F.struct(F.col("_cnt"), F.col("_glen"), F.col("_gh"))
+            ).alias("_m")
+        )
+        .select(
+            "_id",
+            "_n",
+            (F.col("_m._cnt") * F.col("_m._glen")).cast("long").alias("_topchars"),
+        )
+    )
+
+    # ---- duplicated-gram span coverage (n = 5..10) ------------------------
+    dup_spans = counted.where((F.col("_n") >= 5) & (F.col("_cnt") > 1))
+    sweep = Window.partitionBy("_id", "_n").orderBy(F.col("_gs").asc(), F.col("_ge").asc())
+    prev_max = F.max("_ge").over(sweep.rowsBetween(Window.unboundedPreceding, -1))
+    covered = dup_spans.withColumn(
+        "_cov",
+        F.greatest(
+            F.col("_ge") - F.greatest(F.col("_gs"), F.coalesce(prev_max, F.lit(-1).cast("long"))),
+            F.lit(0).cast("long"),
+        ),
+    ).groupBy("_id", "_n").agg(F.sum("_cov").cast("long").alias("_dupchars"))
+
+    # ---- line / paragraph duplicate fractions ----------------------------
+    def _seg_stats(sep: str, prefix: str) -> DataFrame:
+        seg = base.select(
+            "_id", F.length("_txt").alias("_txtlen"), F.explode(F.split("_txt", sep)).alias("_seg")
+        )
+        per = seg.groupBy("_id", "_txtlen", "_seg").agg(F.count(F.lit(1)).alias("_c"))
+        return per.groupBy("_id").agg(
+            F.round(
+                (F.sum("_c") - F.count(F.lit(1)))
+                / F.greatest(F.sum("_c"), F.lit(1)).cast("double"),
+                6,
+            ).alias(f"dup_{prefix}_frac"),
+            F.round(
+                F.sum((F.col("_c") - 1) * F.length("_seg")).cast("double")
+                / F.greatest(F.first("_txtlen"), F.lit(1)).cast("double"),
+                6,
+            ).alias(f"dup_{prefix}_char_frac"),
+        )
+
+    lines = _seg_stats("\n", "line")
+    paras = _seg_stats("\n\n", "para")
+
+    # ---- assemble: one conditional agg per family (NOT one join per n —
+    # each (id, n) has exactly one row, so max(when(n==k)) pivots free) ----
+    top_piv = top.groupBy("_id").agg(
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_topchars"))).alias(f"_tc{n}")
+            for n in (2, 3, 4)
+        ]
+    )
+    cov_piv = covered.groupBy("_id").agg(
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_dupchars"))).alias(f"_dc{n}")
+            for n in range(5, 11)
+        ]
+    )
+    out = (
+        totals.join(top_piv, "_id", "left")
+        .join(cov_piv, "_id", "left")
+        .join(lines, "_id", "left")
+        .join(paras, "_id", "left")
+    )
+    total = F.greatest(F.col("_total"), F.lit(1)).cast("double")
+    sel = [
+        F.col("_id").alias(id_col),
+        F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+        F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+        F.coalesce("dup_para_frac", F.lit(0.0)).alias("dup_para_frac"),
+        F.coalesce("dup_para_char_frac", F.lit(0.0)).alias("dup_para_char_frac"),
+    ]
+    for n in (2, 3, 4):
+        sel.append(
+            F.round(F.coalesce(F.col(f"_tc{n}"), F.lit(0)).cast("double") / total, 6)
+            .alias(f"top{n}gram_char_frac")
+        )
+    for n in range(5, 11):
+        sel.append(
+            F.round(F.coalesce(F.col(f"_dc{n}"), F.lit(0)).cast("double") / total, 6)
+            .alias(f"dup{n}gram_char_frac")
+        )
+    return out.select(*sel)
+
+
 def ngram_contamination(
     docs: DataFrame,
     probes: DataFrame,

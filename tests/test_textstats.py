@@ -83,3 +83,44 @@ def test_c4_clean_quote_terminal_and_empty(spark):
     out = {r.doc_id: r for r in c4_clean(df).collect()}
     assert out[1].c4_keep and out[1].n_lines_kept == 3
     assert not out[2].c4_keep and out[2].n_lines_kept == 0
+
+
+def test_gopher_repetition_char_fractions(spark):
+    """Hand-checked Gopher Table-A1 char-fraction semantics."""
+    from sycamore_spark.operators.textstats import gopher_repetition
+
+    # doc 1: "a b c a b c d" -> stream "a b c a b c d", len 13
+    #   top2gram: "a b" x2 (chars 3*2=6) -> 6/13; dup 5-grams: none repeated
+    # doc 2: all-identical tokens -> every n-gram duplicated, full coverage
+    docs = [
+        (1, "a b c a b c d"),
+        (2, "x x x x x x x x x x x x"),  # 12 tokens, stream len 23
+        (3, "p q r s t u v w"),          # all unique -> all zeros
+        (4, "line one is here\nline two is here\nline one is here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_repetition(df).collect()}
+    assert out[1].top2gram_char_frac == round(6 / 13, 6)
+    # "a b c" x2 -> 2*5/13; "a b c a" once, "b c a b" once...
+    assert out[1].top3gram_char_frac == round(10 / 13, 6)
+    assert out[1].dup5gram_char_frac == 0.0
+    assert out[2].dup5gram_char_frac == 1.0  # full stream covered
+    assert out[2].dup10gram_char_frac == 1.0
+    assert out[2].top2gram_char_frac == round(11 * 3 / 23, 6)
+    assert out[3].top2gram_char_frac > 0  # most frequent has count 1 but chars count
+    assert out[3].dup5gram_char_frac == 0.0
+    # doc 4: 3 lines, one duplicated once: dup_line_frac=1/3; char frac =
+    # 16 chars of the second occurrence / 50 text chars
+    assert out[4].dup_line_frac == round(1 / 3, 6)
+    assert out[4].dup_line_char_frac == round(16 / len(docs[3][1]), 6)
+
+
+def test_gopher_repetition_paragraphs_and_empty(spark):
+    from sycamore_spark.operators.textstats import gopher_repetition
+
+    txt = "para one here\n\npara two here\n\npara one here"
+    df = spark.createDataFrame([(1, txt), (2, "solo")], "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_repetition(df).collect()}
+    assert out[1].dup_para_frac == round(1 / 3, 6)
+    assert out[1].dup_para_char_frac == round(13 / len(txt), 6)
+    assert out[2].dup_para_frac == 0.0 and out[2].dup5gram_char_frac == 0.0
