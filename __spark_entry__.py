@@ -7570,6 +7570,83 @@ def q_unimax(spark, sf) -> DataFrame:
     return unimax_plan(docs, "lang", "n_tok", budget=10_000, max_epochs=0.5)
 
 
+def q_stream_quality(spark, sf) -> DataFrame:
+    """Streaming quality-filter monitoring (streaming/quality.py): the
+    documents table replayed as an 8-file stream, 2 files per micro-batch,
+    each batch scored by the full Gopher filter (gopher_filter) and its
+    per-source acceptance counters folded into a persisted additive state.
+    The oracle is a FULL-TABLE batch recompute of the same rule counters
+    (the shared _GOPHER_RULES_SQL machinery grouped by source) — green
+    proves stream fold == batch recompute independent of micro-batch
+    boundaries, the streaming/stats.py contract with bigint counters."""
+    import tempfile
+
+    from sycamore_spark.operators.textstats import gopher_filter
+    from sycamore_spark.streaming.quality import maintain_quality_stream
+
+    docs = _ds(spark, sf, "documents").to_df().select("doc_id", "source", "text")
+    root = tempfile.mkdtemp(prefix="streamqual-gate-")
+    src = f"{root}/src"
+    docs.repartition(8).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+
+    def flags(batch: DataFrame) -> DataFrame:
+        return gopher_filter(batch.select("doc_id", "text"), min_words=20).join(
+            batch.select("doc_id", "source"), "doc_id"
+        )
+
+    q = maintain_quality_stream(
+        stream, ["source"], flags, f"{root}/state", f"{root}/ckpt"
+    )
+    q.awaitTermination(300)
+    st = spark.read.parquet(f"{root}/state")
+    return st.select(
+        "source", "n_docs", "n_gopher_keep", "n_ok_word_count",
+        "n_ok_stopwords", "n_ok_mean_word_len",
+    )
+
+
+_GOPHER_RULES_SQL = (
+    "WITH t AS (SELECT doc_id, text, string_split(trim(lower(text)), ' ') AS toks, "
+            "string_split(text, chr(10)) AS lines FROM documents), "
+            "s AS (SELECT doc_id, toks, len(toks)::BIGINT AS nw, "
+            "list_aggregate(list_transform(toks, x -> length(x)), 'sum')::BIGINT AS tc, "
+            "(length(text) - length(replace(text, '#', '')) "
+            "+ (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS nsym, "
+            "len(lines)::BIGINT AS nl, "
+            "len(list_filter(lines, l -> substr(ltrim(l), 1, 1) = '-' OR substr(ltrim(l), 1, 1) = '*' OR substr(ltrim(l), 1, 1) = '•'))::BIGINT AS bul, "
+            "len(list_filter(lines, l -> ends_with(rtrim(l), '...')))::BIGINT AS ell, "
+            "len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS alph, "
+            "len(list_intersect(list_distinct(toks), "
+            "['the','be','to','of','and','that','have','with']))::BIGINT AS sh, "
+            "(len(lines) - len(list_distinct(lines)))::BIGINT AS dl FROM t), "
+            "bgl AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN [] ELSE "
+            "list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) END AS bg FROM t), "
+            "tops AS (SELECT doc_id, max(cnt) AS top FROM ("
+            "SELECT doc_id, count(*) AS cnt FROM (SELECT doc_id, unnest(bg) AS g FROM bgl) "
+            "GROUP BY doc_id, g) GROUP BY doc_id), "
+            "r AS (SELECT bgl.doc_id, "
+            "round(CASE WHEN len(bg) = 0 THEN 0.0 ELSE (len(bg) - len(list_distinct(bg))) / len(bg) END, 6) AS dupf, "
+            "round(CASE WHEN len(bg) = 0 THEN 0.0 ELSE coalesce(tops.top, 0) / len(bg) END, 6) AS topf "
+            "FROM bgl LEFT JOIN tops ON bgl.doc_id = tops.doc_id), "
+            "rules AS (SELECT s.doc_id, s.nw AS n_words, "
+            "(s.nw BETWEEN 20 AND 100000) AS ok_word_count, "
+            "(s.tc * 1000000 >= 3000000 * s.nw AND s.tc * 1000000 <= 10000000 * s.nw) AS ok_mean_word_len, "
+            "(s.nsym * 1000000 <= 100000 * s.nw) AS ok_symbol_ratio, "
+            "(s.bul * 1000000 <= 900000 * s.nl) AS ok_bullet_lines, "
+            "(s.ell * 1000000 <= 300000 * s.nl) AS ok_ellipsis_lines, "
+            "(s.alph * 1000000 >= 800000 * s.nw) AS ok_alpha_words, "
+            "(s.sh >= 2) AS ok_stopwords, "
+            "(s.dl * 1000000 <= 300000 * s.nl) AS ok_dup_lines, "
+            "(r.dupf <= 0.2) AS ok_dup_bigrams, (r.topf <= 0.2) AS ok_top_bigram "
+            "FROM s JOIN r ON s.doc_id = r.doc_id) "
+)
+
+
 def q_gopher_quality(spark, sf) -> DataFrame:
     """The full Gopher/MassiveText quality-filter composition
     (operators/textstats.py gopher_filter — Rae et al. 2021 Table A1):
@@ -7822,6 +7899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax": q_unimax,
     "c4_clean": q_c4_clean,
     "gopher_repetition": q_gopher_repetition,
+    "stream_quality": q_stream_quality,
     # -- stalest driver greens --
     "layout_merge": q_layout_merge,
     "doc_explode": q_doc_explode,
@@ -8580,44 +8658,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT grp AS \"group\", n_units, cap, quota, "
             "(quota * 1000000) // n_units AS epochs_micros FROM q"
         ),
-        "gopher_quality": (
-            "WITH t AS (SELECT doc_id, text, string_split(trim(lower(text)), ' ') AS toks, "
-            "string_split(text, chr(10)) AS lines FROM documents), "
-            "s AS (SELECT doc_id, toks, len(toks)::BIGINT AS nw, "
-            "list_aggregate(list_transform(toks, x -> length(x)), 'sum')::BIGINT AS tc, "
-            "(length(text) - length(replace(text, '#', '')) "
-            "+ (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS nsym, "
-            "len(lines)::BIGINT AS nl, "
-            "len(list_filter(lines, l -> substr(ltrim(l), 1, 1) = '-' OR substr(ltrim(l), 1, 1) = '*' OR substr(ltrim(l), 1, 1) = '•'))::BIGINT AS bul, "
-            "len(list_filter(lines, l -> ends_with(rtrim(l), '...')))::BIGINT AS ell, "
-            "len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS alph, "
-            "len(list_intersect(list_distinct(toks), "
-            "['the','be','to','of','and','that','have','with']))::BIGINT AS sh, "
-            "(len(lines) - len(list_distinct(lines)))::BIGINT AS dl FROM t), "
-            "bgl AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN [] ELSE "
-            "list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) END AS bg FROM t), "
-            "tops AS (SELECT doc_id, max(cnt) AS top FROM ("
-            "SELECT doc_id, count(*) AS cnt FROM (SELECT doc_id, unnest(bg) AS g FROM bgl) "
-            "GROUP BY doc_id, g) GROUP BY doc_id), "
-            "r AS (SELECT bgl.doc_id, "
-            "round(CASE WHEN len(bg) = 0 THEN 0.0 ELSE (len(bg) - len(list_distinct(bg))) / len(bg) END, 6) AS dupf, "
-            "round(CASE WHEN len(bg) = 0 THEN 0.0 ELSE coalesce(tops.top, 0) / len(bg) END, 6) AS topf "
-            "FROM bgl LEFT JOIN tops ON bgl.doc_id = tops.doc_id), "
-            "rules AS (SELECT s.doc_id, s.nw AS n_words, "
-            "(s.nw BETWEEN 20 AND 100000) AS ok_word_count, "
-            "(s.tc * 1000000 >= 3000000 * s.nw AND s.tc * 1000000 <= 10000000 * s.nw) AS ok_mean_word_len, "
-            "(s.nsym * 1000000 <= 100000 * s.nw) AS ok_symbol_ratio, "
-            "(s.bul * 1000000 <= 900000 * s.nl) AS ok_bullet_lines, "
-            "(s.ell * 1000000 <= 300000 * s.nl) AS ok_ellipsis_lines, "
-            "(s.alph * 1000000 >= 800000 * s.nw) AS ok_alpha_words, "
-            "(s.sh >= 2) AS ok_stopwords, "
-            "(s.dl * 1000000 <= 300000 * s.nl) AS ok_dup_lines, "
-            "(r.dupf <= 0.2) AS ok_dup_bigrams, (r.topf <= 0.2) AS ok_top_bigram "
-            "FROM s JOIN r ON s.doc_id = r.doc_id) "
-            "SELECT *, (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio "
+        "gopher_quality": _GOPHER_RULES_SQL + ("SELECT *, (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio "
             "AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words "
             "AND ok_stopwords AND ok_dup_lines AND ok_dup_bigrams AND ok_top_bigram) "
             "AS gopher_keep FROM rules"
+        ),
+        "stream_quality": _GOPHER_RULES_SQL + (
+            ", k AS (SELECT *, (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio "
+            "AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words "
+            "AND ok_stopwords AND ok_dup_lines AND ok_dup_bigrams AND ok_top_bigram) "
+            "AS gopher_keep FROM rules) "
+            "SELECT d.source, count(*)::BIGINT AS n_docs, "
+            "sum(k.gopher_keep::INT)::BIGINT AS n_gopher_keep, "
+            "sum(k.ok_word_count::INT)::BIGINT AS n_ok_word_count, "
+            "sum(k.ok_stopwords::INT)::BIGINT AS n_ok_stopwords, "
+            "sum(k.ok_mean_word_len::INT)::BIGINT AS n_ok_mean_word_len "
+            "FROM k JOIN documents d USING (doc_id) GROUP BY d.source"
         ),
         "calibrate_binned": (
             "WITH RECURSIVE "

@@ -145,7 +145,17 @@ def isotonic_fit_binned(
         .first()
     )
     if stats["mn"] is None:
-        raise ValueError("isotonic_fit_binned: no non-NULL scores")
+        # empty / all-NULL input -> empty model (isotonic_fit's own empty
+        # contract; applying it calibrates everything to NULL)
+        return isotonic_fit(
+            df.where(F.lit(False)).select(
+                F.col(score_col).cast("double").alias("_edge"),
+                F.col(label_col).alias("_lbl"),
+            ),
+            "_edge",
+            "_lbl",
+            warn_above=None,
+        )
     mn, mx = float(stats["mn"]), float(stats["mx"])
     if mx == mn:
         w = 1.0
@@ -215,7 +225,10 @@ def isotonic_apply(
         .collect()
     )
     if not rows:
-        raise ValueError("isotonic_apply: model has no non-NULL-score steps")
+        # empty model (e.g. fit on an empty calibration set): nothing to
+        # look up — every score calibrates to NULL (the r12 empty-input
+        # contract, tests/test_empty_inputs.py)
+        return df.withColumn(out_col, F.lit(None).cast("long"))
     if len(rows) > max_steps:
         raise ValueError(
             f"isotonic_apply: model has {len(rows)} steps > max_steps="

@@ -115,9 +115,11 @@ def test_isotonic_apply_guards(spark):
 
     with pytest.raises(ValueError, match="max_steps"):
         isotonic_apply(probe, model, "score", max_steps=1)
+    # empty model -> all-NULL output (the r12 empty-input contract),
+    # not an error
     empty = model.where(F.lit(False))
-    with pytest.raises(ValueError, match="no non-NULL"):
-        isotonic_apply(probe, empty, "score")
+    out = isotonic_apply(probe, empty, "score").collect()
+    assert len(out) == 1 and out[0].calibrated_micros is None
 
 
 def test_isotonic_fit_single_score(spark):
@@ -228,8 +230,6 @@ def test_isotonic_fit_binned_constant_and_null_scores(spark):
     )
     model = isotonic_fit_binned(df, "score", "label", bins=32).collect()
     assert len(model) == 1 and model[0].fitted_micros == 500000
-    import pytest
-
+    # all-NULL scores -> empty model (isotonic_fit's empty contract)
     allnull = spark.createDataFrame([(None, 1)], "score double, label long")
-    with pytest.raises(ValueError, match="no non-NULL"):
-        isotonic_fit_binned(allnull, "score", "label")
+    assert isotonic_fit_binned(allnull, "score", "label").count() == 0

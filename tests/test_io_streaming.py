@@ -453,3 +453,45 @@ def test_streaming_stats_state_partitions(spark, tmp_path):
     out = finalize_stats(spark.read.parquet(st).drop("_hwm_batch", "_hwm_ckpt"))
     got = {r.g: (r.n, r.mean) for r in out.collect()}
     assert got[0] == (10, 22.5)  # values 0,5,...,45
+
+
+def test_stream_quality_fold_batch_independent(spark, tmp_path):
+    """The per-group quality counters are additive: 1-file and 4-file
+    micro-batching yield identical final state, and a replayed batch id
+    folds as a no-op (streaming/quality.py)."""
+    from pyspark.sql import functions as F
+
+    from sycamore_spark.operators.textstats import gopher_filter
+    from sycamore_spark.streaming.quality import maintain_quality_stream
+
+    prose = "the be to of and that have with " + " ".join(
+        f"tok{i} unit{i} item{i}" for i in range(12)
+    )
+    rows = [(i, "s" + str(i % 3), prose if i % 2 == 0 else "tiny text") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    src = str(tmp_path / "src")
+    df.repartition(8).write.parquet(src)
+
+    def flags(batch):
+        return gopher_filter(batch.select("doc_id", "text"), min_words=20).join(
+            batch.select("doc_id", "source"), "doc_id"
+        )
+
+    def run(maxfiles, tag):
+        state = str(tmp_path / f"state{tag}")
+        q = maintain_quality_stream(
+            spark.readStream.schema(df.schema).option("maxFilesPerTrigger", maxfiles).parquet(src),
+            ["source"], flags, state, str(tmp_path / f"ckpt{tag}"),
+        )
+        q.awaitTermination(120)
+        return {
+            r.source: (r.n_docs, r.n_gopher_keep, r.n_ok_word_count)
+            for r in spark.read.parquet(state).collect()
+        }
+
+    fine = run(1, "a")
+    coarse = run(8, "b")
+    assert fine == coarse
+    assert sum(v[0] for v in fine.values()) == 40
+    # even docs pass word count; odd don't
+    assert sum(v[2] for v in fine.values()) == 20
