@@ -7570,6 +7570,54 @@ def q_unimax(spark, sf) -> DataFrame:
     return unimax_plan(docs, "lang", "n_tok", budget=10_000, max_epochs=0.5)
 
 
+def q_fineweb_e2e(spark, sf) -> DataFrame:
+    """FineWeb-style curation capstone (Penedo et al. 2024: the FineWeb
+    recipe = language filter -> Gopher quality -> Gopher repetition
+    thresholds -> dedup): language_id keeps 'en', gopher_filter's full
+    rule conjunction (min_stop_hits=1 on this stopword-poor synthetic
+    corpus), gopher_repetition char-fraction thresholds (top-2-gram <=
+    0.10, dup-5-gram <= 0.15, dup-line <= 0.30), then exact-fingerprint
+    dedup keeping the min-id representative among survivors. Every stage
+    is individually gated (lang_id / gopher_quality / gopher_repetition /
+    dedup_exact); this row proves the COMPOSITION — the oracle glues the
+    same shared SQL machinery into one WITH chain."""
+    from sycamore_spark.operators import textstats
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    lang = textstats.language_id(docs)
+    gq = textstats.gopher_filter(docs, min_words=20, min_stop_hits=1)
+    rep = textstats.gopher_repetition(docs).select(
+        "doc_id", "top2gram_char_frac", "dup5gram_char_frac", "dup_line_frac"
+    )
+    kept = (
+        docs.join(lang, "doc_id")
+        .join(gq.select("doc_id", "n_words", "gopher_keep"), "doc_id")
+        .join(rep, "doc_id")
+        .where(
+            (F.col("lang_pred") == "en")
+            & F.col("gopher_keep")
+            & (F.col("top2gram_char_frac") <= 0.10)
+            & (F.col("dup5gram_char_frac") <= 0.15)
+            & (F.col("dup_line_frac") <= 0.30)
+        )
+    )
+    # kept feeds BOTH the fingerprint agg and the final join — cut once or
+    # the whole 3-stage filter lineage (incl. the repetition suite)
+    # executes twice (the ccnet_e2e lesson)
+    from sycamore_spark.functions.partitioning import lineage_cut
+
+    kept = lineage_cut(kept, eager=False)
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    reps = (
+        kept.select("doc_id", fp.alias("_f"))
+        .groupBy("_f")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+    return kept.join(reps.select("doc_id", "dup_count"), "doc_id").select(
+        "doc_id", "lang_pred", "n_words", "dup_count"
+    )
+
+
 def q_stream_quality(spark, sf) -> DataFrame:
     """Streaming quality-filter monitoring (streaming/quality.py): the
     documents table replayed as an 8-file stream, 2 files per micro-batch,
@@ -7595,7 +7643,8 @@ def q_stream_quality(spark, sf) -> DataFrame:
     )
 
     def flags(batch: DataFrame) -> DataFrame:
-        return gopher_filter(batch.select("doc_id", "text"), min_words=20).join(
+        return gopher_filter(batch.select("doc_id", "text"), min_words=20,
+                             min_stop_hits=1).join(
             batch.select("doc_id", "source"), "doc_id"
         )
 
@@ -7640,7 +7689,7 @@ _GOPHER_RULES_SQL = (
             "(s.bul * 1000000 <= 900000 * s.nl) AS ok_bullet_lines, "
             "(s.ell * 1000000 <= 300000 * s.nl) AS ok_ellipsis_lines, "
             "(s.alph * 1000000 >= 800000 * s.nw) AS ok_alpha_words, "
-            "(s.sh >= 2) AS ok_stopwords, "
+            "(s.sh >= 1) AS ok_stopwords, "
             "(s.dl * 1000000 <= 300000 * s.nl) AS ok_dup_lines, "
             "(r.dupf <= 0.2) AS ok_dup_bigrams, (r.topf <= 0.2) AS ok_top_bigram "
             "FROM s JOIN r ON s.doc_id = r.doc_id) "
@@ -7659,7 +7708,7 @@ def q_gopher_quality(spark, sf) -> DataFrame:
     from sycamore_spark.operators import textstats
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    return textstats.gopher_filter(docs, min_words=20)
+    return textstats.gopher_filter(docs, min_words=20, min_stop_hits=1)
 
 
 def q_calibrate_binned(spark, sf) -> DataFrame:
@@ -7900,6 +7949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_clean": q_c4_clean,
     "gopher_repetition": q_gopher_repetition,
     "stream_quality": q_stream_quality,
+    "fineweb_e2e": q_fineweb_e2e,
     # -- stalest driver greens --
     "layout_merge": q_layout_merge,
     "doc_explode": q_doc_explode,
@@ -8479,6 +8529,38 @@ def oracle_sql() -> dict[str, str]:
         for lang, arr in _LANG_MARKERS_SQL.items()
     }
     lang_max = f"greatest({lang_scores['en']}, {lang_scores['de']}, {lang_scores['fr']}, {lang_scores['es']})"
+    lang_sql = (
+        f"SELECT doc_id, CASE WHEN {lang_max} <= 0 THEN 'und' "
+        f"WHEN {lang_scores['en']} = {lang_max} THEN 'en' "
+        f"WHEN {lang_scores['de']} = {lang_max} THEN 'de' "
+        f"WHEN {lang_scores['fr']} = {lang_max} THEN 'fr' ELSE 'es' END AS lang_pred FROM documents"
+    )
+    # FineWeb capstone: Gopher rules + full repetition suite + language id
+    # + exact-fingerprint dedup glued into ONE WITH chain (CTE name sets
+    # verified disjoint: rules-prefix {t,s,bgl,tops,r,rules}, repetition
+    # {tok0,tok,tk3,tot,led,grams,cnt,topr,top1,dups,swept,cov,*seg,*per,*st})
+    rep_sql = _gopher_rep_oracle()
+    assert rep_sql.startswith("WITH ")
+    rep_tail = rep_sql.rindex("SELECT tot.doc_id")
+    fineweb_sql = (
+        _GOPHER_RULES_SQL
+        + ", " + rep_sql[len("WITH "):rep_tail].rstrip().rstrip(",")
+        + ", repet AS (" + rep_sql[rep_tail:] + ")"
+        + ", lang AS (" + lang_sql + ")"
+        + ", gk AS (SELECT rules.doc_id, rules.n_words FROM rules "
+          "WHERE ok_word_count AND ok_mean_word_len AND ok_symbol_ratio "
+          "AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words "
+          "AND ok_stopwords AND ok_dup_lines AND ok_dup_bigrams AND ok_top_bigram)"
+        + ", kept AS (SELECT gk.doc_id, gk.n_words, lang.lang_pred FROM gk "
+          "JOIN lang USING (doc_id) JOIN repet USING (doc_id) "
+          "WHERE lang.lang_pred = 'en' AND repet.top2gram_char_frac <= 0.10 "
+          "AND repet.dup5gram_char_frac <= 0.15 AND repet.dup_line_frac <= 0.30)"
+        + ", fp AS (SELECT k.doc_id, md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS f "
+          "FROM kept k JOIN documents d USING (doc_id))"
+        + ", reps AS (SELECT f, min(doc_id) AS doc_id, count(*)::BIGINT AS dup_count FROM fp GROUP BY f) "
+        + "SELECT k.doc_id, k.lang_pred, k.n_words, r2.dup_count "
+          "FROM kept k JOIN reps r2 USING (doc_id)"
+    )
     return {
         "store_sync": (
             "WITH base AS (SELECT doc_id AS i, 'd' || doc_id::VARCHAR AS sid, "
@@ -10428,12 +10510,8 @@ def oracle_sql() -> dict[str, str]:
             "/ greatest(len(string_split(trim(lower(text)), ' ')), 1), 6) AS mean_word_len, "
             "len(list_distinct(string_split(trim(lower(text)), ' ')))::INT AS distinct_tokens FROM documents"
         ),
-        "lang_id": (
-            f"SELECT doc_id, CASE WHEN {lang_max} <= 0 THEN 'und' "
-            f"WHEN {lang_scores['en']} = {lang_max} THEN 'en' "
-            f"WHEN {lang_scores['de']} = {lang_max} THEN 'de' "
-            f"WHEN {lang_scores['fr']} = {lang_max} THEN 'fr' ELSE 'es' END AS lang_pred FROM documents"
-        ),
+        "lang_id": lang_sql,
+        "fineweb_e2e": fineweb_sql,
         "quality": (
             "WITH t AS (SELECT doc_id, text, list_distinct(string_split(trim(lower(text)), ' ')) AS toks FROM documents) "
             f"SELECT doc_id, round(len(list_intersect(toks, {_STOPWORDS_SQL}))::DOUBLE / greatest(len(toks), 1), 6) AS stopword_ratio, "

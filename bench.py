@@ -221,6 +221,8 @@ HEADLINE = [
     "unimax",
     "c4_clean",
     "gopher_repetition",
+    "stream_quality",
+    "fineweb_e2e",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path
