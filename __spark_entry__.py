@@ -7943,13 +7943,13 @@ def q_store_sync(spark, sf) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "fineweb_e2e": q_fineweb_e2e,
+    "stream_quality": q_stream_quality,
+    "gopher_repetition": q_gopher_repetition,
+    "c4_clean": q_c4_clean,
     "calibrate_binned": q_calibrate_binned,
     "gopher_quality": q_gopher_quality,
     "unimax": q_unimax,
-    "c4_clean": q_c4_clean,
-    "gopher_repetition": q_gopher_repetition,
-    "stream_quality": q_stream_quality,
-    "fineweb_e2e": q_fineweb_e2e,
     # -- stalest driver greens --
     "layout_merge": q_layout_merge,
     "doc_explode": q_doc_explode,

@@ -1,6 +1,11 @@
 """Text-analysis operators over a documents table: per-doc stats, language
-ID, quality scoring, fingerprinting. All native expressions (functions/text.py)
-— a single narrow projection per operator, no shuffle, full codegen."""
+ID, quality scoring, fingerprinting, the published quality-filter recipes
+(Gopher/MassiveText rules + full char-fraction repetition suite, C4 line/
+page cleaning), and corpus-statistics utilities. The scalar operators are
+single narrow codegen projections (functions/text.py — no shuffle); the
+repetition/filter suites add only map-side-combined hash aggs, count
+windows, and island sweeps keyed on (doc, gram) — never per-doc Python,
+never a corpus cross-product."""
 
 from __future__ import annotations
 
@@ -296,7 +301,13 @@ def gopher_repetition(
     (id, n) ordered by span start); line/paragraph stats are one explode
     + two hash aggs. Every fraction is round(x, 6) of a BIGINT/BIGINT
     division — IEEE-identical in DuckDB, so the whole suite replays
-    bit-for-bit."""
+    bit-for-bit.
+
+    Skew note: the offset/lead window partitions by DOCUMENT, so one
+    pathological multi-GB document serializes ITS OWN pass on one task —
+    inherent to per-doc ordered semantics (same contract as every per-doc
+    window here); the heavy stages (gram counts, span sweeps) key on
+    (id, n, gram-hash) / (id, n) and stay distributed regardless."""
     from pyspark.sql.window import Window
 
     c = F.col(text_col)
