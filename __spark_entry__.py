@@ -7570,6 +7570,21 @@ def q_unimax(spark, sf) -> DataFrame:
     return unimax_plan(docs, "lang", "n_tok", budget=10_000, max_epochs=0.5)
 
 
+def q_rho_select(spark, sf) -> DataFrame:
+    """RHO-loss-style data selection (operators/sampling.py rho_select —
+    Mindermann 2022): reducible loss = corpus-LM loss minus reference-LM
+    loss per document, keep the top half. The reference holdout is the
+    deterministic 20% hash sample; both LMs are the exact integer-micro
+    bigram models (textstats.ngram_lm_score with the new fit/apply
+    split), so the oracle replays both scorings and the quantile_cont
+    threshold bit-for-bit."""
+    from sycamore_spark.operators.sampling import hash_sample, rho_select
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    ref = hash_sample(docs, "doc_id", 0.2)
+    return rho_select(docs, ref, keep_fraction=0.5)
+
+
 def q_fineweb_e2e(spark, sf) -> DataFrame:
     """FineWeb-style curation capstone (Penedo et al. 2024: the FineWeb
     recipe = language filter -> Gopher quality -> Gopher repetition
@@ -7943,6 +7958,7 @@ def q_store_sync(spark, sf) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "rho_select": q_rho_select,
     "fineweb_e2e": q_fineweb_e2e,
     "stream_quality": q_stream_quality,
     "gopher_repetition": q_gopher_repetition,
@@ -8700,6 +8716,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d"
         ),
         "gopher_repetition": _gopher_rep_oracle(),
+        "rho_select": (
+            "WITH refd AS (SELECT doc_id, text FROM documents "
+            "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 200000), "
+            "toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), "
+            "bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM toks, "
+            "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+            "rtoks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM refd), "
+            "rbg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM rtoks, "
+            "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+            "bc AS (SELECT w1, w2, count(*) AS cbig FROM bg GROUP BY 1, 2), "
+            "cc AS (SELECT w1, count(*) AS cctx FROM bg GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT w) AS v FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)), "
+            "st AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+            "CAST(sum(CAST(floor(ln((cbig + 1.0) / (cctx + v)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS m "
+            "FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v GROUP BY 1), "
+            "rbc AS (SELECT w1, w2, count(*) AS cbig FROM rbg GROUP BY 1, 2), "
+            "rcc AS (SELECT w1, count(*) AS cctx FROM rbg GROUP BY 1), "
+            "rv AS (SELECT count(DISTINCT w) AS v FROM (SELECT w1 AS w FROM rbg UNION ALL SELECT w2 FROM rbg)), "
+            "sr AS (SELECT bg.doc_id, "
+            "CAST(sum(CAST(floor(ln((coalesce(rbc.cbig, 0) + 1.0) / (coalesce(rcc.cctx, 0) + rv.v)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS m "
+            "FROM bg LEFT JOIN rbc USING (w1, w2) LEFT JOIN rcc USING (w1) CROSS JOIN rv GROUP BY 1), "
+            "j AS (SELECT st.doc_id, st.n_bigrams, "
+            "(sr.m - st.m)::DOUBLE / 1000000.0 / st.n_bigrams AS rho_excess "
+            "FROM st JOIN sr USING (doc_id)), "
+            "thr AS (SELECT quantile_cont(rho_excess, 0.5) AS t FROM j) "
+            "SELECT doc_id, n_bigrams, rho_excess FROM j, thr WHERE rho_excess >= t"
+        ),
         "c4_clean": (
             "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents), "
             "L AS (SELECT doc_id, list_transform(range((len(toks) + 7) // 8), "

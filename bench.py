@@ -223,6 +223,7 @@ HEADLINE = [
     "gopher_repetition",
     "stream_quality",
     "fineweb_e2e",
+    "rho_select",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

@@ -340,6 +340,57 @@ def pack_shards(
     return cummed.withColumn(out_col, shard.cast("string")).drop("_ps_cum")
 
 
+def rho_select(
+    df: DataFrame,
+    reference_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_fraction: float = 0.5,
+) -> DataFrame:
+    """RHO-loss-style data selection (Mindermann et al. 2022, "Prioritized
+    Training on Points that are Learnable, Worth Learning, and Not Yet
+    Learnt"): score every document by its REDUCIBLE loss — loss under the
+    current/proxy model minus loss under a model trained on a trusted
+    holdout — and keep the top ``keep_fraction``. High excess = hard for
+    the corpus-trained model but easy for the reference = learnable and
+    worth learning; low/negative excess = noise (hard for both) or
+    already-learnt (easy for both). The paper's model seam is filled with
+    the repo's deterministic proxy: the self-trained bigram LM
+    (``textstats.ngram_lm_score``) as the current model and the same LM
+    fit on ``reference_df`` as the holdout model, so
+    ``excess = (logp_ref - logp_train) / n_bigrams`` in integer-micro
+    log-probs (cross-engine exact; the division of two bigints is the
+    same IEEE double everywhere).
+
+    Scale shape: two LM scorings (two hash-agg count models + one scoring
+    join each), one id-keyed join, and ONE exact-percentile threshold
+    broadcast back as the recognized scalar-subquery shape — everything
+    corpus-linear, nothing collects. Returns the kept rows:
+    (id, n_bigrams, rho_excess)."""
+    from sycamore_spark.operators.textstats import ngram_lm_score
+
+    s_train = ngram_lm_score(df, id_col, text_col).select(
+        F.col(id_col), F.col("n_bigrams"), F.col("logprob_micros").alias("_lp_t")
+    )
+    s_ref = ngram_lm_score(df, id_col, text_col, train_df=reference_df).select(
+        F.col(id_col), F.col("logprob_micros").alias("_lp_r")
+    )
+    excess = (
+        (F.col("_lp_r") - F.col("_lp_t")).cast("double")
+        / F.lit(1_000_000.0)
+        / F.col("n_bigrams")
+    )
+    scored = s_train.join(s_ref, id_col).withColumn("rho_excess", excess)
+    thr = scored.agg(
+        F.percentile(F.col("rho_excess"), F.lit(1.0 - keep_fraction)).alias("_thr")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("rho_excess") >= F.col("_thr"))
+        .select(F.col(id_col), "n_bigrams", "rho_excess")
+    )
+
+
 def unimax_plan(
     df: DataFrame,
     group_col: str,

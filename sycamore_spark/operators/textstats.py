@@ -675,6 +675,7 @@ def ngram_lm_score(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Perplexity-proxy quality scoring WITHOUT an external model (the
     CCNet/KenLM role in a pretraining pipeline, self-trained on the
@@ -696,39 +697,56 @@ def ngram_lm_score(
     vocabulary size) + one shuffle join of doc bigrams against the count
     tables + one per-doc agg. Nothing collects to the driver; the model
     IS a DataFrame.
-    """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_ws"),
-    )
-    bigrams = toks.select(
-        "_id",
-        F.explode(
-            F.when(
-                F.size("_ws") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_ws") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("_ws"), i).alias("w1"),
-                        F.element_at(F.col("_ws"), i + 1).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("bg"),
-    ).select("_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
-    big_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cbig"))
-    uni = bigrams.select(F.col("w1").alias("w")).union(bigrams.select("w2"))
+    ``train_df`` (default: ``df`` itself — self-trained, the CCNet shape)
+    fits the counts on a DIFFERENT corpus (a trusted holdout for RHO-loss
+    selection, a clean reference for domain scoring): scoring bigrams
+    unseen in training take the add-1 floor ``1/(c(w1)+V)`` with ``c = 0``
+    via left joins + coalesce — when ``train_df`` is None every scoring
+    bigram exists in training, so the result is identical to the
+    historical inner-join form.
+    """
+
+    def _bigrams(frame: DataFrame) -> DataFrame:
+        t = frame.select(
+            F.col(id_col).alias("_id"),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_ws"),
+        )
+        return t.select(
+            "_id",
+            F.explode(
+                F.when(
+                    F.size("_ws") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_ws") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("_ws"), i).alias("w1"),
+                            F.element_at(F.col("_ws"), i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("bg"),
+        ).select("_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    bigrams = _bigrams(df)
+    train_bigrams = bigrams if train_df is None else _bigrams(train_df)
+    big_counts = train_bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_cbig")
+    )
+    uni = train_bigrams.select(F.col("w1").alias("w")).union(
+        train_bigrams.select("w2")
+    )
     vocab = uni.agg(F.countDistinct("w").alias("_v"))
-    ctx_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("_cctx"))
+    ctx_counts = train_bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("_cctx"))
 
     logp = F.log(
-        (F.col("_cbig") + F.lit(1.0)) / (F.col("_cctx") + F.col("_v").cast("double"))
+        (F.coalesce(F.col("_cbig"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("_cctx"), F.lit(0)) + F.col("_v").cast("double"))
     )
     micros = F.floor(logp * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
     scored = (
-        bigrams.join(big_counts, ["w1", "w2"])
-        .join(ctx_counts, "w1")
+        bigrams.join(big_counts, ["w1", "w2"], "left")
+        .join(ctx_counts, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn("_m", micros)
     )

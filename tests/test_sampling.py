@@ -905,3 +905,51 @@ def test_unimax_null_groups_excluded(spark):
     )
     plan = unimax_plan(df, "lang", "n_tok", budget=50).collect()
     assert [r.group for r in plan] == ["a"]
+
+
+def test_rho_select_prefers_reference_like_docs(spark):
+    """RHO-loss proxy selection: docs fluent under the reference LM but
+    hard for the corpus LM score highest; noise (hard for both) and
+    corpus-boilerplate (easy for both) rank lower."""
+    from sycamore_spark.operators.sampling import rho_select
+
+    boiler = "click here subscribe now click here subscribe now"
+    clean = "the model learns patterns from careful data selection methods"
+    noise = "zq xv qj wk vx jq kz qx"
+    corpus = (
+        [(i, boiler) for i in range(10)]
+        + [(100 + i, clean) for i in range(3)]
+        + [(200 + i, noise) for i in range(3)]
+    )
+    reference = [(900 + i, clean) for i in range(5)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    ref = spark.createDataFrame(reference, "doc_id long, text string")
+    kept = rho_select(df, ref, keep_fraction=0.3)
+    ids = {r.doc_id for r in kept.collect()}
+    # the clean docs (reference-like, rare in corpus) must all survive
+    assert {100, 101, 102} <= ids
+    # boilerplate (easy for the self-trained model) must not
+    assert not any(i < 100 for i in ids)
+
+
+def test_ngram_lm_score_train_df_backward_compatible(spark):
+    """train_df=None reproduces the historical self-trained scores exactly
+    (left joins + coalesce degrade to the old inner-join result)."""
+    from sycamore_spark.operators.textstats import ngram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b c d"), (3, "x")], "doc_id long, text string"
+    )
+    a = {r.doc_id: (r.n_bigrams, r.logprob_micros)
+         for r in ngram_lm_score(df).collect()}
+    b = {r.doc_id: (r.n_bigrams, r.logprob_micros)
+         for r in ngram_lm_score(df, train_df=df).collect()}
+    assert a == b and 3 not in a  # zero-bigram doc drops (historical)
+    # unseen-bigram scoring floors at ln(1/V) with c=0
+    ref = spark.createDataFrame([(9, "p q")], "doc_id long, text string")
+    out = {r.doc_id: r.logprob_micros
+           for r in ngram_lm_score(df, train_df=ref).collect()}
+    import math
+    # V=2 (p,q); every corpus bigram unseen, context unseen: ln(1/(0+2))
+    per = math.floor(math.log(1 / 2) * 1e6 + 0.5)
+    assert out[2] == 2 * per

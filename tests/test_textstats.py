@@ -124,3 +124,58 @@ def test_gopher_repetition_paragraphs_and_empty(spark):
     assert out[1].dup_para_frac == round(1 / 3, 6)
     assert out[1].dup_para_char_frac == round(13 / len(txt), 6)
     assert out[2].dup_para_frac == 0.0 and out[2].dup5gram_char_frac == 0.0
+
+
+def test_gopher_repetition_randomized_vs_python_reference(spark):
+    """Differential test on random corpora: the distributed pipeline's
+    char fractions equal a direct pure-Python computation of the Gopher
+    Table-A1 definitions (top-gram chars, union-of-spans coverage)."""
+    import random
+
+    from sycamore_spark.operators.textstats import gopher_repetition
+
+    rnd = random.Random(42)
+    docs = []
+    for i in range(30):
+        n = rnd.randint(1, 60)
+        toks = [f"w{rnd.randint(0, rnd.choice([3, 8, 30]))}" for _ in range(n)]
+        docs.append((i, " ".join(toks)))
+
+    def ref(text):
+        toks = text.lower().split()
+        starts, off = [], 0
+        for t in toks:
+            starts.append(off)
+            off += len(t) + 1
+        total = max(off - 1, 1)
+        out = {}
+        for n in range(2, 11):
+            grams = {}
+            for j in range(len(toks) - n + 1):
+                g = " ".join(toks[j : j + n])
+                s = starts[j]
+                e = starts[j + n - 1] + len(toks[j + n - 1])
+                grams.setdefault(g, []).append((s, e))
+            if n <= 4:
+                top = 0
+                for g, occ in grams.items():
+                    top = max(top, len(occ) * len(g))
+                out[f"top{n}gram_char_frac"] = round(top / total, 6) if grams else 0.0
+            else:
+                spans = sorted(
+                    sp for occ in grams.values() if len(occ) > 1 for sp in occ
+                )
+                cov, mx = 0, -1
+                for s, e in spans:
+                    cov += max(0, e - max(s, mx))
+                    mx = max(mx, e)
+                out[f"dup{n}gram_char_frac"] = round(cov / total, 6)
+        return out
+
+    got = {r.doc_id: r.asDict() for r in gopher_repetition(
+        spark.createDataFrame(docs, "doc_id long, text string").repartition(7)
+    ).collect()}
+    for i, text in docs:
+        want = ref(text)
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, got[i][k], v, text)
