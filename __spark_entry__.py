@@ -7585,6 +7585,20 @@ def q_rho_select(spark, sf) -> DataFrame:
     return rho_select(docs, ref, keep_fraction=0.5)
 
 
+def q_doremi(spark, sf) -> DataFrame:
+    """DoReMi domain reweighting (operators/sampling.py doremi_weights —
+    Xie 2023): Group-DRO multiplicative weights over per-domain clipped
+    excess loss, minibatched by content-addressed round assignment; the
+    proxy/reference model pair is the two-LM seam rho_select uses (corpus
+    self-trained bigram LM vs 20%-hash-sample-trained LM). The oracle
+    replays the corpus scoring AND the micro-quantized weight fold
+    (recursive CTE, identical IEEE op order) bit-for-bit."""
+    from sycamore_spark.operators.sampling import doremi_weights
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    return doremi_weights(docs, domain_col="source", rounds=6)
+
+
 def q_fineweb_e2e(spark, sf) -> DataFrame:
     """FineWeb-style curation capstone (Penedo et al. 2024: the FineWeb
     recipe = language filter -> Gopher quality -> Gopher repetition
@@ -7958,6 +7972,7 @@ def q_store_sync(spark, sf) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "doremi": q_doremi,
     "rho_select": q_rho_select,
     "fineweb_e2e": q_fineweb_e2e,
     "stream_quality": q_stream_quality,
@@ -8534,6 +8549,35 @@ def _element_images_oracle_sql() -> str:
     )
 
 
+# Shared two-LM scoring chain (rho_select, doremi): score every corpus doc
+# under the corpus-self-trained bigram LM (st: n_bigrams, total micros m) AND
+# under the LM trained on the deterministic 20% hash sample (sr: total micros
+# m, add-1 floor for unseen bigrams) — mirrors textstats.ngram_lm_score with
+# and without train_df. No leading WITH; compose as "WITH " + _LM2 + ", ...".
+_LM2_SCORING_CTES = (
+    "refd AS (SELECT doc_id, text FROM documents "
+    "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 200000), "
+    "toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), "
+    "bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM toks, "
+    "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+    "rtoks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM refd), "
+    "rbg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM rtoks, "
+    "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+    "bc AS (SELECT w1, w2, count(*) AS cbig FROM bg GROUP BY 1, 2), "
+    "cc AS (SELECT w1, count(*) AS cctx FROM bg GROUP BY 1), "
+    "v AS (SELECT count(DISTINCT w) AS v FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)), "
+    "st AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+    "CAST(sum(CAST(floor(ln((cbig + 1.0) / (cctx + v)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS m "
+    "FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v GROUP BY 1), "
+    "rbc AS (SELECT w1, w2, count(*) AS cbig FROM rbg GROUP BY 1, 2), "
+    "rcc AS (SELECT w1, count(*) AS cctx FROM rbg GROUP BY 1), "
+    "rv AS (SELECT count(DISTINCT w) AS v FROM (SELECT w1 AS w FROM rbg UNION ALL SELECT w2 FROM rbg)), "
+    "sr AS (SELECT bg.doc_id, "
+    "CAST(sum(CAST(floor(ln((coalesce(rbc.cbig, 0) + 1.0) / (coalesce(rcc.cctx, 0) + rv.v)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS m "
+    "FROM bg LEFT JOIN rbc USING (w1, w2) LEFT JOIN rcc USING (w1) CROSS JOIN rv GROUP BY 1)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     # Note: every queries() key has its own entry here, but some SQL STRINGS are
     # intentionally shared across equivalent query pairs (e.g. an exact baseline and
@@ -8717,31 +8761,52 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gopher_repetition": _gopher_rep_oracle(),
         "rho_select": (
-            "WITH refd AS (SELECT doc_id, text FROM documents "
-            "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 200000), "
-            "toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), "
-            "bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM toks, "
-            "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
-            "rtoks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM refd), "
-            "rbg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM rtoks, "
-            "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
-            "bc AS (SELECT w1, w2, count(*) AS cbig FROM bg GROUP BY 1, 2), "
-            "cc AS (SELECT w1, count(*) AS cctx FROM bg GROUP BY 1), "
-            "v AS (SELECT count(DISTINCT w) AS v FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)), "
-            "st AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
-            "CAST(sum(CAST(floor(ln((cbig + 1.0) / (cctx + v)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS m "
-            "FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v GROUP BY 1), "
-            "rbc AS (SELECT w1, w2, count(*) AS cbig FROM rbg GROUP BY 1, 2), "
-            "rcc AS (SELECT w1, count(*) AS cctx FROM rbg GROUP BY 1), "
-            "rv AS (SELECT count(DISTINCT w) AS v FROM (SELECT w1 AS w FROM rbg UNION ALL SELECT w2 FROM rbg)), "
-            "sr AS (SELECT bg.doc_id, "
-            "CAST(sum(CAST(floor(ln((coalesce(rbc.cbig, 0) + 1.0) / (coalesce(rcc.cctx, 0) + rv.v)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS m "
-            "FROM bg LEFT JOIN rbc USING (w1, w2) LEFT JOIN rcc USING (w1) CROSS JOIN rv GROUP BY 1), "
+            "WITH " + _LM2_SCORING_CTES + ", "
             "j AS (SELECT st.doc_id, st.n_bigrams, "
             "(sr.m - st.m)::DOUBLE / 1000000.0 / st.n_bigrams AS rho_excess "
             "FROM st JOIN sr USING (doc_id)), "
             "thr AS (SELECT quantile_cont(rho_excess, 0.5) AS t FROM j) "
             "SELECT doc_id, n_bigrams, rho_excess FROM j, thr WHERE rho_excess >= t"
+        ),
+        "doremi": (
+            "WITH RECURSIVE " + _LM2_SCORING_CTES + ", "
+            # per-doc clipped excess loss (document-granularity clip) + the
+            # content-addressed round batch; lam = per-(round, domain) excess
+            # rate exactly as the Spark driver computes it
+            "ex AS (SELECT d.source AS dom, "
+            "(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) % 6 AS bt, "
+            "greatest(sr.m - st.m, 0) AS clip, st.n_bigrams AS nb "
+            "FROM st JOIN sr USING (doc_id) JOIN documents d USING (doc_id) "
+            "WHERE d.source IS NOT NULL), "
+            "doms AS MATERIALIZED (SELECT DISTINCT dom FROM ex), "
+            "dlist AS MATERIALIZED (SELECT list(dom ORDER BY dom) AS ds, "
+            "count(*)::BIGINT AS nd FROM doms), "
+            "lamt AS (SELECT bt, dom, (sum(clip)::DOUBLE / 1000000.0) / sum(nb) AS lam "
+            "FROM ex GROUP BY 1, 2), "
+            "grid AS (SELECT g.bt, d.dom, coalesce(l.lam, CAST(0.0 AS DOUBLE)) AS lam "
+            "FROM doms d CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bt) g "
+            "LEFT JOIN lamt l ON l.bt = g.bt AND l.dom = d.dom), "
+            "lml AS MATERIALIZED (SELECT bt, list(lam ORDER BY dom) AS lams "
+            "FROM grid GROUP BY bt), "
+            "init AS MATERIALIZED (SELECT CAST(floor(1000000.0 / nd + 0.5) AS BIGINT) AS m0, "
+            "nd FROM dlist), "
+            # multiplicative-weights fold, state quantized to micros per round
+            # (mirrors sampling.doremi_weights' driver fold op-for-op)
+            "fold AS (SELECT 0 AS rt, list_transform(range(nd), i -> m0) AS alpha FROM init "
+            "UNION ALL SELECT f.rt + 1, list_transform(range(len(f.alpha)), i -> "
+            "CAST(floor(((CAST(1.0 AS DOUBLE) - CAST(0.01 AS DOUBLE)) * "
+            "((f.alpha[i + 1]::DOUBLE / 1000000.0) * exp(CAST(1.0 AS DOUBLE) * l.lams[i + 1]) / "
+            "list_reduce(list_transform(range(len(f.alpha)), j -> "
+            "(f.alpha[j + 1]::DOUBLE / 1000000.0) * exp(CAST(1.0 AS DOUBLE) * l.lams[j + 1])), "
+            "(x, y) -> x + y)) "
+            "+ CAST(0.01 AS DOUBLE) * (CAST(1.0 AS DOUBLE) / len(f.alpha))) * 1000000.0 + 0.5) AS BIGINT)) "
+            "FROM fold f JOIN lml l ON l.bt = f.rt WHERE f.rt < 6), "
+            "steps AS (SELECT rt, generate_subscripts(alpha, 1) AS pos, unnest(alpha) AS m "
+            "FROM fold WHERE rt >= 1), "
+            "res AS (SELECT pos, CAST(floor(sum(m)::DOUBLE / 6 + 0.5) AS BIGINT) AS avg_weight_micros, "
+            "max(CASE WHEN rt = 6 THEN m END) AS last_weight_micros FROM steps GROUP BY pos) "
+            "SELECT dl.ds[pos] AS source, avg_weight_micros, last_weight_micros "
+            "FROM res, dlist dl"
         ),
         "c4_clean": (
             "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents), "

@@ -224,6 +224,7 @@ HEADLINE = [
     "stream_quality",
     "fineweb_e2e",
     "rho_select",
+    "doremi",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

@@ -463,6 +463,33 @@ class DocSet:
 
         return self._wrap(c4_clean(self.df, id_col=id_col, text_col=text_col, **kwargs))
 
+    def rho_select(self, reference: "DocSet", id_col: str = "doc_id",
+                   text_col: str = "text_representation",
+                   keep_fraction: float = 0.5) -> "DocSet":
+        """RHO-loss-style data selection (operators/sampling.py
+        rho_select; Mindermann et al. 2022): keep the top fraction by
+        reducible loss against ``reference``'s holdout-trained LM."""
+        from sycamore_spark.operators.sampling import rho_select
+
+        return self._wrap(rho_select(
+            self.df, reference.df, id_col=id_col, text_col=text_col,
+            keep_fraction=keep_fraction,
+        ))
+
+    def doremi_weights(self, domain_col: str, id_col: str = "doc_id",
+                       text_col: str = "text_representation",
+                       rounds: int = 6, eta: float = 1.0,
+                       smoothing: float = 0.01) -> "DocSet":
+        """DoReMi domain reweighting (operators/sampling.py
+        doremi_weights; Xie et al. 2023) — feed avg_weight_micros / 1e6
+        into ``stratified_sample`` to materialize the mixture."""
+        from sycamore_spark.operators.sampling import doremi_weights
+
+        return self._wrap(doremi_weights(
+            self.df, domain_col=domain_col, id_col=id_col,
+            text_col=text_col, rounds=rounds, eta=eta, smoothing=smoothing,
+        ))
+
     def unimax_plan(self, group_col: str, size_col: str, budget: int,
                     max_epochs: float = 1.0) -> "DocSet":
         """UniMax per-language budget allocation (operators/sampling.py

@@ -391,6 +391,115 @@ def rho_select(
     )
 
 
+def doremi_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    reference_df: DataFrame | None = None,
+    rounds: int = 6,
+    eta: float = 1.0,
+    smoothing: float = 0.01,
+) -> DataFrame:
+    """DoReMi domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+    Data Mixtures Speeds Up Language Model Pretraining"): Group-DRO
+    multiplicative-weights updates over per-domain EXCESS loss — proxy
+    loss minus reference loss, clipped at zero — then output the average
+    of the weight trajectory as the training mixture. The paper's two
+    neural models are filled by the repo's deterministic LM seam: proxy =
+    the corpus-self-trained bigram LM, reference = the same LM fit on
+    ``reference_df`` (default: the deterministic 20% hash sample — the
+    paper's uniformly-trained reference). Excess loss per doc is
+    ``max(0, logp_ref - logp_proxy)`` in integer micros (loss = -logp, so
+    this IS the clipped reducible loss), clipped at DOCUMENT granularity —
+    per-token clipping needs per-token losses the doc-total seam doesn't
+    expose.
+
+    Minibatch dynamics: each doc is hash-assigned to one of ``rounds``
+    batches (content-addressed, partitioning-independent); round ``t``
+    updates on batch ``t``'s per-domain excess rate
+    ``sum(clip) / 1e6 / sum(n_bigrams)``. Update per Alg. 1:
+    ``u = alpha * exp(eta * lam)``, normalize, then mix
+    ``(1 - smoothing) * u + smoothing * uniform``; the state is quantized
+    to weight MICROS after every round so the fold replays bit-for-bit as
+    a DuckDB recursive CTE (drift cannot accumulate past the
+    quantization).
+
+    Scale shape: the corpus work is ONE pass — two LM scorings + an
+    id-keyed join + one (rounds x domains) hash aggregate. Only that
+    metadata-scale table is collected (bounded by construction, the
+    unimax_plan contract); the fold itself is O(rounds * domains) driver
+    arithmetic. Returns (domain_col, avg_weight_micros,
+    last_weight_micros), one row per domain with scored docs."""
+    import math
+
+    from sycamore_spark.operators.textstats import ngram_lm_score
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if reference_df is None:
+        reference_df = hash_sample(df, id_col, 0.2)
+    s_t = ngram_lm_score(df, id_col, text_col).select(
+        F.col(id_col), F.col("n_bigrams"), F.col("logprob_micros").alias("_lp_t")
+    )
+    s_r = ngram_lm_score(df, id_col, text_col, train_df=reference_df).select(
+        F.col(id_col), F.col("logprob_micros").alias("_lp_r")
+    )
+    dom = df.select(F.col(id_col), F.col(domain_col).alias("_dom")).where(
+        F.col(domain_col).isNotNull()
+    )
+    ex = (
+        s_t.join(s_r, id_col)
+        .join(dom, id_col)
+        .select(
+            "_dom",
+            F.pmod(_hash_bucket(F.col(id_col)), F.lit(rounds)).alias("_t"),
+            F.greatest(F.col("_lp_r") - F.col("_lp_t"), F.lit(0)).alias("_clip"),
+            "n_bigrams",
+        )
+    )
+    # rounds x domains rows — metadata-scale by construction
+    agg = ex.groupBy("_t", "_dom").agg(
+        F.sum("_clip").alias("_sc"), F.sum("n_bigrams").alias("_sn")
+    ).collect()
+
+    spark = df.sparkSession
+    schema = f"{domain_col} string, avg_weight_micros long, last_weight_micros long"
+    lam = {(r["_t"], r["_dom"]): (r["_sc"] / 1_000_000.0) / r["_sn"] for r in agg}
+    domains = sorted({r["_dom"] for r in agg})
+    n_dom = len(domains)
+    if n_dom == 0:
+        return spark.createDataFrame([], schema)
+
+    # every float op below is mirrored verbatim by the oracle's recursive
+    # CTE (same IEEE op order; exp is libm on both engines)
+    alpha = [int(math.floor(1_000_000.0 / n_dom + 0.5))] * n_dom
+    hist: list[list[int]] = []
+    for t in range(rounds):
+        lams = [lam.get((t, d), 0.0) for d in domains]
+        u = [(alpha[i] / 1_000_000.0) * math.exp(eta * lams[i]) for i in range(n_dom)]
+        s = 0.0
+        for x in u:
+            s = s + x
+        alpha = [
+            int(math.floor(
+                ((1.0 - smoothing) * (u[i] / s) + smoothing * (1.0 / n_dom))
+                * 1_000_000.0 + 0.5
+            ))
+            for i in range(n_dom)
+        ]
+        hist.append(alpha)
+    rows = [
+        (
+            d,
+            int(math.floor(sum(h[i] for h in hist) / rounds + 0.5)),
+            hist[-1][i],
+        )
+        for i, d in enumerate(domains)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 def unimax_plan(
     df: DataFrame,
     group_col: str,

@@ -953,3 +953,49 @@ def test_ngram_lm_score_train_df_backward_compatible(spark):
     # V=2 (p,q); every corpus bigram unseen, context unseen: ln(1/(0+2))
     per = math.floor(math.log(1 / 2) * 1e6 + 0.5)
     assert out[2] == 2 * per
+
+
+def test_doremi_upweights_high_excess_domain(spark):
+    """DoReMi: the domain whose docs are reference-like but rare in the
+    corpus (high clipped excess loss) ends with more weight than the
+    boilerplate domain the corpus LM already models well."""
+    from sycamore_spark.operators.sampling import doremi_weights
+
+    boiler = "click here subscribe now click here subscribe now"
+    clean = "the model learns patterns from careful data selection methods"
+    corpus = [(i, boiler, "boiler") for i in range(12)] + [
+        (100 + i, clean, "clean") for i in range(3)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string, source string")
+    ref = spark.createDataFrame(
+        [(900 + i, clean) for i in range(5)], "doc_id long, text string"
+    )
+    out = {r.source: r for r in doremi_weights(df, reference_df=ref, rounds=4).collect()}
+    assert set(out) == {"boiler", "clean"}
+    assert out["clean"].avg_weight_micros > out["boiler"].avg_weight_micros
+    # weights are a (quantized) distribution: each round sums to ~1e6
+    tot = out["clean"].last_weight_micros + out["boiler"].last_weight_micros
+    assert abs(tot - 1_000_000) <= 2
+
+
+def test_doremi_partitioning_independent_and_edges(spark):
+    """Content-addressed batches + driver fold => identical output for any
+    input partitioning; empty / null-domain / bad-rounds contracts."""
+    import pytest
+
+    from sycamore_spark.operators.sampling import doremi_weights
+
+    rows = [
+        (i, f"alpha beta gamma w{i % 5} delta epsilon", f"s{i % 3}")
+        for i in range(40)
+    ] + [(99, "only", None)]  # null domain excluded; <2 tokens drops anyway
+    df1 = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = sorted(map(tuple, doremi_weights(df1, rounds=3).collect()))
+    b = sorted(map(tuple, doremi_weights(df1.repartition(13), rounds=3).collect()))
+    assert a == b and len(a) == 3
+    empty = doremi_weights(df1.where("doc_id < 0"))
+    assert empty.count() == 0 and empty.columns == [
+        "source", "avg_weight_micros", "last_weight_micros"
+    ]
+    with pytest.raises(ValueError):
+        doremi_weights(df1, rounds=0)
