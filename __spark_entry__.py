@@ -7585,6 +7585,60 @@ def q_rho_select(spark, sf) -> DataFrame:
     return rho_select(docs, ref, keep_fraction=0.5)
 
 
+def q_rouge_l(spark, sf) -> DataFrame:
+    """ROUGE-L LCS scoring (evaluation.py rouge_l_scores — Lin 2004):
+    gen/ref pairs derived from overlapping token windows of each doc
+    (same derivation as the rouge ROUGE-2 gate); the oracle replays the
+    O(n*m) LCS DP as a nested list_reduce fold."""
+    from sycamore_spark.evaluation import rouge_l_scores
+    from sycamore_spark.functions import text as T
+
+    docs = load_table(spark, sf, "documents")
+    tk = T.tokens(F.col("text"))
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(F.slice(tk, 1, 30), " ").alias("gen"),
+        F.array_join(F.slice(tk, 4, 30), " ").alias("ref"),
+    )
+    return rouge_l_scores(pairs, "gen", "ref")
+
+
+def q_instruction_filter(spark, sf) -> DataFrame:
+    """Self-Instruct pool dedup (operators/dedup.py
+    instruction_pool_filter — Wang 2022 §3.4): keep a new instruction
+    only if max ROUGE-L F1 vs the pool < 0.7. Instructions are the
+    first-12-token prefixes; the gate synthesizes near-dups
+    deterministically on both engines (odd docs with hash bucket >=
+    600000 copy their even-neighbor pool doc's first 11 tokens), since
+    the testdata has no natural instruction overlap. The oracle is the
+    BRUTE-FORCE all-pairs answer (clipped-overlap bound prune + the
+    nested-list_reduce LCS DP); the LSH+prefix dual blocking recalls
+    every >= -threshold pair on this table at the pinned seed — the
+    dedup_minhash precedent."""
+    from sycamore_spark.functions import text as T
+    from sycamore_spark.operators.dedup import instruction_pool_filter
+    from sycamore_spark.operators.sampling import _hash_bucket
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.slice(T.tokens(F.col("text")), 1, 12).alias("tk")
+    )
+    pool = docs.where(F.col("doc_id") % 2 == 0)
+    part = pool.select(F.col("doc_id").alias("_pid2"), F.col("tk").alias("_ptk2"))
+    b0 = docs.where(F.col("doc_id") % 2 == 1)
+    batch = b0.join(part, b0["doc_id"] - 1 == part["_pid2"], "left").select(
+        "doc_id",
+        F.when(
+            (_hash_bucket(F.col("doc_id")) >= 600000) & F.col("_ptk2").isNotNull(),
+            F.concat(F.slice("_ptk2", 1, 11), F.slice("tk", 12, 1)),
+        ).otherwise(F.col("tk")).alias("tk"),
+    )
+
+    def to_text(d):
+        return d.select("doc_id", F.array_join("tk", " ").alias("text"))
+
+    return instruction_pool_filter(to_text(batch), to_text(pool), threshold=0.7)
+
+
 def q_doremi(spark, sf) -> DataFrame:
     """DoReMi domain reweighting (operators/sampling.py doremi_weights —
     Xie 2023): Group-DRO multiplicative weights over per-domain clipped
@@ -7972,6 +8026,8 @@ def q_store_sync(spark, sf) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "rouge_l": q_rouge_l,
+    "instruction_filter": q_instruction_filter,
     "doremi": q_doremi,
     "rho_select": q_rho_select,
     "fineweb_e2e": q_fineweb_e2e,
@@ -8767,6 +8823,64 @@ def oracle_sql() -> dict[str, str]:
             "FROM st JOIN sr USING (doc_id)), "
             "thr AS (SELECT quantile_cont(rho_excess, 0.5) AS t FROM j) "
             "SELECT doc_id, n_bigrams, rho_excess FROM j, thr WHERE rho_excess >= t"
+        ),
+        "rouge_l": (
+            "WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS tk FROM documents), "
+            # re-join + re-split exactly as the Spark gate does (an empty
+            # slice becomes [''] — one empty token — on both engines)
+            "p0 AS (SELECT doc_id, array_to_string(tk[1:30], ' ') AS gen, "
+            "array_to_string(tk[4:33], ' ') AS ref FROM t), "
+            "p AS (SELECT doc_id, string_split(trim(lower(gen)), ' ') AS gt, "
+            "string_split(trim(lower(ref)), ' ') AS rt FROM p0), "
+            # nested list_reduce LCS DP: outer fold over gen tokens carries
+            # the previous DP row; inner fold builds the new row left to
+            # right (racc[len(racc)] is the cell just written)
+            "lc AS (SELECT doc_id, len(gt)::BIGINT AS gen_n, len(rt)::BIGINT AS ref_n, "
+            "CASE WHEN len(gt) = 0 OR len(rt) = 0 THEN 0 ELSE list_reduce("
+            "list_concat([list_transform(range(len(rt) + 1), z -> 0)], "
+            "list_transform(range(len(gt)), i -> [i + 1])), "
+            "(prev, step) -> list_reduce("
+            "list_concat([[0]], list_transform(range(len(rt)), j -> [j + 1])), "
+            "(racc, jx) -> list_append(racc, "
+            "CASE WHEN gt[step[1]] = rt[jx[1]] THEN prev[jx[1]] + 1 "
+            "ELSE greatest(prev[jx[1] + 1], racc[len(racc)]) END)))[len(rt) + 1] END::BIGINT AS lcs_len "
+            "FROM p), "
+            "s AS (SELECT doc_id, lcs_len, gen_n, ref_n, "
+            "CASE WHEN ref_n > 0 THEN lcs_len / ref_n END AS rec, "
+            "CASE WHEN gen_n > 0 THEN lcs_len / gen_n END AS prec FROM lc) "
+            "SELECT doc_id, lcs_len, gen_n, ref_n, "
+            "floor(rec * 1e6 + 0.5)::BIGINT AS recall_micros, "
+            "floor(prec * 1e6 + 0.5)::BIGINT AS precision_micros, "
+            "floor(CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec) "
+            "WHEN prec IS NOT NULL AND rec IS NOT NULL THEN 0.0 END * 1e6 + 0.5)::BIGINT AS f1_micros FROM s"
+        ),
+        "instruction_filter": (
+            # brute-force all-pairs oracle: clipped-unigram bound prune
+            # (clipped matches >= LCS) then the exact LCS DP; the Spark
+            # side's LSH+prefix blocking must recall every >=0.7 pair
+            "WITH base AS (SELECT doc_id, (string_split(trim(lower(text)), ' '))[1:12] AS tk FROM documents), "
+            "pool AS (SELECT doc_id, tk FROM base WHERE doc_id % 2 = 0), "
+            "bt AS (SELECT b.doc_id, "
+            "CASE WHEN ('0x' || substr(md5(b.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 >= 600000 "
+            "AND p.tk IS NOT NULL THEN list_concat(p.tk[1:11], b.tk[12:12]) ELSE b.tk END AS tk "
+            "FROM base b LEFT JOIN pool p ON p.doc_id = b.doc_id - 1 WHERE b.doc_id % 2 = 1), "
+            "pr AS (SELECT b.doc_id AS bid, b.tk AS btk, p.tk AS ptk, "
+            "len(b.tk) + len(p.tk) AS tot FROM bt b CROSS JOIN pool p), "
+            "bnd AS (SELECT bid, btk, ptk, tot FROM pr WHERE tot > 0 AND "
+            "floor((2.0 * coalesce(list_sum(list_transform(list_distinct(btk), x -> "
+            "least(len(list_filter(btk, y -> y = x)), len(list_filter(ptk, y -> y = x))))), 0)) "
+            "/ tot * 1e6 + 0.5) >= 700000), "
+            "lc AS (SELECT bid, tot, list_reduce("
+            "list_concat([list_transform(range(len(ptk) + 1), z -> 0)], "
+            "list_transform(range(len(btk)), i -> [i + 1])), "
+            "(prev, step) -> list_reduce("
+            "list_concat([[0]], list_transform(range(len(ptk)), j -> [j + 1])), "
+            "(racc, jx) -> list_append(racc, "
+            "CASE WHEN btk[step[1]] = ptk[jx[1]] THEN prev[jx[1]] + 1 "
+            "ELSE greatest(prev[jx[1] + 1], racc[len(racc)]) END)))[len(ptk) + 1] AS lcs FROM bnd), "
+            "dup AS (SELECT DISTINCT bid FROM lc WHERE floor((2.0 * lcs) / tot * 1e6 + 0.5) >= 700000) "
+            "SELECT doc_id, len(tk)::BIGINT AS n_tokens FROM bt "
+            "WHERE doc_id NOT IN (SELECT bid FROM dup)"
         ),
         "doremi": (
             "WITH RECURSIVE " + _LM2_SCORING_CTES + ", "

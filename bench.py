@@ -225,6 +225,8 @@ HEADLINE = [
     "fineweb_e2e",
     "rho_select",
     "doremi",
+    "rouge_l",
+    "instruction_filter",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

@@ -162,6 +162,90 @@ def rouge_n_scores(
     )
 
 
+def _lcs_len(a: list, b: list) -> int:
+    """Token-level longest-common-subsequence length, O(len(a)*len(b))
+    rolling-row DP. Shared by rouge_l_scores and the Self-Instruct
+    instruction_pool_filter (operators/dedup.py)."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b):
+            cur.append(prev[j] + 1 if x == y else max(prev[j + 1], cur[-1]))
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l_scores(
+    df: DataFrame,
+    generated_col: str,
+    reference_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ROUGE-L (Lin 2004 §3.1, sentence-level): LCS-based recall /
+    precision / F1 — the rouge_scorer default the reference's
+    ``RougeMetrics`` family wraps driver-side (evaluation/metrics/
+    generated_answer.py:5); here the published definition computed
+    distributed:
+
+        lcs_len   = |LCS(gen_tokens, ref_tokens)|
+        recall    = lcs_len / |ref|, precision = lcs_len / |gen|
+        F1        = 2*P*R / (P + R)
+
+    One fanned-out Arrow pass runs the O(n*m) rolling-row DP per row —
+    zero shuffle, like rouge_n_scores' clipped-count pass. Integer
+    lcs_len + micro-quantized scores replay bit-for-bit in SQL: the
+    oracle runs the SAME DP as a nested list_reduce fold (outer fold
+    over gen tokens, inner fold building each DP row). Returns
+    (id_col, lcs_len, gen_n, ref_n, recall_micros, precision_micros,
+    f1_micros); NULL scores when a side is empty mirror rouge_n."""
+    import pandas as pd
+
+    from sycamore_spark.functions import text as T
+    from sycamore_spark.functions.partitioning import fan_out
+
+    base = df.select(
+        F.col(id_col),
+        T.tokens(F.col(generated_col)).alias("_g"),
+        T.tokens(F.col(reference_col)).alias("_r"),
+    )
+    idt = df.schema[id_col].dataType.simpleString()
+
+    def _dp(it):
+        for pdf in it:
+            out = {"id": [], "l": [], "ng": [], "nr": []}
+            for rid, gg, rr in zip(pdf[id_col], pdf["_g"], pdf["_r"]):
+                gg = list(gg) if gg is not None else []
+                rr = list(rr) if rr is not None else []
+                out["id"].append(rid)
+                out["l"].append(_lcs_len(gg, rr))
+                out["ng"].append(len(gg))
+                out["nr"].append(len(rr))
+            yield pd.DataFrame(out)
+
+    d = fan_out(base).mapInPandas(
+        _dp, schema=f"id {idt}, l long, ng long, nr long"
+    ).select(
+        F.col("id").alias(id_col),
+        F.col("l").alias("lcs_len"),
+        F.col("ng").alias("gen_n"),
+        F.col("nr").alias("ref_n"),
+    )
+    q = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    rec = F.when(F.col("ref_n") > 0, F.col("lcs_len") / F.col("ref_n"))
+    prec = F.when(F.col("gen_n") > 0, F.col("lcs_len") / F.col("gen_n"))
+    f1 = F.when(
+        (prec + rec) > 0, F.lit(2.0) * prec * rec / (prec + rec)
+    ).otherwise(F.when(prec.isNotNull() & rec.isNotNull(), F.lit(0.0)))
+    return d.select(
+        id_col, "lcs_len", "gen_n", "ref_n",
+        q(rec).alias("recall_micros"),
+        q(prec).alias("precision_micros"),
+        q(f1).alias("f1_micros"),
+    )
+
+
 def cer_scores(
     df: DataFrame,
     ref_col: str,

@@ -1522,3 +1522,137 @@ def paragraph_dedup(
         )
         .drop("_empty_in")
     )
+
+
+# ---------------------------------------------------------------------------
+# Self-Instruct instruction-pool ROUGE-L filter
+# ---------------------------------------------------------------------------
+
+
+def instruction_pool_filter(
+    batch_df: DataFrame,
+    pool_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 2,
+    prefix_block: int = 8,
+    seed: int = 1,
+) -> DataFrame:
+    """Self-Instruct pool-dedup filter (Wang et al. 2022 §3.4 "Filtering
+    and Postprocessing"): a new instruction enters the pool only if its
+    ROUGE-L F1 similarity to EVERY existing pool instruction is below
+    ``threshold`` (the paper's 0.7). Returns the kept batch rows as
+    (id_col, n_tokens).
+
+    Scale shape — the module's standard signature/candidates/verify
+    pattern, batch-vs-pool (the incremental_dedup orientation, never
+    pool x pool):
+      1. TWO candidate channels, unioned: (a) MinHash-LSH over word
+         ``shingle_k``-shingles of the instruction (band-bucket equi-join,
+         probabilistic recall tuned by bands/rows); (b) exact
+         ``prefix_block``-token prefix-hash equality (prefix blocking —
+         catches the head-sharing near-dups instruction edits produce,
+         deterministically). Both are equi-join shuffles; neither is a
+         cross join.
+      2. Exact ROUGE-L on the candidate pairs in ONE Arrow stage: a
+         clipped-unigram-overlap upper bound (clipped matches >= LCS, so
+         2*M/(n_b+n_p) < threshold proves F1 < threshold) prunes inside
+         the kernel before the O(n*m) DP runs.
+      3. max F1 per batch id; keep iff max < floor(threshold*1e6+0.5)
+         (integer micros compare — no float-boundary drift).
+
+    Output parity contract: the kept SET equals the brute-force
+    all-pairs answer whenever the blocking recalls every pair at or
+    above ``threshold`` (gate-verified against the exact oracle at the
+    pinned seed — the dedup_minhash precedent). Per-pair F1 values are
+    deliberately NOT returned: a sub-threshold pair missed by blocking
+    would make a max-F1 column blocking-dependent.
+
+    Caveat: instructions with < ``shingle_k`` tokens have the empty
+    minhash signature, which is a single shared band bucket — a corpus
+    with MANY such fragments should pre-filter them (they are also
+    exactly the rows prefix blocking handles poorly)."""
+    from sycamore_spark.evaluation import _lcs_len
+
+    thr_micros = int(np.floor(threshold * 1e6 + 0.5))
+    rows = num_perm // bands
+
+    def _prep(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"_{side}id"),
+            T.tokens(F.col(text_col)).alias(f"_{side}tk"),
+        )
+
+    b = _prep(batch_df, "b")
+    p = _prep(pool_df, "p")
+
+    def _buckets(frame: DataFrame, side: str) -> DataFrame:
+        sig = frame.select(
+            f"_{side}id",
+            minhash_signature_col(
+                F.array_join(F.col(f"_{side}tk"), " "), num_perm, shingle_k, seed
+            ).alias("_sig"),
+        )
+        band_structs = F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.col("_sig")[bi * rows + r] for r in range(rows)]).alias("bucket"),
+            )
+            for bi in range(bands)
+        ])
+        return sig.select(f"_{side}id", F.explode(band_structs).alias("bb")).select(
+            f"_{side}id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    lsh_cand = _buckets(b, "b").join(_buckets(p, "p"), ["band", "bucket"]).select(
+        "_bid", "_pid"
+    )
+    pref = lambda side: F.xxhash64(  # noqa: E731
+        F.array_join(F.slice(F.col(f"_{side}tk"), 1, prefix_block), " ")
+    )
+    pre_cand = (
+        b.select("_bid", pref("b").alias("_ph"))
+        .join(p.select("_pid", pref("p").alias("_ph")), "_ph")
+        .select("_bid", "_pid")
+    )
+    cand = lsh_cand.union(pre_cand).distinct()
+
+    pairs = (
+        cand.join(b, "_bid")
+        .join(p, "_pid")
+        .select("_bid", "_btk", "_ptk")
+    )
+
+    from collections import Counter
+
+    def _verify(it):
+        for pdf in it:
+            ids, f1s = [], []
+            for bid, bt, pt in zip(pdf["_bid"], pdf["_btk"], pdf["_ptk"]):
+                bt = list(bt) if bt is not None else []
+                pt = list(pt) if pt is not None else []
+                tot = len(bt) + len(pt)
+                if tot == 0:
+                    continue
+                m = sum((Counter(bt) & Counter(pt)).values())
+                if np.floor((2.0 * m) / tot * 1e6 + 0.5) < thr_micros:
+                    continue  # clipped-overlap bound: F1 cannot reach threshold
+                f1 = int(np.floor((2.0 * _lcs_len(bt, pt)) / tot * 1e6 + 0.5))
+                ids.append(bid)
+                f1s.append(f1)
+            yield pd.DataFrame({"_bid": ids, "_f1": f1s})
+
+    idt = batch_df.schema[id_col].dataType.simpleString()
+    dup_ids = (
+        pairs.mapInPandas(_verify, schema=f"_bid {idt}, _f1 long")
+        .where(F.col("_f1") >= F.lit(thr_micros))
+        .select("_bid")
+        .distinct()
+    )
+    return (
+        b.join(dup_ids, b["_bid"] == dup_ids["_bid"], "left_anti")
+        .select(F.col("_bid").alias(id_col), F.size("_btk").cast("long").alias("n_tokens"))
+    )

@@ -632,3 +632,35 @@ def test_semantic_dedup_oracle_zero_norm_guard():
         ).fetchall()
     )
     assert 3 in d4, d4
+
+
+def test_instruction_pool_filter_semantics(spark):
+    """Self-Instruct pool filter: near-dups of POOL instructions are
+    dropped; batch-internal near-dups are both kept (batch-vs-pool
+    orientation); distinct instructions survive."""
+    from sycamore_spark.operators.dedup import instruction_pool_filter
+
+    pool = spark.createDataFrame(
+        [
+            (100, "write a short story about a robot learning to paint"),
+            (101, "list five healthy breakfast ideas for busy mornings"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of pool 100 (one token changed) -> dropped
+            (1, "write a short story about a robot learning to dance"),
+            # distinct -> kept
+            (2, "explain the rules of chess to a complete beginner"),
+            # batch-internal near-dups of each other, not of pool -> BOTH kept
+            (3, "summarize the plot of the novel in two sentences"),
+            (4, "summarize the plot of the novel in three sentences"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id: r.n_tokens for r in instruction_pool_filter(
+        batch, pool, threshold=0.7
+    ).collect()}
+    assert set(kept) == {2, 3, 4}
+    assert kept[2] == 9

@@ -83,3 +83,53 @@ def test_cer_and_wer_known_values(spark):
     w = {r.doc_id: r for r in wer_scores(df, "ref", "hyp").collect()}
     assert w[1].word_distance == 1 and w[1].wer_micros == 333333
     assert w[2].word_distance == 1 and w[2].ref_words == 4 and w[2].wer_micros == 250000
+
+
+def test_rouge_l_known_values(spark):
+    """Hand-checked LCS values: reordering breaks contiguity but not
+    subsequence matches; identical -> F1 = 1e6; disjoint -> 0; empty
+    reference -> NULL recall (mirrors rouge_n NULL semantics)."""
+    from sycamore_spark.evaluation import rouge_l_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "the cat sat on the mat"),
+            (2, "police killed the gunman", "the gunman police killed"),
+            (3, "a b c", "x y z"),
+            (4, "a b", ""),
+        ],
+        "doc_id long, gen string, ref string",
+    )
+    out = {r.doc_id: r for r in rouge_l_scores(df, "gen", "ref").collect()}
+    assert out[1].lcs_len == 6 and out[1].f1_micros == 1_000_000
+    # LCS("police killed the gunman", "the gunman police killed") = 2
+    # ("police killed" or "the gunman" as subsequences)
+    assert out[2].lcs_len == 2 and out[2].f1_micros == 500_000
+    assert out[3].lcs_len == 0 and out[3].f1_micros == 0
+    # empty ref string tokenizes to [''] (one empty token), no match
+    assert out[4].lcs_len == 0 and out[4].ref_n == 1
+
+
+def test_lcs_len_reference(spark):
+    """_lcs_len against a brute-force subsequence check on random pairs."""
+    import itertools
+    import random
+
+    from sycamore_spark.evaluation import _lcs_len
+
+    rnd = random.Random(7)
+
+    def brute(a, b):
+        best = 0
+        for r in range(len(a), 0, -1):
+            for combo in itertools.combinations(range(len(a)), r):
+                sub = [a[i] for i in combo]
+                it = iter(b)
+                if all(x in it for x in sub):
+                    return r
+        return best
+
+    for _ in range(40):
+        a = [rnd.choice("abc") for _ in range(rnd.randint(0, 7))]
+        b = [rnd.choice("abc") for _ in range(rnd.randint(0, 7))]
+        assert _lcs_len(a, b) == brute(a, b), (a, b)
