@@ -7585,6 +7585,24 @@ def q_rho_select(spark, sf) -> DataFrame:
     return rho_select(docs, ref, keep_fraction=0.5)
 
 
+def q_embed_decontaminate(spark, sf) -> DataFrame:
+    """Semantic decontamination (operators/dedup.py
+    embedding_decontaminate — the phi-1-style embedding-similarity
+    complement of n-gram decontaminate): the 10% hash-sampled vectors
+    play the benchmark test set; corpus rows with max cosine >= 0.45
+    vs any test vector are dropped (0.40: between the p90 and p99
+    of the max-cos distribution, so the gate discriminates). Test side
+    broadcast as a numpy
+    matrix; corpus side one Arrow matmul pass, zero shuffle."""
+    from sycamore_spark.operators.dedup import embedding_decontaminate
+    from sycamore_spark.operators.sampling import _hash_bucket
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    test = emb.where(_hash_bucket(F.col("vec_id")) < 100000)
+    corp = emb.where(_hash_bucket(F.col("vec_id")) >= 100000)
+    return embedding_decontaminate(corp, test, threshold=0.40)
+
+
 def q_rouge_l(spark, sf) -> DataFrame:
     """ROUGE-L LCS scoring (evaluation.py rouge_l_scores — Lin 2004):
     gen/ref pairs derived from overlapping token windows of each doc
@@ -8026,6 +8044,7 @@ def q_store_sync(spark, sf) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "embed_decontaminate": q_embed_decontaminate,
     "rouge_l": q_rouge_l,
     "instruction_filter": q_instruction_filter,
     "doremi": q_doremi,
@@ -8823,6 +8842,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM st JOIN sr USING (doc_id)), "
             "thr AS (SELECT quantile_cont(rho_excess, 0.5) AS t FROM j) "
             "SELECT doc_id, n_bigrams, rho_excess FROM j, thr WHERE rho_excess >= t"
+        ),
+        "embed_decontaminate": (
+            "WITH test AS (SELECT vec_id, embedding FROM embeddings "
+            "WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 100000), "
+            "corp AS (SELECT vec_id, embedding FROM embeddings "
+            "WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 1000000 >= 100000), "
+            "mx AS (SELECT c.vec_id, "
+            f"max({_COS.format(a='c.embedding', b='t.embedding')}) AS mc "
+            "FROM corp c LEFT JOIN test t ON TRUE GROUP BY 1) "
+            "SELECT vec_id, floor(mc * 1e6 + 0.5)::BIGINT AS max_cos_micros "
+            "FROM mx WHERE mc < 0.40 OR mc IS NULL"
         ),
         "rouge_l": (
             "WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS tk FROM documents), "

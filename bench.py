@@ -227,6 +227,7 @@ HEADLINE = [
     "doremi",
     "rouge_l",
     "instruction_filter",
+    "embed_decontaminate",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

@@ -1656,3 +1656,81 @@ def instruction_pool_filter(
         b.join(dup_ids, b["_bid"] == dup_ids["_bid"], "left_anti")
         .select(F.col("_bid").alias(id_col), F.size("_btk").cast("long").alias("n_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-level (semantic) test-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def embedding_decontaminate(
+    corpus_df: DataFrame,
+    test_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    max_test: int = 100_000,
+) -> DataFrame:
+    """Semantic test-set decontamination over embeddings (the
+    embedding-similarity complement of the n-gram ``decontaminate``;
+    published practice in e.g. phi-1, Gunasekar et al. 2023 §2, which
+    filters pretraining code by embedding similarity to the eval set):
+    drop every corpus row whose MAX cosine similarity against any test
+    row reaches ``threshold``. Returns the kept rows as
+    (id_col, max_cos_micros) — floor(max_cos * 1e6 + 0.5), NULL when the
+    test set is empty (nothing to decontaminate against; everything
+    kept).
+
+    Scale shape — the ``brute_force_topk`` contract with the roles it
+    was designed for: the TEST side is benchmark-scale and bounded
+    (``max_test`` guard raises before the collect can hurt the driver),
+    shipped to every partition as one numpy float64 matrix; the corpus
+    side streams through ONE Arrow pass — each batch is a single matmul
+    + column max, zero shuffle, zero joins. The keep comparison is
+    ``max_cos < threshold`` on the unquantized double (same raw-compare
+    convention as dedup_embedding's 0.45 gate)."""
+    import pickle
+
+    t_rows = (
+        test_df.select(V.as_double(F.col(vec_col)).alias("_tv"))
+        .limit(max_test + 1)
+        .collect()
+    )
+    if len(t_rows) > max_test:
+        raise ValueError(
+            f"embedding_decontaminate collects the test side to the driver; "
+            f"got >{max_test} test rows (max_test={max_test}). Decontaminate "
+            f"against benchmark-scale test sets, or chunk the test set."
+        )
+    idt = corpus_df.schema[id_col].dataType.simpleString()
+    base = corpus_df.select(F.col(id_col).alias("_id"), V.as_double(F.col(vec_col)).alias("_v"))
+    if not t_rows:
+        return base.select(
+            F.col("_id").alias(id_col),
+            F.lit(None).cast("long").alias("max_cos_micros"),
+        )
+    T_mat = np.array([r["_tv"] for r in t_rows], dtype=np.float64)
+    t_norm = np.sqrt((T_mat**2).sum(axis=1))
+    blob = pickle.dumps((T_mat, t_norm))
+    thr = float(threshold)
+
+    def _scan(it):
+        T, tn = pickle.loads(blob)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf["_v"]), dtype=np.float64)
+            cn = np.sqrt((C**2).sum(axis=1))
+            sims = (C @ T.T) / (cn[:, None] * tn[None, :])
+            mc = sims.max(axis=1)
+            keep = mc < thr
+            yield pd.DataFrame({
+                "_id": pdf["_id"][keep],
+                "max_cos_micros": np.floor(mc[keep] * 1e6 + 0.5).astype(np.int64),
+            })
+
+    from sycamore_spark.functions.partitioning import fan_out
+
+    return fan_out(base).mapInPandas(
+        _scan, schema=f"_id {idt}, max_cos_micros long"
+    ).select(F.col("_id").alias(id_col), "max_cos_micros")

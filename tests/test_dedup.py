@@ -664,3 +664,34 @@ def test_instruction_pool_filter_semantics(spark):
     ).collect()}
     assert set(kept) == {2, 3, 4}
     assert kept[2] == 9
+
+
+def test_embedding_decontaminate(spark):
+    """Corpus rows too similar to any test vector drop; empty test set
+    keeps everything with NULL max_cos; oversize test set raises."""
+    import pytest
+
+    from sycamore_spark.operators.dedup import embedding_decontaminate
+
+    corp = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # == test vec -> dropped
+            (2, [0.0, 1.0, 0.0]),   # orthogonal -> kept, max_cos 0
+            (3, [1.0, 1.0, 0.0]),   # cos = 1/sqrt(2) -> dropped
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    test = spark.createDataFrame(
+        [(9, [2.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = {r.vec_id: r.max_cos_micros for r in embedding_decontaminate(
+        corp, test, threshold=0.5
+    ).collect()}
+    assert out == {2: 0}
+    empty = embedding_decontaminate(
+        corp, test.where("vec_id < 0"), threshold=0.5
+    ).collect()
+    assert {r.vec_id for r in empty} == {1, 2, 3}
+    assert all(r.max_cos_micros is None for r in empty)
+    with pytest.raises(ValueError):
+        embedding_decontaminate(corp, test, max_test=0)
