@@ -7657,6 +7657,108 @@ def q_instruction_filter(spark, sf) -> DataFrame:
     return instruction_pool_filter(to_text(batch), to_text(pool), threshold=0.7)
 
 
+def q_stream_instr_pool(spark, sf) -> DataFrame:
+    """Streaming Self-Instruct pool growth (streaming/pool.py): the
+    instruction set (same derivation + synthesized near-dups as
+    instruction_filter) arrives in 3 deterministic content-hash batches,
+    each ROUGE-L-filtered against the pool-so-far and appended. Pool
+    growth is ORDER-DEPENDENT state, so the oracle replays the exact
+    batch sequence: a 3-stage unrolled sequential brute force (each
+    stage = the all-pairs bound-pruned LCS filter vs the accumulated
+    pool CTE). Green proves stream fold == sequential batch recompute."""
+    import tempfile
+
+    from sycamore_spark.functions import text as T
+    from sycamore_spark.operators.sampling import _hash_bucket
+    from sycamore_spark.streaming.pool import maintain_instruction_pool_stream
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.slice(T.tokens(F.col("text")), 1, 12).alias("tk")
+    )
+    pool0 = docs.where(F.col("doc_id") % 2 == 0)
+    part = pool0.select(F.col("doc_id").alias("_pid2"), F.col("tk").alias("_ptk2"))
+    b0 = docs.where(F.col("doc_id") % 2 == 1)
+    constructed = b0.join(part, b0["doc_id"] - 1 == part["_pid2"], "left").select(
+        "doc_id",
+        F.when(
+            (_hash_bucket(F.col("doc_id")) >= 600000) & F.col("_ptk2").isNotNull(),
+            F.concat(F.slice("_ptk2", 1, 11), F.slice("tk", 12, 1)),
+        ).otherwise(F.col("tk")).alias("tk"),
+    )
+    ins = (
+        pool0.select("doc_id", "tk")
+        .union(constructed)
+        .select(
+            "doc_id",
+            F.array_join("tk", " ").alias("text"),
+            F.pmod(_hash_bucket(F.col("doc_id")), F.lit(3)).alias("_b"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="streampool-gate-")
+    src_schema = ins.drop("_b").schema
+    for k in range(3):
+        ins.where(F.col("_b") == k).drop("_b").write.parquet(f"{root}/src{k}")
+    for k in range(3):
+        stream = spark.readStream.schema(src_schema).parquet(f"{root}/src{k}")
+        q = maintain_instruction_pool_stream(
+            stream, f"{root}/pool", f"{root}/ckpt{k}"
+        )
+        q.awaitTermination(300)
+    pool = spark.read.parquet(f"{root}/pool")
+    return pool.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+def _stream_instr_pool_oracle() -> str:
+    """Sequential 3-stage replay of the streaming instruction pool: each
+    stage is the instruction_filter brute-force block (clipped-overlap
+    bound prune + nested-list_reduce LCS DP) of batch k against the
+    accumulated pool CTE p{k}."""
+
+    def brute(k: int) -> str:
+        return (
+            f"pr{k} AS (SELECT b.doc_id AS bid, b.tk AS btk, p.tk AS ptk, "
+            f"len(b.tk) + len(p.tk) AS tot FROM b{k} b CROSS JOIN p{k} p), "
+            f"bnd{k} AS (SELECT bid, btk, ptk, tot FROM pr{k} WHERE tot > 0 AND "
+            "floor((2.0 * coalesce(list_sum(list_transform(list_distinct(btk), x -> "
+            "least(len(list_filter(btk, y -> y = x)), len(list_filter(ptk, y -> y = x))))), 0)) "
+            "/ tot * 1e6 + 0.5) >= 700000), "
+            f"lc{k} AS (SELECT bid, tot, list_reduce("
+            "list_concat([list_transform(range(len(ptk) + 1), z -> 0)], "
+            "list_transform(range(len(btk)), i -> [i + 1])), "
+            "(prev, step) -> list_reduce("
+            "list_concat([[0]], list_transform(range(len(ptk)), j -> [j + 1])), "
+            "(racc, jx) -> list_append(racc, "
+            "CASE WHEN btk[step[1]] = ptk[jx[1]] THEN prev[jx[1]] + 1 "
+            f"ELSE greatest(prev[jx[1] + 1], racc[len(racc)]) END)))[len(ptk) + 1] AS lcs FROM bnd{k}), "
+            f"dup{k} AS (SELECT DISTINCT bid FROM lc{k} "
+            "WHERE floor((2.0 * lcs) / tot * 1e6 + 0.5) >= 700000), "
+            f"kept{k} AS (SELECT doc_id, tk FROM b{k} "
+            f"WHERE doc_id NOT IN (SELECT bid FROM dup{k})), "
+            f"p{k + 1} AS MATERIALIZED (SELECT doc_id, tk FROM p{k} "
+            f"UNION ALL SELECT doc_id, tk FROM kept{k})"
+        )
+
+    return (
+        "WITH base AS (SELECT doc_id, (string_split(trim(lower(text)), ' '))[1:12] AS tk FROM documents), "
+        "pool0 AS (SELECT doc_id, tk FROM base WHERE doc_id % 2 = 0), "
+        "bt AS (SELECT b.doc_id, "
+        "CASE WHEN ('0x' || substr(md5(b.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 >= 600000 "
+        "AND p.tk IS NOT NULL THEN list_concat(p.tk[1:11], b.tk[12:12]) ELSE b.tk END AS tk "
+        "FROM base b LEFT JOIN pool0 p ON p.doc_id = b.doc_id - 1 WHERE b.doc_id % 2 = 1), "
+        "ins AS MATERIALIZED (SELECT doc_id, tk, "
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 % 3 AS bm "
+        "FROM (SELECT doc_id, tk FROM pool0 UNION ALL SELECT doc_id, tk FROM bt)), "
+        "b1 AS MATERIALIZED (SELECT doc_id, tk FROM ins WHERE bm = 1), "
+        "b2 AS MATERIALIZED (SELECT doc_id, tk FROM ins WHERE bm = 2), "
+        "p1 AS MATERIALIZED (SELECT doc_id, tk FROM ins WHERE bm = 0), "
+        + brute(1) + ", " + brute(2) + " "
+        "SELECT doc_id, len(tk)::BIGINT AS n_tokens FROM p3"
+    )
+
+
 def q_doremi(spark, sf) -> DataFrame:
     """DoReMi domain reweighting (operators/sampling.py doremi_weights —
     Xie 2023): Group-DRO multiplicative weights over per-domain clipped
@@ -8044,6 +8146,7 @@ def q_store_sync(spark, sf) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "stream_instr_pool": q_stream_instr_pool,
     "embed_decontaminate": q_embed_decontaminate,
     "rouge_l": q_rouge_l,
     "instruction_filter": q_instruction_filter,
@@ -8843,6 +8946,7 @@ def oracle_sql() -> dict[str, str]:
             "thr AS (SELECT quantile_cont(rho_excess, 0.5) AS t FROM j) "
             "SELECT doc_id, n_bigrams, rho_excess FROM j, thr WHERE rho_excess >= t"
         ),
+        "stream_instr_pool": _stream_instr_pool_oracle(),
         "embed_decontaminate": (
             "WITH test AS (SELECT vec_id, embedding FROM embeddings "
             "WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 100000), "

@@ -228,6 +228,7 @@ HEADLINE = [
     "rouge_l",
     "instruction_filter",
     "embed_decontaminate",
+    "stream_instr_pool",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

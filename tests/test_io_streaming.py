@@ -495,3 +495,47 @@ def test_stream_quality_fold_batch_independent(spark, tmp_path):
     assert sum(v[0] for v in fine.values()) == 40
     # even docs pass word count; odd don't
     assert sum(v[2] for v in fine.values()) == 20
+
+
+def test_instruction_pool_stream_sequential_and_replay(spark, tmp_path):
+    """Pool growth is sequential (later near-dups of pooled instructions
+    are rejected; the first arrival wins) and the hwm provenance makes a
+    checkpoint-lost replay a no-op."""
+    from sycamore_spark.streaming.pool import maintain_instruction_pool_stream
+
+    root = str(tmp_path)
+    b0 = spark.createDataFrame(
+        [(1, "write a poem about the sea in four short lines"),
+         (2, "explain binary search to a ten year old child")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "write a poem about the sea in four short verses"),  # near-dup of 1
+         (4, "list three ways to improve sleep quality at night")],
+        "doc_id long, text string",
+    )
+    b0.write.parquet(f"{root}/src0")
+    b1.write.parquet(f"{root}/src1")
+    for k in range(2):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            f"{root}/src{k}"
+        )
+        maintain_instruction_pool_stream(
+            stream, f"{root}/pool", f"{root}/ckpt{k}"
+        ).awaitTermination(120)
+    ids = {r.doc_id for r in spark.read.parquet(f"{root}/pool").collect()}
+    assert ids == {1, 2, 4}  # 3 rejected: first arrival (1) won
+
+    # replay: checkpoint lost, same batch re-delivered under the same
+    # checkpoint path -> provenance row exists -> fold is a no-op
+    import shutil
+
+    shutil.rmtree(f"{root}/ckpt1")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{root}/src1"
+    )
+    maintain_instruction_pool_stream(
+        stream, f"{root}/pool", f"{root}/ckpt1"
+    ).awaitTermination(120)
+    after = spark.read.parquet(f"{root}/pool")
+    assert after.count() == 3 and {r.doc_id for r in after.collect()} == {1, 2, 4}
