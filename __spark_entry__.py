@@ -7657,6 +7657,65 @@ def q_instruction_filter(spark, sf) -> DataFrame:
     return instruction_pool_filter(to_text(batch), to_text(pool), threshold=0.7)
 
 
+def q_calibrated_select(spark, sf) -> DataFrame:
+    """Calibrated quality selection — the composition that turns a raw
+    classifier margin into a decision-grade probability (Zadrozny-Elkan
+    2002 applied to the FineWeb-Edu distillation loop): LLM-annotate the
+    25% hash seed (ScoringMockLLM seam), distill to NB (nb_train), score
+    the FULL corpus per label (nb_scores), form the margin
+    score(edu) - score(other), fit binned-isotonic calibration ON THE
+    SEED's (margin, label) pairs (isotonic_fit_binned, 64 bins), apply
+    the compiled step tree corpus-wide (isotonic_apply), select at
+    calibrated p >= 0.5. Corpus passes: ONE NB scoring + one zero-shuffle
+    calibrated projection; the LLM and the calibration fit touch only
+    seed-derived frames. The oracle glues the edu_select NB SQL and the
+    calibrate_binned recursive-PAVA machinery into one WITH chain."""
+    from sycamore_spark.llm.map import llm_map
+    from sycamore_spark.operators.calibrate import isotonic_apply, isotonic_fit_binned
+    from sycamore_spark.operators.classify import nb_scores, nb_train
+    from sycamore_spark.operators.sampling import hash_sample
+
+    docs = _ds(spark, sf, "documents").to_df().select("doc_id", "text")
+    seed = hash_sample(docs, "doc_id", 0.25)
+    annotated = llm_map(
+        seed,
+        "Rate the educational value from 0 to 5.\nDocument: {{ doc.text }}",
+        "edu_raw",
+        lambda: ScoringMockLLM("data"),
+    ).withColumn(
+        "lbl",
+        F.when(F.col("edu_raw").cast("int") >= 2, F.lit("edu")).otherwise(
+            F.lit("other")
+        ),
+    )
+    tm, lm = nb_train(annotated, "lbl", "text")
+    sc = nb_scores(docs, tm, lm, "doc_id", "text")
+    margin = sc.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("label") == "edu", F.col("score_micros")).otherwise(F.lit(0)))
+            - F.sum(F.when(F.col("label") == "other", F.col("score_micros")).otherwise(F.lit(0)))
+        ).cast("long").alias("margin_micros")
+    )
+    train = margin.join(
+        annotated.select(
+            "doc_id", (F.col("lbl") == "edu").cast("long").alias("_y")
+        ),
+        "doc_id",
+    ).select(F.col("margin_micros").cast("double").alias("score"), F.col("_y"))
+    model = isotonic_fit_binned(train, "score", "_y", bins=64)
+    out = isotonic_apply(
+        margin.withColumn("score", F.col("margin_micros").cast("double")),
+        model,
+        "score",
+    )
+    return out.select(
+        "doc_id",
+        "margin_micros",
+        "calibrated_micros",
+        (F.col("calibrated_micros") >= F.lit(500000)).cast("long").alias("selected"),
+    )
+
+
 def q_stream_instr_pool(spark, sf) -> DataFrame:
     """Streaming Self-Instruct pool growth (streaming/pool.py): the
     instruction set (same derivation + synthesized near-dups as
@@ -8146,6 +8205,7 @@ def q_store_sync(spark, sf) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "calibrated_select": q_calibrated_select,
     "stream_instr_pool": q_stream_instr_pool,
     "embed_decontaminate": q_embed_decontaminate,
     "rouge_l": q_rouge_l,
@@ -8945,6 +9005,75 @@ def oracle_sql() -> dict[str, str]:
             "FROM st JOIN sr USING (doc_id)), "
             "thr AS (SELECT quantile_cont(rho_excess, 0.5) AS t FROM j) "
             "SELECT doc_id, n_bigrams, rho_excess FROM j, thr WHERE rho_excess >= t"
+        ),
+        "calibrated_select": (
+            # edu_select's NB scoring chain (verbatim through sc) -> per-doc
+            # margin -> calibrate_binned's recursive-PAVA machinery fit on
+            # the SEED (margin, label) pairs -> corpus-wide step lookup
+            "WITH RECURSIVE seed AS (SELECT doc_id, text FROM documents "
+            "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 250000), "
+            "lab AS (SELECT doc_id, text, CASE WHEN least(5, "
+            "(length(lower(text)) - length(replace(lower(text), 'data', ''))) / 4) >= 2 "
+            "THEN 'edu' ELSE 'other' END AS lbl FROM seed), "
+            "ttoks AS (SELECT lbl, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM lab), "
+            "t2 AS (SELECT * FROM ttoks WHERE length(tok) > 0), "
+            "pair AS (SELECT lbl, tok, count(*)::BIGINT AS clt FROM t2 GROUP BY 1, 2), "
+            "lt AS (SELECT lbl, count(*)::BIGINT AS cl FROM t2 GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM t2), "
+            "tm AS (SELECT lbl, tok, CAST(floor(ln((clt + 1.0) / CAST(cl + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp "
+            "FROM pair JOIN lt USING (lbl), v), "
+            "nd AS (SELECT lbl, count(*)::BIGINT AS ndl FROM lab GROUP BY 1), "
+            "n AS (SELECT count(*)::BIGINT AS n FROM lab), "
+            "lm AS (SELECT lt.lbl, "
+            "CAST(floor(ln(CAST(ndl AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT) AS prior, "
+            "CAST(floor(ln(1.0 / CAST(cl + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS dflt "
+            "FROM lt JOIN nd USING (lbl), v, n), "
+            "dtoks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), "
+            "d2 AS (SELECT * FROM dtoks WHERE length(tok) > 0), "
+            "tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM d2 GROUP BY 1, 2), "
+            "sc AS (SELECT doc_id, lm.lbl, CAST(prior + sum(tf * coalesce(lp, dflt)) AS BIGINT) AS score "
+            "FROM tf CROSS JOIN lm LEFT JOIN tm ON tm.lbl = lm.lbl AND tm.tok = tf.tok "
+            "GROUP BY 1, 2, prior), "
+            "mg AS MATERIALIZED (SELECT doc_id, CAST(sum(CASE WHEN lbl = 'edu' THEN score ELSE 0 END) "
+            "- sum(CASE WHEN lbl = 'other' THEN score ELSE 0 END) AS BIGINT) AS margin FROM sc GROUP BY 1), "
+            "strain AS MATERIALIZED (SELECT CAST(m.margin AS DOUBLE) AS score, "
+            "CASE WHEN l.lbl = 'edu' THEN 1 ELSE 0 END AS lbl FROM mg m JOIN lab l USING (doc_id)), "
+            "mnmx AS MATERIALIZED (SELECT min(score) AS mn, max(score) AS mx FROM strain), "
+            "wv AS MATERIALIZED (SELECT mn, CASE WHEN mx = mn THEN 1.0 "
+            "ELSE (mx - mn) / 64.0 END AS w FROM mnmx), "
+            "ed AS MATERIALIZED (SELECT w.mn + CAST(least(floor((l.score - w.mn) / w.w), 63.0) AS DOUBLE) * w.w AS edge, "
+            "l.lbl FROM strain l, wv w), "
+            "b AS MATERIALIZED (SELECT row_number() OVER (ORDER BY edge) AS r, edge AS score, "
+            "sum(lbl)::BIGINT AS num, count(*)::BIGINT AS den FROM ed GROUP BY edge), "
+            "nb AS MATERIALIZED (SELECT count(*)::BIGINT AS b FROM b), "
+            "st AS (SELECT 0::BIGINT AS step, 0::BIGINT AS pos, "
+            "[]::STRUCT(num BIGINT, den BIGINT)[] AS stk "
+            "UNION ALL SELECT step + 1, "
+            "CASE WHEN len(stk) >= 2 AND stk[-2].num * stk[-1].den > stk[-1].num * stk[-2].den THEN pos WHEN pos < (SELECT b FROM nb) THEN pos + 1 ELSE pos END, "
+            "CASE WHEN len(stk) >= 2 AND stk[-2].num * stk[-1].den > stk[-1].num * stk[-2].den "
+            "THEN list_append(stk[1:-3], {'num': stk[-2].num + stk[-1].num, 'den': stk[-2].den + stk[-1].den}) "
+            "WHEN pos < (SELECT b FROM nb) "
+            "THEN list_append(stk, (SELECT {'num': num, 'den': den} FROM b WHERE r = pos + 1)) "
+            "ELSE stk END "
+            "FROM st WHERE step < 2 * (SELECT b FROM nb)), "
+            "fin AS (SELECT stk FROM st WHERE step = 2 * (SELECT b FROM nb)), "
+            "pooled AS (SELECT unnest(stk) AS p, generate_subscripts(stk, 1) AS pi FROM fin), "
+            "pcum AS (SELECT pi, p.num AS num, p.den AS den, "
+            "sum(p.den) OVER (ORDER BY pi) AS cend FROM pooled), "
+            "ocum AS (SELECT r, score, den, sum(den) OVER (ORDER BY r) AS oend FROM b), "
+            "asn AS (SELECT o.r, o.score, min(p.pi) AS pi FROM ocum o "
+            "JOIN pcum p ON p.cend >= o.oend GROUP BY 1, 2), "
+            "model AS MATERIALIZED (SELECT a.score, "
+            "((2 * p.num * 1000000 + p.den) // (2 * p.den))::BIGINT AS fit "
+            "FROM asn a JOIN pcum p USING (pi)), "
+            "mn2 AS (SELECT min(score) AS mn_score FROM model), "
+            "fallback AS (SELECT m.fit AS first_fit FROM model m, mn2 WHERE m.score = mn2.mn_score), "
+            "fin0 AS (SELECT m0.doc_id, m0.margin AS margin_micros, "
+            "coalesce((SELECT m.fit FROM model m WHERE m.score <= CAST(m0.margin AS DOUBLE) "
+            "ORDER BY m.score DESC LIMIT 1), (SELECT first_fit FROM fallback)) AS calibrated_micros "
+            "FROM mg m0) "
+            "SELECT doc_id, margin_micros, calibrated_micros, "
+            "(calibrated_micros >= 500000)::BIGINT AS selected FROM fin0"
         ),
         "stream_instr_pool": _stream_instr_pool_oracle(),
         "embed_decontaminate": (

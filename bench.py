@@ -229,6 +229,7 @@ HEADLINE = [
     "instruction_filter",
     "embed_decontaminate",
     "stream_instr_pool",
+    "calibrated_select",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

@@ -85,17 +85,18 @@ def nb_train(
     return token_model, label_model
 
 
-def nb_classify(
+def nb_scores(
     df: DataFrame,
     token_model: DataFrame,
     label_model: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Score every document against every label and return the argmax:
-    (id_col, label, score_micros). Doc tokens x |labels| rows flow through
-    one left join against the model — the standard NB scoring shape; the
-    label list broadcasts."""
+    """Score every document against EVERY label: (id_col, label,
+    score_micros), |labels| rows per doc — the pre-argmax frame
+    ``nb_classify`` reduces. Exposed so downstream consumers can form
+    margins/probabilities (e.g. the calibrated-selection composition:
+    margin = score(pos) - score(neg) feeds isotonic calibration)."""
     tf = _tokens(df, id_col, text_col).groupBy("_id", "_tok").agg(
         F.count(F.lit(1)).alias("_tf")
     )
@@ -121,9 +122,29 @@ def nb_classify(
     per_label = scored.groupBy("_id", "_l").agg(
         (F.first("prior_micros") + F.sum("_contrib")).alias("score_micros")
     )
-    w = Window.partitionBy("_id").orderBy(F.col("score_micros").desc(), F.col("_l").asc())
+    return per_label.select(
+        F.col("_id").alias(id_col), F.col("_l").alias("label"), "score_micros"
+    )
+
+
+def nb_classify(
+    df: DataFrame,
+    token_model: DataFrame,
+    label_model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against every label and return the argmax:
+    (id_col, label, score_micros). Doc tokens x |labels| rows flow through
+    one left join against the model — the standard NB scoring shape; the
+    label list broadcasts. The per-label pre-argmax frame is
+    ``nb_scores``."""
+    per_label = nb_scores(df, token_model, label_model, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micros").desc(), F.col("label").asc()
+    )
     return (
         per_label.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(F.col("_id").alias(id_col), F.col("_l").alias("label"), "score_micros")
+        .drop("_rn")
     )

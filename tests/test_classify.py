@@ -39,3 +39,26 @@ def test_nb_unseen_tokens_fall_back_to_prior(spark):
     new = spark.createDataFrame([(999, "zzz qqq www")], "doc_id long, text string")
     got = nb_classify(new, tm, lm, "doc_id", "text").collect()
     assert len(got) == 1 and got[0].label in ("code", "prose")
+
+
+def test_nb_scores_pre_argmax(spark):
+    """nb_scores returns |labels| rows per doc; nb_classify equals its
+    argmax with the (score desc, label asc) tiebreak."""
+    from sycamore_spark.operators.classify import nb_classify, nb_scores, nb_train
+
+    train = spark.createDataFrame(
+        [(1, "good clean prose text", "pos"), (2, "spam spam buy now", "neg")],
+        "doc_id long, text string, lbl string",
+    )
+    tm, lm = nb_train(train, "lbl", "text")
+    docs = spark.createDataFrame(
+        [(10, "clean prose"), (11, "buy spam now")], "doc_id long, text string"
+    )
+    sc = nb_scores(docs, tm, lm)
+    rows = sc.collect()
+    assert len(rows) == 4  # 2 docs x 2 labels
+    best = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, -r.score_micros, r.label)):
+        best.setdefault(r.doc_id, r.label)
+    pred = {r.doc_id: r.label for r in nb_classify(docs, tm, lm).collect()}
+    assert pred == best == {10: "pos", 11: "neg"}

@@ -43,6 +43,9 @@ ALLOW_BNL = {
                           # with hash-sampled training — see nb_classify
     "edu_select",  # same NB scoring shape (2-row label model), composed with
                    # the llm_map-annotated seed (FineWeb-Edu distillation)
+    "calibrated_select",  # same NB scoring shape (2-row label model),
+                          # composed with the seed-fit binned-isotonic
+                          # calibration (zero-shuffle compiled apply)
 }
 ALLOW_CARTESIAN = {"ann_ivf"}  # same tiny routing join
 # Queries allowed a literal-keyed hashpartitioning/Window — currently none;
