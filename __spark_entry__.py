@@ -7657,6 +7657,24 @@ def q_instruction_filter(spark, sf) -> DataFrame:
     return instruction_pool_filter(to_text(batch), to_text(pool), threshold=0.7)
 
 
+_BLOCKLIST = [
+    "table", "slow fast", "value table part", "a a", "scan scan",
+    "agg row", "customer query", "t t",
+]
+
+
+def q_blocklist(spark, sf) -> DataFrame:
+    """Aho-Corasick multi-pattern blocklist matching (operators/
+    textstats.py blocklist_match — Aho & Corasick 1975): all occurrences
+    of all phrases in one corpus pass, overlapping included ('t t'
+    overlaps itself inside 'fast table'-style runs). The oracle replays
+    each (doc, phrase) count with an exhaustive substring position scan."""
+    from sycamore_spark.operators.textstats import blocklist_match
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return blocklist_match(docs, _BLOCKLIST)
+
+
 def q_calibrated_select(spark, sf) -> DataFrame:
     """Calibrated quality selection — the composition that turns a raw
     classifier margin into a decision-grade probability (Zadrozny-Elkan
@@ -8205,6 +8223,7 @@ def q_store_sync(spark, sf) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "blocklist": q_blocklist,
     "calibrated_select": q_calibrated_select,
     "stream_instr_pool": q_stream_instr_pool,
     "embed_decontaminate": q_embed_decontaminate,
@@ -9005,6 +9024,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM st JOIN sr USING (doc_id)), "
             "thr AS (SELECT quantile_cont(rho_excess, 0.5) AS t FROM j) "
             "SELECT doc_id, n_bigrams, rho_excess FROM j, thr WHERE rho_excess >= t"
+        ),
+        "blocklist": (
+            "WITH ph AS (SELECT unnest(['table', 'slow fast', 'value table part', "
+            "'a a', 'scan scan', 'agg row', 'customer query', 't t']) AS phrase), "
+            "base AS (SELECT doc_id, lower(text) AS lt FROM documents), "
+            "m AS (SELECT doc_id, phrase, "
+            "len(list_filter(range(length(lt) - length(phrase) + 1), "
+            "i -> substr(lt, i + 1, length(phrase)) = phrase))::BIGINT AS n_matches "
+            "FROM base CROSS JOIN ph) "
+            "SELECT doc_id, phrase, n_matches FROM m WHERE n_matches > 0"
         ),
         "calibrated_select": (
             # edu_select's NB scoring chain (verbatim through sc) -> per-doc

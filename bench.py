@@ -230,6 +230,7 @@ HEADLINE = [
     "embed_decontaminate",
     "stream_instr_pool",
     "calibrated_select",
+    "blocklist",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

@@ -179,3 +179,35 @@ def test_gopher_repetition_randomized_vs_python_reference(spark):
         want = ref(text)
         for k, v in want.items():
             assert got[i][k] == v, (i, k, got[i][k], v, text)
+
+
+def test_blocklist_match_vs_bruteforce(spark):
+    """AC automaton counts == exhaustive substring scan on random texts
+    over a tiny alphabet (dense overlaps, nested patterns, shared
+    prefixes/suffixes); edge contracts: empty list, empty phrase."""
+    import random
+
+    import pytest
+
+    from sycamore_spark.operators.textstats import blocklist_match
+
+    phrases = ["ab", "aba", "ba", "aa", "b", "abab"]
+    rnd = random.Random(11)
+    docs = [(i, "".join(rnd.choice("ab") for _ in range(rnd.randint(0, 40))))
+            for i in range(25)]
+    out = {}
+    for r in blocklist_match(
+        spark.createDataFrame(docs, "doc_id long, text string").repartition(5),
+        phrases,
+    ).collect():
+        out[(r.doc_id, r.phrase)] = r.n_matches
+    for i, t in docs:
+        for p in phrases:
+            want = sum(1 for j in range(len(t) - len(p) + 1) if t[j:j + len(p)] == p)
+            assert out.get((i, p), 0) == want, (i, p, t)
+    empty = blocklist_match(
+        spark.createDataFrame(docs, "doc_id long, text string"), []
+    )
+    assert empty.count() == 0 and empty.columns == ["doc_id", "phrase", "n_matches"]
+    with pytest.raises(ValueError):
+        blocklist_match(spark.createDataFrame(docs, "doc_id long, text string"), ["ok", ""])
