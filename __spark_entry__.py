@@ -7657,6 +7657,29 @@ def q_instruction_filter(spark, sf) -> DataFrame:
     return instruction_pool_filter(to_text(batch), to_text(pool), threshold=0.7)
 
 
+def q_anneal_schedule(spark, sf) -> DataFrame:
+    """Two-phase mixture annealing (operators/sampling.py
+    anneal_schedule — Llama 3 §3.4.3 / OLMo 2 midtraining): plan A =
+    per-source document share, plan B = per-source character share;
+    hold A for 4 steps then lerp to B by step 7. Metadata-scale
+    (steps x sources rows); the totals broadcast as the recognized
+    scalar-subquery shape."""
+    from sycamore_spark.operators.sampling import anneal_schedule
+
+    docs = load_table(spark, sf, "documents")
+    a = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ta = a.agg(F.sum("_n").alias("_t"))
+    plan_a = a.crossJoin(F.broadcast(ta)).select(
+        "source", (F.col("_n").cast("double") / F.col("_t").cast("double")).alias("w")
+    )
+    b = docs.groupBy("source").agg(F.sum("n_chars").cast("long").alias("_n"))
+    tb = b.agg(F.sum("_n").alias("_t"))
+    plan_b = b.crossJoin(F.broadcast(tb)).select(
+        "source", (F.col("_n").cast("double") / F.col("_t").cast("double")).alias("w")
+    )
+    return anneal_schedule(plan_a, plan_b, "source", "w", steps=8, anneal_start=4)
+
+
 _BLOCKLIST = [
     "table", "slow fast", "value table part", "a a", "scan scan",
     "agg row", "customer query", "t t",
@@ -8223,6 +8246,7 @@ def q_store_sync(spark, sf) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "anneal_schedule": q_anneal_schedule,
     "blocklist": q_blocklist,
     "calibrated_select": q_calibrated_select,
     "stream_instr_pool": q_stream_instr_pool,
@@ -9024,6 +9048,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM st JOIN sr USING (doc_id)), "
             "thr AS (SELECT quantile_cont(rho_excess, 0.5) AS t FROM j) "
             "SELECT doc_id, n_bigrams, rho_excess FROM j, thr WHERE rho_excess >= t"
+        ),
+        "anneal_schedule": (
+            "WITH a AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1), "
+            "ta AS (SELECT sum(n)::BIGINT AS t FROM a), "
+            "b AS (SELECT source, sum(n_chars)::BIGINT AS n FROM documents GROUP BY 1), "
+            "tb AS (SELECT sum(n)::BIGINT AS t FROM b), "
+            "pa AS (SELECT source, a.n::DOUBLE / ta.t::DOUBLE AS wa FROM a, ta), "
+            "pb AS (SELECT source, b.n::DOUBLE / tb.t::DOUBLE AS wb FROM b, tb), "
+            "j AS (SELECT coalesce(pa.source, pb.source) AS source, "
+            "coalesce(wa, 0.0) AS wa, coalesce(wb, 0.0) AS wb "
+            "FROM pa FULL OUTER JOIN pb ON pa.source = pb.source), "
+            "s AS (SELECT j.*, unnest(generate_series(0, 7)) AS step FROM j), "
+            "w AS (SELECT step, source, wa + (wb - wa) * "
+            "(CASE WHEN step < 4 THEN 0.0 ELSE (step - 4 + 1)::DOUBLE / 4.0 END) AS wt FROM s) "
+            "SELECT step, source, floor(wt * 1e6 + 0.5)::BIGINT AS weight_micros FROM w"
         ),
         "blocklist": (
             "WITH ph AS (SELECT unnest(['table', 'slow fast', 'value table part', "

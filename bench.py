@@ -231,6 +231,7 @@ HEADLINE = [
     "stream_instr_pool",
     "calibrated_select",
     "blocklist",
+    "anneal_schedule",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

@@ -500,6 +500,61 @@ def doremi_weights(
     return spark.createDataFrame(rows, schema)
 
 
+def anneal_schedule(
+    plan_a: DataFrame,
+    plan_b: DataFrame,
+    group_col: str,
+    weight_col: str,
+    steps: int,
+    anneal_start: int,
+) -> DataFrame:
+    """Two-phase data-mixture annealing schedule — the Llama 3 (§3.4.3,
+    "annealing data") / OLMo 2 "midtraining" pattern: hold the base
+    mixture ``plan_a`` for the first ``anneal_start`` steps, then
+    linearly interpolate toward the high-quality end mixture ``plan_b``,
+    reaching it exactly at the final step. Per (step t, group):
+
+        t <  anneal_start: w = w_a
+        t >= anneal_start: w = w_a + (w_b - w_a) * (t - anneal_start + 1)
+                                                   / (steps - anneal_start)
+
+    Groups present in only one plan get weight 0 on the other side (a
+    domain can be phased in or out entirely). If both plans are
+    normalized, every step's weights sum to ~1 (lerp preserves the sum;
+    output quantized to micros per cell). Returns
+    (step, group_col, weight_micros) — ``steps x groups`` rows,
+    metadata-scale end to end: one full-outer join of two plan frames +
+    one bounded explode, nothing touches a corpus."""
+    if not 0 <= anneal_start < steps:
+        raise ValueError(
+            f"need 0 <= anneal_start < steps, got {anneal_start}, {steps}"
+        )
+    a = plan_a.select(
+        F.col(group_col).alias("_g"), F.col(weight_col).cast("double").alias("_wa")
+    )
+    b = plan_b.select(
+        F.col(group_col).alias("_g2"), F.col(weight_col).cast("double").alias("_wb")
+    )
+    j = a.join(b, a["_g"] == b["_g2"], "full_outer").select(
+        F.coalesce(F.col("_g"), F.col("_g2")).alias(group_col),
+        F.coalesce(F.col("_wa"), F.lit(0.0)).alias("_wa"),
+        F.coalesce(F.col("_wb"), F.lit(0.0)).alias("_wb"),
+    )
+    st = j.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(steps - 1))).alias("step")
+    )
+    frac = F.when(F.col("step") < F.lit(anneal_start), F.lit(0.0)).otherwise(
+        (F.col("step") - F.lit(anneal_start) + F.lit(1)).cast("double")
+        / F.lit(float(steps - anneal_start))
+    )
+    w = F.col("_wa") + (F.col("_wb") - F.col("_wa")) * frac
+    return st.select(
+        "step",
+        group_col,
+        F.floor(w * F.lit(1e6) + F.lit(0.5)).cast("long").alias("weight_micros"),
+    )
+
+
 def unimax_plan(
     df: DataFrame,
     group_col: str,

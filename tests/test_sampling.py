@@ -999,3 +999,30 @@ def test_doremi_partitioning_independent_and_edges(spark):
     ]
     with pytest.raises(ValueError):
         doremi_weights(df1, rounds=0)
+
+
+def test_anneal_schedule_contract(spark):
+    """Phase 1 holds plan A; the final step equals plan B exactly; each
+    step's weights sum to ~1e6; one-sided groups phase in from 0."""
+    import pytest
+
+    from sycamore_spark.operators.sampling import anneal_schedule
+
+    pa = spark.createDataFrame(
+        [("web", 0.8), ("code", 0.2)], "g string, w double"
+    )
+    pb = spark.createDataFrame(
+        [("web", 0.4), ("code", 0.2), ("math", 0.4)], "g string, w double"
+    )
+    out = {(r.step, r.g): r.weight_micros for r in anneal_schedule(
+        pa, pb, "g", "w", steps=6, anneal_start=3
+    ).collect()}
+    assert out[(0, "web")] == out[(2, "web")] == 800_000
+    assert out[(0, "math")] == 0  # phased in from zero
+    assert out[(5, "web")] == 400_000 and out[(5, "math")] == 400_000
+    for t in range(6):
+        assert abs(sum(out[(t, g)] for g in ("web", "code", "math")) - 1_000_000) <= 2
+    # monotone lerp between the anchors
+    assert 0 < out[(3, "math")] < out[(4, "math")] < 400_000
+    with pytest.raises(ValueError):
+        anneal_schedule(pa, pb, "g", "w", steps=4, anneal_start=4)
