@@ -463,6 +463,32 @@ class DocSet:
 
         return self._wrap(c4_clean(self.df, id_col=id_col, text_col=text_col, **kwargs))
 
+    def blocklist_match(self, phrases: list, id_col: str = "doc_id",
+                        text_col: str = "text_representation",
+                        lower: bool = True) -> "DocSet":
+        """Aho-Corasick multi-pattern blocklist matching (operators/
+        textstats.py blocklist_match): one pass, all phrases, counts
+        independent of blocklist size."""
+        from sycamore_spark.operators.textstats import blocklist_match
+
+        return self._wrap(blocklist_match(
+            self.df, phrases, id_col=id_col, text_col=text_col, lower=lower
+        ))
+
+    def instruction_pool_filter(self, pool: "DocSet", id_col: str = "doc_id",
+                                text_col: str = "text_representation",
+                                threshold: float = 0.7, **kw) -> "DocSet":
+        """Self-Instruct pool dedup (operators/dedup.py
+        instruction_pool_filter; Wang et al. 2022 §3.4): keep rows of
+        this DocSet whose max ROUGE-L F1 vs ``pool`` is below
+        ``threshold``."""
+        from sycamore_spark.operators.dedup import instruction_pool_filter
+
+        return self._wrap(instruction_pool_filter(
+            self.df, pool.df, id_col=id_col, text_col=text_col,
+            threshold=threshold, **kw
+        ))
+
     def rho_select(self, reference: "DocSet", id_col: str = "doc_id",
                    text_col: str = "text_representation",
                    keep_fraction: float = 0.5) -> "DocSet":
