@@ -7711,13 +7711,16 @@ def q_calibrated_select(spark, sf) -> DataFrame:
     calibrated projection; the LLM and the calibration fit touch only
     seed-derived frames. The oracle glues the edu_select NB SQL and the
     calibrate_binned recursive-PAVA machinery into one WITH chain."""
+    from sycamore_spark.functions.partitioning import fan_out
     from sycamore_spark.llm.map import llm_map
     from sycamore_spark.operators.calibrate import isotonic_apply, isotonic_fit_binned
     from sycamore_spark.operators.classify import nb_scores, nb_train
     from sycamore_spark.operators.sampling import hash_sample
 
     docs = _ds(spark, sf, "documents").to_df().select("doc_id", "text")
-    seed = hash_sample(docs, "doc_id", 0.25)
+    # fan_out before the Python LLM stage: a single-file extract scans as
+    # 1-2 partitions and would serialize the seed annotation
+    seed = fan_out(hash_sample(docs, "doc_id", 0.25))
     annotated = llm_map(
         seed,
         "Rate the educational value from 0 to 5.\nDocument: {{ doc.text }}",

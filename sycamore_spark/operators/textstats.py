@@ -636,10 +636,14 @@ def blocklist_match(
         F.col(id_col).alias("_id"),
         (F.lower(F.col(text_col)) if lower else F.col(text_col)).alias("_t"),
     )
+    # explicit broadcast: a 100k-phrase automaton is tens of MB — shipped
+    # once per executor, not serialized into every task closure
+    bc = df.sparkSession.sparkContext.broadcast((goto, fail, out, pats))
 
     def _scan(it):
         from collections import Counter
 
+        bgoto, bfail, bout, bpats = bc.value
         for pdf in it:
             ids, phs, ns = [], [], []
             for rid, txt in zip(pdf["_id"], pdf["_t"]):
@@ -648,14 +652,14 @@ def blocklist_match(
                 node = 0
                 counts: Counter = Counter()
                 for ch in txt:
-                    while node and ch not in goto[node]:
-                        node = fail[node]
-                    node = goto[node].get(ch, 0)
-                    for pi in out[node]:
+                    while node and ch not in bgoto[node]:
+                        node = bfail[node]
+                    node = bgoto[node].get(ch, 0)
+                    for pi in bout[node]:
                         counts[pi] += 1
                 for pi, n in counts.items():
                     ids.append(rid)
-                    phs.append(pats[pi])
+                    phs.append(bpats[pi])
                     ns.append(n)
             yield pd.DataFrame({"_id": ids, "phrase": phs, "n_matches": ns})
 
