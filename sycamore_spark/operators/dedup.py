@@ -1571,10 +1571,10 @@ def instruction_pool_filter(
     deliberately NOT returned: a sub-threshold pair missed by blocking
     would make a max-F1 column blocking-dependent.
 
-    Caveat: instructions with < ``shingle_k`` tokens have the empty
-    minhash signature, which is a single shared band bucket — a corpus
-    with MANY such fragments should pre-filter them (they are also
-    exactly the rows prefix blocking handles poorly)."""
+    Degenerate instructions (< ``shingle_k`` tokens) skip the LSH channel
+    — empty signatures would all share one quadratic hot bucket — and use
+    an exact full-text hash channel instead, which is provably lossless
+    at the defaults (see the inline proof at the channel construction)."""
     from sycamore_spark.evaluation import _lcs_len
 
     thr_micros = int(np.floor(threshold * 1e6 + 0.5))
@@ -1607,8 +1607,21 @@ def instruction_pool_filter(
             f"_{side}id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
 
-    lsh_cand = _buckets(b, "b").join(_buckets(p, "p"), ["band", "bucket"]).select(
-        "_bid", "_pid"
+    # Degenerate rows (< shingle_k tokens -> empty minhash signature) are
+    # EXCLUDED from the LSH channel: empty signatures all share every band
+    # bucket, so a corpus with many fragments would form one quadratic hot
+    # bucket (the skew trap the docstring used to merely warn about). They
+    # are covered instead by the exact full-text channel below — provably
+    # lossless at the defaults (shingle_k=2, threshold > 2/3): a pair with
+    # a 1-token side reaches F1 = 2*lcs/(1+n) >= 2/3 only when n = 1 and
+    # the tokens are equal, i.e. identical text. For shingle_k > 2 short
+    # non-identical pairs can exceed the threshold through the prefix
+    # channel's blind spot — callers there should lower shingle_k or
+    # pre-filter fragments (documented residual).
+    lsh_cand = (
+        _buckets(b.where(F.size("_btk") >= shingle_k), "b")
+        .join(_buckets(p.where(F.size("_ptk") >= shingle_k), "p"), ["band", "bucket"])
+        .select("_bid", "_pid")
     )
     pref = lambda side: F.xxhash64(  # noqa: E731
         F.array_join(F.slice(F.col(f"_{side}tk"), 1, prefix_block), " ")
@@ -1618,7 +1631,13 @@ def instruction_pool_filter(
         .join(p.select("_pid", pref("p").alias("_ph")), "_ph")
         .select("_bid", "_pid")
     )
-    cand = lsh_cand.union(pre_cand).distinct()
+    exact = lambda side: F.xxhash64(F.array_join(F.col(f"_{side}tk"), " "))  # noqa: E731
+    exact_cand = (
+        b.where(F.size("_btk") < shingle_k).select("_bid", exact("b").alias("_eh"))
+        .join(p.select("_pid", exact("p").alias("_eh")), "_eh")
+        .select("_bid", "_pid")
+    )
+    cand = lsh_cand.union(pre_cand).union(exact_cand).distinct()
 
     pairs = (
         cand.join(b, "_bid")

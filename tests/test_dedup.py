@@ -695,3 +695,21 @@ def test_embedding_decontaminate(spark):
     assert all(r.max_cos_micros is None for r in empty)
     with pytest.raises(ValueError):
         embedding_decontaminate(corp, test, max_test=0)
+
+
+def test_instruction_pool_filter_degenerate_fragments(spark):
+    """Single-token instructions: identical text vs pool -> dropped via
+    the exact channel (NOT the hot empty-signature LSH bucket); distinct
+    single tokens -> kept. Mixed with normal instructions."""
+    from sycamore_spark.operators.dedup import instruction_pool_filter
+
+    pool = spark.createDataFrame(
+        [(100, "stop"), (101, "write a haiku about distributed systems")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "stop"), (2, "go"), (3, "write a haiku about distributed file")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in instruction_pool_filter(batch, pool).collect()}
+    assert kept == {2}  # 1 exact-dup of pool; 3 near-dup (F1 = 10/12)
