@@ -8300,6 +8300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_multi": q_ivf_pq_multi,
     "ivf_pq_refine": q_ivf_pq_refine,
     "ann_recall": q_ann_recall,
+    # -- fresher greens (rotate next round) --
     "sq_ann": q_sq_ann,
     "ivf_pq_store": q_ivf_pq_store,
     "rrf_hybrid": q_rrf_hybrid,
@@ -8316,7 +8317,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spread_properties": q_spread_properties,
     "hash_sample": q_hash_sample,
     "pack_shards": q_pack_shards,
-    # -- fresher greens (rotate next round) --
     "store_sync": q_store_sync,
     "bin_pack": q_bin_pack,
     "edu_select": q_edu_select,
