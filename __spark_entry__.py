@@ -7318,6 +7318,36 @@ def _bpe_encode_oracle(rounds: int) -> str:
     )
 
 
+def _fertility_oracle(rounds: int) -> str:
+    """bpe_encode's replay machinery grouped by lang: re-train the merges,
+    re-encode every doc, then per-lang fertility = sum(bpe)/sum(words)."""
+    sep = "\x1f"
+    stream = (
+        f"regexp_replace(array_to_string(words, ' {sep} '),"
+        f" '([^ {sep}])', ' \\1 ', 'g')"
+    )
+    for r in range(1, rounds + 1):
+        stream = (
+            f"replace({stream},"
+            f" ' ' || (SELECT lft FROM b{r}) || '  ' || (SELECT rgt FROM b{r}) || ' ',"
+            f" ' ' || (SELECT lft || rgt FROM b{r}) || ' ')"
+        )
+    return (
+        f"{_bpe_oracle_ctes(rounds)}, "
+        "docs AS (SELECT doc_id, lang, list_filter(regexp_split_to_array("
+        " replace(lower(trim(text)), chr(31), ''), '\\s+'), x -> x <> '') AS words"
+        " FROM documents), "
+        "enc AS (SELECT doc_id, lang, CASE WHEN len(words) = 0 THEN 0"
+        f" ELSE len(list_filter(string_split(trim({stream}), '  '), t -> t <> '{sep}'))"
+        " END::BIGINT AS bpe_tokens, len(words)::BIGINT AS words FROM docs) "
+        "SELECT lang, count(*)::BIGINT AS n_docs, "
+        "sum(bpe_tokens)::BIGINT AS bpe_tokens, sum(words)::BIGINT AS words, "
+        "CASE WHEN sum(words) > 0 THEN "
+        "floor(sum(bpe_tokens)::DOUBLE / sum(words) * 1e6 + 0.5)::BIGINT END AS fertility_micros "
+        "FROM enc GROUP BY 1"
+    )
+
+
 # Ordered for driver sampling (the driver checks a ~50-query subset per
 # round, in order): first the three r3 reds fixed this round, then the 40
 # queries whose last driver row is r2 (so every declared query gets a fresh
@@ -7655,6 +7685,19 @@ def q_instruction_filter(spark, sf) -> DataFrame:
         return d.select("doc_id", F.array_join("tk", " ").alias("text"))
 
     return instruction_pool_filter(to_text(batch), to_text(pool), threshold=0.7)
+
+
+def q_tokenizer_fertility(spark, sf) -> DataFrame:
+    """Per-language tokenizer fertility under the corpus-trained BPE
+    (operators/bpe.py tokenizer_fertility — Rust 2021 §3.1): train the
+    same 8 merges as bpe_encode, then subword-per-word ratio per lang.
+    The oracle re-trains, re-encodes AND re-aggregates in SQL (the
+    bpe_encode machinery grouped by lang)."""
+    from sycamore_spark.operators.bpe import bpe_train, tokenizer_fertility
+
+    docs = load_table(spark, sf, "documents")
+    merges = bpe_train(docs, num_merges=_BPE_ROUNDS)
+    return tokenizer_fertility(docs, merges, "lang")
 
 
 def q_anneal_schedule(spark, sf) -> DataFrame:
@@ -8249,6 +8292,7 @@ def q_store_sync(spark, sf) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "tokenizer_fertility": q_tokenizer_fertility,
     "anneal_schedule": q_anneal_schedule,
     "blocklist": q_blocklist,
     "calibrated_select": q_calibrated_select,
@@ -11381,6 +11425,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_merges": _bpe_merges_oracle(_BPE_ROUNDS),
         "bpe_encode": _bpe_encode_oracle(_BPE_ROUNDS),
+        "tokenizer_fertility": _fertility_oracle(_BPE_ROUNDS),
         "containment_lsh": (
             "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "
             "sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1), "

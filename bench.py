@@ -232,6 +232,7 @@ HEADLINE = [
     "calibrated_select",
     "blocklist",
     "anneal_schedule",
+    "tokenizer_fertility",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

@@ -184,3 +184,41 @@ def bpe_encode(
         .alias("bpe_tokens"),
         F.size(words).cast("long").alias("words"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: list[dict],
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer FERTILITY — subword tokens per whitespace word
+    (Rust et al. 2021, "How Good is Your Tokenizer?" §3.1): the standard
+    diagnostic for how well a trained tokenizer serves each language/
+    domain slice of a corpus (high fertility = the group pays more
+    sequence length per word, i.e. the tokenizer under-serves it — the
+    measurement UniMax/temperature mixture decisions want next to token
+    counts). Corpus-level ratio per group: sum(bpe_tokens) / sum(words),
+    micro-quantized; NULL when a group has no words.
+
+    Scale shape: ``bpe_encode``'s zero-shuffle literal-replace chain (the
+    model rides as expression literals) + ONE id-keyed join to re-attach
+    the group column + one hash aggregate — corpus-linear, nothing
+    collects. Returns (group_col, n_docs, bpe_tokens, words,
+    fertility_micros)."""
+    enc = bpe_encode(df, merges, id_col=id_col, text_col=text_col)
+    g = df.select(F.col(id_col), F.col(group_col))
+    agg = enc.join(g, id_col).groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+        F.sum("words").cast("long").alias("words"),
+    )
+    fert = F.when(
+        F.col("words") > 0,
+        F.floor(
+            F.col("bpe_tokens").cast("double") / F.col("words") * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return agg.withColumn("fertility_micros", fert)

@@ -124,3 +124,25 @@ def test_bpe_encode_no_merges_counts_chars(spark, corpus_df):
 def test_bpe_train_rejects_bad_args(spark, corpus_df):
     with pytest.raises(ValueError):
         bpe_train(corpus_df, num_merges=0)
+
+
+def test_tokenizer_fertility_groups(spark):
+    """Fertility = subword tokens per word, per group: with zero merges
+    every char is a token, so fertility = chars/words exactly; a group
+    with no words gets NULL."""
+    from sycamore_spark.operators.bpe import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [
+            (1, "ab cd", "en"),    # 4 chars / 2 words
+            (2, "abc", "en"),      # 3 chars / 1 word
+            (3, "xy", "fr"),       # 2 chars / 1 word
+            (4, "   ", "zz"),      # no words
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: r for r in tokenizer_fertility(df, [], "lang").collect()}
+    assert out["en"].bpe_tokens == 7 and out["en"].words == 3
+    assert out["en"].fertility_micros == int(7 / 3 * 1e6 + 0.5)
+    assert out["fr"].fertility_micros == 2_000_000
+    assert out["zz"].words == 0 and out["zz"].fertility_micros is None
