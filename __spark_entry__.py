@@ -7687,6 +7687,27 @@ def q_instruction_filter(spark, sf) -> DataFrame:
     return instruction_pool_filter(to_text(batch), to_text(pool), threshold=0.7)
 
 
+def q_maxsim(spark, sf) -> DataFrame:
+    """ColBERT-style MaxSim late-interaction retrieval (operators/
+    retrieval.py maxsim_scores — Khattab 2020, token vectors from the
+    fastText-style char-trigram hashing encoder, Bojanowski 2017):
+    queries are token windows 4..8 of docs 0-2; top-10 docs per query.
+    The oracle rebuilds the trigram vectors (md5 buckets, float32 cast),
+    replays every token-pair dot (list_inner_product == the index-order
+    zip_with/aggregate sum), maxes per query token, and integer-sums the
+    per-token micro-quantized bests."""
+    from sycamore_spark.functions import text as T
+    from sycamore_spark.operators.retrieval import maxsim_scores
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tk = T.tokens(F.col("text"))
+    queries = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tk, 4, 5), " ").alias("text"),
+    )
+    return maxsim_scores(queries, docs, top_k=10)
+
+
 def q_tokenizer_fertility(spark, sf) -> DataFrame:
     """Per-language tokenizer fertility under the corpus-trained BPE
     (operators/bpe.py tokenizer_fertility — Rust 2021 §3.1): train the
@@ -8292,6 +8313,7 @@ def q_store_sync(spark, sf) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "maxsim": q_maxsim,
     "tokenizer_fertility": q_tokenizer_fertility,
     "anneal_schedule": q_anneal_schedule,
     "blocklist": q_blocklist,
@@ -11426,6 +11448,44 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_oracle(_BPE_ROUNDS),
         "bpe_encode": _bpe_encode_oracle(_BPE_ROUNDS),
         "tokenizer_fertility": _fertility_oracle(_BPE_ROUNDS),
+        "maxsim": (
+            "WITH qd AS (SELECT doc_id AS query_id, "
+            "array_to_string((string_split(trim(lower(text)), ' '))[4:8], ' ') AS qtext "
+            "FROM documents WHERE doc_id < 3), "
+            "qsel AS (SELECT DISTINCT query_id, unnest(string_split(trim(lower(qtext)), ' ')) AS tok FROM qd), "
+            "dtok0 AS (SELECT doc_id, ws[i] AS tok, i FROM "
+            "(SELECT doc_id, string_split(trim(lower(text)), ' ') AS ws FROM documents) s, "
+            "unnest(generate_series(1, len(ws))) AS u(i)), "
+            # first-occurrence-ordered distinct, first 20 — mirrors Spark's
+            # slice(array_distinct(tokens), 1, 20)
+            "dfirst AS (SELECT doc_id, tok, min(i) AS fp FROM dtok0 GROUP BY 1, 2), "
+            "dsel AS (SELECT doc_id, tok FROM (SELECT doc_id, tok, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY fp) AS rn FROM dfirst) WHERE rn <= 20), "
+            "vocab AS MATERIALIZED (SELECT DISTINCT tok FROM "
+            "(SELECT tok FROM qsel UNION ALL SELECT tok FROM dsel)), "
+            "tri AS (SELECT tok, substr(tok, i, 3) AS g FROM vocab, "
+            "unnest(generate_series(1, length(tok) - 2)) AS u(i) WHERE length(tok) >= 3), "
+            "bk AS (SELECT tok, ('0x' || substr(md5(g), 1, 15))::BIGINT % 16 AS pos, "
+            "count(*)::DOUBLE AS c FROM tri GROUP BY 1, 2), "
+            "grid AS (SELECT v.tok, i AS pos FROM vocab v, unnest(generate_series(0, 15)) AS g(i)), "
+            "fill AS (SELECT g.tok, g.pos, coalesce(c, 0.0) AS c "
+            "FROM grid g LEFT JOIN bk ON g.tok = bk.tok AND g.pos = bk.pos), "
+            "nrm AS (SELECT tok, sqrt(sum(c * c)) AS n FROM fill GROUP BY 1), "
+            "vec AS MATERIALIZED (SELECT f.tok, "
+            "list((f.c / CASE WHEN n > 0 THEN n ELSE 1.0 END)::FLOAT::DOUBLE ORDER BY f.pos) AS v "
+            "FROM fill f JOIN nrm ON f.tok = nrm.tok GROUP BY f.tok), "
+            "dots AS (SELECT q.query_id, q.tok AS qtok, dd.doc_id, "
+            "list_inner_product(qv.v, dv.v) AS dot "
+            "FROM qsel q, dsel dd, vec qv, vec dv "
+            "WHERE qv.tok = q.tok AND dv.tok = dd.tok), "
+            "best AS (SELECT query_id, doc_id, qtok, "
+            "floor(max(dot) * 1e6 + 0.5)::BIGINT AS b FROM dots GROUP BY 1, 2, 3), "
+            "sc AS (SELECT query_id, doc_id, sum(b)::BIGINT AS maxsim_micros "
+            "FROM best GROUP BY 1, 2) "
+            "SELECT query_id, doc_id, rank, maxsim_micros FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY maxsim_micros DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 10"
+        ),
         "containment_lsh": (
             "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok FROM documents), "
             "sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1), "

@@ -233,6 +233,7 @@ HEADLINE = [
     "blocklist",
     "anneal_schedule",
     "tokenizer_fertility",
+    "maxsim",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

@@ -140,3 +140,27 @@ def test_build_inverted_index_postings(spark):
     pruned = build_inverted_index(df, min_df=2, top_docs=1).collect()
     got = {(r.term, r.doc_id) for r in pruned}
     assert got == {("apple", 1), ("banana", 2)}
+
+
+def test_maxsim_late_interaction(spark):
+    """MaxSim ranks the morphologically-closest doc first (subword
+    trigram vectors give partial credit for 'worlds'~'world',
+    'sparkly'~'spark'); exact token matches score a full 1e6 each."""
+    from sycamore_spark.operators.retrieval import maxsim_scores
+
+    q = spark.createDataFrame(
+        [(0, "hello world"), (1, "spark tables")], "query_id long, text string"
+    )
+    d = spark.createDataFrame(
+        [
+            (10, "hello worlds and more"),
+            (11, "sparkly table data"),
+            (12, "unrelated zq xv"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.query_id, r.rank): r for r in maxsim_scores(q, d, top_k=3).collect()}
+    assert out[(0, 1)].doc_id == 10  # exact 'hello' + 'world'~'worlds'
+    assert out[(0, 1)].maxsim_micros > 1_900_000  # ~1.0 + ~0.94
+    assert out[(1, 1)].doc_id == 11
+    assert out[(0, 3)].doc_id == 12 and out[(0, 3)].maxsim_micros < 600_000
