@@ -846,7 +846,13 @@ def ngram_lm_score(
         (F.coalesce(F.col("_cbig"), F.lit(0)) + F.lit(1.0))
         / (F.coalesce(F.col("_cctx"), F.lit(0)) + F.col("_v").cast("double"))
     )
-    micros = F.floor(logp * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    # a zero-vocabulary model (empty train_df) defines no distribution:
+    # score NULL rather than divide by zero (ANSI) — per-doc sums then
+    # propagate NULL, matching the repo's empty-model contracts
+    micros = F.when(
+        F.col("_v") > 0,
+        F.floor(logp * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+    )
     scored = (
         bigrams.join(big_counts, ["w1", "w2"], "left")
         .join(ctx_counts, "w1", "left")

@@ -325,3 +325,40 @@ def test_round12_ops_on_empty_inputs(spark):
     live = spark.createDataFrame([(1, 10)], "id long, score long")
     out = isotonic_apply(live, model, "score").collect()
     assert len(out) == 1 and out[0].calibrated_micros is None
+
+
+def test_round13_session2_ops_on_empty_inputs(spark):
+    """Every session-2 operator returns an empty (or contractual) frame on
+    empty input instead of raising."""
+    from sycamore_spark.operators.dedup import (
+        embedding_decontaminate, instruction_pool_filter,
+    )
+    from sycamore_spark.operators.retrieval import maxsim_scores
+    from sycamore_spark.operators.sampling import (
+        anneal_schedule, doremi_weights, rho_select,
+    )
+    from sycamore_spark.operators.textstats import blocklist_match
+
+    edocs = _empty(spark, "doc_id long, text string")
+    esrc = _empty(spark, "doc_id long, text string, source string")
+    live = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
+
+    assert rho_select(edocs, edocs).count() == 0
+    assert rho_select(live, edocs).count() == 0  # V=0 ref model still scores
+    assert doremi_weights(esrc).count() == 0
+    assert blocklist_match(edocs, ["bad"]).count() == 0
+    assert instruction_pool_filter(edocs, live).count() == 0
+    # empty POOL admits the whole batch (seed bootstrap)
+    assert instruction_pool_filter(live, edocs).count() == 1
+
+    evec = _empty(spark, "vec_id long, embedding array<double>")
+    lvec = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert embedding_decontaminate(evec, lvec).count() == 0
+
+    eplan = _empty(spark, "g string, w double")
+    assert anneal_schedule(eplan, eplan, "g", "w", steps=3, anneal_start=1).count() == 0
+    eq = _empty(spark, "query_id long, text string")
+    assert maxsim_scores(eq, live).count() == 0
+    assert maxsim_scores(live.withColumnRenamed("doc_id", "query_id"), edocs).count() == 0
