@@ -7687,6 +7687,24 @@ def q_instruction_filter(spark, sf) -> DataFrame:
     return instruction_pool_filter(to_text(batch), to_text(pool), threshold=0.7)
 
 
+def q_qlm(spark, sf) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (operators/
+    retrieval.py qlm_scores — Zhai & Lafferty 2001): the language-model
+    ranking family beside BM25 and MaxSim, same query derivation as the
+    maxsim gate, top-10 per query at mu=300. Exact bigint score: each
+    matched-term micro + n_terms x the quantized length term."""
+    from sycamore_spark.functions import text as T
+    from sycamore_spark.operators.retrieval import qlm_scores
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tk = T.tokens(F.col("text"))
+    queries = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tk, 4, 5), " ").alias("query"),
+    )
+    return qlm_scores(docs, queries, mu=300.0, k=10)
+
+
 def q_maxsim(spark, sf) -> DataFrame:
     """ColBERT-style MaxSim late-interaction retrieval (operators/
     retrieval.py maxsim_scores — Khattab 2020, token vectors from the
@@ -8313,6 +8331,7 @@ def q_store_sync(spark, sf) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "qlm": q_qlm,
     "maxsim": q_maxsim,
     "tokenizer_fertility": q_tokenizer_fertility,
     "anneal_schedule": q_anneal_schedule,
@@ -11448,6 +11467,33 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_oracle(_BPE_ROUNDS),
         "bpe_encode": _bpe_encode_oracle(_BPE_ROUNDS),
         "tokenizer_fertility": _fertility_oracle(_BPE_ROUNDS),
+        "qlm": (
+            "WITH qd AS (SELECT doc_id AS query_id, "
+            "array_to_string((string_split(trim(lower(text)), ' '))[4:8], ' ') AS qtext "
+            "FROM documents WHERE doc_id < 3), "
+            "qt AS (SELECT DISTINCT query_id, unnest(string_split(trim(lower(qtext)), ' ')) AS tok FROM qd), "
+            "toks AS (SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok FROM documents), "
+            "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1), "
+            "ctot AS (SELECT sum(dl)::DOUBLE AS c FROM dl), "
+            "wanted AS (SELECT DISTINCT tok FROM qt), "
+            "m AS (SELECT t.doc_id, t.tok FROM toks t JOIN wanted w ON t.tok = w.tok), "
+            "cf AS (SELECT tok, count(*)::DOUBLE AS cf FROM m GROUP BY 1), "
+            "qin AS (SELECT q.query_id, q.tok FROM qt q JOIN cf ON q.tok = cf.tok), "
+            "nq AS (SELECT query_id, count(*)::BIGINT AS nq FROM qin GROUP BY 1), "
+            "tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM m GROUP BY 1, 2), "
+            "term AS (SELECT qin.query_id, tf.doc_id, "
+            "floor(ln(1.0 + (tf.tf::DOUBLE * ctot.c) / (CAST(300.0 AS DOUBLE) * cf.cf)) "
+            "* 1000000.0 + 0.5)::BIGINT AS tm "
+            "FROM qin JOIN tf ON qin.tok = tf.tok JOIN cf ON qin.tok = cf.tok, ctot), "
+            "pp AS (SELECT query_id, doc_id, sum(tm)::BIGINT AS msum FROM term GROUP BY 1, 2), "
+            "sc AS (SELECT pp.query_id, pp.doc_id, "
+            "(msum + nq.nq * floor(ln(CAST(300.0 AS DOUBLE) / (dl.dl::DOUBLE + CAST(300.0 AS DOUBLE))) "
+            "* 1000000.0 + 0.5)::BIGINT)::BIGINT AS qlm_micros "
+            "FROM pp JOIN dl ON pp.doc_id = dl.doc_id JOIN nq ON pp.query_id = nq.query_id) "
+            "SELECT query_id, doc_id, qlm_micros, rank FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY qlm_micros DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 10"
+        ),
         "maxsim": (
             "WITH qd AS (SELECT doc_id AS query_id, "
             "array_to_string((string_split(trim(lower(text)), ' '))[4:8], ' ') AS qtext "

@@ -234,6 +234,7 @@ HEADLINE = [
     "anneal_schedule",
     "tokenizer_fertility",
     "maxsim",
+    "qlm",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

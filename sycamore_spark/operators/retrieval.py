@@ -1054,3 +1054,98 @@ def maxsim_scores(
             "maxsim_micros",
         )
     )
+
+
+def qlm_scores(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    mu: float = 300.0,
+    k: int | None = None,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001 §2.2) — the language-modeling ranking family beside BM25
+    (bm25_scores_multi) and late interaction (maxsim_scores):
+
+        score(q, d) = sum_t ln( (tf + mu * p(t|C)) / (dl + mu) )
+
+    computed via the standard rank-equivalent decomposition: a matched
+    term contributes ``ln(1 + tf * |C| / (mu * cf))`` and every scored
+    doc adds ``|q| * ln(mu / (dl + mu))`` (the length-normalization
+    term), where cf is the collection term frequency and |C| the total
+    token count. Query terms with cf = 0 (corpus-OOV) are dropped —
+    Dirichlet smoothing assigns them p(t|C) = 0, which is outside the
+    model. Only docs matching >= 1 query term are returned (the usual
+    inverted-index candidate semantics).
+
+    Determinism: each matched-term contribution AND the per-doc length
+    term are micro-quantized before combining, so the score is an exact
+    bigint expression (sum of matched micros + n_terms * length micros)
+    — order-independent and oracle-replayable, the bm25_scores
+    convention. Scale shape identical to bm25_scores_multi: corpus
+    tokens semi-join-pruned to the query vocabulary, query-vocab-bounded
+    broadcasts, one scalar stats broadcast; returns (query_id_col,
+    id_col, qlm_micros) plus rank when ``k`` is set ((micros desc, id
+    asc) ties)."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
+    )
+    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
+    total = dl.agg(F.sum("_dl").cast("double").alias("_ctot"))
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(query_text_col))), r"\s+"))
+        ).alias("_tok"),
+    )
+    wanted = qterms.select("_tok").distinct()
+    matched = toks.join(wanted, "_tok", "left_semi")
+    cf = matched.groupBy("_tok").agg(F.count(F.lit(1)).cast("double").alias("_cf"))
+    # corpus-OOV query terms drop here (inner join vs cf > 0 by construction)
+    qin = qterms.join(F.broadcast(cf.select("_tok")), "_tok")
+    nq = qin.groupBy("_qid").agg(F.count(F.lit(1)).alias("_nq"))
+
+    tf = matched.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    term = (
+        qin.join(tf, "_tok")
+        .join(F.broadcast(cf), "_tok")
+        .crossJoin(F.broadcast(total))
+    )
+    term_micros = F.floor(
+        F.log(
+            F.lit(1.0)
+            + (F.col("_tf").cast("double") * F.col("_ctot"))
+            / (F.lit(mu) * F.col("_cf"))
+        ) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    per_pair = (
+        term.withColumn("_tm", term_micros)
+        .groupBy("_qid", "_id")
+        .agg(F.sum("_tm").alias("_msum"))
+    )
+    len_micros = F.floor(
+        F.log(F.lit(mu) / (F.col("_dl").cast("double") + F.lit(mu)))
+        * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    out = (
+        per_pair.join(dl, "_id")
+        .join(F.broadcast(nq), "_qid")
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            (F.col("_msum") + F.col("_nq") * len_micros).cast("long").alias("qlm_micros"),
+        )
+    )
+    if k is None:
+        return out
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("qlm_micros").desc(), F.col(id_col).asc()
+    )
+    return out.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

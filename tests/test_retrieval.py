@@ -164,3 +164,29 @@ def test_maxsim_late_interaction(spark):
     assert out[(0, 1)].maxsim_micros > 1_900_000  # ~1.0 + ~0.94
     assert out[(1, 1)].doc_id == 11
     assert out[(0, 3)].doc_id == 12 and out[(0, 3)].maxsim_micros < 600_000
+
+
+def test_qlm_dirichlet_semantics(spark):
+    """Query likelihood with Dirichlet smoothing: exact hand-computed
+    score on a tiny corpus; OOV query terms drop; shorter matching doc
+    beats longer with equal tf (length normalization)."""
+    import math
+
+    from sycamore_spark.operators.retrieval import qlm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat dog bird fish frog newt"), (3, "bird bird")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(0, "cat zzz-oov")], "query_id long, query string")
+    out = {r.doc_id: r.qlm_micros for r in qlm_scores(docs, qs, mu=10.0).collect()}
+    # |C| = 10 tokens, cf(cat) = 2; matched term: ln(1 + tf*10/(10*2))
+    # doc length term (nq = 1 after the OOV drop): ln(10/(dl+10))
+    def score(tf, dl):
+        return (
+            math.floor(math.log(1 + tf * 10 / (10 * 2)) * 1e6 + 0.5)
+            + math.floor(math.log(10 / (dl + 10)) * 1e6 + 0.5)
+        )
+
+    assert out == {1: score(1, 2), 2: score(1, 6)}
+    assert out[1] > out[2]  # same tf, shorter doc wins
