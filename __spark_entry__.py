@@ -7687,6 +7687,26 @@ def q_instruction_filter(spark, sf) -> DataFrame:
     return instruction_pool_filter(to_text(batch), to_text(pool), threshold=0.7)
 
 
+def q_rm3(spark, sf) -> DataFrame:
+    """RM3 pseudo-relevance feedback (operators/retrieval.py rm3_expand
+    — Lavrenko-Croft relevance models + the RM3 interpolation): first-
+    pass qlm top-5 feedback docs -> softmax doc posteriors -> RM1 term
+    model -> 0.5/0.5 interpolation with the uniform query model -> top-5
+    expansion terms per query. Every cross-row float sum is fixed-point
+    quantized before aggregation, so the oracle replays the whole chain
+    exactly on the shared _QLM_SC_CTES."""
+    from sycamore_spark.functions import text as T
+    from sycamore_spark.operators.retrieval import rm3_expand
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tk = T.tokens(F.col("text"))
+    queries = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tk, 4, 5), " ").alias("query"),
+    )
+    return rm3_expand(docs, queries, mu=300.0, fb_docs=5, fb_terms=5)
+
+
 def q_qlm(spark, sf) -> DataFrame:
     """Dirichlet-smoothed query-likelihood retrieval (operators/
     retrieval.py qlm_scores — Zhai & Lafferty 2001): the language-model
@@ -8331,6 +8351,7 @@ def q_store_sync(spark, sf) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: sampled first --
+    "rm3": q_rm3,
     "qlm": q_qlm,
     "maxsim": q_maxsim,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -8944,6 +8965,35 @@ _LM2_SCORING_CTES = (
     "sr AS (SELECT bg.doc_id, "
     "CAST(sum(CAST(floor(ln((coalesce(rbc.cbig, 0) + 1.0) / (coalesce(rcc.cctx, 0) + rv.v)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS m "
     "FROM bg LEFT JOIN rbc USING (w1, w2) LEFT JOIN rcc USING (w1) CROSS JOIN rv GROUP BY 1)"
+)
+
+
+# Dirichlet query-likelihood scoring chain (gate queries = token windows
+# 4..8 of docs 0-2, mu = 300): through `sc` = (query_id, doc_id,
+# qlm_micros). Shared by the qlm gate and the rm3 feedback round.
+_QLM_SC_CTES = (
+    "qd AS (SELECT doc_id AS query_id, "
+            "array_to_string((string_split(trim(lower(text)), ' '))[4:8], ' ') AS qtext "
+            "FROM documents WHERE doc_id < 3), "
+            "qt AS (SELECT DISTINCT query_id, unnest(string_split(trim(lower(qtext)), ' ')) AS tok FROM qd), "
+            "toks AS (SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok FROM documents), "
+            "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1), "
+            "ctot AS (SELECT sum(dl)::DOUBLE AS c FROM dl), "
+            "wanted AS (SELECT DISTINCT tok FROM qt), "
+            "m AS (SELECT t.doc_id, t.tok FROM toks t JOIN wanted w ON t.tok = w.tok), "
+            "cf AS (SELECT tok, count(*)::DOUBLE AS cf FROM m GROUP BY 1), "
+            "qin AS (SELECT q.query_id, q.tok FROM qt q JOIN cf ON q.tok = cf.tok), "
+            "nq AS (SELECT query_id, count(*)::BIGINT AS nq FROM qin GROUP BY 1), "
+            "tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM m GROUP BY 1, 2), "
+            "term AS (SELECT qin.query_id, tf.doc_id, "
+            "floor(ln(1.0 + (tf.tf::DOUBLE * ctot.c) / (CAST(300.0 AS DOUBLE) * cf.cf)) "
+            "* 1000000.0 + 0.5)::BIGINT AS tm "
+            "FROM qin JOIN tf ON qin.tok = tf.tok JOIN cf ON qin.tok = cf.tok, ctot), "
+            "pp AS (SELECT query_id, doc_id, sum(tm)::BIGINT AS msum FROM term GROUP BY 1, 2), "
+            "sc AS (SELECT pp.query_id, pp.doc_id, "
+            "(msum + nq.nq * floor(ln(CAST(300.0 AS DOUBLE) / (dl.dl::DOUBLE + CAST(300.0 AS DOUBLE))) "
+            "* 1000000.0 + 0.5)::BIGINT)::BIGINT AS qlm_micros "
+            "FROM pp JOIN dl ON pp.doc_id = dl.doc_id JOIN nq ON pp.query_id = nq.query_id) "
 )
 
 
@@ -11467,29 +11517,55 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_oracle(_BPE_ROUNDS),
         "bpe_encode": _bpe_encode_oracle(_BPE_ROUNDS),
         "tokenizer_fertility": _fertility_oracle(_BPE_ROUNDS),
+        "rm3": (
+            "WITH " + _QLM_SC_CTES + ", "
+            "fb AS (SELECT query_id, doc_id, qlm_micros FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY qlm_micros DESC, doc_id ASC) AS r FROM sc) WHERE r <= 5), "
+            "mx AS (SELECT query_id, max(qlm_micros) AS mxs FROM fb GROUP BY 1), "
+            "post0 AS (SELECT fb.query_id, fb.doc_id, "
+            "floor(exp((fb.qlm_micros - mx.mxs)::DOUBLE / 1000000.0) * 1e12 + 0.5)::BIGINT AS e12 "
+            "FROM fb JOIN mx ON fb.query_id = mx.query_id), "
+            "es AS (SELECT query_id, sum(e12)::BIGINT AS es FROM post0 GROUP BY 1), "
+            "post AS (SELECT p.query_id, p.doc_id, p.e12::DOUBLE / es.es::DOUBLE AS pd "
+            "FROM post0 p JOIN es ON p.query_id = es.query_id), "
+            "fids AS (SELECT DISTINCT doc_id FROM post0), "
+            "ftoks AS (SELECT t.doc_id, t.tok FROM toks t JOIN fids f ON t.doc_id = f.doc_id), "
+            "ftf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM ftoks GROUP BY 1, 2), "
+            "fdl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ftoks GROUP BY 1), "
+            "pwd AS (SELECT ftf.doc_id, ftf.tok, ftf.tf::DOUBLE / fdl.dl::DOUBLE AS pwd "
+            "FROM ftf JOIN fdl ON ftf.doc_id = fdl.doc_id), "
+            "rm1 AS (SELECT post.query_id, pwd.tok, "
+            "sum(floor(post.pd * pwd.pwd * 1e12 + 0.5)::BIGINT)::BIGINT AS rm1 "
+            "FROM post JOIN pwd ON post.doc_id = pwd.doc_id GROUP BY 1, 2), "
+            "rt AS (SELECT query_id, sum(rm1)::BIGINT AS rt FROM rm1 GROUP BY 1), "
+            "rm1n AS (SELECT rm1.query_id, rm1.tok, rm1.rm1::DOUBLE / rt.rt::DOUBLE AS p "
+            "FROM rm1 JOIN rt ON rm1.query_id = rt.query_id), "
+            "orig AS (SELECT qt.query_id, qt.tok, "
+            "CAST(1.0 AS DOUBLE) / nq.nq::DOUBLE AS porig, 1 AS is_original "
+            "FROM qt JOIN nq ON qt.query_id = nq.query_id), "
+            # NB: orig joins nq (cf-filtered count) but keeps ALL query
+            # terms — mirrors the Spark op, whose nq counts raw distinct
+            # query tokens; here every gate query term occurs in-corpus
+            "mixed AS (SELECT coalesce(o.query_id, r.query_id) AS query_id, "
+            "coalesce(o.tok, r.tok) AS tok, "
+            "CAST(0.5 AS DOUBLE) * coalesce(o.porig, 0.0) "
+            "+ (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * coalesce(r.p, 0.0) AS w, "
+            "coalesce(o.is_original, 0) AS is_original "
+            "FROM orig o FULL OUTER JOIN rm1n r "
+            "ON o.query_id = r.query_id AND o.tok = r.tok), "
+            "mq AS (SELECT query_id, tok, floor(w * 1000000.0 + 0.5)::BIGINT AS weight_micros, "
+            "is_original FROM mixed), "
+            "expd AS (SELECT query_id, tok, weight_micros, is_original FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY weight_micros DESC, tok ASC) AS rn FROM mq WHERE is_original = 0) "
+            "WHERE rn <= 5) "
+            "SELECT query_id, tok AS term, weight_micros, is_original::INT AS is_original "
+            "FROM mq WHERE is_original = 1 "
+            "UNION ALL SELECT query_id, tok, weight_micros, is_original::INT FROM expd"
+        ),
         "qlm": (
-            "WITH qd AS (SELECT doc_id AS query_id, "
-            "array_to_string((string_split(trim(lower(text)), ' '))[4:8], ' ') AS qtext "
-            "FROM documents WHERE doc_id < 3), "
-            "qt AS (SELECT DISTINCT query_id, unnest(string_split(trim(lower(qtext)), ' ')) AS tok FROM qd), "
-            "toks AS (SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok FROM documents), "
-            "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1), "
-            "ctot AS (SELECT sum(dl)::DOUBLE AS c FROM dl), "
-            "wanted AS (SELECT DISTINCT tok FROM qt), "
-            "m AS (SELECT t.doc_id, t.tok FROM toks t JOIN wanted w ON t.tok = w.tok), "
-            "cf AS (SELECT tok, count(*)::DOUBLE AS cf FROM m GROUP BY 1), "
-            "qin AS (SELECT q.query_id, q.tok FROM qt q JOIN cf ON q.tok = cf.tok), "
-            "nq AS (SELECT query_id, count(*)::BIGINT AS nq FROM qin GROUP BY 1), "
-            "tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM m GROUP BY 1, 2), "
-            "term AS (SELECT qin.query_id, tf.doc_id, "
-            "floor(ln(1.0 + (tf.tf::DOUBLE * ctot.c) / (CAST(300.0 AS DOUBLE) * cf.cf)) "
-            "* 1000000.0 + 0.5)::BIGINT AS tm "
-            "FROM qin JOIN tf ON qin.tok = tf.tok JOIN cf ON qin.tok = cf.tok, ctot), "
-            "pp AS (SELECT query_id, doc_id, sum(tm)::BIGINT AS msum FROM term GROUP BY 1, 2), "
-            "sc AS (SELECT pp.query_id, pp.doc_id, "
-            "(msum + nq.nq * floor(ln(CAST(300.0 AS DOUBLE) / (dl.dl::DOUBLE + CAST(300.0 AS DOUBLE))) "
-            "* 1000000.0 + 0.5)::BIGINT)::BIGINT AS qlm_micros "
-            "FROM pp JOIN dl ON pp.doc_id = dl.doc_id JOIN nq ON pp.query_id = nq.query_id) "
+            "WITH " + _QLM_SC_CTES +
             "SELECT query_id, doc_id, qlm_micros, rank FROM "
             "(SELECT *, row_number() OVER (PARTITION BY query_id "
             "ORDER BY qlm_micros DESC, doc_id ASC) AS rank FROM sc) WHERE rank <= 10"

@@ -235,6 +235,7 @@ HEADLINE = [
     "tokenizer_fertility",
     "maxsim",
     "qlm",
+    "rm3",
 ]
 # soft_dedup / split_leakage excluded: they consume the correctness-tier
 # exact jaccard pair table (like dedup_cc/dedup_profile); their scale path

@@ -1149,3 +1149,152 @@ def qlm_scores(
         F.col("qlm_micros").desc(), F.col(id_col).asc()
     )
     return out.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def rm3_expand(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    mu: float = 300.0,
+    fb_docs: int = 5,
+    fb_terms: int = 5,
+    orig_weight: float = 0.5,
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 relevance
+    models; the RM3 interpolation of Abdul-Jaleel et al. 2004): run
+    first-pass Dirichlet QL retrieval (``qlm_scores``), build the RM1
+    relevance model over the top ``fb_docs`` feedback documents —
+    ``p(w|R) = sum_d p(w|d) * p(q|d)`` with softmax-normalized document
+    posteriors — interpolate with the uniform original-query model at
+    ``orig_weight``, and keep the top ``fb_terms`` expansion terms per
+    query. Returns the EXPANDED WEIGHTED QUERY MODEL
+    (query_id_col, term, weight_micros, is_original) — the input a
+    weighted second-pass scorer consumes; emitting the model rather than
+    re-scoring keeps the two passes independently testable.
+
+    Determinism across engines: first-pass scores are exact bigints
+    (qlm_scores), so the feedback set is exact; document posteriors
+    ``exp((s_d - max_s)/1e6)`` and their normalization are IEEE doubles
+    with libm exp (proven bit-identical cross-engine), quantized to
+    micros at the model boundary; the final top-``fb_terms`` selection
+    ranks on (weight_micros desc, term asc) — integer ties only.
+
+    Scale shape: round 1 is the qlm shape (semi-join pruned postings);
+    the feedback set is (queries x fb_docs) rows — QUERY-SCALE — so every
+    RM1 aggregate runs over feedback-doc tokens only (a semi-join against
+    the feedback ids bounds the explode), and the per-query model is
+    fb_terms + |q| rows. Nothing corpus-scale shuffles twice."""
+    from pyspark.sql.window import Window
+
+    from sycamore_spark.functions.partitioning import lineage_cut
+
+    # QUERY-SCALE (queries x fb_docs rows) but its lineage is the whole
+    # corpus-scale first-pass scoring; four downstream consumers would
+    # re-run round 1 once each — cut it eagerly (materializes ~dozens of
+    # rows, runs round 1 exactly once)
+    fb = lineage_cut(
+        qlm_scores(
+            df, queries, id_col, text_col, query_id_col, query_text_col,
+            mu=mu, k=fb_docs,
+        ).select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(id_col).alias("_fid"),
+            "qlm_micros",
+        )
+    )
+    # softmax doc posteriors within each query's feedback set
+    # (query-scale). EVERY cross-row float sum below is quantized to a
+    # fixed-point bigint first — double addition is order-dependent and
+    # the engines do not aggregate in the same order (DuckDB windows use
+    # segment trees); integer sums are exact in any order.
+    mx = fb.groupBy("_qid").agg(F.max("qlm_micros").alias("_mx"))
+    post = fb.join(mx, "_qid").withColumn(
+        "_e12",
+        F.floor(
+            F.exp((F.col("qlm_micros") - F.col("_mx")).cast("double")
+                  / F.lit(1_000_000.0)) * F.lit(1e12) + F.lit(0.5)
+        ).cast("long"),
+    )
+    esum = post.groupBy("_qid").agg(F.sum("_e12").alias("_es"))
+    post = post.join(esum, "_qid").withColumn(
+        "_pd", F.col("_e12").cast("double") / F.col("_es").cast("double")
+    )
+
+    # p(w|d) over feedback docs only: semi-join bounds the explode
+    fids = post.select(F.col("_fid").alias("_id")).distinct()
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
+    ).join(fids, "_id", "left_semi")
+    tf = toks.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
+    pwd = tf.join(dl, "_id").select(
+        "_id", "_tok",
+        (F.col("_tf").cast("double") / F.col("_dl").cast("double")).alias("_pwd"),
+    )
+    rm1 = (
+        post.join(pwd, post["_fid"] == pwd["_id"])
+        .withColumn(
+            "_c12",
+            F.floor(F.col("_pd") * F.col("_pwd") * F.lit(1e12) + F.lit(0.5))
+            .cast("long"),
+        )
+        .groupBy("_qid", "_tok")
+        .agg(F.sum("_c12").alias("_rm1"))
+    )
+    # normalize RM1 per query (exact bigint totals)
+    rtot = rm1.groupBy("_qid").agg(F.sum("_rm1").alias("_rt"))
+    rm1n = rm1.join(rtot, "_qid").withColumn(
+        "_p", F.col("_rm1").cast("double") / F.col("_rt").cast("double")
+    )
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(query_text_col))), r"\s+"))
+        ).alias("_tok"),
+    )
+    nq = qterms.groupBy("_qid").agg(F.count(F.lit(1)).alias("_nq"))
+    orig = qterms.join(nq, "_qid").select(
+        "_qid", "_tok",
+        (F.lit(1.0) / F.col("_nq").cast("double")).alias("_porig"),
+        F.lit(1).alias("_is_orig"),
+    )
+    mixed = (
+        orig.join(rm1n.select("_qid", "_tok", "_p"), ["_qid", "_tok"], "full_outer")
+        .select(
+            "_qid", "_tok",
+            (
+                F.lit(orig_weight) * F.coalesce(F.col("_porig"), F.lit(0.0))
+                + F.lit(1.0 - orig_weight) * F.coalesce(F.col("_p"), F.lit(0.0))
+            ).alias("_w"),
+            F.coalesce(F.col("_is_orig"), F.lit(0)).alias("is_original"),
+        )
+        .withColumn(
+            "weight_micros",
+            F.floor(F.col("_w") * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+        )
+    )
+    # keep every original term + the top fb_terms EXPANSION terms
+    wrank = Window.partitionBy("_qid").orderBy(
+        F.col("weight_micros").desc(), F.col("_tok").asc()
+    )
+    exp_terms = (
+        mixed.where(F.col("is_original") == 0)
+        .withColumn("_rn", F.row_number().over(wrank))
+        .where(F.col("_rn") <= fb_terms)
+        .drop("_rn")
+    )
+    return (
+        mixed.where(F.col("is_original") == 1)
+        .unionByName(exp_terms)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_tok").alias("term"),
+            "weight_micros",
+            F.col("is_original").cast("int").alias("is_original"),
+        )
+    )

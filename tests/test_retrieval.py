@@ -190,3 +190,30 @@ def test_qlm_dirichlet_semantics(spark):
 
     assert out == {1: score(1, 2), 2: score(1, 6)}
     assert out[1] > out[2]  # same tf, shorter doc wins
+
+
+def test_rm3_expansion_semantics(spark):
+    """RM3: original terms always kept with weight >= orig_weight/|q|;
+    expansion terms come from feedback docs' vocabulary, weighted by the
+    relevance model; disjoint-vocabulary docs contribute nothing."""
+    from sycamore_spark.operators.retrieval import rm3_expand
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cats love tuna fish"),
+            (2, "cats chase mice often"),
+            (3, "quantum flux capacitor hums"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(0, "cats")], "query_id long, query string")
+    out = rm3_expand(docs, qs, mu=10.0, fb_docs=2, fb_terms=3).collect()
+    orig = [r for r in out if r.is_original == 1]
+    exp = [r for r in out if r.is_original == 0]
+    assert [r.term for r in orig] == ["cats"]
+    # original term also appears in feedback docs -> weight > 0.5 * 1.0
+    assert orig[0].weight_micros > 500_000
+    # expansion terms only from the two feedback docs (1, 2), never doc 3
+    fb_vocab = {"love", "tuna", "fish", "chase", "mice", "often", "cats"}
+    assert exp and all(r.term in fb_vocab - {"cats"} for r in exp)
+    assert all(0 < r.weight_micros < 500_000 for r in exp)
