@@ -1026,3 +1026,24 @@ def test_anneal_schedule_contract(spark):
     assert 0 < out[(3, "math")] < out[(4, "math")] < 400_000
     with pytest.raises(ValueError):
         anneal_schedule(pa, pb, "g", "w", steps=4, anneal_start=4)
+
+
+def test_doremi_uniform_excess_keeps_uniform_weights(spark):
+    """Invariance: when every domain has IDENTICAL per-batch excess loss
+    (here: identical corpora per domain, so excess rates coincide
+    exactly), the multiplicative-weights fold is a fixed point — final
+    and average weights stay uniform to quantization."""
+    from sycamore_spark.operators.sampling import doremi_weights
+
+    text = "alpha beta gamma delta epsilon zeta"
+    rows = [(d * 100 + i, text, f"dom{d}") for d in range(4) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    ref = spark.createDataFrame(
+        [(9000 + i, "alpha beta gamma") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = doremi_weights(df, reference_df=ref, rounds=5).collect()
+    assert len(out) == 4
+    for r in out:
+        assert abs(r.avg_weight_micros - 250_000) <= 1
+        assert abs(r.last_weight_micros - 250_000) <= 1
