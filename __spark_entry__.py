@@ -3190,7 +3190,10 @@ def q_stream_index_cdc(spark, sf) -> DataFrame:
     import shutil
     import tempfile
 
-    from sycamore_spark.operators.retrieval import bucketed_postings, doc_norms
+    from sycamore_spark.functions.partitioning import overlap_jobs
+    from sycamore_spark.operators.retrieval import (
+        bucketed_postings, doc_norms, norms_from_postings,
+    )
     from sycamore_spark.streaming.index import maintain_index_stream
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
@@ -3199,10 +3202,14 @@ def q_stream_index_cdc(spark, sf) -> DataFrame:
     src = tempfile.mkdtemp(prefix="sidxcdc-src-")
     ckpt = tempfile.mkdtemp(prefix="sidxcdc-ckpt-")
     try:
+        # r13: norms derived from the just-written postings store (one
+        # corpus tokenize instead of two — norms_from_postings); the
+        # in-stream per-batch fold pair runs concurrently (streaming/
+        # index.py). Results identical (same oracle + in-gate assert).
         bucketed_postings(docs, n_buckets=16).write.mode("overwrite") \
             .partitionBy("bkt").parquet(root)
-        doc_norms(docs, n_buckets=16).write.mode("overwrite") \
-            .partitionBy("nbkt").parquet(nrm)
+        norms_from_postings(spark.read.parquet(root), n_buckets=16) \
+            .write.mode("overwrite").partitionBy("nbkt").parquet(nrm)
         groups = [
             docs.filter(F.col("doc_id") % 13 == 1).select(
                 "doc_id", F.lit(None).cast("string").alias("text"),
@@ -3238,9 +3245,12 @@ def q_stream_index_cdc(spark, sf) -> DataFrame:
                 .select((-F.col("doc_id")).alias("doc_id"),
                         F.concat(F.lit("brand new entry "), F.col("text")).alias("text")))
         )
-        got_norms = {(r.doc_id, r.dl) for r in spark.read.parquet(nrm).collect()}
-        want_norms = {(r.doc_id, r.dl)
-                      for r in doc_norms(merged, n_buckets=16).collect()}
+        got_rows, want_rows = overlap_jobs(
+            lambda: spark.read.parquet(nrm).collect(),
+            lambda: doc_norms(merged, n_buckets=16).collect(),
+        )
+        got_norms = {(r.doc_id, r.dl) for r in got_rows}
+        want_norms = {(r.doc_id, r.dl) for r in want_rows}
         if got_norms != want_norms:
             raise AssertionError(
                 f"streamed norms diverged from rebuild: "
@@ -3271,13 +3281,20 @@ def q_bm25_serve(spark, sf) -> DataFrame:
     plan. The oracle recomputes BM25 from scratch over the merged corpus
     with the bm25_scores arithmetic (integer micros before the
     associative sum), so maintained-store serving must agree
-    bit-for-bit with from-raw-text scoring."""
+    bit-for-bit with from-raw-text scoring.
+
+    r13 optimization: the norms build derives dl = sum(tf) from the
+    just-written postings store (norms_from_postings — one column-pruned
+    scan instead of a second corpus tokenize); the delta is checkpointed
+    + validated ONCE and the two store folds run concurrently
+    (overlap_jobs, guide §2.6). Results identical (same oracle)."""
     import shutil
     import tempfile
 
+    from sycamore_spark.functions.partitioning import overlap_jobs
     from sycamore_spark.operators.retrieval import (
-        bm25_from_index, bucketed_postings, doc_norms,
-        index_apply_changes, norms_apply_changes,
+        bm25_from_index, bucketed_postings,
+        index_apply_changes, norms_apply_changes, norms_from_postings,
     )
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
@@ -3286,8 +3303,8 @@ def q_bm25_serve(spark, sf) -> DataFrame:
     try:
         bucketed_postings(docs, n_buckets=16).write.mode("overwrite") \
             .partitionBy("bkt").parquet(idx)
-        doc_norms(docs, n_buckets=16).write.mode("overwrite") \
-            .partitionBy("nbkt").parquet(nrm)
+        norms_from_postings(spark.read.parquet(idx), n_buckets=16) \
+            .write.mode("overwrite").partitionBy("nbkt").parquet(nrm)
         delta = (
             docs.filter(F.col("doc_id") % 13 == 1).select(
                 "doc_id", F.lit(None).cast("string").alias("text"),
@@ -3302,9 +3319,13 @@ def q_bm25_serve(spark, sf) -> DataFrame:
                 .select((-F.col("doc_id")).alias("doc_id"),
                         F.concat(F.lit("brand new entry "), F.col("text")).alias("text"),
                         F.lit("I").alias("op")))
+        ).localCheckpoint(eager=True)
+        overlap_jobs(
+            lambda: index_apply_changes(spark, idx, delta, n_buckets=16,
+                                        prepared=True),
+            lambda: norms_apply_changes(spark, nrm, delta, n_buckets=16,
+                                        prepared=True),
         )
-        index_apply_changes(spark, idx, delta, n_buckets=16)
-        norms_apply_changes(spark, nrm, delta, n_buckets=16)
         qdf = spark.createDataFrame(_HYBRID_QUERIES, "query_id bigint, query string")
         out = bm25_from_index(spark, idx, nrm, qdf, n_buckets=16, k=5)
         plan = out._jdf.queryExecution().executedPlan().toString()
@@ -3390,11 +3411,12 @@ def q_hybrid_serve(spark, sf) -> DataFrame:
     import shutil
     import tempfile
 
+    from sycamore_spark.functions.partitioning import overlap_jobs
     from sycamore_spark.operators.dedup import md5_hash60
     from sycamore_spark.operators.embed import hashing_embedding_expr
     from sycamore_spark.operators.retrieval import (
-        bm25_from_index, bucketed_postings, doc_norms,
-        index_apply_changes, norms_apply_changes, rrf_fuse,
+        bm25_from_index, bucketed_postings,
+        index_apply_changes, norms_apply_changes, norms_from_postings, rrf_fuse,
     )
     from sycamore_spark.operators.similarity import (
         ann_store_apply_changes, ivf_pq_encode, ivf_pq_topk_multi,
@@ -3407,17 +3429,28 @@ def q_hybrid_serve(spark, sf) -> DataFrame:
     nrm = tempfile.mkdtemp(prefix="hsrv-nrm-")
     ann = tempfile.mkdtemp(prefix="hsrv-ann-")
     try:
-        bucketed_postings(docs, n_buckets=16).write.mode("overwrite") \
-            .partitionBy("bkt").parquet(idx)
-        doc_norms(docs, n_buckets=16).write.mode("overwrite") \
-            .partitionBy("nbkt").parquet(nrm)
-        base = docs.select(
-            F.col("doc_id").alias("vec_id"),
-            emb_of(F.col("text")).cast("array<double>").alias("embedding"),
-        )
-        ivf_pq_encode(base, cents, books).select(
-            "vec_id", "pq_codes", "cell_id"
-        ).write.mode("overwrite").partitionBy("cell_id").parquet(ann)
+        # r13 optimization: the lexical build (postings write, then norms
+        # DERIVED from the postings store — one corpus tokenize instead of
+        # two, norms_from_postings) and the independent ANN encode+write
+        # run concurrently (overlap_jobs, guide §2.6); the three store
+        # folds of the same checkpointed delta likewise. Results identical
+        # (same oracle).
+        def _build_lex() -> None:
+            bucketed_postings(docs, n_buckets=16).write.mode("overwrite") \
+                .partitionBy("bkt").parquet(idx)
+            norms_from_postings(spark.read.parquet(idx), n_buckets=16) \
+                .write.mode("overwrite").partitionBy("nbkt").parquet(nrm)
+
+        def _build_ann() -> None:
+            base = docs.select(
+                F.col("doc_id").alias("vec_id"),
+                emb_of(F.col("text")).cast("array<double>").alias("embedding"),
+            )
+            ivf_pq_encode(base, cents, books).select(
+                "vec_id", "pq_codes", "cell_id"
+            ).write.mode("overwrite").partitionBy("cell_id").parquet(ann)
+
+        overlap_jobs(_build_lex, _build_ann)
 
         text_delta = (
             docs.filter(F.col("doc_id") % 13 == 1).select(
@@ -3434,15 +3467,20 @@ def q_hybrid_serve(spark, sf) -> DataFrame:
                         F.concat(F.lit("brand new entry "), F.col("text")).alias("text"),
                         F.lit("I").alias("op")))
         ).localCheckpoint(eager=True)
-        index_apply_changes(spark, idx, text_delta, n_buckets=16)
-        norms_apply_changes(spark, nrm, text_delta, n_buckets=16)
         vec_delta = text_delta.select(
             F.col("doc_id").alias("vec_id"),
             F.when(F.col("op") != "D", emb_of(F.col("text")))
             .cast("array<double>").alias("embedding"),
             "op",
+        ).localCheckpoint(eager=True)
+        overlap_jobs(
+            lambda: index_apply_changes(spark, idx, text_delta, n_buckets=16,
+                                        prepared=True),
+            lambda: norms_apply_changes(spark, nrm, text_delta, n_buckets=16,
+                                        prepared=True),
+            lambda: ann_store_apply_changes(spark, ann, vec_delta, cents, books,
+                                            prepared=True),
         )
-        ann_store_apply_changes(spark, ann, vec_delta, cents, books)
 
         qdf = spark.createDataFrame(_HYBRID_QUERIES, "query_id bigint, query string")
         lex = bm25_from_index(spark, idx, nrm, qdf, n_buckets=16, k=5)
@@ -7813,7 +7851,7 @@ def q_calibrated_select(spark, sf) -> DataFrame:
     calibrated projection; the LLM and the calibration fit touch only
     seed-derived frames. The oracle glues the edu_select NB SQL and the
     calibrate_binned recursive-PAVA machinery into one WITH chain."""
-    from sycamore_spark.functions.partitioning import fan_out
+    from sycamore_spark.functions.partitioning import fan_out, lineage_cut
     from sycamore_spark.llm.map import llm_map
     from sycamore_spark.operators.calibrate import isotonic_apply, isotonic_fit_binned
     from sycamore_spark.operators.classify import nb_scores, nb_train
@@ -7823,7 +7861,11 @@ def q_calibrated_select(spark, sf) -> DataFrame:
     # fan_out before the Python LLM stage: a single-file extract scans as
     # 1-2 partitions and would serialize the seed annotation
     seed = fan_out(hash_sample(docs, "doc_id", 0.25))
-    annotated = llm_map(
+    # r13: eager cut on the annotated seed — downstream this frame feeds
+    # nb_train AND the calibration-train join, and the fit + apply chain
+    # issues 3 separate actions; uncut, the Python LLM annotation stage
+    # re-ran per action. Seed-scale by construction (25% hash sample).
+    annotated = lineage_cut(llm_map(
         seed,
         "Rate the educational value from 0 to 5.\nDocument: {{ doc.text }}",
         "edu_raw",
@@ -7833,15 +7875,21 @@ def q_calibrated_select(spark, sf) -> DataFrame:
         F.when(F.col("edu_raw").cast("int") >= 2, F.lit("edu")).otherwise(
             F.lit("other")
         ),
-    )
+    ))
     tm, lm = nb_train(annotated, "lbl", "text")
     sc = nb_scores(docs, tm, lm, "doc_id", "text")
-    margin = sc.groupBy("doc_id").agg(
+    # r13: eager cut on the margin frame — it feeds the binned fit's
+    # min/max action, the PAVA model collect, AND the final calibrated
+    # projection; uncut, the corpus-scale NB scoring join re-ran per
+    # action (3 corpus passes -> 1). The cut frame is two integer columns
+    # per doc (~1% of the corpus text bytes), the narrow-frame exception
+    # to the rho_select no-cut rule.
+    margin = lineage_cut(sc.groupBy("doc_id").agg(
         (
             F.sum(F.when(F.col("label") == "edu", F.col("score_micros")).otherwise(F.lit(0)))
             - F.sum(F.when(F.col("label") == "other", F.col("score_micros")).otherwise(F.lit(0)))
         ).cast("long").alias("margin_micros")
-    )
+    ))
     train = margin.join(
         annotated.select(
             "doc_id", (F.col("lbl") == "edu").cast("long").alias("_y")
@@ -7989,16 +8037,20 @@ def q_fineweb_e2e(spark, sf) -> DataFrame:
     is individually gated (lang_id / gopher_quality / gopher_repetition /
     dedup_exact); this row proves the COMPOSITION — the oracle glues the
     same shared SQL machinery into one WITH chain."""
+    from sycamore_spark.functions import text as _T
     from sycamore_spark.operators import textstats
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    lang = textstats.language_id(docs)
     gq = textstats.gopher_filter(docs, min_words=20, min_stop_hits=1)
     rep = textstats.gopher_repetition(docs).select(
         "doc_id", "top2gram_char_frac", "dup5gram_char_frac", "dup_line_frac"
     )
     kept = (
-        docs.join(lang, "doc_id")
+        # r13: lang_pred computed inline (language_id is a pure per-row
+        # projection of the same scan — joining it back on doc_id was a
+        # corpus self-join carrying no information; one join removed,
+        # identical values)
+        docs.withColumn("lang_pred", _T.lang_id(F.col("text")))
         .join(gq.select("doc_id", "n_words", "gopher_keep"), "doc_id")
         .join(rep, "doc_id")
         .where(

@@ -60,6 +60,35 @@ def lineage_cut(df: DataFrame, checkpoint_dir: str | None = None, eager: bool = 
     return df.localCheckpoint(eager=eager)
 
 
+def overlap_jobs(*thunks, max_workers: int | None = None) -> list:
+    """Run independent Spark actions concurrently from driver threads
+    (optimization guide §2.6 "Overlap independent jobs").
+
+    Spark's scheduler happily runs several jobs at once inside one
+    application; actions are only sequential because driver code calls them
+    sequentially. Multi-store compositions (the bm25_serve / hybrid_serve /
+    CDC-fold shapes) run several INDEPENDENT corpus passes — e.g. the
+    postings build and the ANN encode, or the postings fold and the norms
+    fold of the same checkpointed delta — and submitting them from a small
+    thread pool lets the next job's tasks back-fill executors freed by the
+    current job's stage tails instead of leaving the cluster idle behind
+    each straggler. Default FIFO scheduling gives exactly that back-fill
+    behavior (the earlier job gets resources first, later jobs use what is
+    left).
+
+    Returns the thunk results in call order; the first exception (if any)
+    propagates after all submitted thunks have been scheduled. Single-thunk
+    calls run inline (no pool).
+    """
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_workers or len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def distributed_rank(
     df: DataFrame,
     order_cols: list,

@@ -589,6 +589,7 @@ def index_apply_changes(
     delete_op: str = "D",
     bucket_col: str = "bkt",
     n_buckets: int = 64,
+    prepared: bool = False,
 ) -> int:
     """Fold a DOCUMENT change batch (id, text, op) into the bucketed
     inverted index — the lexical twin of ``ann_store_apply_changes``
@@ -606,24 +607,32 @@ def index_apply_changes(
     terms' postings), never the index; df/rank recompute rides one
     window exchange over touched-bucket rows only. n_buckets must match
     the build — it is the store's physical contract, like the ANN
-    store's cell count."""
+    store's cell count.
+
+    ``prepared=True`` asserts the caller ALREADY localCheckpointed the
+    delta and validated the one-row-per-id contract (e.g. a caller
+    folding the same checkpointed delta into several stores, or the
+    streaming fold which validates once per micro-batch): the entry
+    checkpoint job and the dup-check job are skipped. Results are
+    identical; only the redundant per-store jobs go away."""
     from pyspark.sql.window import Window
 
     from sycamore_spark.materialize import _hadoop_fs
 
-    changes = changes.localCheckpoint(eager=True)
-    dup = (
-        changes.groupBy(F.col(id_col))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
-        .limit(5)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"delta carries duplicate {id_col} values {[r[0] for r in dup]}: "
-            f"collapse each id to one final row before applying"
+    if not prepared:
+        changes = changes.localCheckpoint(eager=True)
+        dup = (
+            changes.groupBy(F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(5)
+            .collect()
         )
+        if dup:
+            raise ValueError(
+                f"delta carries duplicate {id_col} values {[r[0] for r in dup]}: "
+                f"collapse each id to one final row before applying"
+            )
     store = spark.read.parquet(index_dir)
     delta_ids = changes.select(F.col(id_col)).distinct()
     new_posts = (
@@ -720,6 +729,34 @@ def doc_norms(
     )
 
 
+def norms_from_postings(
+    postings: DataFrame,
+    id_col: str = "doc_id",
+    bucket_col: str = "nbkt",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Derive the ``doc_norms`` companion table from an ALREADY-BUILT
+    postings frame (or the postings store read back off disk) instead of
+    re-tokenizing the corpus: ``dl == sum(tf)`` over a doc's postings by
+    construction — both count exactly the doc's non-empty whitespace
+    tokens. At corpus scale this replaces the second full text
+    parse + explode + hash-agg pass of a from-text ``doc_norms`` build
+    with a column-pruned columnar scan of two integer columns
+    (optimization guide §2.3 "shuffle keys and metadata instead of
+    payloads" applied to the build: the text is parsed once, in the
+    postings build). Output contract identical to ``doc_norms``
+    (zero-token docs carry no postings, hence no norms row)."""
+    return (
+        postings.groupBy(F.col(id_col))
+        .agg(F.sum("tf").cast("long").alias("dl"))
+        .select(
+            F.col(id_col),
+            "dl",
+            F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast("int").alias(bucket_col),
+        )
+    )
+
+
 def norms_apply_changes(
     spark,
     norms_dir: str,
@@ -730,6 +767,7 @@ def norms_apply_changes(
     delete_op: str = "D",
     bucket_col: str = "nbkt",
     n_buckets: int = 64,
+    prepared: bool = False,
 ) -> int:
     """Fold a document change batch into the norms table: per-doc rows are
     independent (no cross-doc windows, unlike postings), so the touched
@@ -737,22 +775,25 @@ def norms_apply_changes(
     ids) ∪ new norms, dynamic partition overwrite, emptied dirs removed.
     Same delta contract as ``index_apply_changes`` (each id once,
     batch-sized); run both folds on the same delta to keep the store
-    pair consistent."""
+    pair consistent. ``prepared=True`` as in ``index_apply_changes``:
+    the caller already checkpointed + dup-validated the delta, so the
+    redundant per-store jobs are skipped (identical results)."""
     from sycamore_spark.materialize import _hadoop_fs
 
-    changes = changes.localCheckpoint(eager=True)
-    dup = (
-        changes.groupBy(F.col(id_col))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
-        .limit(5)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"delta carries duplicate {id_col} values {[r[0] for r in dup]}: "
-            f"collapse each id to one final row before applying"
+    if not prepared:
+        changes = changes.localCheckpoint(eager=True)
+        dup = (
+            changes.groupBy(F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(5)
+            .collect()
         )
+        if dup:
+            raise ValueError(
+                f"delta carries duplicate {id_col} values {[r[0] for r in dup]}: "
+                f"collapse each id to one final row before applying"
+            )
     store = spark.read.parquet(norms_dir)
     new_norms = doc_norms(
         changes.filter(F.col(op_col) != delete_op),
@@ -823,15 +864,21 @@ def bm25_from_index(
             F.array_distinct(F.split(F.lower(F.trim(F.col(query_text_col))), r"\s+"))
         ).alias("term"),
     ).filter(F.col("term") != "")
-    term_rows = qterms.select("term").distinct().collect()
+    # one query-scale collect resolves the distinct terms AND their buckets
+    # (was two jobs: a distinct-terms collect + a second collect over a
+    # driver-created frame just to evaluate pmod(xxhash64) — r13)
+    term_rows = (
+        qterms.select("term").distinct()
+        .select(
+            "term",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("_b"),
+        )
+        .collect()
+    )
     terms = sorted(r[0] for r in term_rows)
     if not terms:
         raise ValueError("queries contain no terms")
-    bkts = sorted({
-        r[0] for r in spark.createDataFrame([(t,) for t in terms], "term string")
-        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("_b"))
-        .distinct().collect()
-    })
+    bkts = sorted({r[1] for r in term_rows})
     posts = (
         spark.read.parquet(index_dir)
         .filter(F.col(bucket_col).isin(bkts))     # prunes at file listing

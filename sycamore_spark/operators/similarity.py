@@ -1091,6 +1091,7 @@ def ann_store_apply_changes(
     op_col: str = "op",
     delete_op: str = "D",
     scale: float = 1024.0,
+    prepared: bool = False,
 ) -> int:
     """Upsert/delete a vector delta into the cell-partitioned ANN store —
     faiss ``remove_ids``/``add`` in the lakehouse layout. The delta is a
@@ -1123,22 +1124,26 @@ def ann_store_apply_changes(
     lineage ~6 times (dup validation, the broadcast id set on both joins,
     encode, cell union), and a delta whose upstream is an expensive
     re-embed (the embed-CDC path) would otherwise re-run that work per
-    reference. Batch-sized by contract, so materializing it is cheap."""
+    reference. Batch-sized by contract, so materializing it is cheap.
+    ``prepared=True`` asserts the caller already localCheckpointed and
+    dup-validated the delta (multi-store fold callers), skipping the
+    redundant entry jobs — identical results."""
     store = spark.read.parquet(store_dir)
-    changes = changes.localCheckpoint(eager=True)
-    dup = (
-        changes.groupBy(F.col(id_col))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
-        .limit(5)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"delta carries duplicate {id_col} values "
-            f"{[r[0] for r in dup]}: collapse each id to one final row "
-            f"(deterministic winner, e.g. max seq) before applying"
+    if not prepared:
+        changes = changes.localCheckpoint(eager=True)
+        dup = (
+            changes.groupBy(F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(5)
+            .collect()
         )
+        if dup:
+            raise ValueError(
+                f"delta carries duplicate {id_col} values "
+                f"{[r[0] for r in dup]}: collapse each id to one final row "
+                f"(deterministic winner, e.g. max seq) before applying"
+            )
     delta_ids = changes.select(F.col(id_col)).distinct()
     ups = changes.filter(F.col(op_col) != delete_op).drop(op_col)
     enc = ivf_pq_encode(

@@ -52,6 +52,9 @@ def maintain_index_stream(
     inside the same guarded batch, and the fold pair is content-
     idempotent, so the crash window between them converges on replay.
     Returns the started StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from sycamore_spark.functions.partitioning import overlap_jobs
     from sycamore_spark.operators.retrieval import (
         index_apply_changes, norms_apply_changes,
     )
@@ -61,15 +64,42 @@ def maintain_index_stream(
         hwm = _read_hwm(spark, index_dir)
         if hwm is not None and hwm[0] == checkpoint_dir and batch_id <= hwm[1]:
             return  # replayed batch: already applied
-        index_apply_changes(
-            spark, index_dir, batch_df, id_col=id_col, text_col=text_col,
-            op_col=op_col, delete_op=delete_op, n_buckets=n_buckets,
+        # Checkpoint + dup-validate the micro-batch ONCE here (both folds
+        # reference the delta several times; before, each fold re-ran the
+        # checkpoint and the dup check on the same rows), then fold the two
+        # independent stores CONCURRENTLY (guide §2.6) — they touch
+        # disjoint directories and each job's tasks back-fill the other's
+        # stage tails.
+        batch_df = batch_df.localCheckpoint(eager=True)
+        dup = (
+            batch_df.groupBy(F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(5)
+            .collect()
         )
-        if norms_dir is not None:
-            norms_apply_changes(
-                spark, norms_dir, batch_df, id_col=id_col, text_col=text_col,
-                op_col=op_col, delete_op=delete_op, n_buckets=norms_buckets,
+        if dup:
+            raise ValueError(
+                f"micro-batch carries duplicate {id_col} values "
+                f"{[r[0] for r in dup]}: collapse each id to one final row "
+                f"before applying (the CDC-extract contract)"
             )
+        folds = [
+            lambda: index_apply_changes(
+                spark, index_dir, batch_df, id_col=id_col, text_col=text_col,
+                op_col=op_col, delete_op=delete_op, n_buckets=n_buckets,
+                prepared=True,
+            )
+        ]
+        if norms_dir is not None:
+            folds.append(
+                lambda: norms_apply_changes(
+                    spark, norms_dir, batch_df, id_col=id_col, text_col=text_col,
+                    op_col=op_col, delete_op=delete_op, n_buckets=norms_buckets,
+                    prepared=True,
+                )
+            )
+        overlap_jobs(*folds)
         _fs_write_text(
             spark, index_dir.rstrip("/") + "/_hwm", f"{checkpoint_dir}\n{batch_id}"
         )

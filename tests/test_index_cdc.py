@@ -272,3 +272,81 @@ def test_index_apply_changes_hot_bucket_delta(spark, tmp_path):
         .select("term", "df", "rank", "doc_id", "tf").collect()
     }
     assert got == _rebuild(spark, merged)
+
+
+def test_norms_from_postings_equals_doc_norms(spark):
+    """r13: dl derived from the postings frame (sum of tf per doc) must
+    equal the from-text doc_norms build exactly, bucket column included —
+    the derivation that replaces the second corpus tokenize in the
+    bm25_serve/hybrid_serve/stream_index_cdc builds. Zero-token docs carry
+    no row on either path."""
+    from sycamore_spark.operators.retrieval import doc_norms, norms_from_postings
+
+    docs = _docs(spark).unionByName(
+        spark.createDataFrame([(9, "   ")], "doc_id bigint, text string")
+    )
+    want = {
+        (r.doc_id, r.dl, r.nbkt)
+        for r in doc_norms(docs, n_buckets=NB).collect()
+    }
+    got = {
+        (r.doc_id, r.dl, r.nbkt)
+        for r in norms_from_postings(
+            bucketed_postings(docs, n_buckets=NB), n_buckets=NB
+        ).collect()
+    }
+    assert got == want and len(got) == 4  # the all-whitespace doc has no row
+
+
+def test_apply_changes_prepared_equals_default(spark, tmp_path):
+    """r13: prepared=True (caller already checkpointed + dup-validated the
+    delta) must produce byte-identical stores to the default path for both
+    the postings and the norms fold."""
+    from sycamore_spark.operators.retrieval import doc_norms, norms_apply_changes
+
+    docs = _docs(spark)
+    delta = spark.createDataFrame(
+        [(1, None, "D"), (3, "delta epsilon", "U"), (5, "zeta zeta", "I")],
+        "doc_id bigint, text string, op string",
+    )
+    stores = {}
+    for mode in ("default", "prepared"):
+        idx = str(tmp_path / f"idx-{mode}")
+        nrm = str(tmp_path / f"nrm-{mode}")
+        bucketed_postings(docs, n_buckets=NB).write.partitionBy("bkt").parquet(idx)
+        doc_norms(docs, n_buckets=NB).write.partitionBy("nbkt").parquet(nrm)
+        d = delta.localCheckpoint(eager=True) if mode == "prepared" else delta
+        prepared = mode == "prepared"
+        index_apply_changes(spark, idx, d, n_buckets=NB, prepared=prepared)
+        norms_apply_changes(spark, nrm, d, n_buckets=NB, prepared=prepared)
+        stores[mode] = (
+            {
+                (r.term, r.df, r.rank, r.doc_id, r.tf)
+                for r in spark.read.parquet(idx)
+                .select("term", "df", "rank", "doc_id", "tf").collect()
+            },
+            {
+                (r.doc_id, r.dl)
+                for r in spark.read.parquet(nrm).select("doc_id", "dl").collect()
+            },
+        )
+    assert stores["default"] == stores["prepared"]
+
+
+def test_overlap_jobs_order_and_errors(spark):
+    """r13: overlap_jobs returns results in call order and propagates a
+    failing thunk's exception."""
+    from sycamore_spark.functions.partitioning import overlap_jobs
+
+    a, b, c = overlap_jobs(
+        lambda: spark.range(10).count(),
+        lambda: "plain",
+        lambda: spark.range(3).count(),
+    )
+    assert (a, b, c) == (10, "plain", 3)
+
+    with pytest.raises(ValueError, match="boom"):
+        overlap_jobs(
+            lambda: spark.range(5).count(),
+            lambda: (_ for _ in ()).throw(ValueError("boom")),
+        )
