@@ -785,6 +785,7 @@ def q_curation_e2e(spark, sf) -> DataFrame:
     per stage + the sketch self-join; no quadratic pair generation
     anywhere (unlike the jaccard-based soft_dedup gate, this composition
     is bench-includable)."""
+    from sycamore_spark.functions.partitioning import lineage_cut
     from sycamore_spark.operators.sampling import mixture_plan
 
     docs = _ds(spark, sf, "documents").to_df()
@@ -794,12 +795,24 @@ def q_curation_e2e(spark, sf) -> DataFrame:
     spans = dedup.contamination_spans(corpus, probes, "doc_id", "text", min_len=4)
     clean = dedup.remove_token_spans(corpus, spans, "doc_id", "text")
 
-    clean_docs = clean.select("doc_id", "lang", F.col("clean_text"), "n_tokens_after")
+    # r13: lazy cut on the cleaned corpus — it feeds the winnowing pair
+    # generation, the canonical-docs join AND the mixture/report branches;
+    # uncut, the span-removal lineage re-executed per consumer (the
+    # ccnet_e2e/fineweb_e2e lesson applied here)
+    clean_docs = lineage_cut(
+        clean.select("doc_id", "lang", F.col("clean_text"), "n_tokens_after"),
+        eager=False,
+    )
     pairs = dedup.winnowing_overlap_pairs(
         clean_docs, "doc_id", "clean_text", k=4, w=4, min_shared=2
     )
-    kept = dedup.soft_dedup(clean_docs, pairs.select("id_a", "id_b"), "doc_id").filter(
-        F.col("kept")
+    # kept feeds mixture_plan, the per-language doc count AND the final
+    # join — cut once (lazy) for the same reason
+    kept = lineage_cut(
+        dedup.soft_dedup(clean_docs, pairs.select("id_a", "id_b"), "doc_id").filter(
+            F.col("kept")
+        ),
+        eager=False,
     )
     return (
         mixture_plan(

@@ -105,16 +105,23 @@ def bpe_train(
         raise ValueError("num_merges must be >= 1")
     wf = word_frequencies(df, text_col, lowercase=lowercase)
     sym = wf.select(_sym_col(F.col("w")).alias("s"), "f").persist()
-    sym.count()  # materialize once; rounds reuse the cache
     merges: list[dict] = []
+
+    def _best(frame: DataFrame):
+        # ONE action per round: the best-pair collect both finds the next
+        # merge and materializes the (lazily) persisted/checkpointed symbol
+        # table it runs over, so the previous round's cache can be released
+        # without a separate .count() job (r13: was 2 jobs per round).
+        return (
+            _pair_counts(frame)
+            .orderBy(F.col("pair_count").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+
     try:
+        best = _best(sym)
         for rnd in range(1, num_merges + 1):
-            best = (
-                _pair_counts(sym)
-                .orderBy(F.col("pair_count").desc(), F.col("left"), F.col("right"))
-                .limit(1)
-                .collect()
-            )
             if not best:
                 break
             a, b, cnt = best[0].left, best[0].right, best[0].pair_count
@@ -127,12 +134,16 @@ def bpe_train(
                     "pair_count": int(cnt),
                 }
             )
+            if rnd == num_merges:
+                break  # model complete: the next symbol table is never needed
             nxt = sym.select(_merge_expr(F.col("s"), a, b).alias("s"), "f")
             if rnd % cut_every == 0:
-                nxt = lineage_cut(nxt, checkpoint_dir)
+                # lazy cut: truncates lineage when the next best-collect
+                # materializes it (no extra job)
+                nxt = lineage_cut(nxt, checkpoint_dir, eager=False)
             else:
                 nxt = nxt.persist()
-                nxt.count()
+            best = _best(nxt)  # materializes nxt while sym is still cached
             sym.unpersist()
             sym = nxt
     finally:
