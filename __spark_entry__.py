@@ -2888,9 +2888,6 @@ def q_ann_store_upsert(spark, sf) -> DataFrame:
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     root = tempfile.mkdtemp(prefix="annupsert-store-")
     try:
-        ivf_pq_encode(base, cents, books).select(
-            "vec_id", "pq_codes", "cell_id"
-        ).write.mode("overwrite").partitionBy("cell_id").parquet(root)
         half = F.transform(F.col("embedding"), lambda x: x * F.lit(0.5))
         neg = F.transform(F.col("embedding"), lambda x: -x)
         changes = (
@@ -2907,7 +2904,25 @@ def q_ann_store_upsert(spark, sf) -> DataFrame:
                         neg.alias("embedding"), F.lit("I").alias("op"))
             )
         )
-        ann_store_apply_changes(spark, root, changes, cents, books)
+
+        # r14: store build ∥ delta checkpoint (guide §2.6), prepared fold
+        # (delta ids unique by construction: disjoint filters, negated
+        # insert ids)
+        from sycamore_spark.functions.partitioning import overlap_jobs
+
+        def _build_store() -> None:
+            ivf_pq_encode(base, cents, books).select(
+                "vec_id", "pq_codes", "cell_id"
+            ).write.mode("overwrite").partitionBy("cell_id").parquet(root)
+
+        prepped: dict = {}
+
+        def _prep_delta() -> None:
+            prepped["delta"] = changes.localCheckpoint(eager=True)
+
+        overlap_jobs(_build_store, _prep_delta)
+        ann_store_apply_changes(spark, root, prepped["delta"], cents, books,
+                                prepared=True)
         stored = spark.read.parquet(root)
         out = ivf_pq_topk(qvec, stored, cents, books, k=10, nprobe=3)
         plan = out._jdf.queryExecution().executedPlan().toString()
@@ -3057,10 +3072,20 @@ def q_embed_cdc_e2e(spark, sf) -> DataFrame:
 
     100 TB shape: the embedder is one zero-shuffle fold per changed doc
     (delta-sized, never the corpus), and maintenance work stays ∝ touched
-    cells — the CDC contract shared with ann_store_upsert."""
+    cells — the CDC contract shared with ann_store_upsert.
+
+    r14 optimization (the r13 serve/CDC levers applied here): the base
+    store build (corpus encode + write) and the delta materialization
+    (the re-embed checkpoint) are independent until the fold needs the
+    written store, so they run concurrently (overlap_jobs, guide §2.6);
+    the delta is checkpointed + validated once and folded with
+    prepared=True (ids unique by construction: the three op groups'
+    filters are disjoint and inserts mint negated ids). Results
+    identical (same oracle)."""
     import shutil
     import tempfile
 
+    from sycamore_spark.functions.partitioning import overlap_jobs
     from sycamore_spark.operators.dedup import md5_hash60
     from sycamore_spark.operators.embed import hashing_embedding_expr
     from sycamore_spark.operators.similarity import (
@@ -3076,9 +3101,6 @@ def q_embed_cdc_e2e(spark, sf) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="embcdc-store-")
     try:
-        ivf_pq_encode(base, cents, books).select(
-            "vec_id", "pq_codes", "cell_id"
-        ).write.mode("overwrite").partitionBy("cell_id").parquet(root)
         dels = docs.filter(F.col("doc_id") % 13 == 1).select(
             F.col("doc_id").alias("vec_id"),
             F.lit(None).cast("array<double>").alias("embedding"),
@@ -3099,9 +3121,23 @@ def q_embed_cdc_e2e(spark, sf) -> DataFrame:
             .cast("array<double>").alias("embedding"),
             F.lit("I").alias("op"),
         )
+
+        def _build_store() -> None:
+            ivf_pq_encode(base, cents, books).select(
+                "vec_id", "pq_codes", "cell_id"
+            ).write.mode("overwrite").partitionBy("cell_id").parquet(root)
+
+        prepped: dict = {}
+
+        def _prep_delta() -> None:
+            prepped["delta"] = (
+                dels.unionByName(edits).unionByName(inserts)
+                .localCheckpoint(eager=True)
+            )
+
+        overlap_jobs(_build_store, _prep_delta)
         ann_store_apply_changes(
-            spark, root, dels.unionByName(edits).unionByName(inserts),
-            cents, books,
+            spark, root, prepped["delta"], cents, books, prepared=True,
         )
         out = ivf_pq_topk(qvec, spark.read.parquet(root), cents, books,
                           k=10, nprobe=3)
@@ -3142,12 +3178,12 @@ def q_index_cdc(spark, sf) -> DataFrame:
         bucketed_postings, index_apply_changes,
     )
 
+    from sycamore_spark.functions.partitioning import overlap_jobs
+
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="idxcdc-store-")
     try:
-        bucketed_postings(docs, n_buckets=16).write.mode("overwrite") \
-            .partitionBy("bkt").parquet(root)
-        delta = (
+        delta_src = (
             docs.filter(F.col("doc_id") % 13 == 1).select(
                 "doc_id", F.lit(None).cast("string").alias("text"),
                 F.lit("D").alias("op"))
@@ -3162,7 +3198,23 @@ def q_index_cdc(spark, sf) -> DataFrame:
                         F.concat(F.lit("brand new entry "), F.col("text")).alias("text"),
                         F.lit("I").alias("op")))
         )
-        index_apply_changes(spark, root, delta, n_buckets=16)
+
+        # r14: the index build and the delta materialization are
+        # independent — overlap them (guide §2.6), then fold the
+        # checkpointed, unique-by-construction delta with prepared=True
+        # (ids disjoint across the three op groups; inserts negated)
+        def _build_index() -> None:
+            bucketed_postings(docs, n_buckets=16).write.mode("overwrite") \
+                .partitionBy("bkt").parquet(root)
+
+        prepped: dict = {}
+
+        def _prep_delta() -> None:
+            prepped["delta"] = delta_src.localCheckpoint(eager=True)
+
+        overlap_jobs(_build_index, _prep_delta)
+        index_apply_changes(spark, root, prepped["delta"], n_buckets=16,
+                            prepared=True)
         terms = sorted({t for _, q in _HYBRID_QUERIES for t in q.split()})
         bkts = sorted({
             r[0] for r in spark.createDataFrame([(t,) for t in terms], "term string")

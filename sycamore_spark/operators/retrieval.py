@@ -28,6 +28,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.errors.exceptions.captured import AnalysisException
 
 
 def bm25_scores(
@@ -613,27 +614,28 @@ def index_apply_changes(
     delta and validated the one-row-per-id contract (e.g. a caller
     folding the same checkpointed delta into several stores, or the
     streaming fold which validates once per micro-batch): the entry
-    checkpoint job and the dup-check job are skipped. Results are
-    identical; only the redundant per-store jobs go away."""
+    checkpoint and the dup check are skipped. Results are identical
+    WHEN the contract holds; a prepared delta that was NOT checkpointed
+    re-runs its (possibly non-deterministic) lineage on every reference
+    below, and one carrying duplicate ids silently rebuilds buckets with
+    duplicate postings rows that skew df/rank instead of raising — the
+    corruption modes the default path pays two jobs to prevent."""
     from pyspark.sql.window import Window
 
     from sycamore_spark.materialize import _hadoop_fs
 
     if not prepared:
-        changes = changes.localCheckpoint(eager=True)
-        dup = (
-            changes.groupBy(F.col(id_col))
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(5)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"delta carries duplicate {id_col} values {[r[0] for r in dup]}: "
-                f"collapse each id to one final row before applying"
-            )
-    store = spark.read.parquet(index_dir)
+        # lazy cut: the touched-bucket probe below is the first action on
+        # the delta and materializes the checkpoint — the dup check rides
+        # the same probe job (r14: entry-checkpoint + dup-check jobs folded
+        # into the probe; was 2 extra jobs per non-prepared fold)
+        changes = changes.localCheckpoint(eager=False)
+    try:
+        store = spark.read.parquet(index_dir)
+    except AnalysisException:
+        # every bucket dir was emptied and removed: nothing old to keep —
+        # the fold rebuilds purely from the delta
+        store = None
     delta_ids = changes.select(F.col(id_col)).distinct()
     new_posts = (
         changes.filter(F.col(op_col) != delete_op)
@@ -651,17 +653,38 @@ def index_apply_changes(
             F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
         )
     )
+    new_buckets = new_posts.select(bucket_col).distinct()
     old_buckets = (
+        new_buckets.limit(0) if store is None else
         store.join(F.broadcast(delta_ids), id_col, "left_semi")
         .select(bucket_col).distinct()
     )
-    new_buckets = new_posts.select(bucket_col).distinct()
-    touched = sorted(
-        r[0] for r in old_buckets.unionByName(new_buckets).distinct().collect()
+    probe = (
+        old_buckets.unionByName(new_buckets).distinct()
+        .select(F.lit("b").alias("_k"), F.col(bucket_col).cast("string").alias("_v"))
     )
+    if not prepared:
+        probe = (
+            changes.groupBy(F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(5)
+            .select(F.lit("d").alias("_k"), F.col(id_col).cast("string").alias("_v"))
+            .unionByName(probe)
+        )
+    rows = probe.collect()
+    dup = [r[1] for r in rows if r[0] == "d"]
+    if dup:
+        raise ValueError(
+            f"delta carries duplicate {id_col} values {dup}: "
+            f"collapse each id to one final row before applying"
+        )
+    touched = sorted(int(r[1]) for r in rows if r[0] == "b")
     if not touched:
         return 0
     keep = (
+        new_posts.select("term", "_id", "tf", bucket_col).limit(0)
+        if store is None else
         store.filter(F.col(bucket_col).isin(touched))
         .join(F.broadcast(delta_ids), id_col, "left_anti")
         .select("term", F.col(id_col).alias("_id"), "tf", bucket_col)
@@ -682,7 +705,12 @@ def index_apply_changes(
             F.col("tf").cast("long").alias("tf"),
             bucket_col,
         )
-        .localCheckpoint(eager=True)  # the write replaces files the plan reads
+        # the write replaces files the plan reads, so the lineage must be
+        # cut before it — but the cut is LAZY: the survivors collect below
+        # is the first action and materializes every partition (its
+        # distinct shuffles the whole frame), so the checkpoint piggybacks
+        # on a job that already had to run (r14: 4 -> 3 jobs per fold)
+        .localCheckpoint(eager=False)
     )
     survivors = {r[0] for r in rebuilt.select(bucket_col).distinct().collect()}
     (
@@ -777,42 +805,57 @@ def norms_apply_changes(
     batch-sized); run both folds on the same delta to keep the store
     pair consistent. ``prepared=True`` as in ``index_apply_changes``:
     the caller already checkpointed + dup-validated the delta, so the
-    redundant per-store jobs are skipped (identical results)."""
+    redundant per-store jobs are skipped — identical results ONLY under
+    that contract (an unchecked duplicate id would silently write
+    duplicate norms rows that skew n_docs/avgdl instead of raising)."""
     from sycamore_spark.materialize import _hadoop_fs
 
     if not prepared:
-        changes = changes.localCheckpoint(eager=True)
-        dup = (
-            changes.groupBy(F.col(id_col))
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(5)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"delta carries duplicate {id_col} values {[r[0] for r in dup]}: "
-                f"collapse each id to one final row before applying"
-            )
-    store = spark.read.parquet(norms_dir)
+        # lazy cut, materialized by the touched-bucket probe below; the
+        # dup check rides the same probe job (see index_apply_changes)
+        changes = changes.localCheckpoint(eager=False)
+    try:
+        store = spark.read.parquet(norms_dir)
+    except AnalysisException:
+        store = None  # every norms bucket emptied: rebuild from the delta
     new_norms = doc_norms(
         changes.filter(F.col(op_col) != delete_op),
         id_col=id_col, text_col=text_col,
         bucket_col=bucket_col, n_buckets=n_buckets,
     )
-    touched = sorted(
-        r[0] for r in changes.select(
-            F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast("int").alias("_b")
-        ).distinct().collect()
+    probe = changes.select(
+        F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast("int").alias("_b")
+    ).distinct().select(
+        F.lit("b").alias("_k"), F.col("_b").cast("string").alias("_v")
     )
+    if not prepared:
+        probe = (
+            changes.groupBy(F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(5)
+            .select(F.lit("d").alias("_k"), F.col(id_col).cast("string").alias("_v"))
+            .unionByName(probe)
+        )
+    rows = probe.collect()
+    dup = [r[1] for r in rows if r[0] == "d"]
+    if dup:
+        raise ValueError(
+            f"delta carries duplicate {id_col} values {dup}: "
+            f"collapse each id to one final row before applying"
+        )
+    touched = sorted(int(r[1]) for r in rows if r[0] == "b")
     if not touched:
         return 0
     delta_ids = changes.select(F.col(id_col)).distinct()
     keep = (
+        new_norms.limit(0) if store is None else
         store.filter(F.col(bucket_col).isin(touched))
         .join(F.broadcast(delta_ids), id_col, "left_anti")
     )
-    merged = keep.unionByName(new_norms).localCheckpoint(eager=True)
+    # lazy cut materialized by the survivors collect (see
+    # index_apply_changes — one fewer job per fold, identical write)
+    merged = keep.unionByName(new_norms).localCheckpoint(eager=False)
     survivors = {r[0] for r in merged.select(bucket_col).distinct().collect()}
     (
         merged.repartition(len(touched), F.col(bucket_col))

@@ -1120,30 +1120,24 @@ def ann_store_apply_changes(
     (one batch-sized agg; callers with multi-event feeds collapse to a
     last-writer row first, as streaming/cdc.py does via seq_col).
 
-    The delta is localCheckpointed on entry: this function references its
-    lineage ~6 times (dup validation, the broadcast id set on both joins,
-    encode, cell union), and a delta whose upstream is an expensive
-    re-embed (the embed-CDC path) would otherwise re-run that work per
-    reference. Batch-sized by contract, so materializing it is cheap.
-    ``prepared=True`` asserts the caller already localCheckpointed and
-    dup-validated the delta (multi-store fold callers), skipping the
-    redundant entry jobs — identical results."""
+    The delta is localCheckpointed on entry (lazily — the touched-cell
+    probe is the first action and materializes it): this function
+    references its lineage ~6 times (dup validation, the broadcast id set
+    on both joins, encode, cell union), and a delta whose upstream is an
+    expensive re-embed (the embed-CDC path) would otherwise re-run that
+    work per reference. Batch-sized by contract, so materializing it is
+    cheap. ``prepared=True`` asserts the caller already localCheckpointed
+    and dup-validated the delta (multi-store fold callers), skipping the
+    redundant entry work — identical results ONLY under that contract: an
+    unchecked duplicate id silently leaves duplicate vectors in the store
+    instead of raising, and an un-checkpointed non-deterministic delta can
+    diverge between the references above."""
     store = spark.read.parquet(store_dir)
     if not prepared:
-        changes = changes.localCheckpoint(eager=True)
-        dup = (
-            changes.groupBy(F.col(id_col))
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(5)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"delta carries duplicate {id_col} values "
-                f"{[r[0] for r in dup]}: collapse each id to one final row "
-                f"(deterministic winner, e.g. max seq) before applying"
-            )
+        # lazy cut: the touched-cell probe below is the first action on the
+        # delta and materializes the checkpoint; the dup check rides the
+        # same probe job (r14 — was 2 extra jobs per non-prepared fold)
+        changes = changes.localCheckpoint(eager=False)
     delta_ids = changes.select(F.col(id_col)).distinct()
     ups = changes.filter(F.col(op_col) != delete_op).drop(op_col)
     enc = ivf_pq_encode(
@@ -1155,18 +1149,40 @@ def ann_store_apply_changes(
         .select(cell_col).distinct()
     )
     new_cells = enc.select(cell_col).distinct()
-    touched = sorted(
-        r[0] for r in old_cells.unionByName(new_cells).distinct().collect()
+    probe = (
+        old_cells.unionByName(new_cells).distinct()
+        .select(F.lit("c").alias("_k"), F.col(cell_col).cast("string").alias("_v"))
     )
+    if not prepared:
+        probe = (
+            changes.groupBy(F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(5)
+            .select(F.lit("d").alias("_k"), F.col(id_col).cast("string").alias("_v"))
+            .unionByName(probe)
+        )
+    rows = probe.collect()
+    dup = [r[1] for r in rows if r[0] == "d"]
+    if dup:
+        raise ValueError(
+            f"delta carries duplicate {id_col} values "
+            f"{dup}: collapse each id to one final row "
+            f"(deterministic winner, e.g. max seq) before applying"
+        )
+    touched = sorted(int(r[1]) for r in rows if r[0] == "c")
     if not touched:
         return 0
     keep = (
         store.filter(F.col(cell_col).isin(touched))
         .join(F.broadcast(delta_ids), id_col, "left_anti")
     )
+    # lazy cut materialized by the survivors collect below (its distinct
+    # computes every partition), so the checkpoint piggybacks on a job
+    # that already had to run — 4 -> 3 jobs per fold, identical write
     merged = keep.unionByName(
         enc.filter(F.col(cell_col).isin(touched)).select(*keep.columns)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     survivors = {r[0] for r in merged.select(cell_col).distinct().collect()}
     (
         merged.repartition(len(touched), F.col(cell_col))
