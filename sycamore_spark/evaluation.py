@@ -644,6 +644,12 @@ class EvaluationPipeline:
             ).select("question_id", "recall_micros", "precision_micros", "f1_micros")
             per_query = per_query.join(rscore, "question_id", "left")
             rouge_cols = ["recall_micros", "precision_micros", "f1_micros"]
+        # per_query feeds BOTH the returned frame and the summary aggregate
+        # below; without a cut each consumer re-executes the metric windows,
+        # the rank-1 corpus text join and the ROUGE Arrow stage. The cut is
+        # LAZY (question-scale rows; no extra job — the first consumer
+        # materializes it). Values unchanged.
+        per_query = lineage_cut(per_query, self.checkpoint_dir, eager=False)
         # reference _aggregate_metrics: mean of each metric over all queries;
         # exact bigint sums divided as IEEE doubles -> engine-replayable
         aggs = [

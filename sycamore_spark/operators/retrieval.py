@@ -61,7 +61,15 @@ def bm25_scores(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
     )
-    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
+    # dl as a native per-row projection — size(split(...)) counts exactly
+    # the rows the historical explode+groupBy counted (split never returns
+    # an empty array; NULL text, absent from the exploded agg, is filtered
+    # out to match), so the corpus-scale hash-agg SHUFFLE for document
+    # lengths disappears (guide §2.4; r14 — one corpus explode, not two)
+    dl = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_dl"),
+    ).filter(F.col("_dl").isNotNull())
     stats = dl.agg(
         F.count(F.lit(1)).alias("_n_docs"), F.avg("_dl").alias("_avgdl")
     )
@@ -149,7 +157,12 @@ def bm25_scores_multi(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
     )
-    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
+    # dl as a native projection instead of explode+groupBy — identical
+    # values (see bm25_scores), one fewer corpus-scale shuffle
+    dl = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_dl"),
+    ).filter(F.col("_dl").isNotNull())
     stats = dl.agg(F.count(F.lit(1)).alias("_n_docs"), F.avg("_dl").alias("_avgdl"))
 
     qterms = queries.select(
@@ -1186,7 +1199,12 @@ def qlm_scores(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
     )
-    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
+    # dl as a native projection instead of explode+groupBy — identical
+    # values (see bm25_scores), one fewer corpus-scale shuffle
+    dl = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_dl"),
+    ).filter(F.col("_dl").isNotNull())
     total = dl.agg(F.sum("_dl").cast("double").alias("_ctot"))
 
     qterms = queries.select(
