@@ -557,7 +557,7 @@ def q_stream_stats(spark, sf) -> DataFrame:
     import tempfile
 
     from sycamore_spark.operators.incremental import finalize_stats
-    from sycamore_spark.streaming.stats import maintain_stats_stream
+    from sycamore_spark.streaming.stats import maintain_stats_stream, read_state
 
     docs = _ds(spark, sf, "documents").to_df().select("doc_id", "source", "n_chars")
     root = tempfile.mkdtemp(prefix="streamstats-gate-")
@@ -572,7 +572,7 @@ def q_stream_stats(spark, sf) -> DataFrame:
         stream, ["source"], "n_chars", f"{root}/state", f"{root}/ckpt"
     )
     q.awaitTermination(300)
-    out = finalize_stats(spark.read.parquet(f"{root}/state"))
+    out = finalize_stats(read_state(spark, f"{root}/state"))
     q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     return out.select(
         "source",
@@ -8155,7 +8155,7 @@ def q_stream_quality(spark, sf) -> DataFrame:
     import tempfile
 
     from sycamore_spark.operators.textstats import gopher_filter
-    from sycamore_spark.streaming.quality import maintain_quality_stream
+    from sycamore_spark.streaming.quality import maintain_quality_stream, read_state
 
     docs = _ds(spark, sf, "documents").to_df().select("doc_id", "source", "text")
     root = tempfile.mkdtemp(prefix="streamqual-gate-")
@@ -8177,7 +8177,7 @@ def q_stream_quality(spark, sf) -> DataFrame:
         stream, ["source"], flags, f"{root}/state", f"{root}/ckpt"
     )
     q.awaitTermination(300)
-    st = spark.read.parquet(f"{root}/state")
+    st = read_state(spark, f"{root}/state")
     return st.select(
         "source", "n_docs", "n_gopher_keep", "n_ok_word_count",
         "n_ok_stopwords", "n_ok_mean_word_len",

@@ -12,12 +12,14 @@ bigint counter states.
 Because the counters are additive, the final state is INDEPENDENT of
 micro-batch boundaries: ingesting in 1 batch or 50 yields identical
 counts, which is exactly what the oracle gate checks against a full-table
-batch recompute. Same restart-safety contract as stats.py: a
-``_hwm_batch``/``_hwm_ckpt`` high-water mark makes replayed batches
-(state overwrite committed, checkpoint commit lost) no-ops, so the fold
-is idempotent. At cluster scale the parquet overwrite becomes a
-transactional MERGE (Delta/Iceberg); the state is one row per group
-either way.
+batch recompute. State layout and restart safety are the stats.py
+versioned-state protocol (r14): each fold writes a new ``v=<n>`` version
+and atomically swaps the ``_current`` pointer — one Spark job per batch
+(no lineage-cut job, no state-probe job), replayed batches skip on the
+pointer's high-water mark, and the old version stays readable until the
+swap commits. Read the live state with ``read_state``. At cluster scale
+the versioned parquet write becomes a transactional MERGE
+(Delta/Iceberg); the state is one row per group either way.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 
-from sycamore_spark.materialize import _fs_exists
+from sycamore_spark.streaming.stats import read_state, versioned_state_fold  # noqa: F401
 
 
 def maintain_quality_stream(
@@ -42,37 +44,32 @@ def maintain_quality_stream(
     ``state_dir``: ``n_docs`` plus one ``n_<flag>`` column per BOOLEAN
     column that ``flags_builder`` emits (non-boolean columns other than
     ``group_cols`` are ignored). Returns the StreamingQuery (caller
-    awaits); read the final state with ``spark.read.parquet(state_dir)``."""
+    awaits); read the final state with ``read_state(spark, state_dir)``."""
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
         from pyspark.sql.types import BooleanType
 
         spark = batch_df.sparkSession
-        flags = flags_builder(batch_df)
-        flag_cols = [
-            f.name
-            for f in flags.schema.fields
-            if isinstance(f.dataType, BooleanType) and f.name not in group_cols
-        ]
-        contrib = flags.groupBy(*group_cols).agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            *[
-                F.sum(F.col(c).cast("long")).cast("long").alias(f"n_{c}")
-                for c in flag_cols
-            ],
-        )
-        counters = ["n_docs"] + [f"n_{c}" for c in flag_cols]
-        if _fs_exists(spark, state_dir.rstrip("/") + "/_SUCCESS"):
-            old = spark.read.parquet(state_dir)
-            if "_hwm_batch" in old.columns:
-                hwm, hwm_ckpt = old.agg(
-                    F.max("_hwm_batch"), F.max("_hwm_ckpt")
-                ).first()
-                if hwm is not None and hwm_ckpt == checkpoint_dir and batch_id <= hwm:
-                    return  # replayed batch: contribution already folded
-                old = old.drop("_hwm_batch", "_hwm_ckpt")
-            merged = (
+
+        def make_merged(old: DataFrame | None) -> DataFrame:
+            flags = flags_builder(batch_df)
+            flag_cols = [
+                f.name
+                for f in flags.schema.fields
+                if isinstance(f.dataType, BooleanType) and f.name not in group_cols
+            ]
+            contrib = flags.groupBy(*group_cols).agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                *[
+                    F.sum(F.col(c).cast("long")).cast("long").alias(f"n_{c}")
+                    for c in flag_cols
+                ],
+            )
+            if old is None:
+                return contrib
+            counters = ["n_docs"] + [f"n_{c}" for c in flag_cols]
+            return (
                 old.alias("o")
                 .join(contrib.alias("c"), group_cols, "full_outer")
                 .select(
@@ -86,16 +83,11 @@ def maintain_quality_stream(
                     ],
                 )
             )
-        else:
-            merged = contrib
-        merged = merged.withColumn(
-            "_hwm_batch", F.lit(batch_id).cast("long")
-        ).withColumn("_hwm_ckpt", F.lit(checkpoint_dir))
-        # eager cut: the overwrite below deletes the files the merged plan
-        # would re-read (state is one row per group)
-        merged.localCheckpoint(eager=True).repartition(n_state_partitions).write.mode(
-            "overwrite"
-        ).parquet(state_dir)
+
+        versioned_state_fold(
+            spark, state_dir, checkpoint_dir, batch_id, make_merged,
+            n_state_partitions=n_state_partitions,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_fold)

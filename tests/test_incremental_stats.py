@@ -69,7 +69,9 @@ def test_streaming_maintenance_batch_boundary_independent(spark, tmp_path):
             str(tmp_path / f"state{i}"), str(tmp_path / f"ckpt{i}"),
         )
         q.awaitTermination(300)
-        st = spark.read.parquet(str(tmp_path / f"state{i}")).drop("_hwm_batch", "_hwm_ckpt")
+        from sycamore_spark.streaming.stats import read_state
+
+        st = read_state(spark, str(tmp_path / f"state{i}"))
         states.append(sorted(map(tuple, st.collect())))
     assert states[0] == states[1]
     full = sorted(map(tuple, corpus_stats(docs, ["source"], "n_chars").collect()))
@@ -77,13 +79,11 @@ def test_streaming_maintenance_batch_boundary_independent(spark, tmp_path):
 
 
 def test_streaming_fold_is_replay_idempotent(spark, tmp_path):
-    # a batch whose state overwrite committed but whose checkpoint commit
-    # did not is re-run on restart; the _hwm_batch mark must make the
-    # re-fold a no-op (exactly-once state). Simulate by re-running the
+    # a batch whose state version committed but whose checkpoint commit
+    # did not is re-run on restart; the _current pointer's mark must make
+    # the re-fold a no-op (exactly-once state). Simulate by re-running the
     # whole stream against the SAME checkpoint dir (no new data -> no new
     # batches) and then faking a replay via the same checkpoint lineage.
-    from pyspark.sql import functions as F
-
     from sycamore_spark.streaming.stats import maintain_stats_stream
 
     src = str(tmp_path / "src")
@@ -93,15 +93,17 @@ def test_streaming_fold_is_replay_idempotent(spark, tmp_path):
         [("a", 10), ("a", 20), ("b", 5)], "source string, n_chars long"
     )
     df.repartition(2).write.parquet(src)
+    from sycamore_spark.streaming.stats import _read_pointer, read_state
+
     stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
     maintain_stats_stream(stream, ["source"], "n_chars", state, ckpt).awaitTermination(120)
-    st1 = {r.source: (r.n, r.sum) for r in spark.read.parquet(state).collect()}
-    hwm1 = spark.read.parquet(state).agg(F.max("_hwm_batch")).first()[0]
+    st1 = {r.source: (r.n, r.sum) for r in read_state(spark, state).collect()}
+    hwm1 = _read_pointer(spark, state)[1]
 
     # restart on the same checkpoint: no new files, nothing re-folds
     stream2 = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
     maintain_stats_stream(stream2, ["source"], "n_chars", state, ckpt).awaitTermination(120)
-    st2 = {r.source: (r.n, r.sum) for r in spark.read.parquet(state).collect()}
+    st2 = {r.source: (r.n, r.sum) for r in read_state(spark, state).collect()}
     assert st2 == st1
 
     # a FRESH checkpoint lineage (new data, ids restart at 0) must fold:
@@ -110,6 +112,59 @@ def test_streaming_fold_is_replay_idempotent(spark, tmp_path):
     spark.createDataFrame([("a", 30)], "source string, n_chars long").write.parquet(src3)
     stream3 = spark.readStream.schema(df.schema).parquet(src3)
     maintain_stats_stream(stream3, ["source"], "n_chars", state, str(tmp_path / "ckpt3")).awaitTermination(120)
-    st3 = {r.source: (r.n, r.sum) for r in spark.read.parquet(state).collect()}
+    st3 = {r.source: (r.n, r.sum) for r in read_state(spark, state).collect()}
     assert st3["a"][0] == st1["a"][0] + 1
     assert hwm1 is not None
+
+
+def test_versioned_state_fold_protocol(spark, tmp_path):
+    """The r14 versioned-state protocol: each fold writes a NEW v=<n>
+    dir and only then swaps the _current pointer (the prior version is
+    intact until the commit — the crash-window property), replays skip
+    on the pointer mark, and superseded versions are vacuumed."""
+    import os
+
+    from sycamore_spark.streaming.stats import (
+        _read_pointer, current_state_dir, read_state, versioned_state_fold,
+    )
+
+    state = str(tmp_path / "vstate")
+    ckpt = "ckptA"
+
+    def mk(vals):
+        def make_merged(old):
+            contrib = spark.createDataFrame(vals, "g string, n long")
+            if old is None:
+                return contrib
+            from pyspark.sql import functions as F
+
+            return (
+                old.alias("o").join(contrib.alias("c"), "g", "full_outer")
+                .select(
+                    "g",
+                    (F.coalesce(F.col("o.n"), F.lit(0))
+                     + F.coalesce(F.col("c.n"), F.lit(0))).alias("n"),
+                )
+            )
+        return make_merged
+
+    versioned_state_fold(spark, state, ckpt, 0, mk([("a", 1)]))
+    assert current_state_dir(spark, state).endswith("/v=0")
+    assert {r.g: r.n for r in read_state(spark, state).collect()} == {"a": 1}
+
+    # a crashed-then-replayed batch id folds as a no-op
+    versioned_state_fold(spark, state, ckpt, 0, mk([("a", 99)]))
+    assert {r.g: r.n for r in read_state(spark, state).collect()} == {"a": 1}
+
+    # the next batch writes v=1 and vacuums v=0 after the swap
+    versioned_state_fold(spark, state, ckpt, 1, mk([("a", 2), ("b", 5)]))
+    assert current_state_dir(spark, state).endswith("/v=1")
+    assert {r.g: r.n for r in read_state(spark, state).collect()} == {"a": 3, "b": 5}
+    assert [d for d in os.listdir(state) if d.startswith("v=")] == ["v=1"]
+    assert _read_pointer(spark, state) == (ckpt, 1, 1)
+
+    # a NEW checkpoint lineage restarts batch ids at 0 but versions keep
+    # counting — the fresh fold must not collide with the live version
+    versioned_state_fold(spark, state, "ckptB", 0, mk([("b", 1)]))
+    assert current_state_dir(spark, state).endswith("/v=2")
+    assert {r.g: r.n for r in read_state(spark, state).collect()} == {"a": 3, "b": 6}

@@ -448,9 +448,14 @@ def test_streaming_stats_state_partitions(spark, tmp_path):
         stream, ["g"], "v", st, str(tmp_path / "sckpt"), n_state_partitions=3
     )
     q.awaitTermination(120)
-    parts = [f for f in os.listdir(st) if f.endswith(".parquet")]
+    from sycamore_spark.streaming.stats import current_state_dir, read_state
+
+    cur = current_state_dir(spark, st)
+    parts = [f for f in os.listdir(cur) if f.endswith(".parquet")]
     assert len(parts) == 3
-    out = finalize_stats(spark.read.parquet(st).drop("_hwm_batch", "_hwm_ckpt"))
+    # superseded versions vacuumed: only the live version dir remains
+    assert [d for d in os.listdir(st) if d.startswith("v=")] == [os.path.basename(cur)]
+    out = finalize_stats(read_state(spark, st))
     got = {r.g: (r.n, r.mean) for r in out.collect()}
     assert got[0] == (10, 22.5)  # values 0,5,...,45
 
@@ -484,9 +489,11 @@ def test_stream_quality_fold_batch_independent(spark, tmp_path):
             ["source"], flags, state, str(tmp_path / f"ckpt{tag}"),
         )
         q.awaitTermination(120)
+        from sycamore_spark.streaming.quality import read_state
+
         return {
             r.source: (r.n_docs, r.n_gopher_keep, r.n_ok_word_count)
-            for r in spark.read.parquet(state).collect()
+            for r in read_state(spark, state).collect()
         }
 
     fine = run(1, "a")
