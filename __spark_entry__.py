@@ -3532,12 +3532,15 @@ def q_hybrid_serve(spark, sf) -> DataFrame:
                         F.concat(F.lit("brand new entry "), F.col("text")).alias("text"),
                         F.lit("I").alias("op")))
         ).localCheckpoint(eager=True)
+        # lazy: derived from the already-checkpointed text delta; the ANN
+        # fold's touched-cell probe is its first action and materializes
+        # it (one fewer job — r14)
         vec_delta = text_delta.select(
             F.col("doc_id").alias("vec_id"),
             F.when(F.col("op") != "D", emb_of(F.col("text")))
             .cast("array<double>").alias("embedding"),
             "op",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         overlap_jobs(
             lambda: index_apply_changes(spark, idx, text_delta, n_buckets=16,
                                         prepared=True),

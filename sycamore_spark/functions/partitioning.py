@@ -79,13 +79,35 @@ def overlap_jobs(*thunks, max_workers: int | None = None) -> list:
     Returns the thunk results in call order; the first exception (if any)
     propagates after all submitted thunks have been scheduled. Single-thunk
     calls run inline (no pool).
+
+    Thread-local Spark properties (job group/description/scheduler pool)
+    are COPIED from the calling thread into each worker before its thunk
+    runs (PySpark's pinned-thread mode does not inherit them across
+    driver threads), so ``cancelJobGroup``/``StreamingQuery.stop()``
+    job-group cancellation reaches jobs submitted from the pool and the
+    UI labels them under the caller's group.
     """
     if len(thunks) == 1:
         return [thunks[0]()]
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    props = (
+        sc._jsc.sc().getLocalProperties().clone() if sc is not None else None
+    )
+
+    def _with_props(t):
+        def run():
+            if props is not None:
+                sc._jsc.sc().setLocalProperties(props.clone())
+            return t()
+
+        return run
+
     with ThreadPoolExecutor(max_workers=max_workers or len(thunks)) as pool:
-        futures = [pool.submit(t) for t in thunks]
+        futures = [pool.submit(_with_props(t)) for t in thunks]
         return [f.result() for f in futures]
 
 

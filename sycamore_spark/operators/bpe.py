@@ -138,8 +138,12 @@ def bpe_train(
                 break  # model complete: the next symbol table is never needed
             nxt = sym.select(_merge_expr(F.col("s"), a, b).alias("s"), "f")
             if rnd % cut_every == 0:
-                # lazy cut: truncates lineage when the next best-collect
-                # materializes it (no extra job)
+                # lazy cut: with the default localCheckpoint this truncates
+                # lineage when the next best-collect materializes it (no
+                # extra job). With a durable checkpoint_dir the reliable
+                # checkpoint still runs its own job after that collect —
+                # durability costs one job per cut round (the cluster
+                # fault-tolerance trade documented in lineage_cut).
                 nxt = lineage_cut(nxt, checkpoint_dir, eager=False)
             else:
                 nxt = nxt.persist()

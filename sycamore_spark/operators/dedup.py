@@ -1468,8 +1468,11 @@ def paragraph_dedup(
         ).alias("_wid"),
     )
     # the window table feeds the LSH pipeline (which references it several
-    # times), the span join, and the per-doc stats — cut the lineage once
-    wins = lineage_cut(wins)
+    # times), the span join, and the per-doc stats — cut the lineage once.
+    # LAZY: the LSH candidate materialization is the first action through
+    # this frame and populates the cache, so the segmentation pass doesn't
+    # need its own job (r14)
+    wins = lineage_cut(wins, eager=False)
     eligible = wins.filter(F.col("_wlen") >= int(shingle_k)).select("_wid", "_wtext")
     pairs = minhash_lsh_pairs(
         eligible, "_wid", "_wtext", threshold=threshold,

@@ -831,16 +831,28 @@ def ngram_lm_score(
             ).alias("bg"),
         ).select("_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
+    from sycamore_spark.functions.partitioning import lineage_cut
+
     bigrams = _bigrams(df)
     train_bigrams = bigrams if train_df is None else _bigrams(train_df)
-    big_counts = train_bigrams.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("_cbig")
+    # ONE training pass: the distinct-bigram count table is the model's
+    # sufficient statistic — context counts (sum of bigram counts by w1)
+    # and vocabulary size (distinct words over the bigram KEYS) derive
+    # from it without re-exploding the training corpus. Was three
+    # independent explode+aggregate passes (big/uni/ctx); the cut is lazy
+    # (first consumer materializes the bigram-vocabulary-sized table) and
+    # the derived values are identical by construction (r14).
+    big_counts = lineage_cut(
+        train_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cbig")),
+        eager=False,
     )
-    uni = train_bigrams.select(F.col("w1").alias("w")).union(
-        train_bigrams.select("w2")
+    uni = big_counts.select(F.col("w1").alias("w")).union(
+        big_counts.select("w2")
     )
     vocab = uni.agg(F.countDistinct("w").alias("_v"))
-    ctx_counts = train_bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("_cctx"))
+    ctx_counts = big_counts.groupBy("w1").agg(
+        F.sum("_cbig").cast("long").alias("_cctx")
+    )
 
     logp = F.log(
         (F.coalesce(F.col("_cbig"), F.lit(0)) + F.lit(1.0))

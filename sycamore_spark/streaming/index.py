@@ -69,8 +69,10 @@ def maintain_index_stream(
         # checkpoint and the dup check on the same rows), then fold the two
         # independent stores CONCURRENTLY (guide §2.6) — they touch
         # disjoint directories and each job's tasks back-fill the other's
-        # stage tails.
-        batch_df = batch_df.localCheckpoint(eager=True)
+        # stage tails. The checkpoint is LAZY: the dup-check collect below
+        # is the first action and materializes it (one job per batch, not
+        # two — r14).
+        batch_df = batch_df.localCheckpoint(eager=False)
         dup = (
             batch_df.groupBy(F.col(id_col))
             .agg(F.count(F.lit(1)).alias("_n"))
