@@ -828,13 +828,20 @@ def duplicate_spans(
     # canonical key packs (doc, pos) into one bigint so min() is the
     # lexicographic first occurrence (pos < 2^20 per doc by contract)
     ck = F.col("_id").cast("long") * F.lit(1 << 20).cast("long") + F.col("_pos")
-    dup = (
+    # ONE count/min window on the gram key instead of a groupBy +
+    # join-back (the gopher_repetition shape, r14): the historical
+    # self-join computed the md5 position grams TWICE (once per branch —
+    # the plan carried two full corpus scans + explodes) and shuffled
+    # them twice (agg + join). The window shuffles the gram table once
+    # and the duplicated-position set is then a pure filter; count/min
+    # per gram are identical to the aggregate's.
+    wg = Window.partitionBy("_gh")
+    marked = (
         pos_grams.withColumn("_ck", ck)
-        .groupBy("_gh")
-        .agg(F.count(F.lit(1)).alias("_cnt"), F.min("_ck").alias("_canon"))
+        .withColumn("_cnt", F.count(F.lit(1)).over(wg))
+        .withColumn("_canon", F.min("_ck").over(wg))
         .filter(F.col("_cnt") > 1)
     )
-    marked = pos_grams.withColumn("_ck", ck).join(dup, "_gh")
     w = Window.partitionBy("_id").orderBy("_pos")
     prev_end = F.max(F.col("_pos") + F.lit(L)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
