@@ -374,12 +374,15 @@ def gopher_repetition(
     # One count WINDOW instead of a groupBy + join-back: every gram
     # occurrence carries its group count in the same shuffle that a
     # groupBy would have cost, and the duplicated-span set is then a pure
-    # filter — the corpus-gram-scale probe join disappears. The lazy cut
-    # materializes the scan/explode/window pipeline once for the two
-    # consumers (top aggregation, span sweep).
+    # filter — the corpus-gram-scale probe join disappears. The cut is
+    # EAGER: the two consumers (top aggregation, span sweep) sit in the
+    # same final action, and a lazily-cached frame referenced from two
+    # branches of one job computes its lineage once per branch (the r6
+    # containment_lsh lesson) — A/B'd r14: warm 5.3 s lazy vs 4.7 s eager
+    # at sf0.1.
     wcnt = Window.partitionBy("_id", "_n", "_gh")
     counted = lineage_cut(
-        grams.withColumn("_cnt", F.count(F.lit(1)).over(wcnt)), eager=False
+        grams.withColumn("_cnt", F.count(F.lit(1)).over(wcnt))
     )
 
     # ---- top n-gram char fraction (n = 2, 3, 4) --------------------------
