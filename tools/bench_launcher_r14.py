@@ -24,9 +24,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-R13 = json.load(open("/root/repo/BENCH_r13.json"))
-m = re.search(r'\{"metric".*', R13["tail"])  # driver's own 32-core record
-R13Q = json.loads(m.group(0))["queries"] if m else {}
+# Slam reference: the repo-committed full 200-query r13 record (183 slots
+# >0.3 s) rather than the driver's compact 5-slot tail -- rule B needs
+# breadth to see a mid-run slam.
+R13Q = json.load(open("/root/repo/bench_out.json"))["queries"]
 
 import sycamore_spark as ss  # noqa: E402
 
